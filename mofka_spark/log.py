@@ -1,0 +1,266 @@
+"""Partitioned Parquet event log with dense per-partition offsets.
+
+Reference parity (SURVEY.md L1-L9):
+- receiveBatch assigns a dense contiguous id range per partition at
+  batch arrival: first id = running count, batch gets [first, first+n)
+  (/root/reference/src/DefaultPartitionManager.hpp:208,284-288;
+  /root/reference/src/MemoryPartitionManager.cpp:57-61).
+- storage order == id order (the reference serializes the per-partition
+  writer, /root/reference/src/DefaultPartitionManager.cpp:399-405); we
+  serialize only the tiny ledger update per partition, and the offsets
+  inside a batch come from a row_number window — the Parquet files
+  themselves are written fully in parallel.
+- acknowledge sets the consumer cursor to id+1
+  (/root/reference/src/DefaultPartitionManager.cpp:506-514).
+- crash recovery = rescan (/root/reference/src/DefaultPartitionManager.cpp:692-735);
+  here: recompute ledger from max(offset) per partition.
+
+Scale notes (100 TB): dense per-partition offsets require one
+serialization point per partition — unavoidable, and identical to the
+reference's per-partition writer lock. The serialization is O(#partitions)
+metadata work per batch (a JSON ledger here; a Delta txn log or a
+key-value service on a real deployment), never O(rows). Row data flows
+through a hash repartition on `partition` followed by a parallel
+Parquet append partitioned by `partition`, so consumers get partition
+pruning on `partition=` directories for free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The canonical events schema (FIXTURES.md F1).
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("metadata", T.StringType(), True),
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField("ingest_ts", T.TimestampType(), True),
+    ]
+)
+
+# Pre-offset ingest schema: what producers hand to the sink.
+INGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),  # arrival order within batch
+        T.StructField("metadata", T.StringType(), True),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+
+class EventLog:
+    """One topic's append-only event log."""
+
+    def __init__(self, spark: SparkSession, topic_path: str, topic: str):
+        self.spark = spark
+        self.topic_path = topic_path
+        self.topic = topic
+        self.data_path = os.path.join(topic_path, "data")
+        self.ledger_path = os.path.join(topic_path, "_ledger.json")
+        self.cursors_dir = os.path.join(topic_path, "_cursors")
+
+    # -- ledger ------------------------------------------------------------
+    def _read_ledger(self) -> dict[str, int]:
+        try:
+            with open(self.ledger_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_ledger(self, ledger: dict[str, int]) -> None:
+        from mofka_spark.registry import _atomic_write
+
+        _atomic_write(self.ledger_path, json.dumps(ledger, sort_keys=True))
+
+    def next_offsets(self) -> dict[int, int]:
+        """Next dense offset per partition (0 if partition empty)."""
+        return {int(k): v for k, v in self._read_ledger().items()}
+
+    def recover_ledger(self) -> dict[int, int]:
+        """L9 crash recovery: rebuild the ledger by scanning the log.
+
+        The reference rescans chunk-*.idx files
+        (/root/reference/src/DefaultPartitionManager.cpp:692-735); the
+        Spark shape is a partition-pruned max(offset) aggregation.
+        """
+        if not self._has_data():
+            self._write_ledger({})
+            return {}
+        agg = (
+            self.read()
+            .groupBy("partition")
+            .agg((F.max("offset") + F.lit(1)).alias("next"))
+            .collect()
+        )
+        ledger = {str(r["partition"]): r["next"] for r in agg}
+        self._write_ledger(ledger)
+        return {int(k): v for k, v in ledger.items()}
+
+    # -- write path --------------------------------------------------------
+    def append_batch(self, batch: DataFrame) -> dict[int, tuple[int, int]]:
+        """L1 receiveBatch: assign dense offsets and append.
+
+        ``batch`` must have INGEST_SCHEMA columns (partition, seq,
+        metadata, data). Returns {partition: (first_offset, count)} — the
+        ack payload (reference acks the first id of the range,
+        /root/reference/src/ProducerBatch.hpp:125-129).
+
+        Offsets: ``base[partition] + row_number() over (partition by
+        partition order by seq) - 1``. The window runs after a hash
+        repartition on `partition`, so each Spark task owns whole log
+        partitions and the sort is per-partition local — this scales to
+        any number of partitions and rows; the only serialized step is
+        the O(#partitions) ledger read/update.
+        """
+        ledger = self._read_ledger()
+        counts = {
+            r["partition"]: r["n"]
+            for r in batch.groupBy("partition").agg(F.count("*").alias("n")).collect()
+        }
+        if not counts:
+            return {}
+        bases = {p: ledger.get(str(p), 0) for p in counts}
+        base_col = F.create_map(
+            *[F.lit(x) for kv in bases.items() for x in kv]
+        )
+        w = Window.partitionBy("partition").orderBy("seq")
+        out = (
+            batch.repartition("partition")
+            .withColumn(
+                "offset",
+                (base_col[F.col("partition")] + F.row_number().over(w) - 1).cast("long"),
+            )
+            .withColumn("topic", F.lit(self.topic))
+            .withColumn("ingest_ts", F.current_timestamp())
+            .select("topic", "partition", "offset", "metadata", "data", "ingest_ts")
+        )
+        out.write.mode("append").partitionBy("partition").parquet(self.data_path)
+        for p, n in counts.items():
+            ledger[str(p)] = bases[p] + n
+        self._write_ledger(ledger)
+        return {p: (bases[p], counts[p]) for p in counts}
+
+    # -- read path ---------------------------------------------------------
+    def _has_data(self) -> bool:
+        if not os.path.isdir(self.data_path):
+            return False
+        for _root, _dirs, files in os.walk(self.data_path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def read(self, partitions: list[int] | None = None) -> DataFrame:
+        """Batch read of the whole topic (optionally a partition subset).
+
+        Partition-subset consumers (C5, /root/reference/src/MofkaTopicHandle.cpp:54-65)
+        become a filter on the Hive-style `partition=` directory column —
+        Catalyst prunes unselected directories at planning time, so no
+        bytes of other partitions are ever read.
+        """
+        if not self._has_data():
+            df = self.spark.createDataFrame([], EVENT_SCHEMA)
+            if partitions is not None:
+                df = df.filter(F.col("partition").isin(partitions))
+            return df
+        df = (
+            self.spark.read.schema(EVENT_SCHEMA)
+            .option("basePath", self.data_path)
+            .parquet(self.data_path)
+            .withColumn("topic", F.coalesce("topic", F.lit(self.topic)))
+        )
+        if partitions is not None:
+            df = df.filter(F.col("partition").isin(partitions))
+        return df
+
+    def read_range(
+        self,
+        cursors: dict[int, int],
+        max_events_per_partition: int | None = None,
+        partitions: list[int] | None = None,
+    ) -> DataFrame:
+        """L3 feedConsumer: events with offset >= cursor[partition].
+
+        ``max_events_per_partition`` caps the feed batch size (consumer
+        batch_size, /root/reference/src/ProviderImpl.hpp:162-201).
+        """
+        df = self.read(partitions)
+        if cursors:
+            cur_map = F.create_map(
+                *[F.lit(x) for kv in cursors.items() for x in kv]
+            )
+            df = df.filter(
+                F.col("offset") >= F.coalesce(cur_map[F.col("partition")], F.lit(0))
+            )
+        if max_events_per_partition is not None:
+            w = Window.partitionBy("partition").orderBy("offset")
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= max_events_per_partition)
+                .drop("_rn")
+            )
+        return df
+
+    # -- cursors (L4) ------------------------------------------------------
+    def _cursor_path(self, consumer: str) -> str:
+        return os.path.join(self.cursors_dir, f"{consumer}.json")
+
+    def load_cursors(self, consumer: str) -> dict[int, int]:
+        try:
+            with open(self._cursor_path(consumer)) as f:
+                return {int(k): v for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def acknowledge(self, consumer: str, partition: int, offset: int) -> None:
+        """L4: set cursor to offset+1
+        (/root/reference/src/DefaultPartitionManager.cpp:506-514)."""
+        from mofka_spark.registry import _atomic_write
+
+        os.makedirs(self.cursors_dir, exist_ok=True)
+        cur = self.load_cursors(consumer)
+        cur[partition] = max(cur.get(partition, 0), offset + 1)
+        _atomic_write(
+            self._cursor_path(consumer),
+            json.dumps({str(k): v for k, v in cur.items()}, sort_keys=True),
+        )
+
+    # -- stats -------------------------------------------------------------
+    def partition_stats(self) -> DataFrame:
+        """count/min/max offset per partition + density check."""
+        return (
+            self.read()
+            .groupBy("partition")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.min("offset").alias("min_offset"),
+                F.max("offset").alias("max_offset"),
+            )
+            .withColumn(
+                "dense",
+                (F.col("max_offset") - F.col("min_offset") + 1) == F.col("n_events"),
+            )
+        )
+
+
+def make_ingest_df(
+    spark: SparkSession, rows: list[dict[str, Any]]
+) -> DataFrame:
+    """Build an INGEST_SCHEMA DataFrame from python rows
+    (partition, seq, metadata, data)."""
+    return spark.createDataFrame(
+        [
+            (r["partition"], r["seq"], r.get("metadata"), r.get("data"))
+            for r in rows
+        ],
+        INGEST_SCHEMA,
+    )

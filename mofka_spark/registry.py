@@ -1,0 +1,206 @@
+"""Topic registry — the control plane (DDL surface).
+
+Reference parity (SURVEY.md S1-S4, S9, L8):
+- createTopic persists validator/selector/serializer config and the
+  partition list under a master database; duplicate -> error
+  (/root/reference/src/MofkaDriver.cpp:151-315).
+- openTopic loads the three configs + partitions
+  (/root/reference/src/MofkaDriver.cpp:317-459).
+- listTopics is a prefix scan (/root/reference/src/MofkaDriver.cpp:461-497).
+- topic name limit 256 chars (/root/reference/src/MofkaDriver.cpp:157).
+- markAsComplete persists a completion flag
+  (/root/reference/src/YokanEventStore.hpp:335-345).
+
+Spark-first design: the "master DB" is a directory of small JSON files
+(one per topic) next to the data. At cluster scale this directory lives
+on the shared filesystem / object store; registry operations are O(1)
+driver-side metadata ops, never Spark jobs. The event data itself lives
+in ``topics/<name>/partition=<p>/`` as Parquet so that Spark's partition
+discovery + pruning give consumer partition-subset reads for free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+from mofka_spark.errors import MofkaError, TopicExistsError, TopicNotFoundError
+
+MAX_TOPIC_NAME_LEN = 256  # reference: src/MofkaDriver.cpp:157
+
+DEFAULT_VALIDATOR = {"type": "default"}
+DEFAULT_SELECTOR = {"type": "default"}  # round-robin (DefaultPartitionSelector.hpp:25-37)
+DEFAULT_SERIALIZER = {"type": "default"}  # JSON string serializer
+
+
+@dataclass
+class TopicConfig:
+    """Persisted per-topic configuration (the MOFKA:GLOBAL:<name>:* keys)."""
+
+    name: str
+    num_partitions: int = 1
+    validator: dict[str, Any] = field(default_factory=lambda: dict(DEFAULT_VALIDATOR))
+    selector: dict[str, Any] = field(default_factory=lambda: dict(DEFAULT_SELECTOR))
+    serializer: dict[str, Any] = field(default_factory=lambda: dict(DEFAULT_SERIALIZER))
+    completed: bool = False
+    created_at: float = 0.0
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "TopicConfig":
+        return TopicConfig(**json.loads(s))
+
+
+def _atomic_write(path: str, content: str) -> None:
+    """Write-then-rename so concurrent readers never see a torn file."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-registry-")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+class TopicRegistry:
+    """Directory-backed topic catalog.
+
+    Layout::
+
+        <root>/_registry/<topic>.json        # TopicConfig
+        <root>/topics/<topic>/partition=<p>/ # Parquet event log (see log.py)
+        <root>/topics/<topic>/_ledger.json   # next dense offset per partition
+        <root>/topics/<topic>/_cursors/      # consumer ack cursors
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.registry_dir = os.path.join(root, "_registry")
+        os.makedirs(self.registry_dir, exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    @staticmethod
+    def _safe_key(name: str) -> str:
+        """Filesystem-safe key: topic names may be up to 256 chars
+        (longer than most filesystems' 255-byte component limit), so long
+        names get digest-suffixed. The true name lives in the config."""
+        if len(name) <= 128:
+            return name
+        import hashlib
+
+        return name[:96] + "-" + hashlib.sha256(name.encode()).hexdigest()[:24]
+
+    def topic_path(self, name: str) -> str:
+        return os.path.join(self.root, "topics", self._safe_key(name))
+
+    def _config_path(self, name: str) -> str:
+        return os.path.join(self.registry_dir, f"{self._safe_key(name)}.json")
+
+    # -- DDL ---------------------------------------------------------------
+    def create_topic(
+        self,
+        name: str,
+        num_partitions: int = 1,
+        validator: dict[str, Any] | None = None,
+        selector: dict[str, Any] | None = None,
+        serializer: dict[str, Any] | None = None,
+    ) -> TopicConfig:
+        """S1 createTopic. Fails with TopicExistsError on duplicates."""
+        self._check_name(name)
+        if num_partitions < 1:
+            raise MofkaError(f"num_partitions must be >= 1, got {num_partitions}")
+        path = self._config_path(name)
+        if os.path.exists(path):
+            raise TopicExistsError(f"Topic {name!r} already exists")
+        cfg = TopicConfig(
+            name=name,
+            num_partitions=num_partitions,
+            validator=validator or dict(DEFAULT_VALIDATOR),
+            selector=selector or dict(DEFAULT_SELECTOR),
+            serializer=serializer or dict(DEFAULT_SERIALIZER),
+            completed=False,
+            created_at=time.time(),
+        )
+        os.makedirs(self.topic_path(name), exist_ok=True)
+        # O_EXCL-equivalent create-new-only semantics (NEW_ONLY putMulti,
+        # src/MofkaDriver.cpp:211-267): atomically claim the file.
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise TopicExistsError(f"Topic {name!r} already exists") from None
+        with os.fdopen(fd, "w") as f:
+            f.write(cfg.to_json())
+        return cfg
+
+    def open_topic(self, name: str) -> TopicConfig:
+        """S2 openTopic. Fails with TopicNotFoundError if missing."""
+        path = self._config_path(name)
+        try:
+            with open(path) as f:
+                return TopicConfig.from_json(f.read())
+        except FileNotFoundError:
+            raise TopicNotFoundError(f"Topic {name!r} not found") from None
+
+    def list_topics(self) -> list[str]:
+        """S3 listTopics (prefix scan over registry keys)."""
+        names = []
+        for fn in os.listdir(self.registry_dir):
+            if not fn.endswith(".json") or fn.startswith("."):
+                continue
+            key = fn[: -len(".json")]
+            if len(key) <= 128:
+                names.append(key)
+            else:  # digest-keyed: read the true name from the config
+                with open(os.path.join(self.registry_dir, fn)) as f:
+                    names.append(json.load(f)["name"])
+        return sorted(names)
+
+    def topic_exists(self, name: str) -> bool:
+        """S4 topicExists."""
+        return os.path.exists(self._config_path(name))
+
+    def add_partitions(self, name: str, count: int = 1) -> TopicConfig:
+        """S5 addPartition — extend the partition count.
+
+        One storage backend in Spark-land, so memory/default/legacy
+        partition flavors collapse into this single operation.
+        """
+        cfg = self.open_topic(name)
+        cfg.num_partitions += count
+        _atomic_write(self._config_path(name), cfg.to_json())
+        return cfg
+
+    def mark_as_complete(self, name: str) -> TopicConfig:
+        """L8 markAsComplete — consumers drain then see NoMoreEvents."""
+        cfg = self.open_topic(name)
+        cfg.completed = True
+        _atomic_write(self._config_path(name), cfg.to_json())
+        return cfg
+
+    def destroy_topic(self, name: str) -> None:
+        """S9 destroy — drop registry entry and data."""
+        import shutil
+
+        if not self.topic_exists(name):
+            raise TopicNotFoundError(f"Topic {name!r} not found")
+        os.unlink(self._config_path(name))
+        shutil.rmtree(self.topic_path(name), ignore_errors=True)
+
+    # -- helpers -----------------------------------------------------------
+    @staticmethod
+    def _check_name(name: str) -> None:
+        if not name or len(name) > MAX_TOPIC_NAME_LEN:
+            raise MofkaError(
+                f"Invalid topic name (1..{MAX_TOPIC_NAME_LEN} chars): {name!r}"
+            )
+        if "/" in name or name.startswith("."):
+            raise MofkaError(f"Invalid topic name: {name!r}")

@@ -1,0 +1,59 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same configs are
+what we would set cluster-side (AQE on, sensible shuffle partitioning,
+Arrow for the Python boundary). Session timezone is pinned to UTC so
+results compare bit-for-bit against the DuckDB oracle (whose timestamps
+are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CONF = {
+    # Let AQE re-plan at runtime: coalesce tiny shuffle partitions,
+    # rewrite skewed joins. Essential at 100 TB, harmless locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for all pandas UDF / toPandas boundaries.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp comparison vs DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet scan tuning: 128 MiB split targets keep task counts sane
+    # at large scale while still parallelizing locally.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.parquet.filterPushdown": "true",
+    # Don't let tiny local runs over-parallelize; cluster deployments
+    # override via spark-defaults.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "mofka-spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` resolves from the argument, ``$SPARK_GRAFT_MASTER``, then
+    ``local[$SPARK_GRAFT_CPUS or *]``.
+    """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    merged = dict(_DEFAULT_CONF)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

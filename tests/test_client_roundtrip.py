@@ -1,0 +1,186 @@
+"""End-to-end produce/consume parity — the reference's 100-event
+integration invariants (FIXTURES.md F1;
+/root/reference/tests/MofkaEventConsumerTest.cpp:45-135):
+
+- per-partition offsets dense 0..count-1
+- metadata round-trips
+- data bytes round-trip
+- ack cursor = offset+1; re-subscribed consumer resumes from cursor
+- after mark_as_complete, pulls return NoMoreEvents forever
+"""
+
+import pytest
+
+from mofka_spark.client import NoMoreEvents
+from mofka_spark.errors import MofkaError, ValidationError
+
+
+def _produce_100(driver, topic_name="mytopic", partitions=1):
+    topic = driver.create_topic(topic_name, num_partitions=partitions)
+    with topic.producer("p", batch_size=25) as producer:
+        futures = []
+        for i in range(100):
+            futures.append(
+                producer.push(
+                    {"event_num": i},
+                    f"This is data for event {i}".encode(),
+                )
+            )
+    return topic, futures
+
+
+def test_roundtrip_single_partition(driver):
+    topic, futures = _produce_100(driver)
+    # dense ids assigned in push order (EventID semantics)
+    ids = [f.wait() for f in futures]
+    assert ids == list(range(100))
+
+    consumer = topic.consumer("c", batch_size=32)
+    topic.mark_as_complete()
+    events = list(consumer)
+    assert len(events) == 100
+    for i, ev in enumerate(events):
+        assert ev.offset == i
+        assert ev.metadata == {"event_num": i}
+        assert ev.data == f"This is data for event {i}".encode()
+    # drained + complete -> NoMoreEvents forever
+    assert consumer.pull() is NoMoreEvents
+    assert consumer.pull() is NoMoreEvents
+
+
+def test_roundtrip_four_partitions(driver):
+    topic, futures = _produce_100(driver, partitions=4)
+    ids = [f.wait() for f in futures]
+    # round-robin: event i -> partition i%4, offset i//4
+    assert ids == [i // 4 for i in range(100)]
+
+    df = topic.dataframe()
+    stats = {r["partition"]: r for r in topic.log.partition_stats().collect()}
+    assert set(stats) == {0, 1, 2, 3}
+    for p in range(4):
+        assert stats[p]["n_events"] == 25
+        assert stats[p]["min_offset"] == 0
+        assert stats[p]["max_offset"] == 24
+        assert stats[p]["dense"]
+    assert df.count() == 100
+
+
+def test_explicit_partition_honored_mod_n(driver):
+    topic = driver.create_topic("t", num_partitions=4)
+    with topic.producer("p") as producer:
+        f = producer.push({"event_num": 0}, b"x", partition=6)
+    ev_partition = topic.dataframe().select("partition").first()["partition"]
+    assert ev_partition == 6 % 4
+    assert f.wait() == 0
+
+
+def test_ack_cursor_resume(driver):
+    """Ack every 5th event; a re-subscribed consumer resumes at cursor
+    (reference: tests/MofkaEventConsumerTest.cpp:68-76,
+    src/DefaultPartitionManager.cpp:423-427)."""
+    topic, _ = _produce_100(driver)
+    topic.mark_as_complete()
+    c1 = topic.consumer("worker", batch_size=10)
+    for ev in c1:
+        if ev.offset % 5 == 0:
+            ev.acknowledge()
+    # cursor = 95 + 1 = 96
+    assert topic.log.load_cursors("worker") == {0: 96}
+    c2 = topic.consumer("worker", batch_size=10)
+    resumed = list(c2)
+    assert [e.offset for e in resumed] == [96, 97, 98, 99]
+
+
+def test_consumer_partition_targets(driver):
+    topic, _ = _produce_100(driver, partitions=4)
+    topic.mark_as_complete()
+    c = topic.consumer("c", targets=[1, 3])
+    parts = {e.partition for e in c}
+    assert parts == {1, 3}
+    with pytest.raises(MofkaError):
+        topic.consumer("c2", targets=[4])
+
+
+def test_multiple_producer_batches_stay_dense(driver):
+    topic = driver.create_topic("t", num_partitions=2)
+    p1 = topic.producer("p1")
+    for i in range(10):
+        p1.push({"event_num": i}, b"a")
+    p1.flush()
+    p2 = topic.producer("p2")
+    futs = [p2.push({"event_num": 100 + i}, b"b") for i in range(10)]
+    p2.flush()
+    # second producer's ids continue from the ledger
+    assert sorted(f.wait() for f in futs) == [5, 5, 6, 6, 7, 7, 8, 8, 9, 9]
+    stats = topic.log.partition_stats().collect()
+    for r in stats:
+        assert r["dense"], r
+
+
+def test_schema_validator_rejects_at_push(driver):
+    # FIXTURES.md F5
+    topic = driver.create_topic(
+        "t",
+        validator={
+            "type": "schema",
+            "schema": {
+                "type": "object",
+                "properties": {"event_num": {"type": "integer"}},
+                "required": ["event_num"],
+            },
+        },
+    )
+    producer = topic.producer("p")
+    producer.push({"event_num": 1}, b"ok")
+    with pytest.raises(ValidationError):
+        producer.push({"other": 1}, b"bad")
+    with pytest.raises(ValidationError):
+        producer.push({"event_num": "nope"}, b"bad")
+    producer.flush()
+    assert topic.dataframe().count() == 1
+
+
+def test_eventbridge_validator_rejects_at_push(driver):
+    topic = driver.create_topic(
+        "t",
+        validator={"type": "eventbridge", "pattern": {"kind": ["good"]}},
+    )
+    producer = topic.producer("p")
+    producer.push({"kind": "good"}, b"")
+    with pytest.raises(ValidationError):
+        producer.push({"kind": "bad"}, b"")
+    producer.flush()
+    assert topic.dataframe().count() == 1
+
+
+def test_bulk_push_dataframe(driver, spark):
+    """The 100 TB ingest path: declarative validate+partition+append."""
+    import pyspark.sql.functions as F
+
+    topic = driver.create_topic("bulk", num_partitions=4)
+    producer = topic.producer("p")
+    src = spark.range(1000).select(
+        F.to_json(F.struct(F.col("id").alias("event_num"))).alias("metadata"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id")), "utf-8").alias("data"),
+    )
+    acks = producer.push_dataframe(src)
+    assert sum(n for _, n in acks.values()) == 1000
+    stats = topic.log.partition_stats().collect()
+    assert sum(r["n_events"] for r in stats) == 1000
+    for r in stats:
+        assert r["dense"], r
+    # appending again continues offsets densely
+    producer.push_dataframe(src)
+    stats2 = {r["partition"]: r for r in topic.log.partition_stats().collect()}
+    for p, r in stats2.items():
+        assert r["dense"], r
+        assert r["min_offset"] == 0
+
+
+def test_ledger_recovery(driver):
+    topic, _ = _produce_100(driver, partitions=2)
+    import os
+
+    os.unlink(topic.log.ledger_path)
+    recovered = topic.log.recover_ledger()
+    assert recovered == {0: 50, 1: 50}
