@@ -1,0 +1,339 @@
+"""Deduplication operators for training-data pipelines, 100 TB-ready.
+
+Strategies (each returns keeper/duplicate assignments):
+
+- exact_dedup: content-hash groupBy. One shuffle on a 32-hex key;
+  map-side partial aggregation applies; no skew (hashes are uniform).
+- minhash_lsh_dedup: shingle -> minhash -> band -> bucket-join.
+  The classic near-dup pipeline: per-row signature computation is a
+  single project (no shuffle); candidate generation shuffles only
+  (band_id, band_hash) pairs — tiny compared to the corpus; the
+  pairwise verify join runs per-bucket, never all-pairs.
+- simhash_dedup: 64-bit simhash from token hashes; near-dups = equal
+  simhash prefix buckets + hamming check.
+- ngram_jaccard_pairs: exact n-gram Jaccard verification over candidate
+  pairs (used standalone on small buckets, or as minhash's verify step).
+- embedding_neardup: cosine-similar pairs via a blocking key then exact
+  verify (see similarity.py for the kernels).
+
+Everything is built-in expressions (xxhash64, transform, aggregate,
+explode) — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text for dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Ensure enough input partitions before explode-heavy stages.
+
+    A corpus that arrives as a handful of parquet files would otherwise
+    run the (CPU-bound) shingle/hash stage on a handful of tasks; the
+    small pre-shuffle of raw rows buys full parallelism. No-op when the
+    scan is already wide (the 100 TB case — file splits provide
+    parallelism there)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, key)
+    return df
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicates by md5 of normalized text. Returns
+    (content_hash, keeper_id, n_copies, ids). Keeper = min id.
+
+    Scale: groupBy on a uniform 128-bit key — one shuffle, perfect
+    distribution, partial_agg does most work map-side. md5 (not
+    xxhash64) so the result is oracle-checkable across engines."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+    )
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Character k-shingles of normalized text as an array<string>.
+
+    transform over a sequence — one projection, no explode until the
+    pipeline needs it."""
+    norm = normalize_text(col)
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-grams as array<string> (for n-gram Jaccard)."""
+    toks = F.split(normalize_text(col), " ")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), cnt - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature as one expression: per shingle an array of H
+    seeded xxhash64 values, folded with elementwise min. array<long>.
+    (The pipeline below uses the equivalent explode/agg form, which
+    plans better for wide H.)"""
+    per_shingle = F.transform(
+        shingle_col,
+        lambda x: F.array(*[F.xxhash64(x, F.lit(s)) for s in range(num_hashes)]),
+    )
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        per_shingle, init, lambda acc, h: F.zip_with(acc, h, F.least)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    rows/band = num_hashes/bands. Two docs are candidates if any band's
+    hash slice matches exactly. Returns distinct (id_a, id_b) with
+    id_a < id_b.
+
+    Plan shape: explode shingles -> 64 parallel min() aggregations
+    grouped by doc (partial agg collapses each map partition to one row
+    per doc before the shuffle — the shuffled volume is docs × 512 B
+    regardless of text size) -> band hashes -> self-join per (band_id,
+    band_hash) bucket. Hot buckets (boilerplate docs) are the skew
+    risk: AQE skew-join handles moderate cases; pathological buckets
+    should be capped upstream (drop buckets with > ~10k members — they
+    are near-identical boilerplate anyway)."""
+    rows_per_band = num_hashes // bands
+    exploded = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    sig = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(s))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over candidate (id_a, id_b) pairs.
+
+    Joins the n-gram sets onto the (small) candidate set — the exact
+    verify never touches non-candidate rows. Returns
+    (id_a, id_b, jaccard) for pairs >= threshold."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+    )
+    j = (
+        pairs.join(grams.withColumnRenamed("grams", "grams_a"), pairs.id_a == grams.id)
+        .drop("id")
+        .join(
+            grams.withColumnRenamed("grams", "grams_b").withColumnRenamed("id", "id2"),
+            pairs.id_b == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return (
+        j.withColumn(
+            "jaccard",
+            F.round(inter / F.greatest(union, F.lit(1)), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    verify_threshold: float | None = 0.8,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates (+ optional exact Jaccard
+    verify) -> connected keeper assignment.
+
+    Keeper assignment: duplicate edges (a<b) reduce to keeper = min
+    neighbor via one aggregation (single-hop union-find; transitive
+    chains at depth > 1 are rare at sensible thresholds — a full
+    iterative connected-components pass is the documented extension)."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_k)
+    if verify_threshold is not None:
+        cand = ngram_jaccard_pairs(
+            df, cand, id_col, text_col, ngram_n, verify_threshold
+        ).select("id_a", "id_b")
+    keepers = cand.groupBy("id_b").agg(F.min("id_a").alias("keeper_id"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(keepers, F.col("id") == F.col("id_b"), "left")
+        .select(
+            "id",
+            F.coalesce("keeper_id", "id").alias("keeper_id"),
+            (F.col("keeper_id").isNotNull()).alias("is_duplicate"),
+        )
+    )
+
+
+def simhash64(text_col: Column, ngram: int = 2) -> Column:
+    """64-bit SimHash over word n-gram xxhash64 hashes.
+
+    For each bit position, sum +1/-1 weighted by whether the gram's
+    hash has that bit set; the sign of the sum is the output bit. All
+    vectorized array expressions."""
+    grams = word_ngrams(text_col, ngram)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    one = F.lit(1).cast("long")
+
+    def _vote(mask):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    bits = []
+    for i in range(64):
+        mask = F.shiftleft(one, i)
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(mask))
+        bits.append(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc.bitwiseOR(b)
+    return acc
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+) -> DataFrame:
+    """SimHash as a pipeline (explode -> 64 vote sums -> bit assembly).
+
+    Plans far better than the single-expression simhash64 for bulk use:
+    the grams are computed once, the 64 conditional sums run in one
+    hash-aggregate with map-side partial aggregation, and the shuffle
+    carries one 64-counter row per doc."""
+    one = F.lit(1).cast("long")
+    hashed = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("g"),
+    ).select("id", F.xxhash64("g").alias("h"))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.shiftleft(one, i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return votes.select("id", sim.alias("sim"))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    ngram: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit prefix bands (4 bands
+    -> hamming<=3 pairs share at least one exact band by pigeonhole),
+    verify hamming distance exactly.
+
+    Returns (id_a, id_b, hamming)."""
+    sigs = simhash_signatures(df, id_col, text_col, ngram)
+    banded = sigs.select(
+        "id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sim"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

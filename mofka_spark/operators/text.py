@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are Spark built-ins (JVM, codegen) — no UDFs —
+so they survive 100 TB: a single scan, no shuffle, fully pushdown- and
+prune-friendly. Each has a matching ANSI-SQL form for the DuckDB oracle
+(see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tokenization: whitespace runs. Kept intentionally simple and
+# cross-engine-reproducible (same regex semantics in DuckDB).
+_WS = r"\s+"
+
+# A tiny per-language stopword inventory for the n-gram/stopword
+# language-ID heuristic. Deterministic, oracle-expressible.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (BPE-ish regex splitting lives in
+    token_count_bpe)."""
+    col = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, _WS))
+    )
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """Approximate BPE token count: word chars chunk ~4 chars/token,
+    plus one per non-space punctuation. Pure arithmetic on regexp
+    counts — deterministic and oracle-expressible."""
+    col = F.col(text) if isinstance(text, str) else text
+    n_word_chars = F.length(F.regexp_replace(col, r"[^A-Za-z0-9]", ""))
+    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return (F.ceil(n_word_chars / F.lit(4.0)) + n_punct).cast("long")
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), _WS)
+
+
+def _stopword_hits(col: Column, words: list[str]) -> Column:
+    """Count tokens equal to any stopword. Token equality (not regex
+    word-boundaries) so Java-regex vs RE2 \\b divergence can never make
+    the oracle disagree."""
+    toks = _tokens(col)
+    return F.size(F.filter(toks, lambda t: t.isin(words))).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, tokens, mean token length,
+    punctuation ratio, stopword ratio, all-caps ratio."""
+    col = F.col(text_col)
+    n_chars = F.length(col)
+    n_tok = token_count(col)
+    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    n_upper = F.length(F.regexp_replace(col, r"[^A-Z]", ""))
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    n_stop = _stopword_hits(col, LANG_STOPWORDS["en"])
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_q"),
+        n_tok.alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tok, F.lit(1)), 4).alias("mean_token_len"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_upper / F.greatest(n_alpha, F.lit(1)), 4).alias("caps_ratio"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: argmax over per-language stopword
+    token counts; 'und' (undetermined) when all are zero.
+
+    Ties break by language code order (deterministic). One scan, no
+    shuffle, no UDF."""
+    col = F.col(text_col)
+    scores = []
+    for lang in sorted(LANG_STOPWORDS):
+        hits = _stopword_hits(col, LANG_STOPWORDS[lang])
+        scores.append(F.struct(hits.alias("score"), F.lit(lang).alias("lang")))
+    arr = F.array(*scores)
+    best_score = F.array_max(F.transform(arr, lambda s: s["score"]))
+    best_lang = F.when(best_score <= 0, F.lit("und")).otherwise(
+        # first language (sorted code order) achieving the best score
+        F.filter(arr, lambda s: s["score"] == best_score)[0]["lang"]
+    )
+    return df.withColumn("pred_lang", best_lang).withColumn(
+        "lang_score", best_score.cast("long")
+    )
+
+
+def fingerprint(text: Column | str, k: int = 8) -> Column:
+    """Document fingerprint: md5 of the lowercased,
+    whitespace-normalized text (content-defined identity; md5 matches
+    across Spark and DuckDB so it stays oracle-checkable). For rolling
+    / winnowed fingerprints see dedup.shingles."""
+    col = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(col)), _WS, " ")
+    return F.md5(normalized)

@@ -1,0 +1,679 @@
+"""Query registry: every operator from SURVEY.md §2 (plus the
+beyond-reference analytics) as a (Spark callable, DuckDB oracle SQL)
+pair for the driver's correctness gate.
+
+Conventions:
+- every computed column is aliased identically on both sides
+- aggregate doubles are rounded (4dp money, 4dp ratios) on both sides
+- counts cast to BIGINT on both sides (DuckDB SUM(int) yields HUGEINT)
+- LIMIT/top-k queries carry full deterministic tiebreaks
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mofka_spark.functions.eventbridge import compile_pattern
+from mofka_spark.functions.views import DataDescriptor
+from mofka_spark.operators import dedup, similarity, text
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read nanos as long and rebuild a (microsecond)
+        # timestamp column. Runtime conf — safe to set per-session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# 1. Mofka-semantics queries over the events table
+# ===========================================================================
+
+# L1: dense per-partition offset assignment (the receiveBatch id window;
+# reference: src/DefaultPartitionManager.hpp:208,284-288). The events
+# table plays the producer batch; partition = round-robin event_id % 4.
+@query(
+    "ingest_offsets",
+    """
+    SELECT event_id,
+           CAST(event_id % 4 AS INTEGER) AS partition,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_id % 4
+                                   ORDER BY event_id) - 1 AS BIGINT) AS offset
+    FROM events
+    """,
+)
+def q_ingest_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("partition").orderBy("event_id")
+    return (
+        ev.withColumn("partition", F.pmod(F.col("event_id"), F.lit(4)).cast("int"))
+        .withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+        .select("event_id", "partition", "offset")
+    )
+
+
+# Topic stats: per-partition count/min/max + density invariant
+# (tests/MofkaEventConsumerTest.cpp:45-83 invariants, bulk form).
+@query(
+    "topic_stats",
+    """
+    WITH assigned AS (
+      SELECT CAST(event_id % 4 AS INTEGER) AS partition,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_id % 4
+                                     ORDER BY event_id) - 1 AS BIGINT) AS "offset"
+      FROM events
+    )
+    SELECT partition,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN("offset") AS min_offset,
+           MAX("offset") AS max_offset,
+           (MAX("offset") - MIN("offset") + 1 = COUNT(*)) AS dense
+    FROM assigned GROUP BY partition
+    """,
+)
+def q_topic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = q_ingest_offsets(spark, sf_dir)
+    return assigned.groupBy("partition").agg(
+        F.count("*").alias("n_events"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+        ((F.max("offset") - F.min("offset") + 1) == F.count("*")).alias("dense"),
+    )
+
+
+# L4 acknowledge semantics: consumer acks every 5th event; cursor =
+# last-acked + 1 per partition (src/DefaultPartitionManager.cpp:506-514,
+# scenario FIXTURES.md F8).
+@query(
+    "consumer_cursors",
+    """
+    WITH assigned AS (
+      SELECT CAST(event_id % 4 AS INTEGER) AS partition,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_id % 4
+                                     ORDER BY event_id) - 1 AS BIGINT) AS "offset"
+      FROM events
+    )
+    SELECT partition,
+           MAX(CASE WHEN "offset" % 5 = 0 THEN "offset" END) + 1 AS next_offset
+    FROM assigned GROUP BY partition
+    """,
+)
+def q_consumer_cursors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = q_ingest_offsets(spark, sf_dir)
+    return assigned.groupBy("partition").agg(
+        (
+            F.max(F.when(F.col("offset") % 5 == 0, F.col("offset"))) + 1
+        ).alias("next_offset")
+    )
+
+
+# P4 eventbridge numeric-range pattern compiled to a pushdown-friendly
+# predicate over the props JSON column.
+@query(
+    "eventbridge_numeric",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 10
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) < 60
+      AND event_type IN ('click', 'purchase')
+    """,
+)
+def q_eventbridge_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pattern = {"k": [{"numeric": [">=", 10, "<", 60]}]}
+    return (
+        ev.filter(compile_pattern(pattern, "props"))
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+
+
+# P4 string rules: wildcard + anything-but-prefix over a synthesized
+# metadata document (exercises the compiler end-to-end on real columns).
+@query(
+    "eventbridge_strings",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE event_type LIKE '%e%'
+      AND event_type NOT LIKE 's%'
+      AND value >= 0
+    """,
+)
+def q_eventbridge_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    meta = F.to_json(F.struct("event_type", "value")).alias("md")
+    pattern = {
+        "event_type": [
+            {"wildcard": "*e*"},
+        ],
+        "$or": [
+            {"event_type": [{"anything-but": {"prefix": "s"}}]},
+        ],
+        "value": [{"numeric": [">=", 0]}],
+    }
+    return (
+        ev.withColumn("md", meta)
+        .filter(compile_pattern(pattern, "md"))
+        .select("event_id", "event_type")
+    )
+
+
+# §2.6 view algebra: the three non-trivial golden views applied to the
+# documents payload (sub/strided/unstructured byte selection, C3/L5).
+@query(
+    "data_views",
+    """
+    SELECT doc_id,
+           substr(text, 14, 26) AS sub_view,
+           substr(text, 14, 4) || substr(text, 20, 4) || substr(text, 26, 4)
+             AS strided_view,
+           substr(text, 4, 6) || substr(text, 16, 4) || substr(text, 28, 8)
+             AS unstructured_view
+    FROM documents
+    WHERE n_chars >= 60
+    """,
+)
+def q_data_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 60)
+    ident = DataDescriptor.identity(1 << 30)
+    sub = ident.make_sub_view(13, 26)
+    strided = ident.make_strided_view(13, 3, 4, 2)
+    unstructured = ident.make_unstructured_view([(3, 6), (15, 4), (27, 8)])
+    return docs.select(
+        "doc_id",
+        sub.to_column("text").alias("sub_view"),
+        strided.to_column("text").alias("strided_view"),
+        unstructured.to_column("text").alias("unstructured_view"),
+    )
+
+
+# ===========================================================================
+# 2. Relational analytics (Spark built-ins over the star schema)
+# ===========================================================================
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1997-06-30 00:00:00").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# Window functions: top-3 orders per customer (deterministic tiebreak).
+@query(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+# Set ops (EXCEPT): user-days with clicks but no purchase.
+@query(
+    "click_days_no_purchase",
+    """
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+    FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_click_days_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "day").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "day").distinct()
+    return clicks.exceptAll(buys)
+
+
+# Grouping sets / rollup.
+@query(
+    "orders_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# ===========================================================================
+# 3. Streaming-flavored analytics over events (event time added by the
+#    engine — SURVEY.md §1.3; these run in batch AND as streaming aggs)
+# ===========================================================================
+
+@query(
+    "hourly_event_stats",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# Sessionization: 30-minute inactivity gap per user.
+@query(
+    "user_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id,
+             CASE WHEN date_diff('second',
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM marked GROUP BY user_id
+    """,
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts").cast("long") - prev.cast("long")
+    new_session = F.when(prev.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"))
+    )
+
+
+# ===========================================================================
+# 4. Training-data pipeline operators (documents / embeddings)
+# ===========================================================================
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+           MIN(doc_id) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("content_hash", "keeper_id", "n_copies")
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens,
+           CAST(CEIL(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4.0)
+                + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+             AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.token_count_bpe("text").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "quality_scores",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars_q,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             t -> t IN ('the','and','of','to','in'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars_q AS BIGINT) AS n_chars_q,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n_chars_q, 1), 4) AS punct_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tok, 1), 4) AS stopword_ratio
+    FROM t
+    """,
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = text.quality_features(docs)
+    return feats.select(
+        "doc_id",
+        F.col("n_chars_q").cast("long"),
+        F.col("n_tokens").cast("long"),
+        "punct_ratio",
+        "stopword_ratio",
+    )
+
+
+@query(
+    "language_id",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        len(list_filter(t, x -> x IN ('the','and','of','to','in')))    AS s_en,
+        len(list_filter(t, x -> x IN ('el','la','de','que','y')))      AS s_es,
+        len(list_filter(t, x -> x IN ('le','la','et','les','des')))    AS s_fr,
+        len(list_filter(t, x -> x IN ('的','是','了','在','我')))      AS s_zh
+      FROM toks
+    )
+    SELECT doc_id,
+      CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh
+                THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           WHEN s_fr >= s_zh THEN 'fr'
+           ELSE 'zh' END AS pred_lang,
+      CAST(GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS BIGINT) AS lang_score
+    FROM scores
+    """,
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.language_id(docs).select("doc_id", "pred_lang", "lang_score")
+
+
+# Brute-force cosine top-k (the ANN baseline). Rank computed on the
+# raw double score with neighbor-id tiebreak; output score rounded.
+@query(
+    "knn_cosine",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qvec,
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS score
+      FROM embeddings c, q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.brute_force_topk(queries, emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+# Embedding-cosine near-dup pairs, blocked on label (the blocking key
+# stands in for an LSH bucket at scale).
+@query(
+    "embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, block_col="label", threshold=0.3)
+
+
+# MinHash-LSH near-dup dedup — genuinely non-SQL-expressible at oracle
+# level (seeded xxhash64 signatures): rows-only check.
+@query("minhash_dedup")
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(docs, verify_threshold=0.8)
+
+
+# SimHash near-dup pairs — rows-only check (bit-level hashing).
+@query("simhash_pairs")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_dedup(docs, max_hamming=6)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entry() query: mofka ingest semantics end-to-end — offset
+    assignment + eventbridge filter + per-partition/type rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("partition").orderBy("event_id")
+    pattern = {"k": [{"numeric": [">=", 0]}]}
+    return (
+        ev.withColumn("partition", F.pmod(F.col("event_id"), F.lit(4)).cast("int"))
+        .withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+        .filter(compile_pattern(pattern, "props"))
+        .groupBy("partition", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("offset").alias("max_offset"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("partition", "event_type")
+    )
