@@ -211,6 +211,43 @@ class TopicHandle:
         semantics to the full Spark relational surface."""
         return self.log.read(partitions)
 
+    def read_stream(self, batch_size: int | None = None) -> DataFrame:
+        """The topic as a streaming DataFrame (custom 'mofka' source;
+        L3 feedConsumer ≙ micro-batch offset ranges from the ledger)."""
+        from mofka_spark.streaming.source import MofkaDataSource
+
+        spark = self.driver.spark
+        spark.dataSource.register(MofkaDataSource)
+        reader = (
+            spark.readStream.format("mofka")
+            .option("path", self.driver.root)
+            .option("topic", self.name)
+        )
+        if batch_size is not None:
+            reader = reader.option("batch_size", batch_size)
+        return reader.load()
+
+    def write_stream(
+        self,
+        df: DataFrame,
+        checkpoint: str,
+        trigger: dict | None = None,
+        **sink_kwargs,
+    ):
+        """Write a streaming DataFrame into this topic (foreachBatch
+        around the dense-offset sink; see streaming/sink.py)."""
+        from mofka_spark.streaming.sink import topic_sink
+
+        writer = (
+            df.writeStream.foreachBatch(
+                topic_sink(self.driver, self.name, **sink_kwargs)
+            )
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
 
 class Producer:
     """Validate -> select partition -> serialize -> batch -> sink."""

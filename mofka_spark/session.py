@@ -27,6 +27,8 @@ _DEFAULT_CONF = {
     # at large scale while still parallelizing locally.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.filterPushdown": "true",
+    # micros (not INT96) so pyarrow/duckdb read the log natively
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Don't let tiny local runs over-parallelize; cluster deployments
     # override via spark-defaults.
     "spark.sql.shuffle.partitions": "32",

@@ -1,0 +1,184 @@
+"""Structured Streaming custom source for mofka topics.
+
+The Spark re-expression of the consumer feed loop (SURVEY.md L3/C1):
+
+- offsets       = {partition: next_offset} — exactly the reference's
+  per-consumer cursor map (/root/reference/src/DefaultPartitionManager.cpp:415-504)
+- latestOffset  = the ledger (total_events per partition); the
+  ``batch_size`` option caps events/partition/trigger, mirroring the
+  consumer batch_size forwarded to feedConsumer
+  (/root/reference/src/ProviderImpl.hpp:162-201)
+- partitions()  = one InputPartition per topic partition and offset
+  range — partition-parallel reads, the Spark analog of per-partition
+  feed ULTs
+- read()        = executor-side pyarrow range scan over the partition's
+  Parquet files (offset predicate pushed to the arrow dataset scan)
+- Trigger.AvailableNow + a completed topic = drain-then-NoMoreEvents
+  semantics (L8): the stream ends when the ledger stops moving.
+
+Usage::
+
+    spark.dataSource.register(MofkaDataSource)
+    df = (spark.readStream.format("mofka")
+          .option("path", root).option("topic", "mytopic")
+          .option("batch_size", 1000)   # events/partition/trigger
+          .load())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from mofka_spark.log import EVENT_SCHEMA
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    partition: int
+    start: int
+    end: int
+    data_dir: str
+    topic: str
+
+
+def _read_ledger(topic_path: str) -> dict[str, int]:
+    try:
+        with open(os.path.join(topic_path, "_ledger.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _arrow_scan(part: _RangePartition):
+    """Executor-side: scan one partition dir for [start, end) offsets.
+
+    pyarrow dataset pushes the offset predicate into the parquet scan
+    (row-group pruning via min/max stats), so a small trigger batch
+    reads only the tail files of the log."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    pdir = os.path.join(part.data_dir, f"partition={part.partition}")
+    if not os.path.isdir(pdir):
+        return
+    dataset = pads.dataset(pdir, format="parquet")
+    flt = (pads.field("offset") >= part.start) & (pads.field("offset") < part.end)
+    scanner = dataset.scanner(
+        columns=["topic", "offset", "metadata", "data", "ingest_ts"], filter=flt
+    )
+    for batch in scanner.to_batches():
+        if batch.num_rows == 0:
+            continue
+        arrays = [
+            pa.array([part.topic] * batch.num_rows, pa.string()),
+            pa.array([part.partition] * batch.num_rows, pa.int32()),
+            batch.column("offset").cast(pa.int64()),
+            batch.column("metadata").cast(pa.string()),
+            batch.column("data").cast(pa.binary()),
+            batch.column("ingest_ts").cast(pa.timestamp("us")),
+        ]
+        yield pa.RecordBatch.from_arrays(
+            arrays,
+            names=["topic", "partition", "offset", "metadata", "data", "ingest_ts"],
+        )
+
+
+class MofkaStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.root = options.get("path") or options.get("root")
+        self.topic = options["topic"]
+        if self.root is None:
+            raise ValueError("mofka source requires option 'path' (engine root)")
+        self.batch_size = int(options.get("batch_size", 0)) or None
+        from mofka_spark.registry import TopicRegistry
+
+        self.topic_path = TopicRegistry(self.root).topic_path(self.topic)
+        self.data_dir = os.path.join(self.topic_path, "data")
+        # rate-control state: the last end offset this reader announced.
+        # The cap MUST happen in latestOffset (not partitions): Spark
+        # commits whatever range latestOffset announces, so narrowing it
+        # later would silently drop the tail of a batch.
+        self._last: dict[str, int] | None = None
+
+    def initialOffset(self) -> dict:
+        # start of the log: offset 0 for every currently-known partition
+        return {p: 0 for p in _read_ledger(self.topic_path)}
+
+    def latestOffset(self) -> dict:
+        ledger = {p: int(n) for p, n in _read_ledger(self.topic_path).items()}
+        if self.batch_size is None:
+            return ledger
+        # advance at most batch_size per partition per trigger
+        # (consumer batch_size ≙ feedConsumer cap). Best-effort: after a
+        # checkpoint restart the first capped offsets may trail the
+        # checkpoint; they catch up in subsequent triggers.
+        prev = self._last or {}
+        out = {
+            p: min(n, prev.get(p, 0) + self.batch_size) for p, n in ledger.items()
+        }
+        self._last = out
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for p, e in end.items():
+            s = int(start.get(p, 0))
+            e = int(e)
+            if e > s:
+                parts.append(
+                    _RangePartition(int(p), s, e, self.data_dir, self.topic)
+                )
+        if not parts:
+            # Spark requires >= 1 partition; emit an empty range
+            parts.append(_RangePartition(0, 0, 0, self.data_dir, self.topic))
+        return parts
+
+    def read(self, partition: _RangePartition):
+        yield from _arrow_scan(partition)
+
+    def commit(self, end: dict) -> None:
+        # checkpointing is Spark's job; nothing to clean up server-side
+        return
+
+
+class MofkaBatchReader(DataSourceReader):
+    """Batch-mode read of a topic through the same source (for
+    spark.read.format("mofka"); the native log.read() path is preferred
+    for analytics because it uses Spark's vectorized parquet scan)."""
+
+    def __init__(self, options: dict):
+        self.stream = MofkaStreamReader(options)
+
+    def partitions(self):
+        end = self.stream.latestOffset()
+        return self.stream.partitions({}, end)
+
+    def read(self, partition: _RangePartition):
+        yield from _arrow_scan(partition)
+
+
+class MofkaDataSource(DataSource):
+    """spark.dataSource.register(MofkaDataSource); format("mofka")."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mofka"
+
+    def schema(self) -> StructType:
+        return EVENT_SCHEMA
+
+    def reader(self, schema: StructType) -> MofkaBatchReader:
+        return MofkaBatchReader(dict(self.options))
+
+    def streamReader(self, schema: StructType) -> MofkaStreamReader:
+        return MofkaStreamReader(dict(self.options))

@@ -1,0 +1,154 @@
+"""Structured Streaming source/sink tests.
+
+Streaming parity targets (SURVEY.md L3, P7, L8): micro-batch feed with
+offset ranges from the ledger, batch_size rate control, AvailableNow
+drain semantics, windowed event-time aggs over the stream."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _fill_topic(driver, name="stream-t", partitions=2, n=60):
+    topic = driver.create_topic(name, num_partitions=partitions)
+    with topic.producer("p") as producer:
+        for i in range(n):
+            producer.push({"event_num": i}, f"d{i}".encode())
+    return topic
+
+
+def test_stream_read_available_now(driver, tmp_path):
+    topic = _fill_topic(driver)
+    q = (
+        topic.read_stream()
+        .writeStream.format("memory")
+        .queryName("stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = driver.spark.sql("SELECT * FROM stream_out")
+    assert out.count() == 60
+    # schema parity with the batch surface
+    assert set(out.columns) == {"topic", "partition", "offset", "metadata", "data", "ingest_ts"}
+    stats = (
+        out.groupBy("partition")
+        .agg(F.count("*").alias("n"), F.min("offset").alias("mn"), F.max("offset").alias("mx"))
+        .collect()
+    )
+    for r in stats:
+        assert r["n"] == 30 and r["mn"] == 0 and r["mx"] == 29
+
+
+def test_stream_batch_size_rate_control(driver, tmp_path):
+    topic = _fill_topic(driver, name="rate-t", partitions=1, n=50)
+    # batch_size 10 -> drains all 50 across >= 5 micro-batches
+    q = (
+        topic.read_stream(batch_size=10)
+        .writeStream.format("memory")
+        .queryName("rate_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if driver.spark.sql("SELECT * FROM rate_out").count() >= 50:
+                break
+            time.sleep(0.5)
+        assert driver.spark.sql("SELECT * FROM rate_out").count() == 50
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        assert n_batches >= 5
+    finally:
+        q.stop()
+
+
+def test_stream_incremental_new_data(driver, tmp_path):
+    topic = _fill_topic(topic_driver := driver, name="inc-t", partitions=1, n=10)
+    q = (
+        topic.read_stream()
+        .writeStream.format("memory")
+        .queryName("inc_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if driver.spark.sql("SELECT * FROM inc_out").count() >= 10:
+                break
+            time.sleep(0.5)
+        assert driver.spark.sql("SELECT * FROM inc_out").count() == 10
+        # produce more while the query is live -> picked up from ledger
+        with topic.producer("p2") as producer:
+            for i in range(10, 25):
+                producer.push({"event_num": i}, b"x")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if driver.spark.sql("SELECT * FROM inc_out").count() >= 25:
+                break
+            time.sleep(0.5)
+        assert driver.spark.sql("SELECT * FROM inc_out").count() == 25
+        # offsets stay dense across the live append
+        mx = driver.spark.sql("SELECT max(offset) m FROM inc_out").first()["m"]
+        assert mx == 24
+    finally:
+        q.stop()
+
+
+def test_stream_sink_foreachbatch(driver, tmp_path, spark):
+    """rate-ish source -> topic sink: dense offsets, validated epochs."""
+    topic = driver.create_topic("sink-t", num_partitions=4)
+    import shutil
+
+    src_dir = tmp_path / "docs-src"
+    src_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", src_dir / "part-0.parquet")
+    src = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(str(src_dir)).schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src_dir))
+    )
+    stream_df = src.select(
+        F.to_json(F.struct("doc_id", "lang")).alias("metadata"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+    )
+    q = topic.write_stream(
+        stream_df, checkpoint=str(tmp_path / "ckpt4"), trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    df = topic.dataframe()
+    assert df.count() == 500
+    stats = topic.log.partition_stats().collect()
+    assert sum(r["n_events"] for r in stats) == 500
+    for r in stats:
+        assert r["dense"], r
+
+
+def test_streaming_windowed_agg_over_topic(driver, tmp_path):
+    """Event-time windows + watermark over the stream — the capability
+    the reference lacks entirely (SURVEY.md §2.7 'Streaming')."""
+    topic = _fill_topic(driver, name="win-t", partitions=1, n=40)
+    stream = topic.read_stream()
+    agg = (
+        stream.withWatermark("ingest_ts", "10 seconds")
+        .groupBy(F.window("ingest_ts", "1 minute"), F.col("partition"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt5"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append-mode windows only emit once watermark passes; with a single
+    # burst the totals row may be withheld — assert the query ran clean
+    assert q.exception() is None
