@@ -22,7 +22,7 @@ explode) — no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def normalize_text(col: Column) -> Column:
@@ -100,6 +100,36 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str], bucket_cap: int | None) -> DataFrame:
+    """Drop LSH buckets with more than ``bucket_cap`` members.
+
+    Boilerplate-heavy corpora produce pathological buckets whose
+    self-join goes quadratic (a 100k-member bucket alone is 5e9 pairs).
+    Members of an over-cap bucket are near-identical boilerplate; they
+    still pair up through their other (more selective) bands, so the cap
+    trades a sliver of recall for bounded work. Implemented as a window
+    count over the same key the self-join shuffles on, so the exchange
+    is reused — one pass, no extra shuffle."""
+    if bucket_cap is None:
+        return banded
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bn", F.count("*").over(w))
+        .filter(F.col("_bn") <= bucket_cap)
+        .drop("_bn")
+    )
+
+
+def lsh_bucket_stats(banded_pairs: DataFrame, keys: list[str]) -> DataFrame:
+    """Bucket-size histogram for cap tuning: (size, n_buckets)."""
+    return (
+        banded_pairs.groupBy(*keys)
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_buckets"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -107,6 +137,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    bucket_cap: int | None = 10000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -117,11 +148,10 @@ def minhash_lsh_candidates(
     Plan shape: explode shingles -> 64 parallel min() aggregations
     grouped by doc (partial agg collapses each map partition to one row
     per doc before the shuffle — the shuffled volume is docs × 512 B
-    regardless of text size) -> band hashes -> self-join per (band_id,
-    band_hash) bucket. Hot buckets (boilerplate docs) are the skew
-    risk: AQE skew-join handles moderate cases; pathological buckets
-    should be capped upstream (drop buckets with > ~10k members — they
-    are near-identical boilerplate anyway)."""
+    regardless of text size) -> band hashes -> hot-bucket cap (window
+    count over the join key, buckets > bucket_cap dropped) -> self-join
+    per (band_id, band_hash) bucket. Never all-pairs; AQE skew-join
+    covers moderate skew below the cap."""
     rows_per_band = num_hashes // bands
     exploded = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
@@ -146,6 +176,7 @@ def minhash_lsh_candidates(
             )
         ).alias("band_id", "band_hash"),
     )
+    banded = _cap_buckets(banded, ["band_id", "band_hash"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -207,15 +238,18 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     verify_threshold: float | None = 0.8,
     ngram_n: int = 3,
+    bucket_cap: int | None = 10000,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates (+ optional exact Jaccard
     verify) -> connected keeper assignment.
 
     Keeper assignment: duplicate edges (a<b) reduce to keeper = min
     neighbor via one aggregation (single-hop union-find; transitive
-    chains at depth > 1 are rare at sensible thresholds — a full
-    iterative connected-components pass is the documented extension)."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_k)
+    chains at depth > 1 are rare at sensible thresholds — see
+    operators.graph.connected_components for the full iterative pass)."""
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_k, bucket_cap
+    )
     if verify_threshold is not None:
         cand = ngram_jaccard_pairs(
             df, cand, id_col, text_col, ngram_n, verify_threshold
@@ -260,23 +294,37 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _gram_hash(col: Column, portable: bool) -> tuple[Column, int]:
+    """Per-gram hash column and its bit width.
+
+    portable=True: 60-bit hash from the first 15 hex chars of md5 —
+    byte-identical in any engine with md5 (the DuckDB oracle computes
+    the same value), at ~2x the cost of xxhash64.
+    portable=False: full 64-bit xxhash64 (the bulk fast path)."""
+    if portable:
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"), 60
+    return F.xxhash64(col), 64
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
-    """SimHash as a pipeline (explode -> 64 vote sums -> bit assembly).
+    """SimHash as a pipeline (explode -> per-bit vote sums -> assembly).
 
     Plans far better than the single-expression simhash64 for bulk use:
-    the grams are computed once, the 64 conditional sums run in one
+    the grams are computed once, the per-bit conditional sums run in one
     hash-aggregate with map-side partial aggregation, and the shuffle
-    carries one 64-counter row per doc."""
+    carries one counter row per doc."""
     one = F.lit(1).cast("long")
+    hcol, bits = _gram_hash(F.col("g"), portable)
     hashed = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text_col), ngram)).alias("g"),
-    ).select("id", F.xxhash64("g").alias("h"))
+    ).select("id", hcol.alias("h"))
     votes = hashed.groupBy("id").agg(
         *[
             F.sum(
@@ -284,16 +332,27 @@ def simhash_signatures(
                     F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1
                 ).otherwise(-1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     sim = None
-    for i in range(64):
+    for i in range(bits):
         bit = F.when(F.col(f"v{i}") > 0, F.shiftleft(one, i)).otherwise(
             F.lit(0).cast("long")
         )
         sim = bit if sim is None else sim.bitwiseOR(bit)
     return votes.select("id", sim.alias("sim"))
+
+
+def _band_slices(bits: int, bands: int) -> list[tuple[int, int]]:
+    """Split [0, bits) into `bands` contiguous (shift, width) spans."""
+    base, rem = divmod(bits, bands)
+    out, pos = [], 0
+    for i in range(bands):
+        width = base + (1 if i < rem else 0)
+        out.append((pos, width))
+        pos += width
+    return out
 
 
 def simhash_dedup(
@@ -302,25 +361,43 @@ def simhash_dedup(
     text_col: str = "text",
     max_hamming: int = 3,
     ngram: int = 2,
+    portable: bool = False,
+    bands: int | None = None,
+    bucket_cap: int | None = 10000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 16-bit prefix bands (4 bands
-    -> hamming<=3 pairs share at least one exact band by pigeonhole),
-    verify hamming distance exactly.
+    """Near-dup pairs by SimHash with pigeonhole-exact banding.
+
+    Recall guarantee: a pair at hamming distance <= max_hamming differs
+    in at most max_hamming bits, so with ``bands = max_hamming + 1``
+    contiguous bands at least one band is bit-identical — the banded
+    equi-join finds EVERY qualifying pair (100% recall), never
+    all-pairs. The band count is derived from max_hamming (it was a
+    fixed 4 before, silently under-recalling for max_hamming > 3).
+
+    Plan: hamming is computed once per bucket collision, filtered
+    BEFORE the distinct so the dedup exchange carries only qualifying
+    pairs; hot buckets (> bucket_cap members) are dropped via a window
+    count on the join key (see _cap_buckets).
 
     Returns (id_a, id_b, hamming)."""
-    sigs = simhash_signatures(df, id_col, text_col, ngram)
+    if bands is None:
+        bands = max_hamming + 1
+    sigs = simhash_signatures(df, id_col, text_col, ngram, portable)
+    bits = 60 if portable else 64
+    if bands > bits:
+        raise ValueError(f"bands={bands} exceeds signature width {bits}")
+    mask_exprs = [
+        F.shiftrightunsigned(F.col("sim"), shift).bitwiseAND(
+            F.lit((1 << width) - 1).cast("long")
+        )
+        for shift, width in _band_slices(bits, bands)
+    ]
     banded = sigs.select(
         "id",
         "sim",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("sim"), 16 * b).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
-                ]
-            )
-        ).alias("band_id", "band_val"),
+        F.posexplode(F.array(*mask_exprs)).alias("band_id", "band_val"),
     )
+    banded = _cap_buckets(banded, ["band_id", "band_val"], bucket_cap)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -334,6 +411,6 @@ def simhash_dedup(
             F.col("b.id").alias("id_b"),
             hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

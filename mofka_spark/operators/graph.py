@@ -1,0 +1,91 @@
+"""Distributed connected components for dedup keeper assignment.
+
+minhash_lsh_dedup's default single-hop keeper (keeper = min neighbor)
+misses transitive chains A~B~C where A-C is not itself an edge. This
+module provides the full iterative pass: min-label propagation to a
+fixed point, the standard Spark formulation (each round is one shuffle
+on node id; lineage is cut per round with localCheckpoint so plans stay
+flat). Rounds needed = graph diameter — near-dup graphs are
+shallow (clusters of near-identical docs), so this converges in 2-3
+rounds in practice.
+
+Reference has no graph ops; this extends SURVEY.md §2.7's dedup
+pipeline to exact cluster semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    Returns (id, component) where component = min node id reachable.
+    Converges when no label changes; raises if max_iter is exhausted
+    (pathological diameter — raise max_iter or densify edges first).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over (own, neighbors' labels)
+        neighbor = (
+            sym.join(labels, sym.dst == labels.id)
+            .select(F.col("src").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .union(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def assign_keepers(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Transitive keeper assignment: every doc in a connected duplicate
+    cluster maps to the cluster's min id. Returns
+    (id, keeper_id, is_duplicate) over ALL docs in ``df``."""
+    comp = connected_components(edges, src_col, dst_col)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", "id").alias("keeper_id"),
+            (F.col("component").isNotNull() & (F.col("component") != F.col("id"))).alias(
+                "is_duplicate"
+            ),
+        )
+    )

@@ -644,19 +644,115 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, block_col="label", threshold=0.3)
 
 
-# MinHash-LSH near-dup dedup — genuinely non-SQL-expressible at oracle
-# level (seeded xxhash64 signatures): rows-only check.
-@query("minhash_dedup")
+# Shared oracle fragment: normalized word n-gram token lists (matches
+# dedup.normalize_text + dedup.word_ngrams semantics exactly).
+_ORACLE_TOKS = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    )
+"""
+
+# Exact word-3-gram Jaccard >= 0.8 over all pairs. The Spark side goes
+# through MinHash-LSH candidates first; at this threshold every true
+# pair has an LSH miss probability of (1-s^4)^16 < 1e-7 (s >= 0.8), so
+# the verified candidate set IS the exact pair set — hash-match
+# required, which makes LSH recall itself part of the gate.
+_JACCARD_PAIRS_SQL = (
+    _ORACLE_TOKS
+    + r"""
+    , grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS gs
+      FROM toks
+    ), scored AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE /
+                   greatest(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)),
+                            1), 6) AS jaccard
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
+    """
+)
+
+
+@query("neardup_jaccard_pairs", _JACCARD_PAIRS_SQL)
+def q_neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs)
+    return dedup.ngram_jaccard_pairs(docs, cand, n=3, threshold=0.8)
+
+
+# MinHash-LSH near-dup dedup with keeper assignment, oracle-checked:
+# the DuckDB side derives keepers from the exact all-pairs Jaccard edge
+# set (same min-neighbor single-hop rule as minhash_lsh_dedup).
+@query(
+    "minhash_dedup",
+    _ORACLE_TOKS
+    + r"""
+    , grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS gs
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE /
+                  greatest(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)),
+                           1), 6) >= 0.8
+    ), keepers AS (
+      SELECT id_b AS id, MIN(id_a) AS k FROM pairs GROUP BY id_b
+    )
+    SELECT d.doc_id AS id,
+           COALESCE(k.k, d.doc_id) AS keeper_id,
+           (k.k IS NOT NULL) AS is_duplicate
+    FROM documents d LEFT JOIN keepers k ON d.doc_id = k.id
+    """,
+)
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_dedup(docs, verify_threshold=0.8)
 
 
-# SimHash near-dup pairs — rows-only check (bit-level hashing).
-@query("simhash_pairs")
+# SimHash near-dup pairs with a portable (md5-derived 60-bit) signature
+# so DuckDB computes the IDENTICAL simhash, then exact all-pairs
+# hamming <= 3. The Spark side's pigeonhole banding (max_hamming+1
+# bands) guarantees 100% recall, so the two sides must hash-match.
+@query(
+    "simhash_pairs",
+    _ORACLE_TOKS
+    + r"""
+    , grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t)-1, 1)),
+                                   i -> array_to_string(t[i:i+1], ' '))) AS g
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM grams
+    ), votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, (SELECT unnest(generate_series(0,59)) AS bit)
+      GROUP BY doc_id, bit
+    ), sims AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sim
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    """,
+)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_dedup(docs, max_hamming=6)
+    out = dedup.simhash_dedup(docs, max_hamming=3, ngram=2, portable=True)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

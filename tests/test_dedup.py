@@ -1,0 +1,127 @@
+"""Dedup operator unit tests: LSH hot-bucket cap, pigeonhole banding
+recall, portable simhash, connected-components keeper assignment."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mofka_spark.operators import dedup, graph
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestHotBucketCap:
+    def test_boilerplate_bucket_is_capped(self, spark):
+        # 1000 identical boilerplate docs + 2 genuinely-near docs.
+        # Uncapped, the boilerplate bucket alone yields ~500k pairs;
+        # with the cap the candidate count stays bounded.
+        boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit") for i in range(1000)]
+        near = [
+            (2000, "a completely different document about spark engines"),
+            (2001, "a completely different document about spark enginez"),
+        ]
+        df = _docs(spark, boiler + near)
+        capped = dedup.minhash_lsh_candidates(df, bucket_cap=100)
+        n = capped.count()
+        # boilerplate pairs dropped entirely; the near pair survives
+        assert n < 5000
+        pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+        assert (2000, 2001) in pairs
+
+    def test_uncapped_finds_boilerplate(self, spark):
+        boiler = [(i, "same text here for everyone in this tiny corpus") for i in range(20)]
+        df = _docs(spark, boiler)
+        n = dedup.minhash_lsh_candidates(df, bucket_cap=None).count()
+        assert n == 20 * 19 // 2
+
+    def test_simhash_cap(self, spark):
+        boiler = [(i, "identical words repeated in all of these documents") for i in range(50)]
+        df = _docs(spark, boiler)
+        uncapped = dedup.simhash_dedup(df, bucket_cap=None).count()
+        capped = dedup.simhash_dedup(df, bucket_cap=10).count()
+        assert uncapped == 50 * 49 // 2
+        assert capped == 0
+
+
+class TestSimhashBanding:
+    def test_bands_derived_from_max_hamming(self, spark):
+        # banded blocking must have 100% recall vs brute-force hamming
+        # for every max_hamming (the round-1 bug: fixed 4 bands only
+        # guaranteed recall up to hamming 3).
+        rows = [
+            (i, f"word{i} alpha beta gamma delta epsilon zeta eta theta " * 3)
+            for i in range(40)
+        ]
+        df = _docs(spark, rows)
+        for h in (1, 3, 6, 9):
+            banded = dedup.simhash_dedup(df, max_hamming=h, bucket_cap=None)
+            sigs = dedup.simhash_signatures(df)
+            a, b = sigs.alias("a"), sigs.alias("b")
+            brute = (
+                a.join(b, F.col("a.id") < F.col("b.id"))
+                .select(
+                    F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    dedup.hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+                )
+                .filter(F.col("hamming") <= h)
+            )
+            got = {(r.id_a, r.id_b, r.hamming) for r in banded.collect()}
+            want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+            assert got == want, f"recall broken at max_hamming={h}"
+
+    def test_portable_matches_duckdb(self, spark):
+        import duckdb
+
+        rows = [(1, "the quick brown fox"), (2, "the quick brown foxes"), (3, "unrelated")]
+        df = _docs(spark, rows)
+        sigs = {r.id: r.sim for r in dedup.simhash_signatures(df, portable=True).collect()}
+        con = duckdb.connect()
+        con.sql("CREATE TABLE d AS SELECT * FROM (VALUES (1, 'the quick brown fox'), (2, 'the quick brown foxes'), (3, 'unrelated')) t(doc_id, text)")
+        oracle = dict(
+            con.sql(
+                r"""
+            WITH toks AS (
+              SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t FROM d
+            ), grams AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-1, 1)),
+                                    i -> array_to_string(t[i:i+1], ' '))) AS g FROM toks
+            ), hashed AS (
+              SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM grams
+            ), votes AS (
+              SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hashed, (SELECT unnest(generate_series(0,59)) AS bit) GROUP BY doc_id, bit
+            )
+            SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+            FROM votes GROUP BY doc_id
+            """
+            ).fetchall()
+        )
+        assert sigs == oracle
+
+
+class TestConnectedComponents:
+    def test_transitive_chain(self, spark):
+        # A~B, B~C but no A~C edge: single-hop misses keeper(C)=A
+        edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+        comp = {r.id: r.component for r in graph.connected_components(edges).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_assign_keepers(self, spark):
+        docs = _docs(spark, [(i, f"t{i}") for i in range(6)])
+        edges = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+        out = {r.id: (r.keeper_id, r.is_duplicate) for r in graph.assign_keepers(docs, edges).collect()}
+        assert out == {
+            0: (0, False),
+            1: (0, True),
+            2: (0, True),
+            3: (3, False),
+            4: (4, False),
+            5: (4, True),
+        }
+
+    def test_single_node_cycle_free(self, spark):
+        edges = spark.createDataFrame([(7, 8)], ["id_a", "id_b"])
+        comp = graph.connected_components(edges).collect()
+        assert {(r.id, r.component) for r in comp} == {(7, 7), (8, 7)}
