@@ -32,7 +32,7 @@ from typing import Any, Callable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mofka_spark.errors import MofkaError, ValidationError
+from mofka_spark.errors import MofkaError
 from mofka_spark.functions.selectors import PartitionSelector
 from mofka_spark.functions.serializers import Serializer
 from mofka_spark.functions.validators import Validator
@@ -274,6 +274,7 @@ class Producer:
         self._serializer = Serializer.from_metadata(cfg.serializer)
         self._buffer: list[tuple[int, int, str, bytes | None, _FutureEventID]] = []
         self._seq = 0
+        self.last_rejected_count = 0
 
     def push(
         self,
@@ -311,12 +312,22 @@ class Producer:
                 fut._resolve(base + i)
         self._buffer.clear()
 
-    def push_dataframe(self, df: DataFrame, partition_expr=None) -> dict[int, tuple[int, int]]:
+    def push_dataframe(
+        self, df: DataFrame, partition_expr=None, txn: tuple[str, int] | None = None
+    ) -> dict[int, tuple[int, int]]:
         """Bulk ingest path: a DataFrame with (metadata, data) columns is
         validated + partitioned declaratively (Column exprs, zero python
         per row) and appended. This is THE 100TB ingest path; push() is
-        the per-event API-parity path."""
-        n = self._selector.num_partitions
+        the per-event API-parity path.
+
+        Rows failing validation are filtered out (the reference rejects
+        invalid events back to the producer,
+        /root/reference/src/MofkaProducer.cpp:68-69; a bulk path can't
+        raise per-row) — the dropped count is OBSERVABLE: it is measured
+        with df.observe during the append (no extra scan) and exposed as
+        ``self.last_rejected_count`` plus a warning log."""
+        from pyspark.sql import Observation
+
         cols = df.columns
         if "metadata" not in cols:
             raise MofkaError("push_dataframe requires a 'metadata' column")
@@ -326,7 +337,12 @@ class Producer:
             "seq", F.monotonically_increasing_id()
         )
         ok = self._validator.to_column("metadata")
-        df = df.filter(ok)
+        obs = Observation("mofka_validation")
+        df = df.observe(
+            obs,
+            F.sum(F.when(ok, 0).otherwise(1)).alias("rejected"),
+            F.count(F.lit(1)).alias("total"),
+        ).filter(ok)
         if partition_expr is None:
             partition_expr = self._selector.to_column("metadata", "seq")
         batch = df.select(
@@ -335,7 +351,20 @@ class Producer:
             F.col("metadata").cast("string"),
             F.col("data").cast("binary"),
         )
-        return self.topic.log.append_batch(batch)
+        acks = self.topic.log.append_batch(batch, txn=txn)
+        try:
+            rejected = int(obs.get.get("rejected") or 0)
+        except Exception:  # no action ran (empty/replayed batch)
+            rejected = 0
+        self.last_rejected_count = rejected
+        if rejected:
+            import logging
+
+            logging.getLogger("mofka_spark").warning(
+                "push_dataframe: %d invalid event(s) rejected by validator "
+                "on topic %r", rejected, self.topic.name
+            )
+        return acks
 
     def __enter__(self) -> "Producer":
         return self
@@ -375,9 +404,11 @@ class Consumer:
     def _fetch_batch(self) -> list[Event]:
         """One feed round: <= batch_size events per partition starting at
         the in-memory positions; metadata-driven data selection applied
-        INSIDE Spark (conditional projection) before collect."""
+        INSIDE Spark (conditional projection) before collect. Uses the
+        offset-range pushdown read (read_tail) so each pull batch scans
+        only the log tail, never the whole topic."""
         self._init_positions()
-        df = self._log.read_range(
+        df = self._log.read_tail(
             self._positions, self.batch_size, self.targets
         )
         rows = df.orderBy("partition", "offset").collect()

@@ -137,7 +137,9 @@ def _str_at(meta: Column, path: list[str]) -> Column:
 
 
 def _num_at(meta: Column, path: list[str]) -> Column:
-    return _str_at(meta, path).cast("double")
+    # try_cast: a numeric rule must simply not-match a non-numeric value;
+    # under ANSI mode a plain cast would throw on e.g. "abc"
+    return _str_at(meta, path).try_cast("double")
 
 
 def _is_json_string(meta: Column, path: list[str]) -> Column:

@@ -70,10 +70,16 @@ class KeyHashSelector(PartitionSelector):
         if requested is not None:
             return requested % self.num_partitions
         v = metadata.get(self.field)
-        key = v if isinstance(v, str) else json.dumps(v)
+        # compact separators match Spark's get_json_object rendering of
+        # nested values, so both paths hash identical bytes
+        key = v if isinstance(v, str) else json.dumps(v, separators=(",", ":"))
         return zlib.crc32(key.encode("utf-8")) % self.num_partitions
 
     def to_column(self, metadata: Column | str = "metadata", seq: Column | str = "seq") -> Column:
         col = F.col(metadata) if isinstance(metadata, str) else metadata
-        v = F.get_json_object(col, f"$.{self.field}")
+        # a missing field yields NULL from get_json_object; hash the
+        # string "null" instead (matching json.dumps(None) on the python
+        # path) — otherwise crc32(NULL) % N is NULL and downstream
+        # F.create_map in append_batch dies on a NULL map key
+        v = F.coalesce(F.get_json_object(col, f"$.{self.field}"), F.lit("null"))
         return F.pmod(F.crc32(v.cast("binary")), F.lit(self.num_partitions)).cast("int")

@@ -125,14 +125,17 @@ class SchemaValidator(Validator):
             t = sub.get("type")
             s = F.get_json_object(col, f"$.{k}")
             if t in ("number", "integer"):
-                conds.append(s.isNull() | s.cast("double").isNotNull())
+                # try_cast, not cast: ANSI mode makes a plain cast THROW
+                # on malformed input — a validator must reject the row,
+                # not kill the job
+                d = s.try_cast("double")
+                conds.append(s.isNull() | d.isNotNull())
                 if t == "integer":
-                    d = s.cast("double")
                     conds.append(s.isNull() | (d == F.floor(d)))
                 if "minimum" in sub:
-                    conds.append(s.isNull() | (s.cast("double") >= F.lit(float(sub["minimum"]))))
+                    conds.append(s.isNull() | (d >= F.lit(float(sub["minimum"]))))
                 if "maximum" in sub:
-                    conds.append(s.isNull() | (s.cast("double") <= F.lit(float(sub["maximum"]))))
+                    conds.append(s.isNull() | (d <= F.lit(float(sub["maximum"]))))
             elif t == "boolean":
                 conds.append(s.isNull() | s.isin("true", "false"))
             if "enum" in sub:

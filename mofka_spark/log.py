@@ -27,8 +27,10 @@ pruning on `partition=` directories for free.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -67,24 +69,125 @@ class EventLog:
         self.topic = topic
         self.data_path = os.path.join(topic_path, "data")
         self.ledger_path = os.path.join(topic_path, "_ledger.json")
+        self.lock_path = os.path.join(topic_path, "_ledger.lock")
         self.cursors_dir = os.path.join(topic_path, "_cursors")
+        self._verified = False  # first-append ledger/data consistency check
 
     # -- ledger ------------------------------------------------------------
-    def _read_ledger(self) -> dict[str, int]:
+    # On-disk format v2: {"offsets": {partition: next}, "txns":
+    # {sink_id: last_committed_epoch}} — offsets and streaming-sink epoch
+    # markers commit in ONE atomic rename, so epoch idempotency is
+    # crash-consistent with offset assignment. v1 flat {partition: next}
+    # files are read transparently.
+
+    @staticmethod
+    def _parse_ledger(doc: dict) -> dict:
+        if "offsets" in doc or "txns" in doc:
+            return {"offsets": dict(doc.get("offsets", {})), "txns": dict(doc.get("txns", {}))}
+        return {"offsets": dict(doc), "txns": {}}
+
+    def _read_ledger_full(self) -> dict:
         try:
             with open(self.ledger_path) as f:
-                return json.load(f)
+                return self._parse_ledger(json.load(f))
         except FileNotFoundError:
-            return {}
+            return {"offsets": {}, "txns": {}}
 
-    def _write_ledger(self, ledger: dict[str, int]) -> None:
+    def _read_ledger(self) -> dict[str, int]:
+        return self._read_ledger_full()["offsets"]
+
+    def _write_ledger_full(self, full: dict) -> None:
         from mofka_spark.registry import _atomic_write
 
-        _atomic_write(self.ledger_path, json.dumps(ledger, sort_keys=True))
+        _atomic_write(self.ledger_path, json.dumps(full, sort_keys=True))
+
+    def _write_ledger(self, offsets: dict[str, int]) -> None:
+        full = self._read_ledger_full()
+        full["offsets"] = offsets
+        self._write_ledger_full(full)
+
+    @contextmanager
+    def _ledger_lock(self):
+        """Cross-process mutual exclusion for the ledger read-modify-write.
+
+        Dense offsets need ONE serialization point per partition — the
+        reference takes a per-partition writer lock
+        (/root/reference/src/DefaultPartitionManager.cpp:399-405); here a
+        topic-level flock guards base assignment through ledger commit so
+        two producers in separate processes can never double-assign a
+        range. The lock covers O(#partitions) metadata work plus the
+        Parquet append (writers serialize per topic, as the reference
+        serializes per partition); readers never take it."""
+        os.makedirs(self.topic_path, exist_ok=True)
+        fd = os.open(self.lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def next_offsets(self) -> dict[int, int]:
         """Next dense offset per partition (0 if partition empty)."""
         return {int(k): v for k, v in self._read_ledger().items()}
+
+    def committed_epoch(self, sink_id: str) -> int:
+        """Last epoch_id committed by a streaming sink (or -1)."""
+        return int(self._read_ledger_full()["txns"].get(sink_id, -1))
+
+    def _footer_max_offsets(self) -> dict[int, int]:
+        """max(offset)+1 per partition from Parquet footer statistics —
+        driver-side metadata reads only, no Spark job. (A production
+        deployment would keep a transaction log instead; footer stats
+        are the file-layout equivalent of the reference's chunk-*.idx
+        rescan.)"""
+        import pyarrow.parquet as pq
+
+        out: dict[int, int] = {}
+        if not os.path.isdir(self.data_path):
+            return out
+        for entry in os.listdir(self.data_path):
+            if not entry.startswith("partition="):
+                continue
+            p = int(entry.split("=", 1)[1])
+            pdir = os.path.join(self.data_path, entry)
+            for fn in os.listdir(pdir):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(pdir, fn)).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["offset"]
+                for rg in range(md.num_row_groups):
+                    stats = md.row_group(rg).column(idx).statistics
+                    if stats is not None and stats.has_min_max:
+                        out[p] = max(out.get(p, 0), int(stats.max) + 1)
+        return out
+
+    def _ensure_consistent(self) -> None:
+        """Run once per EventLog before the first append: detect a stale
+        ledger (crash between Parquet commit and ledger rename, or a
+        deleted/behind ledger file) and repair it from footer stats.
+
+        The reference rescans its index files on partition-manager
+        startup (/root/reference/src/DefaultPartitionManager.cpp:692-735);
+        without this, a stale ledger silently re-assigns already-used
+        offsets and breaks the density invariant. Orphan rows (written
+        but never ledger-committed) are adopted, matching the reference's
+        trust-the-data recovery."""
+        if self._verified:
+            return
+        self._verified = True
+        actual = self._footer_max_offsets()
+        if not actual:
+            return
+        full = self._read_ledger_full()
+        offsets = full["offsets"]
+        dirty = False
+        for p, nxt in actual.items():
+            if offsets.get(str(p), 0) < nxt:
+                offsets[str(p)] = nxt
+                dirty = True
+        if dirty:
+            self._write_ledger_full(full)
 
     def recover_ledger(self) -> dict[int, int]:
         """L9 crash recovery: rebuild the ledger by scanning the log.
@@ -93,21 +196,24 @@ class EventLog:
         (/root/reference/src/DefaultPartitionManager.cpp:692-735); the
         Spark shape is a partition-pruned max(offset) aggregation.
         """
-        if not self._has_data():
-            self._write_ledger({})
-            return {}
-        agg = (
-            self.read()
-            .groupBy("partition")
-            .agg((F.max("offset") + F.lit(1)).alias("next"))
-            .collect()
-        )
-        ledger = {str(r["partition"]): r["next"] for r in agg}
-        self._write_ledger(ledger)
-        return {int(k): v for k, v in ledger.items()}
+        with self._ledger_lock():
+            if not self._has_data():
+                self._write_ledger({})
+                return {}
+            agg = (
+                self.read()
+                .groupBy("partition")
+                .agg((F.max("offset") + F.lit(1)).alias("next"))
+                .collect()
+            )
+            ledger = {str(r["partition"]): r["next"] for r in agg}
+            self._write_ledger(ledger)
+            return {int(k): v for k, v in ledger.items()}
 
     # -- write path --------------------------------------------------------
-    def append_batch(self, batch: DataFrame) -> dict[int, tuple[int, int]]:
+    def append_batch(
+        self, batch: DataFrame, txn: tuple[str, int] | None = None
+    ) -> dict[int, tuple[int, int]]:
         """L1 receiveBatch: assign dense offsets and append.
 
         ``batch`` must have INGEST_SCHEMA columns (partition, seq,
@@ -120,35 +226,63 @@ class EventLog:
         repartition on `partition`, so each Spark task owns whole log
         partitions and the sort is per-partition local — this scales to
         any number of partitions and rows; the only serialized step is
-        the O(#partitions) ledger read/update.
+        the O(#partitions) ledger read/update (flock-guarded, see
+        _ledger_lock).
+
+        The batch is persisted across the two actions (count + write) so
+        the upstream plan executes ONCE — both for throughput (the
+        streaming-sink path would otherwise run every epoch's plan
+        twice) and for correctness (a non-deterministic upstream such as
+        monotonically_increasing_id could otherwise disagree between the
+        counted and the written rows, desynchronizing the ledger).
+
+        ``txn=(sink_id, epoch_id)``: streaming-sink exactly-once marker.
+        The epoch id commits in the same atomic ledger rename as the
+        offsets; a replayed epoch (<= committed) is skipped and returns
+        {}. The remaining at-least-once window is a crash between the
+        Parquet job commit and the ledger rename — recovery then adopts
+        the orphan rows (_ensure_consistent) and the replay re-appends;
+        the reference has the same window between its data write and
+        index update.
         """
-        ledger = self._read_ledger()
-        counts = {
-            r["partition"]: r["n"]
-            for r in batch.groupBy("partition").agg(F.count("*").alias("n")).collect()
-        }
-        if not counts:
-            return {}
-        bases = {p: ledger.get(str(p), 0) for p in counts}
-        base_col = F.create_map(
-            *[F.lit(x) for kv in bases.items() for x in kv]
-        )
-        w = Window.partitionBy("partition").orderBy("seq")
-        out = (
-            batch.repartition("partition")
-            .withColumn(
-                "offset",
-                (base_col[F.col("partition")] + F.row_number().over(w) - 1).cast("long"),
-            )
-            .withColumn("topic", F.lit(self.topic))
-            .withColumn("ingest_ts", F.current_timestamp())
-            .select("topic", "partition", "offset", "metadata", "data", "ingest_ts")
-        )
-        out.write.mode("append").partitionBy("partition").parquet(self.data_path)
-        for p, n in counts.items():
-            ledger[str(p)] = bases[p] + n
-        self._write_ledger(ledger)
-        return {p: (bases[p], counts[p]) for p in counts}
+        batch = batch.persist()
+        try:
+            counts = {
+                r["partition"]: r["n"]
+                for r in batch.groupBy("partition").agg(F.count("*").alias("n")).collect()
+            }
+            if not counts:
+                return {}
+            with self._ledger_lock():
+                self._ensure_consistent()
+                full = self._read_ledger_full()
+                if txn is not None and int(full["txns"].get(txn[0], -1)) >= txn[1]:
+                    return {}  # replayed epoch: already committed
+                ledger = full["offsets"]
+                bases = {p: ledger.get(str(p), 0) for p in counts}
+                base_col = F.create_map(
+                    *[F.lit(x) for kv in bases.items() for x in kv]
+                )
+                w = Window.partitionBy("partition").orderBy("seq")
+                out = (
+                    batch.repartition("partition")
+                    .withColumn(
+                        "offset",
+                        (base_col[F.col("partition")] + F.row_number().over(w) - 1).cast("long"),
+                    )
+                    .withColumn("topic", F.lit(self.topic))
+                    .withColumn("ingest_ts", F.current_timestamp())
+                    .select("topic", "partition", "offset", "metadata", "data", "ingest_ts")
+                )
+                out.write.mode("append").partitionBy("partition").parquet(self.data_path)
+                for p, n in counts.items():
+                    ledger[str(p)] = bases[p] + n
+                if txn is not None:
+                    full["txns"][txn[0]] = txn[1]
+                self._write_ledger_full(full)
+            return {p: (bases[p], counts[p]) for p in counts}
+        finally:
+            batch.unpersist()
 
     # -- read path ---------------------------------------------------------
     def _has_data(self) -> bool:
@@ -209,6 +343,39 @@ class EventLog:
                 .drop("_rn")
             )
         return df
+
+    def read_tail(
+        self,
+        cursors: dict[int, int],
+        batch_size: int,
+        partitions: list[int] | None = None,
+    ) -> DataFrame:
+        """One consumer feed batch with offset-RANGE pushdown.
+
+        Offsets are dense per partition, so the next ``batch_size``
+        events from cursor ``c`` are exactly offsets ``[c, c+batch_size)``
+        — a pure range predicate, no row_number window. The predicate
+        reaches the Parquet scan (row-group min/max pruning), so a pull
+        over a huge topic reads only the tail files, the same shape
+        ``streaming/source.py`` uses for trigger batches. This is the
+        pull-API path (L3 feedConsumer,
+        /root/reference/src/ProviderImpl.hpp:162-201); a repeated pull
+        loop is O(batch) per call instead of O(remaining-log).
+        """
+        known = sorted(self.next_offsets())
+        parts = [p for p in known if partitions is None or p in partitions]
+        if not parts:
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        pred = None
+        for p in parts:
+            c = cursors.get(p, 0)
+            clause = (
+                (F.col("partition") == p)
+                & (F.col("offset") >= c)
+                & (F.col("offset") < c + batch_size)
+            )
+            pred = clause if pred is None else (pred | clause)
+        return self.read(parts).filter(pred)
 
     # -- cursors (L4) ------------------------------------------------------
     def _cursor_path(self, consumer: str) -> str:

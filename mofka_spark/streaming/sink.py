@@ -38,6 +38,7 @@ def topic_sink(
     metadata_col: str = "metadata",
     data_col: str | None = "data",
     partition_expr=None,
+    sink_id: str = "default",
 ) -> Callable[[DataFrame, int], None]:
     """Build a foreachBatch function appending each epoch to the topic.
 
@@ -45,11 +46,21 @@ def topic_sink(
     optionally ``data`` (binary). Validation + partition selection come
     from the topic's persisted config, compiled to Column expressions —
     the whole epoch is validated/partitioned/offset-assigned as three
-    narrow projections, no Python per row."""
+    narrow projections, no Python per row.
+
+    Exactly-once: Structured Streaming re-runs the last epoch after a
+    restart if foreachBatch succeeded but the checkpoint commit didn't.
+    The sink therefore records (sink_id, epoch_id) INSIDE the ledger's
+    atomic commit (EventLog.append_batch txn marker) and skips any
+    epoch <= the recorded one — a replayed epoch is a no-op instead of
+    a duplicate append. ``sink_id`` namespaces concurrent queries
+    writing the same topic (default fine for a single writer)."""
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         topic = driver.open_topic(topic_name)
-        producer = topic.producer(f"stream-epoch")
+        if topic.log.committed_epoch(sink_id) >= epoch_id:
+            return  # replayed epoch: already fully committed
+        producer = topic.producer("stream-epoch")
         df = batch_df
         if metadata_col != "metadata":
             df = df.withColumnRenamed(metadata_col, "metadata")
@@ -57,6 +68,8 @@ def topic_sink(
             df = df.withColumn("data", F.lit(None).cast("binary"))
         elif data_col != "data":
             df = df.withColumnRenamed(data_col, "data")
-        producer.push_dataframe(df, partition_expr=partition_expr)
+        producer.push_dataframe(
+            df, partition_expr=partition_expr, txn=(sink_id, epoch_id)
+        )
 
     return write_epoch

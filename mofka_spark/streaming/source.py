@@ -54,9 +54,14 @@ class _RangePartition(InputPartition):
 def _read_ledger(topic_path: str) -> dict[str, int]:
     try:
         with open(os.path.join(topic_path, "_ledger.json")) as f:
-            return json.load(f)
+            doc = json.load(f)
     except FileNotFoundError:
         return {}
+    # ledger format v2 nests offsets under "offsets" (see log.py);
+    # v1 files are the flat offsets map itself
+    if "offsets" in doc or "txns" in doc:
+        return doc.get("offsets", {})
+    return doc
 
 
 def _arrow_scan(part: _RangePartition):

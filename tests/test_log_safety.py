@@ -1,0 +1,179 @@
+"""Ledger safety + ingest-path tests: crash recovery on open, epoch
+idempotency, validator reject observability, key-hash null handling,
+pull-path offset pushdown."""
+
+import io
+import json
+import os
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+
+def _push_n(topic, n, start=0):
+    with topic.producer("p", batch_size=None) as prod:
+        for i in range(start, start + n):
+            prod.push({"i": i}, data=bytes([i % 256]))
+
+
+class TestLedgerRecovery:
+    def test_stale_ledger_repaired_on_append(self, driver):
+        topic = driver.create_topic("t-stale", num_partitions=2)
+        _push_n(topic, 10)
+        log = topic.log
+        before = log.next_offsets()
+        assert sum(before.values()) == 10
+        # simulate a crash between Parquet commit and ledger rename:
+        # roll the ledger back so it under-reports
+        with open(log.ledger_path) as f:
+            doc = json.load(f)
+        doc["offsets"] = {k: 0 for k in doc["offsets"]}
+        with open(log.ledger_path, "w") as f:
+            json.dump(doc, f)
+        # a fresh EventLog (fresh process) must repair before appending
+        fresh = driver.open_topic("t-stale")
+        _push_n(fresh, 4)
+        stats = fresh.log.partition_stats().collect()
+        assert all(r["dense"] for r in stats)
+        assert sum(r["n_events"] for r in stats) == 14
+
+    def test_v1_flat_ledger_read(self, driver, tmp_path):
+        topic = driver.create_topic("t-v1", num_partitions=1)
+        _push_n(topic, 3)
+        # rewrite ledger in the old flat format
+        log = topic.log
+        offsets = log.next_offsets()
+        with open(log.ledger_path, "w") as f:
+            json.dump({str(k): v for k, v in offsets.items()}, f)
+        fresh = driver.open_topic("t-v1")
+        assert fresh.log.next_offsets() == offsets
+        _push_n(fresh, 2)
+        assert sum(fresh.log.next_offsets().values()) == 5
+
+    def test_lock_file_created(self, driver):
+        topic = driver.create_topic("t-lock", num_partitions=1)
+        _push_n(topic, 1)
+        assert os.path.exists(topic.log.lock_path)
+
+
+class TestEpochIdempotency:
+    def test_replayed_epoch_is_noop(self, spark, driver):
+        from mofka_spark.streaming.sink import topic_sink
+
+        driver.create_topic("t-epoch", num_partitions=2)
+        sink = topic_sink(driver, "t-epoch", sink_id="q1")
+        batch = spark.createDataFrame(
+            [(json.dumps({"i": i}),) for i in range(8)], ["metadata"]
+        )
+        sink(batch, 0)
+        sink(batch, 1)
+        sink(batch, 1)  # replay of epoch 1 (restart recovery)
+        sink(batch, 0)  # stale replay
+        topic = driver.open_topic("t-epoch")
+        assert topic.dataframe().count() == 16
+        assert topic.log.committed_epoch("q1") == 1
+        # a different sink id is independent
+        assert topic.log.committed_epoch("other") == -1
+
+    def test_txn_commits_with_offsets(self, spark, driver):
+        topic = driver.create_topic("t-txn", num_partitions=1)
+        prod = topic.producer("bulk")
+        df = spark.createDataFrame([(json.dumps({"a": 1}),)], ["metadata"])
+        prod.push_dataframe(df, txn=("s", 5))
+        with open(topic.log.ledger_path) as f:
+            doc = json.load(f)
+        assert doc["txns"]["s"] == 5
+        # same-epoch retry appends nothing
+        acks = prod.push_dataframe(df, txn=("s", 5))
+        assert acks == {}
+        assert topic.dataframe().count() == 1
+
+
+class TestValidationObservability:
+    def test_rejected_count_exposed(self, spark, driver):
+        topic = driver.create_topic(
+            "t-rej",
+            num_partitions=1,
+            validator={
+                "type": "schema",
+                "schema": {"properties": {"k": {"type": "integer"}}, "required": ["k"]},
+            },
+        )
+        prod = topic.producer("bulk")
+        rows = [(json.dumps({"k": i}),) for i in range(5)]
+        rows += [(json.dumps({"nope": 1}),), (json.dumps({"k": "bad"}),)]
+        df = spark.createDataFrame(rows, ["metadata"])
+        prod.push_dataframe(df)
+        assert prod.last_rejected_count == 2
+        assert topic.dataframe().count() == 5
+
+
+class TestKeyHashSelector:
+    def test_missing_field_matches_python_path(self, spark, driver):
+        from mofka_spark.functions.selectors import KeyHashSelector
+
+        sel = KeyHashSelector("user")
+        sel.set_partitions(4)
+        py_part = sel.select({"other": 1})  # field missing -> hash "null"
+        df = spark.createDataFrame([(json.dumps({"other": 1}),)], ["metadata"])
+        col_part = df.select(sel.to_column("metadata").alias("p")).collect()[0]["p"]
+        assert col_part == py_part
+
+    def test_bulk_ingest_with_missing_key_does_not_crash(self, spark, driver):
+        topic = driver.create_topic(
+            "t-keyhash",
+            num_partitions=4,
+            selector={"type": "key_hash", "field": "user"},
+        )
+        prod = topic.producer("bulk")
+        df = spark.createDataFrame(
+            [(json.dumps({"user": "alice"}),), (json.dumps({"x": 1}),)], ["metadata"]
+        )
+        acks = prod.push_dataframe(df)
+        assert sum(n for _, n in acks.values()) == 2
+
+    def test_nested_value_parity(self, spark):
+        from mofka_spark.functions.selectors import KeyHashSelector
+
+        sel = KeyHashSelector("obj")
+        sel.set_partitions(7)
+        meta = {"obj": {"a": 1, "b": [1, 2]}}
+        py_part = sel.select(meta)
+        df = spark.createDataFrame([(json.dumps(meta),)], ["metadata"])
+        col_part = df.select(sel.to_column("metadata").alias("p")).collect()[0]["p"]
+        assert col_part == py_part
+
+
+class TestPullPushdown:
+    def test_read_tail_has_no_window(self, driver):
+        topic = driver.create_topic("t-tail", num_partitions=2)
+        _push_n(topic, 20)
+        df = topic.log.read_tail({0: 3, 1: 0}, batch_size=4)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "Window" not in plan
+        # the offset range predicate reaches the parquet scan
+        assert "PushedFilters" in plan and "offset" in plan
+
+    def test_read_tail_rows(self, driver):
+        topic = driver.create_topic("t-tail2", num_partitions=2)
+        _push_n(topic, 20)  # 10 per partition
+        rows = topic.log.read_tail({0: 8, 1: 8}, batch_size=5).collect()
+        # dense offsets: exactly [8, 10) remain per partition
+        got = sorted((r["partition"], r["offset"]) for r in rows)
+        assert got == [(0, 8), (0, 9), (1, 8), (1, 9)]
+
+    def test_pull_loop_resumes(self, driver):
+        topic = driver.create_topic("t-pull", num_partitions=2)
+        _push_n(topic, 12)
+        topic.mark_as_complete()
+        consumer = topic.consumer("c", batch_size=5)
+        seen = [ev for ev in consumer]
+        assert len(seen) == 12
+        per_part = {}
+        for ev in seen:
+            per_part.setdefault(ev.partition, []).append(ev.offset)
+        for offs in per_part.values():
+            assert offs == sorted(offs)
