@@ -14,7 +14,6 @@
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -114,34 +113,85 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 1,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: compare only within matching sign-LSH buckets.
 
-    2^n_planes buckets; equi-join on bucket replaces the cross join —
-    the shuffle is on a single long key. Recall/cost tunes via
-    n_planes (fewer planes -> bigger buckets -> higher recall+cost)."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    2^n_planes buckets per table; the equi-join on (table, bucket)
+    replaces the cross join — the shuffle key is two small ints.
+    Recall tunes two ways: fewer planes -> bigger buckets (more cost,
+    more recall); more tables -> independent plane sets OR-ed together
+    (standard multi-table LSH: a true neighbor is missed only if it
+    lands in a different bucket in EVERY table, so miss probability
+    decays exponentially in n_tables). All tables' buckets come from
+    one projection + posexplode, so it stays a single join."""
+    q_buckets, c_buckets = [], []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        q_buckets.append(lsh_bucket(F.col(vec_col), planes))
+        c_buckets.append(lsh_bucket(F.col(vec_col), planes))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.posexplode(F.array(*q_buckets)).alias("tbl", "bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.posexplode(F.array(*c_buckets)).alias("tbl", "bucket"),
     )
-    joined = c.join(F.broadcast(q), "bucket").filter(
+    joined = c.join(F.broadcast(q), ["tbl", "bucket"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    scored = joined.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+    # a pair colliding in several tables scores identically each time;
+    # the max-agg dedupes without shuffling the vectors again
+    scored = (
+        joined.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def fit_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_n: int = 2048,
+    iters: int = 3,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Sampled k-means fit for IVF cells (driver-side numpy Lloyd
+    iterations over a deterministic sample).
+
+    At 100 TB the sample is still O(sample_n) rows collected once —
+    the standard IVF training regime (train on a sample, assign the
+    full corpus distributively). Assignment metric is cosine (matches
+    ivf_topk's probe metric). Deterministic: ordered sample + seeded
+    init."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    x = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    n_centroids = min(n_centroids, len(x))
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=n_centroids, replace=False)].copy()
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
 
 
 def ivf_topk(
@@ -152,17 +202,23 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     nprobe: int = 4,
-    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+    sample_n: int = 2048,
     seed: int = 7,
 ) -> DataFrame:
-    """IVF-flat ANN: corpus rows assign to their nearest seeded random
-    centroid (projection only — at production scale centroids come from
-    a sampled k-means fit); queries probe their `nprobe` nearest
-    centroid cells. Join key = centroid id: shuffle is on a small int."""
-    rng = random.Random(seed)
-    cents = [
-        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_centroids)
-    ]
+    """IVF-flat ANN: corpus rows assign to their nearest centroid cell;
+    queries probe their `nprobe` nearest cells. Join key = centroid id:
+    shuffle is on a small int.
+
+    Centroids default to a sampled k-means fit of the corpus
+    (fit_centroids) — random centroids leave most cells empty and
+    recall collapses on clustered data. Pass ``centroids`` to reuse a
+    fit across calls (the production pattern: fit once, assign many)."""
+    if centroids is None:
+        centroids = fit_centroids(
+            corpus, id_col, vec_col, n_centroids, sample_n, seed=seed
+        )
+    cents = centroids
 
     def nearest(vec: Column, topn: int) -> Column:
         scored = F.array(
@@ -198,6 +254,28 @@ def ivf_topk(
     ).groupBy("query_id", "neighbor_id").agg(F.max("score").alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def topk_recall(
+    approx: DataFrame, exact: DataFrame, k: int
+) -> DataFrame:
+    """recall@k per query: |approx ∩ exact| / k over (query_id,
+    neighbor_id) result sets. Left-semi join + count — no vectors move."""
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = exact.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(k), 6).alias("recall"),
+    )
 
 
 def embedding_neardup_pairs(

