@@ -794,6 +794,104 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+# ===========================================================================
+# 5. Multimodal columns: typed operations over opaque binary payloads.
+#    testdata carries no binary column, so payloads are synthesized
+#    deterministically from (doc_id, n_chars, text) — the Spark side
+#    genuinely sniffs magic bytes and parses headers; the oracle knows
+#    the construction and computes the expected metadata directly.
+# ===========================================================================
+
+@query(
+    "modality_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                             WHEN 2 THEN 'gif' ELSE 'unknown' END AS format,
+             CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             WHEN 2 THEN 'image' ELSE 'unknown' END AS modality,
+             octet_length(encode(text)) AS body,
+             (n_chars % 512 + 16) AS w,
+             ((doc_id * 7) % 512 + 16) AS h,
+             ([8000, 16000, 44100])[CAST(doc_id % 3 AS INTEGER) + 1] AS rate
+      FROM documents
+    )
+    SELECT modality, format,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE format WHEN 'png' THEN body + 24
+                                WHEN 'wav' THEN body + 28
+                                WHEN 'gif' THEN body + 10
+                                ELSE body END) AS BIGINT) AS total_bytes,
+           ROUND(AVG(CASE WHEN format IN ('png','gif') THEN w END), 2) AS avg_width,
+           ROUND(AVG(CASE WHEN format IN ('png','gif') THEN h END), 2) AS avg_height,
+           ROUND(AVG(CASE WHEN format = 'wav' THEN rate END), 2) AS avg_sample_rate
+    FROM t GROUP BY modality, format
+    """,
+)
+def q_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import modality
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = modality.synthetic_payload(docs).select("doc_id", "data")
+    return modality.modality_stats(payloads)
+
+
+# Modality-conditional byte views (the multimodal DataSelector, C3):
+# images materialize only their dimension header bytes, audio only the
+# sample-rate field, everything else its first 8 payload bytes.
+@query(
+    "modality_views",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                             WHEN 2 THEN 'gif' ELSE 'unknown' END AS format,
+             (n_chars % 512 + 16) AS w,
+             ((doc_id * 7) % 512 + 16) AS h,
+             ([8000, 16000, 44100])[CAST(doc_id % 3 AS INTEGER) + 1] AS rate,
+             text
+      FROM documents
+    )
+    SELECT doc_id, format,
+           CASE format
+             WHEN 'png' THEN lower(lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0'))
+             WHEN 'gif' THEN lower(
+               lpad(to_hex(w % 256), 2, '0') || lpad(to_hex(w // 256), 2, '0') ||
+               lpad(to_hex(h % 256), 2, '0') || lpad(to_hex(h // 256), 2, '0'))
+             WHEN 'wav' THEN lower(
+               lpad(to_hex(rate % 256), 2, '0') ||
+               lpad(to_hex((rate // 256) % 256), 2, '0') ||
+               lpad(to_hex((rate // 65536) % 256), 2, '0') ||
+               lpad(to_hex((rate // 16777216) % 256), 2, '0'))
+             ELSE lower(substr(to_hex(encode(text)), 1, 16))
+           END AS view_hex
+    FROM t
+    """,
+)
+def q_modality_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.functions.views import DataDescriptor
+    from mofka_spark.operators import modality
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = modality.synthetic_payload(docs).select("doc_id", "data")
+    fmt = modality.sniff_format(F.col("data"))
+    ident = DataDescriptor.identity(1 << 30)
+    views = {
+        "png": ident.make_sub_view(16, 8),   # width+height (BE)
+        "gif": ident.make_sub_view(6, 4),    # width+height (LE)
+        "wav": ident.make_sub_view(24, 4),   # sample rate (LE)
+    }
+    selected = modality.select_by_modality(
+        F.col("data"), fmt, views, default=ident.make_sub_view(0, 8)
+    )
+    return payloads.select(
+        "doc_id",
+        fmt.alias("format"),
+        F.lower(F.hex(selected)).alias("view_hex"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The entry() query: mofka ingest semantics end-to-end — offset
     assignment + eventbridge filter + per-partition/type rollup."""
