@@ -213,7 +213,13 @@ class TopicHandle:
 
     def read_stream(self, batch_size: int | None = None) -> DataFrame:
         """The topic as a streaming DataFrame (custom 'mofka' source;
-        L3 feedConsumer ≙ micro-batch offset ranges from the ledger)."""
+        L3 feedConsumer ≙ micro-batch offset ranges from the ledger).
+
+        Note on triggers: ``batch_size`` caps each trigger's advance via
+        latestOffset. Trigger.AvailableNow snapshots the FIRST announced
+        offset and stops there, so pair batch_size with a
+        ProcessingTime trigger (+ await_completion to terminate on topic
+        completion); use AvailableNow only for uncapped drains."""
         from mofka_spark.streaming.source import MofkaDataSource
 
         spark = self.driver.spark
@@ -226,6 +232,14 @@ class TopicHandle:
         if batch_size is not None:
             reader = reader.option("batch_size", batch_size)
         return reader.load()
+
+    def await_completion(self, query, poll_interval: float = 0.25, timeout: float | None = 120.0) -> bool:
+        """Terminate a continuous streaming query reading this topic once
+        the topic is complete and drained — the streaming analog of
+        NoMoreEvents (L8; see streaming/completion.py)."""
+        from mofka_spark.streaming.completion import stop_when_complete
+
+        return stop_when_complete(query, self, poll_interval, timeout)
 
     def write_stream(
         self,

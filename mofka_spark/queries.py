@@ -444,6 +444,65 @@ def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streaming event-time aggregation END-TO-END: events flow through the
+# engine (topic sink -> ledger -> custom streaming source), a
+# withWatermark + window() aggregation runs under Trigger.AvailableNow,
+# and the result must hash-match the batch oracle — proving the
+# streaming path computes the same answer as the relational one.
+# Bounded to event_id < 5000 so the per-round gate cost is flat in sf.
+@query(
+    "streaming_hourly_stats",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE event_id < 5000
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q_streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from mofka_spark.client import Driver
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    root = tempfile.mkdtemp(prefix="mofka-streamq-")
+    driver = Driver(spark, root)
+    topic = driver.create_topic("hstats", num_partitions=4)
+    producer = topic.producer("bulk")
+    producer.push_dataframe(
+        ev.select(F.to_json(F.struct("ts", "event_type", "value")).alias("metadata"))
+    )
+    topic.mark_as_complete()
+    stream = topic.read_stream()
+    parsed = stream.select(
+        F.from_json(
+            "metadata", "ts timestamp, event_type string, value double"
+        ).alias("m")
+    ).select("m.*")
+    agg = (
+        parsed.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    sink_name = "hstats_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink_name).select(
+        F.col("w.start").alias("hour"), "event_type", "n", "sum_value"
+    )
+
+
 # Sessionization: 30-minute inactivity gap per user.
 @query(
     "user_sessions",

@@ -130,6 +130,109 @@ def test_stream_sink_foreachbatch(driver, tmp_path, spark):
         assert r["dense"], r
 
 
+def test_watermark_append_emission(driver, tmp_path, spark):
+    """Append mode + watermark: only windows the watermark has passed
+    emit; the trailing window is withheld. Deterministic: event times
+    span 5 hours, watermark delay 30 min -> at drain the watermark sits
+    at max_ts - 30min, so exactly the first 4 hourly windows emit."""
+    import json as _json
+
+    topic = driver.create_topic("wm-t", num_partitions=1)
+    with topic.producer("p") as producer:
+        for h in range(5):
+            for i in range(10):
+                ts = f"2024-01-01T{h:02d}:{i:02d}:00.000Z"
+                producer.push({"ts": ts, "v": 1.0})
+    topic.mark_as_complete()
+    # batch_size rate control splits the drain into multiple
+    # micro-batches — the watermark only advances BETWEEN batches, so a
+    # single-batch drain would emit nothing in append mode. A continuous
+    # trigger + the completion helper gives the multi-batch drain
+    # (AvailableNow snapshots the FIRST capped latestOffset and would
+    # stop early — see read_stream docstring).
+    parsed = (
+        topic.read_stream(batch_size=10)
+        .select(F.from_json("metadata", "ts timestamp, v double").alias("m"))
+        .select("m.*")
+    )
+    agg = (
+        parsed.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt-wm"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    assert topic.await_completion(q, timeout=120) is True
+    rows = spark.sql("SELECT w.start AS s, n FROM wm_out ORDER BY s").collect()
+    hours = [r["s"].hour for r in rows]
+    # closed windows emit complete counts, in order, and the trailing
+    # window (hour 4: final watermark 03:39 < its 05:00 end) is
+    # withheld — the append-mode late-data contract
+    assert all(r["n"] == 10 for r in rows)
+    assert hours == list(range(len(hours)))
+    assert len(hours) >= 2
+    assert 4 not in hours
+
+
+def test_stop_when_complete_terminates_continuous_stream(driver, tmp_path, spark):
+    """L8 completion semantics for a continuous-trigger stream: mark the
+    topic complete -> the helper drains and terminates the query (the
+    reference sends feed(0, NoMoreEvents))."""
+    import threading
+
+    topic = _fill_topic(driver, name="complete-t", partitions=2, n=30)
+    q = (
+        topic.read_stream()
+        .writeStream.format("memory")
+        .queryName("complete_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt-complete"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    result: dict = {}
+
+    def waiter():
+        result["drained"] = topic.await_completion(q, timeout=60)
+
+    th = threading.Thread(target=waiter)
+    th.start()
+    # stream is live; produce more, then complete the topic
+    time.sleep(1.0)
+    assert q.isActive
+    with topic.producer("p2") as producer:
+        for i in range(30, 45):
+            producer.push({"event_num": i})
+    topic.mark_as_complete()
+    th.join(90)
+    assert not th.is_alive(), "await_completion did not return"
+    assert result["drained"] is True
+    assert not q.isActive
+    assert spark.sql("SELECT * FROM complete_out").count() == 45
+
+
+def test_stop_when_complete_times_out_on_open_topic(driver, tmp_path):
+    topic = _fill_topic(driver, name="open-t", partitions=1, n=5)
+    q = (
+        topic.read_stream()
+        .writeStream.format("memory")
+        .queryName("open_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt-open"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        assert topic.await_completion(q, timeout=2) is False
+        assert q.isActive  # not stopped: topic still open
+    finally:
+        q.stop()
+
+
 def test_streaming_windowed_agg_over_topic(driver, tmp_path):
     """Event-time windows + watermark over the stream — the capability
     the reference lacks entirely (SURVEY.md §2.7 'Streaming')."""
