@@ -54,11 +54,24 @@ class Validator:
 
 
 class SchemaValidator(Validator):
-    """Minimal JSON-Schema subset: type / required / properties /
-    enum / minimum / maximum / items — covers the reference's usage
-    (FIXTURES.md F5). Python-side validation is exact for this subset;
-    the Column form enforces required+type on scalar properties via
-    get_json_object casts."""
+    """JSON-Schema validation of event metadata.
+
+    Python-side (the per-event push path) is FULL-DRAFT exact when the
+    public ``jsonschema`` package is importable — same fidelity as the
+    reference's nlohmann json-schema validation
+    (/root/reference/src/JsonUtil.hpp:57-99,
+    /root/reference/python/mochi/mofka/client.py:13-16); draft-7 is the
+    default dialect (nlohmann's), a ``$schema`` key overrides. Without
+    the package, a built-in subset checker (type / required / properties
+    / enum / min / max / items) takes over.
+
+    The Column form (bulk/streaming path) compiles the cheap
+    SQL-expressible keywords (required, scalar types, enum, min/max,
+    minLength/maxLength, pattern, const) to predicates — a NECESSARY
+    filter with Catalyst pushdown, not the full draft: combinators
+    (anyOf/oneOf/not) and structural keywords pass through, so the
+    Column path may admit rows the exact validator would reject. Bulk
+    callers needing full fidelity re-validate per row downstream."""
 
     _TYPES = {
         "object": dict,
@@ -70,12 +83,37 @@ class SchemaValidator(Validator):
 
     def __init__(self, schema: dict[str, Any]):
         self.schema = schema
+        self._exact = None
+        try:
+            import jsonschema
+
+            cls = jsonschema.validators.validator_for(
+                schema, default=jsonschema.Draft7Validator
+            )
+            cls.check_schema(schema)
+            self._exact = cls(schema)
+        except ImportError:
+            self._exact = None
 
     def validate(self, metadata: dict[str, Any], data: bytes | None = None) -> None:
-        errs: list[str] = []
-        self._check(self.schema, metadata, "$", errs)
-        if errs:
-            raise ValidationError("; ".join(errs))
+        if self._exact is not None:
+            errs = sorted(
+                self._exact.iter_errors(metadata), key=lambda e: list(e.absolute_path)
+            )
+            if errs:
+                raise ValidationError(
+                    "; ".join(
+                        f"$.{'.'.join(str(p) for p in e.absolute_path)}: {e.message}"
+                        if e.absolute_path
+                        else f"$: {e.message}"
+                        for e in errs[:5]
+                    )
+                )
+            return
+        errs2: list[str] = []
+        self._check(self.schema, metadata, "$", errs2)
+        if errs2:
+            raise ValidationError("; ".join(errs2))
 
     def _check(self, sch: dict[str, Any], val: Any, path: str, errs: list[str]) -> None:
         t = sch.get("type")
@@ -138,6 +176,19 @@ class SchemaValidator(Validator):
                     conds.append(s.isNull() | (d <= F.lit(float(sub["maximum"]))))
             elif t == "boolean":
                 conds.append(s.isNull() | s.isin("true", "false"))
+            elif t == "string":
+                if "minLength" in sub:
+                    conds.append(s.isNull() | (F.length(s) >= int(sub["minLength"])))
+                if "maxLength" in sub:
+                    conds.append(s.isNull() | (F.length(s) <= int(sub["maxLength"])))
+                if "pattern" in sub:
+                    # JSON-Schema patterns are unanchored regex searches;
+                    # rlike matches anywhere — same semantics
+                    conds.append(s.isNull() | s.rlike(sub["pattern"]))
+            if "const" in sub:
+                cv = sub["const"]
+                lit = cv if isinstance(cv, str) else json.dumps(cv, separators=(",", ":"))
+                conds.append(s.isNull() | (s == lit))
             if "enum" in sub:
                 lits = [json.dumps(v) if not isinstance(v, str) else v for v in sub["enum"]]
                 conds.append(s.isNull() | s.isin(lits))
