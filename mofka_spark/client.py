@@ -121,6 +121,7 @@ class Driver:
         validator: dict[str, Any] | None = None,
         selector: dict[str, Any] | None = None,
         serializer: dict[str, Any] | None = None,
+        backend: str = "default",
     ) -> "TopicHandle":
         self.registry.create_topic(
             name,
@@ -128,6 +129,7 @@ class Driver:
             validator=validator,
             selector=selector,
             serializer=serializer,
+            backend=backend,
         )
         return self.open_topic(name)
 
@@ -142,6 +144,9 @@ class Driver:
         return self.registry.topic_exists(name)
 
     def destroy_topic(self, name: str) -> None:
+        from mofka_spark.log import MemoryEventLog
+
+        MemoryEventLog._STORES.pop(self.registry.topic_path(name), None)
         self.registry.destroy_topic(name)
 
     def add_partitions(self, name: str, count: int = 1) -> None:
@@ -152,9 +157,14 @@ class TopicHandle:
     """≙ MofkaTopicHandle: factory for producers/consumers + completion."""
 
     def __init__(self, driver: Driver, cfg: TopicConfig):
+        from mofka_spark.log import MemoryEventLog
+
         self.driver = driver
         self._cfg = cfg
-        self.log = EventLog(driver.spark, driver.registry.topic_path(cfg.name), cfg.name)
+        log_cls = MemoryEventLog if cfg.backend == "memory" else EventLog
+        self.log = log_cls(
+            driver.spark, driver.registry.topic_path(cfg.name), cfg.name
+        )
 
     @property
     def name(self) -> str:
@@ -220,6 +230,11 @@ class TopicHandle:
         offset and stops there, so pair batch_size with a
         ProcessingTime trigger (+ await_completion to terminate on topic
         completion); use AvailableNow only for uncapped drains."""
+        if self._cfg.backend == "memory":
+            raise MofkaError(
+                "the streaming source scans the Parquet log; memory-backend "
+                "topics support dataframe() and the pull API only"
+            )
         from mofka_spark.streaming.source import MofkaDataSource
 
         spark = self.driver.spark

@@ -142,18 +142,25 @@ def _num_at(meta: Column, path: list[str]) -> Column:
     return _str_at(meta, path).try_cast("double")
 
 
+def _parent_of(meta: Column, path: list[str]) -> Column:
+    """Rendered JSON text of the object containing path's last key."""
+    return _str_at(meta, path[:-1]) if len(path) > 1 else meta
+
+
 def _is_json_string(meta: Column, path: list[str]) -> Column:
     """True when the value at path is a JSON *string* (quoted).
 
     get_json_object strips quotes, losing the type; eventbridge matching
     is type-sensitive (numeric rules must not match "33", string rules
-    must not match 33). We probe the parent object's JSON text for
-    `"key"<ws>:<ws>"`. Heuristic on pathological docs (a nested object
-    under the same parent repeating the key), exact on flat/scalar
-    shapes like all reference corpora."""
-    parent = _str_at(meta, path[:-1]) if len(path) > 1 else meta
-    key = re.escape(path[-1])
-    return parent.rlike(f'"{key}"\\s*:\\s*"')
+    must not match 33). Exact via the variant type: parse the parent
+    object once and read the per-row schema of the value —
+    schema_of_variant returns 'STRING' only for actual JSON strings.
+    (An earlier regex probe of the parent's rendered text false-matched
+    when a nested object under the same parent repeated the key.)"""
+    v = F.try_variant_get(
+        F.try_parse_json(_parent_of(meta, path)), "$." + path[-1], "variant"
+    )
+    return F.schema_of_variant(v) == F.lit("STRING")
 
 
 def _compile_value_list(values: list[Any], meta: Column, path: list[str]) -> Column:
@@ -193,16 +200,13 @@ def _exact_eq(v: Any, meta: Column, path: list[str]) -> Column:
 def _exists(meta: Column, path: list[str]) -> Column:
     """exists:true — the key is present (any value incl. null).
 
-    get_json_object cannot distinguish null value from missing key; for
-    present-with-null we additionally probe the parent object's rendered
-    JSON for the quoted key. Good enough for scalar docs; exact for all
-    reference test shapes."""
-    s = _str_at(meta, path)
-    parent = _str_at(meta, path[:-1]) if len(path) > 1 else meta
-    quoted = F.lit(f'"{path[-1]}"')
-    return s.isNotNull() | (
-        parent.isNotNull() & parent.contains(quoted)
-    )
+    Exact: json_object_keys parses the parent object and returns its
+    key list; membership distinguishes a null VALUE (key present) from
+    a missing key, which get_json_object alone cannot. Non-object
+    parents yield NULL keys -> not present. (An earlier substring probe
+    false-matched when any VALUE text contained the quoted key.)"""
+    keys = F.json_object_keys(_parent_of(meta, path))
+    return F.coalesce(F.array_contains(keys, F.lit(path[-1])), F.lit(False))
 
 
 def _compile_rule(rule: dict[str, Any], meta: Column, path: list[str]) -> Column:

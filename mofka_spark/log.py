@@ -419,6 +419,95 @@ class EventLog:
         )
 
 
+class MemoryEventLog(EventLog):
+    """S7 memory partition backend: events live in process memory, the
+    same interface as the file-backed log.
+
+    The reference registers three partition-manager backends and runs
+    its whole conformance suite against each
+    (/root/reference/src/MemoryPartitionManager.cpp:13,
+    /root/reference/tests/CMakeLists.txt:25-76); this is the Spark
+    analog of the "memory" one — a fast sink/read mode for tests and
+    ephemeral topics. The ledger/cursor files still live on disk (they
+    are tiny and shared with the file path's code); only the event rows
+    stay in memory, so the data plane does no file IO at all. Not
+    servable by the streaming source (which scans Parquet); dataframe()
+    and the pull API work identically.
+    """
+
+    # class-level store: topic_path -> {partition: [row tuples]}
+    _STORES: dict[str, dict[int, list[tuple]]] = {}
+
+    @property
+    def _store(self) -> dict[int, list[tuple]]:
+        return self._STORES.setdefault(self.topic_path, {})
+
+    def _footer_max_offsets(self) -> dict[int, int]:
+        return {p: len(rows) for p, rows in self._store.items() if rows}
+
+    def _has_data(self) -> bool:
+        return any(self._store.values())
+
+    def _ensure_consistent(self) -> None:
+        # memory data does not survive a process restart, but the ledger
+        # file does: resync it to the store EXACTLY (down as well as up),
+        # so a fresh process starts the topic empty at offset 0 — the
+        # reference's memory backend loses its log on restart too.
+        if self._verified:
+            return
+        self._verified = True
+        full = self._read_ledger_full()
+        actual = {str(p): len(rows) for p, rows in self._store.items() if rows}
+        if full["offsets"] != actual:
+            full["offsets"] = actual
+            self._write_ledger_full(full)
+
+    def append_batch(
+        self, batch: DataFrame, txn: tuple[str, int] | None = None
+    ) -> dict[int, tuple[int, int]]:
+        import datetime
+
+        rows = batch.select("partition", "seq", "metadata", "data").collect()
+        if not rows:
+            return {}
+        with self._ledger_lock():
+            self._ensure_consistent()
+            full = self._read_ledger_full()
+            if txn is not None and int(full["txns"].get(txn[0], -1)) >= txn[1]:
+                return {}
+            ledger = full["offsets"]
+            now = datetime.datetime.now()
+            by_part: dict[int, list] = {}
+            for r in sorted(rows, key=lambda r: (r["partition"], r["seq"])):
+                by_part.setdefault(r["partition"], []).append(r)
+            acks = {}
+            for p, items in by_part.items():
+                base = ledger.get(str(p), 0)
+                store = self._store.setdefault(p, [])
+                for i, r in enumerate(items):
+                    store.append(
+                        (self.topic, p, base + i, r["metadata"], r["data"], now)
+                    )
+                ledger[str(p)] = base + len(items)
+                acks[p] = (base, len(items))
+            if txn is not None:
+                full["txns"][txn[0]] = txn[1]
+            self._write_ledger_full(full)
+            return acks
+
+    def read(self, partitions: list[int] | None = None) -> DataFrame:
+        rows = [
+            r
+            for p, items in sorted(self._store.items())
+            for r in items
+            if partitions is None or p in partitions
+        ]
+        return self.spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    def destroy(self) -> None:
+        self._STORES.pop(self.topic_path, None)
+
+
 def make_ingest_df(
     spark: SparkSession, rows: list[dict[str, Any]]
 ) -> DataFrame:

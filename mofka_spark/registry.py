@@ -48,6 +48,11 @@ class TopicConfig:
     serializer: dict[str, Any] = field(default_factory=lambda: dict(DEFAULT_SERIALIZER))
     completed: bool = False
     created_at: float = 0.0
+    # S7 partition storage backend: "default" (partitioned Parquet) or
+    # "memory" (in-process; see log.MemoryEventLog). The reference's
+    # third ("legacy" Yokan+Warabi) collapses into "default" — both are
+    # file-backed logs behind one interface.
+    backend: str = "default"
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
@@ -113,11 +118,14 @@ class TopicRegistry:
         validator: dict[str, Any] | None = None,
         selector: dict[str, Any] | None = None,
         serializer: dict[str, Any] | None = None,
+        backend: str = "default",
     ) -> TopicConfig:
         """S1 createTopic. Fails with TopicExistsError on duplicates."""
         self._check_name(name)
         if num_partitions < 1:
             raise MofkaError(f"num_partitions must be >= 1, got {num_partitions}")
+        if backend not in ("default", "memory"):
+            raise MofkaError(f"unknown partition backend {backend!r}")
         path = self._config_path(name)
         if os.path.exists(path):
             raise TopicExistsError(f"Topic {name!r} already exists")
@@ -129,6 +137,7 @@ class TopicRegistry:
             serializer=serializer or dict(DEFAULT_SERIALIZER),
             completed=False,
             created_at=time.time(),
+            backend=backend,
         )
         os.makedirs(self.topic_path(name), exist_ok=True)
         # O_EXCL-equivalent create-new-only semantics (NEW_ONLY putMulti,

@@ -214,3 +214,51 @@ def test_property_cross_check(spark):
     rows = df.select("i", compile_pattern(pattern).alias("ok")).orderBy("i").collect()
     sp = [r["ok"] is True for r in rows]
     assert py == sp
+
+
+class TestExactTypeAndExistenceProbes:
+    """Adversarial shapes that defeated the earlier regex/substring
+    heuristics — the probes are now exact (variant schema for string
+    typing, json_object_keys for existence)."""
+
+    def _both(self, spark, pattern, doc):
+        import json as _json
+
+        py = match_event(pattern, doc)
+        df = spark.createDataFrame([(_json.dumps(doc),)], ["metadata"])
+        sp = df.select(compile_pattern(pattern).alias("ok")).collect()[0]["ok"] is True
+        assert py == sp, f"python={py} spark={sp} for {doc}"
+        return py
+
+    def test_value_containing_quoted_key_is_not_existence(self, spark):
+        # the VALUE of another field contains the text '"secret"' — the
+        # old substring probe counted that as the key existing
+        pattern = {"secret": [{"exists": True}]}
+        assert self._both(spark, pattern, {"note": 'say "secret" aloud'}) is False
+        assert self._both(spark, pattern, {"secret": None}) is True
+
+    def test_exists_false_with_lookalike_value(self, spark):
+        pattern = {"secret": [{"exists": False}]}
+        assert self._both(spark, pattern, {"note": '"secret": "x"'}) is True
+        assert self._both(spark, pattern, {"secret": 0}) is False
+
+    def test_nested_repeat_key_different_type(self, spark):
+        # sibling nested object repeats the key with a STRING value; the
+        # top-level value is a number — the old regex saw '"k": "' in
+        # the parent text and typed the number as a string
+        pattern = {"k": [{"numeric": [">=", 5]}]}
+        doc = {"k": 7, "inner": {"k": "seven"}}
+        assert self._both(spark, pattern, doc) is True
+        pattern2 = {"k": ["seven"]}
+        assert self._both(spark, pattern2, doc) is False
+
+    def test_string_rule_on_numeric_lookalike(self, spark):
+        pattern = {"k": [{"prefix": "3"}]}
+        assert self._both(spark, pattern, {"k": "33"}) is True
+        assert self._both(spark, pattern, {"k": 33}) is False
+
+    def test_null_value_exact_match(self, spark):
+        pattern = {"k": [None]}
+        assert self._both(spark, pattern, {"k": None}) is True
+        assert self._both(spark, pattern, {}) is False
+        assert self._both(spark, pattern, {"k": 1}) is False
