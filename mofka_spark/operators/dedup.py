@@ -136,7 +136,8 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     num_hashes: int = 64,
     bands: int = 16,
-    shingle_k: int = 5,
+    shingle_k: int = 3,
+    features: str = "word",
     bucket_cap: int | None = 10000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
@@ -144,6 +145,16 @@ def minhash_lsh_candidates(
     rows/band = num_hashes/bands. Two docs are candidates if any band's
     hash slice matches exactly. Returns distinct (id_a, id_b) with
     id_a < id_b.
+
+    ``features`` picks the shingle space: "word" (k-word n-grams,
+    default) or "char" (k-char shingles). The candidate feature space
+    should MATCH the verify metric's: the verify step computes word
+    n-gram Jaccard, and unrelated texts in the same language share a
+    large fraction of their character 5-shingles (common substrings
+    like ' the '), so char-shingle LSH at r=4 floods the verify join
+    with jaccard~0 candidates — measured 504k candidates for 256 true
+    pairs on a 5k-doc corpus; word features cut that to ~the true
+    pairs, at identical recall in word-Jaccard space.
 
     Plan shape: explode shingles -> 64 parallel min() aggregations
     grouped by doc (partial agg collapses each map partition to one row
@@ -153,15 +164,37 @@ def minhash_lsh_candidates(
     per (band_id, band_hash) bucket. Never all-pairs; AQE skew-join
     covers moderate skew below the cap."""
     rows_per_band = num_hashes // bands
+    feat = (
+        word_ngrams(F.col(text_col), shingle_k)
+        if features == "word"
+        else shingles(F.col(text_col), shingle_k)
+    )
     exploded = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
+        F.explode(feat).alias("sh"),
     )
-    sig = exploded.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64("sh", F.lit(s))).alias(f"h{s}")
-            for s in range(num_hashes)
-        ]
+    # The i-th hash family member derives from TWO string hashes by
+    # xor-rotate mixing (double-hashing construction) instead of
+    # re-hashing the string num_hashes times: h_i = h1 ^ rot(h2, i).
+    # Cuts per-shingle work from 64 string hashes to 2 + cheap long
+    # bit-ops, all inside codegen; pure bitwise so ANSI overflow
+    # checking never fires.
+    hashed = exploded.select(
+        "id",
+        F.xxhash64("sh").alias("h1"),
+        F.xxhash64("sh", F.lit(1)).alias("h2"),
+    )
+
+    def mix(i: int):
+        if i == 0:
+            return F.col("h1")
+        rot = F.shiftleft("h2", i % 64).bitwiseOR(
+            F.shiftrightunsigned("h2", 64 - (i % 64))
+        )
+        return F.col("h1").bitwiseXOR(rot)
+
+    sig = hashed.groupBy("id").agg(
+        *[F.min(mix(s)).alias(f"h{s}") for s in range(num_hashes)]
     )
     banded = sig.select(
         "id",
@@ -204,7 +237,10 @@ def ngram_jaccard_pairs(
     Joins the n-gram sets onto the (small) candidate set — the exact
     verify never touches non-candidate rows. Returns
     (id_a, id_b, jaccard) for pairs >= threshold."""
-    grams = df.select(
+    # _spread: the n-gram arrays are the expensive projection here; a
+    # corpus arriving as one or two parquet splits would compute them
+    # all in as many tasks (measured 3-4s single-task on 5k docs)
+    grams = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
     )
@@ -235,7 +271,8 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     num_hashes: int = 64,
     bands: int = 16,
-    shingle_k: int = 5,
+    shingle_k: int = 3,
+    features: str = "word",
     verify_threshold: float | None = 0.8,
     ngram_n: int = 3,
     bucket_cap: int | None = 10000,
@@ -248,7 +285,14 @@ def minhash_lsh_dedup(
     chains at depth > 1 are rare at sensible thresholds — see
     operators.graph.connected_components for the full iterative pass)."""
     cand = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_k, bucket_cap
+        df,
+        id_col,
+        text_col,
+        num_hashes,
+        bands,
+        shingle_k,
+        features=features,
+        bucket_cap=bucket_cap,
     )
     if verify_threshold is not None:
         cand = ngram_jaccard_pairs(

@@ -105,6 +105,74 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def _bucket_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    all_planes: list[list[list[float]]],
+    method: str = "auto",
+) -> DataFrame:
+    """(id, vec, buckets: array<long>) — one bucket per LSH table.
+
+    arrow kernel: each Arrow batch becomes one numpy (rows x dim) @
+    (dim x tables*planes) matmul; sign bits pack into per-table bucket
+    ids. Identical output to the expression kernel (numpy float64 dot
+    vs JVM double fold can differ only on exact-zero boundaries, which
+    gaussian planes hit with probability 0)."""
+    n_tables = len(all_planes)
+    n_planes = len(all_planes[0])
+    if method == "auto":
+        method = "arrow" if n_tables * n_planes >= 12 else "expr"
+    if method == "expr":
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.array(
+                *[lsh_bucket(F.col(vec_col), planes) for planes in all_planes]
+            ).alias("buckets"),
+        )
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    # (dim, tables*planes) projection matrix, shipped in the closure
+    mat = np.concatenate(
+        [np.asarray(p, dtype=np.float64).T for p in all_planes], axis=1
+    )
+    weights = np.array(
+        [[1 << i for i in range(n_planes)]], dtype=np.int64
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("vec", df.schema[vec_col].dataType),
+            T.StructField("buckets", T.ArrayType(T.LongType())),
+        ]
+    )
+    narrow = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            if len(x) == 0:
+                continue
+            signs = (x @ mat) > 0  # (rows, tables*planes)
+            per_table = signs.reshape(len(x), n_tables, n_planes)
+            buckets = (per_table * weights).sum(axis=2).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "vec": pdf["vec"],
+                    "buckets": list(buckets),
+                }
+            )
+
+    return narrow.mapInPandas(run, schema)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -115,6 +183,7 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 1,
     seed: int = 42,
+    method: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: compare only within matching sign-LSH buckets.
 
@@ -125,22 +194,27 @@ def lsh_topk(
     (standard multi-table LSH: a true neighbor is missed only if it
     lands in a different bucket in EVERY table, so miss probability
     decays exponentially in n_tables). All tables' buckets come from
-    one projection + posexplode, so it stays a single join."""
-    q_buckets, c_buckets = [], []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        q_buckets.append(lsh_bucket(F.col(vec_col), planes))
-        c_buckets.append(lsh_bucket(F.col(vec_col), planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.posexplode(F.array(*q_buckets)).alias("tbl", "bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        F.posexplode(F.array(*c_buckets)).alias("tbl", "bucket"),
-    )
+    one projection + posexplode, so it stays a single join.
+
+    ``method``: bucket computation kernel. "expr" = pure Column
+    expressions (zip_with/aggregate per plane — interpreted per
+    element, O(tables*planes*dim) lambda evals per row); "arrow" = one
+    Arrow-batched mapInPandas doing a single numpy matmul per batch —
+    the scale path when tables*planes is large (sign-LSH is exactly a
+    matrix product, which built-ins can't express vectorized); "auto"
+    picks arrow when tables*planes >= 12."""
+    all_planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    def _with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        bucketed = _bucket_frame(df, id_col, vec_col, all_planes, method)
+        return bucketed.select(
+            F.col("id").alias(id_alias),
+            F.col("vec").alias(vec_alias),
+            F.posexplode("buckets").alias("tbl", "bucket"),
+        )
+
+    q = _with_buckets(queries, "query_id", "qvec")
+    c = _with_buckets(corpus, "neighbor_id", "cvec")
     joined = c.join(F.broadcast(q), ["tbl", "bucket"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     )

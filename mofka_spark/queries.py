@@ -471,7 +471,9 @@ def q_streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
     root = tempfile.mkdtemp(prefix="mofka-streamq-")
     driver = Driver(spark, root)
-    topic = driver.create_topic("hstats", num_partitions=4)
+    # 2 partitions: enough to exercise partition-parallel reads while
+    # keeping the gate's fixed python-worker spin-up cost low
+    topic = driver.create_topic("hstats", num_partitions=2)
     producer = topic.producer("bulk")
     producer.push_dataframe(
         ev.select(F.to_json(F.struct("ts", "event_type", "value")).alias("metadata"))
@@ -489,15 +491,23 @@ def q_streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
     sink_name = "hstats_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_name)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # the stateful window agg allocates one state store per shuffle
+    # partition at first run; 5000 events need a handful, not 32 —
+    # state partition count is fixed by the conf at query start
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return spark.table(sink_name).select(
         F.col("w.start").alias("hour"), "event_type", "n", "sum_value"
     )
