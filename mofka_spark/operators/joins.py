@@ -1,0 +1,92 @@
+"""Time-series joins the reference lacks and Spark doesn't ship built-in.
+
+- asof_join: point-in-time ("most recent right row at or before the
+  left row's time") — the lookup every feature/training pipeline needs
+  for leakage-free joins. Implemented WITHOUT a range cross join: union
+  both sides, one window per key with last(ignorenulls) forward-fill,
+  filter back to left rows. One shuffle on the key, linear work, no
+  pair explosion — survives arbitrarily dense right sides, unlike the
+  naive `l.t >= r.t` join whose output is quadratic before
+  deduplication.
+- range_join_count is expressed with plain equi+range conditions in the
+  caller (Catalyst handles it); see queries.asof/range gate queries.
+
+SURVEY.md §2.7 lists as-of/interval joins as the planned analytics
+extension over the event log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    tolerance_sec: int | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the latest right
+    row with right.on <= left.on (backward; equal times match) within
+    the same ``by`` keys, optionally only if within ``tolerance_sec``.
+
+    Deterministic under ties only if the right side is unique per
+    (by, on) — pre-aggregate it otherwise (the gate query does).
+
+    Plan: union -> window(partitionBy by, orderBy on, side) ->
+    last(ignorenulls) running fill -> filter left marker. The sort is
+    per-key local after one hash shuffle; with both inputs bucketed by
+    the key, even that shuffle disappears.
+    """
+    if direction != "backward":
+        raise ValueError("only backward as-of is implemented")
+    lcols = [c for c in left.columns]
+    l_side = left.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols if c not in by and c != on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias("_rt"),
+    )
+    r_side = right.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in by and c != on],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(on).alias("_rt"),
+    )
+    u = l_side.unionByName(r_side)
+    # right rows (_is_left=0) sort before left rows at the same
+    # timestamp, so an equal-time right row IS visible to the left row
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "*",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
+        F.last("_rt", ignorenulls=True).over(w).alias("_f_rt"),
+    )
+    out = filled.filter(F.col("_is_left") == 1)
+    in_tol = (
+        F.lit(True)
+        if tolerance_sec is None
+        else (
+            F.col("_f_rt").isNotNull()
+            & ((F.col("_t").cast("long") - F.col("_f_rt").cast("long")) <= tolerance_sec)
+        )
+    )
+    sel = (
+        [F.col(c) for c in by]
+        + [F.col("_t").alias(on)]
+        + [F.col(c) for c in lcols if c not in by and c != on]
+        + [F.when(in_tol, F.col(f"_f_{c}")).alias(c) for c in value_cols]
+        + [F.when(in_tol, F.col("_f_rt")).alias(f"{on}_matched")]
+    )
+    return out.select(*sel)

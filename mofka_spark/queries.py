@@ -444,6 +444,130 @@ def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# As-of (point-in-time) join: for every click, the latest same-user
+# purchase at-or-before it, within a 7-day tolerance. The Spark side is
+# the union+window linear formulation (operators/joins.py — one shuffle,
+# no range explosion); the oracle is DuckDB's native ASOF LEFT JOIN.
+@query(
+    "asof_click_purchase",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, ROUND(MAX(value), 2) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN p.ts IS NOT NULL
+                 AND date_diff('second', p.ts, c.ts) <= 604800
+                THEN p.pvalue END AS last_purchase_value,
+           CASE WHEN p.ts IS NOT NULL
+                 AND date_diff('second', p.ts, c.ts) <= 604800
+                THEN CAST(date_diff('second', p.ts, c.ts) AS BIGINT)
+           END AS secs_since_purchase
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("pvalue"))
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts", by=["user_id"], value_cols=["pvalue"],
+        tolerance_sec=604800,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("pvalue").alias("last_purchase_value"),
+        (F.col("ts").cast("long") - F.col("ts_matched").cast("long"))
+        .cast("long")
+        .alias("secs_since_purchase"),
+    )
+
+
+# Interval/range join: clicks in the 30 minutes before each purchase.
+# Equi-join on user + range condition on time — Catalyst plans the equi
+# part as the shuffle key; the range predicate filters within key
+# groups (never a cross join).
+@query(
+    "range_clicks_before_purchase",
+    """
+    SELECT p.event_id, CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_30m
+    FROM events p
+    LEFT JOIN events c
+      ON p.user_id = c.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def q_range_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (p.p_user == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (c.c_ts < p.p_ts),
+        "left",
+    )
+    return joined.groupBy("p_id").agg(F.count("c_id").alias("n_clicks_30m")).select(
+        F.col("p_id").alias("event_id"), "n_clicks_30m"
+    )
+
+
+# Deterministic hash sampling (reproducible across engines/runs — the
+# curation-pipeline standard; df.sample is neither).
+@query(
+    "doc_sample",
+    """
+    SELECT doc_id FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+          % 1000000 < 100000
+    """,
+)
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.10).select("doc_id")
+
+
+# Stratified training mix: per-language quotas, one scan + filter.
+@query(
+    "training_mix",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000000
+          < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
+                      WHEN 'zh' THEN 250000 ELSE 100000 END
+    """,
+)
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.5, "de": 1.0, "zh": 0.25},
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
 # Streaming event-time aggregation END-TO-END: events flow through the
 # engine (topic sink -> ledger -> custom streaming source), a
 # withWatermark + window() aggregation runs under Trigger.AvailableNow,

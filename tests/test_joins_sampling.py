@@ -1,0 +1,106 @@
+"""As-of join and deterministic sampling unit tests."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from mofka_spark.operators.joins import asof_join
+from mofka_spark.operators.sampling import hash_sample, stratified_hash_sample
+
+
+def _ts(s):
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture()
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [("A", _ts(3), 100), ("A", _ts(10), 101), ("B", _ts(5), 200), ("C", _ts(1), 300)],
+        "sym string, ts timestamp, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [("A", _ts(1), 9.0), ("A", _ts(3), 10.0), ("A", _ts(7), 11.0), ("B", _ts(9), 20.0)],
+        "sym string, ts timestamp, px double",
+    )
+    return trades, quotes
+
+
+class TestAsofJoin:
+    def test_backward_with_equal_match(self, trades_quotes):
+        trades, quotes = trades_quotes
+        out = asof_join(trades, quotes, on="ts", by=["sym"], value_cols=["px"])
+        rows = {r.trade_id: r.px for r in out.collect()}
+        # trade A@3 sees quote A@3 (equal time matches), A@10 sees A@7,
+        # B@5 has no quote yet, C has no quotes at all
+        assert rows == {100: 10.0, 101: 11.0, 200: None, 300: None}
+
+    def test_tolerance(self, trades_quotes):
+        trades, quotes = trades_quotes
+        out = asof_join(
+            trades, quotes, on="ts", by=["sym"], value_cols=["px"], tolerance_sec=2
+        )
+        rows = {r.trade_id: r.px for r in out.collect()}
+        # A@10's latest quote is A@7: 3s ago > tolerance 2 -> null
+        assert rows == {100: 10.0, 101: None, 200: None, 300: None}
+
+    def test_matched_time_column(self, trades_quotes):
+        trades, quotes = trades_quotes
+        out = asof_join(trades, quotes, on="ts", by=["sym"], value_cols=["px"])
+        row = {r.trade_id: r for r in out.collect()}[101]
+        assert row.ts_matched == _ts(7)
+
+    def test_no_range_explosion_plan(self, trades_quotes, spark):
+        from mofka_spark.plans import plan_string
+
+        trades, quotes = trades_quotes
+        out = asof_join(trades, quotes, on="ts", by=["sym"], value_cols=["px"])
+        plan = plan_string(out)
+        # linear formulation: a window over the union, never a join
+        assert "Join" not in plan
+        assert "Window" in plan
+
+    def test_row_count_preserved(self, trades_quotes):
+        trades, quotes = trades_quotes
+        out = asof_join(trades, quotes, on="ts", by=["sym"], value_cols=["px"])
+        assert out.count() == trades.count()
+
+
+class TestHashSampling:
+    def test_deterministic_and_stable_under_growth(self, spark):
+        df1 = spark.range(0, 1000).withColumnRenamed("id", "k")
+        df2 = spark.range(0, 2000).withColumnRenamed("id", "k")
+        s1 = {r.k for r in hash_sample(df1, "k", 0.2).collect()}
+        s2 = {r.k for r in hash_sample(df2, "k", 0.2).collect()}
+        # growing the table never flips existing decisions
+        assert s1 == {k for k in s2 if k < 1000}
+        # repeatable
+        assert s1 == {r.k for r in hash_sample(df1, "k", 0.2).collect()}
+
+    def test_fraction_approximate(self, spark):
+        df = spark.range(0, 10000).withColumnRenamed("id", "k")
+        n = hash_sample(df, "k", 0.3).count()
+        assert 0.27 * 10000 < n < 0.33 * 10000
+
+    def test_salt_changes_selection(self, spark):
+        df = spark.range(0, 1000).withColumnRenamed("id", "k")
+        a = {r.k for r in hash_sample(df, "k", 0.2, salt="a").collect()}
+        b = {r.k for r in hash_sample(df, "k", 0.2, salt="b").collect()}
+        assert a != b
+
+    def test_stratified(self, spark):
+        rows = [(i, "en" if i % 2 else "de") for i in range(2000)]
+        df = spark.createDataFrame(rows, "k long, lang string")
+        out = stratified_hash_sample(
+            df, "k", "lang", {"de": 1.0, "en": 0.1}, default_fraction=0.0
+        )
+        by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert by_lang["de"] == 1000
+        assert 50 < by_lang["en"] < 150
+
+    def test_pushdown(self, spark, sf_dir):
+        from mofka_spark.plans import has_pushed_filter, plan_string
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = hash_sample(docs, "doc_id", 0.1)
+        assert "Exchange" not in plan_string(out)  # no shuffle: scan+filter
