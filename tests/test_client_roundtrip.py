@@ -184,3 +184,40 @@ def test_ledger_recovery(driver):
     os.unlink(topic.log.ledger_path)
     recovered = topic.log.recover_ledger()
     assert recovered == {0: 50, 1: 50}
+
+
+class TestOrderingAndAckEarly:
+    """P9/P10 parity: both orderings and ack_early are accepted and
+    yield identical observable behavior — per-partition FIFO, dense ids
+    (the reference routes both through one sender per partition queue
+    and drops ack_early server-side; SURVEY.md P9/P10)."""
+
+    def _produce_consume(self, driver, name, **producer_kwargs):
+        topic = driver.create_topic(name, num_partitions=2)
+        with topic.producer("p", **producer_kwargs) as prod:
+            futs = [prod.push({"n": i}, partition=i % 2) for i in range(20)]
+        ids = [f.wait() for f in futs]
+        topic.mark_as_complete()
+        evs = list(topic.consumer("c"))
+        per = {}
+        for ev in evs:
+            per.setdefault(ev.partition, []).append((ev.offset, ev.metadata["n"]))
+        return ids, per
+
+    def test_strict_and_loose_same_observable_order(self, driver):
+        ids_s, per_s = self._produce_consume(driver, "ord-strict", ordering="strict")
+        ids_l, per_l = self._produce_consume(driver, "ord-loose", ordering="loose")
+        assert ids_s == ids_l
+        assert per_s == per_l
+        # per-partition FIFO: offsets dense and push order preserved
+        for part, rows in per_s.items():
+            offsets = [o for o, _ in rows]
+            ns = [n for _, n in rows]
+            assert offsets == list(range(len(rows)))
+            assert ns == sorted(ns)
+
+    def test_ack_early_same_results(self, driver):
+        ids_a, per_a = self._produce_consume(driver, "ack-early", ack_early=True)
+        ids_b, per_b = self._produce_consume(driver, "ack-late", ack_early=False)
+        assert ids_a == ids_b
+        assert per_a == per_b

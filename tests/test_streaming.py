@@ -255,3 +255,51 @@ def test_streaming_windowed_agg_over_topic(driver, tmp_path):
     # append-mode windows only emit once watermark passes; with a single
     # burst the totals row may be withheld — assert the query ran clean
     assert q.exception() is None
+
+
+def test_stateful_sessionization(driver, tmp_path, spark):
+    """Custom stateful operator (applyInPandasWithState): event-time
+    sessions close on data-driven gaps AND on event-time timeout."""
+    from mofka_spark.streaming.stateful import sessionize_stream
+
+    topic = driver.create_topic("sess-t", num_partitions=1)
+    # batch 1: user 1 session A (3 events), user 2 single event
+    early = [(1, "2024-01-01T00:00:00Z"), (1, "2024-01-01T00:05:00Z"),
+             (1, "2024-01-01T00:10:00Z"), (2, "2024-01-01T00:01:00Z")]
+    # batch 2: user 1's much later event opens session B and (a) closes
+    # session A by gap, (b) drives the watermark past user 2's timeout
+    late = [(1, "2024-01-01T02:00:00Z")]
+    with topic.producer("p") as producer:
+        for uid, ts in early:
+            producer.push({"user_id": uid, "ts": ts})
+    with topic.producer("p2") as producer:
+        for uid, ts in late:
+            producer.push({"user_id": uid, "ts": ts})
+    topic.mark_as_complete()
+
+    parsed = (
+        topic.read_stream(batch_size=4)
+        .select(F.from_json("metadata", "user_id long, ts timestamp").alias("m"))
+        .select("m.*")
+    )
+    sessions = sessionize_stream(parsed, gap_sec=1800, watermark_delay="1 minute")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt-sess"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    assert topic.await_completion(q, timeout=120) is True
+    rows = {
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # session A (user 1, 3 events) closed by the 02:00 event's gap;
+    # user 2's session closed by event-time timeout once the watermark
+    # (01:59) passed its 00:31 timeout. Session B (02:00) is still open.
+    assert rows == {
+        (1, "2024-01-01T00:00:00", "2024-01-01T00:10:00", 3),
+        (2, "2024-01-01T00:01:00", "2024-01-01T00:01:00", 1),
+    }
