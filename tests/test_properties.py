@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis): the compiled Spark expressions
+must agree with the pure-Python evaluators on arbitrary inputs.
+
+- DataDescriptor: random view-algebra compositions applied via Spark
+  byte-slicing Columns == python apply() on the same payload.
+- Eventbridge: random scalar docs, compiled Column == match_event.
+- SchemaValidator: the Column fast path is a NECESSARY condition of the
+  exact validator (never rejects a doc the exact validator accepts).
+"""
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from mofka_spark.errors import InvalidViewError
+from mofka_spark.functions.eventbridge import compile_pattern, match_event
+from mofka_spark.functions.validators import SchemaValidator
+from mofka_spark.functions.views import DataDescriptor
+
+PAYLOAD = bytes(range(97, 123)) * 2  # 52 bytes, 'a'..'z' twice
+
+
+def _ops():
+    return st.lists(
+        st.one_of(
+            st.tuples(st.just("sub"), st.integers(0, 40), st.integers(0, 20)),
+            st.tuples(
+                st.just("strided"),
+                st.integers(0, 20),
+                st.integers(1, 3),
+                st.integers(1, 5),
+                st.integers(0, 4),
+            ),
+            st.tuples(
+                st.just("unstructured"),
+                st.lists(
+                    st.tuples(st.integers(0, 30), st.integers(0, 10)),
+                    min_size=1,
+                    max_size=3,
+                ),
+            ),
+        ),
+        max_size=3,
+    )
+
+
+class TestViewAlgebraProperties:
+    @settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(ops=_ops())
+    def test_spark_equals_python(self, spark, ops):
+        desc = DataDescriptor.identity(len(PAYLOAD))
+        try:
+            for op in ops:
+                if op[0] == "sub":
+                    desc = desc.make_sub_view(op[1], op[2])
+                elif op[0] == "strided":
+                    desc = desc.make_strided_view(op[1], op[2], op[3], op[4])
+                else:
+                    desc = desc.make_unstructured_view(list(op[1]))
+        except InvalidViewError:
+            return  # composition exceeded the selected region: fine
+        expected = desc.apply(PAYLOAD)
+        df = spark.createDataFrame([(PAYLOAD,)], "data binary")
+        got = df.select(desc.to_column("data").alias("v")).collect()[0]["v"]
+        got = bytes(got) if got is not None else b""
+        assert got == expected
+
+    def test_flatten_segments_sum_to_size(self):
+        desc = DataDescriptor.identity(52).make_strided_view(1, 3, 4, 2)
+        assert sum(s for _, s in desc.flatten()) == desc.size == 12
+
+
+_SCALAR = st.one_of(
+    st.integers(-1000, 1000),
+    st.booleans(),
+    st.text(alphabet="abcXYZ019 _", max_size=8),
+    st.none(),
+)
+_DOC = st.dictionaries(
+    st.sampled_from(["k", "tag", "n", "u"]), _SCALAR, max_size=4
+)
+
+_PATTERNS = [
+    {"k": [{"numeric": [">=", 0, "<", 500]}]},
+    {"tag": [{"prefix": "ab"}, {"suffix": "Z"}]},
+    {"k": [{"exists": True}], "tag": [{"anything-but": {"prefix": "x"}}]},
+    {"$or": [{"u": [{"exists": True}]}, {"n": [{"numeric": ["<", 0]}]}]},
+    {"tag": [{"wildcard": "a*9"}]},
+    {"k": [True, None, 3]},
+    {"tag": [{"equals-ignore-case": "ABC"}]},
+    {"u": [{"exists": False}]},
+]
+
+
+class TestEventbridgeProperties:
+    @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(_DOC, min_size=1, max_size=25))
+    def test_compiled_equals_python(self, spark, docs):
+        df = spark.createDataFrame(
+            [(i, json.dumps(d)) for i, d in enumerate(docs)], "i long, metadata string"
+        )
+        cols = [
+            compile_pattern(p).alias(f"p{j}") for j, p in enumerate(_PATTERNS)
+        ]
+        rows = df.select("i", *cols).orderBy("i").collect()
+        for j, pattern in enumerate(_PATTERNS):
+            py = [match_event(pattern, d) for d in docs]
+            sp = [r[f"p{j}"] is True for r in rows]
+            assert py == sp, f"pattern {pattern} docs {docs}"
+
+
+_SCHEMA = {
+    "required": ["k"],
+    "properties": {
+        "k": {"type": "integer", "minimum": -50, "maximum": 50},
+        "tag": {"type": "string", "minLength": 1, "maxLength": 6, "pattern": "^[abcXYZ019 _]*$"},
+        "n": {"type": "number"},
+    },
+    "anyOf": [{"properties": {"k": {"minimum": 0}}}, {"required": ["tag"]}],
+}
+
+
+class TestValidatorNecessity:
+    @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(_DOC, min_size=1, max_size=25))
+    def test_column_path_is_necessary_condition(self, spark, docs):
+        v = SchemaValidator(_SCHEMA)
+        exact_ok = []
+        for d in docs:
+            try:
+                v.validate(d)
+                exact_ok.append(True)
+            except Exception:
+                exact_ok.append(False)
+        df = spark.createDataFrame(
+            [(i, json.dumps(d)) for i, d in enumerate(docs)], "i long, metadata string"
+        )
+        rows = df.select("i", v.to_column("metadata").alias("ok")).orderBy("i").collect()
+        for d, ok_exact, r in zip(docs, exact_ok, rows):
+            if ok_exact:
+                assert r["ok"] is True, f"column path rejected a valid doc: {d}"
