@@ -422,6 +422,10 @@ class Consumer:
         self._log = topic.log
         self._iter: Iterator[Event] | None = None
         self._positions: dict[int, int] | None = None
+        # C2: decode stored metadata with the TOPIC's serializer (the
+        # inverse of the producer pipeline, SURVEY.md P6) — json for the
+        # default, packed/compact forms otherwise
+        self._serializer = Serializer.from_metadata(topic._cfg.serializer)
 
     # -- pull path ---------------------------------------------------------
     def _init_positions(self) -> None:
@@ -443,7 +447,7 @@ class Consumer:
         rows = df.orderBy("partition", "offset").collect()
         events: list[Event] = []
         for r in rows:
-            meta = json.loads(r["metadata"]) if r["metadata"] else {}
+            meta = self._serializer.deserialize(r["metadata"]) if r["metadata"] else {}
             data = bytes(r["data"]) if r["data"] is not None else None
             if self.data_selector is not None:
                 desc = DataDescriptor.identity(len(data) if data is not None else 0)

@@ -233,6 +233,80 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _cell_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[list[float]],
+    topn: int,
+    method: str = "auto",
+) -> DataFrame:
+    """(id, vec, cells: array<int>) — the ``topn`` nearest centroids by
+    cosine, ties broken by centroid id. Same expr/arrow kernel split as
+    _bucket_frame: per-centroid Column cosine is O(cells*dim)
+    interpreted lambdas per row; the arrow kernel is one normalized
+    matmul + stable argsort per batch."""
+    if method == "auto":
+        method = "arrow" if len(cents) >= 8 else "expr"
+    if method == "expr":
+
+        def nearest(vec: Column) -> Column:
+            scored = F.array(
+                *[
+                    F.struct(
+                        (-cosine(vec, F.array(*[F.lit(float(x)) for x in cent]))).alias("d"),
+                        F.lit(i).alias("cid"),
+                    )
+                    for i, cent in enumerate(cents)
+                ]
+            )
+            return F.transform(
+                F.slice(F.array_sort(scored), 1, topn), lambda s: s["cid"]
+            )
+
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            nearest(F.col(vec_col)).alias("cells"),
+        )
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cmat = np.asarray(cents, dtype=np.float64).T  # (dim, cells)
+    cnorm = np.maximum(np.linalg.norm(cmat, axis=0), 1e-300)
+    schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("vec", df.schema[vec_col].dataType),
+            T.StructField("cells", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    narrow = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            if len(x) == 0:
+                continue
+            xn = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+            cos = (x @ cmat) / xn / cnorm  # (rows, cells)
+            # stable sort on -cos: ties keep ascending centroid id,
+            # matching the expr kernel's (d, cid) struct sort
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :topn]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "vec": pdf["vec"],
+                    "cells": [row.astype("int32") for row in order],
+                }
+            )
+
+    return narrow.mapInPandas(run, schema)
+
+
 def fit_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -279,6 +353,7 @@ def ivf_topk(
     centroids: list[list[float]] | None = None,
     sample_n: int = 2048,
     seed: int = 7,
+    method: str = "auto",
 ) -> DataFrame:
     """IVF-flat ANN: corpus rows assign to their nearest centroid cell;
     queries probe their `nprobe` nearest cells. Join key = centroid id:
@@ -287,36 +362,27 @@ def ivf_topk(
     Centroids default to a sampled k-means fit of the corpus
     (fit_centroids) — random centroids leave most cells empty and
     recall collapses on clustered data. Pass ``centroids`` to reuse a
-    fit across calls (the production pattern: fit once, assign many)."""
+    fit across calls (the production pattern: fit once, assign many).
+
+    ``method``: cell-assignment kernel, as in lsh_topk — "expr" (pure
+    Column cosine per centroid), "arrow" (one numpy matmul per batch),
+    "auto" (arrow when n_centroids >= 8). Tie-breaks on centroid id in
+    both kernels."""
     if centroids is None:
         centroids = fit_centroids(
             corpus, id_col, vec_col, n_centroids, sample_n, seed=seed
         )
     cents = centroids
 
-    def nearest(vec: Column, topn: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    (-cosine(vec, F.array(*[F.lit(float(x)) for x in cent]))).alias("d"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, cent in enumerate(cents)
-            ]
-        )
-        return F.slice(F.array_sort(scored), 1, topn)
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        nearest(F.col(vec_col), 1)[0]["cid"].alias("cell"),
+    c = _cell_frame(corpus, id_col, vec_col, cents, 1, method).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("cells")[0].alias("cell"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.explode(
-            F.transform(nearest(F.col(vec_col), nprobe), lambda s: s["cid"])
-        ).alias("cell"),
+    q = _cell_frame(queries, id_col, vec_col, cents, nprobe, method).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.explode("cells").alias("cell"),
     )
     joined = c.join(F.broadcast(q), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
