@@ -201,6 +201,7 @@ class TopicHandle:
         batch_size: int | None = None,
         data_selector: "Callable[[dict[str, Any], DataDescriptor], DataDescriptor | None] | None" = None,
         targets: list[int] | None = None,
+        prefetch: bool = False,
     ) -> "Consumer":
         cfg = self._refresh()
         if targets is not None:
@@ -210,7 +211,7 @@ class TopicHandle:
                     f"invalid consumer targets {bad} for topic with "
                     f"{cfg.num_partitions} partitions"
                 )
-        return Consumer(self, name, batch_size, data_selector, targets)
+        return Consumer(self, name, batch_size, data_selector, targets, prefetch)
 
     def mark_as_complete(self) -> None:
         self.driver.registry.mark_as_complete(self.name)
@@ -413,6 +414,7 @@ class Consumer:
         batch_size: int | None,
         data_selector,
         targets: list[int] | None,
+        prefetch: bool = False,
     ):
         self.topic = topic
         self.name = name
@@ -426,6 +428,18 @@ class Consumer:
         # inverse of the producer pipeline, SURVEY.md P6) — json for the
         # default, packed/compact forms otherwise
         self._serializer = Serializer.from_metadata(topic._cfg.serializer)
+        # 1-deep prefetch pipeline: the reference's feed loop overlaps
+        # the next disk read with the current batch's delivery
+        # (/root/reference/src/DefaultPartitionManager.cpp:483-499);
+        # here a single worker thread runs the next Spark fetch while
+        # the caller consumes the current batch.
+        self._prefetch = prefetch
+        self._pool = None
+        self._pending = None
+        if prefetch:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=1)
 
     # -- pull path ---------------------------------------------------------
     def _init_positions(self) -> None:
@@ -469,6 +483,23 @@ class Consumer:
             self._positions[r["partition"]] = r["offset"] + 1
         return events
 
+    def _next_batch(self) -> list[Event]:
+        """Next feed batch, through the 1-deep prefetch pipeline when
+        enabled: hand back the pending fetch's result and immediately
+        start the next one."""
+        if self._pool is None:
+            return self._fetch_batch()
+        if self._pending is None:
+            batch = self._fetch_batch()
+        else:
+            batch = self._pending.result()
+            self._pending = None
+        if batch:
+            # only pipeline while data flows; an empty batch means we
+            # are at the tail (retry/completion is the caller's call)
+            self._pending = self._pool.submit(self._fetch_batch)
+        return batch
+
     def pull(self):
         """C1: next event, or NoMoreEvents forever once the topic is
         complete and drained."""
@@ -477,7 +508,7 @@ class Consumer:
         nxt = next(self._iter, None)
         if nxt is not None:
             return nxt
-        batch = self._fetch_batch()
+        batch = self._next_batch()
         if batch:
             self._iter = iter(batch)
             return next(self._iter)

@@ -288,3 +288,33 @@ class TestPackedSerializer:
         topic.mark_as_complete()
         evs = list(topic.consumer("c"))
         assert [ev.metadata for ev in evs] == [{"n": i} for i in range(5)]
+
+
+class TestPrefetchConsumer:
+    def test_prefetch_same_results(self, driver):
+        topic = driver.create_topic("pref-t", num_partitions=2)
+        with topic.producer("p") as prod:
+            for i in range(40):
+                prod.push({"n": i})
+        topic.mark_as_complete()
+        plain = [(e.partition, e.offset, e.metadata["n"]) for e in topic.consumer("a", batch_size=8)]
+        pre = [(e.partition, e.offset, e.metadata["n"]) for e in topic.consumer("b", batch_size=8, prefetch=True)]
+        assert plain == pre
+        assert len(pre) == 40
+
+    def test_prefetch_pipeline_active(self, driver):
+        from mofka_spark.client import NoMoreEvents
+
+        topic = driver.create_topic("pref-t2", num_partitions=1)
+        with topic.producer("p") as prod:
+            for i in range(20):
+                prod.push({"n": i})
+        c = topic.consumer("c", batch_size=5, prefetch=True)
+        first = c.pull()
+        assert first.offset == 0
+        # after the first batch is delivered, the next fetch is in flight
+        assert c._pending is not None
+        topic.mark_as_complete()
+        rest = list(c)
+        assert len(rest) == 19
+        assert c.pull() is NoMoreEvents

@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: the 100 TB plan shapes SCALING.md
+claims, asserted via explain output so a refactor can't silently
+regress them (mofka_spark.plans helpers)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mofka_spark import plans, queries
+
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestRelationalPlans:
+    def test_q5_broadcasts_dims(self, spark):
+        df = queries.SPARK_QUERIES["q5_region_revenue"](spark, SF)
+        p = plans.plan_string(df)
+        # dims explicitly broadcast; at sf0.001 even the fact join fits
+        # the auto-broadcast threshold, so only assert broadcasts exist
+        # (the fact-side SMJ shows up from sf0.1 — see BENCH plan audit)
+        assert "BroadcastHashJoin" in p
+
+    def test_eventbridge_numeric_prunes_columns(self, spark):
+        df = queries.SPARK_QUERIES["eventbridge_numeric"](spark, SF)
+        rs = plans.scan_schema(df)
+        # only the referenced columns reach the scan
+        assert "props" in rs and "event_id" in rs
+        assert "user_id" not in rs
+
+    def test_dedup_exact_single_shuffle(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        from mofka_spark.operators.dedup import exact_dedup
+
+        # simple mode lists each physical node once (formatted repeats
+        # them in the details section)
+        p = plans.plan_string(exact_dedup(docs), mode="simple")
+        assert p.count("Exchange") == 1
+        assert "partial_" in plans.plan_string(exact_dedup(docs))  # map-side agg
+
+
+class TestLogPlans:
+    def test_partition_subset_prunes_directories(self, driver):
+        topic = driver.create_topic("plan-sub", num_partitions=4)
+        with topic.producer("p") as prod:
+            for i in range(8):
+                prod.push({"n": i}, partition=i % 4)
+        df = topic.dataframe(partitions=[1, 2])
+        p = plans.plan_string(df)
+        # Hive-style partition filter, pruned at planning time
+        assert "PartitionFilters" in p and "partition" in p
+
+    def test_read_tail_offset_pushdown(self, driver):
+        topic = driver.create_topic("plan-tail", num_partitions=1)
+        with topic.producer("p") as prod:
+            for i in range(10):
+                prod.push({"n": i})
+        df = topic.log.read_tail({0: 5}, batch_size=3)
+        assert plans.has_pushed_filter(df, "offset")
+        assert not plans.has_operator(df, "Window")
+
+
+class TestOperatorPlans:
+    def test_brute_force_topk_broadcasts_queries(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        from mofka_spark.operators.similarity import brute_force_topk
+
+        out = brute_force_topk(emb.filter(F.col("vec_id") < 4), emb, k=3)
+        assert plans.has_operator(out, "BroadcastNestedLoopJoin") or plans.has_operator(
+            out, "BroadcastHashJoin"
+        )
+
+    def test_hash_sample_no_exchange(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        from mofka_spark.operators.sampling import hash_sample
+
+        assert not plans.has_operator(hash_sample(docs, "doc_id", 0.5), "Exchange")
+
+    def test_asof_join_no_join_operator(self, spark):
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        from mofka_spark.operators.joins import asof_join
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+        left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+        right = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+        out = asof_join(left, right, on="ts", by=["user_id"], value_cols=["value"])
+        p = plans.plan_string(out)
+        assert "Join" not in p  # linear union+window, no pair explosion
+        assert "Window" in p
