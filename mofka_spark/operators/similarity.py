@@ -424,11 +424,24 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.95,
+    lsh_planes: int | None = None,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >=
-    threshold). `block_col` (e.g. a cluster/label or LSH bucket)
-    bounds the pairwise comparison to blocks — without it this is a
-    full O(n^2) cross join, unusable beyond ~1e5 rows."""
+    threshold). Blocking bounds the pairwise comparison:
+
+    - ``block_col``: caller-supplied key (cluster/label) — exact within
+      blocks;
+    - ``lsh_planes``: built-in sign-LSH blocking (the 100 TB default
+      when no natural key exists) — near-dups at cos >= 0.95 are within
+      ~18°, so they land in the same sign bucket with probability
+      (1 - 18/180)^planes (~0.66 at 4 planes); approximate by design,
+      trade recall for the bound via fewer planes.
+
+    Without either, this is a full O(n^2) cross join, unusable beyond
+    ~1e5 rows (a warning is the guard; some corpora are genuinely
+    small)."""
     sel = [
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -436,6 +449,10 @@ def embedding_neardup_pairs(
     ]
     if block_col:
         sel.append(F.col(block_col).alias("blk"))
+    elif lsh_planes:
+        planes = _hyperplanes(dim, lsh_planes, seed)
+        sel.append(lsh_bucket(F.col(vec_col), planes).alias("blk"))
+        block_col = "_lsh"
     v = df.select(*sel)
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a.id") < F.col("b.id")

@@ -89,3 +89,28 @@ class TestRecallHelper:
         approx = spark.createDataFrame([(1, 99)], ["query_id", "neighbor_id"])
         rec = S.topk_recall(approx, exact, 1).collect()
         assert rec[0].recall == 0.0
+
+
+class TestEmbeddingNeardupBlocking:
+    def test_lsh_blocking_finds_clustered_neardups(self, clustered):
+        # near-identical vectors share a sign bucket; cross-cluster
+        # pairs never reach the comparison
+        out = S.embedding_neardup_pairs(
+            clustered, block_col=None, threshold=0.9, lsh_planes=2, dim=16
+        )
+        pairs = out.collect()
+        assert len(pairs) > 0
+        # verify correctness of scores against the unblocked exact form
+        exact = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in S.embedding_neardup_pairs(clustered, threshold=0.9).collect()
+        }
+        for r in pairs:
+            assert exact[(r.id_a, r.id_b)] == r.cos_sim
+
+    def test_lsh_blocking_bounds_comparisons(self, clustered):
+        blocked = S.embedding_neardup_pairs(
+            clustered, threshold=-1.0, lsh_planes=2, dim=16
+        ).count()
+        unblocked = S.embedding_neardup_pairs(clustered, threshold=-1.0).count()
+        assert blocked < unblocked  # cross-bucket pairs excluded

@@ -303,3 +303,38 @@ def test_stateful_sessionization(driver, tmp_path, spark):
         (1, "2024-01-01T00:00:00", "2024-01-01T00:10:00", 3),
         (2, "2024-01-01T00:01:00", "2024-01-01T00:01:00", 1),
     }
+
+
+def test_stream_picks_up_added_partition(driver, tmp_path, spark):
+    """S5 addPartition while a stream is live: the ledger announces the
+    new partition and the source starts reading it mid-query."""
+    topic = _fill_topic(driver, name="grow-t", partitions=1, n=5)
+    q = (
+        topic.read_stream()
+        .writeStream.format("memory")
+        .queryName("grow_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt-grow"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM grow_out").count() >= 5:
+                break
+            time.sleep(0.25)
+        driver.add_partitions("grow-t", 1)
+        topic2 = driver.open_topic("grow-t")
+        with topic2.producer("p2") as producer:
+            for i in range(5, 12):
+                producer.push({"event_num": i}, partition=1)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM grow_out").count() >= 12:
+                break
+            time.sleep(0.25)
+        out = spark.sql("SELECT partition, count(*) n FROM grow_out GROUP BY partition").collect()
+        got = {r["partition"]: r["n"] for r in out}
+        assert got == {0: 5, 1: 7}
+    finally:
+        q.stop()
