@@ -265,9 +265,13 @@ class TopicHandle:
         **sink_kwargs,
     ):
         """Write a streaming DataFrame into this topic (foreachBatch
-        around the dense-offset sink; see streaming/sink.py)."""
+        around the dense-offset sink; see streaming/sink.py). The sink's
+        exactly-once epoch marker is keyed by the checkpoint path —
+        epoch numbering and checkpoint share a lifetime, so a new query
+        with a fresh checkpoint never collides with an old marker."""
         from mofka_spark.streaming.sink import topic_sink
 
+        sink_kwargs.setdefault("sink_id", f"ckpt:{checkpoint}")
         writer = (
             df.writeStream.foreachBatch(
                 topic_sink(self.driver, self.name, **sink_kwargs)
@@ -373,6 +377,19 @@ class Producer:
             F.sum(F.when(ok, 0).otherwise(1)).alias("rejected"),
             F.count(F.lit(1)).alias("total"),
         ).filter(ok)
+        if type(self._serializer) is not Serializer:
+            # non-default serializer: the stored form must match what
+            # the consumer will decode (P6 inverse). The base JSON
+            # serializer stores the input text verbatim; packed/compact
+            # forms re-encode per row via an Arrow-batched map — the
+            # documented python boundary for custom codecs.
+            ser = self._serializer
+
+            @F.pandas_udf("string")
+            def _reencode(col):
+                return col.map(lambda m: ser.serialize(json.loads(m)) if m else m)
+
+            df = df.withColumn("metadata", _reencode("metadata"))
         if partition_expr is None:
             partition_expr = self._selector.to_column("metadata", "seq")
         batch = df.select(
@@ -432,7 +449,9 @@ class Consumer:
         # the next disk read with the current batch's delivery
         # (/root/reference/src/DefaultPartitionManager.cpp:483-499);
         # here a single worker thread runs the next Spark fetch while
-        # the caller consumes the current batch.
+        # the caller consumes the current batch. Note: the data_selector
+        # callback executes on that worker thread for prefetched
+        # batches; close() (or the context manager) releases the worker.
         self._prefetch = prefetch
         self._pool = None
         self._pending = None
@@ -523,6 +542,27 @@ class Consumer:
             if ev is NoMoreEvents or ev is None:
                 return
             yield ev
+
+    def close(self) -> None:
+        """Release the prefetch worker (if any). Safe to call twice."""
+        if self._pool is not None:
+            if self._pending is not None:
+                self._pending.cancel()
+                self._pending = None
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __enter__(self) -> "Consumer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self):  # best-effort: don't leak worker threads
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def process(
         self,

@@ -53,6 +53,21 @@ class Validator:
         raise MofkaError(f"unknown validator type {t!r}")
 
 
+def _scalar_eq(s: Column, v: Any) -> Column | None:
+    """Equality predicate between a get_json_object extraction and a
+    scalar schema literal, or None when no reliable Column predicate
+    exists (object/array/null). Numeric compare goes through double on
+    both sides, so it can only ADMIT extra rows (double collisions),
+    never reject a row the exact validator accepts."""
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return s == ("true" if v else "false")
+    if isinstance(v, str):
+        return s == v
+    if isinstance(v, (int, float)):
+        return s.try_cast("double") == F.lit(float(v))
+    return None
+
+
 class SchemaValidator(Validator):
     """JSON-Schema validation of event metadata.
 
@@ -186,12 +201,23 @@ class SchemaValidator(Validator):
                     # rlike matches anywhere — same semantics
                     conds.append(s.isNull() | s.rlike(sub["pattern"]))
             if "const" in sub:
-                cv = sub["const"]
-                lit = cv if isinstance(cv, str) else json.dumps(cv, separators=(",", ":"))
-                conds.append(s.isNull() | (s == lit))
+                # necessary-condition contract: the Column form may only
+                # REJECT rows the exact validator also rejects. Numbers
+                # compare numerically (JSON Schema: 5 == 5.0, while
+                # get_json_object renders "5.0" ≠ json.dumps(5)); object/
+                # array/null consts skip the Column check entirely —
+                # rendered-text comparison is key-order/whitespace
+                # sensitive and would drop valid rows
+                eq = _scalar_eq(s, sub["const"])
+                if eq is not None:
+                    conds.append(s.isNull() | eq)
             if "enum" in sub:
-                lits = [json.dumps(v) if not isinstance(v, str) else v for v in sub["enum"]]
-                conds.append(s.isNull() | s.isin(lits))
+                eqs = [_scalar_eq(s, v) for v in sub["enum"]]
+                if all(e is not None for e in eqs):
+                    any_eq = eqs[0]
+                    for e in eqs[1:]:
+                        any_eq = any_eq | e
+                    conds.append(s.isNull() | any_eq)
         if not conds:
             return F.lit(True)
         acc = conds[0]

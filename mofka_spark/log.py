@@ -460,6 +460,11 @@ class MemoryEventLog(EventLog):
         actual = {str(p): len(rows) for p, rows in self._store.items() if rows}
         if full["offsets"] != actual:
             full["offsets"] = actual
+            # the store was reset (process restart): committed-epoch
+            # markers refer to data that no longer exists, and keeping
+            # them would make a replayed epoch skip itself as "already
+            # committed" — permanently losing the replay's rows
+            full["txns"] = {}
             self._write_ledger_full(full)
 
     def append_batch(

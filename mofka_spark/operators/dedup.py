@@ -163,6 +163,11 @@ def minhash_lsh_candidates(
     count over the join key, buckets > bucket_cap dropped) -> self-join
     per (band_id, band_hash) bucket. Never all-pairs; AQE skew-join
     covers moderate skew below the cap."""
+    if num_hashes > 64:
+        raise ValueError(
+            "num_hashes > 64 would repeat rotations in the double-hash "
+            "family (h1 ^ rot(h2, i mod 64)); use <= 64"
+        )
     rows_per_band = num_hashes // bands
     feat = (
         word_ngrams(F.col(text_col), shingle_k)
@@ -407,7 +412,7 @@ def simhash_dedup(
     ngram: int = 2,
     portable: bool = False,
     bands: int | None = None,
-    bucket_cap: int | None = 10000,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with pigeonhole-exact banding.
 
@@ -418,10 +423,16 @@ def simhash_dedup(
     all-pairs. The band count is derived from max_hamming (it was a
     fixed 4 before, silently under-recalling for max_hamming > 3).
 
+    ``bucket_cap`` defaults to None (exact) here, unlike MinHash: a
+    qualifying pair may share exactly ONE identical band (the other
+    bands are the ones that differ), so dropping that band's bucket
+    loses the pair outright — there is no "they pair through other
+    bands" argument. Opt in to a cap only when bounding boilerplate
+    blowups is worth the documented recall loss.
+
     Plan: hamming is computed once per bucket collision, filtered
     BEFORE the distinct so the dedup exchange carries only qualifying
-    pairs; hot buckets (> bucket_cap members) are dropped via a window
-    count on the join key (see _cap_buckets).
+    pairs.
 
     Returns (id_a, id_b, hamming)."""
     if bands is None:

@@ -350,10 +350,17 @@ def synthetic_payload(docs: DataFrame) -> DataFrame:
     gif = F.concat(
         F.encode(F.lit("GIF89a"), "UTF-8"), le(width, 2), le(height, 2), body
     )
+    # raw-text branch: an 8-byte "RAWTEXT\0" prefix makes the sniff
+    # result deterministic regardless of text content — every magic
+    # probe reads within bytes 1-8 (or requires RIFF first), so text
+    # that happens to begin with "GIF89a"/"%PDF"/"ID3"/... can no
+    # longer masquerade as a container and diverge from the oracle's
+    # doc_id%4-based expectation
+    raw = F.concat(F.unhex(F.lit("5241575445585400")), body)
     payload = (
         F.when(d % 4 == 0, png)
         .when(d % 4 == 1, wav)
         .when(d % 4 == 2, gif)
-        .otherwise(body)
+        .otherwise(raw)
     )
     return docs.withColumn("data", payload)

@@ -1015,7 +1015,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE format WHEN 'png' THEN body + 24
                                 WHEN 'wav' THEN body + 28
                                 WHEN 'gif' THEN body + 10
-                                ELSE body END) AS BIGINT) AS total_bytes,
+                                ELSE body + 8 END) AS BIGINT) AS total_bytes,
            ROUND(AVG(CASE WHEN format IN ('png','gif') THEN w END), 2) AS avg_width,
            ROUND(AVG(CASE WHEN format IN ('png','gif') THEN h END), 2) AS avg_height,
            ROUND(AVG(CASE WHEN format = 'wav' THEN rate END), 2) AS avg_sample_rate
@@ -1076,7 +1076,9 @@ def q_modality_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wav": ident.make_sub_view(24, 4),   # sample rate (LE)
     }
     selected = modality.select_by_modality(
-        F.col("data"), fmt, views, default=ident.make_sub_view(0, 8)
+        # default view skips the raw branch's 8-byte RAWTEXT\0 prefix:
+        # first 8 TEXT bytes, matching the oracle's substr(text) form
+        F.col("data"), fmt, views, default=ident.make_sub_view(8, 8)
     )
     return payloads.select(
         "doc_id",

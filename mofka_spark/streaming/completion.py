@@ -74,16 +74,19 @@ def stop_when_complete(
     if not query.isActive:
         return True
     # completion flag is set: drain whatever the ledger already holds,
-    # then confirm the committed range reached it
-    query.processAllAvailable()
-    ledger = {str(p): int(n) for p, n in topic.log.next_offsets().items()}
-    end = _end_offsets(query.lastProgress)
-    drained = all(end.get(p, 0) >= n for p, n in ledger.items())
-    if not drained:
-        # data landed between the drain and the check — one more pass
+    # then confirm the committed range reached it. Retry until drained
+    # or deadline — the query is stopped ONLY after a proven drain, so
+    # False always means "timeout, query left running" per the contract
+    # above (never a silently-undrained shutdown).
+    while True:
         query.processAllAvailable()
+        ledger = {str(p): int(n) for p, n in topic.log.next_offsets().items()}
         end = _end_offsets(query.lastProgress)
-        drained = all(end.get(p, 0) >= n for p, n in ledger.items())
+        if all(end.get(p, 0) >= n for p, n in ledger.items()):
+            break
+        if deadline is not None and time.time() > deadline:
+            return False
+        time.sleep(poll_interval)
     query.stop()
     query.awaitTermination(30)
-    return drained
+    return True

@@ -53,11 +53,25 @@ def topic_sink(
     The sink therefore records (sink_id, epoch_id) INSIDE the ledger's
     atomic commit (EventLog.append_batch txn marker) and skips any
     epoch <= the recorded one — a replayed epoch is a no-op instead of
-    a duplicate append. ``sink_id`` namespaces concurrent queries
-    writing the same topic (default fine for a single writer)."""
+    a duplicate append.
+
+    ``sink_id`` MUST be unique per logical query: epoch ids are scoped
+    to a checkpoint, so a NEW query (fresh checkpoint, epochs restarting
+    at 0) reusing a previous query's sink_id would see its first epochs
+    skipped as "already committed". TopicHandle.write_stream derives
+    sink_id from the checkpoint path, which has exactly the right
+    lifetime (same checkpoint ⇒ same epoch numbering ⇒ same sink_id);
+    only set it manually for hand-rolled foreachBatch wiring."""
+
+    # cache the handle across epochs: a fresh EventLog per epoch would
+    # re-run the footer-stats consistency scan (O(files), inside the
+    # writer lock) on EVERY epoch — O(epochs^2) metadata IO overall
+    state: dict = {}
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        topic = driver.open_topic(topic_name)
+        if "topic" not in state:
+            state["topic"] = driver.open_topic(topic_name)
+        topic = state["topic"]
         if topic.log.committed_epoch(sink_id) >= epoch_id:
             return  # replayed epoch: already fully committed
         producer = topic.producer("stream-epoch")

@@ -82,8 +82,15 @@ def sessionize_stream(
                 cur[2] += 1
         state.update(tuple(cur))
         # close via event-time timeout once the watermark passes
-        # session_end + gap (no earlier event can extend it after that)
-        state.setTimeoutTimestamp((cur[1] + gap_sec) * 1000)
+        # session_end + gap (no earlier event can extend it after that).
+        # Clamp to watermark+1: applyInPandasWithState does NOT drop
+        # late rows, and setTimeoutTimestamp THROWS (killing the query)
+        # if handed a timestamp at or before the current watermark —
+        # a late event for an almost-expired session would do exactly
+        # that.
+        timeout_ms = (cur[1] + gap_sec) * 1000
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
         if closed:
             yield pd.DataFrame(
                 {
