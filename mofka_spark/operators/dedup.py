@@ -130,6 +130,70 @@ def lsh_bucket_stats(banded_pairs: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def _minhash_fold_kernel(num_hashes: int):
+    """Arrow kernel folding per-doc (h1, h2) gram-hash arrays into the
+    MinHash signature. Exact: h_i = h1 ^ rotl64(h2, i) (h_0 = h1 — the
+    JVM special case, since Java shifts are mod-64 and rotl(h2, 0)
+    would xor h2 in), folded with SIGNED min per hash family member,
+    matching F.min over LongType."""
+    import numpy as np
+    import pandas as pd
+
+    def kern(h1s, h2s):
+        n = len(h1s)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(a) for a in h1s), dtype=np.int64, count=n)
+        f1 = np.concatenate([np.asarray(a, dtype=np.int64) for a in h1s])
+        f2 = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in h2s]
+        ).view(np.uint64)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        u1 = f1.view(np.uint64)
+        sig = np.empty((n, num_hashes), dtype=np.int64)
+        sig[:, 0] = np.minimum.reduceat(f1, offsets)
+        for s in range(1, num_hashes):
+            rot = (f2 << np.uint64(s)) | (f2 >> np.uint64(64 - s))
+            sig[:, s] = np.minimum.reduceat((u1 ^ rot).view(np.int64), offsets)
+        return pd.Series(list(sig))
+
+    kern.__annotations__ = {"h1s": pd.Series, "h2s": pd.Series, "return": pd.Series}
+    return kern
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    features: str = "word",
+) -> DataFrame:
+    """MinHash signatures as (id, sig: array<long>[num_hashes]) via the
+    zero-shuffle Arrow path: gram hashing (xxhash64 ×2 per gram) stays
+    JVM-side; one vectorized kernel does the 64 rotate-xor-min folds.
+    Values are bit-identical to the explode/agg SQL form."""
+    if num_hashes > 64:
+        raise ValueError(
+            "num_hashes > 64 would repeat rotations in the double-hash "
+            "family (h1 ^ rot(h2, i mod 64)); use <= 64"
+        )
+    feat = (
+        word_ngrams(F.col(text_col), shingle_k)
+        if features == "word"
+        else shingles(F.col(text_col), shingle_k)
+    )
+    kern = F.pandas_udf(_minhash_fold_kernel(num_hashes), "array<long>")
+    return _spread(df.filter(F.col(text_col).isNotNull()), id_col).select(
+        F.col(id_col).alias("id"),
+        kern(
+            F.transform(feat, lambda x: F.xxhash64(x)),
+            F.transform(feat, lambda x: F.xxhash64(x, F.lit(1))),
+        ).alias("sig"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -139,6 +203,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     features: str = "word",
     bucket_cap: int | None = 10000,
+    arrow: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -156,64 +221,93 @@ def minhash_lsh_candidates(
     pairs on a 5k-doc corpus; word features cut that to ~the true
     pairs, at identical recall in word-Jaccard space.
 
-    Plan shape: explode shingles -> 64 parallel min() aggregations
-    grouped by doc (partial agg collapses each map partition to one row
-    per doc before the shuffle — the shuffled volume is docs × 512 B
-    regardless of text size) -> band hashes -> hot-bucket cap (window
-    count over the join key, buckets > bucket_cap dropped) -> self-join
-    per (band_id, band_hash) bucket. Never all-pairs; AQE skew-join
-    covers moderate skew below the cap."""
+    Plan shape (arrow=True, default): zero-shuffle signature map stage
+    (gram xxhash64 pairs JVM-side, rotate-xor-min folds in one Arrow
+    kernel; see minhash_signatures), signature frame persisted (520
+    B/doc — far below the corpus) because the banded self-join consumes
+    it twice and ArrowEvalPython subtrees don't get AQE stage reuse ->
+    band hashes -> hot-bucket cap (window count over the join key,
+    buckets > bucket_cap dropped) -> self-join per (band_id, band_hash)
+    bucket. Never all-pairs; AQE skew-join covers moderate skew below
+    the cap.
+
+    arrow=False keeps the pure-SQL form: explode shingles -> 64
+    parallel min() aggregations grouped by doc (partial agg collapses
+    each map partition to one row per doc before the shuffle — the
+    shuffled volume is docs × 512 B regardless of text size), same
+    banding/join downstream. Identical values either way."""
     if num_hashes > 64:
         raise ValueError(
             "num_hashes > 64 would repeat rotations in the double-hash "
             "family (h1 ^ rot(h2, i mod 64)); use <= 64"
         )
     rows_per_band = num_hashes // bands
-    feat = (
-        word_ngrams(F.col(text_col), shingle_k)
-        if features == "word"
-        else shingles(F.col(text_col), shingle_k)
-    )
-    exploded = _spread(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.explode(feat).alias("sh"),
-    )
-    # The i-th hash family member derives from TWO string hashes by
-    # xor-rotate mixing (double-hashing construction) instead of
-    # re-hashing the string num_hashes times: h_i = h1 ^ rot(h2, i).
-    # Cuts per-shingle work from 64 string hashes to 2 + cheap long
-    # bit-ops, all inside codegen; pure bitwise so ANSI overflow
-    # checking never fires.
-    hashed = exploded.select(
-        "id",
-        F.xxhash64("sh").alias("h1"),
-        F.xxhash64("sh", F.lit(1)).alias("h2"),
-    )
-
-    def mix(i: int):
-        if i == 0:
-            return F.col("h1")
-        rot = F.shiftleft("h2", i % 64).bitwiseOR(
-            F.shiftrightunsigned("h2", 64 - (i % 64))
+    if arrow:
+        sig = minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_k, features
+        ).persist()
+        banded = sig.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_id", "band_hash"),
         )
-        return F.col("h1").bitwiseXOR(rot)
+    else:
+        feat = (
+            word_ngrams(F.col(text_col), shingle_k)
+            if features == "word"
+            else shingles(F.col(text_col), shingle_k)
+        )
+        exploded = _spread(df, id_col).select(
+            F.col(id_col).alias("id"),
+            F.explode(feat).alias("sh"),
+        )
+        # The i-th hash family member derives from TWO string hashes by
+        # xor-rotate mixing (double-hashing construction) instead of
+        # re-hashing the string num_hashes times: h_i = h1 ^ rot(h2, i).
+        # Cuts per-shingle work from 64 string hashes to 2 + cheap long
+        # bit-ops, all inside codegen; pure bitwise so ANSI overflow
+        # checking never fires.
+        hashed = exploded.select(
+            "id",
+            F.xxhash64("sh").alias("h1"),
+            F.xxhash64("sh", F.lit(1)).alias("h2"),
+        )
 
-    sig = hashed.groupBy("id").agg(
-        *[F.min(mix(s)).alias(f"h{s}") for s in range(num_hashes)]
-    )
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
+        def mix(i: int):
+            if i == 0:
+                return F.col("h1")
+            rot = F.shiftleft("h2", i % 64).bitwiseOR(
+                F.shiftrightunsigned("h2", 64 - (i % 64))
             )
-        ).alias("band_id", "band_hash"),
-    )
+            return F.col("h1").bitwiseXOR(rot)
+
+        sig = hashed.groupBy("id").agg(
+            *[F.min(mix(s)).alias(f"h{s}") for s in range(num_hashes)]
+        )
+        banded = sig.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_id", "band_hash"),
+        )
     banded = _cap_buckets(banded, ["band_id", "band_hash"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -242,10 +336,25 @@ def ngram_jaccard_pairs(
     Joins the n-gram sets onto the (small) candidate set — the exact
     verify never touches non-candidate rows. Returns
     (id_a, id_b, jaccard) for pairs >= threshold."""
+    # compute the (expensive) n-gram arrays ONLY for docs that appear
+    # in a candidate pair: the member-id set is small by construction
+    # (LSH candidates << corpus), so a broadcast semi-join prunes the
+    # gram projection from O(corpus) to O(candidate members) before
+    # any text is touched — at 100 TB the verify never scans the corpus
+    # the candidate frame is consumed twice below (member-id broadcast
+    # + the verify join) and is tiny by construction — persist it so
+    # the upstream LSH plan runs once
+    pairs = pairs.persist()
+    member_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(F.broadcast(member_ids), id_col, "left_semi")
     # _spread: the n-gram arrays are the expensive projection here; a
     # corpus arriving as one or two parquet splits would compute them
     # all in as many tasks (measured 3-4s single-task on 5k docs)
-    grams = _spread(df, id_col).select(
+    grams = _spread(cand_docs, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
     )
@@ -355,20 +464,80 @@ def _gram_hash(col: Column, portable: bool) -> tuple[Column, int]:
     return F.xxhash64(col), 64
 
 
+def _simhash_fold_kernel(bits: int):
+    """Arrow kernel folding per-doc gram-hash arrays into the SimHash
+    signature. Exact integer math — identical output to the SQL vote
+    form: bit i of the signature is set iff 2*(count of grams with bit
+    i set) > gram count, i.e. the +1/-1 vote sum is positive."""
+    import numpy as np
+    import pandas as pd
+
+    def kern(harrs):
+        n = len(harrs)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        lens = np.fromiter((len(a) for a in harrs), dtype=np.int64, count=n)
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in harrs]
+        ).view(np.uint64)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        sims = np.zeros(n, dtype=np.uint64)
+        for i in range(bits):
+            ones = np.add.reduceat(
+                ((flat >> np.uint64(i)) & np.uint64(1)).astype(np.int64), offsets
+            )
+            sims |= (2 * ones > lens).astype(np.uint64) << np.uint64(i)
+        return pd.Series(sims.view(np.int64))
+
+    # real class objects (module-level `from __future__ import
+    # annotations` would stringify inline hints, breaking pandas_udf
+    # type inference)
+    kern.__annotations__ = {"harrs": pd.Series, "return": pd.Series}
+    return kern
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 2,
     portable: bool = False,
+    arrow: bool = True,
 ) -> DataFrame:
-    """SimHash as a pipeline (explode -> per-bit vote sums -> assembly).
+    """SimHash signatures, (id, sim).
 
-    Plans far better than the single-expression simhash64 for bulk use:
-    the grams are computed once, the per-bit conditional sums run in one
-    hash-aggregate with map-side partial aggregation, and the shuffle
-    carries one counter row per doc."""
+    Two physical strategies with identical output:
+
+    - ``arrow=True`` (default): gram hashing stays JVM-side (transform
+      over the n-gram array — exact xxhash64/md5), then one vectorized
+      Arrow batch kernel folds each hash array into the 64-bit
+      signature. ZERO shuffle — signature computation is a pure map
+      stage, so at 100 TB the corpus never moves; and the 60-64
+      conditional aggregates that dominate the SQL form (measured ~70%
+      of the query) become numpy segment-sums.
+    - ``arrow=False``: pure-SQL explode -> per-bit vote sums in one
+      hash-aggregate (map-side partial agg; shuffle carries one counter
+      row per doc). This is the form the DuckDB oracle mirrors; kept as
+      the no-Python reference path.
+    """
     one = F.lit(1).cast("long")
+    bits = 60 if portable else 64
+    if arrow:
+        grams = word_ngrams(F.col(text_col), ngram)
+        harr = F.transform(grams, lambda g: _gram_hash(g, portable)[0])
+        # null-text parity with the explode form (explode drops null
+        # gram arrays). Filter on the RAW column — a predicate on
+        # size(<transform>) would re-evaluate the whole hash transform
+        # per row in interpreted mode (measured 8s vs 0.4s at sf0.1);
+        # isNotNull pushes down to the scan. Non-null text always
+        # yields >= 1 gram (word_ngrams' greatest(...,1)), so the
+        # kernel never sees an empty segment.
+        kern = F.pandas_udf(_simhash_fold_kernel(bits), "long")
+        return (
+            _spread(df.filter(F.col(text_col).isNotNull()), id_col)
+            .select(F.col(id_col).alias("id"), kern(harr).alias("sim"))
+        )
     hcol, bits = _gram_hash(F.col("g"), portable)
     hashed = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
@@ -413,6 +582,7 @@ def simhash_dedup(
     portable: bool = False,
     bands: int | None = None,
     bucket_cap: int | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with pigeonhole-exact banding.
 
@@ -437,7 +607,17 @@ def simhash_dedup(
     Returns (id_a, id_b, hamming)."""
     if bands is None:
         bands = max_hamming + 1
-    sigs = simhash_signatures(df, id_col, text_col, ngram, portable)
+    sigs = simhash_signatures(df, id_col, text_col, ngram, portable, arrow)
+    if arrow:
+        # the banded self-join consumes the signatures twice; the SQL
+        # form's aggregation exchange gets stage-reused by AQE, but an
+        # ArrowEvalPython subtree does not canonicalize across the
+        # self-join rewrite, so without a cache the scan+hash+kernel
+        # chain runs once PER SIDE. The signature frame is 16 B/doc
+        # (vs the SQL form shuffling ~480 B/doc of vote counters), so
+        # persisting it is the cheapest materialization point by far;
+        # evicted LRU under pressure, rebuilt from lineage if lost.
+        sigs = sigs.persist()
     bits = 60 if portable else 64
     if bands > bits:
         raise ValueError(f"bands={bands} exceeds signature width {bits}")
