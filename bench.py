@@ -36,9 +36,17 @@ def main() -> None:
         master=f"local[{cpus}]",
         conf={"spark.sql.shuffle.partitions": str(max(8, int(cpus)))},
     )
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # engine, not first-touch costs
+    # warm the JVM + parquet footers + Python UDF workers so per-query
+    # numbers measure the engine, not first-touch costs (the Arrow
+    # kernel stages otherwise pay one numpy/pandas import per worker
+    # on whichever query runs first)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).select(
+        _warm("id")
+    ).count()
 
     timings: dict[str, float] = {}
     t_all = time.time()

@@ -203,7 +203,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     features: str = "word",
     bucket_cap: int | None = 10000,
-    arrow: bool = True,
+    arrow: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -221,21 +221,22 @@ def minhash_lsh_candidates(
     pairs on a 5k-doc corpus; word features cut that to ~the true
     pairs, at identical recall in word-Jaccard space.
 
-    Plan shape (arrow=True, default): zero-shuffle signature map stage
-    (gram xxhash64 pairs JVM-side, rotate-xor-min folds in one Arrow
-    kernel; see minhash_signatures), signature frame persisted (520
-    B/doc — far below the corpus) because the banded self-join consumes
-    it twice and ArrowEvalPython subtrees don't get AQE stage reuse ->
-    band hashes -> hot-bucket cap (window count over the join key,
-    buckets > bucket_cap dropped) -> self-join per (band_id, band_hash)
-    bucket. Never all-pairs; AQE skew-join covers moderate skew below
-    the cap.
+    Plan shape (default, pure SQL): explode shingles -> 64 parallel
+    min() aggregations grouped by doc (partial agg collapses each map
+    partition to one row per doc before the shuffle — the shuffled
+    volume is docs × 512 B regardless of text size) -> band hashes ->
+    hot-bucket cap (window count over the join key, buckets >
+    bucket_cap dropped) -> self-join per (band_id, band_hash) bucket.
+    Never all-pairs; AQE skew-join covers moderate skew below the cap.
 
-    arrow=False keeps the pure-SQL form: explode shingles -> 64
-    parallel min() aggregations grouped by doc (partial agg collapses
-    each map partition to one row per doc before the shuffle — the
-    shuffled volume is docs × 512 B regardless of text size), same
-    banding/join downstream. Identical values either way."""
+    ``arrow=True`` swaps the signature stage for the zero-shuffle
+    Arrow kernel (minhash_signatures) + a persisted signature frame.
+    Identical values, but measured SLOWER here (5.7s vs ~1s at sf0.1):
+    the array<long> kernel output pays per-element Arrow list
+    serialization, while the SQL min() aggs — unlike SimHash's 60
+    sum(when(bit)) aggs — are cheap enough that the shuffle they add
+    doesn't matter. Kept for signature-extraction pipelines that want
+    the signatures themselves (one consumer, no self-join)."""
     if num_hashes > 64:
         raise ValueError(
             "num_hashes > 64 would repeat rotations in the double-hash "
@@ -354,10 +355,14 @@ def ngram_jaccard_pairs(
     # _spread: the n-gram arrays are the expensive projection here; a
     # corpus arriving as one or two parquet splits would compute them
     # all in as many tasks (measured 3-4s single-task on 5k docs)
+    # persisted: the gram frame feeds BOTH sides of the verify join
+    # (grams_a / grams_b), and it is small by construction (candidate
+    # members only) — without a materialization point the semi-join +
+    # n-gram projection would run twice
     grams = _spread(cand_docs, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
-    )
+    ).persist()
     j = (
         pairs.join(grams.withColumnRenamed("grams", "grams_a"), pairs.id_a == grams.id)
         .drop("id")
