@@ -395,14 +395,18 @@ def minhash_lsh_dedup(
     verify_threshold: float | None = 0.8,
     ngram_n: int = 3,
     bucket_cap: int | None = 10000,
+    transitive: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates (+ optional exact Jaccard
     verify) -> connected keeper assignment.
 
     Keeper assignment: duplicate edges (a<b) reduce to keeper = min
     neighbor via one aggregation (single-hop union-find; transitive
-    chains at depth > 1 are rare at sensible thresholds — see
-    operators.graph.connected_components for the full iterative pass)."""
+    chains at depth > 1 are rare at sensible thresholds).
+    ``transitive=True`` runs full min-label propagation instead
+    (operators.graph.assign_keepers, one shuffle per round, converges
+    in ~graph diameter rounds) so chains A~B~C collapse to one keeper
+    even when A-C is not itself an edge."""
     cand = minhash_lsh_candidates(
         df,
         id_col,
@@ -417,6 +421,10 @@ def minhash_lsh_dedup(
         cand = ngram_jaccard_pairs(
             df, cand, id_col, text_col, ngram_n, verify_threshold
         ).select("id_a", "id_b")
+    if transitive:
+        from mofka_spark.operators.graph import assign_keepers
+
+        return assign_keepers(df, cand, id_col)
     keepers = cand.groupBy("id_b").agg(F.min("id_a").alias("keeper_id"))
     return (
         df.select(F.col(id_col).alias("id"))

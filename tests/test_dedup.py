@@ -125,3 +125,26 @@ class TestConnectedComponents:
         edges = spark.createDataFrame([(7, 8)], ["id_a", "id_b"])
         comp = graph.connected_components(edges).collect()
         assert {(r.id, r.component) for r in comp} == {(7, 7), (8, 7)}
+
+
+class TestTransitiveKeeperPipeline:
+    def test_minhash_dedup_transitive_flag(self, spark):
+        # a chain of overlapping near-identical docs: with single-hop
+        # assignment the chain tail can keep a non-root keeper; with
+        # transitive=True every cluster member maps to the min id
+        base = "the quick brown fox jumps over the lazy dog again and again " * 4
+        rows = [
+            (0, base),
+            (1, base + "tail one"),
+            (2, base + "tail one two"),
+            (3, "completely different text about spark engines " * 6),
+        ]
+        docs = _docs(spark, rows)
+        out = dedup.minhash_lsh_dedup(
+            docs, verify_threshold=0.5, transitive=True
+        ).collect()
+        m = {r.id: (r.keeper_id, r.is_duplicate) for r in out}
+        assert m[0] == (0, False)
+        assert m[1] == (0, True)
+        assert m[2] == (0, True)
+        assert m[3] == (3, False)

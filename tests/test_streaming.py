@@ -338,3 +338,51 @@ def test_stream_picks_up_added_partition(driver, tmp_path, spark):
         assert got == {0: 5, 1: 7}
     finally:
         q.stop()
+
+
+def test_stream_dedup_drops_copies(driver, tmp_path):
+    """Online dedup: duplicate metadata within the watermark horizon is
+    dropped; the first copy of each distinct content survives."""
+    from mofka_spark.streaming.dedup import dedup_stream
+
+    topic = driver.create_topic("dedup-t", num_partitions=2)
+    with topic.producer("p") as producer:
+        for i in range(30):
+            # 10 distinct contents, 3 copies each, interleaved
+            producer.push({"payload": i % 10}, b"")
+    q = (
+        dedup_stream(topic.read_stream())
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt-dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = driver.spark.sql("SELECT * FROM dedup_out")
+    assert out.count() == 10
+    payloads = sorted(
+        int(r[0]) for r in out.select(F.get_json_object("metadata", "$.payload")).collect()
+    )
+    assert payloads == list(range(10))
+    # full event schema preserved, no internal key column
+    assert set(out.columns) == {"topic", "partition", "offset", "metadata", "data", "ingest_ts"}
+
+
+def test_stream_dedup_exact_unbounded(driver, tmp_path):
+    from mofka_spark.streaming.dedup import dedup_stream
+
+    topic = driver.create_topic("dedup-x", num_partitions=1)
+    with topic.producer("p") as producer:
+        for i in range(20):
+            producer.push({"k": i % 4}, b"")
+    q = (
+        dedup_stream(topic.read_stream(), within=None)
+        .writeStream.format("memory")
+        .queryName("dedup_out_x")
+        .option("checkpointLocation", str(tmp_path / "ckpt-ddx"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert driver.spark.sql("SELECT * FROM dedup_out_x").count() == 4
