@@ -101,6 +101,102 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+    top_k: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary / n-gram frequency table — the input to
+    tokenizer training and frequency-based filtering.
+
+    Returns (gram, n_total, n_docs) ordered by n_total desc with a
+    deterministic gram tiebreak (stable under retries, so top_k is
+    reproducible).
+
+    Scale: explode -> one groupBy shuffle on the gram string. Partial
+    aggregation collapses each map partition's repeats before the
+    exchange, so shuffled volume is the per-partition DISTINCT gram
+    set — on natural-language corpora a tiny fraction of the token
+    stream (Zipf). top_k adds one total-order exchange over the
+    already-aggregated table; min_count prunes the tail before it."""
+    from mofka_spark.operators.dedup import word_ngrams
+
+    # n_docs needs per-doc distinctness; computed from a separate
+    # array_distinct explode so n_total still counts every occurrence
+    per_doc = df.select(
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("gram")
+    )
+    totals = (
+        df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_total"))
+    )
+    docs = per_doc.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    out = (
+        totals.join(docs, "gram")
+        .filter(F.col("n_total") >= min_count)
+        .orderBy(F.desc("n_total"), F.asc("gram"))
+    )
+    if top_k is not None:
+        out = out.limit(top_k)
+    return out
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Training-data decontamination: flag docs sharing any word n-gram
+    with an evaluation set (the standard n-gram-overlap contamination
+    test used when preparing LLM training corpora).
+
+    Returns (id, n_hits, contaminated) for every doc in ``df`` —
+    n_hits = number of DISTINCT eval n-grams the doc contains.
+
+    Scale: the eval set's distinct n-gram table is small (benchmarks
+    are MBs, corpora are TBs) — it broadcasts, so the corpus side is a
+    single scan + broadcast join with NO corpus shuffle until the
+    per-doc count agg (which carries only matching (doc, gram) rows,
+    a tiny fraction of the corpus)."""
+    from mofka_spark.operators.dedup import word_ngrams
+
+    eval_text = eval_text_col or text_col
+    eval_grams = (
+        eval_df.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(eval_text), n))).alias(
+                "gram"
+            )
+        )
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def fingerprint(text: Column | str, k: int = 8) -> Column:
     """Document fingerprint: md5 of the lowercased,
     whitespace-normalized text (content-defined identity; md5 matches

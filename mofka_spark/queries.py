@@ -785,6 +785,68 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(docs).select("doc_id", "pred_lang", "lang_score")
 
 
+# Corpus bigram vocabulary (tokenizer-training input): top-100 bigrams
+# by total count, deterministic (n_total desc, gram asc) tiebreak.
+@query(
+    "vocab_top_ngrams",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t)-1, 1)),
+                                   i -> array_to_string(t[i:i+1], ' '))) AS g
+      FROM toks
+    )
+    SELECT g AS gram,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    ORDER BY n_total DESC, gram ASC LIMIT 100
+    """,
+)
+def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.vocab_stats(docs, n=2, top_k=100, min_count=2)
+
+
+# Training-data decontamination: docs sharing any word-8-gram with the
+# "evaluation set" (docs with doc_id % 97 == 0 stand in for a held-out
+# benchmark). n_hits = distinct eval grams contained.
+@query(
+    "decontamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), g8 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-7, 1)),
+                           i -> array_to_string(t[i:i+7], ' '))) AS gs
+      FROM toks
+    ), eval_grams AS (
+      SELECT DISTINCT unnest(gs) AS g FROM g8 WHERE doc_id % 97 = 0
+    ), doc_grams AS (
+      SELECT doc_id, unnest(gs) AS g FROM g8
+    ), hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM doc_grams JOIN eval_grams USING (g) GROUP BY doc_id
+    )
+    SELECT d.doc_id AS id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    return text.decontaminate(docs, eval_docs, n=8)
+
+
 # Brute-force cosine top-k (the ANN baseline). Rank computed on the
 # raw double score with neighbor-id tiebreak; output score rounded.
 @query(
