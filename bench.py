@@ -47,6 +47,36 @@ def main() -> None:
     spark.range(0, int(cpus) * 4, 1, int(cpus)).select(
         _warm("id")
     ).count()
+    # warm the Structured Streaming machinery (python data source
+    # registration, MicroBatchExecution, state store provider) with a
+    # one-event topic + windowed agg — the first streaming query per
+    # session otherwise pays ~5s of framework init
+    try:
+        import tempfile
+
+        from mofka_spark.client import Driver
+
+        _root = tempfile.mkdtemp(prefix="bench-warm-")
+        _drv = Driver(spark, _root)
+        _t = _drv.create_topic("warm", num_partitions=1)
+        with _t.producer("w") as _p:
+            _p.push({"v": 1}, b"")
+        _t.mark_as_complete()
+        _q = (
+            _t.read_stream()
+            .withWatermark("ingest_ts", "1 hour")
+            .groupBy(F.window("ingest_ts", "1 hour"))
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("bench_warm")
+            .option("checkpointLocation", os.path.join(_root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _q.awaitTermination(120)
+    except Exception as e:  # noqa: BLE001
+        print(f"# bench streaming warmup skipped: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     t_all = time.time()

