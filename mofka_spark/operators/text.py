@@ -209,6 +209,45 @@ def decontaminate(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken's MOSS): hash every char k-shingle, then
+    keep the minimum hash of each sliding window of ``window``
+    consecutive shingle hashes. The distinct mins are the doc's
+    fingerprint set — robust to local edits (an edit perturbs only the
+    windows it overlaps), and two docs sharing a passage of length >=
+    k + window - 1 are guaranteed to share a fingerprint.
+
+    Returns (id, fingerprint) exploded — join on fingerprint to find
+    overlapping-passage pairs, or aggregate per id for a compact
+    signature.
+
+    All Column expressions, one scan, no shuffle before the caller's
+    use. Hash = 60-bit md5 prefix (engine-portable, oracle-checkable;
+    same construction as dedup's portable gram hash)."""
+    from mofka_spark.operators.dedup import shingles
+
+    grams = shingles(F.col(text_col), k)
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    nwin = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(wins)).alias("fingerprint"),
+    )
+
+
 def fingerprint(text: Column | str, k: int = 8) -> Column:
     """Document fingerprint: md5 of the lowercased,
     whitespace-normalized text (content-defined identity; md5 matches

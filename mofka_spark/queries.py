@@ -847,6 +847,48 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontaminate(docs, eval_docs, n=8)
 
 
+# Winnowing fingerprints (rolling-hash min over shingle-hash windows),
+# aggregated per doc so the gate compares a compact signature.
+@query(
+    "winnow_fingerprints",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS tx
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(tx)-4, 1)),
+                            i -> substr(tx, i, 5)) AS gs
+      FROM s
+    ), h AS (
+      SELECT doc_id,
+             list_transform(gs, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+      FROM g
+    ), w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(hs)-3, 1)),
+                           i -> list_min(hs[i:i+3]))) AS fps
+      FROM h
+    )
+    SELECT doc_id AS id,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           CAST(list_min(fps) AS BIGINT) AS min_fp
+    FROM w
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.winnow_fingerprints(docs, k=5, window=4)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_fps"),
+            F.min("fingerprint").alias("min_fp"),
+        )
+    )
+
+
 # Brute-force cosine top-k (the ANN baseline). Rank computed on the
 # raw double score with neighbor-id tiebreak; output score rounded.
 @query(

@@ -54,3 +54,39 @@ class TestDecontaminate:
         ev = _docs(spark, [(9, "a b c d e f g h")])
         p = plans.plan_string(text.decontaminate(docs, ev, n=8))
         assert "BroadcastHashJoin" in p
+
+
+class TestWinnowFingerprints:
+    def test_shared_passage_shares_fingerprint(self, spark):
+        # docs sharing a passage of length >= k + window - 1 = 8 chars
+        # are guaranteed >= 1 common fingerprint
+        passage = "a shared common passage of text"
+        # doc 3 uses a disjoint alphabet: no common 5-shingle exists,
+        # so no fingerprint can collide (precision is only guaranteed
+        # when the shingle sets are disjoint — winnowing guarantees
+        # recall, not precision, on overlapping shingle sets)
+        docs = _docs(spark, [(1, "xxxx " + passage), (2, passage + " yyyy"),
+                             (3, "0123456789012345678901234567890123456789")])
+        fps = text.winnow_fingerprints(docs).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r.id, set()).add(r.fingerprint)
+        assert by_doc[1] & by_doc[2]
+        assert not by_doc[1] & by_doc[3]
+        assert not by_doc[2] & by_doc[3]
+
+    def test_local_edit_keeps_most_fingerprints(self, spark):
+        base = "the quick brown fox jumps over the lazy dog and runs far away"
+        edited = base.replace("jumps", "leaps")
+        docs = _docs(spark, [(1, base), (2, edited)])
+        fps = text.winnow_fingerprints(docs).collect()
+        a = {r.fingerprint for r in fps if r.id == 1}
+        b = {r.fingerprint for r in fps if r.id == 2}
+        # one word edit perturbs only windows overlapping it
+        assert len(a & b) / len(a | b) > 0.5
+
+    def test_deterministic(self, spark):
+        docs = _docs(spark, [(1, "some text for determinism checks")])
+        one = sorted(r.fingerprint for r in text.winnow_fingerprints(docs).collect())
+        two = sorted(r.fingerprint for r in text.winnow_fingerprints(docs).collect())
+        assert one == two and len(one) >= 1
