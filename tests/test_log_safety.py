@@ -177,3 +177,47 @@ class TestPullPushdown:
             per_part.setdefault(ev.partition, []).append(ev.offset)
         for offs in per_part.values():
             assert offs == sorted(offs)
+
+
+class TestConcurrentProducers:
+    def test_two_producers_interleaved_offsets_stay_dense(self, spark, tmp_path):
+        """Two independent Driver instances (separate EventLog objects,
+        separate ledger fds) push concurrently into the same topic: the
+        flock-guarded offset assignment must keep every partition's
+        offsets dense 0..n-1 with no duplicates."""
+        import threading
+
+        from mofka_spark.client import Driver
+
+        root = str(tmp_path / "conc-root")
+        d1 = Driver(spark, root)
+        d2 = Driver(spark, root)
+        t1 = d1.create_topic("conc", num_partitions=2)
+        t2 = d2.open_topic("conc")
+
+        errs = []
+
+        def run(topic, tag):
+            try:
+                with topic.producer(tag, batch_size=5) as prod:
+                    for i in range(20):
+                        prod.push({"who": tag, "i": i}, b"")
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        th = [
+            threading.Thread(target=run, args=(t1, "a")),
+            threading.Thread(target=run, args=(t2, "b")),
+        ]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join(timeout=300)
+        assert not errs, errs
+        rows = t1.dataframe().select("partition", "offset").collect()
+        assert len(rows) == 40
+        by_part = {}
+        for r in rows:
+            by_part.setdefault(r.partition, []).append(r.offset)
+        for p, offs in by_part.items():
+            assert sorted(offs) == list(range(len(offs))), (p, sorted(offs)[:5])
