@@ -120,6 +120,86 @@ def cmd_partition_add(args) -> int:
     return 0
 
 
+def cmd_benchmark_producer(args) -> int:
+    """The diaspora-producer-benchmark analog
+    (/root/reference/tests/run-benchmark.sh:23-33): push n events of m
+    metadata fields and s data bytes with batch size b, flushing every
+    f events; print one JSON line with events/sec."""
+    import time
+
+    from mofka_spark.client import Driver
+    from mofka_spark.session import get_spark
+
+    spark = get_spark(app_name="mofka-bench-producer")
+    driver = Driver(spark, args.root)
+    if not driver.registry.topic_exists(args.topic):
+        driver.create_topic(args.topic, num_partitions=args.partitions)
+    topic = driver.open_topic(args.topic)
+    meta = {f"field{i}": i for i in range(args.metadata_fields)}
+    data = b"x" * args.data_size
+    t0 = time.time()
+    with topic.producer("bench", batch_size=args.batch_size) as producer:
+        for i in range(args.num_events):
+            producer.push(dict(meta, seq=i), data)
+            if args.flush_every and (i + 1) % args.flush_every == 0:
+                producer.flush()
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "benchmark": "producer",
+                "events": args.num_events,
+                "sec": round(dt, 3),
+                "events_per_sec": round(args.num_events / dt, 1),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_benchmark_consumer(args) -> int:
+    """The diaspora-consumer-benchmark analog
+    (/root/reference/tests/run-benchmark.sh:39-44): pull all events with
+    a data selector fetching a ``proportion`` of the payload for a
+    ``selectivity`` fraction of events; print events/sec."""
+    import time
+
+    from mofka_spark.client import Driver
+    from mofka_spark.functions.views import DataDescriptor
+    from mofka_spark.session import get_spark
+
+    spark = get_spark(app_name="mofka-bench-consumer")
+    driver = Driver(spark, args.root)
+    topic = driver.open_topic(args.topic)
+    # drain-and-exit: completion makes the pull loop end in NoMoreEvents
+    # instead of waiting for more events (L8)
+    topic.mark_as_complete()
+
+    def selector(metadata, descriptor):
+        if (metadata.get("seq", 0) % 100) / 100.0 >= args.selectivity:
+            return DataDescriptor.null()
+        size = max(1, int(descriptor.size * args.proportion))
+        return descriptor.make_sub_view(0, size)
+
+    n = 0
+    t0 = time.time()
+    with topic.consumer("bench-consumer", data_selector=selector) as consumer:
+        for _ev in consumer:
+            n += 1
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "benchmark": "consumer",
+                "events": n,
+                "sec": round(dt, 3),
+                "events_per_sec": round(n / dt, 1) if dt > 0 else None,
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="mofka_spark", description="Mofka-Spark CLI.")
     sub = ap.add_subparsers(dest="group", required=True)
@@ -164,6 +244,26 @@ def build_parser() -> argparse.ArgumentParser:
     _std(p)
     p.add_argument("-n", "--count", type=int, default=1)
     p.set_defaults(fn=cmd_partition_add)
+
+    bench = sub.add_parser(
+        "benchmark", help="Producer/consumer throughput benchmarks"
+    ).add_subparsers(dest="cmd", required=True)
+    p = bench.add_parser("producer", help="Push-path throughput")
+    p.add_argument("-r", "--root", required=True)
+    p.add_argument("-t", "--topic", default="bench_topic")
+    p.add_argument("-n", "--num-events", type=int, default=100)
+    p.add_argument("-m", "--metadata-fields", type=int, default=16)
+    p.add_argument("-s", "--data-size", type=int, default=128)
+    p.add_argument("-b", "--batch-size", type=int, default=8)
+    p.add_argument("-f", "--flush-every", type=int, default=10)
+    p.add_argument("-p", "--partitions", type=int, default=1)
+    p.set_defaults(fn=cmd_benchmark_producer)
+    p = bench.add_parser("consumer", help="Pull-path throughput")
+    p.add_argument("-r", "--root", required=True)
+    p.add_argument("-t", "--topic", default="bench_topic")
+    p.add_argument("-s", "--selectivity", type=float, default=0.5)
+    p.add_argument("-i", "--proportion", type=float, default=0.8)
+    p.set_defaults(fn=cmd_benchmark_consumer)
     return ap
 
 

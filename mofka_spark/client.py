@@ -329,13 +329,15 @@ class Producer:
         return fut
 
     def flush(self) -> None:
-        """P8: barrier — write buffered events, resolve futures."""
+        """P8: barrier — write buffered events, resolve futures.
+
+        Client-side rows take the no-Spark append path (pyarrow write
+        under the same ledger lock; log.append_rows) — a per-event
+        producer's flush is milliseconds, not a Spark job."""
         if not self._buffer:
             return
-        spark = self.topic.driver.spark
         rows = [(p, seq, meta, data) for p, seq, meta, data, _ in self._buffer]
-        batch = spark.createDataFrame(rows, INGEST_SCHEMA)
-        acks = self.topic.log.append_batch(batch)
+        acks = self.topic.log.append_rows(rows)
         # resolve futures: events in a partition get base + arrival-rank
         by_part: dict[int, list[tuple[int, _FutureEventID]]] = {}
         for p, seq, _meta, _data, fut in self._buffer:
@@ -469,19 +471,21 @@ class Consumer:
 
     def _fetch_batch(self) -> list[Event]:
         """One feed round: <= batch_size events per partition starting at
-        the in-memory positions; metadata-driven data selection applied
-        INSIDE Spark (conditional projection) before collect. Uses the
-        offset-range pushdown read (read_tail) so each pull batch scans
-        only the log tail, never the whole topic."""
+        the in-memory positions. Reads the tail row-groups directly via
+        the log's driver-side pyarrow scan (fetch_rows) — the pull API
+        collects rows into client memory by definition, so a Spark job
+        per feed round is pure overhead; the offset-range predicate
+        still prunes to the tail files, never the whole topic."""
         self._init_positions()
-        df = self._log.read_tail(
-            self._positions, self.batch_size, self.targets
+        rows = sorted(
+            self._log.fetch_rows(self._positions, self.batch_size, self.targets),
+            key=lambda r: (r[0], r[1]),
         )
-        rows = df.orderBy("partition", "offset").collect()
         events: list[Event] = []
-        for r in rows:
-            meta = self._serializer.deserialize(r["metadata"]) if r["metadata"] else {}
-            data = bytes(r["data"]) if r["data"] is not None else None
+        for part, off, meta_raw, data_raw in rows:
+            r = {"partition": part, "offset": off}
+            meta = self._serializer.deserialize(meta_raw) if meta_raw else {}
+            data = bytes(data_raw) if data_raw is not None else None
             if self.data_selector is not None:
                 desc = DataDescriptor.identity(len(data) if data is not None else 0)
                 sel = self.data_selector(meta, desc)
