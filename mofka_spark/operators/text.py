@@ -230,20 +230,35 @@ def winnow_fingerprints(
 
     All Column expressions, one scan, no shuffle before the caller's
     use. Hash = 60-bit md5 prefix (engine-portable, oracle-checkable;
-    same construction as dedup's portable gram hash)."""
+    same construction as dedup's portable gram hash).
+
+    The shingle-hash array is materialized ONCE per document through an
+    ``explode(array(...))`` Generate barrier before the window mins are
+    taken. Without the barrier, CollapseProject inlines the md5
+    transform into every window's ``slice()`` and Catalyst re-evaluates
+    the whole hash array per window (HOF lambdas get no subexpression
+    elimination) — O(chars^2) md5 work per document instead of
+    O(chars)."""
     from mofka_spark.operators.dedup import shingles
 
     grams = shingles(F.col(text_col), k)
     hashes = F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
     )
-    nwin = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
+    # Generate barrier: exactly one output row per doc, hash array
+    # evaluated a single time and bound as a plain attribute below.
+    hs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(hashes)).alias("_hs"),
+    )
+    h = F.col("_hs")
+    nwin = F.greatest(F.size(h) - F.lit(window - 1), F.lit(1))
     wins = F.transform(
         F.sequence(F.lit(1), nwin),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+        lambda i: F.array_min(F.slice(h, i, window)),
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return hs.select(
+        "id",
         F.explode(F.array_distinct(wins)).alias("fingerprint"),
     )
 
