@@ -89,6 +89,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
+        # isolate query timings: operators that persist intermediates
+        # (simhash/minhash signatures, gram frames) would otherwise
+        # leak cached blocks into every later query's session state
+        spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
     print(
         json.dumps(

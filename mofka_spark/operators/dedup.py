@@ -55,7 +55,7 @@ def exact_dedup(
     xxhash64) so the result is oracle-checkable across engines."""
     h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
     return (
-        df.select(h, F.col(id_col))
+        _spread(df, id_col).select(h, F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keeper_id"),

@@ -136,6 +136,11 @@ def vocab_stats(
     # (per-doc repeats are rare → the key adds doc cardinality for
     # nothing), and a sorted-zip first-occurrence flag re-evaluates the
     # n-gram transform 3x (no CSE across array expressions).
+    # _spread: both explode branches tokenize pre-shuffle; a narrow
+    # scan would run that CPU stage on as many tasks as parquet splits
+    from mofka_spark.operators.dedup import _spread
+
+    df = _spread(df, text_col)
     totals = (
         df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
         .groupBy("gram")
@@ -239,7 +244,7 @@ def winnow_fingerprints(
     the whole hash array per window (HOF lambdas get no subexpression
     elimination) — O(chars^2) md5 work per document instead of
     O(chars)."""
-    from mofka_spark.operators.dedup import shingles
+    from mofka_spark.operators.dedup import _spread, shingles
 
     grams = shingles(F.col(text_col), k)
     hashes = F.transform(
@@ -247,15 +252,23 @@ def winnow_fingerprints(
     )
     # Generate barrier: exactly one output row per doc, hash array
     # evaluated a single time and bound as a plain attribute below.
-    hs = df.select(
+    # _spread first: a narrow scan (one small parquet file) would run
+    # the whole CPU-bound md5 stage on one task.
+    hs = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.array(hashes)).alias("_hs"),
     )
     h = F.col("_hs")
     nwin = F.greatest(F.size(h) - F.lit(window - 1), F.lit(1))
+    # window min as `window` O(1) lookups (try_element_at past the end
+    # is null and least() skips nulls — only reachable in the short
+    # n < window case) instead of array_min(slice(...)), which
+    # allocates a subarray per window position
     wins = F.transform(
         F.sequence(F.lit(1), nwin),
-        lambda i: F.array_min(F.slice(h, i, window)),
+        lambda i: F.least(
+            *[F.try_element_at(h, i + j) for j in range(window)]
+        ),
     )
     return hs.select(
         "id",
