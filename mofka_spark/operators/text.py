@@ -284,3 +284,215 @@ def fingerprint(text: Column | str, k: int = 8) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     normalized = F.regexp_replace(F.lower(F.trim(col)), _WS, " ")
     return F.md5(normalized)
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e.
+    the max occurrence count of any element. A single aggregate() fold
+    over the array: no shuffle, no explode. The accumulator is a
+    (prev, run, best) struct; the fold reads only lambda variables and
+    the already-evaluated input array, so nothing re-evaluates per
+    element (see winnow_fingerprints for the anti-pattern)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, zero, merge, lambda acc: acc["best"])
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    - ``n_tokens``: whitespace token count
+    - ``distinct_ratio``: distinct tokens / tokens (low → repetitive)
+    - ``top_unigram_frac``: occurrences of the most frequent token /
+      tokens (the "fraction of the doc that is one word" signal)
+    - ``top_bigram_frac``: occurrences of the most frequent word
+      bigram / bigram count
+
+    Used to drop boilerplate/spam before training (Gopher's repetition
+    filters, re-expressed over whitespace tokens). One scan, ZERO
+    shuffle: each top-fraction is a sorted-array run fold (max
+    occurrence count = longest equal-run in the sorted gram array),
+    not an explode + groupBy.
+
+    Reference substrate: the quality_features family
+    (/root/reference has no text analytics; this extends the engine's
+    LLM-pipeline surface)."""
+    from mofka_spark.operators.dedup import word_ngrams
+
+    toks = _tokens(F.col(text_col))
+    bigrams = word_ngrams(F.col(text_col), 2)
+    # Generate barrier: tokenize + sort ONCE per row; the two folds
+    # below then read bound attributes (projection collapse would
+    # otherwise inline the sorts into every fold step)
+    base = _nonnull_spread(df, id_col, text_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(F.struct(
+                F.array_sort(toks).alias("toks"),
+                F.array_sort(bigrams).alias("bigrams"),
+            ))
+        ).alias("_g"),
+    )
+    stoks = F.col("_g.toks")
+    sbigrams = F.col("_g.bigrams")
+    n_tok = F.size(stoks)
+    n_big = F.size(sbigrams)
+    return base.select(
+        "id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(stoks)) / F.greatest(n_tok, F.lit(1)), 6)
+        .alias("distinct_ratio"),
+        F.round(_max_run(stoks) / F.greatest(n_tok, F.lit(1)), 6)
+        .alias("top_unigram_frac"),
+        F.round(_max_run(sbigrams) / F.greatest(n_big, F.lit(1)), 6)
+        .alias("top_bigram_frac"),
+    )
+
+
+def _nonnull_spread(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    from mofka_spark.operators.dedup import _spread
+
+    return _spread(df.filter(F.col(text_col).isNotNull()), id_col)
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 dialect (no
+# lookaround, no backrefs) so Spark and the DuckDB oracle agree
+# byte-for-byte.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{7,15}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    redact: bool = True,
+) -> DataFrame:
+    """PII detection / redaction for training-data preparation:
+    per-document match counts for email / phone (+international) /
+    IPv4 patterns, plus the redacted text (each match replaced by
+    ``<EMAIL>`` / ``<PHONE>`` / ``<IP>``).
+
+    Pure regexp built-ins — one scan, no shuffle, no UDF. Redaction
+    order is email → phone → ip (fixed, so the composition is
+    deterministic and the oracle replays it).
+
+    Returns (id, n_emails, n_phones, n_ipv4, n_pii, redacted) —
+    ``redacted`` omitted when redact=False."""
+    col = F.col(text_col)
+    # group index 0 = the whole match (patterns carry no capture groups)
+    n_emails = F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS["email"]), 0))
+    n_phones = F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS["phone"]), 0))
+    n_ipv4 = F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS["ipv4"]), 0))
+    red = F.regexp_replace(col, PII_PATTERNS["email"], "<EMAIL>")
+    red = F.regexp_replace(red, PII_PATTERNS["phone"], "<PHONE>")
+    red = F.regexp_replace(red, PII_PATTERNS["ipv4"], "<IP>")
+    cols = [
+        F.col(id_col).alias("id"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        (n_emails + n_phones + n_ipv4).cast("long").alias("n_pii"),
+    ]
+    if redact:
+        cols.append(red.alias("redacted"))
+    return df.select(*cols)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks — the
+    standard training-data prep step before packing sequences into
+    context windows. Chunk i covers tokens [i*stride, i*stride +
+    chunk_tokens); the last chunk may be short; a doc shorter than one
+    chunk yields exactly one chunk.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk) exploded rows.
+
+    One scan, no shuffle: tokenization happens once per document
+    behind a Generate barrier, then each chunk is a slice + join of
+    the bound token array."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = _tokens(F.col(text_col))
+    base = _nonnull_spread(df, id_col, text_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(toks)).alias("_toks"),
+    )
+    t = F.col("_toks")
+    n = F.size(t)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice(t, i * stride + 1, chunk_tokens).alias("ctoks"),
+        ),
+    )
+    c = F.explode(chunks).alias("c")
+    return base.select("id", c).select(
+        "id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.ctoks").cast("long").alias("n_chunk_tokens"),
+        F.array_join("c.ctoks", " ").alias("chunk"),
+    )
+
+
+def lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram language-model scoring: train MLE token probabilities
+    on the corpus itself, then score each document by its mean token
+    log-probability (a perplexity-proxy quality signal — boilerplate
+    and natural text separate cleanly; gibberish scores low).
+
+    Returns (id, n_tokens, avg_logp), avg_logp rounded to 6dp.
+
+    Scale shape: token counts are one explode + groupBy shuffle with
+    map-side partial agg (shuffled volume ≈ per-partition distinct
+    vocabulary, Zipf-small); the trained table is broadcast back onto
+    the exploded token stream, so the per-doc aggregation is the only
+    other shuffle (keyed by id). The corpus is scanned twice (train +
+    score) — unavoidable without caching; both scans prune to
+    (id, text)."""
+    spread = _nonnull_spread(df, id_col, text_col)
+    toks = spread.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    # ln p(tok) = ln c - ln N; broadcast both (vocab is Zipf-small)
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("id", (F.log("c") - F.log("n_total")).alias("logp"))
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )

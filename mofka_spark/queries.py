@@ -903,6 +903,164 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style repetition signals: top-gram fractions computed
+# shuffle-free (sorted-array run folds) on the Spark side; the oracle
+# derives the same counts the heavy way (unnest + GROUP BY).
+@query(
+    "repetition_signals",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), u AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t
+    ), uc AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS nd, MAX(c) AS topc
+      FROM (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2)
+      GROUP BY doc_id
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, greatest(len(toks) - 1, 1) - 1),
+               i -> array_to_string(toks[i+1:i+2], ' '))) AS bg
+      FROM t
+    ), bc AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, MAX(c) AS topb
+      FROM (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2)
+      GROUP BY doc_id
+    )
+    SELECT uc.doc_id AS id,
+           uc.n AS n_tokens,
+           ROUND(uc.nd / greatest(uc.n, 1), 6) AS distinct_ratio,
+           ROUND(uc.topc / greatest(uc.n, 1), 6) AS top_unigram_frac,
+           ROUND(bc.topb / greatest(bc.nb, 1), 6) AS top_bigram_frac
+    FROM uc JOIN bc USING (doc_id)
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_signals(docs)
+
+
+# PII detect/redact. The corpus is synthetic word-soup with no real
+# PII, so both sides append the SAME deterministically-constructed
+# address/phone/ip to a doc_id-keyed subset — the regexes are
+# genuinely exercised (non-zero counts) and the redacted-text md5
+# must match byte-for-byte.
+@query(
+    "pii_scan",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+               WHEN 1 THEN ' call +1415555' ||
+                           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               WHEN 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+                           '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+               ELSE '' END AS tx
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST(len(regexp_extract_all(tx,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(tx, '\+[0-9]{7,15}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(tx,
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+             AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(tx,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+[0-9]{7,15}', '<PHONE>', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'))
+             AS redacted_md5
+    FROM aug
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 5 == 0,
+                   F.concat(F.lit(" contact user"), did.cast("string"),
+                            F.lit("@example.com now")))
+            .when(did % 5 == 1,
+                  F.concat(F.lit(" call +1415555"),
+                           F.lpad((did % 10000).cast("string"), 4, "0")))
+            .when(did % 5 == 2,
+                  F.concat(F.lit(" from 10."), (did % 256).cast("string"),
+                           F.lit(".0."), ((did * 3) % 256).cast("string")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = text.pii_scan(aug, id_col="doc_id", text_col="text")
+    return out.select(
+        "id", "n_emails", "n_phones", "n_ipv4",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+# Overlapping token chunking (training-sequence prep); chunk content
+# compared by md5 so the gate stays compact.
+@query(
+    "doc_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE CAST(CEIL((len(toks) - 64) / 48.0) AS INTEGER) + 1
+             END AS nc
+      FROM t
+    )
+    SELECT doc_id AS id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(len(toks[i*48+1 : least(i*48+64, n)]) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(toks[i*48+1 : least(i*48+64, n)], ' '))
+             AS chunk_md5
+    FROM c, unnest(generate_series(0, nc - 1)) AS g(i)
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = text.chunk_documents(docs, chunk_tokens=64, stride=48)
+    return out.select(
+        "id", "chunk_id", "n_chunk_tokens", F.md5("chunk").alias("chunk_md5")
+    )
+
+
+# Corpus-trained unigram LM scoring (perplexity-proxy quality signal).
+@query(
+    "lm_scores",
+    r"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ), v AS (
+      SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+    ), n AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS nt FROM v
+    )
+    SELECT t.doc_id AS id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(LN(v.c) - LN(n.nt)), 6) AS avg_logp
+    FROM t JOIN v USING (tok) CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+)
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.lm_score(docs)
+
+
 # Brute-force cosine top-k (the ANN baseline). Rank computed on the
 # raw double score with neighbor-id tiebreak; output score rounded.
 @query(

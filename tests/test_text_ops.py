@@ -90,3 +90,104 @@ class TestWinnowFingerprints:
         one = sorted(r.fingerprint for r in text.winnow_fingerprints(docs).collect())
         two = sorted(r.fingerprint for r in text.winnow_fingerprints(docs).collect())
         assert one == two and len(one) >= 1
+
+
+class TestRepetitionSignals:
+    def test_values(self, spark):
+        docs = _docs(spark, [(1, "a a a b"), (2, "x y z w")])
+        m = {r.id: r for r in text.repetition_signals(docs).collect()}
+        r1 = m[1]
+        assert r1.n_tokens == 4
+        assert r1.distinct_ratio == 0.5
+        assert r1.top_unigram_frac == 0.75       # "a" 3/4
+        assert r1.top_bigram_frac == round(2 / 3, 6)  # "a a" 2/3
+        r2 = m[2]
+        assert r2.distinct_ratio == 1.0
+        assert r2.top_unigram_frac == 0.25
+        assert r2.top_bigram_frac == round(1 / 3, 6)
+
+    def test_single_token_doc(self, spark):
+        out = text.repetition_signals(_docs(spark, [(1, "solo")])).collect()[0]
+        assert out.n_tokens == 1
+        assert out.top_unigram_frac == 1.0
+        # 1-token doc: word_ngrams yields the token itself as one gram
+        assert out.top_bigram_frac == 1.0
+
+    def test_no_shuffle(self, spark):
+        from mofka_spark import plans
+
+        docs = _docs(spark, [(1, "a b")])
+        p = plans.plan_string(text.repetition_signals(docs))
+        # the only exchange allowed is the _spread repartition
+        assert p.count("Exchange") <= 1
+
+
+class TestPiiScan:
+    def test_counts_and_redaction(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "mail bob@site.org and sue@x.co now"),
+                (2, "call +4915551234567 ok"),
+                (3, "host 192.168.0.1 and 10.0.0.2"),
+                (4, "clean text"),
+            ],
+        )
+        m = {r.id: r for r in text.pii_scan(docs).collect()}
+        assert (m[1].n_emails, m[1].n_phones, m[1].n_ipv4) == (2, 0, 0)
+        assert m[1].redacted == "mail <EMAIL> and <EMAIL> now"
+        assert m[2].n_phones == 1 and m[2].redacted == "call <PHONE> ok"
+        assert m[3].n_ipv4 == 2 and m[3].redacted == "host <IP> and <IP>"
+        assert m[4].n_pii == 0 and m[4].redacted == "clean text"
+
+    def test_no_redact_column(self, spark):
+        out = text.pii_scan(_docs(spark, [(1, "x")]), redact=False)
+        assert "redacted" not in out.columns
+
+
+class TestChunkDocuments:
+    def test_overlap_and_tail(self, spark):
+        words = " ".join(f"w{i}" for i in range(10))
+        out = text.chunk_documents(
+            _docs(spark, [(1, words)]), chunk_tokens=4, stride=3
+        ).collect()
+        chunks = {r.chunk_id: r for r in sorted(out, key=lambda r: r.chunk_id)}
+        # 10 tokens, chunk 4, stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+        assert len(chunks) == 3
+        assert chunks[0].chunk == "w0 w1 w2 w3"
+        assert chunks[1].chunk == "w3 w4 w5 w6"
+        assert chunks[2].chunk == "w6 w7 w8 w9"
+        assert all(r.n_chunk_tokens == 4 for r in out)
+
+    def test_short_doc_single_chunk(self, spark):
+        out = text.chunk_documents(
+            _docs(spark, [(1, "a b")]), chunk_tokens=64, stride=48
+        ).collect()
+        assert len(out) == 1
+        assert out[0].chunk == "a b" and out[0].n_chunk_tokens == 2
+
+    def test_invalid_params(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            text.chunk_documents(_docs(spark, [(1, "a")]), chunk_tokens=0)
+
+
+class TestLmScore:
+    def test_mle_logprob(self, spark):
+        import math
+
+        # corpus: a a a b  -> p(a)=3/4, p(b)=1/4
+        docs = _docs(spark, [(1, "a a a"), (2, "b")])
+        m = {r.id: r for r in text.lm_score(docs).collect()}
+        assert m[1].n_tokens == 3
+        assert m[1].avg_logp == round(math.log(3 / 4), 6)
+        assert m[2].avg_logp == round(math.log(1 / 4), 6)
+
+    def test_common_scores_higher(self, spark):
+        docs = _docs(
+            spark,
+            [(1, "the the the the"), (2, "rare words here now")],
+        )
+        m = {r.id: r.avg_logp for r in text.lm_score(docs).collect()}
+        assert m[1] > m[2]
