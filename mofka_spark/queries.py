@@ -367,6 +367,110 @@ def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Semi-join (TPC-H Q4 shape, adapted to the trimmed schema): orders
+# from 1996 with at least one returned lineitem, counted by priority.
+# The EXISTS compiles to a LeftSemi join — no row multiplication, the
+# lineitem side reduces to its distinct key set before the probe.
+@query(
+    "q4_returned_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_q4_returned_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# Anti-join (TPC-H Q22 shape): positive-balance customers with no
+# order in the corpus's last 18 months ("churned"), per segment.
+@query(
+    "cust_no_orders",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > 0
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# Correlated scalar subquery (TPC-H Q17 shape): customers above their
+# own nation's average balance. The correlation decorrelates into one
+# per-nation aggregate broadcast back onto the customer scan — the
+# classic rewrite Catalyst applies to correlated scalar subqueries.
+@query(
+    "cust_above_nation_avg",
+    """
+    SELECT c.c_custkey, n.n_name,
+           ROUND(c.c_acctbal, 2) AS acctbal,
+           ROUND(a.avg_bal, 2) AS nation_avg
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN (SELECT c_nationkey, AVG(c_acctbal) AS avg_bal
+          FROM customer GROUP BY c_nationkey) a
+      ON c.c_nationkey = a.c_nationkey
+    WHERE c.c_acctbal > a.avg_bal
+    """,
+)
+def q_cust_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    avg_bal = cust.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(avg_bal).withColumnRenamed("c_nationkey", "a_nationkey"),
+            F.col("c_nationkey") == F.col("a_nationkey"),
+        )
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select(
+            "c_custkey",
+            "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round("avg_bal", 2).alias("nation_avg"),
+        )
+    )
+
+
 # Window functions: top-3 orders per customer (deterministic tiebreak).
 @query(
     "top_orders_per_customer",
