@@ -290,6 +290,90 @@ class TestPackedSerializer:
         assert [ev.metadata for ev in evs] == [{"n": i} for i in range(5)]
 
 
+class TestAvroSerializer:
+    SCHEMA = {
+        "type": "record",
+        "name": "Event",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "props", "type": {"type": "map", "values": "long"}},
+            {"name": "opt", "type": ["null", "string"]},
+            {"name": "kind", "type": {"type": "enum", "name": "K",
+                                      "symbols": ["alpha", "beta"]}},
+        ],
+    }
+
+    def test_round_trip(self):
+        from mofka_spark.functions.serializers import AvroSerializer
+
+        s = AvroSerializer(self.SCHEMA)
+        doc = {
+            "id": -123456789,
+            "name": "héllo",
+            "score": 2.75,
+            "flag": True,
+            "tags": ["a", "b", "c"],
+            "props": {"x": 1, "y": -2},
+            "opt": None,
+            "kind": "beta",
+        }
+        assert s.deserialize(s.serialize(doc)) == doc
+
+    def test_golden_bytes(self):
+        # spec vectors: zigzag(1)=2, zigzag(-1)=1, zigzag(-64)=127,
+        # zigzag(64)=0x80 0x01; string length prefix + utf8
+        import base64
+
+        from mofka_spark.functions.serializers import AvroSerializer
+
+        s = AvroSerializer(
+            {"type": "record", "name": "R",
+             "fields": [{"name": "a", "type": "long"},
+                        {"name": "b", "type": "string"}]}
+        )
+        raw = base64.b64decode(s.serialize({"a": -64, "b": "foo"}))
+        assert raw == bytes([0x7F, 0x06]) + b"foo"
+        raw = base64.b64decode(s.serialize({"a": 64, "b": ""}))
+        assert raw == bytes([0x80, 0x01, 0x00])
+
+    def test_union_branch_and_errors(self):
+        import pytest as _pytest
+
+        from mofka_spark.errors import MofkaError
+        from mofka_spark.functions.serializers import AvroSerializer
+
+        s = AvroSerializer(
+            {"type": "record", "name": "R",
+             "fields": [{"name": "v", "type": ["null", "long", "string"]}]}
+        )
+        for doc in ({"v": None}, {"v": 7}, {"v": "s"}):
+            assert s.deserialize(s.serialize(doc)) == doc
+        with _pytest.raises(MofkaError):
+            s.serialize({"v": [1, 2]})  # no array branch
+        with _pytest.raises(MofkaError):
+            AvroSerializer({"type": "record", "name": "E", "fields": []})
+
+    def test_topic_round_trip(self, driver):
+        topic = driver.create_topic(
+            "avro-t", serializer={"type": "avro", "schema": self.SCHEMA}
+        )
+        docs = [
+            {"id": i, "name": f"n{i}", "score": i / 2, "flag": i % 2 == 0,
+             "tags": [f"t{i}"], "props": {"p": i}, "opt": None if i % 2 else "o",
+             "kind": "alpha"}
+            for i in range(6)
+        ]
+        with topic.producer("p") as prod:
+            for d in docs:
+                prod.push(d)
+        topic.mark_as_complete()
+        assert [ev.metadata for ev in topic.consumer("c")] == docs
+
+
 class TestPrefetchConsumer:
     def test_prefetch_same_results(self, driver):
         topic = driver.create_topic("pref-t", num_partitions=2)
