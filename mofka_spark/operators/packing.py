@@ -1,0 +1,135 @@
+"""Sequence packing and log compaction for training-data pipelines.
+
+``pack_sequences`` is the GPT-pretraining "concat-and-cut" layout: lay
+all documents out on one global token axis (in a deterministic key
+order), then cut fixed-capacity context windows. Each document's
+placement is a pure function of the exclusive prefix sum of token
+counts — which this module computes DISTRIBUTED: per-range-partition
+running sums plus a broadcast of partition totals, never a
+single-partition global window (the classic parallel prefix-sum
+decomposition). At 100 TB the only data movement is one range
+repartition of (id, n_tokens) pairs and a driver-side list of
+#partitions partial sums.
+
+``compact_latest`` is Kafka-style log compaction re-expressed
+relationally: keep the newest event per key. One hash-aggregate with
+map-side partial max over a lexicographic (order, payload) struct — no
+window, no sort, one shuffle keyed by the compaction key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    capacity: int = 2048,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Assign each document its position in the packed token stream.
+
+    Documents are concatenated in ascending ``id_col`` order and the
+    stream is cut into windows of ``capacity`` tokens (documents may
+    straddle a cut — the standard pretraining packing, where windows
+    are filled exactly and attention masks handle boundaries).
+
+    Returns (id, n_tokens, global_start, first_bin, last_bin,
+    start_in_bin):
+
+    - ``global_start``: exclusive prefix sum of token counts
+    - ``first_bin``/``last_bin``: window indices the doc touches
+    - ``start_in_bin``: offset of the doc's first token in first_bin
+
+    Scale shape: ``repartitionByRange(id)`` gives sorted,
+    non-overlapping ranges; a per-partition window computes local
+    running sums; partition TOTALS (#partitions rows) are collected
+    and broadcast back as a cumulative base — a distributed prefix
+    sum, not a 1-partition global window.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    sess = df.sparkSession
+    n_ranges = num_ranges or sess.sparkContext.defaultParallelism
+    ranged = df.select(
+        F.col(id_col).alias("id"), F.col(tokens_col).cast("long").alias("n_tokens")
+    ).repartitionByRange(n_ranges, "id")
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    # local running sum inside each sorted range
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_local_end", F.sum("n_tokens").over(w))
+    local = local.persist()
+    # exclusive cumulative base per partition: tiny (#partitions rows)
+    totals = (
+        local.groupBy("_pid")
+        .agg(F.max("_local_end").alias("t"), F.min("id").alias("lo"))
+        .collect()
+    )
+    if not totals:
+        local.unpersist()
+        return sess.createDataFrame(
+            [],
+            "id long, n_tokens long, global_start long, first_bin long, "
+            "last_bin long, start_in_bin long",
+        )
+    base: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["lo"]):
+        base[row["_pid"]] = acc
+        acc += row["t"]
+    base_col = F.create_map(
+        *[F.lit(x) for kv in base.items() for x in kv]
+    )
+    start = (base_col[F.col("_pid")] + F.col("_local_end") - F.col("n_tokens")).alias(
+        "global_start"
+    )
+    out = local.select("id", "n_tokens", start).select(
+        "id",
+        "n_tokens",
+        "global_start",
+        F.floor(F.col("global_start") / capacity).cast("long").alias("first_bin"),
+        F.floor(
+            (F.col("global_start") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+            / capacity
+        )
+        .cast("long")
+        .alias("last_bin"),
+        F.pmod(F.col("global_start"), F.lit(capacity)).cast("long").alias(
+            "start_in_bin"
+        ),
+    )
+    return out
+
+
+def compact_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Latest row per key — Kafka log compaction as one aggregate.
+
+    ``order_cols`` is the recency order (lexicographic, later wins;
+    make it unique — e.g. (ts, event_id) — for determinism).
+    Implemented as max over a (order..., payload...) struct: partial
+    aggregation collapses each map partition to one candidate per key
+    before the exchange, so the shuffle carries |keys| rows, not the
+    log. The reference analog is the per-key cursor/latest-value read
+    path; Kafka calls it topic compaction.
+    """
+    ordered = F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        *[F.col(c).alias(f"p{i}") for i, c in enumerate(payload_cols)],
+    )
+    agg = df.groupBy(*key_cols).agg(F.max(ordered).alias("_m"))
+    cols = [F.col(k) for k in key_cols]
+    cols += [F.col(f"_m.o{i}").alias(c) for i, c in enumerate(order_cols)]
+    cols += [F.col(f"_m.p{i}").alias(c) for i, c in enumerate(payload_cols)]
+    return agg.select(*cols)

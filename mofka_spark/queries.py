@@ -45,8 +45,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestamp column. Runtime conf — safe to set per-session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer DIV, not floor(double /): epoch-nanos (~1.7e18)
+        # exceed double's 53-bit exact range, so float division is off
+        # by ±1 microsecond on some rows
         return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1163,6 +1166,70 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.lm_score(docs)
+
+
+# Concat-and-cut sequence packing. The Spark side computes the prefix
+# sum DISTRIBUTED (range partitions + broadcast partition totals); the
+# oracle uses the naive single-window form — identical layout.
+@query(
+    "pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), s AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS global_start
+      FROM t
+    )
+    SELECT doc_id AS id, n_tokens, global_start,
+           CAST(FLOOR(global_start / 512) AS BIGINT) AS first_bin,
+           CAST(FLOOR((global_start + greatest(n_tokens, 1) - 1) / 512)
+                AS BIGINT) AS last_bin,
+           CAST(global_start % 512 AS BIGINT) AS start_in_bin
+    FROM s
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = docs.select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return packing.pack_sequences(
+        sized, id_col="doc_id", tokens_col="n_tokens", capacity=512
+    )
+
+
+# Kafka-style log compaction: latest event per user, one map-side
+# partial-max aggregate (no window, shuffle carries |keys| rows).
+@query(
+    "topic_compact",
+    """
+    SELECT user_id, ts, event_id, event_type, value
+    FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_topic_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import packing
+
+    ev = _t(spark, sf_dir, "events")
+    return packing.compact_latest(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_type", "value"],
+    )
 
 
 # Brute-force cosine top-k (the ANN baseline). Rank computed on the
