@@ -54,8 +54,12 @@ def exact_dedup(
     distribution, partial_agg does most work map-side. md5 (not
     xxhash64) so the result is oracle-checkable across engines."""
     h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    # Spread by the aggregation key itself: when the scan is narrow the
+    # pre-shuffle both parallelizes the md5 stage AND satisfies the
+    # groupBy's hash-partitioning requirement, so Catalyst inserts no
+    # second Exchange — one shuffle in every regime.
     return (
-        _spread(df, id_col).select(h, F.col(id_col))
+        _spread(df.select(h, F.col(id_col)), "content_hash")
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keeper_id"),
