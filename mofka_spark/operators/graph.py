@@ -30,10 +30,15 @@ def connected_components(
     Converges when no label changes; raises if max_iter is exhausted
     (pathological diameter — raise max_iter or densify edges first).
     """
+    # materialize the symmetrized edge list ONCE: it is joined in every
+    # propagation round, and without a lineage cut each round would
+    # re-run the (potentially expensive) upstream pipeline that
+    # produced the edges — e.g. the full LSH candidate + verify plan
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("id"))

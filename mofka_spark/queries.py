@@ -1397,6 +1397,53 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(docs, verify_threshold=0.8)
 
 
+# Transitive keeper assignment: connected components over the verified
+# near-dup edge set (operators/graph.py min-label propagation), so a
+# chain A~B~C collapses to one keeper even when A-C is not an edge.
+# Oracle: DuckDB recursive CTE computing full reachability over the
+# exact all-pairs Jaccard >= 0.8 edges, component = min reachable id.
+# Hash-match therefore gates BOTH the LSH candidate recall and the
+# iterative component computation against an independent formulation.
+_COMPONENTS_SQL = (
+    _ORACLE_TOKS.replace("WITH toks", "WITH RECURSIVE toks")
+    + r"""
+    , grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS gs
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE /
+                  greatest(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)),
+                           1), 6) >= 0.8
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ), reach(s, d) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), comp AS (
+      SELECT s AS id, MIN(d) AS component FROM reach GROUP BY s
+    )
+    SELECT doc.doc_id AS id,
+           COALESCE(c.component, doc.doc_id) AS keeper_id,
+           (c.component IS NOT NULL AND c.component <> doc.doc_id)
+             AS is_duplicate
+    FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
+    """
+)
+
+
+@query("dedup_components", _COMPONENTS_SQL)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(docs, verify_threshold=0.8, transitive=True)
+
+
 # SimHash near-dup pairs with a portable (md5-derived 60-bit) signature
 # so DuckDB computes the IDENTICAL simhash, then exact all-pairs
 # hamming <= 3. The Spark side's pigeonhole banding (max_hamming+1
