@@ -1,0 +1,122 @@
+"""Mergeable sketch aggregates with correctness gates.
+
+The 100 TB pattern for "how many distinct X" is NOT countDistinct —
+an exact distinct shuffles every distinct key to its group. The
+production path is a mergeable sketch: build small fixed-size HLL
+sketches close to the data (per file / per day / per fine-grained
+group), store or cache them, and answer coarse rollups by UNIONING
+sketches without ever rescanning the corpus. Spark 3.5+ ships the
+Apache DataSketches HLL family as native aggregates
+(hll_sketch_agg / hll_union_agg / hll_sketch_estimate), so the whole
+pipeline stays JVM-side and codegen'd — no UDFs.
+
+The reference has no approximate aggregates (its only aggregation is
+the events-per-partition counter, /root/reference/src/
+DefaultPartitionManager.hpp:208); these operators extend SURVEY.md
+§2.7's aggregation row with the scale-path variants.
+
+Gate design: approximate answers can't hash-match an exact oracle, so
+— like the ANN recall gates in similarity.py — each operator here has
+a *_gate form that emits the EXACT answer (oracle-checkable) plus a
+boolean asserting the sketch landed within its error bound. The gate
+makes the sketch's accuracy itself part of the correctness surface:
+a broken sketch flips the boolean and the hash mismatch flags it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hll_distinct_rollup(
+    df: DataFrame,
+    fine_cols: list[str | Column],
+    coarse_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Two-level distinct count: HLL sketches at ``fine_cols``
+    granularity, merged up to ``coarse_cols`` by sketch union.
+
+    This is the reaggregation shape that makes sketches pay at scale:
+    the fine sketches are computed once (map-side partial aggregation,
+    shuffle carries one ~2^lg_k-byte sketch per fine group, not keys)
+    and every coarser rollup is a union over sketches — the corpus is
+    never rescanned. Standard error ~= 1.04 / sqrt(2^lg_k), so
+    lg_k=12 gives ~1.6%.
+
+    Returns coarse_cols + (approx_distinct: long).
+    """
+    sketches = df.groupBy(*fine_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sk")
+    )
+    return sketches.groupBy(*coarse_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct")
+    )
+
+
+def distinct_count_gate(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    fine_col: Column,
+    lg_k: int = 12,
+    tol: float = 0.05,
+) -> DataFrame:
+    """Exact distinct count per group + a boolean asserting the
+    two-level HLL rollup agrees within ``tol`` relative error.
+
+    The exact branch exists FOR the gate (and small groups); at corpus
+    scale the rollup is the answer and the exact branch is the thing
+    you no longer run. tol defaults to ~3x the lg_k=12 standard error.
+
+    Returns group_cols + (exact_distinct: long, sketch_ok: boolean).
+    """
+    approx = hll_distinct_rollup(
+        df, [*group_cols, fine_col.alias("__fine")], group_cols, value_col, lg_k
+    )
+    exact = df.groupBy(*group_cols).agg(
+        F.countDistinct(value_col).alias("exact_distinct")
+    )
+    err = F.abs(F.col("approx_distinct") - F.col("exact_distinct")) / F.greatest(
+        F.col("exact_distinct").cast("double"), F.lit(1.0)
+    )
+    return (
+        exact.join(approx, group_cols)
+        .select(*group_cols, "exact_distinct", (err <= tol).alias("sketch_ok"))
+    )
+
+
+def quantile_gate(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    accuracy: int = 10000,
+    rank_tol: float = 0.01,
+) -> DataFrame:
+    """Exact per-group quantiles + a boolean asserting approx_percentile
+    lands inside the exact value envelope [q - rank_tol, q + rank_tol].
+
+    approx_percentile (Greenwald-Khanna) guarantees rank error
+    <= 1/accuracy; the gate converts that to a checkable VALUE bound by
+    bracketing with exact quantiles at q +/- rank_tol. Exact percentile
+    buffers each group's values (fine for bounded groups / the gate);
+    the production path at 100 TB is the approx aggregate, whose state
+    is O(accuracy) per group regardless of input size.
+
+    Returns group_cols + (p_<q> rounded 6dp per q, approx_ok: boolean).
+    """
+    exact_cols = [
+        F.round(F.percentile(value_col, F.lit(q)), 6).alias(f"p_{int(q * 100)}")
+        for q in qs
+    ]
+    lo_hi = []
+    for q in qs:
+        lo_hi.append(F.percentile(value_col, F.lit(max(q - rank_tol, 0.0))))
+        lo_hi.append(F.percentile(value_col, F.lit(min(q + rank_tol, 1.0))))
+    approx = [F.approx_percentile(value_col, F.lit(q), F.lit(accuracy)) for q in qs]
+    ok = F.lit(True)
+    for i, _q in enumerate(qs):
+        ok = ok & approx[i].between(lo_hi[2 * i], lo_hi[2 * i + 1])
+    return df.groupBy(*group_cols).agg(*exact_cols, ok.alias("approx_ok"))

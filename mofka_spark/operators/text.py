@@ -496,3 +496,76 @@ def lm_score(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("logp"), 6).alias("avg_logp"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term list —
+    the classic lexical retrieval score (quality filtering, targeted
+    corpus slicing, retrieval baselines next to the knn/LSH operators
+    in similarity.py).
+
+    Scale shape: for a query-sized term list the score needs NO
+    explode and NO per-term shuffle. Per-doc term frequencies are
+    size(filter(tokens)) projections; the corpus statistics
+    (N, avgdl, per-term document frequencies) reduce to ONE scalar
+    aggregate row that is broadcast back; scoring is then a pure map
+    stage. Two corpus scans total (stats + score), both pruned to
+    (id, text); shuffle volume is one row.
+
+    Returns (id, n_terms, bm25) for documents matching >= 1 term,
+    bm25 rounded to 6dp. Formula: for each term t,
+    idf(t) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5)),
+    contribution = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    summed in ``terms`` order (the oracle mirrors the order so float
+    summation agrees bit-for-bit)."""
+    spread = _nonnull_spread(df, id_col, text_col)
+    arr = _tokens(F.col(text_col))
+    def _tf(term: str) -> Column:
+        # NB: the filter lambda must take exactly ONE parameter — a
+        # second parameter makes pyspark pass the element INDEX to it
+        return F.size(F.filter(arr, lambda t: t == F.lit(term))).cast("double")
+
+    tf_cols = [_tf(term).alias(f"tf_{i}") for i, term in enumerate(terms)]
+    feats = spread.select(
+        F.col(id_col).alias("id"),
+        F.size(arr).cast("double").alias("dl"),
+        *tf_cols,
+    )
+    stats = feats.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = feats.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    hits = F.lit(0).cast("long")
+    for i in range(len(terms)):
+        tf, dfreq = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        contrib = F.when(
+            tf > 0, idf * (tf * F.lit(k1 + 1.0)) / denom
+        ).otherwise(F.lit(0.0))
+        score = score + contrib
+        hits = hits + (tf > 0).cast("long")
+    return (
+        scored.select("id", hits.alias("n_terms"), F.round(score, 6).alias("bm25"))
+        .filter(F.col("n_terms") > 0)
+    )

@@ -1444,6 +1444,103 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(docs, verify_threshold=0.8, transitive=True)
 
 
+# ===========================================================================
+# 7. Sketches and retrieval scoring
+# ===========================================================================
+
+# Mergeable-sketch distinct count (operators/sketch.py): per-day HLL
+# sketches unioned up to per-type totals. Gate pattern as in lsh_recall:
+# the exact count is oracle-checked, the sketch's accuracy is asserted
+# as a boolean the oracle expects TRUE.
+@query(
+    "distinct_users_sketch",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           TRUE AS sketch_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return sketch.distinct_count_gate(
+        ev, ["event_type"], "user_id", F.to_date("ts"), lg_k=12, tol=0.05
+    )
+
+
+# Exact per-group quantiles (value-matched against DuckDB quantile_cont
+# — both linear interpolation) + a boolean gate bracketing
+# approx_percentile inside the exact q +/- 1% rank envelope.
+@query(
+    "value_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p_50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p_95,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return sketch.quantile_gate(ev, ["event_type"], "value", qs=(0.5, 0.95))
+
+
+_BM25_TERMS = ["hash", "merge", "window"]
+
+
+def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    tf_defs = ",\n             ".join(
+        f"CAST(len(list_filter(arr, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(terms))
+    )
+    contribs = "\n           + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN LN(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * ({k1} + 1.0))"
+        f" / (tf_{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl)) ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    hits = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(terms))
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr
+      FROM documents WHERE text IS NOT NULL
+    ), f AS (
+      SELECT doc_id, CAST(len(arr) AS DOUBLE) AS dl,
+             {tf_defs}
+      FROM t
+    ), s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+             {df_defs}
+      FROM f
+    )
+    SELECT doc_id AS id,
+           CAST({hits} AS BIGINT) AS n_terms,
+           ROUND({contribs}, 6) AS bm25
+    FROM f CROSS JOIN s
+    WHERE {hits} > 0
+    """
+
+
+# BM25 lexical retrieval scoring against a fixed term list — zero
+# explode, zero per-term shuffle (see text.bm25_scores). The oracle
+# mirrors the exact float-op order so 6dp-rounded scores match.
+@query("bm25_scores", _bm25_oracle(_BM25_TERMS))
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.bm25_scores(docs, _BM25_TERMS)
+
+
 # SimHash near-dup pairs with a portable (md5-derived 60-bit) signature
 # so DuckDB computes the IDENTICAL simhash, then exact all-pairs
 # hamming <= 3. The Spark side's pigeonhole banding (max_hamming+1

@@ -1,0 +1,106 @@
+"""Sketch aggregates (HLL rollup, quantile gate) and BM25 scoring."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mofka_spark.operators import sketch
+from mofka_spark.operators.text import bm25_scores
+from mofka_spark.queries import _t
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return _t(spark, SF, "events")
+
+
+class TestHllRollup:
+    def test_rollup_matches_single_level(self, spark):
+        """Unioning fine sketches must give the SAME estimate as one
+        coarse sketch — mergeability is the property the 100 TB
+        pattern rests on (HLL union is lossless across splits)."""
+        ev = _events(spark)
+        two_level = sketch.hll_distinct_rollup(
+            ev, ["event_type", F.to_date("ts").alias("d")], ["event_type"], "user_id"
+        )
+        one_level = ev.groupBy("event_type").agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("single")
+        )
+        rows = {r.event_type: r.approx_distinct for r in two_level.collect()}
+        singles = {r.event_type: r.single for r in one_level.collect()}
+        assert rows == singles
+
+    def test_gate_true_and_exact(self, spark):
+        ev = _events(spark)
+        out = sketch.distinct_count_gate(
+            ev, ["event_type"], "user_id", F.to_date("ts")
+        ).collect()
+        exact = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert len(out) == len(exact)
+        for r in out:
+            assert r.exact_distinct == exact[r.event_type]
+            assert r.sketch_ok
+
+
+class TestQuantileGate:
+    def test_exact_and_gate(self, spark):
+        ev = _events(spark)
+        out = sketch.quantile_gate(ev, ["event_type"], "value").collect()
+        # exact median cross-check for one group, computed driver-side
+        vals = sorted(
+            r.value
+            for r in ev.filter(F.col("event_type") == "click")
+            .select("value")
+            .collect()
+        )
+        n = len(vals)
+        pos = 0.5 * (n - 1)
+        lo, frac = int(math.floor(pos)), pos - math.floor(pos)
+        expected = vals[lo] + frac * (vals[lo + 1] - vals[lo]) if frac else vals[lo]
+        row = next(r for r in out if r.event_type == "click")
+        assert row.p_50 == pytest.approx(expected, abs=1e-6)
+        assert all(r.approx_ok for r in out)
+
+
+class TestBm25:
+    def test_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "hash join hash"),
+                (2, "merge sort"),
+                (3, "scan only here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.id: (r.n_terms, r.bm25) for r in bm25_scores(docs, ["hash", "merge"]).collect()}
+        # doc 3 matches nothing -> excluded
+        assert set(out) == {1, 2}
+        k1, b = 1.2, 0.75
+        n_docs, avgdl = 3.0, (3 + 2 + 3) / 3.0
+
+        def score(tf, dfreq, dl):
+            idf = math.log(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+            return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        assert out[1][0] == 1
+        assert out[1][1] == pytest.approx(score(2, 1, 3), abs=1e-6)
+        assert out[2][0] == 1
+        assert out[2][1] == pytest.approx(score(1, 1, 2), abs=1e-6)
+
+    def test_null_text_dropped(self, spark):
+        docs = spark.createDataFrame(
+            [(1, None), (2, "hash")], "doc_id long, text string"
+        )
+        out = bm25_scores(docs, ["hash"]).collect()
+        assert [r.id for r in out] == [2]
