@@ -152,6 +152,31 @@ class Driver:
     def add_partitions(self, name: str, count: int = 1) -> None:
         self.registry.add_partitions(name, count)
 
+    # -- SQL surface (beyond-reference: mofka has no query language) -------
+    def register_views(self, prefix: str = "topic_") -> list[str]:
+        """Register every topic as a Spark temp view ``<prefix><name>``
+        (non-alphanumeric name chars become ``_``). Views are lazy
+        DataFrames over the topic log — partition pruning, predicate
+        pushdown, and column pruning all apply; re-registering after
+        new appends is cheap (metadata only). Returns the view names."""
+        out = []
+        for name in self.list_topics():
+            view = prefix + "".join(
+                c if c.isalnum() else "_" for c in name
+            )
+            self.open_topic(name).dataframe().createOrReplaceTempView(view)
+            out.append(view)
+        return out
+
+    def sql(self, query: str) -> DataFrame:
+        """Run Spark SQL over the service's topics (registered as
+        ``topic_<name>`` views). The analytics entry point the
+        reference lacks: topics are just tables here, so joins,
+        aggregations, and window functions over event streams are
+        one statement away."""
+        self.register_views()
+        return self.spark.sql(query)
+
 
 class TopicHandle:
     """≙ MofkaTopicHandle: factory for producers/consumers + completion."""

@@ -364,3 +364,59 @@ def synthetic_payload(docs: DataFrame) -> DataFrame:
         .otherwise(raw)
     )
     return docs.withColumn("data", payload)
+
+
+# -- payload -> embedding extraction (stubbed encoder) -----------------------
+
+
+def decode_embeddings(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Embedding-extraction plumbing: Arrow-batched mapInPandas from the
+    opaque payload column to a dense vector, the stage that would run a
+    real image/audio/text encoder at 100 TB (the encoder itself is a
+    deterministic stand-in — this container ships no model runtimes).
+
+    Stand-in encoder: component i of doc d with an n-byte payload is
+      ((d * 1315423911 + i * 2654435761 + n) % 1000003) / 1000003.0
+    — pure integer math, so an external oracle reproduces the exact
+    doubles and downstream similarity results are fully checkable.
+
+    Spark-side shape (the part that IS production-real): only
+    (id, data) flow to Python (column pruning), batches arrive as Arrow
+    record batches sized by spark.sql.execution.arrow.maxRecordsPerBatch,
+    output is (vec_id, embedding: array<double>) ready for the
+    similarity.py operators, and the stage is a pure map — no shuffle;
+    a real encoder slots in by replacing _encode only."""
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(data_col).alias("data")
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(dim, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nbytes = np.fromiter(
+                (len(b) if b is not None else 0 for b in pdf["data"]),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            base = ids[:, None] * 1315423911 + idx[None, :] * 2654435761
+            vecs = ((base + nbytes[:, None]) % 1000003) / 1000003.0
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(vecs)}
+            )
+
+    return narrow.mapInPandas(run, out_schema)

@@ -1541,6 +1541,54 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_scores(docs, _BM25_TERMS)
 
 
+# Multimodal -> similarity pipeline: opaque payloads through the
+# Arrow-batched embedding-extraction stage (mapInPandas, stand-in
+# encoder) into exact cosine top-k. The stand-in encoder is pure
+# integer math on (doc_id, payload byte length), so the oracle rebuilds
+# the identical doubles (payload length = body + header size per the
+# synthetic_payload format table) and the whole pipeline — byte
+# synthesis, Python batch plumbing, vector scoring, ranking — must
+# hash-match end to end.
+@query(
+    "modality_embed_knn",
+    """
+    WITH e AS (
+      SELECT doc_id AS vec_id,
+             list_transform(generate_series(0, 15), i ->
+               ((doc_id * 1315423911 + i * 2654435761 +
+                 octet_length(encode(text)) +
+                 (CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 28
+                                  WHEN 2 THEN 10 ELSE 8 END)) % 1000003)
+               / 1000003.0) AS embedding
+      FROM documents
+    ), q AS (SELECT vec_id AS query_id, embedding AS qvec FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qvec, c.embedding), 6) AS score
+      FROM e c, q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_modality_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import modality
+
+    docs = _wide(_t(spark, sf_dir, "documents"), "doc_id")
+    payloads = modality.synthetic_payload(docs).select("doc_id", "data")
+    emb = modality.decode_embeddings(payloads, dim=16)
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.brute_force_topk(queries, emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rnk")
+    )
+
+
 # SimHash near-dup pairs with a portable (md5-derived 60-bit) signature
 # so DuckDB computes the IDENTICAL simhash, then exact all-pairs
 # hamming <= 3. The Spark side's pigeonhole banding (max_hamming+1

@@ -402,3 +402,36 @@ class TestPrefetchConsumer:
         rest = list(c)
         assert len(rest) == 19
         assert c.pull() is NoMoreEvents
+
+
+class TestSqlSurface:
+    """Driver.sql: topics as SQL tables (beyond-reference surface)."""
+
+    def test_sql_over_topics(self, driver):
+        topic = driver.create_topic("sqltop", num_partitions=2)
+        with topic.producer("p") as prod:
+            for i in range(10):
+                prod.push({"n": i}, data=b"")
+        views = driver.register_views()
+        assert "topic_sqltop" in views
+        row = driver.sql(
+            "SELECT COUNT(*) AS n, SUM(get_json_object(metadata, '$.n')) AS s"
+            " FROM topic_sqltop"
+        ).collect()[0]
+        assert (row.n, row.s) == (10, 45.0)
+
+    def test_sql_join_across_topics(self, driver):
+        a = driver.create_topic("sqla")
+        b = driver.create_topic("sql-b")
+        with a.producer("p") as pa:
+            for i in range(4):
+                pa.push({"k": i}, data=b"")
+        with b.producer("p") as pb:
+            for i in range(2, 6):
+                pb.push({"k": i}, data=b"")
+        out = driver.sql(
+            "SELECT COUNT(*) AS n FROM topic_sqla x JOIN topic_sql_b y"
+            " ON get_json_object(x.metadata, '$.k') ="
+            "    get_json_object(y.metadata, '$.k')"
+        ).collect()[0]
+        assert out.n == 2

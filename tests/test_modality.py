@@ -163,3 +163,20 @@ class TestSyntheticPayload:
             if m == 1:
                 assert r.sample_rate in (8000, 16000, 44100)
                 assert r.channels == r.doc_id % 2 + 1
+
+
+class TestDecodeEmbeddings:
+    def test_formula_and_shape(self, spark):
+        from mofka_spark.operators.modality import decode_embeddings
+
+        df = spark.createDataFrame(
+            [(3, b"abcdef"), (7, None)], "doc_id long, data binary"
+        )
+        out = {r.vec_id: r.embedding for r in decode_embeddings(df, dim=4).collect()}
+        assert set(out) == {3, 7}
+        for d, n in ((3, 6), (7, 0)):
+            exp = [
+                ((d * 1315423911 + i * 2654435761 + n) % 1000003) / 1000003.0
+                for i in range(4)
+            ]
+            assert out[d] == pytest.approx(exp, abs=0)
