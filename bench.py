@@ -47,6 +47,12 @@ def main() -> None:
     spark.range(0, int(cpus) * 4, 1, int(cpus)).select(
         _warm("id")
     ).count()
+    # mapInPandas runs a different Python eval path than pandas_udf;
+    # warm it too or the first modality query pays per-core worker
+    # startup (measured ~5s of a 6s query at sf0.1)
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     # warm the Structured Streaming machinery (python data source
     # registration, MicroBatchExecution, state store provider) with a
     # one-event topic + windowed agg — the first streaming query per

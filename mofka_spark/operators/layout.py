@@ -1,0 +1,120 @@
+"""Data layout for scan pruning: clustered writes + skipping metrics.
+
+At 100 TB the cheapest bytes are the ones never read. Parquet stores
+min/max statistics per row group; a scan with a pushed-down predicate
+skips row groups whose stats exclude it. Those stats are only
+selective if the writer CLUSTERED the data — a random layout gives
+every row group nearly the full value range and nothing skips.
+
+This module provides the write-side half (range-partition + sort
+within partitions on the cluster keys, optionally through a Z-order
+interleave for multi-column predicates) and the measurement half
+(row-group stats + a pruning ratio for a hypothetical predicate,
+computed from footers only — no data read). The reference has no
+analog: its log is strictly arrival-ordered (SURVEY.md §1.2); this is
+the engine-side layout control an analytics store needs.
+
+Everything is built-ins: repartitionByRange / sortWithinPartitions
+are the Spark-native clustered-write idiom (AQE-compatible, no hints),
+and the Z-key is a pure bit-interleave Column expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each (non-negative int)
+    column into one Z-order key: locality in the key preserves
+    locality in EVERY input dimension, so range-clustering on the key
+    yields row groups selective for predicates on any single column.
+
+    Callers pre-scale values into [0, 2^bits) — ranks, bucketed
+    timestamps, quantized floats. Pure bitwise Column expression
+    (bits x ncols shifts/ors, all codegen)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cs)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cs):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1).cast("long"))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def optimize_layout(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 8,
+    zorder: bool = False,
+    zorder_bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Clustered rewrite: range-partition into ``num_files`` spans of
+    the cluster key and sort within each — every output file (and its
+    row groups) then covers a narrow, non-overlapping key range, which
+    is exactly what makes footer min/max stats selective.
+
+    ``zorder=True`` clusters on the interleaved key instead, trading a
+    little per-column selectivity for usable skipping on ALL cluster
+    columns at once (the multi-dimensional case range-sorting can't
+    serve: sorting by (a, b) leaves b unclustered across a-spans).
+
+    Scale shape: one range exchange (sampled boundaries) + local sort —
+    the same cost class as any shuffle; no driver materialization.
+    """
+    if zorder:
+        keyed = df.withColumn("__zkey", zorder_key(cluster_cols, zorder_bits))
+        out = (
+            keyed.repartitionByRange(num_files, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    else:
+        out = df.repartitionByRange(num_files, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
+    out.write.mode(mode).parquet(path)
+
+
+def rowgroup_stats(path: str, column: str) -> list[tuple]:
+    """(file, row_group, min, max, n_rows) per row group, from footers
+    only — the metadata a pruning scan consults."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    out.append(
+                        (
+                            os.path.basename(f),
+                            rg,
+                            col.statistics.min,
+                            col.statistics.max,
+                            g.num_rows,
+                        )
+                    )
+    return out
+
+
+def pruning_ratio(path: str, column: str, lo, hi) -> float:
+    """Fraction of ROWS a range predicate ``column BETWEEN lo AND hi``
+    can skip from footer stats alone (row groups whose [min, max] is
+    disjoint from [lo, hi]). 0.0 = layout gives no skipping; values
+    near the predicate's unselectivity are optimal."""
+    stats = rowgroup_stats(path, column)
+    total = sum(s[4] for s in stats)
+    if not total:
+        return 0.0
+    skipped = sum(s[4] for s in stats if s[3] < lo or s[2] > hi)
+    return skipped / total

@@ -1581,7 +1581,14 @@ def q_modality_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _wide(_t(spark, sf_dir, "documents"), "doc_id")
     payloads = modality.synthetic_payload(docs).select("doc_id", "data")
-    emb = modality.decode_embeddings(payloads, dim=16)
+    # persist + EAGER count: the query and corpus sides of the top-k
+    # both read this frame, and ArrowEvalPython subtrees get no AQE
+    # stage reuse — an unpersisted plan runs payload synthesis + the
+    # Python encoder twice, and a lazily-populated cache makes both
+    # sides race per-partition block locks through the Python stage
+    # (the simhash materialization rule, SCALING.md)
+    emb = modality.decode_embeddings(payloads, dim=16).persist()
+    emb.count()
     queries = emb.filter(F.col("vec_id") < 8)
     out = similarity.brute_force_topk(queries, emb, k=5)
     return out.select(
