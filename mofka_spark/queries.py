@@ -1397,6 +1397,64 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(docs, verify_threshold=0.8)
 
 
+# Online (streaming) dedup, oracle-gated against batch semantics: the
+# documents flow through a topic as an event stream, the stateful
+# dropDuplicates operator (streaming/dedup.py) emits one event per
+# distinct content key, and the emitted key SET must equal the batch
+# DISTINCT — streaming state semantics checked by hash, not just rows.
+# Only the content hash is returned: WHICH copy survives within a
+# micro-batch is not deterministic (and is not part of the contract).
+@query(
+    "streaming_dedup",
+    r"""
+    SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             AS content_hash
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from mofka_spark.client import Driver
+    from mofka_spark.streaming.dedup import dedup_stream
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    root = tempfile.mkdtemp(prefix="mofka-sdedup-")
+    driver = Driver(spark, root)
+    topic = driver.create_topic("sdedup", num_partitions=2)
+    topic.producer("bulk").push_dataframe(
+        docs.select(F.to_json(F.struct("doc_id", "text")).alias("metadata"))
+    )
+    topic.mark_as_complete()
+    key = F.md5(
+        dedup.normalize_text(F.get_json_object("metadata", "$.text"))
+    )
+    deduped = dedup_stream(topic.read_stream(), key=key, within=None)
+    out = deduped.select(
+        F.md5(
+            dedup.normalize_text(F.get_json_object("metadata", "$.text"))
+        ).alias("content_hash")
+    )
+    sink_name = "sdedup_" + uuid.uuid4().hex[:8]
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.table(sink_name)
+
+
 # Transitive keeper assignment: connected components over the verified
 # near-dup edge set (operators/graph.py min-label propagation), so a
 # chain A~B~C collapses to one keeper even when A-C is not an edge.
