@@ -164,7 +164,13 @@ class Driver:
             view = prefix + "".join(
                 c if c.isalnum() else "_" for c in name
             )
-            self.open_topic(name).dataframe().createOrReplaceTempView(view)
+            th = self.open_topic(name)
+            try:
+                # schema-validated topics get a typed `meta` struct
+                df = th.dataframe(parsed=True)
+            except MofkaError:
+                df = th.dataframe()
+            df.createOrReplaceTempView(view)
             out.append(view)
         return out
 
@@ -242,10 +248,36 @@ class TopicHandle:
         self.driver.registry.mark_as_complete(self.name)
 
     # -- analytics surface -------------------------------------------------
-    def dataframe(self, partitions: list[int] | None = None) -> DataFrame:
+    def dataframe(
+        self, partitions: list[int] | None = None, parsed: bool = False
+    ) -> DataFrame:
         """The topic as a batch DataFrame — the bridge from streaming
-        semantics to the full Spark relational surface."""
-        return self.log.read(partitions)
+        semantics to the full Spark relational surface.
+
+        ``parsed=True``: when the topic declares a JSON-Schema
+        validator, project the metadata through it as a typed ``meta``
+        struct column (from_json with the schema's Spark shape) —
+        queries then use ``meta.field`` with real types instead of
+        get_json_object string probes, and Catalyst prunes unread
+        fields out of the JSON parse."""
+        df = self.log.read(partitions)
+        if parsed:
+            from pyspark.sql import functions as F
+
+            from mofka_spark.functions.validators import (
+                SchemaValidator,
+                Validator,
+            )
+
+            v = Validator.from_metadata(self._cfg.validator)
+            if not isinstance(v, SchemaValidator):
+                raise MofkaError(
+                    f"topic '{self.name}' has no schema validator to parse with"
+                )
+            df = df.withColumn(
+                "meta", F.from_json("metadata", v.spark_struct())
+            )
+        return df
 
     def read_stream(self, batch_size: int | None = None) -> DataFrame:
         """The topic as a streaming DataFrame (custom 'mofka' source;

@@ -226,6 +226,47 @@ class SchemaValidator(Validator):
         return acc
 
 
+
+    # -- typed projection ---------------------------------------------------
+    def spark_struct(self):
+        """The schema's Spark shape (StructType) for typed metadata
+        projection: JSON-Schema scalar types map to Spark types
+        (integer -> long, number -> double), arrays map element-wise,
+        nested objects recurse. Unconstrained / combinator-typed
+        fields stay strings (the lossless fallback for from_json)."""
+        from pyspark.sql import types as T
+
+        def conv(sch):
+            t = sch.get("type")
+            if isinstance(t, list):  # union type -> string fallback
+                t = None
+            if t == "integer":
+                return T.LongType()
+            if t == "number":
+                return T.DoubleType()
+            if t == "boolean":
+                return T.BooleanType()
+            if t == "string":
+                return T.StringType()
+            if t == "array":
+                return T.ArrayType(conv(sch.get("items", {})))
+            if t == "object":
+                props = sch.get("properties", {})
+                return T.StructType(
+                    [T.StructField(k, conv(v)) for k, v in props.items()]
+                )
+            return T.StringType()
+
+        root = conv(self.schema)
+        from pyspark.sql import types as T
+
+        if not isinstance(root, T.StructType):
+            raise ValueError(
+                "spark_struct requires an object-typed root schema"
+            )
+        return root
+
+
 class EventbridgeValidator(Validator):
     def __init__(self, pattern: dict[str, Any]):
         self.pattern = pattern

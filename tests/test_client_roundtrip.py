@@ -435,3 +435,38 @@ class TestSqlSurface:
             "    get_json_object(y.metadata, '$.k')"
         ).collect()[0]
         assert out.n == 2
+
+    def test_parsed_dataframe_and_views(self, driver):
+        schema = {
+            "type": "object",
+            "properties": {
+                "n": {"type": "integer"},
+                "tag": {"type": "string"},
+                "xs": {"type": "array", "items": {"type": "number"}},
+            },
+            "required": ["n"],
+        }
+        topic = driver.create_topic(
+            "typed", validator={"type": "schema", "schema": schema}
+        )
+        with topic.producer("p") as prod:
+            for i in range(5):
+                prod.push({"n": i, "tag": f"t{i}", "xs": [i * 1.5]}, data=b"")
+        df = topic.dataframe(parsed=True)
+        rows = df.select("meta.n", "meta.tag", "meta.xs").orderBy("meta.n").collect()
+        assert [r.n for r in rows] == list(range(5))
+        assert rows[2].xs == [3.0]
+        # typed fields usable straight from SQL views
+        out = driver.sql(
+            "SELECT SUM(meta.n) AS s FROM topic_typed WHERE meta.tag <> 't0'"
+        ).collect()[0]
+        assert out.s == 10
+
+    def test_parsed_requires_schema_topic(self, driver):
+        import pytest as _pytest
+
+        from mofka_spark.errors import MofkaError
+
+        topic = driver.create_topic("untyped")
+        with _pytest.raises(MofkaError):
+            topic.dataframe(parsed=True)
