@@ -1455,6 +1455,63 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink_name)
 
 
+# Incrementally-maintained aggregate table (streaming materialized
+# view): events stream through a topic; each micro-batch appends
+# PARTIAL aggregates; the result is the merge-on-read combine. The
+# oracle is the plain batch GROUP BY — the incremental maintenance
+# must be invisible in the final answer.
+@query(
+    "streaming_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS value_count,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events WHERE event_id < 5000
+    GROUP BY event_type
+    """,
+)
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.client import Driver
+    from mofka_spark.streaming.rollup import read_rollup, rollup_sink
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    root = tempfile.mkdtemp(prefix="mofka-rollup-")
+    driver = Driver(spark, root)
+    topic = driver.create_topic("rollup", num_partitions=2)
+    topic.producer("bulk").push_dataframe(
+        ev.select(F.to_json(F.struct("event_type", "value")).alias("metadata"))
+    )
+    topic.mark_as_complete()
+    parsed = topic.read_stream().select(
+        F.from_json("metadata", "event_type string, value double").alias("m")
+    ).select("m.*")
+    agg_path = os.path.join(root, "agg")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        aggs = {"value": ["count", "sum"]}
+        q = (
+            parsed.writeStream.foreachBatch(
+                rollup_sink(agg_path, ["event_type"], aggs)
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    out = read_rollup(spark, agg_path, ["event_type"], aggs)
+    return out.select(
+        "event_type",
+        "value_count",
+        F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
 # Transitive keeper assignment: connected components over the verified
 # near-dup edge set (operators/graph.py min-label propagation), so a
 # chain A~B~C collapses to one keeper even when A-C is not an edge.

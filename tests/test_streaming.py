@@ -386,3 +386,37 @@ def test_stream_dedup_exact_unbounded(driver, tmp_path):
     )
     q.awaitTermination(120)
     assert driver.spark.sql("SELECT * FROM dedup_out_x").count() == 4
+
+
+class TestIncrementalRollup:
+    """streaming/rollup.py mechanics without a live stream: epochs,
+    replay idempotence, merge-on-read, compaction invariance."""
+
+    def test_epochs_replay_and_compaction(self, spark, tmp_path):
+        from mofka_spark.streaming.rollup import (
+            compact_rollup,
+            read_rollup,
+            rollup_sink,
+        )
+
+        path = str(tmp_path / "agg")
+        aggs = {"v": ["count", "sum", "max"]}
+        sink = rollup_sink(path, ["k"], aggs)
+        b1 = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, v double")
+        b2 = spark.createDataFrame([("a", 10.0), ("c", 0.5)], "k string, v double")
+        sink(b1, 0)
+        sink(b2, 1)
+        sink(b2, 1)  # replayed epoch must overwrite itself, not double-count
+
+        def snap():
+            return {
+                r.k: (r.v_count, r.v_sum, r.v_max)
+                for r in read_rollup(spark, path, ["k"], aggs).collect()
+            }
+
+        expect = {"a": (3, 13.0, 10.0), "b": (1, 5.0, 5.0), "c": (1, 0.5, 0.5)}
+        assert snap() == expect
+        compact_rollup(spark, path, ["k"], aggs)
+        assert snap() == expect
+        # compaction reduced the partial table to one row per group
+        assert spark.read.parquet(path).count() == 3
