@@ -248,11 +248,30 @@ class TopicHandle:
         self.driver.registry.mark_as_complete(self.name)
 
     # -- analytics surface -------------------------------------------------
+    def snapshot(self) -> dict[int, int]:
+        """Per-partition high-water offsets at this instant — a
+        reproducible CUT of a growing topic. Pass the result to
+        ``dataframe(until=...)`` (today or months later) to read
+        exactly the events that existed now: offsets are dense and
+        immutable, so the cut is stable under any amount of later
+        ingest. O(#partitions) ledger metadata, no data read. The
+        training-data use: pin the corpus snapshot a run trained on."""
+        return dict(self.log.next_offsets())
+
     def dataframe(
-        self, partitions: list[int] | None = None, parsed: bool = False
+        self,
+        partitions: list[int] | None = None,
+        parsed: bool = False,
+        until: dict[int, int] | None = None,
     ) -> DataFrame:
         """The topic as a batch DataFrame — the bridge from streaming
         semantics to the full Spark relational surface.
+
+        ``until``: a ``snapshot()`` dict — only events with
+        ``offset < until[partition]`` are read (partitions absent from
+        the dict are excluded). Compiles to per-partition offset-range
+        predicates that reach the scan, so a snapshot read prunes to
+        the row groups below the cut.
 
         ``parsed=True``: when the topic declares a JSON-Schema
         validator, project the metadata through it as a typed ``meta``
@@ -261,6 +280,18 @@ class TopicHandle:
         get_json_object string probes, and Catalyst prunes unread
         fields out of the JSON parse."""
         df = self.log.read(partitions)
+        if until is not None:
+            from functools import reduce
+            from operator import or_
+
+            from pyspark.sql import functions as F
+
+            conds = [
+                (F.col("partition") == int(p)) & (F.col("offset") < int(n))
+                for p, n in until.items()
+                if int(n) > 0
+            ]
+            df = df.filter(reduce(or_, conds)) if conds else df.filter(F.lit(False))
         if parsed:
             from pyspark.sql import functions as F
 

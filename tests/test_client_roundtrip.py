@@ -470,3 +470,26 @@ class TestSqlSurface:
         topic = driver.create_topic("untyped")
         with _pytest.raises(MofkaError):
             topic.dataframe(parsed=True)
+
+    def test_snapshot_reads_are_stable(self, driver):
+        topic = driver.create_topic("snap", num_partitions=2)
+        with topic.producer("p") as prod:
+            for i in range(10):
+                prod.push({"i": i}, data=b"")
+        cut = topic.snapshot()
+        assert sum(cut.values()) == 10
+        with topic.producer("p") as prod:
+            for i in range(10, 30):
+                prod.push({"i": i}, data=b"")
+        # the cut still reads exactly the first 10 events
+        first = topic.dataframe(until=cut)
+        assert first.count() == 10
+        import json as _json
+
+        seen = sorted(
+            _json.loads(r.metadata)["i"] for r in first.collect()
+        )
+        assert seen == list(range(10))
+        assert topic.dataframe().count() == 30
+        # empty cut reads nothing
+        assert topic.dataframe(until={}).count() == 0
