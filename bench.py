@@ -100,6 +100,22 @@ def main() -> None:
         # leak cached blocks into every later query's session state
         spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
+    # the round-1 recorded baseline (BENCH_r01.json) covers these 23
+    # queries; later rounds keep adding queries, so the honest
+    # baseline comparison is this subtotal, not the growing total
+    r1_queries = [
+        "ingest_offsets", "topic_stats", "consumer_cursors",
+        "eventbridge_numeric", "eventbridge_strings", "data_views",
+        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+        "top_orders_per_customer", "click_days_no_purchase",
+        "orders_rollup", "hourly_event_stats", "user_sessions",
+        "dedup_exact", "doc_fingerprints", "token_stats",
+        "quality_scores", "language_id", "knn_cosine",
+        "embedding_neardup", "minhash_dedup", "simhash_pairs",
+    ]
+    baseline_total = round(
+        sum(timings.get(n, 0.0) for n in r1_queries if timings.get(n, -1) >= 0), 3
+    )
     print(
         json.dumps(
             {
@@ -108,6 +124,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "baseline_queries_total_sec": baseline_total,
             }
         )
     )

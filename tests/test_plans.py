@@ -89,3 +89,44 @@ class TestOperatorPlans:
         p = plans.plan_string(out)
         assert "Join" not in p  # linear union+window, no pair explosion
         assert "Window" in p
+
+
+class TestAqeSkew:
+    def test_skewed_join_split_by_aqe(self, spark):
+        """The engine's answer to join skew is AQE's skew-join split
+        (SCALING.md 'Relational queries'); this pins that the session
+        confs actually produce a skew=true sort-merge join on a
+        pathologically skewed key, rather than one straggler task."""
+        confs = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            # 50k rows of key 0 (with wide padding) vs uniform keys
+            left = (
+                spark.range(0, 50_000)
+                .select(
+                    F.when(F.col("id") < 49_000, 0)
+                    .otherwise(F.col("id") % 64)
+                    .alias("k"),
+                    F.concat(F.lit("x" * 64), F.col("id")).alias("pad"),
+                )
+            )
+            right = spark.range(0, 64).select(
+                (F.col("id") % 64).alias("k"), F.lit("r").alias("rv")
+            )
+            out = left.join(right, "k")
+            out.collect()  # materialize THIS df so its AQE plan finalizes
+            p = out._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in p, p[:2000]
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
