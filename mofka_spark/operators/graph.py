@@ -40,10 +40,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # seed labels with round 1's result directly: min over (self,
+    # neighbors) is one aggregation — same shuffle the plain
+    # distinct-ids init would cost, but it saves a full propagation
+    # round (each round = a join + agg + materialization job)
     labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.min(F.least("src", "dst")).alias("component"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
