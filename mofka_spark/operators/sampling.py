@@ -14,7 +14,7 @@ like any other predicate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _MOD = 1_000_000
 
@@ -65,3 +65,68 @@ def stratified_hash_sample(
         else F.lit(int(default_fraction * _MOD))
     )
     return df.filter(bucket < thresh)
+
+
+def group_cap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    cap: int,
+    salt: str = "",
+    prefilter: bool = False,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    hash rank (the per-domain quota of web-corpus curation: no single
+    domain may contribute more than N documents).
+
+    Selection is deterministic: rank rows within each group by
+    (hash_bucket(key), key) and keep rank <= cap — the same rows
+    survive on every engine and every run. (Unlike hash_sample's
+    fraction cut, a rank-based quota is not append-stable: a new row
+    with a smaller hash legitimately displaces the current cap-th row.)
+
+    Scale: the exact form is one shuffle on the group key + a
+    per-group sort (rank). For web-scale skew (a hot domain with 1e8
+    docs sorted just to keep 1e4) enable ``prefilter``: a first
+    partial-agg pass counts each group, and rows are pre-filtered to
+    ``bucket < MOD * min(1, 4*cap/n_g)`` before the window — the
+    expensive sort then touches ~4*cap rows per group instead of n_g.
+    The 4x margin makes under-selection (a group landing < cap
+    survivors by hash fluke) vanishingly rare but not impossible, so
+    the prefiltered form VERIFIES: it recounts kept rows per group and
+    raises if any group fell short of min(cap, n_g) — fail loudly,
+    never silently under-sample.
+    """
+    bucket = hash_bucket(F.col(key_col), salt)
+    base = df
+    if prefilter:
+        counts = df.groupBy(group_col).agg(F.count("*").alias("_n_g"))
+        base = df.join(F.broadcast(counts), group_col).filter(
+            bucket
+            < F.least(
+                F.lit(_MOD),
+                (F.lit(4 * cap * _MOD) / F.col("_n_g")).cast("long"),
+            )
+        )
+    w = Window.partitionBy(group_col).orderBy(bucket.asc(), F.col(key_col).asc())
+    kept = (
+        base.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+    if prefilter:
+        kept = kept.persist()
+        short = (
+            kept.groupBy(group_col, "_n_g")
+            .agg(F.count("*").alias("_kept"))
+            .filter(F.col("_kept") < F.least(F.lit(cap), F.col("_n_g")))
+            .limit(1)
+            .count()
+        )
+        if short:
+            raise RuntimeError(
+                "group_cap prefilter under-selected a group; rerun with "
+                "prefilter=False (or a different salt)"
+            )
+        return kept.drop("_n_g")
+    return kept

@@ -25,7 +25,7 @@ a broken sketch flips the boolean and the hash mismatch flags it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def hll_distinct_rollup(
@@ -120,3 +120,86 @@ def quantile_gate(
     for i, _q in enumerate(qs):
         ok = ok & approx[i].between(lo_hi[2 * i], lo_hi[2 * i + 1])
     return df.groupBy(*group_cols).agg(*exact_cols, ok.alias("approx_ok"))
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str = "item",
+    k: int = 20,
+    m_per_partition: int = 1024,
+) -> DataFrame:
+    """Exact top-k frequent items WITHOUT a full-vocabulary shuffle,
+    with a per-call certificate that the answer is exact.
+
+    The classic distributed heavy-hitters shape (local summaries ->
+    candidate merge -> exact recount):
+
+    1. Per input partition, an Arrow map stage counts items locally and
+       keeps only its top ``m_per_partition``, plus one residual row
+       recording the largest count it DROPPED. Nothing shuffles yet;
+       Python sees each partition once.
+    2. The kept rows (m x P, independent of vocabulary size) aggregate
+       into a candidate set; the residual rows sum into ``slack`` = the
+       maximum possible total of an item that appears in NO partition's
+       top-m.
+    3. One more scan recounts the candidates exactly (broadcast
+       semi-join -> groupBy over candidate rows only), and the top-k of
+       those exact counts is returned with
+       ``guaranteed = (k-th count >= slack)``: any non-candidate is
+       bounded by slack, so when the flag is true the top-k is provably
+       the global exact answer. A false flag says m was too small for
+       this skew — raise m, don't trust the list.
+
+    Contrast with a plain groupBy(item).count(): that shuffles one row
+    per distinct item per map partition — for web-scale n-gram vocab
+    (hapax-heavy Zipf tail) the tail dominates the exchange. Here the
+    exchange carries m*P + |candidates| rows regardless of how long the
+    tail is; the tail dies in the map stage.
+
+    Returns (item, cnt, rnk, guaranteed), rnk 1..k ordered by
+    (cnt DESC, item ASC) — deterministic under count ties.
+    """
+    import pandas as pd
+
+    def local_topm(batches):
+        counts: dict = {}
+        for pdf in batches:
+            vc = pdf[item_col].value_counts()
+            for it, c in vc.items():
+                counts[it] = counts.get(it, 0) + int(c)
+        if not counts:
+            return
+        s = pd.Series(counts).sort_values(ascending=False)
+        kept, dropped = s.iloc[:m_per_partition], s.iloc[m_per_partition:]
+        out = pd.DataFrame(
+            {item_col: kept.index.astype(str), "cnt": kept.to_numpy("int64")}
+        )
+        out.loc[len(out)] = [None, int(dropped.iloc[0]) if len(dropped) else 0]
+        yield out
+
+    spark = items.sparkSession
+    local = items.select(item_col).mapInPandas(
+        local_topm, f"{item_col} string, cnt long"
+    )
+    local = local.persist()
+    slack = (
+        local.filter(F.col(item_col).isNull()).agg(F.sum("cnt")).collect()[0][0] or 0
+    )
+    candidates = (
+        local.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
+    )
+    exact = (
+        items.join(F.broadcast(candidates), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(item_col))
+        .limit(k)
+    )
+    # strict >: a non-candidate's total is <= slack, and at exact
+    # equality the (cnt DESC, item ASC) tie-break could still prefer
+    # it — only a strictly larger k-th count certifies the list.
+    # slack == 0 (no partition dropped anything) certifies trivially.
+    w = Window.orderBy(F.desc("cnt"), F.asc(item_col))
+    return exact.withColumn("rnk", F.row_number().over(w).cast("long")).withColumn(
+        "guaranteed", F.min("cnt").over(Window.partitionBy(F.lit(1))) > F.lit(slack)
+    )

@@ -1848,6 +1848,60 @@ def q_modality_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-domain quota (RefinedWeb-style curation): at most 15 docs per
+# source, selected by deterministic md5 hash rank so the oracle picks
+# the identical rows. Exercises operators/sampling.group_cap.
+@query(
+    "domain_cap",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                        % 1000000, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 15
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sampling import group_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_cap(docs, "doc_id", "source", cap=15).select("doc_id", "source")
+
+
+# Heavy hitters with an exactness certificate: top-20 tokens via the
+# local-top-m -> candidate -> exact-recount pipeline (no full-vocab
+# shuffle). The oracle computes the plain exact top-20; `guaranteed`
+# must come back TRUE, making the certificate itself oracle-checked.
+@query(
+    "heavy_hitter_tokens",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS item
+      FROM documents
+    )
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS rnk,
+           TRUE AS guaranteed
+    FROM toks GROUP BY item
+    ORDER BY cnt DESC, item LIMIT 20
+    """,
+)
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.dedup import normalize_text
+    from mofka_spark.operators.sketch import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("item")
+    )
+    return heavy_hitters(toks, k=20, m_per_partition=512)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The entry() query: mofka ingest semantics end-to-end — offset
     assignment + eventbridge filter + per-partition/type rollup."""
