@@ -569,3 +569,84 @@ def bm25_scores(
         scored.select("id", hits.alias("n_terms"), F.round(score, 6).alias("bm25"))
         .filter(F.col("n_terms") > 0)
     )
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document repeated n-token spans — the exact-substring
+    duplication signal of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), expressed over sliding word windows
+    instead of a suffix array (which does not distribute): a window
+    position is "duplicated" when its n-token span also occurs in at
+    least one OTHER document.
+
+    Returns (id, n_windows, n_dup_windows, dup_frac) for every doc —
+    dup_frac is the standard pre-training filter signal (drop or trim
+    docs whose text is mostly boilerplate shared with other docs).
+
+    Scale shape: windows explode to ~tokens-per-doc rows, but each row
+    carries only (id, 60-bit hash) — the shuffle key is the uniform
+    hash, never the span text. Two aggregations over that frame (the
+    cross-doc gram table, then the per-doc rollup) and one hash
+    equi-join between them; nothing is ever all-pairs, and a
+    boilerplate span shared by millions of docs costs one group, not a
+    quadratic bucket. The gram frame is persisted across its two uses
+    so the tokenize+hash scan runs once.
+
+    Hash = 60-bit md5 prefix (engine-portable, oracle-checkable; same
+    construction as dedup's portable gram hash). Collisions only
+    overcount duplication: P(any collision) < docs*tokens^2 / 2^60 —
+    negligible, and identical in any engine that computes md5."""
+    from mofka_spark.operators.dedup import _spread, normalize_text
+
+    spread = _spread(df.filter(F.col(text_col).isNotNull()), id_col)
+    # Generate barrier: bind the token array as a plain attribute before
+    # the per-window slices. HOF lambdas get no common-subexpression
+    # elimination, so inlining split(normalize(text)) into every
+    # window's slice() re-tokenizes the doc per window — O(tokens^2)
+    # (the winnow_fingerprints materialization rule).
+    toked = spread.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(F.split(normalize_text(F.col(text_col)), " "))
+        ).alias("t"),
+    )
+    toks = F.col("t")
+    nwin = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    windows = F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    grams = toked.select(
+        "id", F.explode(windows).alias("gram")
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    grams = grams.persist()
+    cross_doc = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    dup_counts = (
+        grams.join(cross_doc, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    totals = grams.groupBy("id").agg(F.count("*").alias("n_windows"))
+    return totals.join(dup_counts, "id", "left").select(
+        "id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.round(
+            F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 6
+        ).alias("dup_frac"),
+    )

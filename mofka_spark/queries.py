@@ -968,6 +968,45 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontaminate(docs, eval_docs, n=8)
 
 
+# Cross-document repeated 8-token spans (Lee et al. exact-substring
+# duplication, windowed form): a window position is duplicated when its
+# span occurs in >= 2 distinct docs. The oracle recomputes the same
+# 60-bit md5 gram hashes over all windows exactly.
+@query(
+    "dup_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), w AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t)-7, 1)),
+                    i -> array_to_string(t[i:i+7], ' '))) AS gram
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM w
+    ), cross_doc AS (
+      SELECT gh FROM hashed GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+    ), per AS (
+      SELECT hashed.doc_id,
+             COUNT(*) AS n_windows,
+             COUNT(c.gh) AS n_dup_windows
+      FROM hashed LEFT JOIN cross_doc c ON hashed.gh = c.gh
+      GROUP BY hashed.doc_id
+    )
+    SELECT doc_id AS id,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_dup_windows AS BIGINT) AS n_dup_windows,
+           ROUND(n_dup_windows / n_windows, 6) AS dup_frac
+    FROM per
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.dup_spans(docs, n=8)
+
+
 # Winnowing fingerprints (rolling-hash min over shingle-hash windows),
 # aggregated per doc so the gate compares a compact signature.
 @query(

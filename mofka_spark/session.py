@@ -32,6 +32,11 @@ _DEFAULT_CONF = {
     # Don't let tiny local runs over-parallelize; cluster deployments
     # override via spark-defaults.
     "spark.sql.shuffle.partitions": "32",
+    # Local mode puts every executor thread inside the driver JVM, so
+    # this is the whole engine's heap. Measured A/B at sf0.1: a 48g
+    # heap is ~20% SLOWER on the CPU-bound hash queries than 8g (bigger
+    # G1 young gen -> worse cache locality), so stay small locally;
+    # cluster deployments size executors via spark-defaults.
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
 }

@@ -191,3 +191,39 @@ class TestLmScore:
         )
         m = {r.id: r.avg_logp for r in text.lm_score(docs).collect()}
         assert m[1] > m[2]
+
+
+class TestDupSpans:
+    def test_planted_shared_span(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        docs = _docs(
+            spark,
+            [
+                (1, f"{shared} unique tail one"),
+                (2, f"other head {shared}"),
+                (3, "totally different words nothing repeated here at all"),
+            ],
+        )
+        out = {r.id: r for r in text.dup_spans(docs, n=8).collect()}
+        # doc 1: 4 windows (11 tokens), exactly 1 (the shared span) dup
+        assert out[1].n_windows == 4 and out[1].n_dup_windows == 1
+        # doc 2: 3 windows (10 tokens), the shared span is its 3rd
+        assert out[2].n_windows == 3 and out[2].n_dup_windows == 1
+        assert out[3].n_dup_windows == 0 and out[3].dup_frac == 0.0
+        assert abs(out[1].dup_frac - 0.25) < 1e-9
+
+    def test_short_doc_single_window(self, spark):
+        # < n tokens: one window covering the whole doc; identical short
+        # docs are cross-doc duplicates of each other
+        docs = _docs(spark, [(1, "tiny doc"), (2, "tiny doc"), (3, "tiny other")])
+        out = {r.id: r for r in text.dup_spans(docs, n=8).collect()}
+        assert out[1].n_windows == 1 and out[1].n_dup_windows == 1
+        assert out[2].dup_frac == 1.0
+        assert out[3].n_dup_windows == 0
+
+    def test_same_doc_repeat_not_cross(self, spark):
+        # a span repeated WITHIN one doc only is not cross-doc duplication
+        span = "a b c d e f g h"
+        docs = _docs(spark, [(1, f"{span} x {span}"), (2, "nothing shared here")])
+        out = {r.id: r for r in text.dup_spans(docs, n=8).collect()}
+        assert out[1].n_dup_windows == 0
