@@ -512,3 +512,69 @@ def embedding_neardup_pairs(
         .filter(F.col("_raw") >= threshold)
         .select("id_a", "id_b", F.round("_raw", 6).alias("cos_sim"))
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    method: str = "auto",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus with
+    the sampled k-means fit, compare pairs only within shared cells,
+    and drop every vector that has a more-senior (smaller-id) neighbor
+    at cosine >= tau. Returns (id, keep) for every input row.
+
+    Blocking: each vector lands in its ``nprobe`` nearest cells (the
+    multi-probe trick from ivf_topk applied symmetrically) — two
+    vectors are compared iff their cell sets intersect. High-cosine
+    pairs point in nearly the same direction, so they share nearest
+    centroids with overwhelming probability; multi-probe covers the
+    cell-boundary cases. The keep rule is single-hop min-id (a drop
+    never cascades: b drops because of a smaller-id a regardless of
+    whether a itself drops), so the output is deterministic and
+    order-free.
+
+    Scale shape: the only shuffle keys are small ints (cell ids); the
+    within-cell self-join is bounded by cell sizes (centroids fitted by
+    k-means keep cells balanced; raise n_clusters with corpus size,
+    the standard IVF regime). Never all-pairs. Cell assignment is the
+    same Arrow matmul kernel as ivf_topk."""
+    if centroids is None:
+        centroids = fit_centroids(
+            emb, id_col, vec_col, n_centroids=n_clusters, sample_n=2048
+        )
+    cells = _cell_frame(emb, id_col, vec_col, centroids, nprobe, method)
+    # ids only through the cell self-join: a pair probing several
+    # shared cells collides once per cell, so dedupe the (id_a, id_b)
+    # candidates BEFORE the cosine verify — the explode-join frame
+    # carries two longs + a small int, never vectors.
+    ids = cells.select(F.col("id"), F.explode("cells").alias("cell"))
+    cand = (
+        ids.select(F.col("id").alias("id_a"), "cell")
+        .join(ids.select(F.col("id").alias("id_b"), "cell"), "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify: rejoin vectors by id. Catalyst broadcasts the vector side
+    # when it is small (the gate/bench regime); at corpus scale this is
+    # a pair-keyed shuffle join — candidates, not all-pairs, set cost.
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dropped = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(tau))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        emb.select(F.col(id_col).alias("id"))
+        .join(dropped.withColumn("_drop", F.lit(True)), "id", "left")
+        .select("id", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+    )

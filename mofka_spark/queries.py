@@ -1362,6 +1362,36 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, block_col="label", threshold=0.3)
 
 
+# SemDeDup-style semantic dedup: cluster-blocked (k-means cells,
+# multi-probe) min-id pruning at cosine >= 0.4. The oracle computes the
+# EXACT keep set over all pairs, so blocking recall is itself gated:
+# a high-cosine pair falling in disjoint cell sets would flip a keep
+# bit and hash-mismatch. These synthetic embeddings are isotropic
+# noise — tau=0.4 pairs sit at ~65 degrees, the hardest blocking case
+# (real SemDeDup runs tau>=0.9 on clustered encoders, where top-1
+# cells collide by geometry; test_similarity covers that regime with
+# planted duplicates) — hence the dense 6/16 multi-probe here.
+# (Boundary safety: min |cos - 0.4| over all pairs is 1.3e-4 at
+# sf0.01 — float-order divergence can't flip a keep bit.)
+@query(
+    "semantic_dedup",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    )
+    SELECT e.vec_id AS id, (d.id IS NULL) AS keep
+    FROM e LEFT JOIN dropped d ON e.vec_id = d.id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, tau=0.4, n_clusters=16, nprobe=6)
+
+
 # Shared oracle fragment: normalized word n-gram token lists (matches
 # dedup.normalize_text + dedup.word_ngrams semantics exactly).
 _ORACLE_TOKS = r"""

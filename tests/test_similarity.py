@@ -114,3 +114,55 @@ class TestEmbeddingNeardupBlocking:
         ).count()
         unblocked = S.embedding_neardup_pairs(clustered, threshold=-1.0).count()
         assert blocked < unblocked  # cross-bucket pairs excluded
+
+
+class TestSemanticDedup:
+    def _corpus(self, spark, seed=3):
+        """60 well-spread base vectors + near-copies of the first 10
+        (the SemDeDup regime: tight duplicate pairs, tau >= 0.9)."""
+        import random
+
+        rng = random.Random(seed)
+        rows = []
+        base = []
+        for i in range(60):
+            v = [rng.gauss(0, 1) for _ in range(16)]
+            base.append(v)
+            rows.append((i, v))
+        for j in range(10):  # ids 100+j duplicate j with tiny noise
+            v = [x + rng.gauss(0, 0.01) for x in base[j]]
+            rows.append((100 + j, v))
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_planted_duplicates_pruned_exactly(self, spark):
+        from mofka_spark.operators import similarity as S
+
+        emb = self._corpus(spark)
+        out = {r.id: r.keep for r in S.semantic_dedup(
+            emb, tau=0.9, n_clusters=8, nprobe=2
+        ).collect()}
+        # exact keep set by brute force
+        exact_pairs = {
+            (r.id_a, r.id_b)
+            for r in S.embedding_neardup_pairs(emb, threshold=0.9).collect()
+        }
+        exact_dropped = {b for _, b in exact_pairs}
+        assert len(out) == 70
+        for vid, keep in out.items():
+            assert keep == (vid not in exact_dropped), vid
+        # every planted copy dropped, every original kept
+        assert all(not out[100 + j] for j in range(10))
+        assert all(out[j] for j in range(60))
+
+    def test_keep_is_single_hop_min_id(self, spark):
+        from mofka_spark.operators import similarity as S
+
+        # chain a~b~c where a<b<c: b and c both have a smaller tau-
+        # neighbor, so only a survives (single-hop, no cascade logic)
+        v = [1.0] + [0.0] * 15
+        rows = [(1, v), (2, v), (3, v), (4, [0.0, 1.0] + [0.0] * 14)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {r.id: r.keep for r in S.semantic_dedup(
+            emb, tau=0.99, n_clusters=2, nprobe=2
+        ).collect()}
+        assert out == {1: True, 2: False, 3: False, 4: True}
