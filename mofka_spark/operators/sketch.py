@@ -199,7 +199,10 @@ def heavy_hitters(
     # equality the (cnt DESC, item ASC) tie-break could still prefer
     # it — only a strictly larger k-th count certifies the list.
     # slack == 0 (no partition dropped anything) certifies trivially.
-    w = Window.orderBy(F.desc("cnt"), F.asc(item_col))
+    # partitionBy(lit) not a bare orderBy: the frame is <= k rows (the
+    # limit above), but an empty partition spec still trips Spark's
+    # move-all-data-to-one-partition warning on every run
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cnt"), F.asc(item_col))
     return exact.withColumn("rnk", F.row_number().over(w).cast("long")).withColumn(
         "guaranteed", F.min("cnt").over(Window.partitionBy(F.lit(1))) > F.lit(slack)
     )
