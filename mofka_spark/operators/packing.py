@@ -133,3 +133,72 @@ def compact_latest(
     cols += [F.col(f"_m.o{i}").alias(c) for i, c in enumerate(order_cols)]
     cols += [F.col(f"_m.p{i}").alias(c) for i, c in enumerate(payload_cols)]
     return agg.select(*cols)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Deterministic epoch shuffle: the training-order permutation.
+
+    Every pretraining run reorders its corpus once per epoch; doing it
+    reproducibly (same seed -> same order, any cluster size) makes the
+    data order part of the experiment config instead of an accident of
+    scheduling. Position = rank of a 60-bit md5 stream key derived from
+    (id, seed) — a new seed is a new pseudo-random permutation.
+
+    Returns (id, shuffle_key, epoch_pos) with epoch_pos dense 0..N-1.
+
+    Scale shape: same distributed prefix-sum decomposition as
+    pack_sequences — one range repartition on the (uniform) key gives
+    sorted disjoint ranges, a per-range window numbers rows locally,
+    and #partitions partial counts broadcast back as cumulative bases.
+    Never a single-partition global window. Compose with
+    pack_sequences (order by epoch_pos) for the full shuffled-packed
+    training layout."""
+    sess = df.sparkSession
+    n_ranges = num_ranges or sess.sparkContext.defaultParallelism
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), F.lit(str(seed))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ranged = df.select(
+        F.col(id_col).alias("id"), key.alias("shuffle_key")
+    ).repartitionByRange(n_ranges, "shuffle_key", "id")
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy("shuffle_key", "id")
+    local = part.withColumn("_rn", F.row_number().over(w))
+    local = local.persist()
+    totals = (
+        local.groupBy("_pid")
+        .agg(
+            F.count("*").alias("t"),
+            F.min(F.struct("shuffle_key", "id")).alias("lo"),
+        )
+        .collect()
+    )
+    if not totals:
+        local.unpersist()
+        return sess.createDataFrame([], "id long, shuffle_key long, epoch_pos long")
+    base: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: (r["lo"][0], r["lo"][1])):
+        base[row["_pid"]] = acc
+        acc += row["t"]
+    base_col = F.create_map(*[F.lit(x) for kv in base.items() for x in kv])
+    return local.select(
+        "id",
+        "shuffle_key",
+        (base_col[F.col("_pid")] + F.col("_rn") - 1).cast("long").alias("epoch_pos"),
+    )

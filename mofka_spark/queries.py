@@ -1245,6 +1245,32 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic epoch shuffle: training-order permutation as the rank
+# of a seeded 60-bit md5 key, computed with the distributed prefix-sum
+# (range partitions + broadcast partial counts, no global window). The
+# oracle is the naive one-window rank — identical permutation.
+@query(
+    "epoch_shuffle",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 15))::BIGINT
+               AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id AS id, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+             AS epoch_pos
+    FROM k
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    return packing.epoch_shuffle(docs, id_col="doc_id", seed=17)
+
+
 # Kafka-style log compaction: latest event per user, one map-side
 # partial-max aggregate (no window, shuffle carries |keys| rows).
 @query(

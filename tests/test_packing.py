@@ -88,3 +88,38 @@ class TestCompactLatest:
         )
         assert "partial_" in p  # map-side combine before the exchange
         assert "Window" not in p
+
+
+class TestEpochShuffle:
+    def test_dense_permutation_and_determinism(self, spark):
+        from mofka_spark.operators import packing
+
+        df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+        a = packing.epoch_shuffle(df, seed=1).collect()
+        # dense 0..N-1, each id exactly once
+        assert sorted(r.epoch_pos for r in a) == list(range(100))
+        assert len({r.id for r in a}) == 100
+        # same seed -> identical order; different seed -> different order
+        b = {r.id: r.epoch_pos for r in packing.epoch_shuffle(df, seed=1).collect()}
+        c = {r.id: r.epoch_pos for r in packing.epoch_shuffle(df, seed=2).collect()}
+        a_map = {r.id: r.epoch_pos for r in a}
+        assert a_map == b
+        assert a_map != c
+        # position = rank of (shuffle_key, id): spot-check monotonicity
+        by_pos = sorted(a, key=lambda r: r.epoch_pos)
+        keys = [(r.shuffle_key, r.id) for r in by_pos]
+        assert keys == sorted(keys)
+
+    def test_empty_input(self, spark):
+        from mofka_spark.operators import packing
+
+        df = spark.range(0, 0).withColumnRenamed("id", "doc_id")
+        assert packing.epoch_shuffle(df).count() == 0
+
+    def test_no_global_single_partition_window(self, spark):
+        from mofka_spark import plans
+        from mofka_spark.operators import packing
+
+        df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+        p = plans.plan_string(packing.epoch_shuffle(df))
+        assert "SinglePartition" not in p
