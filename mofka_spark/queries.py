@@ -758,6 +758,80 @@ def q_streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# STREAMING sessionization: session_window() over the live topic
+# stream (the §2.7 capability the reference cannot express — it has no
+# event time at all). Spark merges an event into a session iff its ts
+# is strictly inside [start, last_ts + gap), so a new session begins at
+# gap >= 30 min exactly — the oracle's LAG rule matches at microsecond
+# precision. Complete output mode: availableNow drains the whole topic,
+# so no watermark is needed and no session is left unemitted.
+@query(
+    "streaming_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR date_diff('microsecond',
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE event_id < 5000
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from mofka_spark.client import Driver
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    root = tempfile.mkdtemp(prefix="mofka-streamq-")
+    driver = Driver(spark, root)
+    topic = driver.create_topic("sess", num_partitions=2)
+    producer = topic.producer("bulk")
+    producer.push_dataframe(
+        ev.select(F.to_json(F.struct("ts", "user_id")).alias("metadata"))
+    )
+    topic.mark_as_complete()
+    parsed = (
+        topic.read_stream()
+        .select(F.from_json("metadata", "ts timestamp, user_id long").alias("m"))
+        .select("m.*")
+    )
+    sessions = parsed.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count("*").alias("n_ev"))
+    sink_name = "sess_" + uuid.uuid4().hex[:8]
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sessions.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return (
+        spark.table(sink_name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_ev").cast("long").alias("n_events"),
+        )
+    )
+
+
 # Sessionization: 30-minute inactivity gap per user.
 @query(
     "user_sessions",
