@@ -650,3 +650,71 @@ def dup_spans(
             F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 6
         ).alias("dup_frac"),
     )
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Composite document-quality filter in the style of Gopher's
+    repetition-free quality rules (Rae et al. 2021): word-count bounds,
+    mean word length in a human-language band, symbol-to-word ratio,
+    fraction of purely alphabetic words, and a minimum number of
+    stopword occurrences. Rules whose inputs these synthetic docs
+    cannot exercise (bullet-/ellipsis-line fractions need multi-line
+    docs) are omitted rather than trivially true.
+
+    Returns (id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    n_stop_hits, pass_quality) — one scan, pure Column expressions,
+    no shuffle, no UDF; at 100 TB this is a free rider on any
+    existing pass over the corpus.
+
+    Every feature is computed on token-equality / character-count
+    primitives that evaluate identically in any engine (no
+    locale-dependent regex classes), so the whole filter is
+    oracle-checkable."""
+    from mofka_spark.operators.dedup import normalize_text
+
+    col = F.col(text_col)
+    toks = F.split(normalize_text(col), " ")
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = F.round(sum_len / F.greatest(n_words, F.lit(1)), 4)
+    n_hash = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.round(
+        (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1)), 4
+    )
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
+    ).cast("long")
+    alpha_frac = F.round(n_alpha_words / F.greatest(n_words, F.lit(1)), 4)
+    n_stop = _stopword_hits(col, LANG_STOPWORDS["en"])
+    passed = (
+        n_words.between(min_words, max_words)
+        & mean_len.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio < max_symbol_ratio)
+        & (alpha_frac > min_alpha_frac)
+        & (n_stop >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stop_hits"),
+        passed.alias("pass_quality"),
+    )

@@ -1042,6 +1042,47 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontaminate(docs, eval_docs, n=8)
 
 
+# Gopher-style composite quality filter: every rule is a token-equality
+# or character-count primitive, so the full conjunction is
+# oracle-checkable bit-for-bit.
+@query(
+    "gopher_quality",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             ROUND(list_sum(list_transform(t, x -> len(x)))
+                   / greatest(len(t), 1), 4) AS mean_word_len,
+             ROUND((
+                 (len(text) - len(replace(text, '#', '')))
+               + (len(text) - len(replace(text, '...', ''))) / 3
+             ) / greatest(len(t), 1), 4) AS symbol_ratio,
+             ROUND(len(list_filter(t, x -> regexp_full_match(x, '[a-z]+')))
+                   / greatest(len(t), 1), 4) AS alpha_frac,
+             CAST(len(list_filter(t,
+                  x -> list_contains(['the','and','of','to','in'], x)))
+                  AS BIGINT) AS n_stop_hits
+      FROM toks
+    )
+    SELECT doc_id AS id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+           n_stop_hits,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio < 0.1
+            AND alpha_frac > 0.8
+            AND n_stop_hits >= 2) AS pass_quality
+    FROM feats
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.gopher_quality(docs)
+
+
 # Cross-document repeated 8-token spans (Lee et al. exact-substring
 # duplication, windowed form): a window position is duplicated when its
 # span occurs in >= 2 distinct docs. The oracle recomputes the same

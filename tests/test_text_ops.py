@@ -227,3 +227,29 @@ class TestDupSpans:
         docs = _docs(spark, [(1, f"{span} x {span}"), (2, "nothing shared here")])
         out = {r.id: r for r in text.dup_spans(docs, n=8).collect()}
         assert out[1].n_dup_windows == 0
+
+
+class TestGopherQuality:
+    def test_rules(self, spark):
+        good = "the cat and the dog walked to the house of friends " * 6
+        docs = _docs(
+            spark,
+            [
+                (1, good),                                    # passes all
+                (2, "short text only"),                       # too few words
+                (3, "### " * 60 + good),                      # symbol ratio
+                (4, ("x1 " * 80).strip()),                    # non-alpha words + no stopwords
+            ],
+        )
+        out = {r.id: r for r in text.gopher_quality(docs).collect()}
+        assert out[1].pass_quality
+        assert not out[2].pass_quality and out[2].n_words == 3
+        assert not out[3].pass_quality and out[3].symbol_ratio > 0.1
+        assert not out[4].pass_quality and out[4].alpha_frac == 0.0
+
+    def test_single_scan_no_shuffle(self, spark):
+        from mofka_spark import plans
+
+        docs = _docs(spark, [(1, "the and of")])
+        p = plans.plan_string(text.gopher_quality(docs))
+        assert "Exchange" not in p
