@@ -29,10 +29,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mofka_spark import queries as q
 
-    return dict(q.SPARK_QUERIES)
+    return q.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     from mofka_spark import queries as q
 
-    return dict(q.ORACLE_SQL)
+    ordered = q.ordered_queries()
+    first = {n: q.ORACLE_SQL[n] for n in ordered if n in q.ORACLE_SQL}
+    return first

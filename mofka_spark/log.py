@@ -74,24 +74,33 @@ class EventLog:
         self._verified = False  # first-append ledger/data consistency check
 
     # -- ledger ------------------------------------------------------------
-    # On-disk format v2: {"offsets": {partition: next}, "txns":
+    # On-disk format v3: {"offsets": {partition: next-committed},
+    # "reserved": {partition: next-reservable}, "txns":
     # {sink_id: last_committed_epoch}} — offsets and streaming-sink epoch
     # markers commit in ONE atomic rename, so epoch idempotency is
-    # crash-consistent with offset assignment. v1 flat {partition: next}
-    # files are read transparently.
+    # crash-consistent with offset assignment. "reserved" is the
+    # high-watermark of ranges handed to in-flight bulk writers
+    # (append_batch reserves under the lock, writes outside it); base
+    # assignment always reads max(offsets, reserved) so a range being
+    # written can never be double-assigned. v1 flat {partition: next}
+    # and v2 (no "reserved") files are read transparently.
 
     @staticmethod
     def _parse_ledger(doc: dict) -> dict:
         if "offsets" in doc or "txns" in doc:
-            return {"offsets": dict(doc.get("offsets", {})), "txns": dict(doc.get("txns", {}))}
-        return {"offsets": dict(doc), "txns": {}}
+            return {
+                "offsets": dict(doc.get("offsets", {})),
+                "txns": dict(doc.get("txns", {})),
+                "reserved": dict(doc.get("reserved", {})),
+            }
+        return {"offsets": dict(doc), "txns": {}, "reserved": {}}
 
     def _read_ledger_full(self) -> dict:
         try:
             with open(self.ledger_path) as f:
                 return self._parse_ledger(json.load(f))
         except FileNotFoundError:
-            return {"offsets": {}, "txns": {}}
+            return {"offsets": {}, "txns": {}, "reserved": {}}
 
     def _read_ledger(self) -> dict[str, int]:
         return self._read_ledger_full()["offsets"]
@@ -198,7 +207,9 @@ class EventLog:
         """
         with self._ledger_lock():
             if not self._has_data():
-                self._write_ledger({})
+                full = self._read_ledger_full()
+                full["offsets"], full["reserved"] = {}, {}
+                self._write_ledger_full(full)
                 return {}
             agg = (
                 self.read()
@@ -207,7 +218,13 @@ class EventLog:
                 .collect()
             )
             ledger = {str(r["partition"]): r["next"] for r in agg}
-            self._write_ledger(ledger)
+            full = self._read_ledger_full()
+            full["offsets"] = ledger
+            # Explicit recovery reclaims reserved-but-never-written
+            # ranges from crashed bulk writers (no writer may be live
+            # when this API is called).
+            full["reserved"] = {}
+            self._write_ledger_full(full)
             return {int(k): v for k, v in ledger.items()}
 
     # -- write path --------------------------------------------------------
@@ -248,9 +265,13 @@ class EventLog:
             if txn is not None and int(full["txns"].get(txn[0], -1)) >= txn[1]:
                 return {}
             ledger = full["offsets"]
+            reserved = full["reserved"]
             acks: dict[int, tuple[int, int]] = {}
             for p, items in by_part.items():
-                base = ledger.get(str(p), 0)
+                # max() with the reservation watermark: a concurrent
+                # append_batch may be writing a reserved range outside
+                # the lock right now.
+                base = max(ledger.get(str(p), 0), reserved.get(str(p), 0))
                 n = len(items)
                 pdir = os.path.join(self.data_path, f"partition={p}")
                 os.makedirs(pdir, exist_ok=True)
@@ -300,12 +321,24 @@ class EventLog:
 
         ``txn=(sink_id, epoch_id)``: streaming-sink exactly-once marker.
         The epoch id commits in the same atomic ledger rename as the
-        offsets; a replayed epoch (<= committed) is skipped and returns
-        {}. The remaining at-least-once window is a crash between the
-        Parquet job commit and the ledger rename — recovery then adopts
-        the orphan rows (_ensure_consistent) and the replay re-appends;
-        the reference has the same window between its data write and
-        index update.
+        offset commit; a replayed epoch (<= committed) is skipped and
+        returns {}. The remaining at-least-once window is a crash
+        between the Parquet job commit and the ledger rename — recovery
+        then adopts the orphan rows (_ensure_consistent) and the replay
+        re-appends; the reference has the same window between its data
+        write and index update.
+
+        Locking: reserve -> write -> commit. The flock is held only for
+        the two O(#partitions) ledger updates; the Parquet write job —
+        the minutes-long part on a real cluster — runs OUTSIDE the lock,
+        so concurrent bulk producers on one topic overlap their write
+        jobs and serialize only on metadata (the reference holds its
+        writer lock per partition for the same reason,
+        /root/reference/src/DefaultPartitionManager.cpp:399-405). A
+        crash between reserve and job commit leaves a reserved-but-empty
+        range: offsets stay collision-free (assignment reads
+        max(offsets, reserved)); recover_ledger() reclaims the stale
+        reservation.
         """
         batch = batch.persist()
         try:
@@ -315,32 +348,70 @@ class EventLog:
             }
             if not counts:
                 return {}
+            # Phase 1 (flock): reserve dense ranges — metadata only.
             with self._ledger_lock():
                 self._ensure_consistent()
                 full = self._read_ledger_full()
                 if txn is not None and int(full["txns"].get(txn[0], -1)) >= txn[1]:
                     return {}  # replayed epoch: already committed
-                ledger = full["offsets"]
-                bases = {p: ledger.get(str(p), 0) for p in counts}
-                base_col = F.create_map(
-                    *[F.lit(x) for kv in bases.items() for x in kv]
-                )
-                w = Window.partitionBy("partition").orderBy("seq")
-                out = (
-                    batch.repartition("partition")
-                    .withColumn(
-                        "offset",
-                        (base_col[F.col("partition")] + F.row_number().over(w) - 1).cast("long"),
-                    )
-                    .withColumn("topic", F.lit(self.topic))
-                    .withColumn("ingest_ts", F.current_timestamp())
-                    .select("topic", "partition", "offset", "metadata", "data", "ingest_ts")
-                )
-                out.write.mode("append").partitionBy("partition").parquet(self.data_path)
+                offsets, reserved = full["offsets"], full["reserved"]
+                bases = {
+                    p: max(offsets.get(str(p), 0), reserved.get(str(p), 0))
+                    for p in counts
+                }
                 for p, n in counts.items():
-                    ledger[str(p)] = bases[p] + n
+                    reserved[str(p)] = bases[p] + n
+                self._write_ledger_full(full)
+            # Phase 2 (no lock): the distributed Parquet write job, into
+            # a PER-JOB staging dir — concurrent jobs sharing one output
+            # path would collide on the Hadoop committer's _temporary/0
+            # staging tree, so each job stages alone and then publishes
+            # by same-filesystem rename (file names are already
+            # job-unique, so publishes never clash either).
+            import shutil
+            import uuid
+
+            base_col = F.create_map(
+                *[F.lit(x) for kv in bases.items() for x in kv]
+            )
+            w = Window.partitionBy("partition").orderBy("seq")
+            out = (
+                batch.repartition("partition")
+                .withColumn(
+                    "offset",
+                    (base_col[F.col("partition")] + F.row_number().over(w) - 1).cast("long"),
+                )
+                .withColumn("topic", F.lit(self.topic))
+                .withColumn("ingest_ts", F.current_timestamp())
+                .select("topic", "partition", "offset", "metadata", "data", "ingest_ts")
+            )
+            stage = os.path.join(self.topic_path, "_stage", uuid.uuid4().hex)
+            try:
+                out.write.mode("overwrite").partitionBy("partition").parquet(stage)
+                for entry in os.listdir(stage):
+                    if not entry.startswith("partition="):
+                        continue
+                    dst_dir = os.path.join(self.data_path, entry)
+                    os.makedirs(dst_dir, exist_ok=True)
+                    src_dir = os.path.join(stage, entry)
+                    for fn in os.listdir(src_dir):
+                        if fn.endswith(".parquet"):
+                            os.replace(
+                                os.path.join(src_dir, fn),
+                                os.path.join(dst_dir, fn),
+                            )
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+            # Phase 3 (flock): commit the written ranges + epoch marker.
+            with self._ledger_lock():
+                full = self._read_ledger_full()
+                ledger = full["offsets"]
+                for p, n in counts.items():
+                    ledger[str(p)] = max(ledger.get(str(p), 0), bases[p] + n)
                 if txn is not None:
-                    full["txns"][txn[0]] = txn[1]
+                    full["txns"][txn[0]] = max(
+                        int(full["txns"].get(txn[0], -1)), txn[1]
+                    )
                 self._write_ledger_full(full)
             return {p: (bases[p], counts[p]) for p in counts}
         finally:

@@ -221,3 +221,88 @@ class TestConcurrentProducers:
             by_part.setdefault(r.partition, []).append(r.offset)
         for p, offs in by_part.items():
             assert sorted(offs) == list(range(len(offs))), (p, sorted(offs)[:5])
+
+    def test_concurrent_bulk_appends_overlap_and_stay_dense(self, spark, tmp_path):
+        """Two bulk producers (append_batch path) on one topic: the
+        reserve->write->commit protocol serializes only the O(#partitions)
+        ledger updates, the Parquet jobs themselves overlap — and every
+        partition still ends dense 0..n-1 with no double-assigned range
+        (reference serializes per partition, not per topic:
+        src/DefaultPartitionManager.cpp:399-405)."""
+        import threading
+
+        from mofka_spark.client import Driver
+
+        root = str(tmp_path / "bulk-root")
+        d1 = Driver(spark, root)
+        d2 = Driver(spark, root)
+        t1 = d1.create_topic("bulk", num_partitions=4)
+        t2 = d2.open_topic("bulk")
+
+        errs = []
+
+        def run(topic, tag):
+            try:
+                prod = topic.producer(f"bulk-{tag}")
+                for k in range(3):
+                    df = spark.createDataFrame(
+                        [(json.dumps({"who": tag, "k": k, "i": i}),) for i in range(50)],
+                        ["metadata"],
+                    )
+                    prod.push_dataframe(df)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        th = [
+            threading.Thread(target=run, args=(t1, "a")),
+            threading.Thread(target=run, args=(t2, "b")),
+        ]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join(timeout=600)
+        assert not errs, errs
+        rows = t1.dataframe().select("partition", "offset").collect()
+        assert len(rows) == 300
+        by_part = {}
+        for r in rows:
+            by_part.setdefault(r.partition, []).append(r.offset)
+        for p, offs in by_part.items():
+            assert sorted(offs) == list(range(len(offs))), (p, sorted(offs)[:5])
+        # after all writers finish, reservations equal commits
+        with open(t1.log.ledger_path) as f:
+            doc = json.load(f)
+        for p, nxt in doc["reserved"].items():
+            assert doc["offsets"].get(p, 0) >= nxt
+
+    def test_stale_reservation_never_collides_and_is_reclaimed(self, spark, tmp_path):
+        """A writer that crashed after reserving but before writing
+        leaves reserved > offsets with no data. New appends must skip
+        the reserved hole (no offset collision); explicit
+        recover_ledger() reclaims it."""
+        from mofka_spark.client import Driver
+
+        root = str(tmp_path / "stale-root")
+        d = Driver(spark, root)
+        topic = d.create_topic("stale", num_partitions=1)
+        _push_n(topic, 4)
+        log = topic.log
+        # simulate the crashed reservation
+        with open(log.ledger_path) as f:
+            doc = json.load(f)
+        doc.setdefault("reserved", {})["0"] = 10
+        with open(log.ledger_path, "w") as f:
+            json.dump(doc, f)
+        fresh = d.open_topic("stale")
+        _push_n(fresh, 2, start=100)
+        offs = sorted(
+            r["offset"]
+            for r in fresh.dataframe().select("offset").collect()
+        )
+        # the new rows landed after the reserved hole, not inside it
+        assert offs == [0, 1, 2, 3, 10, 11]
+        recovered = fresh.log.recover_ledger()
+        assert recovered == {0: 12}
+        with open(log.ledger_path) as f:
+            doc = json.load(f)
+        assert doc["reserved"] == {}

@@ -76,13 +76,10 @@ class TestOperatorPlans:
         assert not plans.has_operator(hash_sample(docs, "doc_id", 0.5), "Exchange")
 
     def test_asof_join_no_join_operator(self, spark):
-        ev = spark.read.parquet(f"{SF}/events.parquet")
         from mofka_spark.operators.joins import asof_join
+        from mofka_spark.queries import load_events
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        ev = load_events(spark, f"{SF}/events.parquet")
         left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
         right = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
         out = asof_join(left, right, on="ts", by=["user_id"], value_cols=["value"])
