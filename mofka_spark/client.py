@@ -233,6 +233,7 @@ class TopicHandle:
         data_selector: "Callable[[dict[str, Any], DataDescriptor], DataDescriptor | None] | None" = None,
         targets: list[int] | None = None,
         prefetch: bool = False,
+        data_allocator: "Callable[[dict[str, Any], DataDescriptor], Any] | None" = None,
     ) -> "Consumer":
         cfg = self._refresh()
         if targets is not None:
@@ -242,7 +243,9 @@ class TopicHandle:
                     f"invalid consumer targets {bad} for topic with "
                     f"{cfg.num_partitions} partitions"
                 )
-        return Consumer(self, name, batch_size, data_selector, targets, prefetch)
+        return Consumer(
+            self, name, batch_size, data_selector, targets, prefetch, data_allocator
+        )
 
     def mark_as_complete(self) -> None:
         self.driver.registry.mark_as_complete(self.name)
@@ -522,11 +525,21 @@ class Consumer:
         data_selector,
         targets: list[int] | None,
         prefetch: bool = False,
+        data_allocator=None,
     ):
         self.topic = topic
         self.name = name
         self.batch_size = batch_size or 32  # adaptive clamp=32 (YokanEventStore.hpp:141-143)
         self.data_selector = data_selector
+        # C4 DataAllocator: callable(metadata, selected_descriptor) ->
+        # writable buffer (bytearray / memoryview / numpy array). The
+        # selected bytes land IN the caller's buffer and Event.data IS
+        # that buffer — the Python analog of the reference's zero-copy
+        # RDMA landing into broker-allocated memory
+        # (/root/reference/src/MofkaConsumer.cpp:240-262). The buffer's
+        # byte length must equal the selected descriptor's size, or the
+        # pull raises MofkaError (the reference throws the same way).
+        self.data_allocator = data_allocator
         self.targets = targets
         self._log = topic.log
         self._iter: Iterator[Event] | None = None
@@ -574,13 +587,32 @@ class Consumer:
             r = {"partition": part, "offset": off}
             meta = self._serializer.deserialize(meta_raw) if meta_raw else {}
             data = bytes(data_raw) if data_raw is not None else None
-            if self.data_selector is not None:
+            if self.data_selector is not None or self.data_allocator is not None:
                 desc = DataDescriptor.identity(len(data) if data is not None else 0)
-                sel = self.data_selector(meta, desc)
+                sel = self.data_selector(meta, desc) if self.data_selector else desc
                 if sel is None or not sel.segments:
-                    data = b""
+                    sel = DataDescriptor.null()
+                    selected = b""
                 else:
-                    data = sel.apply(data or b"")
+                    selected = sel.apply(data or b"")
+                if self.data_allocator is not None:
+                    buf = self.data_allocator(meta, sel)
+                    view = memoryview(buf if buf is not None else b"").cast("B")
+                    if view.nbytes != len(selected):
+                        raise MofkaError(
+                            "DataAllocator returned a buffer of size "
+                            f"{view.nbytes}, selected descriptor needs "
+                            f"{len(selected)}"
+                        )
+                    if not view.readonly and view.nbytes:
+                        view[:] = selected
+                    elif view.readonly and view.nbytes:
+                        raise MofkaError(
+                            "DataAllocator must return a WRITABLE buffer"
+                        )
+                    data = buf
+                else:
+                    data = selected
             events.append(
                 Event(
                     topic=self.topic.name,

@@ -1638,7 +1638,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
              AS content_hash
-    FROM documents WHERE text IS NOT NULL
+    FROM documents WHERE text IS NOT NULL AND doc_id < 1000
     """,
 )
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1649,7 +1649,14 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.client import Driver
     from mofka_spark.streaming.dedup import dedup_stream
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # doc_id < 1000 bounds the e2e harness slice (topic create + sink +
+    # checkpointed AvailableNow run): the operator under test is
+    # dropDuplicates-on-key, not bulk ingest; an unbounded slice made
+    # this one gate 19% of total bench wall time at sf0.1. Covers the
+    # whole table at the sf0.01 correctness gate (500 docs).
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 1000)
+    )
     root = tempfile.mkdtemp(prefix="mofka-sdedup-")
     driver = Driver(spark, root)
     topic = driver.create_topic("sdedup", num_partitions=2)

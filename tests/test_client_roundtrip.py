@@ -493,3 +493,75 @@ class TestSqlSurface:
         assert topic.dataframe().count() == 30
         # empty cut reads nothing
         assert topic.dataframe(until={}).count() == 0
+
+
+class TestDataAllocator:
+    """C4 DataAllocator: consumer-provided destination buffers
+    (/root/reference/src/MofkaConsumer.cpp:240-262 — the broker
+    allocates, the engine lands bytes into it, a size mismatch
+    throws)."""
+
+    def test_bytes_land_in_caller_buffers(self, driver):
+        topic, _ = _produce_100(driver, "alloc-t", partitions=2)
+        topic.mark_as_complete()
+        pool = []
+
+        def alloc(meta, desc):
+            buf = bytearray(desc.size)
+            pool.append(buf)
+            return buf
+
+        consumer = topic.consumer("c", data_allocator=alloc)
+        evs = list(consumer)
+        assert len(evs) == 100
+        for ev in evs:
+            assert isinstance(ev.data, bytearray)
+            assert ev.data is pool[pool.index(ev.data)]  # caller's object
+            assert bytes(ev.data) == (
+                f"This is data for event {ev.metadata['event_num']}".encode()
+            )
+
+    def test_numpy_buffer_filled_in_place(self, driver):
+        import numpy as np
+
+        topic, _ = _produce_100(driver, "alloc-np")
+        topic.mark_as_complete()
+
+        def alloc(meta, desc):
+            return np.zeros(desc.size, dtype=np.uint8)
+
+        consumer = topic.consumer("c", data_allocator=alloc)
+        ev = consumer.pull()
+        assert isinstance(ev.data, np.ndarray)
+        assert ev.data.tobytes() == b"This is data for event 0"
+
+    def test_composes_with_selector(self, driver):
+        topic, _ = _produce_100(driver, "alloc-sel")
+        topic.mark_as_complete()
+
+        def select(meta, desc):
+            return desc.make_sub_view(0, 4)  # first 4 bytes
+
+        def alloc(meta, desc):
+            assert desc.size == 4
+            return bytearray(desc.size)
+
+        consumer = topic.consumer("c", data_selector=select, data_allocator=alloc)
+        ev = consumer.pull()
+        assert bytes(ev.data) == b"This"
+
+    def test_size_mismatch_raises(self, driver):
+        topic, _ = _produce_100(driver, "alloc-bad")
+        topic.mark_as_complete()
+        consumer = topic.consumer("c", data_allocator=lambda m, d: bytearray(1))
+        with pytest.raises(MofkaError, match="size"):
+            consumer.pull()
+
+    def test_readonly_buffer_raises(self, driver):
+        topic, _ = _produce_100(driver, "alloc-ro")
+        topic.mark_as_complete()
+        consumer = topic.consumer(
+            "c", data_allocator=lambda m, d: bytes(d.size)
+        )
+        with pytest.raises(MofkaError, match="WRITABLE"):
+            consumer.pull()
