@@ -122,6 +122,7 @@ class Driver:
         selector: dict[str, Any] | None = None,
         serializer: dict[str, Any] | None = None,
         backend: str = "default",
+        partition_backends: list[str] | None = None,
     ) -> "TopicHandle":
         self.registry.create_topic(
             name,
@@ -130,6 +131,7 @@ class Driver:
             selector=selector,
             serializer=serializer,
             backend=backend,
+            partition_backends=partition_backends,
         )
         return self.open_topic(name)
 
@@ -149,8 +151,13 @@ class Driver:
         MemoryEventLog._STORES.pop(self.registry.topic_path(name), None)
         self.registry.destroy_topic(name)
 
-    def add_partitions(self, name: str, count: int = 1) -> None:
-        self.registry.add_partitions(name, count)
+    def add_partitions(
+        self, name: str, count: int = 1, backend: str | None = None
+    ) -> None:
+        """S5 addPartition; ``backend`` optionally gives the NEW
+        partitions a different storage backend than the topic default
+        (the reference's addMemoryPartition/addDefaultPartition)."""
+        self.registry.add_partitions(name, count, backend=backend)
 
     # -- SQL surface (beyond-reference: mofka has no query language) -------
     def register_views(self, prefix: str = "topic_") -> list[str]:
@@ -188,14 +195,22 @@ class TopicHandle:
     """≙ MofkaTopicHandle: factory for producers/consumers + completion."""
 
     def __init__(self, driver: Driver, cfg: TopicConfig):
-        from mofka_spark.log import MemoryEventLog
+        from mofka_spark.log import MemoryEventLog, MixedEventLog
 
         self.driver = driver
         self._cfg = cfg
-        log_cls = MemoryEventLog if cfg.backend == "memory" else EventLog
-        self.log = log_cls(
-            driver.spark, driver.registry.topic_path(cfg.name), cfg.name
-        )
+        path = driver.registry.topic_path(cfg.name)
+        used = cfg.backends_used
+        if len(used) > 1:
+            self.log = MixedEventLog(
+                driver.spark,
+                path,
+                cfg.name,
+                {p: cfg.backend_of(p) for p in range(cfg.num_partitions)},
+            )
+        else:
+            log_cls = MemoryEventLog if used == {"memory"} else EventLog
+            self.log = log_cls(driver.spark, path, cfg.name)
 
     @property
     def name(self) -> str:
@@ -322,10 +337,11 @@ class TopicHandle:
         offset and stops there, so pair batch_size with a
         ProcessingTime trigger (+ await_completion to terminate on topic
         completion); use AvailableNow only for uncapped drains."""
-        if self._cfg.backend == "memory":
+        if "memory" in self._refresh().backends_used:
             raise MofkaError(
-                "the streaming source scans the Parquet log; memory-backend "
-                "topics support dataframe() and the pull API only"
+                "the streaming source scans the Parquet log; topics with "
+                "memory-backend partitions support dataframe() and the "
+                "pull API only"
             )
         from mofka_spark.streaming.source import MofkaDataSource
 

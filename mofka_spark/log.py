@@ -63,7 +63,13 @@ INGEST_SCHEMA = T.StructType(
 class EventLog:
     """One topic's append-only event log."""
 
-    def __init__(self, spark: SparkSession, topic_path: str, topic: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        topic_path: str,
+        topic: str,
+        scope: set[int] | None = None,
+    ):
         self.spark = spark
         self.topic_path = topic_path
         self.topic = topic
@@ -72,6 +78,11 @@ class EventLog:
         self.lock_path = os.path.join(topic_path, "_ledger.lock")
         self.cursors_dir = os.path.join(topic_path, "_cursors")
         self._verified = False  # first-append ledger/data consistency check
+        # S5 mixed-backend topics: the partitions THIS log instance owns
+        # (None = all). Sub-logs of a MixedEventLog share one ledger
+        # file; scoping keeps each sub-log's consistency/recovery logic
+        # off the other backend's entries.
+        self.scope = scope
 
     # -- ledger ------------------------------------------------------------
     # On-disk format v3: {"offsets": {partition: next-committed},
@@ -159,6 +170,8 @@ class EventLog:
             if not entry.startswith("partition="):
                 continue
             p = int(entry.split("=", 1)[1])
+            if self.scope is not None and p not in self.scope:
+                continue
             pdir = os.path.join(self.data_path, entry)
             for fn in os.listdir(pdir):
                 if not fn.endswith(".parquet"):
@@ -206,24 +219,31 @@ class EventLog:
         Spark shape is a partition-pruned max(offset) aggregation.
         """
         with self._ledger_lock():
-            if not self._has_data():
-                full = self._read_ledger_full()
-                full["offsets"], full["reserved"] = {}, {}
-                self._write_ledger_full(full)
-                return {}
-            agg = (
-                self.read()
-                .groupBy("partition")
-                .agg((F.max("offset") + F.lit(1)).alias("next"))
-                .collect()
-            )
-            ledger = {str(r["partition"]): r["next"] for r in agg}
+            if self._has_data():
+                agg = (
+                    self.read(sorted(self.scope) if self.scope is not None else None)
+                    .groupBy("partition")
+                    .agg((F.max("offset") + F.lit(1)).alias("next"))
+                    .collect()
+                )
+                ledger = {str(r["partition"]): r["next"] for r in agg}
+            else:
+                ledger = {}
             full = self._read_ledger_full()
-            full["offsets"] = ledger
-            # Explicit recovery reclaims reserved-but-never-written
-            # ranges from crashed bulk writers (no writer may be live
-            # when this API is called).
-            full["reserved"] = {}
+            if self.scope is None:
+                full["offsets"] = ledger
+                # Explicit recovery reclaims reserved-but-never-written
+                # ranges from crashed bulk writers (no writer may be
+                # live when this API is called).
+                full["reserved"] = {}
+            else:
+                # scoped sub-log (mixed-backend topic): touch only owned
+                # partitions' entries
+                for key in ("offsets", "reserved"):
+                    full[key] = {
+                        k: v for k, v in full[key].items() if int(k) not in self.scope
+                    }
+                full["offsets"].update(ledger)
             self._write_ledger_full(full)
             return {int(k): v for k, v in ledger.items()}
 
@@ -614,10 +634,18 @@ class MemoryEventLog(EventLog):
         return self._STORES.setdefault(self.topic_path, {})
 
     def _footer_max_offsets(self) -> dict[int, int]:
-        return {p: len(rows) for p, rows in self._store.items() if rows}
+        return {
+            p: len(rows)
+            for p, rows in self._store.items()
+            if rows and (self.scope is None or p in self.scope)
+        }
 
     def _has_data(self) -> bool:
-        return any(self._store.values())
+        return any(
+            rows
+            for p, rows in self._store.items()
+            if self.scope is None or p in self.scope
+        )
 
     def _ensure_consistent(self) -> None:
         # memory data does not survive a process restart, but the ledger
@@ -629,8 +657,20 @@ class MemoryEventLog(EventLog):
         self._verified = True
         full = self._read_ledger_full()
         actual = {str(p): len(rows) for p, rows in self._store.items() if rows}
-        if full["offsets"] != actual:
-            full["offsets"] = actual
+        current = full["offsets"]
+        if self.scope is not None:
+            actual = {k: v for k, v in actual.items() if int(k) in self.scope}
+            current = {k: v for k, v in current.items() if int(k) in self.scope}
+        if current != actual:
+            if self.scope is None:
+                full["offsets"] = actual
+            else:
+                full["offsets"] = {
+                    k: v
+                    for k, v in full["offsets"].items()
+                    if int(k) not in self.scope
+                }
+                full["offsets"].update(actual)
             # the store was reset (process restart): committed-epoch
             # markers refer to data that no longer exists, and keeping
             # them would make a replayed epoch skip itself as "already
@@ -706,6 +746,137 @@ class MemoryEventLog(EventLog):
 
     def destroy(self) -> None:
         self._STORES.pop(self.topic_path, None)
+
+
+class MixedEventLog(EventLog):
+    """S5 per-partition backend mix: one topic whose partitions split
+    across the file and memory backends, the Spark analog of the
+    reference attaching a different partition-manager type per
+    partition (/root/reference/src/MofkaDriver.cpp:510-643; its
+    conformance suite runs one topic with memory+default+legacy
+    partitions side by side, tests/CMakeLists.txt:25-76).
+
+    Composition: one scoped sub-log per backend, sharing the topic's
+    ledger/cursor files. Appends route rows by partition; reads union
+    the sub-logs. The inherited ledger/cursor methods (next_offsets,
+    acknowledge, committed_epoch, ...) are partition-keyed files and
+    need no routing.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        topic_path: str,
+        topic: str,
+        backends: dict[int, str],
+    ):
+        super().__init__(spark, topic_path, topic)
+        self.backends = dict(backends)
+        file_scope = {p for p, b in backends.items() if b != "memory"}
+        mem_scope = {p for p, b in backends.items() if b == "memory"}
+        self._subs: list[EventLog] = []
+        if file_scope:
+            self._subs.append(EventLog(spark, topic_path, topic, scope=file_scope))
+        if mem_scope:
+            self._subs.append(
+                MemoryEventLog(spark, topic_path, topic, scope=mem_scope)
+            )
+
+    def _sub_for(self, partition: int) -> EventLog:
+        for sub in self._subs:
+            if sub.scope is not None and partition in sub.scope:
+                return sub
+        # partitions added after this handle was built default to file
+        return self._subs[0]
+
+    def _footer_max_offsets(self) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for sub in self._subs:
+            out.update(sub._footer_max_offsets())
+        return out
+
+    def _ensure_consistent(self) -> None:
+        for sub in self._subs:
+            sub._ensure_consistent()
+
+    # -- txn helper: epoch markers commit at THIS level because one
+    # epoch's rows may split across both sub-logs (delegating the txn
+    # would let the first sub-log's commit make the second skip).
+    def _txn_precheck(self, txn) -> bool:
+        return txn is not None and self.committed_epoch(txn[0]) >= txn[1]
+
+    def _txn_commit(self, txn) -> None:
+        if txn is None:
+            return
+        with self._ledger_lock():
+            full = self._read_ledger_full()
+            full["txns"][txn[0]] = max(int(full["txns"].get(txn[0], -1)), txn[1])
+            self._write_ledger_full(full)
+
+    def append_rows(self, rows, txn=None):
+        if self._txn_precheck(txn):
+            return {}
+        by_sub: dict[int, list] = {}
+        for row in rows:
+            by_sub.setdefault(id(self._sub_for(row[0])), []).append(row)
+        acks: dict[int, tuple[int, int]] = {}
+        for sub in self._subs:
+            chunk = by_sub.get(id(sub))
+            if chunk:
+                acks.update(sub.append_rows(chunk, txn=None))
+        self._txn_commit(txn)
+        return acks
+
+    def append_batch(self, batch: DataFrame, txn=None):
+        if self._txn_precheck(txn):
+            return {}
+        batch = batch.persist()
+        try:
+            acks: dict[int, tuple[int, int]] = {}
+            for sub in self._subs:
+                part = batch.filter(F.col("partition").isin(sorted(sub.scope)))
+                acks.update(sub.append_batch(part, txn=None))
+            self._txn_commit(txn)
+            return acks
+        finally:
+            batch.unpersist()
+
+    def read(self, partitions: list[int] | None = None) -> DataFrame:
+        from functools import reduce
+
+        frames = []
+        for sub in self._subs:
+            sel = (
+                sorted(sub.scope)
+                if partitions is None
+                else sorted(set(partitions) & sub.scope)
+            )
+            if sel:
+                frames.append(sub.read(sel))
+        if not frames:
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    def fetch_rows(self, cursors, batch_size, partitions=None):
+        out = []
+        for sub in self._subs:
+            sel = (
+                sorted(sub.scope)
+                if partitions is None
+                else sorted(set(partitions) & sub.scope)
+            )
+            if sel:
+                out.extend(sub.fetch_rows(cursors, batch_size, sel))
+        return out
+
+    def recover_ledger(self) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for sub in self._subs:
+            out.update(sub.recover_ledger())
+        return out
+
+    def destroy(self) -> None:
+        MemoryEventLog._STORES.pop(self.topic_path, None)
 
 
 def make_ingest_df(

@@ -53,6 +53,23 @@ class TopicConfig:
     # third ("legacy" Yokan+Warabi) collapses into "default" — both are
     # file-backed logs behind one interface.
     backend: str = "default"
+    # S5 per-partition backend mix: the reference attaches a manager
+    # TYPE per partition on one topic (memory/default/legacy,
+    # /root/reference/src/MofkaDriver.cpp:510-643,
+    # include/mofka/MofkaDriver.hpp:220-279). None = every partition
+    # uses `backend`; else entry i is partition i's backend.
+    partition_backends: list[str] | None = None
+
+    def backend_of(self, partition: int) -> str:
+        if self.partition_backends is not None and partition < len(
+            self.partition_backends
+        ):
+            return self.partition_backends[partition]
+        return self.backend
+
+    @property
+    def backends_used(self) -> set[str]:
+        return {self.backend_of(p) for p in range(self.num_partitions)}
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
@@ -119,13 +136,28 @@ class TopicRegistry:
         selector: dict[str, Any] | None = None,
         serializer: dict[str, Any] | None = None,
         backend: str = "default",
+        partition_backends: list[str] | None = None,
     ) -> TopicConfig:
-        """S1 createTopic. Fails with TopicExistsError on duplicates."""
+        """S1 createTopic. Fails with TopicExistsError on duplicates.
+
+        ``partition_backends``: optional per-partition backend list
+        (length num_partitions) mixing "default"/"memory" on one topic,
+        the reference's per-partition manager choice
+        (/root/reference/src/MofkaDriver.cpp:510-643)."""
         self._check_name(name)
         if num_partitions < 1:
             raise MofkaError(f"num_partitions must be >= 1, got {num_partitions}")
         if backend not in ("default", "memory"):
             raise MofkaError(f"unknown partition backend {backend!r}")
+        if partition_backends is not None:
+            if len(partition_backends) != num_partitions:
+                raise MofkaError(
+                    f"partition_backends has {len(partition_backends)} entries "
+                    f"for {num_partitions} partitions"
+                )
+            bad = sorted(set(partition_backends) - {"default", "memory"})
+            if bad:
+                raise MofkaError(f"unknown partition backend(s) {bad!r}")
         path = self._config_path(name)
         if os.path.exists(path):
             raise TopicExistsError(f"Topic {name!r} already exists")
@@ -138,6 +170,9 @@ class TopicRegistry:
             completed=False,
             created_at=time.time(),
             backend=backend,
+            partition_backends=(
+                list(partition_backends) if partition_backends is not None else None
+            ),
         )
         os.makedirs(self.topic_path(name), exist_ok=True)
         # O_EXCL-equivalent create-new-only semantics (NEW_ONLY putMulti,
@@ -177,13 +212,25 @@ class TopicRegistry:
         """S4 topicExists."""
         return os.path.exists(self._config_path(name))
 
-    def add_partitions(self, name: str, count: int = 1) -> TopicConfig:
-        """S5 addPartition — extend the partition count.
-
-        One storage backend in Spark-land, so memory/default/legacy
-        partition flavors collapse into this single operation.
+    def add_partitions(
+        self, name: str, count: int = 1, backend: str | None = None
+    ) -> TopicConfig:
+        """S5 addPartition — extend the partition count, optionally with
+        a different storage backend for the new partitions (the
+        reference's addMemoryPartition/addDefaultPartition per-partition
+        manager choice, include/mofka/MofkaDriver.hpp:220-279; "legacy"
+        collapses into "default" — both are file-backed logs here).
         """
+        if backend is not None and backend not in ("default", "memory"):
+            raise MofkaError(f"unknown partition backend {backend!r}")
         cfg = self.open_topic(name)
+        if backend is not None and backend != cfg.backend:
+            # materialize the per-partition list on first divergence
+            if cfg.partition_backends is None:
+                cfg.partition_backends = [cfg.backend] * cfg.num_partitions
+            cfg.partition_backends += [backend] * count
+        elif cfg.partition_backends is not None:
+            cfg.partition_backends += [backend or cfg.backend] * count
         cfg.num_partitions += count
         _atomic_write(self._config_path(name), cfg.to_json())
         return cfg

@@ -10,7 +10,27 @@ from pyspark.sql import functions as F
 from mofka_spark.client import NoMoreEvents
 from mofka_spark.errors import MofkaError
 
-BACKENDS = ["default", "memory"]
+BACKENDS = ["default", "memory", "mixed"]
+
+
+def make_topic(driver, name, num_partitions, backend, **kw):
+    """Create a topic for a conformance backend; "mixed" alternates
+    file/memory per partition (the reference attaches a manager type
+    per partition and runs its suite across all of them,
+    src/MofkaDriver.cpp:510-643, tests/CMakeLists.txt:25-76)."""
+    if backend == "mixed":
+        n = max(2, num_partitions)
+        return driver.create_topic(
+            name,
+            num_partitions=n,
+            partition_backends=[
+                "default" if p % 2 == 0 else "memory" for p in range(n)
+            ],
+            **kw,
+        )
+    return driver.create_topic(
+        name, num_partitions=num_partitions, backend=backend, **kw
+    )
 
 
 @pytest.fixture(params=BACKENDS)
@@ -20,7 +40,7 @@ def backend(request):
 
 class TestBackendConformance:
     def test_roundtrip_dense_and_complete(self, driver, backend):
-        topic = driver.create_topic(f"bk-{backend}", num_partitions=2, backend=backend)
+        topic = make_topic(driver, f"bk-{backend}", 2, backend)
         with topic.producer("p") as prod:
             futs = [prod.push({"n": i}, data=bytes([i])) for i in range(20)]
         ids = [f.wait() for f in futs]
@@ -38,10 +58,12 @@ class TestBackendConformance:
             assert ev.data == bytes([ev.metadata["n"]])
 
     def test_cursor_ack_resume(self, driver, backend):
-        topic = driver.create_topic(f"bk-ack-{backend}", num_partitions=1, backend=backend)
+        topic = make_topic(driver, f"bk-ack-{backend}", 1, backend)
         with topic.producer("p") as prod:
             for i in range(10):
-                prod.push({"n": i})
+                # pin to partition 0 so the resume offset is exact even
+                # for the "mixed" flavor (which has >= 2 partitions)
+                prod.push({"n": i}, partition=0)
         c1 = topic.consumer("c")
         first = c1.pull()
         for _ in range(5):
@@ -53,7 +75,7 @@ class TestBackendConformance:
         assert nxt.offset == 5
 
     def test_bulk_dataframe_path(self, spark, driver, backend):
-        topic = driver.create_topic(f"bk-bulk-{backend}", num_partitions=4, backend=backend)
+        topic = make_topic(driver, f"bk-bulk-{backend}", 4, backend)
         df = spark.createDataFrame(
             [(json.dumps({"i": i}),) for i in range(40)], ["metadata"]
         )
@@ -64,7 +86,7 @@ class TestBackendConformance:
         assert all(r["dense"] for r in stats)
 
     def test_partition_subset_consumer(self, driver, backend):
-        topic = driver.create_topic(f"bk-sub-{backend}", num_partitions=3, backend=backend)
+        topic = make_topic(driver, f"bk-sub-{backend}", 3, backend)
         with topic.producer("p") as prod:
             for i in range(12):
                 prod.push({"n": i}, partition=i % 3)
@@ -75,13 +97,13 @@ class TestBackendConformance:
         assert all(ev.partition == 1 for ev in evs)
 
     def test_destroy_clears_state(self, driver, backend):
-        topic = driver.create_topic(f"bk-destroy-{backend}", num_partitions=1, backend=backend)
+        topic = make_topic(driver, f"bk-destroy-{backend}", 1, backend)
         with topic.producer("p") as prod:
             prod.push({"n": 1})
         driver.destroy_topic(topic.name)
         assert not driver.topic_exists(topic.name)
         # recreating starts empty at offset 0
-        topic2 = driver.create_topic(topic.name, num_partitions=1, backend=backend)
+        topic2 = make_topic(driver, topic.name, 1, backend)
         with topic2.producer("p") as prod:
             fut = prod.push({"n": 2})
         assert fut.wait() == 0
@@ -110,3 +132,87 @@ class TestMemoryBackendSpecifics:
     def test_unknown_backend_rejected(self, driver):
         with pytest.raises(MofkaError):
             driver.create_topic("bad-backend", backend="rocksdb")
+
+
+class TestMixedBackendSpecifics:
+    """S5 per-partition backend mix on ONE topic
+    (/root/reference/src/MofkaDriver.cpp:510-643)."""
+
+    def test_rows_route_to_their_backend(self, driver):
+        import os
+
+        topic = make_topic(driver, "mix-route", 2, "mixed")  # 0=file, 1=memory
+        with topic.producer("p") as prod:
+            for i in range(12):
+                prod.push({"n": i}, partition=i % 2)
+        # file partition wrote parquet; memory partition wrote none
+        data = topic.log.data_path
+        assert os.path.isdir(os.path.join(data, "partition=0"))
+        assert not os.path.isdir(os.path.join(data, "partition=1"))
+        # both serve reads through one DataFrame
+        per = {
+            r["partition"]: r["n_events"]
+            for r in topic.log.partition_stats().collect()
+        }
+        assert per == {0: 6, 1: 6}
+
+    def test_add_partitions_with_backend_diverges(self, driver):
+        topic = driver.create_topic("mix-grow", num_partitions=2)
+        driver.add_partitions("mix-grow", 1, backend="memory")
+        cfg = driver.registry.open_topic("mix-grow")
+        assert cfg.num_partitions == 3
+        assert [cfg.backend_of(p) for p in range(3)] == [
+            "default", "default", "memory",
+        ]
+        grown = driver.open_topic("mix-grow")
+        with grown.producer("p") as prod:
+            for i in range(9):
+                prod.push({"n": i}, partition=i % 3)
+        grown.mark_as_complete()
+        assert len(list(grown.consumer("c"))) == 9
+
+    def test_stream_read_rejected_when_any_memory(self, driver):
+        topic = make_topic(driver, "mix-nostream", 2, "mixed")
+        with pytest.raises(MofkaError):
+            topic.read_stream()
+
+    def test_restart_keeps_file_resets_memory(self, spark, tmp_path):
+        from mofka_spark.client import Driver
+        from mofka_spark.log import MemoryEventLog
+
+        root = str(tmp_path / "mix-root")
+        d = Driver(spark, root)
+        topic = d.create_topic(
+            "mix-restart", num_partitions=2,
+            partition_backends=["default", "memory"],
+        )
+        with topic.producer("p") as prod:
+            for i in range(8):
+                prod.push({"n": i}, partition=i % 2)
+        # simulate process restart: the memory store dies, files survive
+        MemoryEventLog._STORES.pop(topic.log.topic_path, None)
+        fresh = Driver(spark, root).open_topic("mix-restart")
+        with fresh.producer("p2") as prod:
+            prod.push({"n": 100}, partition=1)  # memory partition restarts at 0
+        rows = {(r["partition"], r["offset"]) for r in
+                fresh.dataframe().select("partition", "offset").collect()}
+        assert (0, 3) in rows          # file rows intact
+        assert (1, 0) in rows          # memory partition restarted dense at 0
+        assert len([r for r in rows if r[0] == 1]) == 1
+
+    def test_bulk_epoch_spans_both_backends_once(self, spark, driver):
+        import json as _json
+
+        from mofka_spark.log import make_ingest_df
+
+        topic = make_topic(driver, "mix-txn", 2, "mixed")
+        rows = [
+            {"partition": p, "seq": i, "metadata": _json.dumps({"i": i}), "data": None}
+            for i, p in enumerate([0, 1, 0, 1])
+        ]
+        df = make_ingest_df(spark, rows)
+        acks = topic.log.append_batch(df, txn=("s", 3))
+        assert sum(n for _, n in acks.values()) == 4
+        # replay of the same epoch is a no-op across BOTH backends
+        assert topic.log.append_batch(df, txn=("s", 3)) == {}
+        assert topic.dataframe().count() == 4
