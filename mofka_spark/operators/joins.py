@@ -90,3 +90,52 @@ def asof_join(
         + [F.when(in_tol, F.col("_f_rt")).alias(f"{on}_matched")]
     )
     return out.select(*sel)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    salt_by: list[str] | str,
+    nsalts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side's hot keys across
+    ``nsalts`` buckets and replicate the small side per bucket.
+
+    When ONE join key carries a large fraction of the big side (the
+    Zipf reality of event types, domains, languages), a plain hash join
+    sends that key's every row to one reducer — a straggler no cluster
+    size fixes. Salting splits each key's rows across nsalts reducers:
+    the big side joins on (key, salt(row)) where salt derives
+    DETERMINISTICALLY from ``salt_by`` columns (never rand(): task
+    retries must re-produce the same salt or the join drops/duplicates
+    rows); the small side is exploded nsalts times so every bucket
+    still finds its match. Result set is row-identical to the unsalted
+    join.
+
+    Use when the small side is too big to broadcast AND AQE's runtime
+    skew split is unavailable (e.g. the join feeds a window/streaming
+    stage AQE cannot re-plan around). Otherwise prefer broadcast() or
+    AQE (tests/test_plans.py::TestAqeSkew pins that path).
+
+    Cost model: shuffle volume grows by (nsalts - 1) x |small| — the
+    explicit price for removing the hot-key straggler; keep nsalts near
+    the straggler factor, not the cluster size.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    salt_by = [salt_by] if isinstance(salt_by, str) else list(salt_by)
+    overlap = set(salt_by) & set(on)
+    if overlap:
+        raise ValueError(
+            f"salt_by {sorted(overlap)} overlaps the join key - salting by "
+            "the key itself leaves every hot key in one bucket"
+        )
+    b = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_by]), F.lit(nsalts)).cast("int"),
+    )
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(nsalts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return b.join(s, on + ["_salt"], how).drop("_salt")

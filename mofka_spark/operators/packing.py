@@ -202,3 +202,88 @@ def epoch_shuffle(
         "shuffle_key",
         (base_col[F.col("_pid")] + F.col("_rn") - 1).cast("long").alias("epoch_pos"),
     )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    shard_rows: int = 1000,
+    seed: int | None = None,
+) -> DataFrame:
+    """Write the corpus as deterministic, globally-ordered training
+    shards and return the shard manifest.
+
+    The last pipeline stage: after dedup/filter/mix, a training run
+    wants the corpus as numbered shards whose concatenation IS the
+    training order — reproducible across cluster sizes so the data
+    order is experiment config, not scheduler accident. ``seed=None``
+    exports in ascending id order; with a seed, the epoch_shuffle
+    permutation for that seed becomes the order.
+
+    Layout: ``<path>/shard=<k>/*.parquet`` where shard k holds exactly
+    rows [k*shard_rows, (k+1)*shard_rows) of the global order (last
+    shard ragged), each file sorted by position.
+
+    Scale shape: order positions come from the distributed prefix sum
+    (epoch_shuffle); shard assignment is a pure projection; ONE hash
+    exchange on shard id co-locates each shard, and sortWithinPartitions
+    orders rows inside it. No global sort, no single-partition window,
+    manifest = one tiny agg over positions.
+    """
+    if shard_rows <= 0:
+        raise ValueError("shard_rows must be positive")
+    if seed is None:
+        pos = _rank_by_id(df, id_col)
+    else:
+        pos = epoch_shuffle(df, id_col=id_col, seed=seed).drop("shuffle_key")
+    out = (
+        df.join(pos.withColumnRenamed("id", id_col), id_col)
+        .withColumn(
+            "shard", F.floor(F.col("epoch_pos") / shard_rows).cast("int")
+        )
+        .repartition("shard")
+        .sortWithinPartitions("epoch_pos")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    written = df.sparkSession.read.parquet(path)
+    return (
+        written.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("epoch_pos").alias("first_pos"),
+            F.max("epoch_pos").alias("last_pos"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _rank_by_id(df: DataFrame, id_col: str) -> DataFrame:
+    """Dense 0..N-1 rank in ascending id order via the distributed
+    prefix sum (same decomposition as epoch_shuffle, constant key)."""
+    sess = df.sparkSession
+    n_ranges = sess.sparkContext.defaultParallelism
+    ranged = df.select(F.col(id_col).alias("id")).repartitionByRange(
+        n_ranges, "id"
+    )
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy("id")
+    local = part.withColumn("_rn", F.row_number().over(w)).persist()
+    totals = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("t"), F.min("id").alias("lo"))
+        .collect()
+    )
+    if not totals:
+        local.unpersist()
+        return sess.createDataFrame([], "id long, epoch_pos long")
+    base: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["lo"]):
+        base[row["_pid"]] = acc
+        acc += row["t"]
+    base_col = F.create_map(*[F.lit(x) for kv in base.items() for x in kv])
+    return local.select(
+        "id",
+        (base_col[F.col("_pid")] + F.col("_rn") - 1).cast("long").alias("epoch_pos"),
+    )

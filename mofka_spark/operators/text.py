@@ -8,7 +8,7 @@ prune-friendly. Each has a matching ANSI-SQL form for the DuckDB oracle
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tokenization: whitespace runs. Kept intentionally simple and
@@ -717,4 +717,142 @@ def gopher_quality(
         alpha_frac.alias("alpha_frac"),
         n_stop.alias("n_stop_hits"),
         passed.alias("pass_quality"),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Distributed inverted index: token -> (document frequency, sorted
+    posting list), with df-bound pruning.
+
+    The retrieval-side complement of bm25_scores: BM25 scores one query
+    against every doc; the index is what a real retrieval system builds
+    once and probes per query. Reference has no retrieval surface —
+    this is part of the beyond-reference training-data toolkit
+    (SURVEY.md §2.8).
+
+    Scale shape: ONE shuffle on token. distinct (token, doc) pairs come
+    out of the scan map-side (explode + distinct partial-aggregates
+    before the exchange); df counting and posting-list collection share
+    the token-hash partitioning, so the second agg is shuffle-free.
+    df bounds prune stopword tokens (whose posting lists at 100 TB
+    would be corpus-sized skew keys) and hapaxes BEFORE collect_list
+    materializes anything: the df filter runs on the counted frame and
+    only surviving tokens' pairs are re-aggregated. Posting lists are
+    doc-id arrays, sorted for deterministic output and delta-encodable
+    downstream.
+    """
+    from mofka_spark.operators.dedup import _spread, normalize_text
+
+    pairs = (
+        _spread(df.filter(F.col(text_col).isNotNull()), id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    n_docs = df.filter(F.col(text_col).isNotNull()).count()
+    max_df = int(n_docs * max_df_ratio)
+    # df bounds first: stats carries one row per token (tiny vs pairs);
+    # the semi-join back onto pairs reuses the token partitioning
+    stats = (
+        pairs.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    kept = pairs.join(stats, "token")
+    return (
+        kept.groupBy("token")
+        .agg(
+            F.first("df").alias("df"),
+            F.sort_array(F.collect_list("doc")).alias("postings"),
+        )
+        .select("token", F.col("df").cast("long").alias("df"), "postings")
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 8,
+) -> DataFrame:
+    """Segment-level exact dedup with text reconstruction: split each
+    doc into fixed-width word segments, keep only each distinct
+    segment's FIRST occurrence corpus-wide (ordered by doc id, then
+    position), and rebuild documents from their surviving segments.
+
+    The fixed-width analog of RefinedWeb/CCNet paragraph dedup
+    (documents here are single-paragraph, so position-based windows
+    stand in for paragraph boundaries) — unlike dup_spans (which flags
+    repeated spans), this REWRITES the corpus.
+
+    Scale shape: two shuffles, both key-bounded — one on the segment
+    hash (first-occurrence rank; hottest key's bucket = its duplicate
+    count, handled by AQE skew split), one on doc id (reassembly).
+    The segment text itself never shuffles: ranks travel with
+    (seg_hash, doc, idx) and surviving segments rejoin the doc's local
+    word array at rebuild.
+    """
+    from mofka_spark.operators.dedup import _spread, normalize_text
+
+    words = _spread(df.filter(F.col(text_col).isNotNull()), id_col).select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    )
+    n_segs = F.ceil(F.size("w") / F.lit(seg_words)).cast("int")
+    segs = words.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(
+                    F.slice("w", i * seg_words + 1, seg_words), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc", "seg_idx")
+    survivors = (
+        segs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rebuilt = survivors.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("kept_segments"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.ceil(
+                F.size(F.split(normalize_text(F.col(text_col)), " "))
+                / F.lit(seg_words)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("total_segments"),
+    )
+    return (
+        base.join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("kept_segments"), F.lit(0)).cast("long").alias("kept_segments"),
+            F.col("total_segments"),
+        )
     )

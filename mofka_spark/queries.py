@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from mofka_spark.functions.eventbridge import compile_pattern
 from mofka_spark.functions.views import DataDescriptor
-from mofka_spark.operators import dedup, similarity, text
+from mofka_spark.operators import dedup, joins, similarity, text
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -2138,10 +2138,289 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, k=20, m_per_partition=512)
 
 
+# Inverted index: token -> (df, sorted postings) with df-bound pruning —
+# the build side of a retrieval system (bm25_scores is the probe side).
+@query(
+    "inverted_index",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t.token
+      FROM documents,
+           UNNEST(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t(token)
+      WHERE text IS NOT NULL AND t.token <> ''
+    ), bounds AS (
+      SELECT COUNT(*) AS n FROM documents WHERE text IS NOT NULL
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM toks GROUP BY token
+    HAVING COUNT(*) >= 2
+       AND COUNT(*) <= (SELECT CAST(FLOOR(0.95 * n) AS BIGINT) FROM bounds)
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.inverted_index(docs, min_df=2, max_df_ratio=0.95)
+
+
+# Segment-level exact dedup (RefinedWeb-style corpus rewrite): keep each
+# distinct 8-word segment's first occurrence, rebuild documents.
+@query(
+    "segment_dedup",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), segs AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+             array_to_string(w[CAST(i*8+1 AS BIGINT) : CAST(i*8+8 AS BIGINT)], ' ') AS seg
+      FROM base, UNNEST(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS t(i)
+    ), ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    ), kept AS (
+      SELECT doc_id,
+             array_to_string(list(seg ORDER BY seg_idx), ' ') AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS kept_segments
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ), totals AS (
+      SELECT d.doc_id,
+             CASE WHEN d.text IS NOT NULL THEN
+               CAST(ceil(len(string_split(
+                 regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g'), ' '))/8.0)
+                 AS BIGINT)
+             ELSE 0 END AS total_segments
+      FROM documents d
+    )
+    SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+           COALESCE(k.kept_segments, 0) AS kept_segments, t.total_segments
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.segment_dedup(docs, seg_words=8)
+
+
+# Custom stateful streaming operator (applyInPandasWithState):
+# per-user inactivity-gap sessionization with arbitrary Python state.
+# Determinism for the gate: a per-user sentinel event 2h past the
+# global max timestamp flushes every real session data-driven (the
+# sentinel's own 1-event session stays in state, filtered by start
+# bound), so emitted sessions == the batch sessionization exactly.
+@query(
+    "stateful_sessions",
+    """
+    WITH base AS (
+      SELECT user_id, ts FROM events WHERE event_id < 5000
+    ), marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from mofka_spark.client import Driver
+    from mofka_spark.streaming.stateful import sessionize_stream
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    gmax = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sentinels = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("ts", F.lit(gmax) + F.expr("INTERVAL 2 HOURS"))
+    )
+    root = tempfile.mkdtemp(prefix="mofka-statefulq-")
+    driver = Driver(spark, root)
+    topic = driver.create_topic("stateful-sess", num_partitions=2)
+    # ship ts as epoch MICROS: to_json renders timestamps at
+    # millisecond precision, which would shift session bounds off the
+    # oracle's exact event times
+    topic.producer("bulk").push_dataframe(
+        ev.select("user_id", "ts")
+        .unionByName(sentinels)
+        .select(
+            F.to_json(
+                F.struct("user_id", F.unix_micros("ts").alias("ts_us"))
+            ).alias("metadata")
+        )
+    )
+    topic.mark_as_complete()
+    parsed = (
+        topic.read_stream()
+        .select(F.from_json("metadata", "user_id long, ts_us long").alias("m"))
+        .select(
+            F.col("m.user_id").alias("user_id"),
+            F.timestamp_micros(F.col("m.ts_us")).alias("ts"),
+        )
+    )
+    sessions = sessionize_stream(parsed, gap_sec=1800, watermark_delay="1 minute")
+    sink_name = "stateful_" + uuid.uuid4().hex[:8]
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.table(sink_name).filter(F.col("session_start") <= F.lit(gmax))
+
+
+# Stream-stream interval join: clicks and purchases flow as TWO live
+# topic streams; each purchase joins clicks by the same user within the
+# preceding hour. Both sides carry watermarks so the join state is
+# bounded (Spark drops a side's rows once its watermark passes the
+# range bound) — the streaming capability the reference's
+# consumer-callback model cannot express at all. Oracle: the batch
+# interval join (inner stream-stream joins emit exactly the matches).
+@query(
+    "streaming_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(c.user_id AS BIGINT) AS user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND c.event_id < 5000 AND p.event_id < 5000
+    """,
+)
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from mofka_spark.client import Driver
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    root = tempfile.mkdtemp(prefix="mofka-sjoin-")
+    driver = Driver(spark, root)
+    topic = driver.create_topic("sjoin", num_partitions=2)
+    topic.producer("bulk").push_dataframe(
+        ev.filter(F.col("event_type").isin("click", "purchase")).select(
+            F.to_json(F.struct("event_id", "ts", "user_id", "event_type")).alias(
+                "metadata"
+            )
+        )
+    )
+    topic.mark_as_complete()
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        # each side is its OWN source instance (self-joins need two
+        # reader states); column names are disambiguated up front
+        return (
+            topic.read_stream()
+            .select(F.from_json("metadata", schema).alias("m"))
+            .select("m.*")
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    sink_name = "sjoin_" + uuid.uuid4().hex[:8]
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.table(sink_name).select(
+        F.col("c_id").alias("click_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("c_user").alias("user_id"),
+    )
+
+
+# Salted skew join: result-identical to the plain equi-join (the oracle
+# is the plain join); the salting plan shape is pinned in
+# tests/test_plans.py (exchange keys include the salt, no hot-key
+# single-reducer bucket).
+@query(
+    "salted_join_skew",
+    """
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value - s.type_avg, 4) AS delta
+    FROM events e
+    JOIN (
+      SELECT event_type, AVG(value) AS type_avg
+      FROM events GROUP BY event_type
+    ) s USING (event_type)
+    """,
+)
+def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    joined = joins.salted_join(
+        ev.select("event_id", "event_type", "value"),
+        dim,
+        on="event_type",
+        salt_by="event_id",
+        nsalts=8,
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") - F.col("type_avg"), 4).alias("delta"),
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round; list queries with no prior
 # CORRECTNESS row first so every operator accumulates oracle evidence.
 CHECK_FIRST = [
+    "inverted_index",
+    "segment_dedup",
+    "salted_join_skew",
+    "streaming_join",
+    "stateful_sessions",
+    "streaming_join",
     "bm25_scores",
     "simhash_pairs",
     "modality_stats",

@@ -51,6 +51,8 @@ def sessionize_stream(
     fires (watermark passed session_end + gap)."""
     import pandas as pd
 
+    gap_us = gap_sec * 1_000_000
+
     def close_sessions(key, pdf_iter, state: GroupState):
         (uid,) = key
         if state.hasTimedOut:
@@ -59,22 +61,25 @@ def sessionize_stream(
             yield pd.DataFrame(
                 {
                     "user_id": [uid],
-                    "session_start": [pd.Timestamp(start, unit="s")],
-                    "session_end": [pd.Timestamp(end, unit="s")],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
                     "n_events": [n],
                 }
             )
             return
+        # state timestamps are epoch MICROseconds (pd.Timestamp.value
+        # is ns) — second truncation would shift session bounds off the
+        # batch oracle's exact event times
         ts = []
         for pdf in pdf_iter:
-            ts.extend(int(v.timestamp()) for v in pdf[ts_col])
+            ts.extend(int(v.value) // 1000 for v in pdf[ts_col])
         ts.sort()
         cur = list(state.get) if state.exists else None
         closed: list[tuple[int, int, int]] = []
         for t in ts:
             if cur is None:
                 cur = [t, t, 1]
-            elif t - cur[1] > gap_sec:
+            elif t - cur[1] > gap_us:
                 closed.append(tuple(cur))
                 cur = [t, t, 1]
             else:
@@ -88,15 +93,15 @@ def sessionize_stream(
         # if handed a timestamp at or before the current watermark —
         # a late event for an almost-expired session would do exactly
         # that.
-        timeout_ms = (cur[1] + gap_sec) * 1000
+        timeout_ms = cur[1] // 1000 + gap_sec * 1000
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
         if closed:
             yield pd.DataFrame(
                 {
                     "user_id": [uid] * len(closed),
-                    "session_start": [pd.Timestamp(s, unit="s") for s, _, _ in closed],
-                    "session_end": [pd.Timestamp(e, unit="s") for _, e, _ in closed],
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
                     "n_events": [n for _, _, n in closed],
                 }
             )

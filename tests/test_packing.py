@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 from mofka_spark import plans
 from mofka_spark.operators import packing
 
+SF = "/root/testdata/sf0.001"
+
 
 class TestPackSequences:
     def test_layout(self, spark):
@@ -123,3 +125,54 @@ class TestEpochShuffle:
         df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
         p = plans.plan_string(packing.epoch_shuffle(df))
         assert "SinglePartition" not in p
+
+
+class TestExportShards:
+    def test_id_order_shards(self, spark, tmp_path):
+        from mofka_spark.operators.packing import export_shards
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        n = docs.count()
+        path = str(tmp_path / "shards-id")
+        manifest = export_shards(docs, path, shard_rows=64).collect()
+        assert sum(r["n_rows"] for r in manifest) == n
+        # every shard but the last holds exactly shard_rows rows, and
+        # positions tile [0, n) contiguously in shard order
+        for i, r in enumerate(manifest):
+            assert r["shard"] == i
+            assert r["first_pos"] == i * 64
+            if i < len(manifest) - 1:
+                assert r["n_rows"] == 64 and r["last_pos"] == i * 64 + 63
+        back = spark.read.parquet(path)
+        rows = back.orderBy("epoch_pos").select("doc_id").collect()
+        ids = [r["doc_id"] for r in rows]
+        assert ids == sorted(ids)  # id order IS the global order
+
+    def test_seeded_shuffle_is_permutation_and_deterministic(self, spark, tmp_path):
+        from mofka_spark.operators.packing import export_shards
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        export_shards(docs, p1, shard_rows=100, seed=7)
+        export_shards(docs, p2, shard_rows=100, seed=7)
+        a = [
+            r["doc_id"]
+            for r in spark.read.parquet(p1).orderBy("epoch_pos").collect()
+        ]
+        b = [
+            r["doc_id"]
+            for r in spark.read.parquet(p2).orderBy("epoch_pos").collect()
+        ]
+        assert a == b  # same seed -> byte-identical training order
+        assert sorted(a) == sorted(
+            r["doc_id"] for r in docs.select("doc_id").collect()
+        )
+        c = [
+            r["doc_id"]
+            for r in export_shards(
+                docs, str(tmp_path / "s3"), shard_rows=100, seed=8
+            ).sparkSession.read.parquet(str(tmp_path / "s3"))
+            .orderBy("epoch_pos")
+            .collect()
+        ]
+        assert c != a  # a new seed is a new permutation

@@ -127,3 +127,38 @@ class TestAqeSkew:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestSaltedJoin:
+    def test_exchange_partitioned_by_key_and_salt(self, spark):
+        """With broadcast off, the salted join's shuffle keys must
+        include the salt — that's the whole point (a hot key's rows
+        spread across nsalts reducers instead of one)."""
+        from mofka_spark.operators.joins import salted_join
+
+        ev = spark.read.parquet(f"{SF}/events.parquet").select(
+            "event_id", "event_type", "value"
+        )
+        dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = salted_join(ev, dim, on="event_type", salt_by="event_id", nsalts=8)
+            p = plans.plan_string(out)
+            assert "_salt" in p
+            import re
+
+            parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+            # both SMJ input exchanges shuffle on (key, salt); the dim's
+            # upstream groupBy exchange is key-only and doesn't count
+            salted = [x for x in parts if "event_type" in x and "_salt" in x]
+            assert len(salted) >= 2, p
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_salt_by_join_key_rejected(self, spark):
+        from mofka_spark.operators.joins import salted_join
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        with pytest.raises(ValueError):
+            salted_join(ev, ev, on="event_type", salt_by="event_type")
