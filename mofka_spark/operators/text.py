@@ -749,14 +749,19 @@ def inverted_index(
     """
     from mofka_spark.operators.dedup import _spread, normalize_text
 
+    # (token, doc) pairs arrive globally distinct WITHOUT a shuffle:
+    # doc rows are unique, and array_distinct dedupes within the doc
+    # before the explode — the classic presence-list trick that removes
+    # the (doc, token) distinct exchange entirely
     pairs = (
         _spread(df.filter(F.col(text_col).isNotNull()), id_col)
         .select(
             F.col(id_col).alias("doc"),
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+            F.explode(
+                F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+            ).alias("token"),
         )
         .filter(F.col("token") != "")
-        .distinct()
     )
     n_docs = df.filter(F.col(text_col).isNotNull()).count()
     max_df = int(n_docs * max_df_ratio)
@@ -855,4 +860,55 @@ def segment_dedup(
             F.coalesce(F.col("kept_segments"), F.lit(0)).cast("long").alias("kept_segments"),
             F.col("total_segments"),
         )
+    )
+
+
+def novelty_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word n-grams that NO earlier document (ascending id = ingest order)
+    contains.
+
+    The mixing-time complement of dedup: near-dups score ~0 without
+    being dropped, boilerplate-heavy docs score low, fresh content
+    scores ~1 — a ranking signal for dedup-aware sampling (pair with
+    doc_sample/training_mix) rather than a hard filter.
+
+    Scale shape: two shuffles — (gram -> min owner id) with map-side
+    partial min, then (doc -> counts). The gram strings shuffle once;
+    the ownership join reuses the gram-hash partitioning. Docs shorter
+    than n words have one degenerate gram (word_ngrams pads to >= 1),
+    so novelty is defined everywhere.
+    """
+    from mofka_spark.operators.dedup import _spread, word_ngrams
+
+    grams = (
+        _spread(df.filter(F.col(text_col).isNotNull()), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+        )
+    )
+    first = grams.groupBy("g").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
     )

@@ -2206,6 +2206,109 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.segment_dedup(docs, seg_words=8)
 
 
+# Per-doc n-gram novelty vs all earlier docs (dedup-aware mixing
+# signal): fraction of the doc's distinct trigrams whose first corpus
+# occurrence (min doc_id) is this doc.
+@query(
+    "novelty_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                              i -> array_to_string(t[i:i+2], ' ')))) AS g
+      FROM toks
+    ), first AS (
+      SELECT g, MIN(doc_id) AS first_id FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_id = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_id = gr.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM grams gr JOIN first f USING (g)
+    GROUP BY gr.doc_id
+    """,
+)
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.novelty_scores(docs, n=3)
+
+
+# End-to-end streaming ETL pipeline: topic -> streaming filter/derive ->
+# exactly-once sink -> second topic -> batch read. The full data loop a
+# reference user runs as producer/consumer callbacks, expressed as one
+# Structured Streaming query; the oracle is the equivalent batch filter,
+# so the pipeline (source offsets, sink epochs, dense re-ingest) must be
+# lossless and duplicate-free to hash-match.
+@query(
+    "streaming_pipeline",
+    """
+    SELECT event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           ROUND(value * 2, 4) AS doubled
+    FROM events
+    WHERE event_id < 5000 AND event_type = 'click' AND value > 50
+    """,
+)
+def q_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.client import Driver
+    from mofka_spark.streaming.sink import topic_sink
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    root = tempfile.mkdtemp(prefix="mofka-pipe-")
+    driver = Driver(spark, root)
+    src = driver.create_topic("pipe-src", num_partitions=2)
+    driver.create_topic("pipe-dst", num_partitions=2)
+    src.producer("bulk").push_dataframe(
+        ev.select(
+            F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias(
+                "metadata"
+            )
+        )
+    )
+    src.mark_as_complete()
+    schema = "event_id long, user_id long, event_type string, value double"
+    derived = (
+        src.read_stream()
+        .select(F.from_json("metadata", schema).alias("m"))
+        .select("m.*")
+        .filter((F.col("event_type") == "click") & (F.col("value") > 50))
+        .select(
+            F.to_json(
+                F.struct(
+                    "event_id",
+                    "user_id",
+                    F.round(F.col("value") * 2, 4).alias("doubled"),
+                )
+            ).alias("metadata")
+        )
+    )
+    q = (
+        derived.writeStream.foreachBatch(
+            topic_sink(driver, "pipe-dst", data_col=None, sink_id="pipe")
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = driver.open_topic("pipe-dst").dataframe()
+    m = F.from_json("metadata", "event_id long, user_id long, doubled double")
+    return out.select(m.alias("m")).select(
+        F.col("m.event_id").alias("event_id"),
+        F.col("m.user_id").alias("user_id"),
+        F.col("m.doubled").alias("doubled"),
+    )
+
+
 # Custom stateful streaming operator (applyInPandasWithState):
 # per-user inactivity-gap sessionization with arbitrary Python state.
 # Determinism for the gate: a per-user sentinel event 2h past the
@@ -2420,6 +2523,8 @@ CHECK_FIRST = [
     "salted_join_skew",
     "streaming_join",
     "stateful_sessions",
+    "streaming_pipeline",
+    "novelty_scores",
     "streaming_join",
     "bm25_scores",
     "simhash_pairs",

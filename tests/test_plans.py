@@ -162,3 +162,37 @@ class TestSaltedJoin:
         ev = spark.read.parquet(f"{SF}/events.parquet")
         with pytest.raises(ValueError):
             salted_join(ev, ev, on="event_type", salt_by="event_type")
+
+
+class TestTextOperatorPlans:
+    def test_inverted_index_prunes_and_combines(self, spark):
+        from mofka_spark.operators.text import inverted_index
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = inverted_index(docs)
+        rs = plans.scan_schema(out)
+        assert "doc_id" in rs and "text" in rs and "lang" not in rs
+        p = plans.plan_string(out)
+        assert "partial_" in p  # map-side combine before the token exchange
+        # the presence-list trick: no exchange keyed on (doc, token) —
+        # pairs arrive distinct from array_distinct inside the row
+        import re
+
+        pairs_keys = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+        assert not any("doc" in x and "token" in x for x in pairs_keys), p
+
+    def test_novelty_prunes_columns(self, spark):
+        from mofka_spark.operators.text import novelty_scores
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        rs = plans.scan_schema(novelty_scores(docs))
+        assert "doc_id" in rs and "text" in rs and "source" not in rs
+
+    def test_segment_dedup_single_rank_window(self, spark):
+        from mofka_spark.operators.text import segment_dedup
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = plans.plan_string(segment_dedup(docs), mode="simple")
+        # one logical rank window (per segment hash); reassembly is an
+        # aggregate, not a second window
+        assert "row_number" in p
