@@ -115,7 +115,9 @@ def cmd_topic_stats(args) -> int:
 
 
 def cmd_partition_add(args) -> int:
-    cfg = _registry(args).add_partitions(args.name, args.count)
+    cfg = _registry(args).add_partitions(
+        args.name, args.count, backend=args.type
+    )
     print(cfg.to_json())
     return 0
 
@@ -243,6 +245,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = part.add_parser("add", help="Add partitions to a topic (S5)")
     _std(p)
     p.add_argument("-n", "--count", type=int, default=1)
+    p.add_argument(
+        "-t",
+        "--type",
+        default=None,
+        choices=["default", "memory"],
+        help="Storage backend for the NEW partitions (mofkactl's "
+        "partition add --type; omit to inherit the topic default)",
+    )
     p.set_defaults(fn=cmd_partition_add)
 
     bench = sub.add_parser(

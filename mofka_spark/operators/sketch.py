@@ -206,3 +206,37 @@ def heavy_hitters(
     return exact.withColumn("rnk", F.row_number().over(w).cast("long")).withColumn(
         "guaranteed", F.min("cnt").over(Window.partitionBy(F.lit(1))) > F.lit(slack)
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier flags per group: value outside
+    [q1 - k*IQR, q3 + k*IQR] of its group's EXACT quartiles.
+
+    The robust complement of z-scoring (quartiles don't move under the
+    outliers being hunted). Exact percentile state is O(values) per
+    group, so this operator is for BOUNDED group cardinality (event
+    types, languages, domains); at unbounded scale use value_quantiles'
+    approx_percentile path and accept the rank-envelope error bound.
+    The per-group stats frame is one row per group — broadcast back, so
+    the data side stays a single scan plus one map-side join.
+    """
+    stats = df.groupBy(*key_cols).agg(
+        F.percentile(value_col, F.lit(0.25)).alias("_q1"),
+        F.percentile(value_col, F.lit(0.75)).alias("_q3"),
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    lo, hi = F.col("_q1") - k * iqr, F.col("_q3") + k * iqr
+    return (
+        df.join(F.broadcast(stats), key_cols)
+        .withColumn(
+            "is_outlier", (F.col(value_col) < lo) | (F.col(value_col) > hi)
+        )
+        .withColumn("fence_lo", F.round(lo, 6))
+        .withColumn("fence_hi", F.round(hi, 6))
+        .drop("_q1", "_q3")
+    )

@@ -2206,6 +2206,73 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.segment_dedup(docs, seg_words=8)
 
 
+# Tukey-fence outliers per event type (robust stats: exact quartiles,
+# k=1.5 IQR fences). Spark exact percentile and DuckDB percentile_cont
+# both linear-interpolate, so the fences match bit-for-bit.
+@query(
+    "value_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+             percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           (e.value < q1 - 1.5*(q3-q1) OR e.value > q3 + 1.5*(q3-q1))
+             AS is_outlier,
+           ROUND(q1 - 1.5*(q3-q1), 6) AS fence_lo,
+           ROUND(q3 + 1.5*(q3-q1), 6) AS fence_hi
+    FROM events e JOIN stats USING (event_type)
+    """,
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sketch import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_outliers(
+        ev.select("event_id", "event_type", "value"), ["event_type"], "value"
+    ).select("event_id", "event_type", "is_outlier", "fence_lo", "fence_hi")
+
+
+# Snapshot diff (corpus versioning): keyed delta between two cuts of
+# the event log — the audit step between two corpus versions.
+@query(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT event_id, value FROM events WHERE event_id < 6000
+    ), new AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+      FROM events WHERE event_id >= 2000
+    )
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                WHEN o.value <> n.value THEN 'changed'
+           END AS change
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    WHERE CASE WHEN o.event_id IS NULL THEN 'added'
+               WHEN n.event_id IS NULL THEN 'removed'
+               WHEN o.value <> n.value THEN 'changed'
+          END IS NOT NULL
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.diff import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") < 6000).select("event_id", "value")
+    new = ev.filter(F.col("event_id") >= 2000).select(
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("value") * 2)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return snapshot_diff(old, new, ["event_id"], ["value"])
+
+
 # Per-doc n-gram novelty vs all earlier docs (dedup-aware mixing
 # signal): fraction of the doc's distinct trigrams whose first corpus
 # occurrence (min doc_id) is this doc.
@@ -2525,6 +2592,8 @@ CHECK_FIRST = [
     "stateful_sessions",
     "streaming_pipeline",
     "novelty_scores",
+    "value_outliers",
+    "snapshot_diff",
     "streaming_join",
     "bm25_scores",
     "simhash_pairs",
