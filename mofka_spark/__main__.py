@@ -114,6 +114,19 @@ def cmd_topic_stats(args) -> int:
     return 0
 
 
+def cmd_topic_compact(args) -> int:
+    """Small-file maintenance pass (EventLog.compact_files) — pure
+    pyarrow, no SparkSession; run while no producer is active."""
+    from mofka_spark.log import EventLog
+
+    reg = _registry(args)
+    cfg = reg.open_topic(args.name)
+    log = EventLog(None, reg.topic_path(args.name), args.name)
+    res = log.compact_files(min_files=args.min_files, target_mb=args.target_mb)
+    print(json.dumps({str(p): list(v) for p, v in res.items()}, sort_keys=True))
+    return 0
+
+
 def cmd_partition_add(args) -> int:
     cfg = _registry(args).add_partitions(
         args.name, args.count, backend=args.type
@@ -238,6 +251,14 @@ def build_parser() -> argparse.ArgumentParser:
         p = topic.add_parser(cname, help=hlp)
         _std(p)
         p.set_defaults(fn=fn)
+
+    p = topic.add_parser(
+        "compact", help="Rewrite small per-flush files (maintenance)"
+    )
+    _std(p)
+    p.add_argument("--min-files", type=int, default=8)
+    p.add_argument("--target-mb", type=int, default=512)
+    p.set_defaults(fn=cmd_topic_compact)
 
     part = sub.add_parser("partition", help="Manipulate partitions").add_subparsers(
         dest="cmd", required=True

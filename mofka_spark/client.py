@@ -262,6 +262,15 @@ class TopicHandle:
             self, name, batch_size, data_selector, targets, prefetch, data_allocator
         )
 
+    def compact_log(
+        self, min_files: int = 8, target_mb: int = 512
+    ) -> dict[int, tuple[int, int]]:
+        """Small-file maintenance: rewrite each partition's accumulated
+        per-flush Parquet files into offset-sorted ``target_mb`` files
+        (see EventLog.compact_files). Rows/offsets are unchanged;
+        run while no producer is active."""
+        return self.log.compact_files(min_files=min_files, target_mb=target_mb)
+
     def mark_as_complete(self) -> None:
         self.driver.registry.mark_as_complete(self.name)
 

@@ -437,6 +437,109 @@ class EventLog:
         finally:
             batch.unpersist()
 
+    # -- maintenance -------------------------------------------------------
+    def compact_files(
+        self, min_files: int = 8, target_mb: int = 512
+    ) -> dict[int, tuple[int, int]]:
+        """Rewrite each partition's many small Parquet files into one
+        sorted file — the small-file maintenance pass every per-flush
+        append log needs (a per-event producer leaves one tiny file per
+        flush; at 100 TB the file COUNT, not the bytes, kills scan
+        planning and footer-stats recovery). The reference's analog is
+        Yokan/Warabi log segment management.
+
+        Only partitions with >= ``min_files`` files are rewritten.
+        Offsets, rows, and schema are bit-identical afterward (the gate
+        asserts so); files merge in min-offset order into ``target_mb``
+        bins (driver memory stays bounded by the bin size — at real
+        scale a compactor runs one bin per executor task, same plan),
+        each output sorted by offset so row-group min/max stats stay
+        maximally selective for the offset-range reads the
+        pull/streaming paths issue.
+
+        Concurrency: the rewrite stages the new file, then swaps
+        (publish new, unlink olds) under the ledger flock so no
+        concurrent WRITER interleaves; it is an offline maintenance op
+        with respect to READERS (a scan racing the swap can lose the
+        race to an unlinked file), matching the usual compaction
+        contract without a transaction log.
+
+        Returns {partition: (files_before, files_after)}.
+        """
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        out: dict[int, tuple[int, int]] = {}
+        if not os.path.isdir(self.data_path):
+            return out
+        for entry in sorted(os.listdir(self.data_path)):
+            if not entry.startswith("partition="):
+                continue
+            p = int(entry.split("=", 1)[1])
+            if self.scope is not None and p not in self.scope:
+                continue
+            pdir = os.path.join(self.data_path, entry)
+            files = sorted(
+                fn for fn in os.listdir(pdir) if fn.endswith(".parquet")
+            )
+            if len(files) < min_files:
+                out[p] = (len(files), len(files))
+                continue
+            with self._ledger_lock():
+                # re-list under the lock: a producer may have flushed
+                # between the scan and the lock
+                import pyarrow as pa
+
+                files = sorted(
+                    fn for fn in os.listdir(pdir) if fn.endswith(".parquet")
+                )
+                # order files by their min offset and bin by size, so
+                # memory is bounded by target_mb per merge and output
+                # files cover near-disjoint offset ranges (selective
+                # row-group stats)
+                keyed = []
+                for fn in files:
+                    fp = os.path.join(pdir, fn)
+                    md = pq.ParquetFile(fp).metadata
+                    idx = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)
+                    }["offset"]
+                    stats = md.row_group(0).column(idx).statistics
+                    lo = int(stats.min) if stats and stats.has_min_max else 0
+                    keyed.append((lo, fn, os.path.getsize(fp)))
+                keyed.sort()
+                target = target_mb * 1024 * 1024
+                bins: list[list[str]] = [[]]
+                acc = 0
+                for _lo, fn, sz in keyed:
+                    if bins[-1] and acc + sz > target:
+                        bins.append([])
+                        acc = 0
+                    bins[-1].append(fn)
+                    acc += sz
+                for group in bins:
+                    if len(group) < 2:
+                        continue
+                    merged = pa.concat_tables(
+                        pq.read_table(os.path.join(pdir, fn)) for fn in group
+                    ).sort_by("offset")
+                    tmp = os.path.join(pdir, f".compact-{uuid.uuid4().hex}.tmp")
+                    dst = os.path.join(
+                        pdir, f"part-compact-{uuid.uuid4().hex}.parquet"
+                    )
+                    pq.write_table(merged, tmp)
+                    os.replace(tmp, dst)
+                    for fn in group:
+                        os.unlink(os.path.join(pdir, fn))
+                out[p] = (
+                    len(files),
+                    sum(1 for g in bins if len(g) >= 2)
+                    + sum(len(g) for g in bins if len(g) < 2),
+                )
+        return out
+
     # -- read path ---------------------------------------------------------
     def _has_data(self) -> bool:
         if not os.path.isdir(self.data_path):

@@ -306,3 +306,62 @@ class TestConcurrentProducers:
         with open(log.ledger_path) as f:
             doc = json.load(f)
         assert doc["reserved"] == {}
+
+
+class TestFileCompaction:
+    def test_compact_preserves_rows_and_offsets(self, driver):
+        topic = driver.create_topic("cmp-files", num_partitions=2)
+        # 10 flushes -> 10 small files per partition
+        for k in range(10):
+            with topic.producer(f"p{k}", batch_size=None) as prod:
+                for i in range(4):
+                    prod.push({"k": k, "i": i}, bytes([k, i]))
+        before = topic.dataframe().orderBy("partition", "offset").collect()
+        import os
+
+        pdir0 = os.path.join(topic.log.data_path, "partition=0")
+        n_before = len([f for f in os.listdir(pdir0) if f.endswith(".parquet")])
+        assert n_before >= 8
+        res = topic.log.compact_files(min_files=4)
+        n_after = len([f for f in os.listdir(pdir0) if f.endswith(".parquet")])
+        assert n_after == 1
+        assert res[0][0] == n_before and res[0][1] == 1
+        after = topic.dataframe().orderBy("partition", "offset").collect()
+        assert [tuple(r) for r in before] == [tuple(r) for r in after]
+        # appends continue dense after compaction
+        with topic.producer("post", batch_size=None) as prod:
+            prod.push({"post": 1})
+        stats = topic.log.partition_stats().collect()
+        assert all(r["dense"] for r in stats)
+
+    def test_compact_respects_min_files_and_cursors(self, driver):
+        topic = driver.create_topic("cmp-skip", num_partitions=1)
+        with topic.producer("p", batch_size=None) as prod:
+            for i in range(6):
+                prod.push({"i": i})
+        consumer = topic.consumer("c")
+        for _ in range(3):
+            consumer.pull().acknowledge()
+        res = topic.log.compact_files(min_files=100)  # below threshold: no-op
+        assert all(b == a for b, a in res.values())
+        topic.log.compact_files(min_files=2)
+        # cursor resume unaffected by the rewrite
+        resumed = topic.consumer("c").pull()
+        assert resumed.offset == 3
+
+    def test_compact_bins_by_target_size(self, driver):
+        topic = driver.create_topic("cmp-bins", num_partitions=1)
+        for k in range(12):
+            with topic.producer(f"p{k}", batch_size=None) as prod:
+                # ~40 KB of payload per flush
+                prod.push({"k": k}, b"x" * 40_000)
+        import os
+
+        pdir = os.path.join(topic.log.data_path, "partition=0")
+        res = topic.log.compact_files(min_files=2, target_mb=1)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        # 12 files -> fewer, but possibly >1 bin; rows intact and sorted
+        assert 1 <= len(files) < 12
+        assert res[0] == (12, len(files))
+        rows = topic.dataframe().orderBy("offset").collect()
+        assert [r["offset"] for r in rows] == list(range(12))
