@@ -114,6 +114,32 @@ def cmd_topic_stats(args) -> int:
     return 0
 
 
+def cmd_topic_lag(args) -> int:
+    """Per-consumer lag (ledger head - ack cursor) — pure metadata."""
+    from mofka_spark.log import EventLog
+
+    reg = _registry(args)
+    reg.open_topic(args.name)  # raises TopicNotFoundError if missing
+    log = EventLog(None, reg.topic_path(args.name), args.name)
+    heads = log.next_offsets()
+    import os as _os
+
+    try:
+        names = sorted(
+            fn[: -len(".json")]
+            for fn in _os.listdir(log.cursors_dir)
+            if fn.endswith(".json")
+        )
+    except FileNotFoundError:
+        names = []
+    out = {}
+    for n in names:
+        cur = log.load_cursors(n)
+        out[n] = {str(p): heads.get(p, 0) - cur.get(p, 0) for p in heads}
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def cmd_topic_compact(args) -> int:
     """Small-file maintenance pass (EventLog.compact_files) — pure
     pyarrow, no SparkSession; run while no producer is active."""
@@ -251,6 +277,10 @@ def build_parser() -> argparse.ArgumentParser:
         p = topic.add_parser(cname, help=hlp)
         _std(p)
         p.set_defaults(fn=fn)
+
+    p = topic.add_parser("lag", help="Per-consumer lag from cursors/ledger")
+    _std(p)
+    p.set_defaults(fn=cmd_topic_lag)
 
     p = topic.add_parser(
         "compact", help="Rewrite small per-flush files (maintenance)"

@@ -26,6 +26,7 @@ micro-batches (``batch_size``), never the whole log.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 from typing import Any, Callable, Iterator
 
@@ -262,6 +263,30 @@ class TopicHandle:
             self, name, batch_size, data_selector, targets, prefetch, data_allocator
         )
 
+    def consumer_lag(self, name: str | None = None) -> dict[str, dict[int, int]]:
+        """Per-consumer lag: ledger head minus acknowledged cursor, per
+        partition — the first thing an operator of a streaming service
+        checks. O(#partitions) metadata (ledger + cursor JSON), no data
+        read, no SparkSession work. ``name=None`` reports every consumer
+        that has ever acknowledged."""
+        heads = self.log.next_offsets()
+        if name is not None:
+            names = [name]
+        else:
+            try:
+                names = sorted(
+                    fn[: -len(".json")]
+                    for fn in os.listdir(self.log.cursors_dir)
+                    if fn.endswith(".json")
+                )
+            except FileNotFoundError:
+                names = []
+        out: dict[str, dict[int, int]] = {}
+        for n in names:
+            cur = self.log.load_cursors(n)
+            out[n] = {p: heads.get(p, 0) - cur.get(p, 0) for p in heads}
+        return out
+
     def compact_log(
         self, min_files: int = 8, target_mb: int = 512
     ) -> dict[int, tuple[int, int]]:
@@ -337,7 +362,11 @@ class TopicHandle:
             )
         return df
 
-    def read_stream(self, batch_size: int | None = None) -> DataFrame:
+    def read_stream(
+        self,
+        batch_size: int | None = None,
+        starting_offsets: str | dict[int, int] | None = None,
+    ) -> DataFrame:
         """The topic as a streaming DataFrame (custom 'mofka' source;
         L3 feedConsumer ≙ micro-batch offset ranges from the ledger).
 
@@ -363,6 +392,17 @@ class TopicHandle:
         )
         if batch_size is not None:
             reader = reader.option("batch_size", batch_size)
+        if starting_offsets is not None:
+            # "earliest" | "latest" | {partition: offset} resume map
+            # (first run only; the checkpoint owns offsets afterwards)
+            import json as _json
+
+            opt = (
+                starting_offsets
+                if isinstance(starting_offsets, str)
+                else _json.dumps({str(k): v for k, v in starting_offsets.items()})
+            )
+            reader = reader.option("starting_offsets", opt)
         return reader.load()
 
     def await_completion(self, query, poll_interval: float = 0.25, timeout: float | None = 120.0) -> bool:

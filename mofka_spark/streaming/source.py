@@ -105,6 +105,12 @@ class MofkaStreamReader(DataSourceStreamReader):
         if self.root is None:
             raise ValueError("mofka source requires option 'path' (engine root)")
         self.batch_size = int(options.get("batch_size", 0)) or None
+        # starting_offsets: "earliest" (default — replay the log),
+        # "latest" (attach at the current head: a monitor on a 100 TB
+        # topic must not re-scan history), or a JSON {partition: offset}
+        # map for explicit resume points. Kafka-source semantics; only
+        # consulted on the FIRST run (checkpoints own it afterwards).
+        self.starting = options.get("starting_offsets", "earliest")
         from mofka_spark.registry import TopicRegistry
 
         self.topic_path = TopicRegistry(self.root).topic_path(self.topic)
@@ -116,8 +122,19 @@ class MofkaStreamReader(DataSourceStreamReader):
         self._last: dict[str, int] | None = None
 
     def initialOffset(self) -> dict:
+        ledger = _read_ledger(self.topic_path)
+        if self.starting == "latest":
+            return {p: int(n) for p, n in ledger.items()}
+        if self.starting != "earliest":
+            explicit = {str(k): int(v) for k, v in json.loads(self.starting).items()}
+            # clamp to the log: an offset past the head would make the
+            # first batch's range negative
+            return {
+                p: min(explicit.get(p, 0), int(ledger.get(p, 0)))
+                for p in set(ledger) | set(explicit)
+            }
         # start of the log: offset 0 for every currently-known partition
-        return {p: 0 for p in _read_ledger(self.topic_path)}
+        return {p: 0 for p in ledger}
 
     def latestOffset(self) -> dict:
         ledger = {p: int(n) for p, n in _read_ledger(self.topic_path).items()}

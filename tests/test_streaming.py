@@ -420,3 +420,74 @@ class TestIncrementalRollup:
         assert snap() == expect
         # compaction reduced the partial table to one row per group
         assert spark.read.parquet(path).count() == 3
+
+
+class TestStartingOffsets:
+    def test_latest_skips_history(self, driver, tmp_path, spark):
+        """starting_offsets='latest': a monitor attaching to a huge
+        topic reads only what arrives AFTER it starts."""
+        topic = driver.create_topic("so-latest", num_partitions=1)
+        with topic.producer("old") as prod:
+            for i in range(10):
+                prod.push({"old": i})
+        stream = topic.read_stream(starting_offsets="latest")
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("so_latest_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt-sol"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            # pin the start point before producing more: "latest" is
+            # snapshotted at the first micro-batch's planning
+            q.processAllAvailable()
+            with topic.producer("new") as prod:
+                for i in range(5):
+                    prod.push({"new": i})
+            topic.mark_as_complete()
+            assert topic.await_completion(q, timeout=120) is True
+        finally:
+            if q.isActive:
+                q.stop()
+        rows = spark.sql("SELECT metadata FROM so_latest_out").collect()
+        assert len(rows) == 5
+        assert all("new" in r.metadata for r in rows)
+
+    def test_explicit_offsets_resume_point(self, driver, tmp_path, spark):
+        topic = driver.create_topic("so-explicit", num_partitions=1)
+        with topic.producer("p") as prod:
+            for i in range(8):
+                prod.push({"i": i})
+        topic.mark_as_complete()
+        stream = topic.read_stream(starting_offsets={0: 5})
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("so_explicit_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt-soe"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        offs = sorted(
+            r.offset for r in spark.sql("SELECT offset FROM so_explicit_out").collect()
+        )
+        assert offs == [5, 6, 7]
+
+
+class TestConsumerLag:
+    def test_lag_tracks_acks(self, driver):
+        topic = driver.create_topic("lag-t", num_partitions=2)
+        with topic.producer("p") as prod:
+            for i in range(10):
+                prod.push({"i": i}, partition=i % 2)
+        c = topic.consumer("mon")
+        for _ in range(3):
+            c.pull().acknowledge()
+        lag = topic.consumer_lag()
+        assert set(lag) == {"mon"}
+        assert sum(lag["mon"].values()) == 7
+        # a named query returns just that consumer
+        assert topic.consumer_lag("mon") == lag
