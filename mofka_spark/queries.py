@@ -2206,6 +2206,97 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.segment_dedup(docs, seg_words=8)
 
 
+# Data-quality audit: referential-integrity violation counts across the
+# warehouse tables (orphan FK rows caught by broadcast anti-joins — at
+# 100 TB each check is one scan + broadcast of the parent key set or an
+# SMJ anti when the parent is large; counts only, output O(#checks)).
+@query(
+    "fk_violations",
+    """
+    SELECT 'orders_without_customer' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_bad
+    UNION ALL
+    SELECT 'lineitem_without_order',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_without_nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    ORDER BY check_name
+    """,
+)
+def q_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+
+    def orphan_count(child, fk, parent, pk, name):
+        n = (
+            child.join(
+                F.broadcast(parent.select(F.col(pk).alias(fk)).distinct()),
+                fk,
+                "left_anti",
+            )
+            .count()
+        )
+        return (name, n)
+
+    rows = [
+        orphan_count(orders, "o_custkey", cust, "c_custkey", "orders_without_customer"),
+        orphan_count(li, "l_orderkey", orders, "o_orderkey", "lineitem_without_order"),
+        orphan_count(cust, "c_nationkey", nation, "n_nationkey", "customer_without_nation"),
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "check_name string, n_bad long"
+    )
+
+
+# Fixed-width value histograms per event type (width_bucket semantics on
+# both engines; the per-type bounds come from one tiny agg broadcast
+# back, the bucketing itself is a pure projection + one shuffle on
+# (type, bucket)).
+@query(
+    "value_histogram",
+    """
+    WITH bounds AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(LEAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo) / 10)), 9)
+                AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 10
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .withColumn(
+            "bucket",
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width), F.lit(9)
+            ).cast("int"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
 # Tukey-fence outliers per event type (robust stats: exact quartiles,
 # k=1.5 IQR fences). Spark exact percentile and DuckDB percentile_cont
 # both linear-interpolate, so the fences match bit-for-bit.
@@ -2594,6 +2685,8 @@ CHECK_FIRST = [
     "novelty_scores",
     "value_outliers",
     "snapshot_diff",
+    "fk_violations",
+    "value_histogram",
     "streaming_join",
     "bm25_scores",
     "simhash_pairs",

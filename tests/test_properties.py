@@ -141,3 +141,80 @@ class TestValidatorNecessity:
         for d, ok_exact, r in zip(docs, exact_ok, rows):
             if ok_exact:
                 assert r["ok"] is True, f"column path rejected a valid doc: {d}"
+
+
+_WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=1,
+    max_size=40,
+)
+
+
+class TestSegmentDedupProperties:
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts=st.lists(_WORDS, min_size=1, max_size=12))
+    def test_no_duplicate_segments_and_conservation(self, spark, texts):
+        """After segment_dedup: (1) no 8-word segment string appears
+        twice across the rebuilt corpus, (2) kept+dropped == total, and
+        (3) doc 0 (first in id order) is byte-identical to its input
+        normalization (nothing earlier can own its segments)."""
+        from mofka_spark.operators.text import segment_dedup
+
+        df = spark.createDataFrame(
+            [(i, " ".join(w)) for i, w in enumerate(texts)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in segment_dedup(df, seg_words=8).collect()}
+        segs = []
+        for r in out.values():
+            words = r["clean_text"].split(" ") if r["clean_text"] else []
+            segs.extend(
+                " ".join(words[i: i + 8]) for i in range(0, len(words), 8)
+            )
+        # (1) global uniqueness of surviving segments
+        assert len(segs) == len(set(segs))
+        # (2) conservation
+        for i, w in enumerate(texts):
+            import math
+
+            assert out[i]["total_segments"] == math.ceil(len(w) / 8)
+            assert out[i]["kept_segments"] <= out[i]["total_segments"]
+        # (3) first doc keeps exactly its distinct segments, in order of
+        # first appearance (internal repeats dedupe within the doc too)
+        w0 = texts[0]
+        seen, expect = set(), []
+        for i in range(0, len(w0), 8):
+            s = " ".join(w0[i: i + 8])
+            if s not in seen:
+                seen.add(s)
+                expect.append(s)
+        assert out[0]["clean_text"] == " ".join(expect)
+
+
+class TestSaltedJoinProperties:
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 100)),
+            min_size=1, max_size=30,
+        ),
+        nsalts=st.integers(2, 5),
+    )
+    def test_equivalent_to_plain_join(self, spark, rows, nsalts):
+        from mofka_spark.operators.joins import salted_join
+
+        big = spark.createDataFrame(
+            [(k, v, i) for i, (k, v) in enumerate(rows)], "k int, v int, rid int"
+        )
+        small = big.groupBy("k").count()
+        plain = sorted(
+            tuple(r) for r in big.join(small, "k").select("k", "v", "rid", "count").collect()
+        )
+        salted = sorted(
+            tuple(r)
+            for r in salted_join(big, small, on="k", salt_by="rid", nsalts=nsalts)
+            .select("k", "v", "rid", "count")
+            .collect()
+        )
+        assert plain == salted
