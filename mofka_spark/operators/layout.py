@@ -118,3 +118,34 @@ def pruning_ratio(path: str, column: str, lo, hi) -> float:
         return 0.0
     skipped = sum(s[4] for s in stats if s[3] < lo or s[2] > hi)
     return skipped / total
+
+
+def bucketize(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (+ optionally sorted) managed table:
+    the co-location contract that makes repeated joins and aggregations
+    on ``bucket_cols`` SHUFFLE-FREE.
+
+    At 100 TB the dominant cost of a fact-to-fact join is the exchange
+    of both sides. Bucketing pays that exchange ONCE at write time:
+    both tables hash-partition rows into num_buckets files per side,
+    and every later equi-join or groupBy on the bucket key reads
+    matching buckets pairwise — Catalyst drops the Exchange entirely
+    (asserted in tests/test_plans.py::TestBucketedJoin). Pick
+    num_buckets so a bucket of the LARGER table fits an executor's
+    memory comfortably; both sides must use the same count for the
+    pairwise read.
+
+    Uses saveAsTable (bucket metadata lives in the session catalog —
+    Spark's bucketing is a table property, not a directory layout).
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

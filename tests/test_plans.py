@@ -196,3 +196,39 @@ class TestTextOperatorPlans:
         # one logical rank window (per segment hash); reassembly is an
         # aggregate, not a second window
         assert "row_number" in p
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Both sides bucketed on the join key at the same count: the
+        join plan must carry NO Exchange — the write-time bucketing IS
+        the shuffle, paid once (the co-location strategy for repeated
+        100 TB fact-to-fact joins)."""
+        from mofka_spark.operators.layout import bucketize
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            orders = spark.read.parquet(f"{SF}/orders.parquet")
+            cust = spark.read.parquet(f"{SF}/customer.parquet")
+            bucketize(
+                orders.withColumnRenamed("o_custkey", "custkey"),
+                "bk_orders", ["custkey"], num_buckets=8, sort_cols=["custkey"],
+            )
+            bucketize(
+                cust.withColumnRenamed("c_custkey", "custkey"),
+                "bk_cust", ["custkey"], num_buckets=8, sort_cols=["custkey"],
+            )
+            joined = spark.table("bk_orders").join(spark.table("bk_cust"), "custkey")
+            p = plans.plan_string(joined, mode="simple")
+            assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+            assert "Exchange" not in p, p
+            # and the result is right
+            plain = (
+                orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+            )
+            assert joined.count() == plain
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS bk_orders")
+            spark.sql("DROP TABLE IF EXISTS bk_cust")
