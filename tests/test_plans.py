@@ -232,3 +232,15 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS bk_orders")
             spark.sql("DROP TABLE IF EXISTS bk_cust")
+
+
+class TestQ6Pushdown:
+    def test_filters_reach_scan_single_agg(self, spark):
+        df = queries.SPARK_QUERIES["q6_forecast_revenue"](spark, SF)
+        p = plans.plan_string(df)
+        assert "PushedFilters" in p and "l_shipdate" in p
+        rs = plans.scan_schema(df)
+        # only the four referenced columns reach the scan
+        for c in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+            assert c in rs
+        assert "l_orderkey" not in rs and "l_returnflag" not in rs
