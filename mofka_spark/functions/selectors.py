@@ -40,9 +40,20 @@ class PartitionSelector:
         return p
 
     def to_column(self, metadata: Column | str = "metadata", seq: Column | str = "seq") -> Column:
-        """Bulk form: round-robin = seq mod N (matches per-row cycling)."""
+        """Bulk form: even spread = hash(seq) mod N.
+
+        NOT plain ``seq mod N``: the bulk seq is
+        monotonically_increasing_id, whose value is
+        (task_id << 33) + row_in_task — every task's block starts at a
+        multiple of 2^33, so for any N dividing 2^33 (every power of
+        two) ``seq % N`` only ever hits residues 0..rows_per_task-1.
+        On a 256-partition topic with 128-row tasks, half the
+        partitions would never receive a row. Hashing first restores
+        the round-robin OBSERVABLE (even spread, no key affinity) at
+        any task geometry; strict per-row cycling remains the property
+        of the per-event path (``select``)."""
         s = F.col(seq) if isinstance(seq, str) else seq
-        return F.pmod(s, F.lit(self.num_partitions)).cast("int")
+        return F.pmod(F.xxhash64(s), F.lit(self.num_partitions)).cast("int")
 
     @staticmethod
     def from_metadata(config: dict[str, Any]) -> "PartitionSelector":

@@ -365,3 +365,29 @@ class TestFileCompaction:
         assert res[0] == (12, len(files))
         rows = topic.dataframe().orderBy("offset").collect()
         assert [r["offset"] for r in rows] == list(range(12))
+
+
+class TestWidePartitionTopic:
+    def test_bulk_append_256_partitions(self, spark, driver):
+        """O(#partitions) claims hold at wide fan-out: one bulk append
+        into 256 partitions assigns dense offsets everywhere (the
+        base-offset map is a 512-literal create_map — planning must not
+        blow up), and partition-subset reads still prune."""
+        topic = driver.create_topic("wide-t", num_partitions=256)
+        df = spark.createDataFrame(
+            [(json.dumps({"i": i}),) for i in range(1024)], ["metadata"]
+        )
+        acks = topic.producer("bulk").push_dataframe(df)
+        # hash spread: near-uniform occupancy (a few of 256 bins may
+        # stay empty at 4 rows/bin expected — balls in bins), never the
+        # modulo-collapse that halves usable partitions
+        assert len(acks) >= 230
+        assert sum(n for _, n in acks.values()) == 1024
+        stats = topic.log.partition_stats().collect()
+        assert len(stats) == len(acks)
+        assert all(r["dense"] for r in stats)
+        assert max(r["n_events"] for r in stats) <= 16  # no hot bin
+        # subset read prunes to 2 of 256 dirs
+        sub = topic.dataframe(partitions=[3, 7])
+        expect = sum(acks.get(p, (0, 0))[1] for p in (3, 7))
+        assert sub.count() == expect
