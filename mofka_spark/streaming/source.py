@@ -51,6 +51,19 @@ class _RangePartition(InputPartition):
     topic: str
 
 
+def _trace(self, msg: str) -> None:
+    """Dev-only call tracing for the source-runner process (set
+    MOFKA_SOURCE_TRACE to a file path); no-op otherwise."""
+    path = os.environ.get("MOFKA_SOURCE_TRACE")
+    if path:
+        with open(path, "a") as f:
+            f.write(
+                f"pid={os.getpid()} id={id(self) % 100000} {msg} "
+                f"floor={getattr(self, '_floor', None)} "
+                f"last={getattr(self, '_last', None)}\n"
+            )
+
+
 def _read_ledger(topic_path: str) -> dict[str, int]:
     try:
         with open(os.path.join(topic_path, "_ledger.json")) as f:
@@ -120,8 +133,17 @@ class MofkaStreamReader(DataSourceStreamReader):
         # commits whatever range latestOffset announces, so narrowing it
         # later would silently drop the tail of a batch.
         self._last: dict[str, int] | None = None
+        # checkpoint floor: the highest batch START (from partitions())
+        # or committed END (from commit()) seen per partition. After a
+        # restart _last is gone; without the floor a capped
+        # latestOffset would announce ends BELOW the checkpointed
+        # position and the following batches would RE-DELIVER committed
+        # offsets (observed as duplicate rows in a file sink). Both the
+        # announcement base and every emitted range clamp to the floor.
+        self._floor: dict[str, int] = {}
 
     def initialOffset(self) -> dict:
+        _trace(self, "initialOffset")
         ledger = _read_ledger(self.topic_path)
         if self.starting == "latest":
             return {p: int(n) for p, n in ledger.items()}
@@ -141,21 +163,39 @@ class MofkaStreamReader(DataSourceStreamReader):
         if self.batch_size is None:
             return ledger
         # advance at most batch_size per partition per trigger
-        # (consumer batch_size ≙ feedConsumer cap). Best-effort: after a
-        # checkpoint restart the first capped offsets may trail the
-        # checkpoint; they catch up in subsequent triggers.
+        # (consumer batch_size ≙ feedConsumer cap), never below the
+        # checkpoint floor (see _floor).
         prev = self._last or {}
         out = {
-            p: min(n, prev.get(p, 0) + self.batch_size) for p, n in ledger.items()
+            p: min(
+                n,
+                max(prev.get(p, 0), self._floor.get(p, 0)) + self.batch_size,
+            )
+            for p, n in ledger.items()
         }
         self._last = out
+        _trace(self, f"latestOffset -> {out}")
         return out
 
     def partitions(self, start: dict, end: dict):
+        _trace(self, f"partitions start={start} end={end}")
         parts = []
         for p, e in end.items():
             s = int(start.get(p, 0))
             e = int(e)
+            # Learn the checkpoint floor from a REAL batch's start: on
+            # restart the first genuine plan's start is the committed
+            # position. Skip degenerate s == e calls — Spark probes
+            # partitions(latest, latest) on recovery BEFORE replaying
+            # the pending batch, and taking that probe's start as floor
+            # would clamp the replay empty (observed: lost rows).
+            if s != e and s > self._floor.get(p, 0):
+                self._floor[p] = s
+            # Clamp to the floor: after a restart the rate-capped
+            # latestOffset may have announced (and Spark logged) an end
+            # BELOW the committed position; the follow-up batch would
+            # re-deliver committed offsets (observed: duplicate rows).
+            s = max(s, self._floor.get(p, 0))
             if e > s:
                 parts.append(
                     _RangePartition(int(p), s, e, self.data_dir, self.topic)
@@ -169,8 +209,11 @@ class MofkaStreamReader(DataSourceStreamReader):
         yield from _arrow_scan(partition)
 
     def commit(self, end: dict) -> None:
-        # checkpointing is Spark's job; nothing to clean up server-side
-        return
+        _trace(self, f"commit end={end}")
+        # checkpointing is Spark's job; remember committed ends so a
+        # restarted reader's rate cap can never announce below them
+        for p, n in end.items():
+            self._floor[p] = max(self._floor.get(p, 0), int(n))
 
 
 class MofkaBatchReader(DataSourceReader):
