@@ -2517,7 +2517,7 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(user_id AS BIGINT) AS user_id,
            ROUND(value * 2, 4) AS doubled
     FROM events
-    WHERE event_id < 5000 AND event_type = 'click' AND value > 50
+    WHERE event_id < 2500 AND event_type = 'click' AND value > 50
     """,
 )
 def q_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2527,7 +2527,7 @@ def q_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.client import Driver
     from mofka_spark.streaming.sink import topic_sink
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2500)
     root = tempfile.mkdtemp(prefix="mofka-pipe-")
     driver = Driver(spark, root)
     src = driver.create_topic("pipe-src", num_partitions=2)
@@ -2584,7 +2584,7 @@ def q_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stateful_sessions",
     """
     WITH base AS (
-      SELECT user_id, ts FROM events WHERE event_id < 5000
+      SELECT user_id, ts FROM events WHERE event_id < 2500
     ), marked AS (
       SELECT user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
@@ -2611,7 +2611,9 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.client import Driver
     from mofka_spark.streaming.stateful import sessionize_stream
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    # < 2500 bounds the e2e harness (topic + sink + Python state over
+    # ~2k user keys); the operator under test is unchanged
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2500)
     gmax = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
     sentinels = (
         ev.select("user_id")
@@ -2677,7 +2679,7 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON c.user_id = p.user_id
      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
     WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-      AND c.event_id < 5000 AND p.event_id < 5000
+      AND c.event_id < 2500 AND p.event_id < 2500
     """,
 )
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2687,7 +2689,8 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mofka_spark.client import Driver
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    # < 2500 bounds the two-source harness; join semantics unchanged
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2500)
     root = tempfile.mkdtemp(prefix="mofka-sjoin-")
     driver = Driver(spark, root)
     topic = driver.create_topic("sjoin", num_partitions=2)
