@@ -70,6 +70,17 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
         # the same instant; downstream window/session_window code and
         # the DuckDB oracle both see identical wall-clock values.
         return df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    from pyspark.sql.types import StringType
+
+    if isinstance(dt, StringType):
+        # defensive: an ISO-string encoding would otherwise fail on the
+        # first window expression with a cast error deep in a query
+        return df.withColumn("ts", F.to_timestamp("ts"))
+    if not isinstance(dt, TimestampType):
+        raise TypeError(
+            f"events.ts arrived as {dt}; expected timestamp/ntz/long/string "
+            "(extend load_events for the new encoding)"
+        )
     return df
 
 
