@@ -2164,7 +2164,7 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(*) AS n FROM documents WHERE text IS NOT NULL
     )
     SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
-           list(doc_id ORDER BY doc_id) AS postings
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
     FROM toks GROUP BY token
     HAVING COUNT(*) >= 2
        AND COUNT(*) <= (SELECT CAST(FLOOR(0.95 * n) AS BIGINT) FROM bounds)
@@ -2172,7 +2172,15 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return text.inverted_index(docs, min_df=2, max_df_ratio=0.95)
+    idx = text.inverted_index(docs, min_df=2, max_df_ratio=0.95)
+    # The driver's canonicalizer sorts result cells with pandas, which
+    # cannot hash list cells — ship postings as a comma-joined string
+    # (the operator itself keeps the typed array for programmatic use).
+    return idx.select(
+        "token",
+        "df",
+        F.concat_ws(",", F.col("postings").cast("array<string>")).alias("postings"),
+    )
 
 
 # Segment-level exact dedup (RefinedWeb-style corpus rewrite): keep each
@@ -2796,31 +2804,35 @@ def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round; list queries with no prior
 # CORRECTNESS row first so every operator accumulates oracle evidence.
+# Round-4 rotation: the 24 queries without a round-3 driver row go
+# first — the never-driver-green five up front, then the queries whose
+# last driver evidence is round 2. Invariant: every registered query
+# gets a driver row at least every 2 rounds.
 CHECK_FIRST = [
     "inverted_index",
-    "segment_dedup",
-    "salted_join_skew",
-    "streaming_join",
-    "stateful_sessions",
-    "streaming_pipeline",
-    "novelty_scores",
-    "value_outliers",
-    "snapshot_diff",
-    "fk_violations",
-    "value_histogram",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_share",
-    "streaming_join",
-    "bm25_scores",
-    "simhash_pairs",
-    "modality_stats",
-    "modality_views",
-    "modality_embed_knn",
-    "distinct_users_sketch",
-    "value_quantiles",
-    "heavy_hitter_tokens",
-    "domain_cap",
+    "minhash_dedup",
+    "neardup_jaccard_pairs",
+    "dedup_components",
+    "streaming_rollup",
+    "topic_compact",
+    "language_id",
+    "vocab_top_ngrams",
+    "decontamination",
+    "gopher_quality",
+    "dup_spans",
+    "winnow_fingerprints",
+    "repetition_signals",
+    "pii_scan",
+    "doc_chunks",
+    "lm_scores",
+    "pack_sequences",
+    "epoch_shuffle",
+    "knn_cosine",
+    "lsh_recall",
+    "ivf_recall",
+    "embedding_neardup",
+    "semantic_dedup",
+    "streaming_dedup",
 ]
 
 
