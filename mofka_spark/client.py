@@ -366,6 +366,7 @@ class TopicHandle:
         self,
         batch_size: int | None = None,
         starting_offsets: str | dict[int, int] | None = None,
+        checkpoint: str | None = None,
     ) -> DataFrame:
         """The topic as a streaming DataFrame (custom 'mofka' source;
         L3 feedConsumer ≙ micro-batch offset ranges from the ledger).
@@ -374,7 +375,14 @@ class TopicHandle:
         latestOffset. Trigger.AvailableNow snapshots the FIRST announced
         offset and stops there, so pair batch_size with a
         ProcessingTime trigger (+ await_completion to terminate on topic
-        completion); use AvailableNow only for uncapped drains."""
+        completion); use AvailableNow only for uncapped drains.
+
+        ``checkpoint``: pass the SAME path you give the query's
+        writeStream checkpointLocation. The source then persists its
+        committed-offset floor inside it, so a restarted rate-capped
+        query derives its resume clamp from durable state instead of
+        inferring it from Spark's recovery call sequence (see
+        streaming/source.py floor notes)."""
         if "memory" in self._refresh().backends_used:
             raise MofkaError(
                 "the streaming source scans the Parquet log; topics with "
@@ -392,6 +400,11 @@ class TopicHandle:
         )
         if batch_size is not None:
             reader = reader.option("batch_size", batch_size)
+        if checkpoint is not None:
+            reader = reader.option(
+                "floor_path",
+                os.path.join(checkpoint, "mofka_source_floor.json"),
+            )
         if starting_offsets is not None:
             # "earliest" | "latest" | {partition: offset} resume map
             # (first run only; the checkpoint owns offsets afterwards)

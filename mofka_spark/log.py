@@ -85,16 +85,24 @@ class EventLog:
         self.scope = scope
 
     # -- ledger ------------------------------------------------------------
-    # On-disk format v3: {"offsets": {partition: next-committed},
-    # "reserved": {partition: next-reservable}, "txns":
-    # {sink_id: last_committed_epoch}} — offsets and streaming-sink epoch
-    # markers commit in ONE atomic rename, so epoch idempotency is
-    # crash-consistent with offset assignment. "reserved" is the
-    # high-watermark of ranges handed to in-flight bulk writers
-    # (append_batch reserves under the lock, writes outside it); base
-    # assignment always reads max(offsets, reserved) so a range being
-    # written can never be double-assigned. v1 flat {partition: next}
-    # and v2 (no "reserved") files are read transparently.
+    # On-disk format v4: {"offsets": {partition: readable-head},
+    # "reserved": {partition: next-reservable}, "inflight":
+    # {partition: [[start, end), ...] reserved-but-uncommitted ranges},
+    # "pending": {partition: [[start, end), ...] committed ranges stuck
+    # above an in-flight hole}, "txns": {sink_id: last_committed_epoch}}
+    # — offsets and streaming-sink epoch markers commit in ONE atomic
+    # rename, so epoch idempotency is crash-consistent with offset
+    # assignment. "reserved" is the high-watermark of ranges handed to
+    # in-flight bulk writers (append_batch reserves under the lock,
+    # writes outside it); base assignment always reads max(offsets,
+    # reserved) so a range being written can never be double-assigned.
+    # "offsets" (the READABLE head) advances only contiguously: a fast
+    # writer committing above a slower writer's still-unwritten
+    # reservation parks its range in "pending" until the hole fills, so
+    # readers (latestOffset, pull cursors) can never skip rows that land
+    # late — [offsets, reserved) is always exactly tiled by inflight +
+    # pending. v1 flat {partition: next} / v2 / v3 files are read
+    # transparently (missing keys default empty).
 
     @staticmethod
     def _parse_ledger(doc: dict) -> dict:
@@ -103,15 +111,54 @@ class EventLog:
                 "offsets": dict(doc.get("offsets", {})),
                 "txns": dict(doc.get("txns", {})),
                 "reserved": dict(doc.get("reserved", {})),
+                "inflight": {
+                    k: [list(r) for r in v]
+                    for k, v in doc.get("inflight", {}).items()
+                },
+                "pending": {
+                    k: [list(r) for r in v]
+                    for k, v in doc.get("pending", {}).items()
+                },
             }
-        return {"offsets": dict(doc), "txns": {}, "reserved": {}}
+        return {
+            "offsets": dict(doc), "txns": {}, "reserved": {},
+            "inflight": {}, "pending": {},
+        }
 
     def _read_ledger_full(self) -> dict:
         try:
             with open(self.ledger_path) as f:
                 return self._parse_ledger(json.load(f))
         except FileNotFoundError:
-            return {"offsets": {}, "txns": {}, "reserved": {}}
+            return {
+                "offsets": {}, "txns": {}, "reserved": {},
+                "inflight": {}, "pending": {},
+            }
+
+    @staticmethod
+    def _commit_range(full: dict, p: int, start: int, n: int) -> None:
+        """Mark [start, start+n) written: drop its in-flight reservation
+        and advance the readable head CONTIGUOUSLY. If a slower writer's
+        reservation below is still unwritten, this range parks in
+        "pending" and becomes readable only when the hole fills — the
+        invariant readers rely on is that every offset below
+        offsets[p] has been durably written."""
+        key = str(p)
+        inflight = full.setdefault("inflight", {}).setdefault(key, [])
+        inflight[:] = [
+            r for r in inflight if not (r[0] == start and r[1] == start + n)
+        ]
+        pending = full.setdefault("pending", {}).setdefault(key, [])
+        pending.append([start, start + n])
+        pending.sort()
+        head = int(full["offsets"].get(key, 0))
+        while pending and pending[0][0] <= head:
+            head = max(head, pending.pop(0)[1])
+        full["offsets"][key] = head
+        if not inflight:
+            del full["inflight"][key]
+        if not pending:
+            del full["pending"][key]
 
     def _read_ledger(self) -> dict[str, int]:
         return self._read_ledger_full()["offsets"]
@@ -205,8 +252,18 @@ class EventLog:
         offsets = full["offsets"]
         dirty = False
         for p, nxt in actual.items():
-            if offsets.get(str(p), 0) < nxt:
-                offsets[str(p)] = nxt
+            # Never adopt past a live writer's in-flight reservation:
+            # its range may be mid-publish, and footer stats already
+            # showing HIGHER committed ranges must not drag the readable
+            # head over the hole. Stale (crashed) reservations are
+            # reclaimed by recover_ledger(), which then re-adopts.
+            floor = min(
+                (r[0] for r in full.get("inflight", {}).get(str(p), [])),
+                default=None,
+            )
+            target = nxt if floor is None else min(nxt, floor)
+            if offsets.get(str(p), 0) < target:
+                offsets[str(p)] = target
                 dirty = True
         if dirty:
             self._write_ledger_full(full)
@@ -236,10 +293,12 @@ class EventLog:
                 # ranges from crashed bulk writers (no writer may be
                 # live when this API is called).
                 full["reserved"] = {}
+                full["inflight"] = {}
+                full["pending"] = {}
             else:
                 # scoped sub-log (mixed-backend topic): touch only owned
                 # partitions' entries
-                for key in ("offsets", "reserved"):
+                for key in ("offsets", "reserved", "inflight", "pending"):
                     full[key] = {
                         k: v for k, v in full[key].items() if int(k) not in self.scope
                     }
@@ -307,7 +366,13 @@ class EventLog:
                 pq.write_table(
                     table, os.path.join(pdir, f"part-{uuid.uuid4().hex}.parquet")
                 )
-                ledger[str(p)] = base + n
+                # Write happened inside the lock, so commit immediately —
+                # but via _commit_range, not a raw head bump: if a bulk
+                # writer's reservation below is still in flight, this
+                # range must park in pending rather than advance the
+                # readable head over the hole.
+                reserved[str(p)] = max(reserved.get(str(p), 0), base + n)
+                self._commit_range(full, p, base, n)
                 acks[p] = (base, n)
             if txn is not None:
                 full["txns"][txn[0]] = txn[1]
@@ -381,6 +446,9 @@ class EventLog:
                 }
                 for p, n in counts.items():
                     reserved[str(p)] = bases[p] + n
+                    full.setdefault("inflight", {}).setdefault(str(p), []).append(
+                        [bases[p], bases[p] + n]
+                    )
                 self._write_ledger_full(full)
             # Phase 2 (no lock): the distributed Parquet write job, into
             # a PER-JOB staging dir — concurrent jobs sharing one output
@@ -423,11 +491,14 @@ class EventLog:
             finally:
                 shutil.rmtree(stage, ignore_errors=True)
             # Phase 3 (flock): commit the written ranges + epoch marker.
+            # _commit_range advances the readable head only through
+            # contiguously-written ranges, so a faster writer finishing
+            # here cannot expose offsets above a slower writer's
+            # still-unwritten reservation.
             with self._ledger_lock():
                 full = self._read_ledger_full()
-                ledger = full["offsets"]
                 for p, n in counts.items():
-                    ledger[str(p)] = max(ledger.get(str(p), 0), bases[p] + n)
+                    self._commit_range(full, p, bases[p], n)
                 if txn is not None:
                     full["txns"][txn[0]] = max(
                         int(full["txns"].get(txn[0], -1)), txn[1]
@@ -618,17 +689,20 @@ class EventLog:
         /root/reference/src/ProviderImpl.hpp:162-201); a repeated pull
         loop is O(batch) per call instead of O(remaining-log).
         """
-        known = sorted(self.next_offsets())
-        parts = [p for p in known if partitions is None or p in partitions]
+        heads = self.next_offsets()
+        parts = [p for p in sorted(heads) if partitions is None or p in partitions]
         if not parts:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         pred = None
         for p in parts:
             c = cursors.get(p, 0)
+            # clamp to the committed readable head: rows published above
+            # a still-in-flight lower reservation must stay invisible
+            # until the hole fills (see _commit_range)
             clause = (
                 (F.col("partition") == p)
                 & (F.col("offset") >= c)
-                & (F.col("offset") < c + batch_size)
+                & (F.col("offset") < min(c + batch_size, heads[p]))
             )
             pred = clause if pred is None else (pred | clause)
         return self.read(parts).filter(pred)
@@ -650,8 +724,8 @@ class EventLog:
         STAYS distributed (dataframe(), read_range, analytics)."""
         import pyarrow.dataset as pads
 
-        known = sorted(self.next_offsets())
-        parts = [p for p in known if partitions is None or p in partitions]
+        heads = self.next_offsets()
+        parts = [p for p in sorted(heads) if partitions is None or p in partitions]
         out: list[tuple[int, int, str | None, bytes | None]] = []
         for p in parts:
             c = int(cursors.get(p, 0))
@@ -659,8 +733,11 @@ class EventLog:
             if not os.path.isdir(pdir):
                 continue
             dataset = pads.dataset(pdir, format="parquet")
+            # upper bound is the committed readable head, not c+batch:
+            # rows published above an in-flight lower reservation stay
+            # invisible until the hole fills (see _commit_range)
             flt = (pads.field("offset") >= c) & (
-                pads.field("offset") < c + batch_size
+                pads.field("offset") < min(c + batch_size, heads[p])
             )
             tbl = dataset.to_table(
                 columns=["offset", "metadata", "data"], filter=flt
@@ -892,7 +969,29 @@ class MixedEventLog(EventLog):
         # partitions added after this handle was built default to file
         return self._subs[0]
 
+    def _refresh_scopes(self, extra: set[int] | None = None) -> None:
+        """Adopt partitions this handle has never heard of (added via
+        add_partitions after the handle was built, or appended by
+        another process) into the DEFAULT (first = file) sub-log's
+        scope, matching _sub_for's routing. Without this, appends to
+        such partitions were acked but invisible to read()/fetch_rows()
+        until the handle was reopened (scope-built selections skipped
+        them). Sources: the shared ledger's partition keys + the
+        caller's just-acked set. O(#partitions) metadata."""
+        known = {int(k) for k in self._read_ledger()}
+        if extra:
+            known |= set(extra)
+        scoped: set[int] = set()
+        for sub in self._subs:
+            scoped |= sub.scope
+        unscoped = known - scoped
+        if unscoped:
+            self._subs[0].scope |= unscoped
+            for p in unscoped:
+                self.backends.setdefault(p, "default")
+
     def _footer_max_offsets(self) -> dict[int, int]:
+        self._refresh_scopes()
         out: dict[int, int] = {}
         for sub in self._subs:
             out.update(sub._footer_max_offsets())
@@ -919,6 +1018,7 @@ class MixedEventLog(EventLog):
     def append_rows(self, rows, txn=None):
         if self._txn_precheck(txn):
             return {}
+        self._refresh_scopes()
         by_sub: dict[int, list] = {}
         for row in rows:
             by_sub.setdefault(id(self._sub_for(row[0])), []).append(row)
@@ -927,18 +1027,35 @@ class MixedEventLog(EventLog):
             chunk = by_sub.get(id(sub))
             if chunk:
                 acks.update(sub.append_rows(chunk, txn=None))
+        self._refresh_scopes(extra=set(acks))
         self._txn_commit(txn)
         return acks
 
     def append_batch(self, batch: DataFrame, txn=None):
         if self._txn_precheck(txn):
             return {}
+        self._refresh_scopes()
         batch = batch.persist()
         try:
             acks: dict[int, tuple[int, int]] = {}
-            for sub in self._subs:
-                part = batch.filter(F.col("partition").isin(sorted(sub.scope)))
+            # the default (file) sub takes everything NOT owned by the
+            # other subs — including partitions added after this handle
+            # was built (same routing as _sub_for); an isin(own-scope)
+            # filter here used to silently drop such rows with no ack
+            others: set[int] = set()
+            for sub in self._subs[1:]:
+                others |= sub.scope
+            for i, sub in enumerate(self._subs):
+                if i == 0:
+                    part = (
+                        batch.filter(~F.col("partition").isin(sorted(others)))
+                        if others
+                        else batch
+                    )
+                else:
+                    part = batch.filter(F.col("partition").isin(sorted(sub.scope)))
                 acks.update(sub.append_batch(part, txn=None))
+            self._refresh_scopes(extra=set(acks))
             self._txn_commit(txn)
             return acks
         finally:
@@ -947,6 +1064,7 @@ class MixedEventLog(EventLog):
     def read(self, partitions: list[int] | None = None) -> DataFrame:
         from functools import reduce
 
+        self._refresh_scopes()
         frames = []
         for sub in self._subs:
             sel = (
@@ -961,6 +1079,7 @@ class MixedEventLog(EventLog):
         return reduce(lambda a, b: a.unionByName(b), frames)
 
     def fetch_rows(self, cursors, batch_size, partitions=None):
+        self._refresh_scopes()
         out = []
         for sub in self._subs:
             sel = (

@@ -112,7 +112,11 @@ def salted_join(
     retries must re-produce the same salt or the join drops/duplicates
     rows); the small side is exploded nsalts times so every bucket
     still finds its match. Result set is row-identical to the unsalted
-    join.
+    join for ``how`` in {inner, left, left_semi, left_anti, cross} —
+    right/full-outer joins are REJECTED: an unmatched small-side row
+    appears once per salt replica, so the salted result would not equal
+    the unsalted one (dedup'ing it back would need another shuffle;
+    swap the sides and use left instead).
 
     Use when the small side is too big to broadcast AND AQE's runtime
     skew split is unavailable (e.g. the join feeds a window/streaming
@@ -123,6 +127,14 @@ def salted_join(
     explicit price for removing the hot-key straggler; keep nsalts near
     the straggler factor, not the cluster size.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched "
+            "small-side rows would be emitted once per salt replica "
+            "(use inner/left, or swap the sides)"
+        )
     on = [on] if isinstance(on, str) else list(on)
     salt_by = [salt_by] if isinstance(salt_by, str) else list(salt_by)
     overlap = set(salt_by) & set(on)

@@ -140,7 +140,25 @@ class MofkaStreamReader(DataSourceStreamReader):
         # position and the following batches would RE-DELIVER committed
         # offsets (observed as duplicate rows in a file sink). Both the
         # announcement base and every emitted range clamp to the floor.
+        #
+        # Durability: when the caller passes option "floor_path" (the
+        # read_stream(checkpoint=...) wiring puts it INSIDE the query's
+        # checkpoint dir, so isolation matches Spark's own offset log),
+        # committed ends persist there and a restarted reader reloads
+        # them — the floor then does not depend on inferring the
+        # committed position from Spark's recovery call pattern (the
+        # s == e probe heuristic in partitions(), kept as the fallback
+        # for callers that stream without the wiring).
+        self.floor_path = options.get("floor_path")
         self._floor: dict[str, int] = {}
+        if self.floor_path:
+            try:
+                with open(self.floor_path) as f:
+                    self._floor = {
+                        str(k): int(v) for k, v in json.load(f).items()
+                    }
+            except (FileNotFoundError, ValueError):
+                pass
 
     def initialOffset(self) -> dict:
         _trace(self, "initialOffset")
@@ -214,6 +232,12 @@ class MofkaStreamReader(DataSourceStreamReader):
         # restarted reader's rate cap can never announce below them
         for p, n in end.items():
             self._floor[p] = max(self._floor.get(p, 0), int(n))
+        if self.floor_path:
+            os.makedirs(os.path.dirname(self.floor_path), exist_ok=True)
+            tmp = f"{self.floor_path}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(self._floor, f, sort_keys=True)
+            os.replace(tmp, self.floor_path)
 
 
 class MofkaBatchReader(DataSourceReader):

@@ -200,6 +200,61 @@ class TestMixedBackendSpecifics:
         assert (1, 0) in rows          # memory partition restarted dense at 0
         assert len([r for r in rows if r[0] == 1]) == 1
 
+    def test_bulk_append_routes_partition_added_after_handle(self, spark, driver):
+        """Partitions added AFTER a mixed handle was built must not be
+        silently dropped by append_batch (they route to the default file
+        sub-log, like _sub_for), and must be readable through read() and
+        fetch_rows() without reopening the handle."""
+        import json as _json
+
+        from mofka_spark.log import make_ingest_df
+
+        driver.create_topic(
+            "mix-late", num_partitions=2,
+            partition_backends=["default", "memory"],
+        )
+        handle = driver.open_topic("mix-late")  # scopes frozen: {0}, {1}
+        driver.add_partitions("mix-late", 1)    # partition 2, file-backed
+        rows = [
+            {"partition": p, "seq": i, "metadata": _json.dumps({"i": i}), "data": None}
+            for i, p in enumerate([0, 1, 2, 2])
+        ]
+        acks = handle.log.append_batch(make_ingest_df(spark, rows))
+        assert acks == {0: (0, 1), 1: (0, 1), 2: (0, 2)}
+        # readable through the SAME handle, no reopen
+        per = {
+            r["partition"]: r["n_events"]
+            for r in handle.log.partition_stats().collect()
+        }
+        assert per == {0: 1, 1: 1, 2: 2}
+        fetched = handle.log.fetch_rows({}, 100)
+        assert sorted((p, o) for p, o, _m, _d in fetched) == [
+            (0, 0), (1, 0), (2, 0), (2, 1),
+        ]
+        # a DIFFERENT pre-existing handle sees them too (ledger-driven
+        # scope refresh, not just adopt-on-append)
+        other = driver.open_topic("mix-late")
+        assert other.dataframe().count() == 4
+
+    def test_fast_path_routes_partition_added_after_handle(self, driver):
+        """Same guarantee for the per-event fast path (append_rows)."""
+        import json as _json
+
+        driver.create_topic(
+            "mix-late2", num_partitions=2,
+            partition_backends=["default", "memory"],
+        )
+        handle = driver.open_topic("mix-late2")
+        driver.add_partitions("mix-late2", 1)
+        acks = handle.log.append_rows(
+            [(2, 0, _json.dumps({"i": 0}), None), (2, 1, _json.dumps({"i": 1}), None)]
+        )
+        assert acks == {2: (0, 2)}
+        assert handle.dataframe().count() == 2
+        assert [
+            (p, o) for p, o, _m, _d in handle.log.fetch_rows({}, 10)
+        ] == [(2, 0), (2, 1)]
+
     def test_bulk_epoch_spans_both_backends_once(self, spark, driver):
         import json as _json
 

@@ -308,7 +308,171 @@ class TestConcurrentProducers:
         assert doc["reserved"] == {}
 
 
-class TestFileCompaction:
+def _write_range_direct(log, partition, start, n):
+    """Simulate another bulk writer's phase-2 Parquet publish for
+    offsets [start, start+n) (schema-identical to append_rows)."""
+    import datetime
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdir = os.path.join(log.data_path, f"partition={partition}")
+    os.makedirs(pdir, exist_ok=True)
+    now = datetime.datetime.now(datetime.timezone.utc)
+    tbl = pa.table(
+        {
+            "topic": pa.array([log.topic] * n, pa.string()),
+            "offset": pa.array(range(start, start + n), pa.int64()),
+            "metadata": pa.array(
+                [json.dumps({"o": start + i}) for i in range(n)], pa.string()
+            ),
+            "data": pa.array([None] * n, pa.binary()),
+            "ingest_ts": pa.array([now] * n, pa.timestamp("us", tz="UTC")),
+        }
+    )
+    pq.write_table(tbl, os.path.join(pdir, f"part-{uuid.uuid4().hex}.parquet"))
+
+
+class TestContiguousReadableHead:
+    """The readable head ("offsets") may only advance through
+    contiguously-written ranges: a fast writer committing above a slower
+    writer's still-unwritten reservation must not make readers skip the
+    slower writer's rows when they land (they would be below every
+    cursor and silently lost)."""
+
+    def test_fast_commit_parks_until_hole_fills(self, spark, tmp_path):
+        from mofka_spark.client import Driver
+
+        root = str(tmp_path / "hole-root")
+        d = Driver(spark, root)
+        topic = d.create_topic("hole", num_partitions=1)
+        log = topic.log
+        # writer A reserves [0, 3) (append_batch phase 1) and stalls
+        with log._ledger_lock():
+            full = log._read_ledger_full()
+            full["reserved"]["0"] = 3
+            full.setdefault("inflight", {})["0"] = [[0, 3]]
+            log._write_ledger_full(full)
+        # writer B (fast path, fully inside the lock) lands [3, 5)
+        acks = log.append_rows(
+            [(0, i, json.dumps({"i": i}), None) for i in range(2)]
+        )
+        assert acks == {0: (3, 2)}
+        # B's rows are on disk but must stay INVISIBLE: head pinned at 0
+        assert log.next_offsets().get(0, 0) == 0
+        assert log.fetch_rows({0: 0}, 100) == []
+        assert log.read_tail({0: 0}, 100).count() == 0
+        # A's write lands (phase 2 publish + phase 3 commit)
+        _write_range_direct(log, 0, 0, 3)
+        with log._ledger_lock():
+            full = log._read_ledger_full()
+            log._commit_range(full, 0, 0, 3)
+            log._write_ledger_full(full)
+        # the hole filled: head jumps over BOTH ranges, rows read in order
+        assert log.next_offsets() == {0: 5}
+        got = log.fetch_rows({0: 0}, 100)
+        assert [r[1] for r in got] == [0, 1, 2, 3, 4]
+        # ledger bookkeeping fully drained
+        with open(log.ledger_path) as f:
+            doc = json.load(f)
+        assert doc.get("inflight", {}) == {}
+        assert doc.get("pending", {}) == {}
+
+    def test_adoption_clamped_by_inflight_floor(self, spark, tmp_path):
+        """_ensure_consistent (fresh-handle orphan adoption) must not
+        advance the head past a live writer's in-flight reservation even
+        when footer stats already show higher committed ranges."""
+        from mofka_spark.client import Driver
+
+        root = str(tmp_path / "clamp-root")
+        d = Driver(spark, root)
+        topic = d.create_topic("clamp", num_partitions=1)
+        _push_n(topic, 2)  # offsets [0, 2) committed
+        log = topic.log
+        with log._ledger_lock():
+            full = log._read_ledger_full()
+            full["reserved"]["0"] = 5
+            full.setdefault("inflight", {})["0"] = [[2, 5]]
+            log._write_ledger_full(full)
+        # a faster writer already published+committed [5, 7)
+        _write_range_direct(log, 0, 5, 2)
+        with log._ledger_lock():
+            full = log._read_ledger_full()
+            log._commit_range(full, 0, 5, 2)
+            log._write_ledger_full(full)
+        assert log.next_offsets()[0] == 2
+        # fresh handle (fresh process): adoption sees footer max 7 but
+        # must clamp at the in-flight floor 2
+        fresh = Driver(spark, root).open_topic("clamp")
+        fresh.log._ensure_consistent()
+        assert fresh.log.next_offsets()[0] == 2
+        # recovery reclaims the crashed reservation and adopts orphans
+        assert fresh.log.recover_ledger() == {0: 7}
+
+    def test_interleaved_bulk_writers_no_row_skipped(self, spark, tmp_path):
+        """End-to-end: two bulk producers whose commits interleave;
+        a reader polling next_offsets/fetch_rows during the run must see
+        every offset exactly once, in order, with no skips."""
+        import threading
+
+        from mofka_spark.client import Driver
+
+        root = str(tmp_path / "interleave-root")
+        d1 = Driver(spark, root)
+        d2 = Driver(spark, root)
+        t1 = d1.create_topic("ilv", num_partitions=1)
+        t2 = d2.open_topic("ilv")
+        errs = []
+
+        def run(topic, tag):
+            try:
+                prod = topic.producer(f"w-{tag}")
+                for k in range(3):
+                    df = spark.createDataFrame(
+                        [
+                            (json.dumps({"who": tag, "k": k, "i": i}),)
+                            for i in range(20)
+                        ],
+                        ["metadata"],
+                    )
+                    prod.push_dataframe(df)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        th = [
+            threading.Thread(target=run, args=(t1, "a")),
+            threading.Thread(target=run, args=(t2, "b")),
+        ]
+        seen = []
+        stop = threading.Event()
+
+        def poll():
+            cur = 0
+            while not stop.is_set():
+                rows = t1.log.fetch_rows({0: cur}, 1000)
+                for _p, off, _m, _d in sorted(rows, key=lambda r: r[1]):
+                    seen.append(off)
+                    cur = off + 1
+
+        reader = threading.Thread(target=poll)
+        reader.start()
+        for x in th:
+            x.start()
+        for x in th:
+            x.join(timeout=600)
+        # drain once more after writers finish, then stop
+        import time
+
+        time.sleep(0.2)
+        stop.set()
+        reader.join(timeout=60)
+        assert not errs, errs
+        # the polled reader saw a dense prefix — no skips, no dups
+        assert seen == list(range(len(seen)))
+        # and the final log is dense 0..119
+        final = sorted(r[1] for r in t1.log.fetch_rows({0: 0}, 10000))
+        assert final == list(range(120))
     def test_compact_preserves_rows_and_offsets(self, driver):
         topic = driver.create_topic("cmp-files", num_partitions=2)
         # 10 flushes -> 10 small files per partition

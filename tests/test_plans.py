@@ -163,6 +163,63 @@ class TestSaltedJoin:
         with pytest.raises(ValueError):
             salted_join(ev, ev, on="event_type", salt_by="event_type")
 
+    def test_outer_joins_rejected(self, spark):
+        """Right/full-outer would emit unmatched small-side rows once
+        per salt replica — refuse instead of silently multiplying."""
+        from mofka_spark.operators.joins import salted_join
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+        for how in ("right", "full", "outer", "full_outer"):
+            with pytest.raises(ValueError):
+                salted_join(
+                    ev, dim, on="event_type", salt_by="event_id", how=how
+                )
+        # left stays allowed (big side never replicates)
+        salted_join(ev, dim, on="event_type", salt_by="event_id", how="left")
+
+
+class TestMinhashPlanShape:
+    def test_candidates_banded_never_all_pairs(self, spark):
+        """Pin the full minhash pipeline's plan: the self-join must go
+        through the (band_id, band_hash) bucket exchange with the
+        hot-bucket-cap window on the same keys, and must NEVER appear
+        as BroadcastNestedLoopJoin/CartesianProduct (the all-pairs
+        shape a condition-ordering refactor could silently produce)."""
+        from mofka_spark.operators.dedup import minhash_lsh_candidates
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = minhash_lsh_candidates(docs)
+            p = plans.plan_string(out)
+            assert "BroadcastNestedLoopJoin" not in p
+            assert "CartesianProduct" not in p
+            # bucket-cap window runs over the band keys
+            assert "band_id" in p and "band_hash" in p
+            assert "Window" in p
+            import re
+
+            parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+            banded = [x for x in parts if "band_id" in x and "band_hash" in x]
+            assert banded, p
+            # the join itself is an equi-join on the band keys
+            assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_dedup_pipeline_verify_joins_candidates_only(self, spark):
+        """minhash_lsh_dedup's verify stage must join the gram frame
+        onto the candidate pairs, never onto all doc pairs."""
+        from mofka_spark.operators.dedup import minhash_lsh_dedup
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = minhash_lsh_dedup(docs)
+        p = plans.plan_string(out)
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+
 
 class TestTextOperatorPlans:
     def test_inverted_index_prunes_and_combines(self, spark):

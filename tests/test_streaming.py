@@ -493,17 +493,23 @@ class TestConsumerLag:
         assert topic.consumer_lag("mon") == lag
 
 
-def test_checkpoint_restart_exactly_once(driver, tmp_path, spark):
+@pytest.mark.parametrize("durable_floor", [True, False])
+def test_checkpoint_restart_exactly_once(driver, tmp_path, spark, durable_floor):
     """Stop a streaming query mid-drain, start a NEW query on the same
     checkpoint + sink: the mofka source resumes from committed offsets
-    — every event delivered exactly once across the restart."""
-    topic = _fill_topic(driver, name="restart-t", partitions=2, n=40)
+    — every event delivered exactly once across the restart. Runs both
+    with the durable floor file (read_stream(checkpoint=...)) and the
+    in-memory recovery heuristic."""
+    name = f"restart-t-{int(durable_floor)}"
+    topic = _fill_topic(driver, name=name, partitions=2, n=40)
     out_dir = str(tmp_path / "restart-out")
     ckpt = str(tmp_path / "restart-ckpt")
 
     def start():
         return (
-            topic.read_stream(batch_size=5)
+            topic.read_stream(
+                batch_size=5, checkpoint=ckpt if durable_floor else None
+            )
             .writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", ckpt)
