@@ -384,11 +384,16 @@ class TopicHandle:
         inferring it from Spark's recovery call sequence (see
         streaming/source.py floor notes)."""
         if "memory" in self._refresh().backends_used:
-            raise MofkaError(
-                "the streaming source scans the Parquet log; topics with "
-                "memory-backend partitions support dataframe() and the "
-                "pull API only"
-            )
+            # The source's executor-side arrow scan runs in processes
+            # that cannot see this one's memory store: attach-time spill
+            # snapshots the store to the Parquet log and switches the
+            # memory partitions to write-through (zero file IO before
+            # the first stream attaches — see
+            # MemoryEventLog.enable_stream_spill). The reference streams
+            # its memory backend by serving consumers over RPC from the
+            # owning process (src/MemoryPartitionManager.cpp:13); the
+            # shared log is Spark's equivalent of that hand-off.
+            self.log.enable_stream_spill()
         from mofka_spark.streaming.source import MofkaDataSource
 
         spark = self.driver.spark

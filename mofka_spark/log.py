@@ -60,6 +60,40 @@ INGEST_SCHEMA = T.StructType(
 )
 
 
+def _write_rows_parquet(
+    data_path: str,
+    topic: str,
+    partition: int,
+    base: int,
+    items: list[tuple[str | None, bytes | None]],
+    now,
+) -> None:
+    """Write (metadata, data) items as one Parquet file holding offsets
+    [base, base+len(items)) of ``partition`` — schema-identical to the
+    Spark-written files (same column names/types, TIMESTAMP_MICROS UTC
+    ingest_ts, footer stats for recovery), so readers cannot tell them
+    apart. Shared by the producer fast path and the memory-backend
+    streaming spill."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(items)
+    pdir = os.path.join(data_path, f"partition={partition}")
+    os.makedirs(pdir, exist_ok=True)
+    table = pa.table(
+        {
+            "topic": pa.array([topic] * n, pa.string()),
+            "offset": pa.array(range(base, base + n), pa.int64()),
+            "metadata": pa.array([m for m, _ in items], pa.string()),
+            "data": pa.array([d for _, d in items], pa.binary()),
+            "ingest_ts": pa.array([now] * n, pa.timestamp("us", tz="UTC")),
+        }
+    )
+    pq.write_table(table, os.path.join(pdir, f"part-{uuid.uuid4().hex}.parquet"))
+
+
 class EventLog:
     """One topic's append-only event log."""
 
@@ -327,10 +361,6 @@ class EventLog:
         column names/types, TIMESTAMP_MICROS UTC ingest_ts, footer
         stats for recovery), so readers cannot tell them apart."""
         import datetime
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
 
         if not rows:
             return {}
@@ -352,19 +382,8 @@ class EventLog:
                 # the lock right now.
                 base = max(ledger.get(str(p), 0), reserved.get(str(p), 0))
                 n = len(items)
-                pdir = os.path.join(self.data_path, f"partition={p}")
-                os.makedirs(pdir, exist_ok=True)
-                table = pa.table(
-                    {
-                        "topic": pa.array([self.topic] * n, pa.string()),
-                        "offset": pa.array(range(base, base + n), pa.int64()),
-                        "metadata": pa.array([m for m, _ in items], pa.string()),
-                        "data": pa.array([d for _, d in items], pa.binary()),
-                        "ingest_ts": pa.array([now] * n, pa.timestamp("us", tz="UTC")),
-                    }
-                )
-                pq.write_table(
-                    table, os.path.join(pdir, f"part-{uuid.uuid4().hex}.parquet")
+                _write_rows_parquet(
+                    self.data_path, self.topic, p, base, items, now
                 )
                 # Write happened inside the lock, so commit immediately —
                 # but via _commit_range, not a raw head bump: if a bulk
@@ -507,6 +526,12 @@ class EventLog:
             return {p: (bases[p], counts[p]) for p in counts}
         finally:
             batch.unpersist()
+
+    # -- streaming spill (memory backend) ----------------------------------
+    def enable_stream_spill(self) -> None:
+        """File-backed logs ARE the streaming source's substrate —
+        nothing to do. MemoryEventLog overrides this with a real
+        write-through spill (see there)."""
 
     # -- maintenance -------------------------------------------------------
     def compact_files(
@@ -801,9 +826,14 @@ class MemoryEventLog(EventLog):
     analog of the "memory" one — a fast sink/read mode for tests and
     ephemeral topics. The ledger/cursor files still live on disk (they
     are tiny and shared with the file path's code); only the event rows
-    stay in memory, so the data plane does no file IO at all. Not
-    servable by the streaming source (which scans Parquet); dataframe()
-    and the pull API work identically.
+    stay in memory, so the data plane does no file IO at all — UNTIL a
+    stream attaches: read_stream() calls enable_stream_spill(), which
+    snapshots the store to the Parquet log and switches appends to
+    write-through, because the streaming source's executor-side arrow
+    scan runs in other processes that cannot see this one's memory
+    (the reference's memory backend serves consumers over RPC from the
+    owning process; Spark's equivalent of that hand-off is the shared
+    log). dataframe() and the pull API stay memory-served either way.
     """
 
     # class-level store: topic_path -> {partition: [row tuples]}
@@ -812,6 +842,65 @@ class MemoryEventLog(EventLog):
     @property
     def _store(self) -> dict[int, list[tuple]]:
         return self._STORES.setdefault(self.topic_path, {})
+
+    # -- streaming spill ----------------------------------------------------
+    @property
+    def _spill_flag(self) -> str:
+        return os.path.join(self.topic_path, "_stream_spill")
+
+    def _spill_enabled(self) -> bool:
+        return os.path.exists(self._spill_flag)
+
+    def _my_partitions(self, candidates) -> list[int]:
+        return sorted(
+            p for p in candidates if self.scope is None or p in self.scope
+        )
+
+    def _spill_store(self) -> None:
+        """Write every owned partition's current rows to the Parquet log
+        (offsets preserved; same file schema as the producer fast path)."""
+        import datetime
+
+        now = datetime.datetime.now(datetime.timezone.utc)
+        for p in self._my_partitions(self._store):
+            rows = self._store[p]
+            if rows:
+                items = [(m, d) for _t, _p, _o, m, d, _ts in rows]
+                _write_rows_parquet(
+                    self.data_path, self.topic, p, 0, items, now
+                )
+
+    def enable_stream_spill(self) -> None:
+        """Attach point for the streaming source: snapshot the store to
+        the Parquet log, then leave a flag so every later append writes
+        through. Under the ledger lock, so no append can slip between
+        the snapshot and the flag (it would be lost to the stream).
+        Idempotent: once the flag exists, all rows are already on disk."""
+        with self._ledger_lock():
+            if self._spill_enabled():
+                return
+            self._spill_store()
+            with open(self._spill_flag, "w") as f:
+                f.write("")
+
+    def _resync_spill(self) -> None:
+        """After a store reset (process restart), on-disk spill files
+        describe rows that no longer exist; remove them and re-spill the
+        current store so the streaming view matches memory exactly."""
+        import shutil
+
+        if os.path.isdir(self.data_path):
+            for entry in os.listdir(self.data_path):
+                if not entry.startswith("partition="):
+                    continue
+                p = int(entry.split("=", 1)[1])
+                if self.scope is not None and p not in self.scope:
+                    continue
+                shutil.rmtree(
+                    os.path.join(self.data_path, entry), ignore_errors=True
+                )
+        if self._spill_enabled():
+            self._spill_store()
 
     def _footer_max_offsets(self) -> dict[int, int]:
         return {
@@ -857,6 +946,8 @@ class MemoryEventLog(EventLog):
             # committed" — permanently losing the replay's rows
             full["txns"] = {}
             self._write_ledger_full(full)
+            # spill files (write-through streaming) are equally stale
+            self._resync_spill()
 
     def append_rows(
         self,
@@ -877,12 +968,23 @@ class MemoryEventLog(EventLog):
                 return {}
             ledger = full["offsets"]
             now = datetime.datetime.now()
+            spill = self._spill_enabled()
             acks = {}
             for p, items in by_part.items():
                 base = ledger.get(str(p), 0)
                 store = self._store.setdefault(p, [])
                 for i, (meta, data) in enumerate(items):
                     store.append((self.topic, p, base + i, meta, data, now))
+                if spill:
+                    # a stream is attached: write through to the Parquet
+                    # log the source scans (same lock, so spill order ==
+                    # store order == offset order)
+                    import datetime as _dt
+
+                    _write_rows_parquet(
+                        self.data_path, self.topic, p, base, items,
+                        _dt.datetime.now(_dt.timezone.utc),
+                    )
                 ledger[str(p)] = base + len(items)
                 acks[p] = (base, len(items))
             if txn is not None:
@@ -1000,6 +1102,10 @@ class MixedEventLog(EventLog):
     def _ensure_consistent(self) -> None:
         for sub in self._subs:
             sub._ensure_consistent()
+
+    def enable_stream_spill(self) -> None:
+        for sub in self._subs:
+            sub.enable_stream_spill()
 
     # -- txn helper: epoch markers commit at THIS level because one
     # epoch's rows may split across both sub-logs (delegating the txn

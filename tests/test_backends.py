@@ -124,10 +124,77 @@ class TestMemoryBackendSpecifics:
         assert found == []
         assert topic.dataframe().count() == 10
 
-    def test_stream_read_rejected(self, driver):
-        topic = driver.create_topic("mem-nostream", backend="memory")
-        with pytest.raises(MofkaError):
-            topic.read_stream()
+    def test_stream_attach_spills_then_writes_through(self, driver):
+        """read_stream() on a memory topic snapshots the store to the
+        Parquet log and flips appends to write-through — the streaming
+        source's executor-side scan can then serve it like any topic.
+        Before the attach, the data plane does no file IO (see
+        test_no_parquet_files_written)."""
+        import os
+
+        topic = driver.create_topic(
+            "mem-stream", num_partitions=2, backend="memory"
+        )
+        with topic.producer("p") as prod:
+            for i in range(6):
+                prod.push({"n": i})
+        data = topic.log.data_path
+        assert not os.path.isdir(data) or not any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(data)
+            for f in fs
+        )
+        topic.read_stream()  # attach: spill + flag
+        spilled = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(data)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        assert spilled  # snapshot happened
+        # appends after the attach write through
+        with topic.producer("p2") as prod:
+            for i in range(6, 10):
+                prod.push({"n": i})
+        df = topic.driver.spark.read.parquet(data)
+        assert df.count() == 10
+        # memory reads and spilled files agree exactly
+        mem = {(r["partition"], r["offset"]) for r in topic.dataframe().collect()}
+        fil = {(r["partition"], r["offset"]) for r in df.collect()}
+        assert mem == fil
+
+    def test_spill_resynced_after_restart(self, spark, tmp_path):
+        """Process restart resets the memory store; stale spill files
+        (which describe pre-restart rows) must be dropped and rewritten
+        so the streaming view matches memory exactly."""
+        import os
+
+        from mofka_spark.client import Driver
+        from mofka_spark.log import MemoryEventLog
+
+        root = str(tmp_path / "mem-spill-root")
+        d = Driver(spark, root)
+        topic = d.create_topic("mem-rs", num_partitions=1, backend="memory")
+        with topic.producer("p") as prod:
+            for i in range(5):
+                prod.push({"n": i})
+        topic.read_stream()  # spill [0, 5)
+        # simulate restart: store dies, spill files + flag survive
+        MemoryEventLog._STORES.pop(topic.log.topic_path, None)
+        fresh = Driver(spark, root).open_topic("mem-rs")
+        with fresh.producer("p2") as prod:
+            prod.push({"n": 100})
+        # the topic restarted dense at 0; spill agrees with memory
+        assert fresh.log.next_offsets() == {0: 1}
+        files = [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(fresh.log.data_path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        assert files
+        spilled = spark.read.parquet(fresh.log.data_path)
+        assert [(r["partition"], r["offset"]) for r in spilled.collect()] == [(0, 0)]
 
     def test_unknown_backend_rejected(self, driver):
         with pytest.raises(MofkaError):
@@ -171,10 +238,23 @@ class TestMixedBackendSpecifics:
         grown.mark_as_complete()
         assert len(list(grown.consumer("c"))) == 9
 
-    def test_stream_read_rejected_when_any_memory(self, driver):
-        topic = make_topic(driver, "mix-nostream", 2, "mixed")
-        with pytest.raises(MofkaError):
-            topic.read_stream()
+    def test_stream_attach_spills_only_memory_partitions(self, driver):
+        """On a mixed topic the attach-time spill touches only the
+        memory partitions; file partitions already live in the log."""
+        import os
+
+        topic = make_topic(driver, "mix-stream", 2, "mixed")  # 0=file, 1=memory
+        with topic.producer("p") as prod:
+            for i in range(8):
+                prod.push({"n": i}, partition=i % 2)
+        topic.read_stream()
+        df = topic.driver.spark.read.parquet(topic.log.data_path)
+        per = {r["partition"]: r["n"] for r in
+               df.groupBy("partition").agg(F.count("*").alias("n")).collect()}
+        assert per == {0: 4, 1: 4}
+        assert os.path.exists(
+            os.path.join(topic.log.topic_path, "_stream_spill")
+        )
 
     def test_restart_keeps_file_resets_memory(self, spark, tmp_path):
         from mofka_spark.client import Driver

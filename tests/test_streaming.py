@@ -10,26 +10,42 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def _fill_topic(driver, name="stream-t", partitions=2, n=60):
-    topic = driver.create_topic(name, num_partitions=partitions)
+def _fill_topic(driver, name="stream-t", partitions=2, n=60, backend="default"):
+    if backend == "mixed":
+        topic = driver.create_topic(
+            name,
+            num_partitions=max(2, partitions),
+            partition_backends=[
+                "default" if p % 2 == 0 else "memory"
+                for p in range(max(2, partitions))
+            ],
+        )
+    else:
+        topic = driver.create_topic(
+            name, num_partitions=partitions, backend=backend
+        )
     with topic.producer("p") as producer:
         for i in range(n):
             producer.push({"event_num": i}, f"d{i}".encode())
     return topic
 
 
-def test_stream_read_available_now(driver, tmp_path):
-    topic = _fill_topic(driver)
+@pytest.mark.parametrize("backend", ["default", "memory", "mixed"])
+def test_stream_read_available_now(driver, tmp_path, backend):
+    """The reference runs its conformance suite against every partition
+    backend (tests/CMakeLists.txt:25-76); the streaming drain works over
+    file, memory (attach-time spill + write-through), and mixed topics."""
+    topic = _fill_topic(driver, name=f"stream-t-{backend}", backend=backend)
     q = (
         topic.read_stream()
         .writeStream.format("memory")
-        .queryName("stream_out")
+        .queryName(f"stream_out_{backend}")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
-    out = driver.spark.sql("SELECT * FROM stream_out")
+    out = driver.spark.sql(f"SELECT * FROM stream_out_{backend}")
     assert out.count() == 60
     # schema parity with the batch surface
     assert set(out.columns) == {"topic", "partition", "offset", "metadata", "data", "ingest_ts"}
@@ -66,12 +82,18 @@ def test_stream_batch_size_rate_control(driver, tmp_path):
         q.stop()
 
 
-def test_stream_incremental_new_data(driver, tmp_path):
-    topic = _fill_topic(topic_driver := driver, name="inc-t", partitions=1, n=10)
+@pytest.mark.parametrize("backend", ["default", "memory"])
+def test_stream_incremental_new_data(driver, tmp_path, backend):
+    """Live appends are picked up mid-query — for the memory backend
+    that exercises the write-through spill path (rows pushed AFTER the
+    stream attached)."""
+    topic = _fill_topic(
+        driver, name=f"inc-t-{backend}", partitions=1, n=10, backend=backend
+    )
     q = (
         topic.read_stream()
         .writeStream.format("memory")
-        .queryName("inc_out")
+        .queryName(f"inc_out_{backend}")
         .option("checkpointLocation", str(tmp_path / "ckpt3"))
         .trigger(processingTime="1 second")
         .start()
@@ -79,22 +101,24 @@ def test_stream_incremental_new_data(driver, tmp_path):
     try:
         deadline = time.time() + 60
         while time.time() < deadline:
-            if driver.spark.sql("SELECT * FROM inc_out").count() >= 10:
+            if driver.spark.sql(f"SELECT * FROM inc_out_{backend}").count() >= 10:
                 break
             time.sleep(0.5)
-        assert driver.spark.sql("SELECT * FROM inc_out").count() == 10
+        assert driver.spark.sql(f"SELECT * FROM inc_out_{backend}").count() == 10
         # produce more while the query is live -> picked up from ledger
         with topic.producer("p2") as producer:
             for i in range(10, 25):
                 producer.push({"event_num": i}, b"x")
         deadline = time.time() + 60
         while time.time() < deadline:
-            if driver.spark.sql("SELECT * FROM inc_out").count() >= 25:
+            if driver.spark.sql(f"SELECT * FROM inc_out_{backend}").count() >= 25:
                 break
             time.sleep(0.5)
-        assert driver.spark.sql("SELECT * FROM inc_out").count() == 25
+        assert driver.spark.sql(f"SELECT * FROM inc_out_{backend}").count() == 25
         # offsets stay dense across the live append
-        mx = driver.spark.sql("SELECT max(offset) m FROM inc_out").first()["m"]
+        mx = driver.spark.sql(
+            f"SELECT max(offset) m FROM inc_out_{backend}"
+        ).first()["m"]
         assert mx == 24
     finally:
         q.stop()
