@@ -719,6 +719,123 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+# -- shared streaming fixture topics ----------------------------------------
+# The 8 streaming e2e gates each used to build their own temp topic and
+# bulk-push their slice (a Spark job apiece) — ~40% of total bench wall
+# time was harness, not operator. Now ONE topic per (sf_dir, payload
+# shape) is built on first use and reused by every gate and every bench
+# repetition in the process; only the checkpoints and sinks stay
+# per-query, so each gate still runs a full checkpointed AvailableNow
+# drain through the custom source. The events fixture carries a
+# SUPERSET payload (event_id, user_id, event_type, value, ts as exact
+# epoch micros — to_json renders timestamps at ms precision, which
+# would shift session bounds off the oracles) plus the per-user
+# sentinel rows stateful_sessions needs (event_id NULL, so every
+# `event_id < N` gate filter drops them); each gate parses and filters
+# its own slice AFTER the source, which is exactly what a consumer of a
+# production topic would do.
+_STREAM_FIXTURES: dict[tuple[str, str], tuple[Any, str]] = {}
+
+
+def _stream_fixture(spark: SparkSession, sf_dir: str, kind: str):
+    from mofka_spark.client import Driver
+
+    key = (sf_dir, kind)
+    hit = _STREAM_FIXTURES.get(key)
+    if hit is not None:
+        return hit[0].open_topic(hit[1])
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=f"mofka-fixture-{kind}-")
+    driver = Driver(spark, root)
+    topic = driver.create_topic(f"fixture-{kind}", num_partitions=2)
+    if kind == "events":
+        ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+        gmax = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        base = ev.select("event_id", "ts", "user_id", "event_type", "value")
+        sentinels = (
+            ev.select("user_id")
+            .distinct()
+            .withColumn("ts", F.lit(gmax) + F.expr("INTERVAL 2 HOURS"))
+            .withColumn("event_id", F.lit(None).cast("long"))
+            .withColumn("event_type", F.lit("__sentinel__"))
+            .withColumn("value", F.lit(None).cast("double"))
+            .select("event_id", "ts", "user_id", "event_type", "value")
+        )
+        payload = base.unionByName(sentinels).select(
+            F.to_json(
+                F.struct(
+                    "event_id",
+                    "user_id",
+                    "event_type",
+                    "value",
+                    F.unix_micros("ts").alias("ts_us"),
+                )
+            ).alias("metadata")
+        )
+    elif kind == "docs":
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.col("doc_id") < 1000)
+        )
+        payload = docs.select(
+            F.to_json(F.struct("doc_id", "text")).alias("metadata")
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"unknown stream fixture kind {kind!r}")
+    topic.producer("bulk").push_dataframe(payload)
+    topic.mark_as_complete()
+    _STREAM_FIXTURES[key] = (driver, topic.name)
+    return topic
+
+
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, user_id long, event_type string, value double, ts_us long"
+)
+
+
+def _events_stream(topic, max_event_id: int) -> DataFrame:
+    """Parse the shared events fixture and cut it to this gate's slice
+    (sentinel rows have NULL event_id, so the bound drops them)."""
+    return (
+        topic.read_stream()
+        .select(F.from_json("metadata", _EVENTS_STREAM_SCHEMA).alias("m"))
+        .select(
+            "m.event_id",
+            "m.user_id",
+            "m.event_type",
+            "m.value",
+            F.timestamp_micros(F.col("m.ts_us")).alias("ts"),
+        )
+        .filter(F.col("event_id") < max_event_id)
+    )
+
+
+def _run_stream(spark, df, sink_name: str, output_mode: str):
+    """Checkpointed AvailableNow drain into a uniquely-named memory
+    sink; shuffle partitions pinned to 4 for the run (the stateful ops
+    allocate one state store per shuffle partition at first run; a few
+    thousand gate events need a handful, not 32)."""
+    import os
+    import tempfile
+
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="mofka-streamq-"), "ckpt")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(sink_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.table(sink_name)
+
+
 # Streaming event-time aggregation END-TO-END: events flow through the
 # engine (topic sink -> ledger -> custom streaming source), a
 # withWatermark + window() aggregation runs under Trigger.AvailableNow,
@@ -737,53 +854,19 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
     import uuid
 
-    from mofka_spark.client import Driver
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
-    root = tempfile.mkdtemp(prefix="mofka-streamq-")
-    driver = Driver(spark, root)
-    # 2 partitions: enough to exercise partition-parallel reads while
-    # keeping the gate's fixed python-worker spin-up cost low
-    topic = driver.create_topic("hstats", num_partitions=2)
-    producer = topic.producer("bulk")
-    producer.push_dataframe(
-        ev.select(F.to_json(F.struct("ts", "event_type", "value")).alias("metadata"))
-    )
-    topic.mark_as_complete()
-    stream = topic.read_stream()
-    parsed = stream.select(
-        F.from_json(
-            "metadata", "ts timestamp, event_type string, value double"
-        ).alias("m")
-    ).select("m.*")
+    topic = _stream_fixture(spark, sf_dir, "events")
+    parsed = _events_stream(topic, 5000)
     agg = (
         parsed.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
-    sink_name = "hstats_" + uuid.uuid4().hex[:8]
-    # the stateful window agg allocates one state store per shuffle
-    # partition at first run; 5000 events need a handful, not 32 —
-    # state partition count is fixed by the conf at query start
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(sink_name)
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    return spark.table(sink_name).select(
+    out = _run_stream(
+        spark, agg, "hstats_" + uuid.uuid4().hex[:8], "complete"
+    )
+    return out.select(
         F.col("w.start").alias("hour"), "event_type", "n", "sum_value"
     )
 
@@ -814,47 +897,18 @@ def q_streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
     import uuid
 
-    from mofka_spark.client import Driver
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
-    root = tempfile.mkdtemp(prefix="mofka-streamq-")
-    driver = Driver(spark, root)
-    topic = driver.create_topic("sess", num_partitions=2)
-    producer = topic.producer("bulk")
-    producer.push_dataframe(
-        ev.select(F.to_json(F.struct("ts", "user_id")).alias("metadata"))
-    )
-    topic.mark_as_complete()
-    parsed = (
-        topic.read_stream()
-        .select(F.from_json("metadata", "ts timestamp, user_id long").alias("m"))
-        .select("m.*")
-    )
+    topic = _stream_fixture(spark, sf_dir, "events")
+    parsed = _events_stream(topic, 5000).select("ts", "user_id")
     sessions = parsed.groupBy(
         F.session_window("ts", "30 minutes").alias("sw"), "user_id"
     ).agg(F.count("*").alias("n_ev"))
-    sink_name = "sess_" + uuid.uuid4().hex[:8]
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            sessions.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(sink_name)
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    out = _run_stream(
+        spark, sessions, "sess_" + uuid.uuid4().hex[:8], "complete"
+    )
     return (
-        spark.table(sink_name)
-        .groupBy("user_id")
+        out.groupBy("user_id")
         .agg(
             F.count("*").cast("long").alias("n_sessions"),
             F.sum("n_ev").cast("long").alias("n_events"),
@@ -1653,28 +1707,14 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
     import uuid
 
-    from mofka_spark.client import Driver
     from mofka_spark.streaming.dedup import dedup_stream
 
-    # doc_id < 1000 bounds the e2e harness slice (topic create + sink +
-    # checkpointed AvailableNow run): the operator under test is
-    # dropDuplicates-on-key, not bulk ingest; an unbounded slice made
-    # this one gate 19% of total bench wall time at sf0.1. Covers the
-    # whole table at the sf0.01 correctness gate (500 docs).
-    docs = _t(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.col("doc_id") < 1000)
-    )
-    root = tempfile.mkdtemp(prefix="mofka-sdedup-")
-    driver = Driver(spark, root)
-    topic = driver.create_topic("sdedup", num_partitions=2)
-    topic.producer("bulk").push_dataframe(
-        docs.select(F.to_json(F.struct("doc_id", "text")).alias("metadata"))
-    )
-    topic.mark_as_complete()
+    # doc_id < 1000 bounds the e2e harness slice (shared fixture topic):
+    # the operator under test is dropDuplicates-on-key, not bulk ingest.
+    # Covers the whole table at the sf0.01 correctness gate (500 docs).
+    topic = _stream_fixture(spark, sf_dir, "docs")
     key = F.md5(
         dedup.normalize_text(F.get_json_object("metadata", "$.text"))
     )
@@ -1684,22 +1724,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dedup.normalize_text(F.get_json_object("metadata", "$.text"))
         ).alias("content_hash")
     )
-    sink_name = "sdedup_" + uuid.uuid4().hex[:8]
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(sink_name)
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    return spark.table(sink_name)
+    return _run_stream(
+        spark, out, "sdedup_" + uuid.uuid4().hex[:8], "append"
+    )
 
 
 # Incrementally-maintained aggregate table (streaming materialized
@@ -1721,20 +1748,11 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from mofka_spark.client import Driver
     from mofka_spark.streaming.rollup import read_rollup, rollup_sink
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    topic = _stream_fixture(spark, sf_dir, "events")
+    parsed = _events_stream(topic, 5000).select("event_type", "value")
     root = tempfile.mkdtemp(prefix="mofka-rollup-")
-    driver = Driver(spark, root)
-    topic = driver.create_topic("rollup", num_partitions=2)
-    topic.producer("bulk").push_dataframe(
-        ev.select(F.to_json(F.struct("event_type", "value")).alias("metadata"))
-    )
-    topic.mark_as_complete()
-    parsed = topic.read_stream().select(
-        F.from_json("metadata", "event_type string, value double").alias("m")
-    ).select("m.*")
     agg_path = os.path.join(root, "agg")
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -2546,24 +2564,12 @@ def q_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.client import Driver
     from mofka_spark.streaming.sink import topic_sink
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2500)
+    src = _stream_fixture(spark, sf_dir, "events")
     root = tempfile.mkdtemp(prefix="mofka-pipe-")
     driver = Driver(spark, root)
-    src = driver.create_topic("pipe-src", num_partitions=2)
     driver.create_topic("pipe-dst", num_partitions=2)
-    src.producer("bulk").push_dataframe(
-        ev.select(
-            F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias(
-                "metadata"
-            )
-        )
-    )
-    src.mark_as_complete()
-    schema = "event_id long, user_id long, event_type string, value double"
     derived = (
-        src.read_stream()
-        .select(F.from_json("metadata", schema).alias("m"))
-        .select("m.*")
+        _events_stream(src, 2500)
         .filter((F.col("event_type") == "click") & (F.col("value") > 50))
         .select(
             F.to_json(
@@ -2623,63 +2629,40 @@ def q_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
     import uuid
 
-    from mofka_spark.client import Driver
     from mofka_spark.streaming.stateful import sessionize_stream
 
-    # < 2500 bounds the e2e harness (topic + sink + Python state over
-    # ~2k user keys); the operator under test is unchanged
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2500)
-    gmax = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
-    sentinels = (
-        ev.select("user_id")
-        .distinct()
-        .withColumn("ts", F.lit(gmax) + F.expr("INTERVAL 2 HOURS"))
+    # < 2500 bounds the e2e harness (Python state over ~2k user keys);
+    # the operator under test is unchanged. The shared fixture's
+    # sentinel rows (event_type '__sentinel__', ts 2h past the whole
+    # fixture's max) flush every real session data-driven; a sentinel's
+    # own 1-event session stays in state and the start-bound filter
+    # drops anything at/after the sentinel horizon.
+    topic = _stream_fixture(spark, sf_dir, "events")
+    gmax = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2500)
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
     )
-    root = tempfile.mkdtemp(prefix="mofka-statefulq-")
-    driver = Driver(spark, root)
-    topic = driver.create_topic("stateful-sess", num_partitions=2)
-    # ship ts as epoch MICROS: to_json renders timestamps at
-    # millisecond precision, which would shift session bounds off the
-    # oracle's exact event times
-    topic.producer("bulk").push_dataframe(
-        ev.select("user_id", "ts")
-        .unionByName(sentinels)
-        .select(
-            F.to_json(
-                F.struct("user_id", F.unix_micros("ts").alias("ts_us"))
-            ).alias("metadata")
-        )
-    )
-    topic.mark_as_complete()
     parsed = (
         topic.read_stream()
-        .select(F.from_json("metadata", "user_id long, ts_us long").alias("m"))
+        .select(F.from_json("metadata", _EVENTS_STREAM_SCHEMA).alias("m"))
+        .filter(
+            (F.col("m.event_id") < 2500)
+            | (F.col("m.event_type") == "__sentinel__")
+        )
         .select(
             F.col("m.user_id").alias("user_id"),
             F.timestamp_micros(F.col("m.ts_us")).alias("ts"),
         )
     )
     sessions = sessionize_stream(parsed, gap_sec=1800, watermark_delay="1 minute")
-    sink_name = "stateful_" + uuid.uuid4().hex[:8]
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            sessions.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(sink_name)
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    return spark.table(sink_name).filter(F.col("session_start") <= F.lit(gmax))
+    out = _run_stream(
+        spark, sessions, "stateful_" + uuid.uuid4().hex[:8], "append"
+    )
+    return out.filter(F.col("session_start") <= F.lit(gmax))
 
 
 # Stream-stream interval join: clicks and purchases flow as TWO live
@@ -2702,34 +2685,16 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
     import uuid
 
-    from mofka_spark.client import Driver
-
     # < 2500 bounds the two-source harness; join semantics unchanged
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2500)
-    root = tempfile.mkdtemp(prefix="mofka-sjoin-")
-    driver = Driver(spark, root)
-    topic = driver.create_topic("sjoin", num_partitions=2)
-    topic.producer("bulk").push_dataframe(
-        ev.filter(F.col("event_type").isin("click", "purchase")).select(
-            F.to_json(F.struct("event_id", "ts", "user_id", "event_type")).alias(
-                "metadata"
-            )
-        )
-    )
-    topic.mark_as_complete()
-    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    topic = _stream_fixture(spark, sf_dir, "events")
 
     def side(event_type: str, prefix: str) -> DataFrame:
         # each side is its OWN source instance (self-joins need two
         # reader states); column names are disambiguated up front
         return (
-            topic.read_stream()
-            .select(F.from_json("metadata", schema).alias("m"))
-            .select("m.*")
+            _events_stream(topic, 2500)
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),
@@ -2746,22 +2711,10 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
     )
-    sink_name = "sjoin_" + uuid.uuid4().hex[:8]
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(sink_name)
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    return spark.table(sink_name).select(
+    out = _run_stream(
+        spark, joined, "sjoin_" + uuid.uuid4().hex[:8], "append"
+    )
+    return out.select(
         F.col("c_id").alias("click_id"),
         F.col("p_id").alias("purchase_id"),
         F.col("c_user").alias("user_id"),
