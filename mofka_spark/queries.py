@@ -2754,45 +2754,512 @@ def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# TPC-H breadth: the remaining classic shapes expressible on the reduced
+# star schema (no partsupp / commitdate / shipmode columns in the
+# testdata — predicates adapt, the plan shapes are the real thing:
+# nation self-join pairs, market-share ratio-of-conditional-sums,
+# correlated-scalar subqueries decorrelated into per-key aggregates,
+# group-HAVING semi joins, EXISTS/NOT-EXISTS rewritten as semi/anti).
+# Every dim side is explicitly broadcast; fact-fact correlations shuffle
+# once on the correlation key — the plans hold at 100 TB because the
+# per-key aggregate frames stay O(#distinct keys), never O(rows).
+# ===========================================================================
+
+
+@query(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume),2) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+                 l_extendedprice*(1-l_discount) AS volume
+          FROM supplier JOIN lineitem ON s_suppkey=l_suppkey
+          JOIN orders ON o_orderkey=l_orderkey
+          JOIN customer ON c_custkey=o_custkey
+          JOIN nation n1 ON s_nationkey=n1.n_nationkey
+          JOIN nation n2 ON c_nationkey=n2.n_nationkey
+          WHERE ((n1.n_name='NATION_1' AND n2.n_name='NATION_2')
+              OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1'))
+            AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                               AND TIMESTAMP '1997-12-31') v
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: revenue flow between a nation pair by
+    year. The nation table joins TWICE under different roles — broadcast
+    both; the disjunctive pair filter lands AFTER both nation joins
+    (Catalyst can't split it), but both nation joins are broadcasts so
+    no shuffle is wasted; the shipdate range prunes the fact scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 23:59:59")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation='NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                 l_extendedprice*(1-l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part JOIN lineitem ON p_partkey=l_partkey
+          JOIN supplier ON s_suppkey=l_suppkey
+          JOIN orders ON l_orderkey=o_orderkey
+          JOIN customer ON o_custkey=c_custkey
+          JOIN nation n1 ON c_nationkey=n1.n_nationkey
+          JOIN region ON n1.n_regionkey=r_regionkey
+          JOIN nation n2 ON s_nationkey=n2.n_nationkey
+          WHERE r_name='ASIA' AND p_type='PROMO') v
+    GROUP BY o_year
+    """,
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: one nation's revenue fraction
+    inside a region/part-type market, per year. The ratio is a single
+    conditional-sum over one aggregation — NOT two aggregations joined;
+    the p_type filter broadcasts into a semi-ish part join that prunes
+    the fact early."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, ROUND(SUM(amount),2) AS sum_profit
+    FROM (SELECT n_name AS nation,
+                 CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                 l_extendedprice*(1-l_discount)
+                   - 0.1*p_retailprice*l_quantity AS amount
+          FROM part JOIN lineitem ON p_partkey=l_partkey
+          JOIN supplier ON s_suppkey=l_suppkey
+          JOIN orders ON o_orderkey=l_orderkey
+          JOIN nation ON s_nationkey=n_nationkey
+          WHERE p_name LIKE '%gear%') v
+    GROUP BY nation, o_year
+    """,
+)
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (supply cost proxied as
+    0.1*p_retailprice per unit — the testdata has no partsupp). The
+    LIKE filter prunes part BEFORE the broadcast, so the fact join
+    discards non-matching lineitems map-side."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q12_ship_priority",
+    """
+    SELECT CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) > 90
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey=l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY ship_class
+    """,
+)
+def q_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode proxied by ship-delay class: >90 days
+    after order date = LATE). Conditional-sum pivot over one
+    orders⋈lineitem shuffle; the shipdate range is the pushed scan
+    predicate."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "ship_class",
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, "LATE"
+            ).otherwise("ONTIME"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey=o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey) v
+    GROUP BY c_count
+    """,
+)
+def q_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT join keeps
+    zero-order customers; the filter lives in the JOIN CONDITION (not a
+    WHERE — that would turn the left join inner). Two aggregations: the
+    first shuffles on custkey, the second on the tiny count domain."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (SELECT l_suppkey,
+                        ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS total_revenue
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate <  TIMESTAMP '1996-04-01'
+                 GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey=l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the revenue view aggregates once
+    (O(#suppliers) rows), the MAX scalar joins back as a broadcast
+    single-row frame — no second scan of the fact, no window over the
+    whole view. Revenue is rounded BEFORE the max comparison so float
+    equality is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    rmax = rev.agg(F.max("total_revenue").alias("max_rev"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(rmax), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey=l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_size IN (1,4,9,14,19,23,36,45)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-part relationships observed from
+    lineitem — no partsupp table). COUNT(DISTINCT) expands to a
+    two-stage aggregate: dedup on (group, suppkey) with map-side
+    partial, then count — Spark plans exactly that from the single
+    declarative call."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice)/7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey=l_partkey
+    WHERE p_brand='Brand#23' AND p_type='SMALL'
+      AND l_quantity < (SELECT 0.2*AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey=p_partkey)
+    """,
+)
+def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: the correlated scalar
+    subquery decorrelates into a per-part average computed ONLY over
+    parts passing the brand/type filter (semi join first — at 100 TB
+    the unfiltered per-part aggregate would be the whole fact table's
+    key domain for a 1/1000 part selection)."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    matched = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    thresh = matched.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    return (
+        matched.join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           SUM(l_quantity) AS total_qty
+    FROM customer JOIN orders ON c_custkey=o_custkey
+    JOIN lineitem ON o_orderkey=l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 240)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume orders: the IN-subquery is a semi join
+    against the per-order quantity rollup. The rollup and the outer
+    aggregate share the l_orderkey hash partitioning, so AQE plans the
+    semi join shuffle-free on the rollup side."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 240)
+        .select("l_orderkey")
+        .withColumnRenamed("l_orderkey", "big_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(big, li.l_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey=l1.l_suppkey
+    JOIN orders ON o_orderkey=l1.l_orderkey
+    WHERE o_orderstatus='F'
+      AND l1.l_shipdate = (SELECT MAX(l2.l_shipdate) FROM lineitem l2
+                           WHERE l2.l_orderkey=l1.l_orderkey)
+      AND EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey=l1.l_orderkey
+                    AND l3.l_suppkey<>l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def q_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (no commit/receipt dates — 'the supplier who
+    kept the order waiting' = shipped LAST in a multi-supplier order
+    with status F). The correlated MAX and the EXISTS both decorrelate
+    into ONE per-order aggregate frame (max shipdate + distinct
+    supplier count) joined back on the same key — one extra shuffle
+    total, not two subquery scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    ostats = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("nsupp"),
+    ).withColumnRenamed("l_orderkey", "o_key")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(ostats, li.l_orderkey == F.col("o_key"))
+        .filter((F.col("l_shipdate") == F.col("max_ship")) & (F.col("nsupp") > 1))
+        .join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "q22_idle_customers",
+    """
+    SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal),2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey=c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntrycode
+    """,
+)
+def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (country code proxied as nationkey%5; 'never
+    ordered' adapted to 'no order since 2000' — the testdata has no
+    order-less customers). The scalar AVG broadcasts as a one-row
+    frame; NOT EXISTS is a left_anti join against the date-pruned
+    orders projection."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
-# may cap how many it runs per round; list queries with no prior
-# CORRECTNESS row first so every operator accumulates oracle evidence.
-# Round-4 rotation: the 24 queries without a round-3 driver row go
-# first — the never-driver-green five up front, then the queries whose
-# last driver evidence is round 2. Invariant: every registered query
-# gets a driver row at least every 2 rounds.
-CHECK_FIRST = [
-    "inverted_index",
-    "minhash_dedup",
-    "neardup_jaccard_pairs",
-    "dedup_components",
-    "streaming_rollup",
-    "topic_compact",
-    "language_id",
-    "vocab_top_ngrams",
-    "decontamination",
-    "gopher_quality",
-    "dup_spans",
-    "winnow_fingerprints",
-    "repetition_signals",
-    "pii_scan",
-    "doc_chunks",
-    "lm_scores",
-    "pack_sequences",
-    "epoch_shuffle",
-    "knn_cosine",
-    "lsh_recall",
-    "ivf_recall",
-    "embedding_neardup",
-    "semantic_dedup",
-    "streaming_dedup",
-]
+# may cap how many it runs per round. Self-maintaining rotation: read
+# the per-round CORRECTNESS_r*.json files the driver leaves in the repo
+# root and order queries by how STALE their last driver-green evidence
+# is — never-green queries first (registration order), then ascending by
+# last-green round. With a 50-row cap and this ordering, every
+# registered query gets a driver row at least every
+# ceil(#queries / cap) rounds, with no hand-rotated list to go stale
+# (the hand-rotated CHECK_FIRST it replaces froze round 3's priorities).
+
+
+def _last_green_round() -> dict[str, int]:
+    """{query: highest round whose CORRECTNESS file shows it fully
+    green (rows+schema+hash all true)}. Missing/garbled files are
+    skipped — worst case the ordering degrades to registration order,
+    never an import failure."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(doc, dict):
+            continue
+        for name, row in doc.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(row.get("rows_match")) and bool(
+                row.get("schema_match")
+            ) and bool(row.get("hash_match"))
+            if green and rnd > last.get(name, -1):
+                last[name] = rnd
+    return last
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    first = {n: SPARK_QUERIES[n] for n in CHECK_FIRST if n in SPARK_QUERIES}
-    rest = {n: f for n, f in SPARK_QUERIES.items() if n not in first}
-    return {**first, **rest}
+    last = _last_green_round()
+    reg = list(SPARK_QUERIES)  # registration order = stable tiebreak
+    names = sorted(reg, key=lambda n: (last.get(n, -1), reg.index(n)))
+    return {n: SPARK_QUERIES[n] for n in names}
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
