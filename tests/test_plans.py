@@ -301,3 +301,57 @@ class TestQ6Pushdown:
         for c in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
             assert c in rs
         assert "l_orderkey" not in rs and "l_returnflag" not in rs
+
+
+class TestTpchBreadthPlans:
+    """Plan shapes for the Q7-Q22 breadth queries: broadcast dims, no
+    cartesian products, decorrelated subqueries stay single-aggregate,
+    and scan-level pruning holds."""
+
+    def test_q7_pushes_shipdate_and_broadcasts_nations(self, spark):
+        df = queries.SPARK_QUERIES["q7_nation_volume"](spark, SF)
+        p = plans.plan_string(df)
+        assert plans.has_pushed_filter(df, "l_shipdate")
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_q9_part_filter_prunes_before_join(self, spark):
+        df = queries.SPARK_QUERIES["q9_product_profit"](spark, SF)
+        p = plans.plan_string(df)
+        # LIKE '%gear%' lands on the part scan side, not post-join
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        rs = plans.scan_schema(df)
+        assert "l_linenumber" not in rs  # column pruning on the fact
+
+    def test_q13_left_join_survives(self, spark):
+        # the o_orderpriority predicate must stay in the join condition;
+        # a WHERE would convert the left join to inner and drop
+        # zero-order customers from the distribution
+        df = queries.SPARK_QUERIES["q13_order_distribution"](spark, SF)
+        assert (
+            plans.has_operator(df, "LeftOuter")
+            or "left" in plans.plan_string(df, mode="simple").lower()
+        )
+
+    def test_q15_max_is_broadcast_not_window(self, spark):
+        df = queries.SPARK_QUERIES["q15_top_supplier"](spark, SF)
+        assert not plans.has_operator(df, "Window")
+        assert plans.has_operator(df, "BroadcastHashJoin")
+
+    def test_q18_semi_join(self, spark):
+        df = queries.SPARK_QUERIES["q18_large_orders"](spark, SF)
+        assert "Semi" in plans.plan_string(df)
+        assert not plans.has_operator(df, "CartesianProduct")
+
+    def test_q21_single_per_order_aggregate(self, spark):
+        # correlated MAX + EXISTS decorrelate into ONE rollup frame:
+        # exactly one aggregate keyed on l_orderkey feeds the join
+        df = queries.SPARK_QUERIES["q21_waiting_supplier"](spark, SF)
+        p = plans.plan_string(df)
+        assert "CartesianProduct" not in p
+        assert "Semi" in p  # orders status filter applied as semi join
+
+    def test_q22_anti_join(self, spark):
+        df = queries.SPARK_QUERIES["q22_idle_customers"](spark, SF)
+        assert "Anti" in plans.plan_string(df)
