@@ -198,6 +198,74 @@ def minhash_signatures(
     )
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    features: str = "word",
+) -> DataFrame:
+    """(id, band_id, band_hash) LSH band rows — the joinable signature
+    form shared by the batch self-join (minhash_lsh_candidates) and the
+    incremental store join (streaming.neardup). Deterministic for a
+    given parameter set, so rows computed in different micro-batches /
+    jobs / sessions bucket-join correctly.
+
+    The i-th hash family member derives from TWO string hashes by
+    xor-rotate mixing (double-hashing construction) instead of
+    re-hashing the string num_hashes times: h_i = h1 ^ rot(h2, i).
+    Cuts per-shingle work from 64 string hashes to 2 + cheap long
+    bit-ops, all inside codegen; pure bitwise so ANSI overflow checking
+    never fires. The 64 min() aggregations collapse each map partition
+    to one row per doc before the shuffle — shuffled volume is
+    docs x 512 B regardless of text size."""
+    rows_per_band = num_hashes // bands
+    feat = (
+        word_ngrams(F.col(text_col), shingle_k)
+        if features == "word"
+        else shingles(F.col(text_col), shingle_k)
+    )
+    exploded = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(feat).alias("sh"),
+    )
+    hashed = exploded.select(
+        "id",
+        F.xxhash64("sh").alias("h1"),
+        F.xxhash64("sh", F.lit(1)).alias("h2"),
+    )
+
+    def mix(i: int):
+        if i == 0:
+            return F.col("h1")
+        rot = F.shiftleft("h2", i % 64).bitwiseOR(
+            F.shiftrightunsigned("h2", 64 - (i % 64))
+        )
+        return F.col("h1").bitwiseXOR(rot)
+
+    sig = hashed.groupBy("id").agg(
+        *[F.min(mix(s)).alias(f"h{s}") for s in range(num_hashes)]
+    )
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -246,8 +314,8 @@ def minhash_lsh_candidates(
             "num_hashes > 64 would repeat rotations in the double-hash "
             "family (h1 ^ rot(h2, i mod 64)); use <= 64"
         )
-    rows_per_band = num_hashes // bands
     if arrow:
+        rows_per_band = num_hashes // bands
         sig = minhash_signatures(
             df, id_col, text_col, num_hashes, shingle_k, features
         ).persist()
@@ -268,50 +336,8 @@ def minhash_lsh_candidates(
             ).alias("band_id", "band_hash"),
         )
     else:
-        feat = (
-            word_ngrams(F.col(text_col), shingle_k)
-            if features == "word"
-            else shingles(F.col(text_col), shingle_k)
-        )
-        exploded = _spread(df, id_col).select(
-            F.col(id_col).alias("id"),
-            F.explode(feat).alias("sh"),
-        )
-        # The i-th hash family member derives from TWO string hashes by
-        # xor-rotate mixing (double-hashing construction) instead of
-        # re-hashing the string num_hashes times: h_i = h1 ^ rot(h2, i).
-        # Cuts per-shingle work from 64 string hashes to 2 + cheap long
-        # bit-ops, all inside codegen; pure bitwise so ANSI overflow
-        # checking never fires.
-        hashed = exploded.select(
-            "id",
-            F.xxhash64("sh").alias("h1"),
-            F.xxhash64("sh", F.lit(1)).alias("h2"),
-        )
-
-        def mix(i: int):
-            if i == 0:
-                return F.col("h1")
-            rot = F.shiftleft("h2", i % 64).bitwiseOR(
-                F.shiftrightunsigned("h2", 64 - (i % 64))
-            )
-            return F.col("h1").bitwiseXOR(rot)
-
-        sig = hashed.groupBy("id").agg(
-            *[F.min(mix(s)).alias(f"h{s}") for s in range(num_hashes)]
-        )
-        banded = sig.select(
-            "id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band_id", "band_hash"),
+        banded = minhash_band_rows(
+            df, id_col, text_col, num_hashes, bands, shingle_k, features
         )
     banded = _cap_buckets(banded, ["band_id", "band_hash"], bucket_cap)
     a = banded.alias("a")

@@ -1729,6 +1729,84 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental NEAR-dup (streaming/neardup.py): documents stream through
+# a topic in micro-batches; each epoch LSH-bands the new docs, finds
+# candidates against the accumulated signature store (never O(corpus)
+# per batch), verifies with exact n-gram Jaccard, and extends the
+# store. The end-of-stream result must hash-match the same oracle as
+# the batch minhash_dedup — incremental maintenance over arbitrary
+# batch boundaries must be invisible in the final answer (same
+# invariant streaming_rollup pins for aggregates, here for LSH state).
+@query(
+    "streaming_neardup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents WHERE text IS NOT NULL AND doc_id < 1000
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS gs
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE /
+                  greatest(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)),
+                           1), 6) >= 0.8
+    ), keepers AS (
+      SELECT id_b AS id, MIN(id_a) AS k FROM pairs GROUP BY id_b
+    )
+    SELECT d.doc_id AS id,
+           COALESCE(k.k, d.doc_id) AS keeper_id,
+           (k.k IS NOT NULL) AS is_duplicate
+    FROM documents d LEFT JOIN keepers k ON d.doc_id = k.id
+    WHERE d.text IS NOT NULL AND d.doc_id < 1000
+    """,
+)
+def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.neardup import neardup_sink, read_result
+
+    topic = _stream_fixture(spark, sf_dir, "docs")
+    # batch_size = half the deepest partition => exactly TWO epochs at
+    # every sf: the second epoch exercises the batch-vs-store history
+    # path (the thing under test) and per-epoch job overhead stays
+    # constant as sf grows. num_hashes=32, bands=16 (r=2): true-pair
+    # miss prob at s>=0.8 is (1-0.8^2)^16 ~ 8e-8, so the hash-match
+    # gate still holds; the extra false candidates r=2 admits are
+    # killed by the exact verify.
+    deepest = max(topic.snapshot().values())
+    parsed = topic.read_stream(batch_size=(deepest + 1) // 2).select(
+        F.get_json_object("metadata", "$.doc_id").cast("long").alias("id"),
+        F.get_json_object("metadata", "$.text").alias("text"),
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-neardup-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(
+                neardup_sink(store, num_hashes=32, bands=16)
+            )
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        if not topic.await_completion(q, timeout=300):
+            q.stop()
+            raise RuntimeError("streaming_neardup did not drain the topic")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return read_result(spark, store)
+
+
 # Incrementally-maintained aggregate table (streaming materialized
 # view): events stream through a topic; each micro-batch appends
 # PARTIAL aggregates; the result is the merge-on-read combine. The

@@ -1,0 +1,196 @@
+"""Incremental MinHash-LSH near-duplicate detection against a
+persisted signature store.
+
+Batch near-dup (operators/dedup.py minhash_lsh_dedup) answers "which of
+these N docs duplicate each other" with one self-join. A 100 TB ingest
+pipeline asks a different question EVERY batch: "which of these new
+docs duplicate ANYTHING seen so far" — and re-running the batch
+pipeline over the whole corpus per arrival is O(corpus) per batch. This
+module maintains the LSH state incrementally:
+
+- the STORE is three epoch-partitioned parquet tables under one root:
+  ``bands/``  (id, band_id, band_hash)  — the joinable LSH signature
+  ``texts/``  (id, text)                — verify-side source of truth
+  ``edges/``  (id_a, id_b)              — verified duplicate pairs,
+                                          oriented id_a < id_b
+- per micro-batch: band the new docs (same deterministic hash family as
+  the batch operator — minhash_band_rows), find candidates as
+  (batch x batch self-join) ∪ (batch x store bucket join on
+  (band_id, band_hash)), verify candidates with exact word-n-gram
+  Jaccard (ngram_jaccard_pairs — touches candidate texts only), then
+  append this epoch's bands/texts/edges under ``_epoch=<id>`` with
+  dynamic partition overwrite: a replayed epoch REPLACES its own
+  partition, so retries are idempotent with no side ledger (same
+  protocol as streaming/rollup.py).
+- ``read_result`` derives (id, keeper_id, is_duplicate) from the
+  accumulated edge table with ONE aggregation (keeper = min paired
+  smaller id), so the end-of-stream answer is defined by the edge SET —
+  independent of arrival order or batch boundaries — and provably
+  equals the batch pipeline's answer on the same corpus: both compute
+  keeper from the identical verified pair set (LSH banding is
+  deterministic, so batch self-join pairs == union of per-epoch
+  batch/store pairs).
+
+100 TB shape: per-epoch cost is O(batch bands + matching store
+buckets), never O(corpus) — the store join is an equi-join on
+(band_id, band_hash) whose store side prunes to buckets the batch
+actually touches; verify joins text onto candidate ids only. The store
+is partitioned by ``_epoch`` for idempotent writes; a production
+deployment additionally buckets ``bands/`` by band_hash so the per-epoch
+join is shuffle-free on the store side (operators/layout.py bucketize —
+same pattern the co-located join tests pin), and compacts old epochs
+like rollup.compact_rollup. Duplicate-of-history docs still append
+their bands (they are legitimate future match targets), so the store
+grows with the corpus, not the unique set — cap with edges-aware
+retention if dup rates are extreme.
+
+The reference has no near-dup operator (its dedup surface is exact
+event identity); this is part of the §2.8 LLM-pipeline layer built on
+the reference's streaming lifecycle (L3 feed loop ≙ micro-batches).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mofka_spark.operators.dedup import (
+    minhash_band_rows,
+    ngram_jaccard_pairs,
+)
+
+_BANDS, _TEXTS, _EDGES = "bands", "texts", "edges"
+
+
+def _epoch_write(df: DataFrame, path: str, epoch_id: int) -> None:
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _read_store(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """The accumulated store table, or an empty frame before epoch 0
+    (first batch has no history — the union with an empty relation
+    keeps the per-epoch plan identical across epochs)."""
+    if os.path.isdir(path) and any(
+        e.startswith("_epoch=") for e in os.listdir(path)
+    ):
+        return spark.read.parquet(path).drop("_epoch")
+    return spark.createDataFrame([], schema)
+
+
+def neardup_sink(
+    store_path: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    ngram_n: int = 3,
+    verify_threshold: float = 0.8,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer: near-dup each micro-batch against all
+    history and extend the store. See module docstring for layout and
+    idempotency; parameters mirror minhash_lsh_dedup so the incremental
+    and batch pipelines are comparable configuration-for-configuration.
+    """
+
+    def write_epoch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        docs = (
+            batch.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(text_col).alias("text"),
+            )
+            .filter(F.col("text").isNotNull())
+            .persist()
+        )
+        new_bands = minhash_band_rows(
+            docs, "id", "text", num_hashes, bands, shingle_k
+        ).persist()
+        old_bands = _read_store(
+            spark, os.path.join(store_path, _BANDS),
+            "id long, band_id int, band_hash long",
+        )
+        # within-batch candidates: standard LSH self-join, a < b
+        a, b = new_bands.alias("a"), new_bands.alias("b")
+        cand_new = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        # batch-vs-history candidates: bucket join on the band key.
+        # Orientation by least/greatest — arrival order need not follow
+        # id order, and read_result's keeper aggregation relies on
+        # id_a < id_b regardless of which side is history.
+        s, n = old_bands.alias("s"), new_bands.alias("n")
+        cand_hist = (
+            s.join(
+                n,
+                (F.col("s.band_id") == F.col("n.band_id"))
+                & (F.col("s.band_hash") == F.col("n.band_hash"))
+                & (F.col("s.id") != F.col("n.id")),
+            )
+            .select(
+                F.least("s.id", "n.id").alias("id_a"),
+                F.greatest("s.id", "n.id").alias("id_b"),
+            )
+        )
+        cand = cand_new.union(cand_hist).distinct()
+        # verify with exact n-gram Jaccard; texts resolve from the
+        # batch plus the store (candidate ids only — the semi-join
+        # inside ngram_jaccard_pairs prunes before any text is read)
+        old_texts = _read_store(
+            spark, os.path.join(store_path, _TEXTS), "id long, text string"
+        )
+        corpus = docs.unionByName(old_texts)
+        edges = ngram_jaccard_pairs(
+            corpus, cand, "id", "text", ngram_n, verify_threshold
+        ).select("id_a", "id_b")
+        # persist store extensions; edges LAST so a crash between
+        # writes leaves bands/texts ahead of edges — harmless, since
+        # the epoch replay overwrites all three partitions
+        _epoch_write(new_bands, os.path.join(store_path, _BANDS), epoch_id)
+        _epoch_write(docs, os.path.join(store_path, _TEXTS), epoch_id)
+        _epoch_write(edges, os.path.join(store_path, _EDGES), epoch_id)
+        new_bands.unpersist()
+        docs.unpersist()
+
+    return write_epoch
+
+
+def read_result(spark: SparkSession, store_path: str) -> DataFrame:
+    """(id, keeper_id, is_duplicate) from the accumulated store —
+    identical contract to minhash_lsh_dedup. One aggregation over the
+    edge table (O(#verified pairs)) plus a left join onto the id set;
+    never rescans text."""
+    ids = _read_store(
+        spark, os.path.join(store_path, _TEXTS), "id long, text string"
+    ).select("id")
+    edges = _read_store(
+        spark, os.path.join(store_path, _EDGES), "id_a long, id_b long"
+    ).distinct()
+    keepers = edges.groupBy("id_b").agg(F.min("id_a").alias("keeper_id"))
+    return (
+        ids.join(keepers, F.col("id") == F.col("id_b"), "left")
+        .select(
+            "id",
+            F.coalesce("keeper_id", "id").alias("keeper_id"),
+            (F.col("keeper_id").isNotNull()).alias("is_duplicate"),
+        )
+    )

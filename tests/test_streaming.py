@@ -568,3 +568,66 @@ def test_checkpoint_restart_exactly_once(driver, tmp_path, spark, durable_floor)
     got = sorted((r["partition"], r["offset"]) for r in rows)
     # exactly once: every (partition, offset) exactly one time
     assert got == [(p, o) for p in (0, 1) for o in range(20)]
+
+
+class TestIncrementalNearDup:
+    """streaming/neardup.py: LSH dedup against the persisted store must
+    equal the batch pipeline regardless of batch boundaries, arrival
+    order, or epoch replays (idempotent store writes)."""
+
+    DOCS = [
+        # 1~2 near-dups (one word differs), 3 unique, 4~5 near-dups,
+        # 6 duplicates 1 as well (transitive via exact overlap)
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "completely unrelated content about spark physical plans"),
+        (4, "incremental lsh state must match the batch answer exactly"),
+        (5, "incremental lsh state must match the batch answer exactly"),
+        (6, "the quick brown fox jumps over the lazy dog today"),
+    ]
+
+    def _expected(self, spark):
+        from mofka_spark.operators.dedup import minhash_lsh_dedup
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        return {
+            (r.id, r.keeper_id, r.is_duplicate)
+            for r in minhash_lsh_dedup(
+                df, num_hashes=32, bands=16, verify_threshold=0.8
+            ).collect()
+        }
+
+    def _run(self, spark, tmp_path, batches, replay=None):
+        from mofka_spark.streaming.neardup import neardup_sink, read_result
+
+        store = str(tmp_path / "store")
+        sink = neardup_sink(store, num_hashes=32, bands=16)
+        for eid, rows in enumerate(batches):
+            batch = spark.createDataFrame(rows, "id long, text string")
+            sink(batch, eid)
+            if replay is not None and eid == replay:
+                sink(batch, eid)  # simulate a foreachBatch retry
+        return {
+            (r.id, r.keeper_id, r.is_duplicate)
+            for r in read_result(spark, store).collect()
+        }
+
+    def test_matches_batch_across_boundaries(self, spark, tmp_path):
+        got = self._run(
+            spark, tmp_path, [self.DOCS[:2], self.DOCS[2:4], self.DOCS[4:]]
+        )
+        assert got == self._expected(spark)
+
+    def test_out_of_order_arrival(self, spark, tmp_path):
+        # larger ids arrive FIRST; keeper must still be the minimum
+        # paired id, exactly as the batch pipeline assigns it
+        got = self._run(
+            spark, tmp_path, [self.DOCS[3:], self.DOCS[:3]]
+        )
+        assert got == self._expected(spark)
+
+    def test_epoch_replay_is_idempotent(self, spark, tmp_path):
+        got = self._run(
+            spark, tmp_path, [self.DOCS[:3], self.DOCS[3:]], replay=1
+        )
+        assert got == self._expected(spark)
