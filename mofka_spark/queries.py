@@ -780,6 +780,11 @@ def _stream_fixture(spark: SparkSession, sf_dir: str, kind: str):
         payload = docs.select(
             F.to_json(F.struct("doc_id", "text")).alias("metadata")
         )
+    elif kind == "vecs":
+        emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+        payload = emb.select(
+            F.to_json(F.struct("vec_id", "embedding")).alias("metadata")
+        )
     else:  # pragma: no cover
         raise ValueError(f"unknown stream fixture kind {kind!r}")
     topic.producer("bulk").push_dataframe(payload)
@@ -1805,6 +1810,73 @@ def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return read_result(spark, store)
+
+
+# Incrementally-maintained IVF ANN index (streaming/annindex.py):
+# embeddings stream through a topic; each epoch assigns the new vectors
+# to frozen k-means cells and extends a cell-partitioned store; a
+# search probes nprobe cells with DIRECTORY pruning. Gate: recall@5 of
+# the incrementally-built index vs exact brute force >= 0.5 per query
+# (same bar and settings as the batch ivf_recall gate — the increment
+# must not cost recall); exact equality with batch ivf_topk is pinned
+# in pytest where no JSON float roundtrip intervenes.
+@query(
+    "streaming_ann_index",
+    """
+    SELECT vec_id AS query_id, (1=1) AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+    """,
+)
+def q_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.annindex import ann_index_sink, search_index
+
+    topic = _stream_fixture(spark, sf_dir, "vecs")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    centroids = similarity.fit_centroids(
+        emb, "vec_id", "embedding", n_centroids=8, seed=7
+    )
+    deepest = max(topic.snapshot().values())  # two epochs at every sf
+    parsed = (
+        topic.read_stream(batch_size=(deepest + 1) // 2)
+        .select(
+            F.from_json(
+                "metadata", "vec_id long, embedding array<float>"
+            ).alias("j")
+        )
+        .select(F.col("j.vec_id").alias("id"), F.col("j.embedding"))
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-annidx-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(
+                ann_index_sink(store, centroids, id_col="id")
+            )
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        if not topic.await_completion(q, timeout=300):
+            q.stop()
+            raise RuntimeError("streaming_ann_index did not drain the topic")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    approx = search_index(
+        spark, store, queries_df, centroids, k=5, nprobe=6
+    )
+    exact = similarity.brute_force_topk(queries_df, emb, k=5)
+    rec = similarity.topk_recall(approx, exact, k=5)
+    return rec.select(
+        "query_id", (F.col("recall") >= 0.5).alias("recall_ok")
+    )
 
 
 # Incrementally-maintained aggregate table (streaming materialized

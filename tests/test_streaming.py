@@ -631,3 +631,77 @@ class TestIncrementalNearDup:
             spark, tmp_path, [self.DOCS[:3], self.DOCS[3:]], replay=1
         )
         assert got == self._expected(spark)
+
+
+class TestIncrementalAnnIndex:
+    """streaming/annindex.py: an index built over any batch
+    partitioning must return bit-identical results to batch ivf_topk
+    with the same frozen centroids, and the probe must prune to the
+    probed cell directories."""
+
+    def _fixture(self, spark, sf_dir):
+        from mofka_spark.operators.similarity import fit_centroids
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            "vec_id < 200"
+        )
+        cents = fit_centroids(emb, "vec_id", "embedding", 8, seed=7)
+        return emb, cents
+
+    def _build(self, spark, tmp_path, emb, cents, epochs=2, replay=None):
+        from mofka_spark.streaming.annindex import ann_index_sink
+
+        store = str(tmp_path / "annstore")
+        sink = ann_index_sink(store, cents, id_col="vec_id")
+        n = emb.count()
+        per = (n + epochs - 1) // epochs
+        for eid in range(epochs):
+            batch = emb.filter(
+                (F.col("vec_id") >= eid * per) & (F.col("vec_id") < (eid + 1) * per)
+            )
+            sink(batch, eid)
+            if replay is not None and eid == replay:
+                sink(batch, eid)
+        return store
+
+    def test_equals_batch_ivf(self, spark, sf_dir, tmp_path):
+        from mofka_spark.operators.similarity import ivf_topk
+        from mofka_spark.streaming.annindex import search_index
+
+        emb, cents = self._fixture(spark, sf_dir)
+        store = self._build(spark, tmp_path, emb, cents, epochs=3)
+        queries = emb.filter("vec_id < 6")
+        inc = search_index(spark, store, queries, cents, k=5, nprobe=4)
+        bat = ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=4,
+                       centroids=cents)
+        key = lambda df: {
+            (r.query_id, r.neighbor_id, r.score, r.rank) for r in df.collect()
+        }
+        assert key(inc) == key(bat)
+
+    def test_epoch_replay_is_idempotent(self, spark, sf_dir, tmp_path):
+        from mofka_spark.operators.similarity import ivf_topk
+        from mofka_spark.streaming.annindex import search_index
+
+        emb, cents = self._fixture(spark, sf_dir)
+        store = self._build(spark, tmp_path, emb, cents, epochs=2, replay=0)
+        queries = emb.filter("vec_id < 6")
+        inc = search_index(spark, store, queries, cents, k=5, nprobe=4)
+        bat = ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=4,
+                       centroids=cents)
+        assert {tuple(r) for r in inc.collect()} == {
+            tuple(r) for r in bat.collect()
+        }
+
+    def test_probe_prunes_directories(self, spark, sf_dir, tmp_path):
+        from mofka_spark import plans
+        from mofka_spark.streaming.annindex import search_index
+
+        emb, cents = self._fixture(spark, sf_dir)
+        store = self._build(spark, tmp_path, emb, cents, epochs=2)
+        queries = emb.filter("vec_id < 2")
+        out = search_index(spark, store, queries, cents, k=5, nprobe=2)
+        p = plans.plan_string(out)
+        # the cell isin predicate lands as a partition filter on the
+        # store scan — unprobed cell directories are never opened
+        assert "PartitionFilters" in p and "cell" in p
