@@ -38,6 +38,15 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mofka_spark.operators.similarity import _cell_frame, cosine
+from mofka_spark.streaming.store import compact_epoch_store, epoch_write
+
+
+def compact_index(spark: SparkSession, store_path: str) -> None:
+    """Collapse epoch fragments within each cell directory
+    (streaming/store.py protocol; cell= layout — and with it the
+    probe's directory pruning — survives the rewrite). Search results
+    are identical before and after."""
+    compact_epoch_store(spark, store_path, partition_cols=("cell",))
 
 
 def ann_index_sink(
@@ -51,7 +60,6 @@ def ann_index_sink(
     nearest frozen centroid and extend the cell-partitioned store."""
 
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
         cells = _cell_frame(
             batch.filter(F.col(vec_col).isNotNull()),
             id_col,
@@ -60,19 +68,7 @@ def ann_index_sink(
             1,
             method,
         ).select("id", "vec", F.col("cells")[0].alias("cell"))
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                cells.withColumn("_epoch", F.lit(int(epoch_id)))
-                .write.mode("overwrite")
-                .partitionBy("cell", "_epoch")
-                .parquet(store_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        epoch_write(cells, store_path, epoch_id, partition_cols=("cell",))
 
     return write_epoch
 

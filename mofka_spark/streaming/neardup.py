@@ -60,34 +60,29 @@ from mofka_spark.operators.dedup import (
     minhash_band_rows,
     ngram_jaccard_pairs,
 )
+from mofka_spark.streaming.store import (
+    compact_epoch_store,
+    epoch_write as _epoch_write_generic,
+    read_store as _read_store,
+)
 
 _BANDS, _TEXTS, _EDGES = "bands", "texts", "edges"
 
 
 def _epoch_write(df: DataFrame, path: str, epoch_id: int) -> None:
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.withColumn("_epoch", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .partitionBy("_epoch")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _epoch_write_generic(df, path, epoch_id)
 
 
-def _read_store(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    """The accumulated store table, or an empty frame before epoch 0
-    (first batch has no history — the union with an empty relation
-    keeps the per-epoch plan identical across epochs)."""
-    if os.path.isdir(path) and any(
-        e.startswith("_epoch=") for e in os.listdir(path)
-    ):
-        return spark.read.parquet(path).drop("_epoch")
-    return spark.createDataFrame([], schema)
+def compact_store(spark: SparkSession, store_path: str) -> None:
+    """Collapse all epoch fragments of the three store tables into the
+    compacted slot (streaming/store.py protocol). Read results are
+    identical before and after; run when epoch counts outgrow the
+    merge-on-read budget. Edges dedup on rewrite (read_result's
+    distinct() is set-semantic)."""
+    for sub, dedup in ((_BANDS, False), (_TEXTS, False), (_EDGES, True)):
+        path = os.path.join(store_path, sub)
+        if os.path.isdir(path):
+            compact_epoch_store(spark, path, dedup=dedup)
 
 
 def neardup_sink(

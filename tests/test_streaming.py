@@ -705,3 +705,61 @@ class TestIncrementalAnnIndex:
         # the cell isin predicate lands as a partition filter on the
         # store scan — unprobed cell directories are never opened
         assert "PartitionFilters" in p and "cell" in p
+
+
+class TestStoreCompaction:
+    """streaming/store.py: compacting epoch fragments must be invisible
+    to readers, survive continued appends, and preserve the ANN store's
+    cell= pruning layout."""
+
+    def test_neardup_store_compaction(self, spark, tmp_path):
+        from mofka_spark.streaming.neardup import (
+            compact_store,
+            neardup_sink,
+            read_result,
+        )
+
+        docs = TestIncrementalNearDup.DOCS
+        store = str(tmp_path / "store")
+        sink = neardup_sink(store, num_hashes=32, bands=16)
+        sink(spark.createDataFrame(docs[:3], "id long, text string"), 0)
+        sink(spark.createDataFrame(docs[3:5], "id long, text string"), 1)
+        before = {tuple(r) for r in read_result(spark, store).collect()}
+        compact_store(spark, store)
+        assert {tuple(r) for r in read_result(spark, store).collect()} == before
+        # appends continue after compaction: epoch ids never collide
+        # with the reserved -1 slot
+        sink(spark.createDataFrame(docs[5:], "id long, text string"), 2)
+        got = {tuple(r) for r in read_result(spark, store).collect()}
+        assert len(got) == len(docs)
+        assert (6, 1, True) in got  # doc 6 still finds its keeper
+
+    def test_ann_store_compaction_keeps_pruning(self, spark, sf_dir, tmp_path):
+        from mofka_spark import plans
+        from mofka_spark.operators.similarity import fit_centroids
+        from mofka_spark.streaming.annindex import (
+            ann_index_sink,
+            compact_index,
+            search_index,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            "vec_id < 120"
+        )
+        cents = fit_centroids(emb, "vec_id", "embedding", 8, seed=7)
+        store = str(tmp_path / "annstore")
+        sink = ann_index_sink(store, cents, id_col="vec_id")
+        sink(emb.filter("vec_id < 60"), 0)
+        sink(emb.filter("vec_id >= 60"), 1)
+        queries = emb.filter("vec_id < 4")
+        before = {
+            tuple(r)
+            for r in search_index(
+                spark, store, queries, cents, k=5, nprobe=3
+            ).collect()
+        }
+        compact_index(spark, store)
+        out = search_index(spark, store, queries, cents, k=5, nprobe=3)
+        assert {tuple(r) for r in out.collect()} == before
+        p = plans.plan_string(out)
+        assert "PartitionFilters" in p and "cell" in p
