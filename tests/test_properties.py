@@ -218,3 +218,102 @@ class TestSaltedJoinProperties:
             .collect()
         )
         assert plain == salted
+
+
+# ---------------------------------------------------------------------------
+# Incremental == batch invariance (streaming/neardup.py, annindex.py):
+# for ANY corpus, ANY batch split, and ANY arrival order, the
+# incrementally-maintained state must reproduce the batch operator's
+# answer exactly. Randomizing the partitioning is the point — the unit
+# tests pin chosen splits, these pin the universal property.
+# ---------------------------------------------------------------------------
+
+_ND_WORDS = ["alpha", "beta", "gamma", "delta", "omega", "sigma"]
+_ND_TEXT = st.lists(
+    st.sampled_from(_ND_WORDS), min_size=4, max_size=8
+).map(" ".join)
+
+
+class TestIncrementalNearDupProperty:
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(data=st.data())
+    def test_any_split_any_order_equals_batch(self, spark, data):
+        import tempfile
+
+        from mofka_spark.operators.dedup import minhash_lsh_dedup
+        from mofka_spark.streaming.neardup import neardup_sink, read_result
+
+        texts = data.draw(st.lists(_ND_TEXT, min_size=2, max_size=10))
+        docs = list(enumerate(texts))
+        order = data.draw(st.permutations(docs))
+        n_batches = data.draw(st.integers(1, min(3, len(docs))))
+        batch_df = spark.createDataFrame(docs, "id long, text string")
+        expected = {
+            tuple(r)
+            for r in minhash_lsh_dedup(
+                batch_df, id_col="id", text_col="text",
+                num_hashes=32, bands=16, verify_threshold=0.8,
+            ).collect()
+        }
+        store = tempfile.mkdtemp(prefix="prop-neardup-") + "/store"
+        sink = neardup_sink(store, num_hashes=32, bands=16)
+        per = (len(order) + n_batches - 1) // n_batches
+        for eid in range(n_batches):
+            chunk = order[eid * per:(eid + 1) * per]
+            if chunk:
+                sink(spark.createDataFrame(chunk, "id long, text string"), eid)
+        got = {tuple(r) for r in read_result(spark, store).collect()}
+        assert got == expected, (texts, [d[0] for d in order], n_batches)
+
+
+class TestIncrementalAnnProperty:
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(data=st.data())
+    def test_any_split_equals_batch_ivf(self, spark, data):
+        import tempfile
+
+        from mofka_spark.operators.similarity import fit_centroids, ivf_topk
+        from mofka_spark.streaming.annindex import ann_index_sink, search_index
+
+        dim = 4
+        n = data.draw(st.integers(6, 14))
+        vecs = [
+            (
+                i,
+                [
+                    data.draw(
+                        st.floats(-1, 1, allow_nan=False, width=32)
+                    )
+                    for _ in range(dim)
+                ],
+            )
+            for i in range(n)
+        ]
+        # degenerate all-zero vectors make cosine undefined; nudge
+        vecs = [
+            (i, v if any(abs(x) > 1e-3 for x in v) else [1.0, 0.0, 0.0, 0.0])
+            for i, v in vecs
+        ]
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        cents = fit_centroids(emb, "vec_id", "embedding", 4, seed=7)
+        cut = data.draw(st.integers(1, n - 1))
+        store = tempfile.mkdtemp(prefix="prop-ann-") + "/store"
+        sink = ann_index_sink(store, cents, id_col="vec_id")
+        sink(emb.filter(F.col("vec_id") < cut), 0)
+        sink(emb.filter(F.col("vec_id") >= cut), 1)
+        queries = emb.filter(F.col("vec_id") < 3)
+        inc = {
+            tuple(r)
+            for r in search_index(
+                spark, store, queries, cents, k=3, nprobe=2
+            ).collect()
+        }
+        bat = {
+            tuple(r)
+            for r in ivf_topk(
+                queries, emb, k=3, n_centroids=4, nprobe=2, centroids=cents
+            ).collect()
+        }
+        assert inc == bat, (vecs, cut)
