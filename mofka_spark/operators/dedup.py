@@ -361,12 +361,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    release: list | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over candidate (id_a, id_b) pairs.
 
     Joins the n-gram sets onto the (small) candidate set — the exact
     verify never touches non-candidate rows. Returns
-    (id_a, id_b, jaccard) for pairs >= threshold."""
+    (id_a, id_b, jaccard) for pairs >= threshold.
+
+    ``release``: when given, the internally persisted frames append to
+    it so the caller can ``unpersist()`` them once the result is
+    materialized. One-shot batch queries let session teardown collect
+    them; a LONG-RUNNING caller invoking this per micro-batch (the
+    streaming neardup sink) must release per epoch or the cache
+    accumulates one pair+gram frame per epoch for the stream's
+    lifetime (LRU eviction saves memory but not bookkeeping)."""
     # compute the (expensive) n-gram arrays ONLY for docs that appear
     # in a candidate pair: the member-id set is small by construction
     # (LSH candidates << corpus), so a broadcast semi-join prunes the
@@ -376,6 +385,8 @@ def ngram_jaccard_pairs(
     # + the verify join) and is tiny by construction — persist it so
     # the upstream LSH plan runs once
     pairs = pairs.persist()
+    if release is not None:
+        release.append(pairs)
     member_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
@@ -393,6 +404,8 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
     ).persist()
+    if release is not None:
+        release.append(grams)
     j = (
         pairs.join(grams.withColumnRenamed("grams", "grams_a"), pairs.id_a == grams.id)
         .drop("id")

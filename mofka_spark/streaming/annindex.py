@@ -38,7 +38,11 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mofka_spark.operators.similarity import _cell_frame, cosine
-from mofka_spark.streaming.store import compact_epoch_store, epoch_write
+from mofka_spark.streaming.store import (
+    compact_epoch_store,
+    epoch_write,
+    read_store,
+)
 
 
 def compact_index(spark: SparkSession, store_path: str) -> None:
@@ -100,7 +104,7 @@ def search_index(
         {r["cell"] for r in q.select("cell").distinct().collect()}
     )
     store = (
-        spark.read.parquet(store_path)
+        read_store(spark, store_path, "id long, vec array<float>, cell int")
         .filter(F.col("cell").isin(probed))
         .select(
             F.col("id").alias("neighbor_id"),

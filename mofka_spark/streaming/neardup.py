@@ -154,8 +154,13 @@ def neardup_sink(
             spark, os.path.join(store_path, _TEXTS), "id long, text string"
         )
         corpus = docs.unionByName(old_texts)
+        # track the verify's internal persists: the sink runs once per
+        # micro-batch for the stream's lifetime, so per-epoch cache
+        # entries must be released per epoch
+        scratch: list = []
         edges = ngram_jaccard_pairs(
-            corpus, cand, "id", "text", ngram_n, verify_threshold
+            corpus, cand, "id", "text", ngram_n, verify_threshold,
+            release=scratch,
         ).select("id_a", "id_b")
         # persist store extensions; edges LAST so a crash between
         # writes leaves bands/texts ahead of edges — harmless, since
@@ -163,6 +168,8 @@ def neardup_sink(
         _epoch_write(new_bands, os.path.join(store_path, _BANDS), epoch_id)
         _epoch_write(docs, os.path.join(store_path, _TEXTS), epoch_id)
         _epoch_write(edges, os.path.join(store_path, _EDGES), epoch_id)
+        for frame in scratch:
+            frame.unpersist()
         new_bands.unpersist()
         docs.unpersist()
 
