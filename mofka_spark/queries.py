@@ -3359,6 +3359,239 @@ def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 5: the last four classic TPC-H shapes expressible on the
+# reduced schema (no partsupp table — Q2/Q11/Q20 substitute lineitem's
+# (l_partkey, l_suppkey) pairs for it, which preserves the PLAN shape
+# the query class exists to exercise).
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction-of-conjunctions join predicate.
+    The scale move is factoring the part-only envelope of the OR
+    (brand IN the three brands AND size <= the max band) out of the
+    row-level disjunction so it pushes into the broadcast-side part
+    scan — at 100 TB the join build side shrinks ~90% before the OR
+    is ever evaluated, and Catalyst keeps the residual disjunction as
+    a post-join filter over already-joined columns."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        & F.col("p_size").between(1, 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q11_important_share",
+    """
+    WITH supp_val AS (
+      SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS v
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l_suppkey)
+    SELECT l_suppkey, ROUND(v, 2) AS value
+    FROM supp_val
+    WHERE v > (SELECT SUM(v) * 0.04 FROM supp_val)
+    """,
+)
+def q_q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose value exceeds a fraction of the
+    GLOBAL total (scalar subquery in HAVING). Decorrelation: the
+    per-supplier rollup is computed once; the global total is a second
+    tiny aggregate OVER THE GROUP SUMS (100 rows, not a second fact
+    scan) broadcast back as a one-row frame — the fact table is read
+    exactly once."""
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp_val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v")
+        )
+    )
+    total = supp_val.agg((F.sum("v") * 0.04).alias("cutoff"))
+    return (
+        supp_val.join(F.broadcast(total))
+        .filter(F.col("v") > F.col("cutoff"))
+        .select("l_suppkey", F.round("v", 2).alias("value"))
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eligible AS (
+      SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+             s.s_name, s.s_acctbal, n.n_name
+      FROM cost c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    best AS (
+      SELECT l_partkey, MIN(unit_cost) AS best_cost
+      FROM eligible GROUP BY l_partkey)
+    SELECT p.p_partkey, p.p_name, e.s_name, e.n_name,
+           ROUND(e.s_acctbal, 2) AS s_acctbal,
+           ROUND(e.unit_cost, 4) AS unit_cost
+    FROM eligible e
+    JOIN best b ON b.l_partkey = e.l_partkey
+               AND e.unit_cost = b.best_cost
+    JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_size BETWEEN 10 AND 14 AND p.p_type = 'STANDARD'
+    """,
+)
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest eligible supplier per part (partsupp's
+    ps_supplycost proxied by min unit price per (part, supplier) pair
+    from lineitem). The correlated MIN decorrelates into a per-part
+    aggregate over the REGION-FILTERED pairs only, joined back on
+    (partkey, cost) — the min-cost frame and the join-back share the
+    l_partkey hash partitioning, and the part filter prunes before the
+    join-back ever widens rows. Double equality on the join is exact:
+    MIN returns one of the input doubles."""
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nat = _t(spark, sf_dir, "nation").join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eligible = cost.join(
+        F.broadcast(supp), cost.l_suppkey == supp.s_suppkey
+    )
+    best = eligible.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("best_cost")
+    ).withColumnRenamed("l_partkey", "b_partkey")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 14) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    return (
+        eligible.join(
+            best,
+            (eligible.l_partkey == F.col("b_partkey"))
+            & (eligible.unit_cost == F.col("best_cost")),
+        )
+        .join(F.broadcast(part), eligible.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    """
+    SELECT s_name, s_suppkey
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_4')
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red %'
+          AND l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 120)
+    """,
+)
+def q_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested semi-join chain (suppliers who moved
+    an excess quantity of the name-filtered parts in a year). The inner
+    IN decorrelates to rollup -> HAVING -> left_semi; the part-name
+    prefix filter broadcasts onto the date-pruned fact scan, so the
+    only full-width shuffle carries (suppkey, qty) pairs."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red ")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    excess = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 120)
+        .select("l_suppkey")
+    )
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_4")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == excess.l_suppkey, "left_semi")
+        .select("s_name", "s_suppkey")
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

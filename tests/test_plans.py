@@ -355,3 +355,39 @@ class TestTpchBreadthPlans:
     def test_q22_anti_join(self, spark):
         df = queries.SPARK_QUERIES["q22_idle_customers"](spark, SF)
         assert "Anti" in plans.plan_string(df)
+
+    def test_q19_part_envelope_pushes_to_scan(self, spark):
+        # the part-only envelope of the OR (brand IN ..., size <= 15)
+        # must reach the part scan as pushed filters — the row-level
+        # disjunction alone would broadcast the whole part table
+        df = queries.SPARK_QUERIES["q19_disjunctive_revenue"](spark, SF)
+        p = plans.plan_string(df)
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        assert plans.has_pushed_filter(df, "p_brand")
+
+    def test_q11_fact_shuffle_reused(self, spark):
+        # the HAVING scalar subquery re-references the per-supplier
+        # rollup; the two branches share one partial-agg exchange via
+        # ReuseExchange, so the fact table is scanned/shuffled once
+        df = queries.SPARK_QUERIES["q11_important_share"](spark, SF)
+        assert "CartesianProduct" not in plans.plan_string(df)
+        df.collect()
+        ep = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in ep
+
+    def test_q2_min_cost_joinback_no_window(self, spark):
+        # correlated MIN decorrelates to aggregate + join-back, not a
+        # per-part window over the full pair frame
+        df = queries.SPARK_QUERIES["q2_min_cost_supplier"](spark, SF)
+        p = plans.plan_string(df)
+        assert not plans.has_operator(df, "Window")
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_q20_semi_join_and_date_pushdown(self, spark):
+        df = queries.SPARK_QUERIES["q20_excess_suppliers"](spark, SF)
+        p = plans.plan_string(df)
+        assert "Semi" in p
+        assert plans.has_pushed_filter(df, "l_shipdate")
+        assert "CartesianProduct" not in p
