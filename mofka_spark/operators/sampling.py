@@ -130,3 +130,81 @@ def group_cap(
             )
         return kept.drop("_n_g")
     return kept
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    strata_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, k rows per
+    stratum — the exponential-race formulation of Efraimidis-Spirakis
+    A-ES: each row draws u in (0, 1] from the md5 hash of its key and
+    races with arrival time -ln(u)/weight; the k earliest arrivals per
+    stratum win. Inclusion probability is proportional to weight, the
+    draw is reproducible from (key, salt) alone, and merging two
+    independently-sampled shards = taking the k smallest of their
+    union, which is what makes the scheme mergeable at scale.
+
+    Scale shape: the race key is a scan-local projection (no RNG
+    state); the per-stratum top-k shuffles only the thin
+    (stratum, race_key, key) rows, never payloads; callers rejoin
+    winners to the fact by key. Ties broken by key for a total order.
+
+    Returns (strata_col, key_col, race_key) with race_key rounded to
+    9dp for display — ranking uses the unrounded value.
+    """
+    u = (hash_bucket(F.col(key_col), salt) + 1) / F.lit(float(_MOD))
+    race = -F.log(u) / F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("_race").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.select(strata_col, key_col, race.alias("_race"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            strata_col, key_col, F.round(F.col("_race"), 9).alias("race_key")
+        )
+    )
+
+
+def rank_bins(
+    df: DataFrame,
+    score_col: str,
+    strata_col: str,
+    key_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Curriculum binning: assign every row to one of ``n_bins``
+    equal-population bins per stratum, by exact rank of its score —
+    bin = ((rank-1) * n_bins) div count, pure integer arithmetic, so
+    two engines agree bit-for-bit and bin populations differ by at
+    most 1. The curriculum-learning primitive: train on bin 0 (short/
+    easy) before bin 9 (long/hard), or drop the extreme bins.
+
+    Scale shape: one shuffle keyed on the stratum carrying only
+    (stratum, score, key); exact ranks need the per-stratum sort —
+    at very large per-stratum cardinalities swap the rank for bucketed
+    approx cutoffs (value_quantiles' approx_percentile path) and keep
+    this exact form for the gate/oracle. Returns the input keys with a
+    ``bin`` column."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(score_col).asc(), F.col(key_col).asc()
+    )
+    cnt = Window.partitionBy(strata_col)
+    return df.select(
+        strata_col,
+        key_col,
+        score_col,
+        F.expr(
+            f"(({n_bins} * (row_number() over (partition by {strata_col} "
+            f"order by {score_col} asc, {key_col} asc)) - {n_bins}) div "
+            f"(count(*) over (partition by {strata_col})))"
+        )
+        .cast("long")
+        .alias("bin"),
+    )

@@ -240,3 +240,33 @@ def robust_outliers(
         .withColumn("fence_hi", F.round(hi, 6))
         .drop("_q1", "_q3")
     )
+
+
+def group_zscores(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group z-score normalization: z = (v - mean_g) / stddev_g
+    with the sample standard deviation — the feature-scaling pass a
+    training pipeline runs over numeric columns before mixing sources
+    whose value ranges differ.
+
+    Scale shape: the group statistics reduce to ONE row per group
+    (partial aggregation map-side) and broadcast back onto the scan;
+    the normalized output is a pure map stage — no window, no sort,
+    two scans of a pruned (group, value) projection. Degenerate groups
+    (stddev 0 or a single row) emit z = 0 rather than null/inf."""
+    keep = keep_cols or []
+    stats = df.groupBy(group_col).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_samp(value_col).alias("_sd"),
+    )
+    z = F.when(
+        F.col("_sd").isNull() | (F.col("_sd") == 0.0), F.lit(0.0)
+    ).otherwise((F.col(value_col) - F.col("_mu")) / F.col("_sd"))
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .select(group_col, *keep, value_col, F.round(z, 6).alias("z"))
+    )

@@ -912,3 +912,213 @@ def novelty_scores(
         "n_novel",
         F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
     )
+
+
+def tfidf_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-IDF cosine retrieval: score every document against a fixed
+    query-term list with FULL cosine normalization — unlike
+    ``bm25_scores`` (whose per-doc statistics touch only the query
+    terms), the document norm runs over the document's ENTIRE
+    vocabulary, which is what forces the corpus-wide term frame this
+    operator exists to exercise. Weighting is the smoothed sklearn
+    variant: idf(t) = ln((1+N)/(1+df_t)) + 1, w = tf * idf.
+
+    Scale shape (three bounded shuffles, fact text never shuffles):
+      1. explode to (doc, token) and partial-agg tf — shuffle keys are
+         (doc, token) pairs, values one long;
+      2. document frequencies reduce the tf frame by token (Zipf-small
+         vocabulary, map-side combine does most of the work);
+      3. tf joins idf back on token and rolls up to one norm row per
+         doc. Query-term idf rows (len(terms) of them) broadcast.
+    Float determinism: the norm folds w^2 in token-sorted order and the
+    numerator adds contributions in ``terms`` order, so the oracle can
+    reproduce the sums bit-for-bit.
+
+    Returns (id, n_terms, tfidf) for docs matching >= 1 query term.
+    """
+    from mofka_spark.operators.dedup import _spread
+
+    spread = _spread(df.filter(F.col(text_col).isNotNull()), id_col)
+    toks = spread.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("id", "token").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    n_docs = spread.agg(F.count("*").cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    idf = dfreq.join(F.broadcast(n_docs)).select(
+        "token",
+        (
+            F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df")))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    w = tf.join(idf, "token").select(
+        "id", "token", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    # token-sorted left fold => engine-independent summation order
+    norms = (
+        w.groupBy("id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("token", "w"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["w"] * s["w"],
+            ).alias("norm_sq")
+        )
+        .select("id", F.sqrt("norm_sq").alias("doc_norm"))
+    )
+    q_idf = idf.filter(F.col("token").isin(list(dict.fromkeys(terms))))
+    qn = q_idf.agg(
+        F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("q_norm")
+    )
+    matched = (
+        w.join(F.broadcast(q_idf), "token")
+        .groupBy("id")
+        .pivot("token", list(dict.fromkeys(terms)))
+        .agg(F.first(F.col("w") * F.col("idf")))
+    )
+    score = F.lit(0.0)
+    hits = F.lit(0).cast("long")
+    for t in dict.fromkeys(terms):
+        c = F.col(f"`{t}`")
+        score = score + F.coalesce(c, F.lit(0.0))
+        hits = hits + c.isNotNull().cast("long")
+    return (
+        matched.join(norms, "id")
+        .join(F.broadcast(qn))
+        .select(
+            "id",
+            hits.alias("n_terms"),
+            F.round(
+                score / (F.col("doc_norm") * F.col("q_norm")), 6
+            ).alias("tfidf"),
+        )
+        .filter(F.col("n_terms") > 0)
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    divisor: int = 8,
+    min_words: int = 1,
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where
+    the rolling hash of the last ``w`` words is 0 mod ``divisor`` — the
+    boundary choice depends only on LOCAL content, so an edit moves at
+    most the chunks it touches while every other chunk keeps its
+    identity (the property fixed-size chunking lacks, and the basis of
+    CDC dedup in storage systems and of paragraph-level corpus dedup).
+
+    Expected chunk length ~= divisor words. Returns one row per chunk:
+    (id, chunk_idx, n_words, chunk_hash) with chunk_hash = md5 of the
+    space-joined words.
+
+    Scale shape: pure Column work — boundary detection, slicing and
+    hashing are array HOFs over the tokenized doc; ONE scan, no
+    shuffle, output rows ~= total_words/divisor. The w-gram hash array
+    materializes once per doc through the same Generate barrier as
+    winnow_fingerprints (CollapseProject would otherwise re-evaluate
+    the md5 transform per boundary probe)."""
+    from mofka_spark.operators.dedup import _spread
+
+    toks = _tokens(F.col(text_col))
+    # gram ending at word i (1-based, i >= w): words [i-w+1 .. i]
+    gram_hash = F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.when(
+            i >= w,
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(toks, i - F.lit(w - 1), w), " ")),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+        ),
+    )
+    base = _spread(df.filter(F.col(text_col).isNotNull()), id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(F.struct(toks.alias("t"), gram_hash.alias("gh")))).alias(
+            "_d"
+        ),
+    )
+    t, gh = F.col("_d.t"), F.col("_d.gh")
+    n = F.size(t)
+    # boundary AFTER word i where hash % divisor == 0; doc end closes
+    # the last chunk; chunks shorter than min_words are dropped
+    cuts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == n)
+        | ((F.try_element_at(gh, i) % divisor == 0) & (i < n)),
+    )
+    starts = F.concat(F.array(F.lit(0)), F.slice(cuts, 1, F.greatest(F.size(cuts) - 1, F.lit(0))))
+    chunks = F.zip_with(
+        starts,
+        cuts,
+        lambda s, e: F.struct(
+            (e - s).alias("n_words"),
+            F.md5(F.array_join(F.slice(t, s + 1, e - s), " ")).alias("chunk_hash"),
+        ),
+    )
+    out = base.select(
+        "id", F.posexplode(F.filter(chunks, lambda c: c["n_words"] >= min_words))
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("pos").cast("long").alias("chunk_idx"),
+        F.col("col.n_words").cast("long").alias("n_words"),
+        F.col("col.chunk_hash").alias("chunk_hash"),
+    )
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Chunk-level dedup accounting per corpus slice: how many CDC
+    chunks each group carries, how many are distinct corpus-WIDE, and
+    the share of a group's chunks that also appear elsewhere — the
+    storage-dedup view of cross-source contamination.
+
+    Scale shape: chunks (above, no shuffle) -> one partial-agg shuffle
+    on chunk_hash for corpus-wide owner counts -> one rollup on the
+    group key. Chunk text never shuffles (128-bit hashes only)."""
+    chunks = cdc_chunks(df, id_col, text_col, w, divisor).join(
+        df.select(F.col(id_col).alias("_id"), F.col(group_col).alias("grp")),
+        F.col(id_col) == F.col("_id"),
+    )
+    owners = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("grp").alias("n_groups")
+    )
+    return (
+        chunks.join(owners, "chunk_hash")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.countDistinct("chunk_hash").alias("n_distinct"),
+            F.sum((F.col("n_groups") > 1).cast("long")).alias("n_shared"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_chunks",
+            "n_distinct",
+            F.round(F.col("n_shared") / F.col("n_chunks"), 6).alias(
+                "shared_ratio"
+            ),
+        )
+    )

@@ -3592,6 +3592,184 @@ def q_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 5: new LLM-pipeline operators — TF-IDF cosine retrieval,
+# content-defined chunking dedup, weighted sampling, curriculum rank
+# bins, per-group z-score normalization.
+
+
+@query(
+    "tfidf_retrieval",
+    r"""
+    WITH spread AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split(regexp_replace(lower(trim(text)),
+                                                '\s+', ' ', 'g'), ' ')) AS token
+      FROM spread),
+    tf AS (
+      SELECT id, token, COUNT(*)::DOUBLE AS tf
+      FROM toks WHERE token <> '' GROUP BY id, token),
+    nd AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM spread),
+    dfreq AS (SELECT token, COUNT(*)::DOUBLE AS df FROM tf GROUP BY token),
+    idf AS (
+      SELECT token,
+             ln((1.0 + (SELECT n_docs FROM nd)) / (1.0 + df)) + 1.0 AS idf
+      FROM dfreq),
+    w AS (
+      SELECT tf.id, tf.token, tf.tf * idf.idf AS w
+      FROM tf JOIN idf ON tf.token = idf.token),
+    norms AS (
+      SELECT id,
+             sqrt(list_sum(list_transform(list(w ORDER BY token),
+                                          x -> x * x))) AS doc_norm
+      FROM w GROUP BY id),
+    qidf AS (SELECT token, idf FROM idf
+             WHERE token IN ('spark', 'window', 'filter')),
+    qn AS (SELECT sqrt(SUM(idf * idf)) AS q_norm FROM qidf),
+    mat AS (
+      SELECT w.id,
+             SUM(CASE WHEN w.token = 'spark' THEN w.w * q.idf END) AS c0,
+             SUM(CASE WHEN w.token = 'window' THEN w.w * q.idf END) AS c1,
+             SUM(CASE WHEN w.token = 'filter' THEN w.w * q.idf END) AS c2
+      FROM w JOIN qidf q ON w.token = q.token GROUP BY w.id)
+    SELECT m.id,
+           (CAST(c0 IS NOT NULL AS BIGINT) + CAST(c1 IS NOT NULL AS BIGINT)
+            + CAST(c2 IS NOT NULL AS BIGINT)) AS n_terms,
+           ROUND((COALESCE(c0, 0) + COALESCE(c1, 0) + COALESCE(c2, 0))
+                 / (n.doc_norm * (SELECT q_norm FROM qn)), 6) AS tfidf
+    FROM mat m JOIN norms n ON n.id = m.id
+    """,
+)
+def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.tfidf_scores(docs, ["spark", "window", "filter"])
+
+
+@query(
+    "cdc_chunk_dedup",
+    r"""
+    WITH spread AS (
+      SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+    tk AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(lower(trim(text)),
+                                         '\s+', ' ', 'g'), ' ') AS t
+      FROM spread),
+    cuts AS (
+      SELECT doc_id, source, t,
+             list_filter(generate_series(1, len(t)),
+               i -> i = len(t) OR (i < len(t) AND i >= 3 AND
+                    ('0x' || substr(md5(array_to_string(t[i-2:i], ' ')),
+                                    1, 15))::BIGINT % 8 = 0)) AS c
+      FROM tk),
+    chunks AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(c)),
+               j -> md5(array_to_string(
+                      t[CASE WHEN j = 1 THEN 1 ELSE c[j-1] + 1 END : c[j]],
+                      ' ')))) AS chunk_hash
+      FROM cuts),
+    owners AS (
+      SELECT chunk_hash, COUNT(DISTINCT source) AS n_groups
+      FROM chunks GROUP BY chunk_hash)
+    SELECT c.source,
+           COUNT(*)::BIGINT AS n_chunks,
+           COUNT(DISTINCT c.chunk_hash)::BIGINT AS n_distinct,
+           ROUND(SUM(CAST(o.n_groups > 1 AS BIGINT)) / COUNT(*), 6)
+             AS shared_ratio
+    FROM chunks c JOIN owners o ON o.chunk_hash = c.chunk_hash
+    GROUP BY c.source
+    """,
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.cdc_dedup_stats(docs, "source", w=3, divisor=8)
+
+
+@query(
+    "weighted_sample",
+    """
+    WITH sc AS (
+      SELECT lang, doc_id,
+             -ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                   % 1000000) + 1) / 1000000.0)
+               / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS race
+      FROM documents),
+    r AS (
+      SELECT lang, doc_id, race,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY race ASC, doc_id ASC) AS rn
+      FROM sc)
+    SELECT lang, doc_id, ROUND(race, 9) AS race_key
+    FROM r WHERE rn <= 5
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.weighted_sample(
+        docs, "doc_id", "n_chars", "lang", k=5
+    )
+
+
+@query(
+    "curriculum_bins",
+    """
+    WITH b AS (
+      SELECT lang, doc_id, n_chars,
+             ((10 * ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY n_chars ASC, doc_id ASC)
+               - 10) // COUNT(*) OVER (PARTITION BY lang)) AS bin
+      FROM documents)
+    SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM b GROUP BY lang, bin
+    """,
+)
+def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.rank_bins(docs, "n_chars", "lang", "doc_id", n_bins=10)
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "value_zscores",
+    """
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           e.value,
+           ROUND(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                      ELSE (e.value - mu) / sd END, 6) AS z
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE e.event_id < 2000
+    """,
+)
+def q_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import sketch
+
+    ev = _t(spark, sf_dir, "events")
+    out = sketch.group_zscores(
+        ev, "value", "event_type", keep_cols=["event_id"]
+    )
+    return out.filter(F.col("event_id") < 2000).select(
+        "event_id", "event_type", "value", "z"
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -104,3 +104,65 @@ class TestHashSampling:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         out = hash_sample(docs, "doc_id", 0.1)
         assert "Exchange" not in plan_string(out)  # no shuffle: scan+filter
+
+
+class TestWeightedSample:
+    def _docs(self, spark):
+        rows = [(i, "g", 1 if i < 90 else 1000) for i in range(100)]
+        return spark.createDataFrame(rows, ["doc_id", "lang", "wt"])
+
+    def test_k_per_stratum_and_deterministic(self, spark):
+        from mofka_spark.operators import sampling
+
+        df = self._docs(spark)
+        a = sampling.weighted_sample(df, "doc_id", "wt", "lang", k=5)
+        b = sampling.weighted_sample(df, "doc_id", "wt", "lang", k=5)
+        ra, rb = sorted(a.collect()), sorted(b.collect())
+        assert len(ra) == 5 and ra == rb
+
+    def test_weight_bias(self, spark):
+        # 10 rows carry 1000x the weight of the other 90: they should
+        # dominate the sample overwhelmingly
+        from mofka_spark.operators import sampling
+
+        out = sampling.weighted_sample(
+            self._docs(spark), "doc_id", "wt", "lang", k=5
+        ).collect()
+        heavy = sum(1 for r in out if r.doc_id >= 90)
+        assert heavy >= 4
+
+    def test_salt_changes_draw(self, spark):
+        from mofka_spark.operators import sampling
+
+        df = self._docs(spark)
+        a = {r.doc_id for r in sampling.weighted_sample(df, "doc_id", "wt", "lang", 5).collect()}
+        b = {r.doc_id for r in sampling.weighted_sample(df, "doc_id", "wt", "lang", 5, salt="x").collect()}
+        assert a != b
+
+
+class TestRankBins:
+    def test_balanced_and_monotone(self, spark):
+        from mofka_spark.operators import sampling
+
+        rows = [(i, "g", i * 7 % 101) for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+        out = sampling.rank_bins(df, "score", "lang", "doc_id", n_bins=10).collect()
+        by_bin = {}
+        for r in out:
+            by_bin.setdefault(r.bin, []).append(r.score)
+        assert set(by_bin) == set(range(10))
+        assert all(len(v) == 10 for v in by_bin.values())
+        # bin boundaries are monotone in score
+        for b in range(9):
+            assert max(by_bin[b]) <= min(by_bin[b + 1])
+
+    def test_strata_independent(self, spark):
+        from mofka_spark.operators import sampling
+
+        rows = [(i, "a", i) for i in range(10)] + [(i + 100, "b", i) for i in range(30)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+        out = sampling.rank_bins(df, "score", "lang", "doc_id", n_bins=5).collect()
+        a_bins = [r.bin for r in out if r.lang == "a"]
+        b_bins = [r.bin for r in out if r.lang == "b"]
+        assert sorted(set(a_bins)) == list(range(5))
+        assert a_bins.count(0) == 2 and b_bins.count(0) == 6

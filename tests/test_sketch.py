@@ -104,3 +104,28 @@ class TestBm25:
         )
         out = bm25_scores(docs, ["hash"]).collect()
         assert [r.id for r in out] == [2]
+
+
+class TestGroupZscores:
+    def test_normalized_moments(self, spark):
+        from mofka_spark.operators import sketch
+
+        rows = [("a", float(v)) for v in range(1, 21)] + [("b", 5.0), ("b", 5.0)]
+        df = spark.createDataFrame(rows, ["grp", "value"])
+        out = sketch.group_zscores(df, "value", "grp").collect()
+        a = [r.z for r in out if r.grp == "a"]
+        assert abs(sum(a)) < 1e-6
+        # stddev_samp-normalized: sum of squares == n-1
+        assert abs(sum(z * z for z in a) - (len(a) - 1)) < 1e-3
+        # degenerate group (zero variance) emits 0, not null/inf
+        assert all(r.z == 0.0 for r in out if r.grp == "b")
+
+    def test_broadcast_no_window(self, spark):
+        from mofka_spark import plans
+        from mofka_spark.operators import sketch
+
+        df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["grp", "value"])
+        out = sketch.group_zscores(df, "value", "grp")
+        p = plans.plan_string(out)
+        assert "Window" not in p
+        assert "BroadcastHashJoin" in p or "BroadcastExchange" in p

@@ -253,3 +253,74 @@ class TestGopherQuality:
         docs = _docs(spark, [(1, "the and of")])
         p = plans.plan_string(text.gopher_quality(docs))
         assert "Exchange" not in p
+
+
+class TestTfidfScores:
+    def test_higher_tf_scores_higher(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "spark spark spark noise"),
+                (2, "spark noise filler words"),
+                (3, "unrelated content here now"),
+            ],
+        )
+        out = {r.id: r for r in text.tfidf_scores(docs, ["spark"]).collect()}
+        assert set(out) == {1, 2}  # doc 3 matches no term
+        assert out[1].tfidf > out[2].tfidf
+        assert all(r.n_terms == 1 for r in out.values())
+
+    def test_cosine_bounded_and_full_match(self, spark):
+        # a doc that IS the query (each term once) has cosine < 1 only
+        # because idf weights differ; all scores within [0, 1]
+        docs = _docs(
+            spark,
+            [(1, "alpha beta"), (2, "alpha gamma delta"), (3, "beta beta")],
+        )
+        rows = text.tfidf_scores(docs, ["alpha", "beta"]).collect()
+        assert rows and all(0.0 <= r.tfidf <= 1.0 for r in rows)
+        one = [r for r in rows if r.id == 1][0]
+        assert one.n_terms == 2
+
+    def test_shuffles_carry_no_text(self, spark):
+        # the exploded tf frame shuffles (id, token) pairs; the raw
+        # text column must not survive past the scan projection
+        docs = _docs(spark, [(1, "a b"), (2, "b c")])
+        p = plans.plan_string(text.tfidf_scores(docs, ["a"]))
+        assert "partial_count" in p  # map-side combine on tf
+
+
+class TestCdcChunks:
+    def test_chunks_cover_document(self, spark):
+        docs = _docs(spark, [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")])
+        rows = text.cdc_chunks(docs, w=2, divisor=2).orderBy("chunk_idx").collect()
+        assert sum(r.n_words for r in rows) == 10
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+
+    def test_edit_locality(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        edited = base.rsplit(" ", 1)[0] + " CHANGED"
+        docs = _docs(spark, [(1, base), (2, edited)])
+        rows = text.cdc_chunks(docs, w=2, divisor=2).collect()
+        h1 = [r.chunk_hash for r in rows if r.doc_id == 1]
+        h2 = [r.chunk_hash for r in rows if r.doc_id == 2]
+        # every chunk before the edited tail is byte-identical
+        shared = len(set(h1) & set(h2))
+        assert shared >= len(h1) - 2
+
+    def test_identical_docs_share_all_chunks(self, spark):
+        t = "one two three four five six seven eight nine ten"
+        docs = spark.createDataFrame(
+            [(1, t, "s1"), (2, t, "s2")], ["doc_id", "text", "source"]
+        )
+        stats = {
+            r.source: r
+            for r in text.cdc_dedup_stats(docs, "source", w=2, divisor=2).collect()
+        }
+        assert stats["s1"].shared_ratio == 1.0
+        assert stats["s2"].shared_ratio == 1.0
+
+    def test_no_shuffle_before_chunks(self, spark):
+        docs = _docs(spark, [(1, "a b c d e f")])
+        p = plans.plan_string(text.cdc_chunks(docs, w=2, divisor=2))
+        assert "Exchange" not in p
