@@ -151,3 +151,41 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(nsalts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
     return b.join(s, on + ["_salt"], how).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Join-key skew diagnostic: the top-k heaviest key values, each
+    with its row count, share of the table, and the straggler factor
+    (count / mean-count-per-key) — the number that tells you whether a
+    planned shuffle join needs ``salted_join`` (factor >> 1 means one
+    reducer drags the stage) and roughly what ``nsalts`` to pick
+    (straggler factor, rounded up).
+
+    Scale shape: one partial-agg shuffle on the key (map-side combine
+    collapses each partition's duplicates first), then a single-row
+    global stats frame broadcast back onto only the top-k rows. The
+    top-k itself is a thin (key, count) sort — no payload columns ever
+    shuffle. Deterministic: ties order by key value."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count("*").alias("_n_keys"),
+    )
+    top = (
+        counts.orderBy(
+            F.desc("n_rows"), *[F.asc(k) for k in keys]
+        ).limit(top_k)
+    )
+    return top.join(F.broadcast(stats)).select(
+        *keys,
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        F.round(
+            F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 4
+        ).alias("straggler_factor"),
+    )

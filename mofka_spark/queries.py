@@ -3770,6 +3770,31 @@ def q_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_skew_report",
+    """
+    WITH counts AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n_rows
+      FROM events GROUP BY event_type),
+    stats AS (
+      SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM counts),
+    top AS (
+      SELECT event_type, n_rows FROM counts
+      ORDER BY n_rows DESC, event_type ASC LIMIT 20)
+    SELECT t.event_type, t.n_rows,
+           ROUND(t.n_rows / s.total, 6) AS share,
+           ROUND(t.n_rows * s.n_keys / s.total, 4) AS straggler_factor
+    FROM top t, stats s
+    """,
+)
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-planning diagnostic over the events stream: is
+    event_type skewed enough to need salted_join? (operators/joins.py
+    skew_report)."""
+    ev = _t(spark, sf_dir, "events")
+    return joins.skew_report(ev, "event_type", top_k=20)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -166,3 +166,25 @@ class TestRankBins:
         b_bins = [r.bin for r in out if r.lang == "b"]
         assert sorted(set(a_bins)) == list(range(5))
         assert a_bins.count(0) == 2 and b_bins.count(0) == 6
+
+
+class TestSkewReport:
+    def test_counts_share_and_factor(self, spark):
+        from mofka_spark.operators import joins
+
+        rows = [("hot",)] * 80 + [("a",)] * 10 + [("b",)] * 10
+        df = spark.createDataFrame(rows, ["k"])
+        out = {r.k: r for r in joins.skew_report(df, "k").collect()}
+        assert out["hot"].n_rows == 80
+        assert out["hot"].share == 0.8
+        # 3 keys, mean ~33.3 rows/key: straggler factor 80/33.3 = 2.4
+        assert abs(out["hot"].straggler_factor - 2.4) < 1e-9
+        assert out["a"].straggler_factor == 0.3
+
+    def test_top_k_and_tiebreak(self, spark):
+        from mofka_spark.operators import joins
+
+        rows = [(c,) for c in "abcde" for _ in range(3)]
+        df = spark.createDataFrame(rows, ["k"])
+        out = joins.skew_report(df, "k", top_k=2).collect()
+        assert [r.k for r in out] == ["a", "b"]  # equal counts: key order
