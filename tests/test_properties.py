@@ -317,3 +317,95 @@ class TestIncrementalAnnProperty:
             ).collect()
         }
         assert inc == bat, (vecs, cut)
+
+
+class TestCdcChunkProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from("alpha beta gamma delta eps zeta".split()),
+                min_size=1, max_size=30,
+            ),
+            min_size=1, max_size=5,
+        )
+    )
+    def test_chunks_partition_the_document(self, spark, docs):
+        # chunk word counts sum to the doc length, indexes are dense,
+        # and re-running is bit-identical (pure function of content)
+        from mofka_spark.operators.text import cdc_chunks
+
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = cdc_chunks(df, w=2, divisor=3).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for i, ws in enumerate(docs):
+            rs = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+            assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+            assert sum(r.n_words for r in rs) == len(ws)
+        again = cdc_chunks(df, w=2, divisor=3).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+class TestRankBinProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        scores=st.lists(st.integers(0, 50), min_size=1, max_size=60),
+        n_bins=st.integers(2, 8),
+    )
+    def test_balanced_and_order_respecting(self, spark, scores, n_bins):
+        from mofka_spark.operators.sampling import rank_bins
+
+        rows = [(i, "g", s) for i, s in enumerate(scores)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+        out = rank_bins(df, "score", "lang", "doc_id", n_bins=n_bins).collect()
+        sizes = {}
+        for r in out:
+            sizes[r.bin] = sizes.get(r.bin, 0) + 1
+        # only bins < n_bins, populations differ by at most 1 when
+        # n <= n_bins*floor(n/n_bins)+... (exact ntile-style balance)
+        assert max(sizes) < n_bins
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # rank order respected: sort rows by (score, doc_id); bins must
+        # be non-decreasing along that order
+        ordered = sorted(out, key=lambda r: (r.score, r.doc_id))
+        bins = [r.bin for r in ordered]
+        assert bins == sorted(bins)
+
+
+class TestWeightedSampleProperties:
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        n=st.integers(1, 40),
+        k=st.integers(1, 10),
+        salt=st.sampled_from(["", "s1"]),
+    )
+    def test_size_determinism_and_merge(self, spark, n, k, salt):
+        # |sample| = min(k, n); deterministic; and sampling a UNION of
+        # two disjoint shards == taking the k best of the per-shard
+        # samples (mergeability — the property that makes A-ES correct
+        # under distribution)
+        from mofka_spark.operators.sampling import weighted_sample
+
+        rows = [(i, "g", 1 + (i * 7) % 13) for i in range(n)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "wt"])
+        out = weighted_sample(df, "doc_id", "wt", "lang", k, salt=salt).collect()
+        assert len(out) == min(k, n)
+        again = weighted_sample(df, "doc_id", "wt", "lang", k, salt=salt).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+        half = n // 2
+        a = weighted_sample(
+            df.filter(F.col("doc_id") < half), "doc_id", "wt", "lang", k, salt=salt
+        )
+        b = weighted_sample(
+            df.filter(F.col("doc_id") >= half), "doc_id", "wt", "lang", k, salt=salt
+        )
+        merged = sorted(
+            a.unionByName(b).collect(), key=lambda r: (r.race_key, r.doc_id)
+        )[: min(k, n)]
+        assert sorted(r.doc_id for r in merged) == sorted(r.doc_id for r in out)
