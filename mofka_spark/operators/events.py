@@ -1,0 +1,126 @@
+"""Event-stream analytics: funnel conversion and cohort retention —
+the two classic product-analytics rollups over the events table
+(complementing hourly_event_stats / user_sessions in queries.py).
+
+The reference's event model stops at (id, metadata, data) FIFO logs
+(/root/reference/src/PartitionManager.hpp:89-157); these operators are
+part of the beyond-reference analytics layer over the same rows once
+an ingest timestamp exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["funnel_conversion", "cohort_retention"]
+
+
+def funnel_conversion(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel: a user converts through step i+1 only
+    with an event STRICTLY LATER than their earliest completion of
+    step i (the product-analytics definition that kills the
+    'purchase before view' inversion a naive per-step count admits).
+
+    Returns one row per step: (step_idx, step, n_users, conversion)
+    with conversion = n_users / n_users(step 0).
+
+    Scale shape: one user-keyed shuffle per step — each stage is a
+    conditional MIN aggregate per user joined back onto the (pruned)
+    events projection; no windows, no self-join explosion, state per
+    stage is ONE timestamp per qualifying user. A k-step funnel is k
+    bounded rollups, not a k-way join of the fact with itself.
+    """
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+    ).filter(F.col("t").isin(steps))
+    # stage 0: earliest step-0 event per user
+    cur = (
+        ev.filter(F.col("t") == steps[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("ts0"))
+    )
+    counts = [("0", steps[0], cur)]
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            ev.filter(F.col("t") == step)
+            .join(cur.select("u", F.col(f"ts{i-1}")), "u")
+            .filter(F.col("ts") > F.col(f"ts{i-1}"))
+            .groupBy("u")
+            .agg(F.min("ts").alias(f"ts{i}"))
+        )
+        counts.append((str(i), step, nxt))
+        cur = nxt
+    rows = None
+    for idx, step, frame in counts:
+        c = frame.agg(F.count("*").alias("n_users")).select(
+            F.lit(int(idx)).cast("long").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col("n_users").cast("long"),
+        )
+        rows = c if rows is None else rows.unionByName(c)
+    base = rows.filter(F.col("step_idx") == 0).select(
+        F.col("n_users").alias("_base")
+    )
+    return rows.join(F.broadcast(base)).select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.round(F.col("n_users") / F.col("_base"), 6).alias("conversion"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 86400,
+    max_periods: int = 12,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    FIRST event; for each (cohort, period offset) the count of cohort
+    members active in that period. Period index = epoch_seconds div
+    period_seconds — pure integer arithmetic, no calendar semantics to
+    disagree across engines.
+
+    Returns (cohort, offset, n_active, retention) with retention =
+    n_active / cohort size (offset 0 row == cohort size by
+    construction).
+
+    Scale shape: first-seen is one user-keyed rollup; the join back is
+    on the same user key (AQE co-partitions); the matrix aggregate
+    shuffles only (cohort, offset, user) distinct triples — bounded by
+    activity, not events, since the per-period distinct collapses
+    map-side."""
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        (F.unix_timestamp(F.col(ts_col)).cast("long") / F.lit(period_seconds))
+        .cast("long")
+        .alias("p"),
+    )
+    first = ev.groupBy("u").agg(F.min("p").alias("cohort"))
+    active = (
+        ev.join(first, "u")
+        .select("u", "cohort", (F.col("p") - F.col("cohort")).alias("offset"))
+        .filter(F.col("offset") < max_periods)
+        .distinct()
+    )
+    mat = active.groupBy("cohort", "offset").agg(
+        F.countDistinct("u").alias("n_active")
+    )
+    size = mat.filter(F.col("offset") == 0).select(
+        "cohort", F.col("n_active").alias("_size")
+    )
+    return mat.join(size, "cohort").select(
+        "cohort",
+        "offset",
+        F.col("n_active").cast("long"),
+        F.round(F.col("n_active") / F.col("_size"), 6).alias("retention"),
+    )

@@ -189,3 +189,72 @@ def skew_report(
             F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 4
         ).alias("straggler_factor"),
     )
+
+
+def fuzzy_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Fuzzy string matching: all (left, right) pairs within Levenshtein
+    distance ``max_dist``, without the cross join — entity resolution
+    over metadata values (product names, titles, author strings).
+
+    Blocking is q-gram pigeonhole: one edit perturbs at most ``q`` of a
+    string's q-gram multiset, so two strings within ``max_dist`` edits
+    MUST share a q-gram whenever len >= q * (max_dist + 1) (the shorter
+    string has len-q+1 grams and at most max_dist*q of them can die).
+    Candidates come from an equi-join on exploded distinct q-grams;
+    the exact Levenshtein verify runs on candidate pairs only. Strings
+    SHORTER than the pigeonhole bound fall back to a broadcast
+    nested-loop against the (assumed few) short strings on the other
+    side, so the result is exactly the cross-join answer at any length.
+
+    Scale shape: the gram explode multiplies rows by ~len; the
+    candidate join shuffles (gram, id) pairs and dedupes on the pair
+    key before verify — never all-pairs. Hot grams behave like hot
+    join keys: cap or salt them upstream (skew_report) if the gram
+    distribution is Zipf-extreme.
+
+    Returns (left_val, right_val, dist), distinct pairs.
+    """
+    bound = q * (max_dist + 1)
+
+    def _grams(col: Column) -> Column:
+        n = F.length(col) - (q - 1)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: F.substring(col, i, q),
+            )
+        )
+
+    lv = left.select(F.col(left_col).alias("_l")).filter(
+        F.col("_l").isNotNull()
+    ).distinct()
+    rv = right.select(F.col(right_col).alias("_r")).filter(
+        F.col("_r").isNotNull()
+    ).distinct()
+    l_long = lv.filter(F.length("_l") >= bound)
+    r_long = rv.filter(F.length("_r") >= bound)
+    lg = l_long.select("_l", F.explode(_grams(F.col("_l"))).alias("_g"))
+    rg = r_long.select("_r", F.explode(_grams(F.col("_r"))).alias("_g"))
+    cand_long = lg.join(rg, "_g").select("_l", "_r").distinct()
+    # short strings on either side: complete via broadcast loop join
+    # (length filter keeps both loops tiny at scale)
+    l_short = lv.filter(F.length("_l") < bound)
+    r_short = rv.filter(F.length("_r") < bound)
+    cand = cand_long.unionByName(
+        lv.crossJoin(F.broadcast(r_short))
+    ).unionByName(
+        l_short.crossJoin(F.broadcast(rv.filter(F.length("_r") >= bound)))
+    ).distinct()
+    dist = F.levenshtein("_l", "_r")
+    return cand.select(
+        F.col("_l").alias("left_val"),
+        F.col("_r").alias("right_val"),
+        dist.alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

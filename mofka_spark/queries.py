@@ -3795,6 +3795,104 @@ def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.skew_report(ev, "event_type", top_k=20)
 
 
+@query(
+    "funnel_conversion",
+    """
+    WITH s0 AS (
+      SELECT user_id AS u, MIN(ts) AS ts0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS ts1
+      FROM events e JOIN s0 ON s0.u = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s0.ts0
+      GROUP BY e.user_id),
+    s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS ts2
+      FROM events e JOIN s1 ON s1.u = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.ts1
+      GROUP BY e.user_id),
+    counts AS (
+      SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+             COUNT(*)::BIGINT AS n_users FROM s0
+      UNION ALL
+      SELECT 1, 'click', COUNT(*)::BIGINT FROM s1
+      UNION ALL
+      SELECT 2, 'purchase', COUNT(*)::BIGINT FROM s2)
+    SELECT step_idx, step, n_users,
+           ROUND(n_users / (SELECT n_users FROM counts WHERE step_idx = 0), 6)
+             AS conversion
+    FROM counts
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel over the events stream (operators/events.py
+    funnel_conversion): view -> click -> purchase, each stage gated on
+    an event strictly after the user's previous-stage completion."""
+    from mofka_spark.operators import events as ev_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return ev_ops.funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH ev AS (
+      SELECT user_id AS u, epoch(ts)::BIGINT // 604800 AS p FROM events),
+    first AS (SELECT u, MIN(p) AS cohort FROM ev GROUP BY u),
+    active AS (
+      SELECT DISTINCT e.u, f.cohort, e.p - f.cohort AS "offset"
+      FROM ev e JOIN first f ON f.u = e.u
+      WHERE e.p - f.cohort < 12),
+    mat AS (
+      SELECT cohort, "offset", COUNT(DISTINCT u)::BIGINT AS n_active
+      FROM active GROUP BY cohort, "offset"),
+    size AS (SELECT cohort, n_active AS sz FROM mat WHERE "offset" = 0)
+    SELECT m.cohort, m."offset", m.n_active,
+           ROUND(m.n_active / s.sz, 6) AS retention
+    FROM mat m JOIN size s ON s.cohort = m.cohort
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/events.py
+    cohort_retention): integer epoch-week arithmetic, no calendar
+    semantics to diverge across engines."""
+    from mofka_spark.operators import events as ev_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return ev_ops.cohort_retention(ev, period_seconds=604800, max_periods=12)
+
+
+_FUZZY_PROBES = ["red widgett", "blu bolt", "smal gizmo", "hot gearr"]
+
+
+@query(
+    "fuzzy_part_match",
+    """
+    SELECT v.probe AS left_val, p.p_name AS right_val,
+           CAST(levenshtein(v.probe, p.p_name) AS INTEGER) AS dist
+    FROM (VALUES ('red widgett'), ('blu bolt'), ('smal gizmo'),
+                 ('hot gearr')) v(probe)
+    JOIN (SELECT DISTINCT p_name FROM part) p
+      ON levenshtein(v.probe, p.p_name) <= 2
+    """,
+)
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution (operators/joins.py fuzzy_join_pairs):
+    typo'd probe names match catalog part names within Levenshtein 2
+    via q-gram blocking — the oracle is the naive cross join, equal by
+    the pigeonhole completeness bound."""
+    probes = spark.createDataFrame(
+        [(p,) for p in _FUZZY_PROBES], ["probe"]
+    )
+    part = _t(spark, sf_dir, "part")
+    return joins.fuzzy_join_pairs(
+        probes, part, "probe", "p_name", max_dist=2, q=2
+    ).select(
+        "left_val", "right_val", F.col("dist").cast("int").alias("dist")
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -1,0 +1,85 @@
+"""funnel_conversion / cohort_retention operator tests."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from mofka_spark import plans
+from mofka_spark.operators import events as ev_ops
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+
+def _t(day, hour=0):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+class TestFunnel:
+    def test_strict_ordering(self, spark):
+        rows = [
+            # u1 converts fully in order
+            (1, "view", _t(1)), (1, "click", _t(2)), (1, "purchase", _t(3)),
+            # u2 clicked BEFORE viewing: click must not count
+            (2, "click", _t(1)), (2, "view", _t(2)),
+            # u3 view only
+            (3, "view", _t(1)),
+            # u4 never viewed: purchase can't count anywhere
+            (4, "purchase", _t(1)),
+        ]
+        out = {
+            r.step: r
+            for r in ev_ops.funnel_conversion(
+                _ev(spark, rows), ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert out["view"].n_users == 3
+        assert out["click"].n_users == 1
+        assert out["purchase"].n_users == 1
+        assert out["view"].conversion == 1.0
+        assert abs(out["click"].conversion - 1 / 3) < 1e-6
+
+    def test_ties_are_strict(self, spark):
+        rows = [(1, "view", _t(1)), (1, "click", _t(1))]  # same instant
+        out = {
+            r.step: r.n_users
+            for r in ev_ops.funnel_conversion(
+                _ev(spark, rows), ["view", "click"]
+            ).collect()
+        }
+        assert out["view"] == 1 and out["click"] == 0
+
+    def test_no_window_no_cartesian(self, spark):
+        rows = [(1, "view", _t(1))]
+        df = ev_ops.funnel_conversion(_ev(spark, rows), ["view", "click"])
+        p = plans.plan_string(df)
+        assert "Window" not in p and "CartesianProduct" not in p
+
+
+class TestCohortRetention:
+    def test_matrix(self, spark):
+        day = 86400
+        rows = [
+            # u1 first in period 0, active periods 0,1,2
+            (1, "e", _t(1)), (1, "e", _t(2)), (1, "e", _t(3)),
+            # u2 first in period 0, active 0 only
+            (2, "e", _t(1, 12)),
+            # u3 first in period 1, active 1,2
+            (3, "e", _t(2)), (3, "e", _t(3, 6)),
+        ]
+        out = ev_ops.cohort_retention(
+            _ev(spark, rows), period_seconds=day, max_periods=10
+        ).collect()
+        m = {(r.cohort - min(x.cohort for x in out), r.offset): r for r in out}
+        assert m[(0, 0)].n_active == 2 and m[(0, 0)].retention == 1.0
+        assert m[(0, 1)].n_active == 1 and m[(0, 1)].retention == 0.5
+        assert m[(1, 0)].n_active == 1
+        assert m[(1, 1)].n_active == 1
+
+    def test_max_periods_cap(self, spark):
+        rows = [(1, "e", _t(1)), (1, "e", _t(30))]
+        out = ev_ops.cohort_retention(
+            _ev(spark, rows), period_seconds=86400, max_periods=5
+        ).collect()
+        assert all(r.offset < 5 for r in out)

@@ -188,3 +188,52 @@ class TestSkewReport:
         df = spark.createDataFrame(rows, ["k"])
         out = joins.skew_report(df, "k", top_k=2).collect()
         assert [r.k for r in out] == ["a", "b"]  # equal counts: key order
+
+
+class TestFuzzyJoin:
+    def test_matches_within_distance(self, spark):
+        from mofka_spark.operators import joins
+
+        left = spark.createDataFrame(
+            [("red widgett",), ("blu bolt",), ("nothing close",)], ["a"]
+        )
+        right = spark.createDataFrame(
+            [("red widget",), ("blue bolt",), ("hot gear",)], ["b"]
+        )
+        out = joins.fuzzy_join_pairs(left, right, "a", "b", max_dist=2)
+        got = {(r.left_val, r.right_val): r.dist for r in out.collect()}
+        assert got[("red widgett", "red widget")] == 1
+        assert got[("blu bolt", "blue bolt")] == 1
+        assert all(k[0] != "nothing close" for k in got)
+
+    def test_equals_naive_cross_join(self, spark):
+        # the blocking must be complete: result == brute force
+        from mofka_spark.operators import joins
+
+        vals = ["abcdef", "abcdxf", "zzzzzz", "abcde", "qwerty", "qwarty"]
+        left = spark.createDataFrame([(v,) for v in vals], ["a"])
+        right = spark.createDataFrame([(v,) for v in vals], ["b"])
+        out = {
+            (r.left_val, r.right_val)
+            for r in joins.fuzzy_join_pairs(left, right, "a", "b", 2).collect()
+        }
+        brute = {
+            (r.a, r.b)
+            for r in left.crossJoin(right)
+            .filter(F.levenshtein("a", "b") <= 2)
+            .collect()
+        }
+        assert out == brute
+
+    def test_short_string_fallback(self, spark):
+        # strings below the pigeonhole bound still match exactly
+        from mofka_spark.operators import joins
+
+        left = spark.createDataFrame([("ab",), ("abcdefgh",)], ["a"])
+        right = spark.createDataFrame([("ac",), ("abcdefgx",)], ["b"])
+        out = {
+            (r.left_val, r.right_val)
+            for r in joins.fuzzy_join_pairs(left, right, "a", "b", 1).collect()
+        }
+        assert ("ab", "ac") in out
+        assert ("abcdefgh", "abcdefgx") in out
