@@ -3893,6 +3893,72 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incrementally-maintained inverted index (streaming/textindex.py):
+# documents stream through a topic; each epoch appends its distinct
+# (token, doc) presence pairs; read_index merges with the SAME df-bound
+# pruning as the batch operator. Oracle: the batch inverted_index SQL
+# over the fixture slice — the incremental maintenance must be
+# invisible in the final index.
+@query(
+    "streaming_inverted_index",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t.token
+      FROM documents,
+           UNNEST(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t(token)
+      WHERE text IS NOT NULL AND t.token <> '' AND doc_id < 1000
+    ), bounds AS (
+      SELECT COUNT(*) AS n FROM documents
+      WHERE text IS NOT NULL AND doc_id < 1000
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM toks GROUP BY token
+    HAVING COUNT(*) >= 2
+       AND COUNT(*) <= (SELECT CAST(FLOOR(0.95 * n) AS BIGINT) FROM bounds)
+    """,
+)
+def q_streaming_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.textindex import index_sink, read_index
+
+    topic = _stream_fixture(spark, sf_dir, "docs")
+    deepest = max(topic.snapshot().values())  # two epochs at every sf
+    parsed = topic.read_stream(batch_size=(deepest + 1) // 2).select(
+        F.get_json_object("metadata", "$.doc_id").cast("long").alias("id"),
+        F.get_json_object("metadata", "$.text").alias("text"),
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-textidx-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(index_sink(store))
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        if not topic.await_completion(q, timeout=300):
+            q.stop()
+            raise RuntimeError("streaming_inverted_index did not drain")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    idx = read_index(spark, store, min_df=2, max_df_ratio=0.95)
+    return idx.select(
+        "token",
+        "df",
+        F.concat_ws(",", F.col("postings").cast("array<string>")).alias(
+            "postings"
+        ),
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -763,3 +763,71 @@ class TestStoreCompaction:
         assert {tuple(r) for r in out.collect()} == before
         p = plans.plan_string(out)
         assert "PartitionFilters" in p and "cell" in p
+
+
+class TestIncrementalInvertedIndex:
+    """streaming/textindex.py: an index maintained over any batch
+    split must equal the batch inverted_index over the same docs, and
+    epoch replay / compaction must be invisible."""
+
+    DOCS = [
+        (1, "the quick brown fox"),
+        (2, "the quick red fox"),
+        (3, "lazy dogs sleep"),
+        (4, "the lazy fox naps"),
+        (5, "quick dogs bark"),
+    ]
+
+    def _expected(self, spark):
+        from mofka_spark.operators.text import inverted_index
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        return {
+            (r.token, r.df, tuple(r.postings))
+            for r in inverted_index(df, min_df=2, max_df_ratio=0.9).collect()
+        }
+
+    def _run(self, spark, tmp_path, batches, replay=None, compact=False):
+        from mofka_spark.streaming.textindex import (
+            compact_index, index_sink, read_index,
+        )
+
+        store = str(tmp_path / "store")
+        sink = index_sink(store)
+        for eid, rows in enumerate(batches):
+            batch = spark.createDataFrame(rows, "id long, text string")
+            sink(batch, eid)
+            if replay is not None and eid == replay:
+                sink(batch, eid)
+        if compact:
+            compact_index(spark, store)
+        return {
+            (r.token, r.df, tuple(r.postings))
+            for r in read_index(
+                spark, store, min_df=2, max_df_ratio=0.9
+            ).collect()
+        }
+
+    def test_matches_batch_across_boundaries(self, spark, tmp_path):
+        got = self._run(
+            spark, tmp_path, [self.DOCS[:2], self.DOCS[2:4], self.DOCS[4:]]
+        )
+        assert got == self._expected(spark)
+
+    def test_epoch_replay_is_idempotent(self, spark, tmp_path):
+        got = self._run(
+            spark, tmp_path, [self.DOCS[:3], self.DOCS[3:]], replay=0
+        )
+        assert got == self._expected(spark)
+
+    def test_compaction_is_invisible(self, spark, tmp_path):
+        got = self._run(
+            spark, tmp_path, [self.DOCS[:3], self.DOCS[3:]], compact=True
+        )
+        assert got == self._expected(spark)
+
+    def test_empty_store_reads_empty(self, spark, tmp_path):
+        from mofka_spark.streaming.textindex import read_index
+
+        out = read_index(spark, str(tmp_path / "missing")).collect()
+        assert out == []
