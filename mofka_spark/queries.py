@@ -2023,7 +2023,9 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["hash", "merge", "window"]
 
 
-def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+def _bm25_oracle(
+    terms: list[str], k1: float = 1.2, b: float = 0.75, where: str = ""
+) -> str:
     tf_defs = ",\n             ".join(
         f"CAST(len(list_filter(arr, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
         for i, t in enumerate(terms)
@@ -2044,7 +2046,7 @@ def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
     return rf"""
     WITH t AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr
-      FROM documents WHERE text IS NOT NULL
+      FROM documents WHERE text IS NOT NULL {where}
     ), f AS (
       SELECT doc_id, CAST(len(arr) AS DOUBLE) AS dl,
              {tf_defs}
@@ -3957,6 +3959,47 @@ def q_streaming_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "postings"
         ),
     )
+
+
+# BM25 scoring straight off the incremental text-index store — no text
+# rescan at query time. Oracle: the batch bm25 oracle restricted to the
+# fixture slice; the store-derived tf/dl/df/N must reproduce the batch
+# operator's doubles exactly.
+@query(
+    "streaming_bm25",
+    _bm25_oracle(["hash", "merge", "window"], where="AND doc_id < 1000"),
+)
+def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.textindex import index_sink, read_bm25
+
+    topic = _stream_fixture(spark, sf_dir, "docs")
+    deepest = max(topic.snapshot().values())
+    parsed = topic.read_stream(batch_size=(deepest + 1) // 2).select(
+        F.get_json_object("metadata", "$.doc_id").cast("long").alias("id"),
+        F.get_json_object("metadata", "$.text").alias("text"),
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-bm25idx-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(index_sink(store))
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        if not topic.await_completion(q, timeout=300):
+            q.stop()
+            raise RuntimeError("streaming_bm25 did not drain the topic")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return read_bm25(spark, store, ["hash", "merge", "window"])
 
 
 # The driver's correctness gate checks queries in registration order and

@@ -7,9 +7,11 @@ this module maintains it per micro-batch on the epoch-store protocol
 (streaming/store.py — replay-idempotent epoch writes, merge-on-read,
 compaction).
 
-- the STORE is two epoch-partitioned tables under one root:
-  ``postings/`` (token, doc)  — globally-distinct presence pairs
-  ``meta/``     (n_docs)      — one row per epoch (df-bound input)
+- the STORE is three epoch-partitioned tables under one root:
+  ``postings/`` (token, doc, tf) — per-document term frequencies,
+                                   one row per distinct (token, doc)
+  ``doclen/``   (doc, dl)        — token counts (BM25 length norm)
+  ``meta/``     (n_docs)         — one row per epoch (df-bound input)
 - per micro-batch: distinct (token, doc) pairs come out of the batch
   with the same presence-list trick as the batch operator (explode of
   array_distinct — no distinct exchange); pair rows and the batch's
@@ -41,7 +43,7 @@ from mofka_spark.streaming.store import (
     read_store,
 )
 
-_POSTINGS, _META = "postings", "meta"
+_POSTINGS, _META, _DOCLEN = "postings", "meta", "doclen"
 
 
 def index_sink(
@@ -55,17 +57,38 @@ def index_sink(
 
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
+        arr = F.split(normalize_text(F.col("text")), " ")
         docs = batch.select(
             F.col(id_col).cast("long").alias("doc"),
             F.col(text_col).alias("text"),
         ).filter(F.col("text").isNotNull()).persist()
-        pairs = docs.select(
-            "doc",
-            F.explode(
-                F.array_distinct(F.split(normalize_text(F.col("text")), " "))
-            ).alias("token"),
-        ).filter(F.col("token") != "").select("token", "doc")
+        # (token, doc, tf) rows with NO shuffle: tf folds inside the
+        # doc's own token array (O(distinct x len) per doc, the price
+        # of keeping the write path scan-local)
+        pairs = (
+            docs.select(
+                "doc",
+                F.explode(
+                    F.transform(
+                        F.array_distinct(arr),
+                        lambda t: F.struct(
+                            t.alias("token"),
+                            F.size(
+                                F.filter(arr, lambda x: x == t)
+                            ).cast("double").alias("tf"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select(F.col("p.token").alias("token"), "doc", F.col("p.tf"))
+            .filter(F.col("token") != "")
+        )
         epoch_write(pairs, os.path.join(store_path, _POSTINGS), epoch_id)
+        epoch_write(
+            docs.select("doc", F.size(arr).cast("double").alias("dl")),
+            os.path.join(store_path, _DOCLEN),
+            epoch_id,
+        )
         n = docs.count()
         epoch_write(
             spark.createDataFrame([(n,)], "n_docs long"),
@@ -88,7 +111,8 @@ def read_index(
     every document ingested so far (same df bounds, same pruning-
     before-collect order)."""
     pairs = read_store(
-        spark, os.path.join(store_path, _POSTINGS), "token string, doc long"
+        spark, os.path.join(store_path, _POSTINGS),
+        "token string, doc long, tf double",
     )
     n_docs = (
         read_store(spark, os.path.join(store_path, _META), "n_docs long")
@@ -112,10 +136,83 @@ def read_index(
     )
 
 
+def read_bm25(
+    spark: SparkSession,
+    store_path: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every indexed document against ``terms`` with BM25 from
+    the store alone — no text rescan. Returns (id, n_terms, bm25) and
+    equals ``operators/text.py bm25_scores`` over every document
+    ingested so far: tf/dl/df/N resolve to the identical doubles and
+    the score folds contributions in ``terms`` order, the same float
+    sequence as the batch operator.
+
+    Scale shape: per query term, one (doc, tf) posting slice joins the
+    doclen table on the doc key; corpus stats reduce to one broadcast
+    row. Query cost scales with the matched postings, not the corpus.
+    """
+    pairs = read_store(
+        spark, os.path.join(store_path, _POSTINGS),
+        "token string, doc long, tf double",
+    )
+    feats = read_store(
+        spark, os.path.join(store_path, _DOCLEN), "doc long, dl double"
+    )
+    uniq = list(dict.fromkeys(terms))
+    for i, term in enumerate(uniq):
+        slice_i = pairs.filter(F.col("token") == term).select(
+            "doc", F.col("tf").alias(f"tf_{i}")
+        )
+        feats = feats.join(slice_i, "doc", "left")
+    feats = feats.select(
+        "doc", "dl",
+        *[F.coalesce(F.col(f"tf_{i}"), F.lit(0.0)).alias(f"tf_{i}")
+          for i in range(len(uniq))],
+    )
+    stats = feats.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(uniq))
+        ],
+    )
+    scored = feats.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    hits = F.lit(0).cast("long")
+    for i in range(len(uniq)):
+        tf, dfreq = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        contrib = F.when(
+            tf > 0, idf * (tf * F.lit(k1 + 1.0)) / denom
+        ).otherwise(F.lit(0.0))
+        score = score + contrib
+        hits = hits + (tf > 0).cast("long")
+    return (
+        scored.select(
+            F.col("doc").alias("id"),
+            hits.alias("n_terms"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .filter(F.col("n_terms") > 0)
+    )
+
+
 def compact_index(spark: SparkSession, store_path: str) -> None:
     """Collapse epoch fragments (streaming/store.py protocol). Reads
     are identical before and after."""
-    for sub in (_POSTINGS, _META):
+    for sub in (_POSTINGS, _META, _DOCLEN):
         path = os.path.join(store_path, sub)
         if os.path.isdir(path):
             compact_epoch_store(spark, path)

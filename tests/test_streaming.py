@@ -831,3 +831,23 @@ class TestIncrementalInvertedIndex:
 
         out = read_index(spark, str(tmp_path / "missing")).collect()
         assert out == []
+
+    def test_bm25_matches_batch(self, spark, tmp_path):
+        from mofka_spark.operators.text import bm25_scores
+        from mofka_spark.streaming.textindex import index_sink, read_bm25
+
+        store = str(tmp_path / "bm25store")
+        sink = index_sink(store)
+        sink(spark.createDataFrame(self.DOCS[:2], "id long, text string"), 0)
+        sink(spark.createDataFrame(self.DOCS[2:], "id long, text string"), 1)
+        terms = ["quick", "fox"]
+        got = {
+            (r.id, r.n_terms, r.bm25)
+            for r in read_bm25(spark, store, terms).collect()
+        }
+        batch_df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        want = {
+            (r.id, r.n_terms, r.bm25)
+            for r in bm25_scores(batch_df, terms).collect()
+        }
+        assert got == want  # exact doubles, not approximate
