@@ -208,16 +208,20 @@ def fuzzy_join_pairs(
     MUST share a q-gram whenever len >= q * (max_dist + 1) (the shorter
     string has len-q+1 grams and at most max_dist*q of them can die).
     Candidates come from an equi-join on exploded distinct q-grams;
-    the exact Levenshtein verify runs on candidate pairs only. Strings
-    SHORTER than the pigeonhole bound fall back to a broadcast
-    nested-loop against the (assumed few) short strings on the other
-    side, so the result is exactly the cross-join answer at any length.
+    the exact Levenshtein verify runs on candidate pairs only. Pairs
+    with a side SHORTER than the pigeonhole bound are recovered by a
+    length-band equi-join (|len difference| <= max_dist is a necessary
+    condition of the edit distance), so the result is exactly the
+    cross-join answer at any length and the plan contains NO nested
+    loop: every candidate path is a hash equi-join.
 
     Scale shape: the gram explode multiplies rows by ~len; the
     candidate join shuffles (gram, id) pairs and dedupes on the pair
-    key before verify — never all-pairs. Hot grams behave like hot
-    join keys: cap or salt them upstream (skew_report) if the gram
-    distribution is Zipf-extreme.
+    key before verify — never all-pairs. Short strings group into
+    length buckets, whose size is bounded by the universe of strings
+    below ~q*(max_dist+1) chars. Hot grams behave like hot join keys:
+    cap or salt them upstream (skew_report) if the gram distribution
+    is Zipf-extreme.
 
     Returns (left_val, right_val, dist), distinct pairs.
     """
@@ -243,15 +247,34 @@ def fuzzy_join_pairs(
     lg = l_long.select("_l", F.explode(_grams(F.col("_l"))).alias("_g"))
     rg = r_long.select("_r", F.explode(_grams(F.col("_r"))).alias("_g"))
     cand_long = lg.join(rg, "_g").select("_l", "_r").distinct()
-    # short strings on either side: complete via broadcast loop join
-    # (length filter keeps both loops tiny at scale)
+    # pairs with a short side: length-band equi-join — the short side
+    # announces every length within max_dist of its own, the other
+    # side keys by its exact length; an edit changes length by at most
+    # one, so no qualifying pair escapes the band
     l_short = lv.filter(F.length("_l") < bound)
     r_short = rv.filter(F.length("_r") < bound)
-    cand = cand_long.unionByName(
-        lv.crossJoin(F.broadcast(r_short))
-    ).unionByName(
-        l_short.crossJoin(F.broadcast(rv.filter(F.length("_r") >= bound)))
-    ).distinct()
+
+    def _bands(df: DataFrame, col: str) -> DataFrame:
+        return df.select(
+            col,
+            F.explode(
+                F.sequence(
+                    F.length(col) - max_dist, F.length(col) + max_dist
+                )
+            ).alias("_len"),
+        )
+
+    cand_short_l = _bands(l_short, "_l").join(
+        rv.withColumn("_len", F.length("_r")), "_len"
+    ).select("_l", "_r")
+    cand_short_r = _bands(r_short, "_r").join(
+        l_long.withColumn("_len", F.length("_l")), "_len"
+    ).select("_l", "_r")
+    cand = (
+        cand_long.unionByName(cand_short_l)
+        .unionByName(cand_short_r)
+        .distinct()
+    )
     dist = F.levenshtein("_l", "_r")
     return cand.select(
         F.col("_l").alias("left_val"),

@@ -237,3 +237,16 @@ class TestFuzzyJoin:
         }
         assert ("ab", "ac") in out
         assert ("abcdefgh", "abcdefgx") in out
+
+    def test_no_nested_loop_in_plan(self, spark):
+        # every candidate path is a hash equi-join: gram blocking for
+        # long strings, length-band join for short — never a
+        # cartesian/broadcast-nested-loop
+        from mofka_spark import plans
+        from mofka_spark.operators import joins
+
+        left = spark.createDataFrame([("abc",), ("abcdefgh",)], ["a"])
+        right = spark.createDataFrame([("abd",), ("abcdefgx",)], ["b"])
+        p = plans.plan_string(joins.fuzzy_join_pairs(left, right, "a", "b", 2))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
