@@ -1,0 +1,72 @@
+"""Training-corpus curation walkthrough with the round-5 operators:
+
+    raw docs -> quality gate -> CDC chunk dedup stats -> fuzzy title
+    reconciliation -> curriculum bins -> weighted sample -> TF-IDF
+    retrieval spot-check
+
+Each stage is a pure DataFrame transform from mofka_spark.operators —
+the same calls work unchanged on a 1000-executor cluster; see
+SCALING.md for each operator's shuffle budget.
+
+Run:  PYTHONPATH=.. python curation_pipeline.py
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mofka_spark.operators import joins, sampling, text
+from mofka_spark.session import get_spark
+
+
+def main() -> None:
+    spark = get_spark(master="local[4]")
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog", "web"),
+        (2, "the quick brown fox jumps over the lazy dog", "web"),  # dup
+        (3, "pack my box with five dozen liquor jugs", "books"),
+        (4, "sphinx of black quartz judge my vow", "books"),
+        (5, "a a a a a a a a a a a a", "web"),  # junk repetition
+        (6, "how vexingly quick daft zebras jump", "news"),
+        (7, "the five boxing wizards jump quickly", "news"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text", "source"])
+
+    # 1. quality gate: token stats drop the degenerate repetition doc
+    feats = text.quality_features(docs)
+    kept = docs.join(
+        feats.filter(F.col("mean_token_len") >= 2.0).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    print("after quality gate:", sorted(r.doc_id for r in kept.collect()))
+
+    # 2. chunk-level dedup accounting across sources
+    stats = text.cdc_dedup_stats(kept, "source", w=2, divisor=2)
+    stats.show(truncate=False)
+
+    # 3. fuzzy reconciliation: noisy external titles -> canonical docs
+    probes = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dogs",),
+         ("pack my box with five dozen liqour jugs",)],
+        ["probe"],
+    )
+    matches = joins.fuzzy_join_pairs(probes, kept, "probe", "text", max_dist=2)
+    matches.show(truncate=False)
+
+    # 4. curriculum bins by length, then weighted sample per source
+    sized = kept.withColumn("n_chars", F.length("text"))
+    bins = sampling.rank_bins(sized, "n_chars", "source", "doc_id", n_bins=2)
+    sample = sampling.weighted_sample(sized, "doc_id", "n_chars", "source", k=1)
+    print("bins:", sorted((r.source, r.doc_id, r.bin) for r in bins.collect()))
+    print("sample:", sorted((r.source, r.doc_id) for r in sample.collect()))
+
+    # 5. retrieval spot-check over the curated set
+    text.tfidf_scores(kept, ["quick", "jump"]).orderBy(
+        F.desc("tfidf")
+    ).show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
