@@ -1,0 +1,91 @@
+"""Declarative data-quality constraint audit — the deequ-style
+"expectations" pass a pipeline runs before trusting a table: not-null,
+value ranges, set membership, regex shape, uniqueness — all evaluated
+in ONE aggregate over a single scan, reported as (rule, violations).
+
+The reference's only integrity surface is per-event validators at
+ingest (P2-P4); this audits data at REST, where a 100 TB pipeline
+actually discovers upstream breakage. FK checks live in the
+fk_violations gate (broadcast anti-joins); this module covers the
+single-table rules.
+
+Scale shape: every rule compiles to an aggregate expression over the
+same scan — N rules cost one pass, not N. Row-level rules are
+conditional counts (map-side partial aggs); uniqueness is
+count(col) - count(DISTINCT col) inside the same aggregate (Spark
+plans multi-distinct via expand, still one scan). The one-row wide
+result unpivots driver-side to (rule, violations) — O(#rules), not
+data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["not_null", "in_range", "is_in", "matches", "unique", "audit"]
+
+
+def not_null(col: str) -> tuple[str, Column]:
+    """Violations = rows where ``col`` is null."""
+    return (
+        f"not_null({col})",
+        F.sum(F.col(col).isNull().cast("long")),
+    )
+
+
+def in_range(col: str, lo, hi) -> tuple[str, Column]:
+    """Violations = non-null rows outside [lo, hi]."""
+    c = F.col(col)
+    return (
+        f"in_range({col},{lo},{hi})",
+        F.sum((c.isNotNull() & ~c.between(lo, hi)).cast("long")),
+    )
+
+
+def is_in(col: str, allowed: list) -> tuple[str, Column]:
+    """Violations = non-null rows with a value outside ``allowed``."""
+    c = F.col(col)
+    return (
+        f"is_in({col})",
+        F.sum((c.isNotNull() & ~c.isin(allowed)).cast("long")),
+    )
+
+
+def matches(col: str, pattern: str) -> tuple[str, Column]:
+    """Violations = non-null rows not FULLY matching ``pattern``
+    (anchored, like DuckDB's regexp_full_match)."""
+    c = F.col(col)
+    return (
+        f"matches({col})",
+        F.sum((c.isNotNull() & ~c.rlike(f"^(?:{pattern})$")).cast("long")),
+    )
+
+
+def unique(col: str) -> tuple[str, Column]:
+    """Violations = non-null rows beyond the first of each value
+    (count - count distinct)."""
+    c = F.col(col)
+    return (
+        f"unique({col})",
+        F.count(c) - F.countDistinct(c),
+    )
+
+
+def audit(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
+    """Evaluate every rule in one aggregate pass; returns
+    (rule, violations) rows in rule order (violations: long)."""
+    row = df.agg(
+        *[expr.cast("long").alias(f"_r{i}") for i, (_, expr) in enumerate(rules)]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.coalesce(F.col(f"_r{i}"), F.lit(0)).alias("violations"),
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
+    )
+    return row.select(F.explode(pairs).alias("p")).select(
+        "p.rule", "p.violations"
+    )

@@ -4002,6 +4002,52 @@ def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_bm25(spark, store, ["hash", "merge", "window"])
 
 
+# Declarative single-pass constraint audit (operators/quality.py): all
+# rules evaluate in ONE aggregate over one scan; the oracle computes
+# each rule independently and unions.
+@query(
+    "constraint_audit",
+    """
+    SELECT 'not_null(o_custkey)' AS rule,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS violations FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0,1000000)',
+           SUM(CASE WHEN o_totalprice IS NOT NULL
+                     AND o_totalprice NOT BETWEEN 0 AND 1000000
+                    THEN 1 ELSE 0 END)::BIGINT FROM orders
+    UNION ALL
+    SELECT 'is_in(o_orderstatus)',
+           SUM(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END)::BIGINT FROM orders
+    UNION ALL
+    SELECT 'matches(o_orderpriority)',
+           SUM(CASE WHEN o_orderpriority IS NOT NULL
+                     AND NOT regexp_full_match(o_orderpriority, '[0-9]-[A-Z]+')
+                    THEN 1 ELSE 0 END)::BIGINT FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           (COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey))::BIGINT
+    FROM orders
+    """,
+)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import quality
+
+    orders = _t(spark, sf_dir, "orders")
+    return quality.audit(
+        orders,
+        [
+            quality.not_null("o_custkey"),
+            quality.in_range("o_totalprice", 0, 1000000),
+            quality.is_in("o_orderstatus", ["F", "O", "P"]),
+            quality.matches("o_orderpriority", "[0-9]-[A-Z]+"),
+            quality.unique("o_orderkey"),
+        ],
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -1,0 +1,55 @@
+"""Constraint-audit operator tests (operators/quality.py)."""
+
+from mofka_spark import plans
+from mofka_spark.operators import quality
+
+
+class TestConstraintAudit:
+    def _df(self, spark):
+        rows = [
+            (1, "F", 10.0, "1-URGENT"),
+            (2, "O", -5.0, "2-HIGH"),      # range violation
+            (2, "X", 20.0, "3-LOW"),       # dup key + bad status
+            (None, "F", 30.0, "bad"),      # null key + bad priority
+        ]
+        return spark.createDataFrame(
+            rows, ["k", "status", "price", "prio"]
+        )
+
+    def test_rule_counts(self, spark):
+        out = dict(
+            (r.rule, r.violations)
+            for r in quality.audit(
+                self._df(spark),
+                [
+                    quality.not_null("k"),
+                    quality.in_range("price", 0, 100),
+                    quality.is_in("status", ["F", "O"]),
+                    quality.matches("prio", "[0-9]-[A-Z]+"),
+                    quality.unique("k"),
+                ],
+            ).collect()
+        )
+        assert out["not_null(k)"] == 1
+        assert out["in_range(price,0,100)"] == 1
+        assert out["is_in(status)"] == 1
+        assert out["matches(prio)"] == 1
+        assert out["unique(k)"] == 1  # 3 non-null keys, 2 distinct
+
+    def test_matches_is_anchored(self, spark):
+        df = spark.createDataFrame([("x1-URGENTx",)], ["prio"])
+        out = quality.audit(
+            df, [quality.matches("prio", "[0-9]-[A-Z]+")]
+        ).collect()
+        assert out[0].violations == 1  # substring match must NOT pass
+
+    def test_single_scan(self, spark):
+        # N rules -> one aggregate over one scan (no union of scans)
+        df = self._df(spark)
+        out = quality.audit(
+            df,
+            [quality.not_null("k"), quality.in_range("price", 0, 100),
+             quality.unique("k")],
+        )
+        p = plans.plan_string(out)
+        assert p.count("Scan ") <= 2  # base scan (+ possible reuse line)
