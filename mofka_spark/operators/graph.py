@@ -97,3 +97,68 @@ def assign_keepers(
             ),
         )
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """Power-iteration PageRank over an undirected graph — the
+    link-analysis centrality used as a document-quality signal in web
+    corpus curation (a page referenced by many near-duplicates /
+    similar pages concentrates rank). Simplified variant: dangling
+    (edge-less) nodes keep only the teleport term, with no dangling-
+    mass redistribution — the ordering signal quality scoring needs,
+    with fixed ``iters`` so the result is a deterministic closed form
+    an oracle can replay exactly.
+
+    r_0 = 1/N; r_{k+1}(v) = (1-d)/N + d * sum_{u~v} r_k(u)/deg(u).
+
+    Scale shape: each iteration is ONE shuffle — contributions project
+    scan-local (rank/deg along the symmetrized edge list) and reduce
+    on the destination id; the rank frame is localCheckpoint'ed per
+    round so plans stay flat and the edge frame materializes once.
+    Returns (id, rank) with rank rounded to 6dp.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    n = ids.count()
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    base = F.lit((1.0 - damping) / n)
+    rank = ids.select("id", F.lit(1.0 / n).alias("r")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        contrib = (
+            sym.join(rank, sym.src == rank.id)
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"), (F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        rank = (
+            ids.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    base
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank.select("id", F.round("r", 6).alias("rank"))

@@ -4048,6 +4048,72 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank over the exact Jaccard-pair
+    graph: r_{k+1} = (1-d)/N + d * sum(in r_k/deg). Float literals and
+    op order mirror operators/graph.pagerank exactly."""
+    steps = ""
+    for k in range(1, iters + 1):
+        steps += f"""
+    , r{k} AS (
+      SELECT i.id,
+             (1 - {d})/(SELECT n FROM nn)
+               + {d} * COALESCE(infl.s, 0) AS r
+      FROM ids i LEFT JOIN (
+        SELECT s.dst AS id, SUM(p.r / dg.deg) AS s
+        FROM sym s
+        JOIN r{k-1} p ON p.id = s.src
+        JOIN deg dg ON dg.src = s.src
+        GROUP BY s.dst) infl ON infl.id = i.id
+    )"""
+    return (
+        _ORACLE_TOKS
+        + r"""
+    , grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS gs
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE /
+                  greatest(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)),
+                           1), 6) >= 0.8
+    ), sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), ids AS (SELECT doc_id AS id FROM documents),
+    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM ids),
+    deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+    r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS r FROM ids)"""
+        + steps
+        + f"""
+    SELECT id, ROUND(r, 6) AS rank FROM r{iters}
+    """
+    )
+
+
+# Link-analysis centrality over the near-dup similarity graph
+# (operators/graph.py pagerank): nodes = all documents, edges = the
+# exact-Jaccard pair set (via LSH candidates, completeness as in
+# neardup_jaccard_pairs), 5 fixed power iterations. A full-oracle gate
+# for an ITERATIVE algorithm: the oracle unrolls the same iterations.
+@query("doc_pagerank", _pagerank_oracle(iters=5, d=0.85))
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs)
+    edges = dedup.ngram_jaccard_pairs(docs, cand, n=3, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    return graph.pagerank(
+        docs.select(F.col("doc_id").alias("id")), edges, iters=5
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -148,3 +148,28 @@ class TestTransitiveKeeperPipeline:
         assert m[1] == (0, True)
         assert m[2] == (0, True)
         assert m[3] == (3, False)
+
+
+class TestPagerank:
+    def test_star_graph_ordering(self, spark):
+        from mofka_spark.operators.graph import pagerank
+
+        nodes = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+        # star: 0 at center of 1..4; 5 isolated
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 5)], ["id_a", "id_b"]
+        )
+        r = {row.id: row.rank for row in pagerank(nodes, edges).collect()}
+        assert r[0] > r[1]  # hub concentrates rank
+        assert r[1] == r[2] == r[3] == r[4]  # symmetric leaves
+        assert r[5] < r[1]  # isolated node keeps teleport only
+        assert abs(r[5] - 0.15 / 6) < 1e-6
+
+    def test_fixed_point_of_symmetric_pair(self, spark):
+        from mofka_spark.operators.graph import pagerank
+
+        nodes = spark.createDataFrame([(1,), (2,)], ["id"])
+        edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        r = {row.id: row.rank for row in pagerank(nodes, edges, iters=3).collect()}
+        # two-node symmetric graph: uniform 1/2 is the exact fixed point
+        assert r[1] == r[2] == 0.5
