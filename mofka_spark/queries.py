@@ -4048,6 +4048,124 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streaming constraint monitor (streaming/monitor.py): the audit's
+# distributive rules maintained per micro-batch; the running totals
+# must equal the batch audit over every ingested row.
+@query(
+    "streaming_audit",
+    """
+    SELECT 'not_null(user_id)' AS rule,
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS violations
+    FROM events WHERE event_id < 5000
+    UNION ALL
+    SELECT 'in_range(value,0,100)',
+           SUM(CASE WHEN value IS NOT NULL
+                     AND value NOT BETWEEN 0 AND 100
+                    THEN 1 ELSE 0 END)::BIGINT
+    FROM events WHERE event_id < 5000
+    UNION ALL
+    SELECT 'is_in(event_type)',
+           SUM(CASE WHEN event_type IS NOT NULL
+                     AND event_type NOT IN ('click', 'view', 'purchase')
+                    THEN 1 ELSE 0 END)::BIGINT
+    FROM events WHERE event_id < 5000
+    """,
+)
+def q_streaming_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.operators import quality
+    from mofka_spark.streaming.monitor import audit_sink, read_audit
+
+    rules = [
+        quality.not_null("user_id"),
+        quality.in_range("value", 0, 100),
+        quality.is_in("event_type", ["click", "view", "purchase"]),
+    ]
+    topic = _stream_fixture(spark, sf_dir, "events")
+    parsed = _events_stream(topic, 5000).select(
+        "user_id", "value", "event_type"
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-monitor-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(audit_sink(store, rules))
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return read_audit(spark, store, rules)
+
+
+# CUBE grouping sets (completes §2.7's grouping-set row next to the
+# ROLLUP gate): all four aggregation levels in one pass.
+@query(
+    "orders_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# Hopping (sliding) windows: 2-hour windows advancing every hour — each
+# event lands in TWO windows. The oracle reproduces Spark's window()
+# semantics as a union of the two hop alignments.
+@query(
+    "hopping_event_stats",
+    """
+    WITH both_hops AS (
+      SELECT date_trunc('hour', ts) AS w_start, event_type, value
+      FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+      FROM events)
+    SELECT w_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM both_hops
+    GROUP BY w_start, event_type
+    """,
+)
+def q_hopping_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate via window(ts, '2 hours', '1 hour') —
+    the same plan a watermarked streaming query uses; each event
+    replicates into windowLength/slide = 2 window rows before the
+    (w_start, type)-keyed partial agg."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
 def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
     """Unrolled power-iteration PageRank over the exact Jaccard-pair
     graph: r_{k+1} = (1-d)/N + d * sum(in r_k/deg). Float literals and

@@ -53,3 +53,66 @@ class TestConstraintAudit:
         )
         p = plans.plan_string(out)
         assert p.count("Scan ") <= 2  # base scan (+ possible reuse line)
+
+
+class TestStreamingAuditMonitor:
+    ROWS = [
+        (1, 50.0, "click"), (None, 20.0, "view"), (3, 150.0, "view"),
+        (4, -1.0, "buy"), (5, 10.0, "click"), (6, None, "view"),
+    ]
+
+    def _rules(self):
+        return [
+            quality.not_null("k"),
+            quality.in_range("v", 0, 100),
+            quality.is_in("t", ["click", "view"]),
+        ]
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v double, t string")
+
+    def test_matches_batch_and_replay(self, spark, tmp_path):
+        from mofka_spark.streaming.monitor import audit_sink, read_audit
+
+        store = str(tmp_path / "m")
+        sink = audit_sink(store, self._rules())
+        sink(self._batch(spark, self.ROWS[:3]), 0)
+        sink(self._batch(spark, self.ROWS[3:]), 1)
+        sink(self._batch(spark, self.ROWS[3:]), 1)  # replayed epoch
+        got = {
+            (r.rule, r.violations)
+            for r in read_audit(spark, store, self._rules()).collect()
+        }
+        want = {
+            (r.rule, r.violations)
+            for r in quality.audit(
+                self._batch(spark, self.ROWS), self._rules()
+            ).collect()
+        }
+        assert got == want
+
+    def test_compaction_is_invisible(self, spark, tmp_path):
+        from mofka_spark.streaming.monitor import (
+            audit_sink, compact_monitor, read_audit,
+        )
+
+        store = str(tmp_path / "m")
+        sink = audit_sink(store, self._rules())
+        sink(self._batch(spark, self.ROWS[:3]), 0)
+        sink(self._batch(spark, self.ROWS[3:]), 1)
+        before = sorted(
+            map(tuple, read_audit(spark, store, self._rules()).collect())
+        )
+        compact_monitor(spark, store)
+        after = sorted(
+            map(tuple, read_audit(spark, store, self._rules()).collect())
+        )
+        assert before == after
+
+    def test_unique_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from mofka_spark.streaming.monitor import audit_sink
+
+        with _pytest.raises(ValueError, match="not distributive"):
+            audit_sink(str(tmp_path / "m"), [quality.unique("k")])
