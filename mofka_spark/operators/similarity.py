@@ -578,3 +578,42 @@ def semantic_dedup(
         .join(dropped.withColumn("_drop", F.lit(True)), "id", "left")
         .select("id", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    collapse_eps: float = 1e-6,
+) -> DataFrame:
+    """Per-dimension statistics of an embedding column — the space
+    diagnostic a pipeline runs before trusting vectors for dedup/ANN:
+    a dimension with ~zero variance is collapsed (dead encoder unit,
+    or a bug upstream zeroing a slice), and a mean far from 0 skews
+    cosine against inner-product assumptions.
+
+    Returns (dim, mean, std, min_val, max_val, collapsed) — one row
+    per dimension, std is the sample standard deviation.
+
+    Scale shape: posexplode fans each row into n_dims thin
+    (dim, value) rows; the per-dim moments partial-aggregate map-side,
+    so the shuffle carries n_dims rows per partition regardless of
+    corpus size. Output is O(n_dims)."""
+    vals = df.filter(F.col(vec_col).isNotNull()).select(
+        F.posexplode(F.col(vec_col)).alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean"),
+            F.round(F.stddev_samp("v"), 6).alias("std"),
+            F.round(F.min("v"), 6).alias("min_val"),
+            F.round(F.max("v"), 6).alias("max_val"),
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "mean", "std", "min_val", "max_val",
+            (F.coalesce(F.col("std"), F.lit(0.0)) < collapse_eps).alias(
+                "collapsed"
+            ),
+        )
+    )

@@ -4048,6 +4048,32 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Embedding-space diagnostics (operators/similarity.py
+# embedding_dim_stats): per-dimension moments + collapsed-dimension
+# detection over the vector corpus.
+@query(
+    "embedding_dim_stats",
+    """
+    WITH vals AS (
+      SELECT t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS v
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS t(i)
+      WHERE embedding IS NOT NULL)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           ROUND(AVG(v), 6) AS mean,
+           ROUND(STDDEV_SAMP(v), 6) AS std,
+           ROUND(MIN(v), 6) AS min_val,
+           ROUND(MAX(v), 6) AS max_val,
+           (COALESCE(ROUND(STDDEV_SAMP(v), 6), 0) < 0.000001)
+             AS collapsed
+    FROM vals GROUP BY dim
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_dim_stats(emb)
+
+
 # Streaming constraint monitor (streaming/monitor.py): the audit's
 # distributive rules maintained per micro-batch; the running totals
 # must equal the batch audit over every ingested row.

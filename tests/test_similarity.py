@@ -166,3 +166,23 @@ class TestSemanticDedup:
             emb, tau=0.99, n_clusters=2, nprobe=2
         ).collect()}
         assert out == {1: True, 2: False, 3: False, 4: True}
+
+
+class TestEmbeddingDimStats:
+    def test_collapsed_detection(self, spark):
+        from mofka_spark.operators.similarity import embedding_dim_stats
+
+        rows = [([1.0, 5.0, -2.0],), ([3.0, 5.0, 2.0],), ([5.0, 5.0, 0.0],)]
+        df = spark.createDataFrame(rows, ["embedding"])
+        out = {r.dim: r for r in embedding_dim_stats(df).collect()}
+        assert out[0].mean == 3.0 and out[0].std == 2.0
+        assert out[1].collapsed and not out[0].collapsed
+        assert out[2].min_val == -2.0 and out[2].max_val == 2.0
+
+    def test_null_vectors_skipped(self, spark):
+        from mofka_spark.operators.similarity import embedding_dim_stats
+
+        rows = [([1.0, 2.0],), (None,)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = embedding_dim_stats(df).collect()
+        assert len(out) == 2
