@@ -124,3 +124,47 @@ def cohort_retention(
         F.col("n_active").cast("long"),
         F.round(F.col("n_active") / F.col("_size"), 6).alias("retention"),
     )
+
+
+def time_decayed_average(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    halflife_seconds: float = 86400.0,
+) -> DataFrame:
+    """Exponentially time-decayed average per key, anchored at the
+    key's LAST event: ewma = sum(v_i * w_i) / sum(w_i) with
+    w_i = 0.5^((t_last - t_i) / halflife) — the trend signal
+    ("what is this user's recent value level") that a plain AVG
+    flattens and a windowed AVG quantizes. Defined as a weighted sum
+    over timestamps, NOT a recursion over arrival order, so it is
+    insensitive to row order and incrementally mergeable (numerator
+    and denominator are distributive sums once re-anchored).
+
+    Returns (key, n_events, ewma) with ewma rounded to 6dp.
+
+    Scale shape: two aggregates on the same key partitioning — the
+    per-key anchor (MAX ts) and the weighted sums after a same-key
+    join-back; AQE co-partitions, no window, no sort. Weight
+    arithmetic is integer microseconds divided into doubles, identical
+    across engines."""
+    anchor = df.groupBy(key_col).agg(F.max(ts_col).alias("_t_last"))
+    hl_us = float(halflife_seconds) * 1e6
+    w = F.pow(
+        F.lit(0.5),
+        (
+            F.unix_micros(F.col("_t_last")) - F.unix_micros(F.col(ts_col))
+        ).cast("double")
+        / F.lit(hl_us),
+    )
+    return (
+        df.join(anchor, key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col(value_col) * w) / F.sum(w), 6
+            ).alias("ewma"),
+        )
+    )

@@ -4048,6 +4048,31 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Time-decayed average per user (operators/events.py
+# time_decayed_average): weights from integer-microsecond deltas so
+# both engines raise 0.5 to identical exponents.
+@query(
+    "user_value_ewma",
+    """
+    WITH anchor AS (
+      SELECT user_id, MAX(ts) AS t_last FROM events GROUP BY user_id),
+    w AS (
+      SELECT e.user_id, e.value,
+             POWER(0.5, (epoch_us(a.t_last) - epoch_us(e.ts))::DOUBLE
+                        / 86400000000.0) AS wt
+      FROM events e JOIN anchor a ON a.user_id = e.user_id)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value * wt) / SUM(wt), 6) AS ewma
+    FROM w GROUP BY user_id
+    """,
+)
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import events as ev_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return ev_ops.time_decayed_average(ev, halflife_seconds=86400.0)
+
+
 # Embedding-space diagnostics (operators/similarity.py
 # embedding_dim_stats): per-dimension moments + collapsed-dimension
 # detection over the vector corpus.

@@ -83,3 +83,38 @@ class TestCohortRetention:
             _ev(spark, rows), period_seconds=86400, max_periods=5
         ).collect()
         assert all(r.offset < 5 for r in out)
+
+
+class TestTimeDecayedAverage:
+    def test_recency_weighting(self, spark):
+        # values 10 (old) and 20 (recent, one halflife later):
+        # weights 0.5 and 1.0 -> ewma = (10*0.5 + 20) / 1.5
+        rows = [(1, "e", _t(1), 10.0), (1, "e", _t(2), 20.0)]
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_type", "ts", "value"]
+        )
+        out = ev_ops.time_decayed_average(
+            df, halflife_seconds=86400.0
+        ).collect()
+        assert out[0].n_events == 2
+        assert abs(out[0].ewma - (10 * 0.5 + 20) / 1.5) < 1e-6
+
+    def test_order_independent(self, spark):
+        rows = [(1, "e", _t(d), float(d)) for d in (3, 1, 2)]
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_type", "ts", "value"]
+        )
+        a = ev_ops.time_decayed_average(df).collect()[0].ewma
+        b = ev_ops.time_decayed_average(
+            df.orderBy("value")
+        ).collect()[0].ewma
+        assert a == b
+
+    def test_no_window_in_plan(self, spark):
+        rows = [(1, "e", _t(1), 1.0)]
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_type", "ts", "value"]
+        )
+        assert "Window" not in plans.plan_string(
+            ev_ops.time_decayed_average(df)
+        )
