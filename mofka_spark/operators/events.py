@@ -10,9 +10,14 @@ an ingest timestamp exists.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["funnel_conversion", "cohort_retention"]
+__all__ = [
+    "funnel_conversion",
+    "cohort_retention",
+    "time_decayed_average",
+    "transition_matrix",
+]
 
 
 def funnel_conversion(
@@ -167,4 +172,49 @@ def time_decayed_average(
                 F.sum(F.col(value_col) * w) / F.sum(w), 6
             ).alias("ewma"),
         )
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: list[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each ordered pair of consecutive events by the same
+    user, count (from_type -> to_type) and normalize per from_type —
+    the behavioral model behind next-action prediction, anomaly scoring
+    (improbable transitions) and funnel discovery (vs funnel_conversion
+    which checks ONE prescribed order).
+
+    ``order_cols`` must totally order each user's events (ts alone can
+    tie; the default breaks ties on event_id so both engines sort
+    identically).
+
+    Returns (from_type, to_type, n_transitions, probability) with
+    probability = n / sum(n per from_type), rounded to 6dp.
+
+    Scale shape: ONE user-keyed shuffle for the lag window (per-user
+    state = one previous row, no full-sequence materialization); the
+    pair aggregate collapses map-side to at most |types|^2 rows, and
+    the per-from_type normalizer is a window over that tiny matrix —
+    never a second pass over events.
+    """
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = (
+        df.select(user_col, F.col(type_col).alias("to_type"), *order_cols)
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+    per_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(per_from), 6
+        ).alias("probability"),
     )

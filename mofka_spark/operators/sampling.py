@@ -172,6 +172,59 @@ def weighted_sample(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Temperature-based mixture sampling: sample ~``target_rows`` rows
+    total with per-stratum budgets proportional to n_d^alpha — the
+    standard multilingual/multi-domain LLM rebalancing (alpha=1 keeps
+    natural proportions, alpha=0 gives uniform-per-stratum, alpha=0.5
+    is the mBERT/XLM-R exponent that upsamples tail domains without
+    drowning the head). Selection within a stratum is deterministic
+    hash sampling, so the draw is reproducible and engine-portable.
+
+    Rates are computed from one O(#strata) count aggregate collected to
+    the driver — legitimate metadata, not data — with the weight sum
+    folded in sorted-stratum order so an external oracle reproduces the
+    identical IEEE double (alpha=0.5 uses sqrt, which is correctly
+    rounded everywhere; ordered summation removes the one remaining
+    source of float divergence). rate_d = min(1, target * w_d / W / n_d)
+    and the kept set is ``bucket(key) < floor(rate_d * 1e6)``.
+
+    Returns (sampled rows, {stratum: rate}).
+
+    Scale shape: the count pass is a partial agg collapsing to #strata
+    rows; the sample pass is a scan-local predicate (threshold chain
+    broadcast in the plan), no shuffle, pushes down like any filter.
+    """
+    import math
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    if alpha == 0.5:
+        weights = {s: math.sqrt(n) for s, n in counts.items()}
+    else:
+        weights = {s: float(n) ** alpha for s, n in counts.items()}
+    total_w = 0.0
+    for s in sorted(weights):  # ordered fold: oracle-reproducible sum
+        total_w += weights[s]
+    rates = {
+        s: min(1.0, target_rows * weights[s] / total_w / counts[s])
+        for s in counts
+    }
+    sampled = stratified_hash_sample(
+        df, key_col, strata_col, rates, default_fraction=0.0, salt=salt
+    )
+    return sampled, rates
+
+
 def rank_bins(
     df: DataFrame,
     score_col: str,

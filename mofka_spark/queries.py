@@ -4283,6 +4283,115 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# First-order Markov transition matrix over per-user event sequences
+# (operators/events.py transition_matrix): one user-keyed lag window,
+# tiny (from, to) matrix out.
+@query(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS to_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type
+      FROM events)
+    SELECT from_type, to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND(COUNT(*)::DOUBLE /
+                 SUM(COUNT(*)) OVER (PARTITION BY from_type), 6)
+             AS probability
+    FROM seq WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.events import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev, order_cols=["ts", "event_id"])
+
+
+# Temperature-based mixture sampling (operators/sampling.py
+# temperature_mix): per-lang budgets proportional to n^0.5, selection
+# by deterministic hash — the oracle recomputes the identical rates
+# with an ordered sqrt-weight fold and the same md5 bucket predicate.
+@query(
+    "temperature_mix",
+    """
+    WITH cnt AS (
+      SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
+    tot AS (
+      SELECT list_aggregate(list(sqrt(n) ORDER BY lang), 'sum') AS s
+      FROM cnt),
+    rate AS (
+      SELECT lang,
+             LEAST(1.0, 250 * sqrt(n) / (SELECT s FROM tot) / n) AS r
+      FROM cnt)
+    SELECT d.lang, d.doc_id, d.source
+    FROM documents d JOIN rate USING (lang)
+    WHERE ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
+          % 1000000 < CAST(FLOOR(r * 1000000) AS BIGINT)
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled, _rates = temperature_mix(
+        docs, "doc_id", "lang", target_rows=250, alpha=0.5, salt="mix"
+    )
+    return sampled.select("lang", "doc_id", "source")
+
+
+# Triangle counting / local clustering over the near-dup graph
+# (operators/graph.py triangle_count, degree-ordered node-iterator).
+# The oracle enumerates triangles with plain id-ordering — counts are
+# orientation-invariant, so the two agree exactly.
+@query(
+    "doc_triangles",
+    _ORACLE_TOKS
+    + r"""
+    , grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS gs
+      FROM toks
+    ), e AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE /
+                  greatest(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)),
+                           1), 6) >= 0.8
+    ), sym AS (
+      SELECT a AS id, b AS nb FROM e UNION ALL SELECT b, a FROM e
+    ), deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY id
+    ), tri AS (
+      SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), per_node AS (
+      SELECT x.id, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (SELECT unnest([u, v, w]) AS id FROM tri) x GROUP BY x.id
+    )
+    SELECT d.id, d.degree,
+           COALESCE(p.triangles, 0) AS triangles,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE ROUND(2.0 * COALESCE(p.triangles, 0) /
+                           (d.degree * (d.degree - 1)), 6) END AS clustering
+    FROM deg d LEFT JOIN per_node p ON p.id = d.id
+    """,
+)
+def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.graph import triangle_count
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs)
+    edges = dedup.ngram_jaccard_pairs(docs, cand, n=3, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    return triangle_count(edges)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -173,3 +173,45 @@ class TestPagerank:
         r = {row.id: row.rank for row in pagerank(nodes, edges, iters=3).collect()}
         # two-node symmetric graph: uniform 1/2 is the exact fixed point
         assert r[1] == r[2] == 0.5
+
+
+class TestTriangleCount:
+    def test_clique_and_tail(self, spark):
+        from mofka_spark.operators.graph import triangle_count
+
+        # 4-clique {0,1,2,3} plus a pendant 4-5 edge off node 3
+        clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        edges = spark.createDataFrame(
+            clique + [(3, 4), (4, 5)], ["id_a", "id_b"]
+        )
+        out = {r.id: r for r in triangle_count(edges).collect()}
+        # each clique node sits on C(3,2)=3 triangles
+        assert [out[i].triangles for i in range(3)] == [3, 3, 3]
+        assert out[3].triangles == 3 and out[3].degree == 4
+        assert out[4].triangles == 0 and out[4].degree == 2
+        assert out[5].triangles == 0 and out[5].degree == 1
+        # clustering: clique nodes deg 3 -> 2*3/(3*2)=1.0; node 3
+        # deg 4 -> 2*3/12=0.5; degree-1 node defined as 0.0
+        assert out[0].clustering == 1.0
+        assert out[3].clustering == 0.5
+        assert out[5].clustering == 0.0
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        from mofka_spark.operators.graph import triangle_count
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (1, 1)],
+            ["id_a", "id_b"],
+        )
+        out = {r.id: r for r in triangle_count(edges).collect()}
+        assert all(out[i].triangles == 1 for i in (1, 2, 3))
+        assert all(out[i].degree == 2 for i in (1, 2, 3))
+
+    def test_no_cartesian_in_plan(self, spark):
+        from mofka_spark import plans
+        from mofka_spark.operators.graph import triangle_count
+
+        edges = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+        p = plans.plan_string(triangle_count(edges))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p

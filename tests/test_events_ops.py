@@ -118,3 +118,43 @@ class TestTimeDecayedAverage:
         assert "Window" not in plans.plan_string(
             ev_ops.time_decayed_average(df)
         )
+
+
+class TestTransitionMatrix:
+    def test_counts_and_probabilities(self, spark):
+        rows = [
+            # u1: view -> click -> view ; u2: view -> click
+            (1, "view", _t(1), 1),
+            (1, "click", _t(2), 2),
+            (1, "view", _t(3), 3),
+            (2, "view", _t(1), 4),
+            (2, "click", _t(2), 5),
+        ]
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_type", "ts", "event_id"]
+        )
+        out = {
+            (r.from_type, r.to_type): (r.n_transitions, r.probability)
+            for r in ev_ops.transition_matrix(df).collect()
+        }
+        assert out[("view", "click")] == (2, 1.0)
+        assert out[("click", "view")] == (1, 1.0)
+        assert ("click", "click") not in out
+
+    def test_no_cross_user_transitions(self, spark):
+        # consecutive rows globally, but different users: no edge
+        rows = [(1, "view", _t(1), 1), (2, "click", _t(2), 2)]
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_type", "ts", "event_id"]
+        )
+        assert ev_ops.transition_matrix(df).count() == 0
+
+    def test_tiebreak_on_order_col(self, spark):
+        # same timestamp: event_id breaks the tie deterministically
+        rows = [(1, "a", _t(1), 2), (1, "b", _t(1), 1)]
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_type", "ts", "event_id"]
+        )
+        out = ev_ops.transition_matrix(df).collect()
+        assert len(out) == 1
+        assert (out[0].from_type, out[0].to_type) == ("b", "a")

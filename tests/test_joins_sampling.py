@@ -250,3 +250,43 @@ class TestFuzzyJoin:
         p = plans.plan_string(joins.fuzzy_join_pairs(left, right, "a", "b", 2))
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestTemperatureMix:
+    def _docs(self, spark):
+        rows = [(i, "head" if i < 90 else "tail") for i in range(100)]
+        return spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    def test_tail_upsampled_head_downsampled(self, spark):
+        from mofka_spark.operators.sampling import temperature_mix
+
+        df = self._docs(spark)
+        _, rates = temperature_mix(df, "doc_id", "lang", target_rows=50)
+        # alpha=0.5: head weight sqrt(90), tail sqrt(10) -> the tail's
+        # RATE must exceed the head's (upsampling), natural share is 9:1
+        assert rates["tail"] > rates["head"]
+        # and budget shares follow sqrt proportions, not counts
+        import math
+
+        w = math.sqrt(90) + math.sqrt(10)
+        assert abs(rates["head"] - 50 * math.sqrt(90) / w / 90) < 1e-12
+
+    def test_alpha_one_is_natural_proportion(self, spark):
+        from mofka_spark.operators.sampling import temperature_mix
+
+        df = self._docs(spark)
+        _, rates = temperature_mix(df, "doc_id", "lang", target_rows=50, alpha=1.0)
+        assert abs(rates["head"] - 0.5) < 1e-12
+        assert abs(rates["tail"] - 0.5) < 1e-12
+
+    def test_rate_capped_at_one_and_deterministic(self, spark):
+        from mofka_spark.operators.sampling import temperature_mix
+
+        df = self._docs(spark)
+        s1, rates = temperature_mix(df, "doc_id", "lang", target_rows=500, alpha=0.0)
+        # alpha=0 splits budget evenly; the 10-row tail caps at rate 1
+        assert rates["tail"] == 1.0
+        s2, _ = temperature_mix(df, "doc_id", "lang", target_rows=500, alpha=0.0)
+        assert sorted(r.doc_id for r in s1.collect()) == sorted(
+            r.doc_id for r in s2.collect()
+        )
