@@ -710,3 +710,105 @@ def simhash_dedup(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def containment_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs sharing at least one word-n-gram,
+    from an inverted gram index — the recall basis for containment
+    detection. Any pair with containment > 0 shares a gram, so with
+    ``max_df=None`` the candidate set is provably complete for every
+    positive threshold (unlike MinHash-LSH, whose Jaccard banding
+    misses the asymmetric small-doc-inside-big-doc case containment
+    exists to catch).
+
+    ``max_df`` is the scale lever: grams occurring in more than max_df
+    docs are dropped BEFORE the self-join, bounding each gram's pair
+    fan-out at C(max_df, 2) and killing the stopword-gram quadratic
+    blowup. Completeness then narrows to pairs sharing >= 1 sub-cap
+    gram — for real corpora a contained document nearly always carries
+    one (documented miss bound, exact verify unaffected).
+
+    Scale shape: one explode + distinct per doc (scan-local), one
+    gram-keyed self-join whose fan-out is df-bounded, one distinct on
+    (id_a, id_b). Gram text never shuffles — grams travel as 64-bit
+    xxhash keys.
+    """
+    grams = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("gram"),
+    ).select("id", F.xxhash64("gram").alias("g"))
+    if max_df is not None:
+        dfreq = grams.groupBy("g").agg(F.count("*").alias("_df"))
+        grams = grams.join(
+            dfreq.filter(F.col("_df") <= max_df).select("g"), "g", "left_semi"
+        )
+    a, b = grams.alias("a"), grams.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-containment detection: pairs where the smaller document's
+    n-gram set is mostly inside the larger's — quotes, excerpts,
+    boilerplate wrappers, doc-inside-doc syndication. Metric =
+    |grams_a ∩ grams_b| / min(|grams_a|, |grams_b|), the symmetric
+    max-containment; Jaccard dedup misses these pairs exactly when
+    they matter (a 50x size ratio caps Jaccard at 0.02 however
+    complete the inclusion).
+
+    Candidates from the inverted gram index (complete for any positive
+    threshold when max_df is None — see containment_candidates); the
+    exact verify joins full gram arrays onto candidates only, same
+    shape as ngram_jaccard_pairs. Returns (id_a, id_b, containment)
+    for pairs >= threshold, containment rounded to 6dp.
+    """
+    cand = containment_candidates(df, id_col, text_col, n, max_df)
+    member_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    grams = (
+        _spread(df.join(F.broadcast(member_ids), id_col, "left_semi"), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+        )
+        .persist()
+    )
+    j = (
+        cand.join(grams.withColumnRenamed("grams", "grams_a"), cand.id_a == grams.id)
+        .drop("id")
+        .join(
+            grams.withColumnRenamed("grams", "grams_b").withColumnRenamed("id", "id2"),
+            cand.id_b == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    denom = F.greatest(
+        F.least(F.size("grams_a"), F.size("grams_b")), F.lit(1)
+    )
+    return (
+        j.withColumn("containment", F.round(inter / denom, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -172,6 +172,35 @@ def weighted_sample(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+    col_name: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the key's hash bucket
+    falls into consecutive [0, 1e6) ranges sized by ``fractions``
+    (default train 0.8 / val 0.1 / test 0.1, insertion order =
+    range order). Hash-based, so the assignment is reproducible,
+    engine-portable, and append-stable — new rows never reshuffle
+    existing rows' splits, the property random splits lack.
+
+    Scale: a scan-local when/otherwise projection, no shuffle."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = hash_bucket(F.col(key_col), salt)
+    expr = None
+    hi = 0
+    for name, frac in fractions.items():
+        hi += int(frac * _MOD)
+        expr = (
+            F.when(bucket < hi, F.lit(name))
+            if expr is None
+            else expr.when(bucket < hi, F.lit(name))
+        )
+    return df.withColumn(col_name, expr.otherwise(F.lit(None)))
+
+
 def temperature_mix(
     df: DataFrame,
     key_col: str,

@@ -4392,6 +4392,151 @@ def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+# Per-source distinctive keywords by Dunning log-likelihood (G2),
+# operators/text.py distinctive_terms. Overrepresentation guard is
+# exact integer arithmetic; G2 rounds to 6dp BEFORE ranking so
+# last-ulp float skew cannot reorder the top-k.
+@query(
+    "distinctive_terms",
+    r"""
+    WITH t AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ), tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS a
+      FROM t WHERE tok <> '' GROUP BY source, tok
+    ), tt AS (
+      SELECT tok, CAST(SUM(a) AS BIGINT) AS tot FROM tf GROUP BY tok
+    ), gt AS (
+      SELECT source, CAST(SUM(a) AS BIGINT) AS c FROM tf GROUP BY source
+    ), nn AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM gt
+    ), sc AS (
+      SELECT tf.source, tf.tok, tf.a,
+             ROUND(2.0 * (tf.a * LN(tf.a / (gt.c * tt.tot / nn.n))
+                   + CASE WHEN tt.tot - tf.a > 0
+                          THEN (tt.tot - tf.a)
+                               * LN((tt.tot - tf.a)
+                                    / ((nn.n - gt.c) * tt.tot / nn.n))
+                          ELSE 0.0 END), 6) AS g2
+      FROM tf JOIN tt USING (tok) JOIN gt USING (source) CROSS JOIN nn
+      WHERE tf.a * nn.n > tt.tot * gt.c
+    ), r AS (
+      SELECT source, tok, a, g2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY g2 DESC, tok ASC) AS BIGINT)
+               AS rnk
+      FROM sc)
+    SELECT source, tok, a AS n_in_group, g2, rnk FROM r WHERE rnk <= 10
+    """,
+)
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.distinctive_terms(docs, "source", k=10)
+
+
+# Near-containment pairs (operators/dedup.py containment_pairs):
+# |A∩B| / min(|A|,|B|) catches the doc-inside-doc case Jaccard
+# banding structurally misses. Candidates from the inverted gram
+# index are complete for any positive threshold, so the oracle is the
+# plain all-pairs scan.
+@query(
+    "containment_pairs",
+    _ORACLE_TOKS
+    + r"""
+    , grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS gs
+      FROM toks
+    ), scored AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE /
+                   greatest(least(len(a.gs), len(b.gs)), 1), 6)
+               AS containment
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, containment FROM scored WHERE containment >= 0.2
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, n=3, threshold=0.2)
+
+
+# Cross-split contamination audit: deterministic 80/10/10 assignment
+# (operators/sampling.py split_assign) + the exact near-dup pair set;
+# any pair straddling two splits is train/eval leakage the split
+# hash cannot see. Composition gate: split_assign x minhash-LSH x
+# exact Jaccard verify.
+@query(
+    "split_leakage",
+    _ORACLE_TOKS
+    + r"""
+    , grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS gs
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE /
+                   greatest(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)),
+                            1), 6) AS jaccard
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       % 1000000 < 800000 THEN 'train'
+                  WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       % 1000000 < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b,
+           p.jaccard
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.id_a
+    JOIN sp sb ON sb.doc_id = p.id_b
+    WHERE p.jaccard >= 0.8 AND sa.split <> sb.split
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs)
+    pairs = dedup.ngram_jaccard_pairs(docs, cand, n=3, threshold=0.8)
+    # prune the corpus-sized split frame to pair members (broadcast
+    # semi-join on the tiny member-id set) BEFORE joining — the split
+    # column itself is then broadcast-sized, never the corpus
+    pairs = pairs.persist()
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sp = (
+        split_assign(docs, "doc_id")
+        .join(F.broadcast(members), "doc_id", "left_semi")
+        .select("doc_id", "split")
+    )
+    return (
+        pairs.join(
+            F.broadcast(sp.select(F.col("doc_id").alias("id_a"),
+                                  F.col("split").alias("split_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sp.select(F.col("doc_id").alias("id_b"),
+                                  F.col("split").alias("split_b"))),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

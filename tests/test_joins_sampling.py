@@ -290,3 +290,36 @@ class TestTemperatureMix:
         assert sorted(r.doc_id for r in s1.collect()) == sorted(
             r.doc_id for r in s2.collect()
         )
+
+
+class TestSplitAssign:
+    def test_deterministic_and_partitioned(self, spark):
+        from mofka_spark.operators.sampling import split_assign
+
+        df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+        out = split_assign(df, "doc_id").groupBy("split").count().collect()
+        shares = {r.split: r["count"] / 2000 for r in out}
+        assert set(shares) == {"train", "val", "test"}
+        assert abs(shares["train"] - 0.8) < 0.05
+        assert abs(shares["val"] - 0.1) < 0.03
+        # append-stability: the same keys keep their split in a superset
+        small = {
+            r.doc_id: r.split
+            for r in split_assign(
+                spark.createDataFrame([(i,) for i in range(100)], ["doc_id"]),
+                "doc_id",
+            ).collect()
+        }
+        big = {
+            r.doc_id: r.split
+            for r in split_assign(df, "doc_id").collect()
+        }
+        assert all(big[k] == v for k, v in small.items())
+
+    def test_holdout_remainder_is_null(self, spark):
+        from mofka_spark.operators.sampling import split_assign
+
+        df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+        out = split_assign(df, "doc_id", fractions={"train": 0.5}).collect()
+        splits = {r.split for r in out}
+        assert splits == {"train", None}

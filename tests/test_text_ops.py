@@ -324,3 +324,83 @@ class TestCdcChunks:
         docs = _docs(spark, [(1, "a b c d e f")])
         p = plans.plan_string(text.cdc_chunks(docs, w=2, divisor=2))
         assert "Exchange" not in p
+
+
+class TestDistinctiveTerms:
+    def test_group_exclusive_token_tops_rank(self, spark):
+        from mofka_spark.operators.text import distinctive_terms
+
+        # "zebra" appears only in group A and often; shared filler
+        # tokens are at corpus rate and must not outrank it
+        rows = [
+            (1, "A", "zebra zebra zebra common words here"),
+            (2, "A", "zebra common words here"),
+            (3, "B", "common words here again and again"),
+            (4, "B", "more common words here"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out = distinctive_terms(df, "source", k=3).collect()
+        top_a = [r.tok for r in out if r.source == "A" and r.rnk == 1]
+        assert top_a == ["zebra"]
+        # zebra is absent from B, so it can never appear in B's list
+        assert all(r.tok != "zebra" for r in out if r.source == "B")
+
+    def test_only_overrepresented_terms(self, spark):
+        from mofka_spark.operators.text import distinctive_terms
+
+        rows = [
+            (1, "A", "x x x y"),
+            (2, "B", "y y y x"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out = distinctive_terms(df, "source", k=10).collect()
+        got = {(r.source, r.tok) for r in out}
+        # each token is overrepresented in exactly one group
+        assert ("A", "x") in got and ("B", "y") in got
+        assert ("A", "y") not in got and ("B", "x") not in got
+
+    def test_g2_nonnegative_and_k_cap(self, spark):
+        from mofka_spark.operators.text import distinctive_terms
+
+        rows = [(i, f"g{i%2}", f"tok{i} filler text body") for i in range(8)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out = distinctive_terms(df, "source", k=2).collect()
+        assert all(r.g2 >= 0 for r in out)
+        for g in ("g0", "g1"):
+            assert len([r for r in out if r.source == g]) <= 2
+
+
+class TestContainmentPairs:
+    def test_subdocument_found_despite_low_jaccard(self, spark):
+        from mofka_spark.operators.dedup import containment_pairs
+
+        quote = "alpha beta gamma delta epsilon zeta"
+        big = quote + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+        rows = [(1, quote), (2, big), (3, "totally unrelated content here")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = containment_pairs(df, threshold=0.9).collect()
+        assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+        assert out[0].containment == 1.0
+
+    def test_threshold_filters(self, spark):
+        from mofka_spark.operators.dedup import containment_pairs
+
+        rows = [
+            (1, "a b c d e f"),
+            (2, "a b c d zz yy xx ww vv uu"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        # doc1 grams: 4; shared grams: (a b c), (b c d) = 2 -> 0.5
+        hit = containment_pairs(df, threshold=0.5).collect()
+        assert len(hit) == 1 and hit[0].containment == 0.5
+        assert containment_pairs(df, threshold=0.6).count() == 0
+
+    def test_max_df_drops_common_gram_anchors(self, spark):
+        from mofka_spark.operators.dedup import containment_candidates
+
+        # one gram shared by ALL docs: with max_df=2 it cannot anchor
+        common = "the same boilerplate line"
+        rows = [(i, common) for i in range(4)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        assert containment_candidates(df, max_df=2).count() == 0
+        assert containment_candidates(df).count() == 6  # C(4,2)
