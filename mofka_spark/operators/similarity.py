@@ -617,3 +617,90 @@ def embedding_dim_stats(
             ),
         )
     )
+
+
+def pca_power(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 4,
+) -> DataFrame:
+    """Top principal component of an embedding column by distributed
+    covariance + fixed-iteration power method, returning each vector's
+    PC1 projection — the 1-D "spectral score" used for embedding-space
+    triage (anisotropy/outlier axes, SemDeDup-style cluster sorting,
+    sanity-checking encoder drift between corpus versions).
+
+    Deterministic closed form an oracle can replay: exactly ``iters``
+    matrix-vector steps from the fixed start v0 = 1/sqrt(d) * ones,
+    L2-normalized each step — both engines run the same arithmetic, so
+    the (sign included) result agrees to float noise, absorbed by the
+    6dp output rounding.
+
+    Returns (id, pc1) with pc1 = (x - mean) . v_iters rounded to 6dp.
+
+    Scale shape: the mean is one posexplode partial agg (O(d) rows);
+    the covariance is an Arrow map stage emitting ONE d x d partial
+    outer-product sum per partition (shuffle carries P * d^2 thin
+    rows, never vectors); the d x d matrix and the iteration live on
+    the driver — O(d^2) metadata, the same legitimacy class as
+    collecting per-partition offsets. The projection pass is a
+    scan-local index-ordered fold, no shuffle, no second pass."""
+    import numpy as np
+    import pandas as pd
+
+    vecs = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    stats = (
+        vecs.select(F.posexplode("vec").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    dim = len(stats)
+    mu = np.zeros(dim)
+    for r in stats:
+        mu[r.d] = r.m
+    n = vecs.count()
+
+    def cov_partials(batches):
+        acc = np.zeros((dim, dim))
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                a = np.stack(pdf["vec"].to_numpy()).astype("float64") - mu
+                acc += a.T @ a
+                seen = True
+        if seen:
+            ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "s": acc.ravel()}
+            )
+
+    partials = vecs.select("vec").mapInPandas(
+        cov_partials, "i int, j int, s double"
+    )
+    rows = (
+        partials.groupBy("i", "j").agg(F.sum("s").alias("s")).collect()
+    )
+    cov = np.zeros((dim, dim))
+    for r in rows:
+        cov[r.i, r.j] = r.s / n
+    v = np.full(dim, 1.0 / np.sqrt(dim))
+    for _ in range(iters):
+        u = cov @ v
+        v = u / np.linalg.norm(u)
+    # projection = x . v - mu . v: the vector dot folds in index order
+    # scan-local; the centering term is one scalar
+    c = float(np.dot(mu, v))
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), vlit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return vecs.select(
+        F.col("id").alias(id_col),
+        F.round(dot - F.lit(c), 6).alias("pc1"),
+    )

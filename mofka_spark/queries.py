@@ -4537,6 +4537,126 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incrementally-maintained heavy hitters (streaming/heavyhitters.py):
+# per-epoch space-capped count summaries merge at read time with a
+# slack certificate. Gate runs in the exact regime (m >= per-epoch
+# vocab, slack 0) so the merged top-k must equal the batch answer —
+# the same oracle shape as heavy_hitter_tokens, restricted to the
+# fixture slice.
+@query(
+    "streaming_heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS item
+      FROM documents WHERE text IS NOT NULL AND doc_id < 1000
+    )
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS BIGINT)
+             AS rnk,
+           TRUE AS guaranteed
+    FROM toks GROUP BY item
+    ORDER BY cnt DESC, item LIMIT 20
+    """,
+)
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.operators.dedup import normalize_text
+    from mofka_spark.streaming.heavyhitters import heavyhitter_sink, read_top_k
+
+    topic = _stream_fixture(spark, sf_dir, "docs")
+    deepest = max(topic.snapshot().values())  # two epochs at every sf
+    items = topic.read_stream(batch_size=(deepest + 1) // 2).select(
+        F.explode(
+            F.split(
+                normalize_text(F.get_json_object("metadata", "$.text")), " "
+            )
+        ).alias("item")
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-hh-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            items.writeStream.foreachBatch(
+                heavyhitter_sink(store, m_per_epoch=200_000)
+            )
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        if not topic.await_completion(q, timeout=300):
+            q.stop()
+            raise RuntimeError("streaming_heavy_hitters did not drain")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return read_top_k(spark, store, k=20)
+
+
+def _pca_oracle(iters: int = 4) -> str:
+    """Unrolled power-method PCA over the population covariance:
+    v0 = 1/sqrt(d), v_{k+1} = C v_k / ||C v_k||, output = per-vector
+    centered projection onto v_iters. Mirrors
+    operators/similarity.pca_power's arithmetic step for step."""
+    steps = ""
+    prev = "v0"
+    for k in range(1, iters + 1):
+        steps += f"""
+    , u{k} AS (
+      SELECT cv.i AS d, SUM(cv.m * p.v) AS u
+      FROM cv JOIN {prev} p ON p.d = cv.j GROUP BY cv.i
+    ), v{k} AS (
+      SELECT d, u / (SELECT sqrt(SUM(u * u)) FROM u{k}) AS v FROM u{k}
+    )"""
+        prev = f"v{k}"
+    return (
+        r"""
+    WITH vals AS (
+      SELECT vec_id, t.i - 1 AS d, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS t(i)
+      WHERE embedding IS NOT NULL
+    ), mu AS (
+      SELECT d, AVG(x) AS m FROM vals GROUP BY d
+    ), nn AS (
+      SELECT COUNT(*)::DOUBLE AS n FROM embeddings WHERE embedding IS NOT NULL
+    ), cv AS (
+      SELECT a.d AS i, b.d AS j,
+             SUM((a.x - ma.m) * (b.x - mb.m)) / (SELECT n FROM nn) AS m
+      FROM vals a JOIN vals b ON a.vec_id = b.vec_id
+      JOIN mu ma ON ma.d = a.d JOIN mu mb ON mb.d = b.d
+      GROUP BY a.d, b.d
+    ), dd AS (
+      SELECT COUNT(*)::DOUBLE AS k FROM mu
+    ), v0 AS (
+      SELECT d, 1.0 / sqrt((SELECT k FROM dd)) AS v FROM mu
+    )"""
+        + steps
+        + f"""
+    SELECT v.vec_id,
+           ROUND(SUM((v.x - mu.m) * vk.v), 6) AS pc1
+    FROM vals v JOIN mu ON mu.d = v.d JOIN {prev} vk ON vk.d = v.d
+    GROUP BY v.vec_id
+    """
+    )
+
+
+# Top-principal-component projection (operators/similarity.py
+# pca_power): distributed covariance partials + a fixed-iteration
+# power method the oracle unrolls exactly (same start vector, same
+# normalization each step — sign and value agree to float noise under
+# the 6dp rounding).
+@query("embedding_pca", _pca_oracle(iters=4))
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pca_power(emb, iters=4)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -1,0 +1,127 @@
+"""Incrementally-maintained heavy hitters over a live topic.
+
+The streaming counterpart of operators/sketch.py heavy_hitters: each
+micro-batch reduces to a space-capped count summary (top-m items plus
+one residual slack row recording the largest count it dropped) and
+appends it to an epoch-partitioned store; reads merge the summaries
+and certify the result. The write path never reads history and its
+per-epoch cost is the batch's own count aggregate — the classic
+mergeable-summary shape (Misra-Gries / SpaceSaving family, here with
+exact per-epoch counts truncated to m).
+
+Certificate semantics at read time, with slack = sum over epochs of
+each epoch's largest dropped count:
+
+- an item absent from EVERY epoch's kept set has total <= slack;
+- a candidate's merged count is exact for epochs where it was kept
+  and undercounts by at most that epoch's slack elsewhere;
+- ``guaranteed`` is true when the k-th candidate count strictly
+  exceeds slack — no non-candidate can then displace the top-k set.
+  With m sized to the per-epoch distinct-item count (slack 0), every
+  count is exact and the result equals the batch answer — the gate
+  regime; under real truncation the flag says "set certified, counts
+  are lower bounds within slack".
+
+Storage follows streaming/store.py's epoch protocol: replayed epochs
+overwrite their own partition, so restarts are idempotent; compaction
+merges kept rows per item and sums residuals into the reserved epoch.
+
+Reference has no aggregate maintenance beyond the per-partition event
+counter (/root/reference/src/DefaultPartitionManager.hpp:208); this is
+part of the beyond-reference streaming analytics layer.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from mofka_spark.streaming.store import (
+    COMPACTED_EPOCH,
+    epoch_write,
+    read_store,
+)
+
+_SCHEMA = "item string, cnt long"
+
+
+def heavyhitter_sink(
+    path: str,
+    item_col: str = "item",
+    m_per_epoch: int = 100_000,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer: count the batch's items, keep the top
+    ``m_per_epoch`` by (cnt DESC, item ASC), append one residual row
+    (item NULL, cnt = largest dropped count; 0 when nothing dropped).
+    Shuffle carries the batch's distinct items only (map-side combine);
+    the top-m cut is one window over that counted frame."""
+
+    def write_epoch(batch: DataFrame, epoch_id: int) -> None:
+        counts = (
+            batch.select(F.col(item_col).cast("string").alias("item"))
+            .filter(F.col("item").isNotNull())
+            .groupBy("item")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy(F.lit(1)).orderBy(
+            F.desc("cnt"), F.asc("item")
+        )
+        ranked = counts.withColumn("_rk", F.row_number().over(w)).persist()
+        kept = ranked.filter(F.col("_rk") <= m_per_epoch).select("item", "cnt")
+        residual = ranked.filter(F.col("_rk") > m_per_epoch).agg(
+            F.coalesce(F.max("cnt"), F.lit(0)).alias("cnt")
+        ).select(F.lit(None).cast("string").alias("item"), "cnt")
+        epoch_write(kept.unionByName(residual), path, epoch_id)
+        ranked.unpersist()
+
+    return write_epoch
+
+
+def read_top_k(spark: SparkSession, path: str, k: int = 20) -> DataFrame:
+    """Merge-on-read top-k: (item, cnt, rnk, guaranteed). O(stored
+    summary rows), never the stream history. See module docstring for
+    what ``guaranteed`` certifies."""
+    partials = read_store(spark, path, _SCHEMA)
+    slack_row = (
+        partials.filter(F.col("item").isNull())
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_slack"))
+    )
+    merged = (
+        partials.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("item"))
+        .limit(k)
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cnt"), F.asc("item"))
+    return (
+        merged.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(slack_row))
+        .withColumn(
+            "guaranteed",
+            F.min("cnt").over(Window.partitionBy(F.lit(1))) > F.col("_slack"),
+        )
+        .drop("_slack")
+    )
+
+
+def compact_hitters(spark: SparkSession, path: str) -> None:
+    """Merge per-item kept rows and sum residual slack into the
+    compacted epoch slot. read_top_k sees identical results before and
+    after (sums of sums; residual slack total preserved)."""
+    import os
+    import shutil
+
+    df = read_store(spark, path, _SCHEMA)
+    # kept rows merge per item; residual (NULL-item) rows sum into one
+    merged = df.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+
+    tmp = path.rstrip("/") + ".compact-tmp"
+    merged.withColumn("_epoch", F.lit(COMPACTED_EPOCH)).write.mode(
+        "overwrite"
+    ).partitionBy("_epoch").parquet(tmp)
+    old = path.rstrip("/") + ".compact-old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

@@ -186,3 +186,39 @@ class TestEmbeddingDimStats:
         df = spark.createDataFrame(rows, "embedding array<double>")
         out = embedding_dim_stats(df).collect()
         assert len(out) == 2
+
+
+class TestPcaPower:
+    def test_dominant_axis_recovered(self, spark):
+        from mofka_spark.operators.similarity import pca_power
+
+        # variance lives on dim 0; dims 1-2 are constant
+        rows = [(i, [float(i), 1.0, 2.0]) for i in range(-5, 6)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {r.vec_id: r.pc1 for r in pca_power(df).collect()}
+        # projections are the centered dim-0 values (up to global sign)
+        sign = 1.0 if out[5] > 0 else -1.0
+        for i in range(-5, 6):
+            assert abs(sign * out[i] - float(i)) < 1e-4
+        # symmetric inputs -> antisymmetric projections
+        assert abs(out[3] + out[-3]) < 1e-6
+
+    def test_deterministic_across_runs(self, spark):
+        from mofka_spark.operators.similarity import pca_power
+
+        rows = [
+            (i, [float((i * 7) % 5), float((i * 3) % 4), float(i % 3)])
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        a = sorted((r.vec_id, r.pc1) for r in pca_power(df).collect())
+        b = sorted((r.vec_id, r.pc1) for r in pca_power(df).collect())
+        assert a == b
+
+    def test_centered_projections_sum_to_zero(self, spark):
+        from mofka_spark.operators.similarity import pca_power
+
+        rows = [(i, [float(i), float(i * i % 7)]) for i in range(9)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        total = sum(r.pc1 for r in pca_power(df).collect())
+        assert abs(total) < 1e-3

@@ -851,3 +851,70 @@ class TestIncrementalInvertedIndex:
             for r in bm25_scores(batch_df, terms).collect()
         }
         assert got == want  # exact doubles, not approximate
+
+
+class TestStreamingHeavyHitters:
+    """Epoch summaries merge exactly in the uncapped regime, certify
+    honestly in the capped regime, replay idempotently, and survive
+    compaction unchanged."""
+
+    def _sink_batches(self, spark, path, m):
+        from mofka_spark.streaming.heavyhitters import heavyhitter_sink
+
+        sink = heavyhitter_sink(path, m_per_epoch=m)
+        b1 = spark.createDataFrame(
+            [("x",)] * 5 + [("y",)] * 3 + [("z",)] * 1, "item string"
+        )
+        b2 = spark.createDataFrame(
+            [("x",)] * 2 + [("y",)] * 4 + [("w",)] * 1, "item string"
+        )
+        sink(b1, 0)
+        sink(b2, 1)
+        return sink, b2
+
+    def test_exact_regime_matches_batch(self, spark, tmp_path):
+        from mofka_spark.streaming.heavyhitters import read_top_k
+
+        path = str(tmp_path / "hh")
+        sink, b2 = self._sink_batches(spark, path, m=100)
+        out = {r.item: (r.cnt, r.rnk, r.guaranteed) for r in read_top_k(spark, path, 3).collect()}
+        assert out == {"x": (7, 1, True), "y": (7, 2, True), "w": (1, 3, True)}
+        # replayed epoch overwrites itself — no double counting
+        sink(b2, 1)
+        out2 = {r.item: r.cnt for r in read_top_k(spark, path, 3).collect()}
+        assert out2 == {"x": 7, "y": 7, "w": 1}
+
+    def test_capped_regime_certificate(self, spark, tmp_path):
+        from mofka_spark.streaming.heavyhitters import read_top_k
+
+        path = str(tmp_path / "hh")
+        # m=1: each epoch keeps only its top item; slack accumulates
+        self._sink_batches(spark, path, m=1)
+        rows = read_top_k(spark, path, 2).collect()
+        by_rank = {r.rnk: r for r in rows}
+        # epoch 0 kept x=5 (dropped y=3 -> slack 3); epoch 1 kept
+        # y=4 (dropped x=2 -> slack 2). slack=5; top counts are the
+        # kept sums (x=5, y=4): k-th (4) <= slack -> NOT guaranteed
+        assert by_rank[1].item == "x" and by_rank[1].cnt == 5
+        assert by_rank[2].item == "y" and by_rank[2].cnt == 4
+        assert not by_rank[1].guaranteed and not by_rank[2].guaranteed
+
+    def test_compaction_is_invisible(self, spark, tmp_path):
+        from mofka_spark.streaming.heavyhitters import (
+            compact_hitters,
+            read_top_k,
+        )
+
+        path = str(tmp_path / "hh")
+        self._sink_batches(spark, path, m=1)
+        before = [(r.item, r.cnt, r.rnk, r.guaranteed) for r in read_top_k(spark, path, 3).collect()]
+        compact_hitters(spark, path)
+        after = [(r.item, r.cnt, r.rnk, r.guaranteed) for r in read_top_k(spark, path, 3).collect()]
+        assert before == after
+        # one row per item + one residual row
+        assert spark.read.parquet(path).count() == len(before) + 1
+
+    def test_empty_store_reads_empty(self, spark, tmp_path):
+        from mofka_spark.streaming.heavyhitters import read_top_k
+
+        assert read_top_k(spark, str(tmp_path / "none"), 5).count() == 0
