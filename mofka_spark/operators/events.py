@@ -17,6 +17,7 @@ __all__ = [
     "cohort_retention",
     "time_decayed_average",
     "transition_matrix",
+    "rolling_active_users",
 ]
 
 
@@ -172,6 +173,48 @@ def time_decayed_average(
                 F.sum(F.col(value_col) * w) / F.sum(w), 6
             ).alias("ewma"),
         )
+    )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct actives per day (the DAU/WAU/MAU
+    family): for each day, the number of distinct users with at least
+    one event in the ``window_days`` ending that day. Days reported =
+    every day within window reach of an event, up to the last event
+    day (so a trailing bucket never dangles past the data).
+
+    Returns (day, n_active).
+
+    Scale shape: COUNT(DISTINCT) over a sliding window has no
+    partial-aggregate form, so the naive windowed form rescans
+    window_days of data per day. This is the standard explode
+    rewrite: distinct (user, day) pairs first (one shuffle, collapses
+    all intra-day activity), then each pair replicates into the
+    window_days buckets it supports and a plain distinct count runs
+    per bucket — shuffle volume = window_days x daily-active pairs,
+    independent of raw event count, and every aggregate partials
+    map-side."""
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).distinct()
+    last = ev.agg(F.max("day").alias("_last"))
+    return (
+        ev.select(
+            "u",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", window_days - 1))
+            ).alias("day"),
+        )
+        .crossJoin(F.broadcast(last))
+        .filter(F.col("day") <= F.col("_last"))
+        .groupBy(F.col("day").cast("timestamp").alias("day"))
+        .agg(F.countDistinct("u").cast("long").alias("n_active"))
     )
 
 

@@ -1203,3 +1203,86 @@ def distinctive_terms(
             "rnk",
         )
     )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 5,
+    min_count: int = 10,
+    k: int = 50,
+) -> DataFrame:
+    """Pointwise mutual information over token co-occurrence within a
+    sliding window — the corpus-linguistics collocation detector
+    (PMI(x,y) = ln(p(x,y) / (p(x)p(y))) with p(x,y) from window
+    co-occurrence counts, p(x) from unigram counts). High-PMI pairs are
+    multiword expressions / templated phrases; curation uses them to
+    spot boilerplate families and to build phrase vocabularies.
+
+    Pairs are unordered (w1 < w2 lexicographically), self-pairs are
+    excluded, pairs below ``min_count`` are dropped (PMI is unstable at
+    small counts), and the top ``k`` by (round(pmi,6) DESC, w1, w2)
+    are returned as (w1, w2, n_pair, pmi).
+
+    Scale shape: each token replicates into its ``window`` forward
+    offsets and pairs form by EQUI-join on (doc, position) — no range
+    join, no per-doc cross product; volume = window x corpus tokens,
+    linear. Pair counts and unigram counts both partial-agg map-side
+    (Zipf-small); the totals are one-row broadcasts; ranking windows
+    over the min_count-filtered pair vocabulary only."""
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("_doc", F.monotonically_increasing_id())
+        .select("_doc", F.posexplode(_tokens(F.col(text_col))).alias("pos", "w"))
+        .filter(F.col("w") != "")
+    )
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    n_tok = uni.agg(F.sum("c").alias("n"))
+    right = toks.select("_doc", F.col("pos").alias("pos2"), F.col("w").alias("wb"))
+    pairs = (
+        toks.select(
+            "_doc",
+            F.col("w").alias("wa"),
+            F.explode(
+                F.sequence(F.col("pos") + 1, F.col("pos") + window)
+            ).alias("pos2"),
+        )
+        .join(right, ["_doc", "pos2"])
+        .filter(F.col("wa") != F.col("wb"))
+        .select(
+            F.least("wa", "wb").alias("w1"),
+            F.greatest("wa", "wb").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .persist()  # feeds the pair total AND the scored join
+    )
+    # p(x,y) denominator = ALL window pairs, counted pre-filter
+    n_pairs = pairs.agg(F.sum("n_pair").alias("p")).collect()[0][0]
+    pairs = pairs.filter(F.col("n_pair") >= min_count)
+    scored = (
+        pairs.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.lit(float(n_pairs)))
+                    / (
+                        (F.col("c1") / F.col("n"))
+                        * (F.col("c2") / F.col("n"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("w1", "w2", F.col("n_pair").cast("long").alias("n_pair"), "pmi", "rnk")
+    )

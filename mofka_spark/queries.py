@@ -4657,6 +4657,108 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pca_power(emb, iters=4)
 
 
+# Trailing-7-day distinct actives (operators/events.py
+# rolling_active_users): the explode rewrite of windowed
+# COUNT(DISTINCT) — both engines replicate each distinct (user, day)
+# pair into its 7 supported buckets, so the rolling distinct becomes
+# a plain per-bucket distinct count.
+@query(
+    "rolling_active_users",
+    """
+    WITH ev AS (
+      SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), mx AS (SELECT MAX(day) AS last_day FROM ev)
+    SELECT b.day, CAST(COUNT(DISTINCT b.u) AS BIGINT) AS n_active
+    FROM (
+      SELECT e.u, CAST(e.day + gs.i * INTERVAL 1 DAY AS TIMESTAMP) AS day
+      FROM ev e, UNNEST(generate_series(0, 6)) AS gs(i)
+    ) b
+    WHERE b.day <= (SELECT last_day FROM mx)
+    GROUP BY b.day
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.events import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active_users(ev, window_days=7)
+
+
+# ROWS-frame rolling aggregate: each event's trailing 4-event mean
+# value per user — the windowed-frame shape (ROWS BETWEEN) not
+# otherwise covered by the rank/lag gates. One user-keyed shuffle +
+# in-partition sort; identical frame semantics in both engines.
+@query(
+    "rolling_user_value",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                 6) AS rolling_avg
+    FROM events
+    """,
+)
+def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+    )
+
+
+# Windowed PMI collocations (operators/text.py cooccurrence_pmi):
+# token pairs within a 5-token window scored by pointwise mutual
+# information, top-50 by rounded PMI. Pair formation is an equi-join
+# on (doc, position) in both engines.
+@query(
+    "pmi_collocations",
+    _ORACLE_TOKS
+    + r"""
+    , pos AS (
+      SELECT doc_id, gs.i AS pos, t[gs.i] AS w
+      FROM toks, UNNEST(generate_series(1, len(t))) AS gs(i)
+      WHERE t[gs.i] <> ''
+    ), uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY w
+    ), nt AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
+    ), pr AS (
+      SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 5
+      WHERE a.w <> b.w
+      GROUP BY least(a.w, b.w), greatest(a.w, b.w)
+    ), pp AS (
+      SELECT CAST(SUM(n_pair) AS DOUBLE) AS p FROM pr
+    ), sc AS (
+      SELECT w1, w2, n_pair,
+             ROUND(LN((n_pair / (SELECT p FROM pp)) /
+                      ((u1.c / (SELECT n FROM nt)) *
+                       (u2.c / (SELECT n FROM nt)))), 6) AS pmi
+      FROM pr JOIN uni u1 ON u1.w = pr.w1 JOIN uni u2 ON u2.w = pr.w2
+      WHERE n_pair >= 10
+    ), r AS (
+      SELECT w1, w2, n_pair, pmi,
+             CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT)
+               AS rnk
+      FROM sc)
+    SELECT w1, w2, n_pair, pmi, rnk FROM r WHERE rnk <= 50
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.cooccurrence_pmi(docs, window=5, min_count=10, k=50)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

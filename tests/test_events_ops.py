@@ -158,3 +158,35 @@ class TestTransitionMatrix:
         out = ev_ops.transition_matrix(df).collect()
         assert len(out) == 1
         assert (out[0].from_type, out[0].to_type) == ("b", "a")
+
+
+class TestRollingActiveUsers:
+    def test_window_counts(self, spark):
+        rows = [
+            (1, "e", _t(1)),
+            (2, "e", _t(1)),
+            (1, "e", _t(3)),
+            (3, "e", _t(10)),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+        out = {
+            r.day.day: r.n_active
+            for r in ev_ops.rolling_active_users(df, window_days=7).collect()
+        }
+        # day 1: users {1,2}; day 3: {1,2} (window) ∪ {1} = {1,2};
+        # day 7: still {1,2} (day1 in window); day 8: only day3's {1};
+        # day 10: {3} plus day-3 activity is out of window (3+7=10>... )
+        assert out[1] == 2
+        assert out[3] == 2
+        assert out[7] == 2
+        assert out[8] == 1
+        assert out[9] == 1  # day 3 activity covers through day 9
+        assert out[10] == 1  # only user 3
+        # no bucket past the last event day
+        assert max(out) == 10
+
+    def test_multiple_events_one_user_count_once(self, spark):
+        rows = [(1, "a", _t(2)), (1, "b", _t(2)), (1, "c", _t(2))]
+        df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+        out = ev_ops.rolling_active_users(df).collect()
+        assert all(r.n_active == 1 for r in out)

@@ -404,3 +404,40 @@ class TestContainmentPairs:
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         assert containment_candidates(df, max_df=2).count() == 0
         assert containment_candidates(df).count() == 6  # C(4,2)
+
+
+class TestCooccurrencePmi:
+    def test_exclusive_collocations_beat_promiscuous_words(self, spark):
+        from mofka_spark.operators.text import cooccurrence_pmi
+
+        # "hong kong" and "zk wq" are exclusive partners; "common"
+        # appears in every doc, so any pair with it scores lower PMI
+        docs = [(i, "hong kong common") for i in range(10)] + [
+            (100 + i, "zk wq common") for i in range(10)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = cooccurrence_pmi(df, window=2, min_count=5, k=10).collect()
+        top_two = {(r.w1, r.w2) for r in out if r.rnk <= 2}
+        assert top_two == {("hong", "kong"), ("wq", "zk")}
+        assert all(
+            r.rnk > 2 for r in out if "common" in (r.w1, r.w2)
+        )
+
+    def test_min_count_prunes(self, spark):
+        from mofka_spark.operators.text import cooccurrence_pmi
+
+        df = spark.createDataFrame(
+            [(1, "rare pair only once here")], ["doc_id", "text"]
+        )
+        assert cooccurrence_pmi(df, min_count=2).count() == 0
+
+    def test_pairs_cross_window_only(self, spark):
+        from mofka_spark.operators.text import cooccurrence_pmi
+
+        # distance between far1 and far2 is 3 > window=2: no pair
+        df = spark.createDataFrame(
+            [(i, "far1 a b far2") for i in range(10)], ["doc_id", "text"]
+        )
+        out = {(r.w1, r.w2) for r in cooccurrence_pmi(df, window=2, min_count=5).collect()}
+        assert ("far1", "far2") not in out
+        assert ("a", "far1") in out
