@@ -739,12 +739,19 @@ def containment_candidates(
     (id_a, id_b). Gram text never shuffles — grams travel as 64-bit
     xxhash keys.
     """
-    grams = _spread(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(word_ngrams(F.col(text_col), n))
-        ).alias("gram"),
-    ).select("id", F.xxhash64("gram").alias("g"))
+    # the exploded gram frame feeds the df aggregate AND both sides of
+    # the self-join — persist it or the tokenize+explode runs 3x
+    grams = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("gram"),
+        )
+        .select("id", F.xxhash64("gram").alias("g"))
+        .persist()
+    )
     if max_df is not None:
         dfreq = grams.groupBy("g").agg(F.count("*").alias("_df"))
         grams = grams.join(

