@@ -409,3 +409,99 @@ class TestWeightedSampleProperties:
             a.unionByName(b).collect(), key=lambda r: (r.race_key, r.doc_id)
         )[: min(k, n)]
         assert sorted(r.doc_id for r in merged) == sorted(r.doc_id for r in out)
+
+
+class TestTransitionMatrixProperties:
+    @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 4), st.sampled_from(["a", "b", "c"])),
+            min_size=2,
+            max_size=40,
+        )
+    )
+    def test_probabilities_partition_and_counts_conserve(self, spark, evs):
+        """Per from_type the probabilities sum to 1; total transition
+        count equals sum over users of (n_events - 1)."""
+        import datetime
+
+        from mofka_spark.operators.events import transition_matrix
+
+        rows = [
+            (u, t, datetime.datetime(2024, 1, 1, 0, 0, i), i)
+            for i, (u, t) in enumerate(evs)
+        ]
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_type", "ts", "event_id"]
+        )
+        out = transition_matrix(df).collect()
+        per_user = {}
+        for u, _ in evs:
+            per_user[u] = per_user.get(u, 0) + 1
+        expect_total = sum(n - 1 for n in per_user.values())
+        assert sum(r.n_transitions for r in out) == expect_total
+        by_from = {}
+        for r in out:
+            by_from.setdefault(r.from_type, 0.0)
+            by_from[r.from_type] += r.probability
+        for s in by_from.values():
+            assert abs(s - 1.0) < 1e-4
+
+
+class TestContainmentProperties:
+    @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("abcdefgh"), min_size=4, max_size=12),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def test_bounds_orientation_and_self_containment(self, spark, docs):
+        """containment in (0, 1]; id_a < id_b; a doc duplicated
+        verbatim always yields containment 1.0 with its copy."""
+        from mofka_spark.operators.dedup import containment_pairs
+
+        texts = [" ".join(d) for d in docs] + [" ".join(docs[0])]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        out = containment_pairs(df, threshold=0.01).collect()
+        for r in out:
+            assert 0.0 < r.containment <= 1.0
+            assert r.id_a < r.id_b
+        dup_pair = [
+            r for r in out if r.id_a == 0 and r.id_b == len(texts) - 1
+        ]
+        assert dup_pair and dup_pair[0].containment == 1.0
+
+
+class TestTemperatureMixProperties:
+    @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        st.dictionaries(
+            st.sampled_from(["s1", "s2", "s3", "s4"]),
+            st.integers(5, 60),
+            min_size=2,
+            max_size=4,
+        ),
+        st.floats(0.0, 1.0),
+    )
+    def test_budget_shares_follow_power_weights(self, spark, sizes, alpha):
+        """Expected kept rows per stratum = target * n^alpha / sum —
+        verified on the RATES (exact), not the hash draw (noisy)."""
+        from mofka_spark.operators.sampling import temperature_mix
+
+        rows = [
+            (f"{s}-{i}", s) for s, n in sizes.items() for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, ["key", "stratum"])
+        total = sum(sizes.values())
+        target = max(1, total // 3)
+        _, rates = temperature_mix(
+            df, "key", "stratum", target_rows=target, alpha=alpha
+        )
+        wsum = sum(n**alpha for n in sizes.values())
+        for s, n in sizes.items():
+            expect = min(1.0, target * (n**alpha) / wsum / n)
+            assert abs(rates[s] - expect) < 1e-9
