@@ -4773,6 +4773,96 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.cooccurrence_pmi(docs, window=5, min_count=10, k=50)
 
 
+def _streaming_pca_oracle(iters: int = 4) -> str:
+    """Unrolled power iteration over the UNCENTERED-moment covariance
+    (C = E[xy] - E[x]E[y]) of the vecs fixture slice — mirrors what
+    streaming/moments.py recovers from its mergeable partials."""
+    steps = ""
+    prev = "v0"
+    for k in range(1, iters + 1):
+        steps += f"""
+    , u{k} AS (
+      SELECT cv.i AS d, SUM(cv.m * p.v) AS u
+      FROM cv JOIN {prev} p ON p.d = cv.j GROUP BY cv.i
+    ), v{k} AS (
+      SELECT d, u / (SELECT sqrt(SUM(u * u)) FROM u{k}) AS v FROM u{k}
+    )"""
+        prev = f"v{k}"
+    return (
+        r"""
+    WITH vals AS (
+      SELECT vec_id, t.i - 1 AS d, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS t(i)
+      WHERE embedding IS NOT NULL AND vec_id < 500
+    ), mu AS (
+      SELECT d, AVG(x) AS m FROM vals GROUP BY d
+    ), nn AS (
+      SELECT COUNT(*)::DOUBLE AS n FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id < 500
+    ), cv AS (
+      SELECT a.d AS i, b.d AS j,
+             SUM(a.x * b.x) / (SELECT n FROM nn) - ma.m * mb.m AS m
+      FROM vals a JOIN vals b ON a.vec_id = b.vec_id
+      JOIN mu ma ON ma.d = a.d JOIN mu mb ON mb.d = b.d
+      GROUP BY a.d, b.d, ma.m, mb.m
+    ), dd AS (
+      SELECT COUNT(*)::DOUBLE AS k FROM mu
+    ), v0 AS (
+      SELECT d, 1.0 / sqrt((SELECT k FROM dd)) AS v FROM mu
+    )"""
+        + steps
+        + f"""
+    SELECT CAST(d AS BIGINT) AS d, ROUND(v, 6) AS v FROM {prev}
+    """
+    )
+
+
+# Incremental embedding moments -> read-time PCA
+# (streaming/moments.py): uncentered moments are mergeable sums, so
+# each epoch writes one O(d^2) partial set and the exact covariance
+# of everything ingested is recovered at read time. The oracle
+# derives the same top component from the parquet slice directly —
+# the incremental maintenance must be invisible in the eigenvector.
+@query("streaming_pca", _streaming_pca_oracle(iters=4))
+def q_streaming_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.moments import moments_sink, read_component
+
+    topic = _stream_fixture(spark, sf_dir, "vecs")
+    deepest = max(topic.snapshot().values())  # two epochs at every sf
+    parsed = (
+        topic.read_stream(batch_size=(deepest + 1) // 2)
+        .select(
+            F.from_json(
+                "metadata", "vec_id long, embedding array<float>"
+            ).alias("j")
+        )
+        .select(F.col("j.embedding").alias("vec"))
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-moments-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(moments_sink(store, "vec"))
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        if not topic.await_completion(q, timeout=300):
+            q.stop()
+            raise RuntimeError("streaming_pca did not drain")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return read_component(spark, store, iters=4)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

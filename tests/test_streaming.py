@@ -918,3 +918,83 @@ class TestStreamingHeavyHitters:
         from mofka_spark.streaming.heavyhitters import read_top_k
 
         assert read_top_k(spark, str(tmp_path / "none"), 5).count() == 0
+
+
+class TestStreamingMoments:
+    """Mergeable uncentered moments: any epoch split recovers the same
+    covariance/eigenvector as one batch; replay and compaction are
+    invisible."""
+
+    def _vecs(self, lo, hi):
+        return [
+            ([float((i * 7) % 5), float((i * 3) % 4), float(i % 3)],)
+            for i in range(lo, hi)
+        ]
+
+    def test_split_equals_single_batch(self, spark, tmp_path):
+        from mofka_spark.streaming.moments import moments_sink, read_moments
+
+        import numpy as np
+
+        one = str(tmp_path / "one")
+        two = str(tmp_path / "two")
+        sink1 = moments_sink(one)
+        sink1(spark.createDataFrame(self._vecs(0, 30), "vec array<double>"), 0)
+        sink2 = moments_sink(two)
+        sink2(spark.createDataFrame(self._vecs(0, 11), "vec array<double>"), 0)
+        sink2(spark.createDataFrame(self._vecs(11, 30), "vec array<double>"), 1)
+        n1, m1, c1 = read_moments(spark, one)
+        n2, m2, c2 = read_moments(spark, two)
+        assert n1 == n2 == 30
+        assert np.allclose(m1, m2) and np.allclose(c1, c2, atol=1e-12)
+
+    def test_replay_and_compaction_invisible(self, spark, tmp_path):
+        from mofka_spark.streaming.moments import (
+            compact_moments,
+            moments_sink,
+            read_component,
+        )
+
+        path = str(tmp_path / "m")
+        sink = moments_sink(path)
+        b1 = spark.createDataFrame(self._vecs(0, 15), "vec array<double>")
+        b2 = spark.createDataFrame(self._vecs(15, 30), "vec array<double>")
+        sink(b1, 0)
+        sink(b2, 1)
+        sink(b2, 1)  # replayed epoch overwrites, never double-counts
+        before = [(r.d, r.v) for r in read_component(spark, path).collect()]
+        compact_moments(spark, path)
+        after = [(r.d, r.v) for r in read_component(spark, path).collect()]
+        assert before == after
+        # compacted store holds exactly one partial set: d^2 + d + 1
+        assert spark.read.parquet(path).count() == 9 + 3 + 1
+
+    def test_matches_batch_pca_direction(self, spark, tmp_path):
+        from mofka_spark.operators.similarity import pca_power
+        from mofka_spark.streaming.moments import moments_sink, read_moments
+
+        import numpy as np
+
+        rows = [(i, v[0]) for i, v in enumerate(self._vecs(0, 25))]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        path = str(tmp_path / "m")
+        moments_sink(path, "embedding")(df.select("embedding"), 0)
+        _n, mean, cov = read_moments(spark, path)
+        # batch pca projections must equal (x - mean) . v for the
+        # eigenvector of the streaming store's covariance
+        v = np.full(3, 1.0 / np.sqrt(3))
+        for _ in range(4):
+            u = cov @ v
+            v = u / np.linalg.norm(u)
+        batch = {r.vec_id: r.pc1 for r in pca_power(df).collect()}
+        for i, (vec,) in enumerate(self._vecs(0, 25)):
+            expect = float(np.dot(np.array(vec) - mean, v))
+            assert abs(batch[i] - round(expect, 6)) < 1e-4
+
+    def test_empty_store_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from mofka_spark.streaming.moments import read_moments
+
+        with _pytest.raises(ValueError):
+            read_moments(spark, str(tmp_path / "none"))
