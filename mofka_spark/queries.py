@@ -4863,6 +4863,65 @@ def q_streaming_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_component(spark, store, iters=4)
 
 
+# Incremental distinct counts via mergeable HLL sketches
+# (streaming/distinct.py): COUNT(DISTINCT) has no mergeable partial,
+# so each epoch lands one sketch per group and the running count is a
+# union + estimate at read time. Gate mirrors the batch
+# distinct_users_sketch shape: exact count + a boolean asserting the
+# stream-merged estimate lands within tolerance.
+@query(
+    "streaming_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           TRUE AS sketch_ok
+    FROM events WHERE event_id < 5000
+    GROUP BY event_type
+    """,
+)
+def q_streaming_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.distinct import distinct_sink, read_distinct
+
+    topic = _stream_fixture(spark, sf_dir, "events")
+    parsed = _events_stream(topic, 5000).select("event_type", "user_id")
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-distinct-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(
+                distinct_sink(store, ["event_type"], "user_id", lg_k=12)
+            )
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    approx = read_distinct(
+        spark, store, ["event_type"], "event_type string, sk binary"
+    )
+    exact = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    err = F.abs(
+        F.col("approx_distinct") - F.col("exact_distinct")
+    ) / F.greatest(F.col("exact_distinct").cast("double"), F.lit(1.0))
+    return exact.join(approx, "event_type").select(
+        "event_type", "exact_distinct", (err <= 0.05).alias("sketch_ok")
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

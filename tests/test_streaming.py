@@ -998,3 +998,58 @@ class TestStreamingMoments:
 
         with _pytest.raises(ValueError):
             read_moments(spark, str(tmp_path / "none"))
+
+
+class TestStreamingDistinct:
+    """HLL sketch fragments union exactly: any epoch split gives the
+    same estimate as one batch; replay and compaction are invisible."""
+
+    def _batch(self, spark, lo, hi):
+        return spark.createDataFrame(
+            [("t", f"u{i % 40}") for i in range(lo, hi)], "g string, u string"
+        )
+
+    def test_split_equals_single_batch_estimate(self, spark, tmp_path):
+        from mofka_spark.streaming.distinct import distinct_sink, read_distinct
+
+        one, two = str(tmp_path / "one"), str(tmp_path / "two")
+        distinct_sink(one, ["g"], "u")(self._batch(spark, 0, 100), 0)
+        s2 = distinct_sink(two, ["g"], "u")
+        s2(self._batch(spark, 0, 37), 0)
+        s2(self._batch(spark, 37, 100), 1)
+        schema = "g string, sk binary"
+        a = read_distinct(spark, one, ["g"], schema).collect()[0].approx_distinct
+        b = read_distinct(spark, two, ["g"], schema).collect()[0].approx_distinct
+        assert a == b
+        # lg_k=12 at 40 true distinct: estimate is exact-ish
+        assert abs(a - 40) <= 2
+
+    def test_replay_and_compaction_invisible(self, spark, tmp_path):
+        from mofka_spark.streaming.distinct import (
+            compact_distinct,
+            distinct_sink,
+            read_distinct,
+        )
+
+        path = str(tmp_path / "d")
+        sink = distinct_sink(path, ["g"], "u")
+        b1, b2 = self._batch(spark, 0, 50), self._batch(spark, 50, 100)
+        sink(b1, 0)
+        sink(b2, 1)
+        sink(b2, 1)  # replay overwrites its own epoch
+        schema = "g string, sk binary"
+        before = read_distinct(spark, path, ["g"], schema).collect()
+        compact_distinct(spark, path, ["g"])
+        after = read_distinct(spark, path, ["g"], schema).collect()
+        assert [(r.g, r.approx_distinct) for r in before] == [
+            (r.g, r.approx_distinct) for r in after
+        ]
+        assert spark.read.parquet(path).count() == 1  # one sketch/group
+
+    def test_empty_store_reads_empty(self, spark, tmp_path):
+        from mofka_spark.streaming.distinct import read_distinct
+
+        out = read_distinct(
+            spark, str(tmp_path / "none"), ["g"], "g string, sk binary"
+        )
+        assert out.count() == 0
