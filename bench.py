@@ -102,6 +102,7 @@ def main() -> None:
         # drain — the operator path — not shared-fixture construction
         q._stream_fixture(spark, sf_dir, "events")
         q._stream_fixture(spark, sf_dir, "docs")
+        q._stream_fixture(spark, sf_dir, "vecs")
     except Exception as e:  # noqa: BLE001
         print(f"# bench streaming warmup skipped: {e}", file=sys.stderr)
 
