@@ -18,6 +18,7 @@ __all__ = [
     "time_decayed_average",
     "transition_matrix",
     "rolling_active_users",
+    "history_intervals",
 ]
 
 
@@ -173,6 +174,48 @@ def time_decayed_average(
                 F.sum(F.col(value_col) * w) / F.sum(w), 6
             ).alias("ewma"),
         )
+    )
+
+
+def history_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: list[str] = ("ts", "event_id"),
+    collapse: bool = True,
+) -> DataFrame:
+    """Change log -> validity intervals (SCD type 2): each key's value
+    history becomes rows (key, value, valid_from, valid_to) where
+    valid_to is the next change's timestamp (NULL for the current
+    value) — the warehouse primitive for "what was this attribute at
+    time T" joins (pair with asof_join for the probe side).
+
+    ``collapse=True`` first drops rows that repeat the previous value
+    (a change log with heartbeats), so intervals describe distinct
+    value runs; NULL values compare as a distinct state.
+
+    Scale shape: ONE key-keyed shuffle and in-partition sort shared by
+    both window passes (lag for collapse, lead for interval close) —
+    Catalyst reuses the (key, order) sort for both, no second
+    exchange. State per row is one neighbor, never the full history.
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    cur = df.select(key_col, value_col, *order_cols)
+    if collapse:
+        prev = F.lag(value_col).over(w)
+        changed = (
+            F.col(value_col).eqNullSafe(prev) == F.lit(False)
+        ) | F.isnull(
+            F.lag(F.lit(1)).over(w)
+        )  # first row of each key always starts an interval
+        cur = cur.withColumn("_keep", changed).filter("_keep").drop("_keep")
+    w2 = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    return cur.select(
+        key_col,
+        value_col,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
     )
 
 

@@ -89,3 +89,56 @@ def audit(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
     return row.select(F.explode(pairs).alias("p")).select(
         "p.rule", "p.violations"
     )
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Single-pass column profile — the schema-drift / data-docs
+    primitive: for every column, row count, null count, null ratio,
+    and distinct count, as one aggregate over one scan unpivoted to
+    (col_name, n_rows, n_nulls, null_ratio, n_distinct) rows.
+
+    ``exact_distinct=False`` swaps COUNT(DISTINCT) for
+    approx_count_distinct — the 100 TB default: N exact distincts in
+    one aggregate force an Expand (one data replica per distinct
+    column); the HLL form keeps the pass single-replica and the
+    shuffle O(#columns * sketch). The exact form exists for the gate
+    and for small frames.
+    """
+    columns = columns or df.columns
+    dcount = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(columns):
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null{i}")
+        )
+        aggs.append(dcount(c).alias(f"_d{i}"))
+    row = df.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").cast("long").alias("n_rows"),
+                F.coalesce(F.col(f"_null{i}"), F.lit(0))
+                .cast("long")
+                .alias("n_nulls"),
+                F.round(
+                    F.coalesce(F.col(f"_null{i}"), F.lit(0))
+                    / F.greatest(F.col("_n"), F.lit(1)),
+                    6,
+                ).alias("null_ratio"),
+                F.col(f"_d{i}").cast("long").alias("n_distinct"),
+            )
+            for i, c in enumerate(columns)
+        ]
+    )
+    return row.select(F.explode(cells).alias("p")).select(
+        "p.col_name", "p.n_rows", "p.n_nulls", "p.null_ratio", "p.n_distinct"
+    )

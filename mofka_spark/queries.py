@@ -4922,6 +4922,83 @@ def q_streaming_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Single-pass column profile (operators/quality.py profile): row /
+# null / distinct counts per column, one aggregate unpivoted — the
+# schema-drift observability primitive next to constraint_audit.
+@query(
+    "events_profile",
+    """
+    SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           ROUND(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) /
+                 GREATEST(COUNT(*), 1)::DOUBLE, 6) AS null_ratio,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) /
+                 GREATEST(COUNT(*), 1)::DOUBLE, 6),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) /
+                 GREATEST(COUNT(*), 1)::DOUBLE, 6),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) /
+                 GREATEST(COUNT(*), 1)::DOUBLE, 6),
+           CAST(COUNT(DISTINCT value) AS BIGINT)
+    FROM events
+    """,
+)
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.quality import profile
+
+    ev = _t(spark, sf_dir, "events")
+    return profile(ev, ["event_id", "user_id", "event_type", "value"])
+
+
+# SCD2 validity intervals (operators/events.py history_intervals):
+# each user's value history collapses to distinct runs with
+# [valid_from, valid_to) windows — the "attribute at time T"
+# warehouse primitive. Gate uses event_type as the tracked attribute
+# so collapse paths (repeat states) actually fire.
+@query(
+    "user_state_intervals",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to
+    FROM changes
+    """,
+)
+def q_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.events import history_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    return history_intervals(
+        ev, "user_id", "ts", "event_type", order_cols=["ts", "event_id"]
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -190,3 +190,52 @@ class TestRollingActiveUsers:
         df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
         out = ev_ops.rolling_active_users(df).collect()
         assert all(r.n_active == 1 for r in out)
+
+
+class TestHistoryIntervals:
+    def test_collapse_and_intervals(self, spark):
+        rows = [
+            (1, "bronze", _t(1), 1),
+            (1, "bronze", _t(2), 2),  # heartbeat, collapsed
+            (1, "silver", _t(3), 3),
+            (1, "bronze", _t(5), 4),  # back to bronze = new interval
+            (2, "gold", _t(1), 5),
+        ]
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_type", "ts", "event_id"]
+        )
+        out = sorted(
+            (
+                (r.user_id, r.event_type, r.valid_from.day,
+                 r.valid_to.day if r.valid_to else None)
+                for r in ev_ops.history_intervals(
+                    df, "user_id", "ts", "event_type"
+                ).collect()
+            )
+        )
+        assert out == [
+            (1, "bronze", 1, 3),
+            (1, "bronze", 5, None),
+            (1, "silver", 3, 5),
+            (2, "gold", 1, None),
+        ]
+
+    def test_no_collapse_keeps_heartbeats(self, spark):
+        rows = [(1, "a", _t(1), 1), (1, "a", _t(2), 2)]
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_type", "ts", "event_id"]
+        )
+        out = ev_ops.history_intervals(
+            df, "user_id", "ts", "event_type", collapse=False
+        ).collect()
+        assert len(out) == 2
+
+    def test_null_runs_collapse_once(self, spark):
+        rows = [(1, None, _t(1), 1), (1, None, _t(2), 2), (1, "x", _t(3), 3)]
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_type", "ts", "event_id"]
+        )
+        out = ev_ops.history_intervals(
+            df, "user_id", "ts", "event_type"
+        ).collect()
+        assert len(out) == 2  # one NULL interval, one 'x' interval

@@ -116,3 +116,30 @@ class TestStreamingAuditMonitor:
 
         with _pytest.raises(ValueError, match="not distributive"):
             audit_sink(str(tmp_path / "m"), [quality.unique("k")])
+
+
+class TestProfile:
+    def test_counts_and_ratios(self, spark):
+        from mofka_spark.operators.quality import profile
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (None, "b")],
+            "k int, v string",
+        )
+        out = {r.col_name: r for r in profile(df).collect()}
+        assert out["k"].n_rows == 4 and out["k"].n_nulls == 1
+        assert out["k"].n_distinct == 3
+        assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+        assert out["v"].null_ratio == 0.25
+
+    def test_approx_mode_no_expand(self, spark):
+        from mofka_spark import plans
+        from mofka_spark.operators.quality import profile
+
+        df = spark.createDataFrame([(1, "a")], "k int, v string")
+        exact_plan = plans.plan_string(profile(df, exact_distinct=True))
+        approx_plan = plans.plan_string(profile(df, exact_distinct=False))
+        assert "Expand" in exact_plan  # N exact distincts replicate rows
+        assert "Expand" not in approx_plan  # HLL keeps one replica
+        out = {r.col_name: r.n_distinct for r in profile(df, exact_distinct=False).collect()}
+        assert out == {"k": 1, "v": 1}
