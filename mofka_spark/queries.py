@@ -4999,6 +4999,78 @@ def q_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental quantile envelopes via mergeable fixed-bin histograms
+# (streaming/quantiles.py): exact quantiles don't merge, histogram
+# counts do. The oracle reproduces the identical closed-form bin
+# arithmetic and rank pick from the parquet slice — the epoch split
+# must be invisible in the envelope.
+@query(
+    "streaming_quantiles",
+    """
+    WITH v AS (
+      SELECT event_type,
+             LEAST(49, GREATEST(0,
+               CAST(FLOOR((value - 0.0) / 2.0) AS BIGINT))) AS bin
+      FROM events WHERE event_id < 5000 AND value IS NOT NULL
+    ), h AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY event_type, bin
+    ), c AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n_rows
+      FROM h
+    ), qs AS (SELECT unnest([0.5, 0.95]) AS q)
+    SELECT c.event_type, qs.q,
+           CAST(MIN(c.bin) AS BIGINT) AS bin,
+           ROUND(0.0 + MIN(c.bin) * 2.0, 6) AS bin_lo,
+           ROUND(0.0 + (MIN(c.bin) + 1) * 2.0, 6) AS bin_hi,
+           CAST(MAX(c.n_rows) AS BIGINT) AS n_rows
+    FROM c CROSS JOIN qs
+    WHERE c.cum >= GREATEST(1, CEIL(qs.q * c.n_rows))
+    GROUP BY c.event_type, qs.q
+    """,
+)
+def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.quantiles import histogram_sink, read_quantiles
+
+    topic = _stream_fixture(spark, sf_dir, "events")
+    parsed = _events_stream(topic, 5000).select("event_type", "value")
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-hist-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(
+                histogram_sink(
+                    store, ["event_type"], "value", lo=0.0, hi=100.0, nbins=50
+                )
+            )
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return read_quantiles(
+        spark,
+        store,
+        ["event_type"],
+        "event_type string, bin long, cnt long",
+        [0.5, 0.95],
+        lo=0.0,
+        hi=100.0,
+        nbins=50,
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -1053,3 +1053,69 @@ class TestStreamingDistinct:
             spark, str(tmp_path / "none"), ["g"], "g string, sk binary"
         )
         assert out.count() == 0
+
+
+class TestStreamingQuantiles:
+    """Histogram partials merge exactly: epoch split == single batch;
+    replay and compaction invisible; envelope brackets the true
+    quantile."""
+
+    def _batch(self, spark, lo, hi):
+        return spark.createDataFrame(
+            [("t", float(i % 100)) for i in range(lo, hi)],
+            "g string, v double",
+        )
+
+    def _read(self, spark, path):
+        from mofka_spark.streaming.quantiles import read_quantiles
+
+        return sorted(
+            (r.g, r.q, r.bin, r.bin_lo, r.bin_hi, r.n_rows)
+            for r in read_quantiles(
+                spark, path, ["g"], "g string, bin long, cnt long",
+                [0.5, 0.9], lo=0.0, hi=100.0, nbins=20,
+            ).collect()
+        )
+
+    def test_split_equals_single_batch(self, spark, tmp_path):
+        from mofka_spark.streaming.quantiles import histogram_sink
+
+        one, two = str(tmp_path / "one"), str(tmp_path / "two")
+        histogram_sink(one, ["g"], "v", 0.0, 100.0, 20)(
+            self._batch(spark, 0, 200), 0
+        )
+        s2 = histogram_sink(two, ["g"], "v", 0.0, 100.0, 20)
+        s2(self._batch(spark, 0, 77), 0)
+        s2(self._batch(spark, 77, 200), 1)
+        assert self._read(spark, one) == self._read(spark, two)
+
+    def test_envelope_brackets_true_quantile(self, spark, tmp_path):
+        from mofka_spark.streaming.quantiles import histogram_sink
+
+        path = str(tmp_path / "h")
+        histogram_sink(path, ["g"], "v", 0.0, 100.0, 20)(
+            self._batch(spark, 0, 200), 0
+        )
+        rows = {r[1]: r for r in self._read(spark, path)}
+        # values are uniform 0..99: the median lives in [45, 55)
+        q, b, blo, bhi, n = rows[0.5][1:]
+        assert blo <= 50.0 <= bhi
+        assert n == 200
+
+    def test_replay_and_compaction_invisible(self, spark, tmp_path):
+        from mofka_spark.streaming.quantiles import (
+            compact_histogram,
+            histogram_sink,
+        )
+
+        path = str(tmp_path / "h")
+        sink = histogram_sink(path, ["g"], "v", 0.0, 100.0, 20)
+        b2 = self._batch(spark, 100, 200)
+        sink(self._batch(spark, 0, 100), 0)
+        sink(b2, 1)
+        sink(b2, 1)  # replay overwrites its own epoch
+        before = self._read(spark, path)
+        compact_histogram(spark, path, ["g"])
+        after = self._read(spark, path)
+        assert before == after
+        assert before[0][5] == 200  # no double counting
