@@ -57,12 +57,17 @@ def distinct_sink(
 
 
 def read_distinct(
-    spark: SparkSession, path: str, group_cols: list[str], schema: str
+    spark: SparkSession,
+    path: str,
+    group_cols: list[str],
+    schema: str,
+    as_of_epoch: int | None = None,
 ) -> DataFrame:
     """Merged estimate per group: union every stored sketch fragment,
     estimate once. ``schema`` describes the store row (group columns +
-    ``sk binary``) for the empty-store case."""
-    frags = read_store(spark, path, schema)
+    ``sk binary``) for the empty-store case; ``as_of_epoch``
+    time-travels (store.read_store)."""
+    frags = read_store(spark, path, schema, as_of_epoch)
     return frags.groupBy(*group_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct")
     )

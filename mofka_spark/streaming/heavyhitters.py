@@ -78,11 +78,17 @@ def heavyhitter_sink(
     return write_epoch
 
 
-def read_top_k(spark: SparkSession, path: str, k: int = 20) -> DataFrame:
+def read_top_k(
+    spark: SparkSession,
+    path: str,
+    k: int = 20,
+    as_of_epoch: int | None = None,
+) -> DataFrame:
     """Merge-on-read top-k: (item, cnt, rnk, guaranteed). O(stored
     summary rows), never the stream history. See module docstring for
-    what ``guaranteed`` certifies."""
-    partials = read_store(spark, path, _SCHEMA)
+    what ``guaranteed`` certifies; ``as_of_epoch`` time-travels to the
+    state after that epoch committed (store.read_store)."""
+    partials = read_store(spark, path, _SCHEMA, as_of_epoch)
     slack_row = (
         partials.filter(F.col("item").isNull())
         .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_slack"))

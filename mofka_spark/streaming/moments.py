@@ -90,13 +90,16 @@ def moments_sink(
     return write_epoch
 
 
-def read_moments(spark: SparkSession, path: str):
+def read_moments(
+    spark: SparkSession, path: str, as_of_epoch: int | None = None
+):
     """(n, mean, cov) merged over every ingested epoch — numpy arrays
-    on the driver (O(d^2) metadata). Raises if the store is empty."""
+    on the driver (O(d^2) metadata). Raises if the store is empty.
+    ``as_of_epoch`` time-travels (store.read_store)."""
     import numpy as np
 
     rows = (
-        read_store(spark, path, _SCHEMA)
+        read_store(spark, path, _SCHEMA, as_of_epoch)
         .groupBy("i", "j")
         .agg(F.sum("s").alias("s"))
         .collect()
@@ -119,14 +122,17 @@ def read_moments(spark: SparkSession, path: str):
 
 
 def read_component(
-    spark: SparkSession, path: str, iters: int = 4
+    spark: SparkSession,
+    path: str,
+    iters: int = 4,
+    as_of_epoch: int | None = None,
 ) -> DataFrame:
     """Top principal component off the merged moments: the same fixed
     power iteration as operators/similarity.pca_power (v0 = 1/sqrt(d),
     L2-normalized per step). Returns (d, v) with v rounded to 6dp."""
     import numpy as np
 
-    _n, _mean, cov = read_moments(spark, path)
+    _n, _mean, cov = read_moments(spark, path, as_of_epoch)
     dim = cov.shape[0]
     v = np.full(dim, 1.0 / np.sqrt(dim))
     for _ in range(iters):

@@ -78,6 +78,7 @@ def read_quantiles(
     lo: float,
     hi: float,
     nbins: int = 64,
+    as_of_epoch: int | None = None,
 ) -> DataFrame:
     """Quantile envelopes off the merged histogram: for each group and
     q, the first bin whose cumulative count reaches rank
@@ -87,7 +88,7 @@ def read_quantiles(
 
     width = (hi - lo) / nbins
     merged = (
-        read_store(spark, path, schema)
+        read_store(spark, path, schema, as_of_epoch)
         .groupBy(*group_cols, "bin")
         .agg(F.sum("cnt").alias("cnt"))
     )

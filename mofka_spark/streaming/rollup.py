@@ -98,11 +98,22 @@ def rollup_sink(
 
 
 def read_rollup(
-    spark, path: str, group_cols: list[str], aggs: dict[str, str | list[str]]
+    spark,
+    path: str,
+    group_cols: list[str],
+    aggs: dict[str, str | list[str]],
+    as_of_epoch: int | None = None,
 ) -> DataFrame:
     """Merge-on-read: combine the stored partials into final
-    aggregates. O(partial rows) work — never touches the event log."""
+    aggregates. O(partial rows) work — never touches the event log.
+    ``as_of_epoch`` time-travels to the state after that epoch
+    committed (epochs <= id, plus the compacted slot which represents
+    everything folded at compaction time); the filter is on the
+    partition column so non-qualifying epoch directories prune at
+    plan time."""
     partials = spark.read.parquet(path)
+    if as_of_epoch is not None:
+        partials = partials.filter(F.col("_epoch") <= int(as_of_epoch))
     return partials.groupBy(*group_cols).agg(
         *[
             _COMBINE[kind](f"{col}_{kind}").alias(f"{col}_{kind}")

@@ -50,15 +50,33 @@ def epoch_write(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-def read_store(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def read_store(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    as_of_epoch: int | None = None,
+) -> DataFrame:
     """The accumulated store, or an empty frame of ``schema`` before
     the first epoch lands (keeps per-epoch plans identical across
     epochs — the first batch unions with an empty relation instead of
-    branching)."""
+    branching).
+
+    ``as_of_epoch`` time-travels: only partials from epochs <= the
+    given id (the state the store held after that micro-batch
+    committed — reproducible reads for debugging replays and
+    comparing runs). The compacted slot (_epoch = -1) is always
+    included: it REPRESENTS every epoch folded at compaction time, so
+    compaction trades time-travel granularity below the compaction
+    point for size — the standard LSM deal. The filter is on the
+    partition column, so Spark prunes non-qualifying epoch
+    directories at plan time."""
     if os.path.isdir(path) and any(
         "=" in e or e.endswith(".parquet") for e in os.listdir(path)
     ):
-        return spark.read.parquet(path).drop("_epoch")
+        df = spark.read.parquet(path)
+        if as_of_epoch is not None:
+            df = df.filter(F.col("_epoch") <= int(as_of_epoch))
+        return df.drop("_epoch")
     return spark.createDataFrame([], schema)
 
 

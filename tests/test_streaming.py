@@ -1119,3 +1119,83 @@ class TestStreamingQuantiles:
         after = self._read(spark, path)
         assert before == after
         assert before[0][5] == 200  # no double counting
+
+
+class TestStoreTimeTravel:
+    """as_of_epoch reproduces the state each micro-batch committed."""
+
+    def test_rollup_as_of(self, spark, tmp_path):
+        from mofka_spark.streaming.rollup import read_rollup, rollup_sink
+
+        path = str(tmp_path / "agg")
+        aggs = {"v": ["count", "sum"]}
+        sink = rollup_sink(path, ["k"], aggs)
+        sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+        sink(spark.createDataFrame([("a", 9.0)], "k string, v double"), 1)
+
+        def snap(as_of=None):
+            return {
+                r.k: (r.v_count, r.v_sum)
+                for r in read_rollup(
+                    spark, path, ["k"], aggs, as_of_epoch=as_of
+                ).collect()
+            }
+
+        assert snap(0) == {"a": (1, 1.0)}
+        assert snap(1) == snap(None) == {"a": (2, 10.0)}
+
+    def test_heavyhitters_and_quantiles_as_of(self, spark, tmp_path):
+        from mofka_spark.streaming.heavyhitters import (
+            heavyhitter_sink,
+            read_top_k,
+        )
+        from mofka_spark.streaming.quantiles import (
+            histogram_sink,
+            read_quantiles,
+        )
+
+        hh = str(tmp_path / "hh")
+        sink = heavyhitter_sink(hh, m_per_epoch=10)
+        sink(spark.createDataFrame([("x",)] * 3, "item string"), 0)
+        sink(spark.createDataFrame([("x",)] * 2, "item string"), 1)
+        assert read_top_k(spark, hh, 1, as_of_epoch=0).collect()[0].cnt == 3
+        assert read_top_k(spark, hh, 1).collect()[0].cnt == 5
+
+        hist = str(tmp_path / "hist")
+        hsink = histogram_sink(hist, ["g"], "v", 0.0, 10.0, 10)
+        hsink(
+            spark.createDataFrame([("t", 1.0)] * 4, "g string, v double"), 0
+        )
+        hsink(
+            spark.createDataFrame([("t", 9.0)] * 6, "g string, v double"), 1
+        )
+        schema = "g string, bin long, cnt long"
+        early = read_quantiles(
+            spark, hist, ["g"], schema, [0.5], 0.0, 10.0, 10, as_of_epoch=0
+        ).collect()[0]
+        late = read_quantiles(
+            spark, hist, ["g"], schema, [0.5], 0.0, 10.0, 10
+        ).collect()[0]
+        assert (early.bin, early.n_rows) == (1, 4)
+        assert (late.bin, late.n_rows) == (9, 10)
+
+    def test_compaction_folds_history_below_the_cut(self, spark, tmp_path):
+        from mofka_spark.streaming.rollup import (
+            compact_rollup,
+            read_rollup,
+            rollup_sink,
+        )
+
+        path = str(tmp_path / "agg")
+        aggs = {"v": ["sum"]}
+        sink = rollup_sink(path, ["k"], aggs)
+        sink(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+        sink(spark.createDataFrame([("a", 2.0)], "k string, v double"), 1)
+        compact_rollup(spark, path, ["k"], aggs)
+        sink(spark.createDataFrame([("a", 4.0)], "k string, v double"), 2)
+        # below the compaction point, history is folded (LSM deal):
+        # as_of 0 now sees the whole compacted prefix
+        snap0 = read_rollup(spark, path, ["k"], aggs, as_of_epoch=0).collect()
+        assert snap0[0].v_sum == 3.0
+        snap2 = read_rollup(spark, path, ["k"], aggs, as_of_epoch=2).collect()
+        assert snap2[0].v_sum == 7.0
