@@ -19,6 +19,7 @@ __all__ = [
     "transition_matrix",
     "rolling_active_users",
     "history_intervals",
+    "path_counts",
 ]
 
 
@@ -174,6 +175,42 @@ def time_decayed_average(
                 F.sum(F.col(value_col) * w) / F.sum(w), 6
             ).alias("ewma"),
         )
+    )
+
+
+def path_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: list[str] = ("ts", "event_id"),
+    path_len: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Consecutive event-type paths of length ``path_len`` per user,
+    counted corpus-wide — the path-mining / sankey primitive one order
+    up from transition_matrix (which is the path_len=2 marginal).
+    Useful for discovering multi-step behaviors a first-order chain
+    hides (view->click->purchase vs view->click->view).
+
+    Returns (step_1..step_k, n_paths) for paths occurring at least
+    ``min_count`` times.
+
+    Scale shape: one user-keyed shuffle + sort shared by all k-1 lead
+    windows (same partitioning and ordering — Catalyst plans a single
+    Window operator); the path aggregate collapses map-side to at most
+    |types|^k rows."""
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    steps = [F.col(type_col).alias("step_1")] + [
+        F.lead(type_col, i).over(w).alias(f"step_{i + 1}")
+        for i in range(1, path_len)
+    ]
+    paths = df.select(*steps)
+    for i in range(2, path_len + 1):
+        paths = paths.filter(F.col(f"step_{i}").isNotNull())
+    return (
+        paths.groupBy(*[f"step_{i}" for i in range(1, path_len + 1)])
+        .agg(F.count("*").cast("long").alias("n_paths"))
+        .filter(F.col("n_paths") >= min_count)
     )
 
 

@@ -1286,3 +1286,48 @@ def cooccurrence_pmi(
         .filter(F.col("rnk") <= k)
         .select("w1", "w2", F.col("n_pair").cast("long").alias("n_pair"), "pmi", "rnk")
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality signal (higher = easier; English-calibrated, useful as a
+    relative ranking feature in any Latin-script corpus):
+
+        206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    with deterministic, oracle-expressible proxies: sentences = runs
+    of [.!?] (min 1), syllables = vowel-group runs [aeiouy]+ in the
+    lowercased text, floored at one per word (vowel runs never cross
+    whitespace, so the per-text count equals the per-word sum).
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch) for
+    non-empty docs, flesch rounded to 4dp.
+
+    Scale shape: pure regexp built-ins over one scan — no explode, no
+    shuffle, no UDF; the same single-pass family as quality_features.
+    """
+    col = F.col(text_col)
+    words = token_count(col)
+    sentences = F.greatest(F.regexp_count(col, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.greatest(
+        F.regexp_count(F.lower(col), F.lit(r"[aeiouy]+")), words
+    )
+    return (
+        df.filter(col.isNotNull() & (F.trim(col) != ""))
+        .select(
+            F.col(id_col).alias("id"),
+            words.cast("long").alias("n_words"),
+            sentences.cast("long").alias("n_sentences"),
+            syllables.cast("long").alias("n_syllables"),
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (words / sentences)
+                - F.lit(84.6) * (syllables / words),
+                4,
+            ).alias("flesch"),
+        )
+    )

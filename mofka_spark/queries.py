@@ -5071,6 +5071,98 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Second-order event paths (operators/events.py path_counts): the
+# sankey/path-mining rollup one order above the transition matrix —
+# all three lead steps share one user-keyed sort.
+@query(
+    "event_paths",
+    """
+    WITH seq AS (
+      SELECT event_type AS step_1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS step_2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS step_3
+      FROM events)
+    SELECT step_1, step_2, step_3,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM seq
+    WHERE step_2 IS NOT NULL AND step_3 IS NOT NULL
+    GROUP BY step_1, step_2, step_3
+    HAVING COUNT(*) >= 5
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.events import path_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return path_counts(ev, path_len=3, min_count=5)
+
+
+# Flesch reading-ease (operators/text.py readability_scores): pure
+# regexp built-ins, deterministic sentence/syllable proxies mirrored
+# in the oracle.
+@query(
+    "readability_scores",
+    r"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_words,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                      1) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_syl_raw
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT id, n_words, n_sentences,
+           GREATEST(n_syl_raw, n_words) AS n_syllables,
+           ROUND(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (GREATEST(n_syl_raw, n_words)
+                           / CAST(n_words AS DOUBLE)), 4) AS flesch
+    FROM base
+    """,
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.readability_scores(docs)
+
+
+# Daily trending types: time-bucketed counts + per-bucket rank — the
+# window() x rank composition (hourly_event_stats covers the bucket
+# agg, top_orders_per_customer the rank; this gates them composed).
+@query(
+    "daily_top_types",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY date_trunc('day', ts), event_type)
+    SELECT day, event_type, n,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+                                   ORDER BY n DESC, event_type) AS rnk
+      FROM d)
+    WHERE rnk <= 3
+    """,
+)
+def q_daily_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("day"), "event_type", "n")
+    )
+    rk = Window.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

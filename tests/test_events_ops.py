@@ -239,3 +239,38 @@ class TestHistoryIntervals:
             df, "user_id", "ts", "event_type"
         ).collect()
         assert len(out) == 2  # one NULL interval, one 'x' interval
+
+
+class TestPathCounts:
+    def test_paths_and_min_count(self, spark):
+        rows = [
+            (1, "a", _t(1), 1), (1, "b", _t(2), 2), (1, "c", _t(3), 3),
+            (1, "d", _t(4), 4),
+            (2, "a", _t(1), 5), (2, "b", _t(2), 6), (2, "c", _t(3), 7),
+        ]
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_type", "ts", "event_id"]
+        )
+        out = {
+            (r.step_1, r.step_2, r.step_3): r.n_paths
+            for r in ev_ops.path_counts(df, path_len=3).collect()
+        }
+        assert out[("a", "b", "c")] == 2
+        assert out[("b", "c", "d")] == 1
+        assert ev_ops.path_counts(df, path_len=3, min_count=2).count() == 1
+
+    def test_single_window_in_plan(self, spark):
+        from mofka_spark import plans
+
+        rows = [(1, "a", _t(1), 1)]
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_type", "ts", "event_id"]
+        )
+        import re
+
+        p = plans.plan_string(ev_ops.path_counts(df, path_len=4))
+        # all lead steps share one Window operator / one sort (each
+        # physical operator appears once as "(n) Window" in the
+        # formatted detail section)
+        assert len(re.findall(r"\(\d+\) Window", p)) == 1
+        assert len(re.findall(r"\(\d+\) Sort", p)) == 1

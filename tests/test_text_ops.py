@@ -441,3 +441,35 @@ class TestCooccurrencePmi:
         out = {(r.w1, r.w2) for r in cooccurrence_pmi(df, window=2, min_count=5).collect()}
         assert ("far1", "far2") not in out
         assert ("a", "far1") in out
+
+
+class TestReadability:
+    def test_simple_vs_dense_text(self, spark):
+        from mofka_spark.operators.text import readability_scores
+
+        rows = [
+            (1, "the cat sat. the dog ran."),
+            (2, "extraordinarily sophisticated considerations notwithstanding."),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.id: r for r in readability_scores(df).collect()}
+        assert out[1].n_sentences == 2 and out[1].n_words == 6
+        # simple short words read easier than the polysyllabic doc
+        assert out[1].flesch > out[2].flesch
+
+    def test_syllables_floored_at_words(self, spark):
+        from mofka_spark.operators.text import readability_scores
+
+        df = spark.createDataFrame([(1, "hm psst brr")], ["doc_id", "text"])
+        out = readability_scores(df).collect()[0]
+        # vowel-free words still count one syllable each
+        assert out.n_syllables == 3
+
+    def test_empty_and_null_dropped(self, spark):
+        from mofka_spark.operators.text import readability_scores
+
+        df = spark.createDataFrame(
+            [(1, "real text here."), (2, "   "), (3, None)],
+            ["doc_id", "text"],
+        )
+        assert readability_scores(df).count() == 1
