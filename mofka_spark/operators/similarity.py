@@ -704,3 +704,72 @@ def pca_power(
         F.col("id").alias(id_col),
         F.round(dot - F.lit(c), 6).alias("pc1"),
     )
+
+
+def label_separation(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-class embedding-space separation report: each label's
+    centroid norm and its nearest OTHER centroid — the quick health
+    check for labeled/clustered embeddings (two labels whose centroids
+    nearly coincide are indistinguishable to any centroid-based
+    retrieval or labeling pipeline; a centroid norm near zero flags a
+    class averaged away to the origin).
+
+    Returns (label, n_vecs, centroid_norm, nearest_label,
+    nearest_dist) with norms/distances rounded to 6dp and the nearest
+    pick made on the ROUNDED distance with a label tiebreak, so an
+    external oracle agrees exactly.
+
+    Scale shape: one posexplode partial-agg shuffle keyed on
+    (label, dim) — the corpus collapses to L x d centroid cells
+    map-side; every later step (norms, the L^2 x d pairwise frame,
+    the nearest pick) runs on that tiny frame, never on vectors.
+    """
+    vals = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    cells = vals.groupBy("lbl", "dim").agg(
+        F.avg(F.col("x").cast("double")).alias("c"),
+        F.count("*").alias("_n"),
+    ).persist()
+    norms = cells.groupBy("lbl").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias(
+            "centroid_norm"
+        ),
+        F.max("_n").cast("long").alias("n_vecs"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.lbl") != F.col("b.lbl")),
+        )
+        .groupBy(F.col("a.lbl").alias("lbl"), F.col("b.lbl").alias("other"))
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.pow(F.col("a.c") - F.col("b.c"), 2))), 6
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("lbl").orderBy(F.asc("dist"), F.asc("other"))
+    nearest = (
+        pair.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "lbl",
+            F.col("other").alias("nearest_label"),
+            F.col("dist").alias("nearest_dist"),
+        )
+    )
+    return norms.join(nearest, "lbl").select(
+        F.col("lbl").alias(label_col),
+        "n_vecs",
+        "centroid_norm",
+        "nearest_label",
+        "nearest_dist",
+    )

@@ -5163,6 +5163,50 @@ def q_daily_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-label centroid separation (operators/similarity.py
+# label_separation): the supervised-embedding health check. Nearest
+# pick on the ROUNDED distance with a label tiebreak in both engines.
+@query(
+    "label_separation",
+    """
+    WITH vals AS (
+      SELECT label AS lbl, t.i - 1 AS dim,
+             CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS t(i)
+      WHERE embedding IS NOT NULL
+    ), cells AS (
+      SELECT lbl, dim, AVG(x) AS c, COUNT(*) AS n FROM vals
+      GROUP BY lbl, dim
+    ), norms AS (
+      SELECT lbl, ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm,
+             CAST(MAX(n) AS BIGINT) AS n_vecs
+      FROM cells GROUP BY lbl
+    ), pair AS (
+      SELECT a.lbl AS lbl, b.lbl AS other,
+             ROUND(sqrt(SUM((a.c - b.c) * (a.c - b.c))), 6) AS dist
+      FROM cells a JOIN cells b
+        ON a.dim = b.dim AND a.lbl <> b.lbl
+      GROUP BY a.lbl, b.lbl
+    ), nearest AS (
+      SELECT lbl, other AS nearest_label, dist AS nearest_dist
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lbl
+                                     ORDER BY dist ASC, other ASC) AS rk
+        FROM pair)
+      WHERE rk = 1
+    )
+    SELECT CAST(n.lbl AS INTEGER) AS label, n.n_vecs, n.centroid_norm,
+           CAST(x.nearest_label AS INTEGER) AS nearest_label,
+           x.nearest_dist
+    FROM norms n JOIN nearest x ON x.lbl = n.lbl
+    """,
+)
+def q_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.label_separation(emb)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -222,3 +222,32 @@ class TestPcaPower:
         df = spark.createDataFrame(rows, ["vec_id", "embedding"])
         total = sum(r.pc1 for r in pca_power(df).collect())
         assert abs(total) < 1e-3
+
+
+class TestLabelSeparation:
+    def test_nearest_and_norms(self, spark):
+        from mofka_spark.operators.similarity import label_separation
+
+        rows = (
+            [(0, [0.0, 0.0]), (0, [0.0, 2.0])]       # centroid (0, 1)
+            + [(1, [10.0, 1.0])]                      # centroid (10, 1)
+            + [(2, [0.0, 4.0]), (2, [0.0, 6.0])]      # centroid (0, 5)
+        )
+        df = spark.createDataFrame(rows, ["label", "embedding"])
+        out = {r.label: r for r in label_separation(df).collect()}
+        assert out[0].n_vecs == 2 and out[0].centroid_norm == 1.0
+        # label 0 is 4 away from label 2, ~10 from label 1
+        assert out[0].nearest_label == 2 and out[0].nearest_dist == 4.0
+        assert out[2].nearest_label == 0
+        # label 1 centroid (10,1) vs label 0 centroid (0,1): dist 10;
+        # vs label 2 (0,5): sqrt(116) > 10 -> nearest is label 0
+        assert out[1].nearest_label == 0 and out[1].nearest_dist == 10.0
+
+    def test_collapsed_class_flagged_by_zero_norm(self, spark):
+        from mofka_spark.operators.similarity import label_separation
+
+        rows = [(0, [1.0, -1.0]), (0, [-1.0, 1.0]), (1, [3.0, 3.0])]
+        df = spark.createDataFrame(rows, ["label", "embedding"])
+        out = {r.label: r for r in label_separation(df).collect()}
+        assert out[0].centroid_norm == 0.0  # averaged away to origin
+        assert out[1].centroid_norm > 0
