@@ -137,6 +137,14 @@ def main() -> None:
                 # frames) would otherwise leak cached blocks into every
                 # later query's session state
                 spark.catalog.clearCache()
+        # GC between queries, outside the timed region: accumulated
+        # heap state otherwise makes late queries measure the earlier
+        # ones' garbage (observed 4.8s isolated vs 8.2s at position
+        # ~100 for the same query in one session)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
         timings[name] = best
     wall = round(time.time() - t_all, 3)
     # value = sum of per-query best times (what the engine costs), not
