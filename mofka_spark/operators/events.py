@@ -20,6 +20,7 @@ __all__ = [
     "rolling_active_users",
     "history_intervals",
     "path_counts",
+    "value_trend",
 ]
 
 
@@ -175,6 +176,59 @@ def time_decayed_average(
                 F.sum(F.col(value_col) * w) / F.sum(w), 6
             ).alias("ewma"),
         )
+    )
+
+
+def value_trend(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key least-squares trend of value over time: slope (per
+    second) and intercept from the closed-form sums
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) — the trend-detection
+    primitive (is this user's/sensor's value drifting up?) that
+    time_decayed_average's level signal doesn't capture.
+
+    x is REBASED to each key's earliest event (seconds since first
+    seen) before squaring: raw epoch-microsecond x would put Sxx near
+    1e36 where the closed form loses all precision. Keys need >= 2
+    distinct timestamps for a defined slope (others are dropped).
+
+    Returns (key, n_events, slope, intercept) rounded to 6dp;
+    intercept is the fitted value at the key's first event.
+
+    Scale shape: two aggregates on the same key partitioning (the
+    rebase MIN, then the five sums after a same-key join-back) — AQE
+    co-partitions, no window, no sort, and every sum is mergeable.
+    """
+    base = df.groupBy(key_col).agg(F.min(ts_col).alias("_t0"))
+    x = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_t0"))
+    ).cast("double") / F.lit(1e6)
+    y = F.col(value_col).cast("double")
+    sums = (
+        df.join(base, key_col)
+        .filter(y.isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return sums.filter(denom > 0).select(
+        key_col,
+        F.col("n").alias("n_events"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
     )
 
 

@@ -5207,6 +5207,40 @@ def q_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_separation(emb)
 
 
+# Per-user least-squares value trend (operators/events.py
+# value_trend): closed-form slope/intercept from five mergeable sums,
+# x rebased per key so the sums stay in double-precision range.
+@query(
+    "user_value_trend",
+    """
+    WITH b AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+    ), pts AS (
+      SELECT e.user_id,
+             (epoch_us(e.ts) - epoch_us(b.t0)) / 1e6 AS x,
+             CAST(e.value AS DOUBLE) AS y
+      FROM events e JOIN b USING (user_id)
+      WHERE e.value IS NOT NULL
+    ), s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.events import value_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return value_trend(ev)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -274,3 +274,37 @@ class TestPathCounts:
         # formatted detail section)
         assert len(re.findall(r"\(\d+\) Window", p)) == 1
         assert len(re.findall(r"\(\d+\) Sort", p)) == 1
+
+
+class TestValueTrend:
+    def test_exact_line_recovered(self, spark):
+        import datetime
+
+        # y = 2*x + 5 sampled at x = 0, 10, 20 seconds
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (1, base + datetime.timedelta(seconds=s), 2.0 * s + 5.0)
+            for s in (0, 10, 20)
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        out = ev_ops.value_trend(df).collect()[0]
+        assert out.n_events == 3
+        assert out.slope == 2.0
+        assert out.intercept == 5.0
+
+    def test_constant_time_key_dropped(self, spark):
+        import datetime
+
+        t = datetime.datetime(2024, 1, 1)
+        rows = [(1, t, 1.0), (1, t, 2.0)]  # zero time variance
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        assert ev_ops.value_trend(df).count() == 0
+
+    def test_no_window_in_plan(self, spark):
+        import datetime
+
+        from mofka_spark import plans
+
+        rows = [(1, datetime.datetime(2024, 1, 1), 1.0)]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        assert "Window" not in plans.plan_string(ev_ops.value_trend(df))
