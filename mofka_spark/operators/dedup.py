@@ -318,7 +318,7 @@ def minhash_lsh_candidates(
         rows_per_band = num_hashes // bands
         sig = minhash_signatures(
             df, id_col, text_col, num_hashes, shingle_k, features
-        ).persist()
+        ).localCheckpoint(eager=True)  # GC-bounded, not a session-cache leak
         banded = sig.select(
             "id",
             F.posexplode(
@@ -677,8 +677,9 @@ def simhash_dedup(
         # join populate the cache makes both sides race per-partition
         # block locks through the Python stage — measured ~2x worse
         # tail latency than one deterministic kernel pass.
-        sigs = sigs.persist()
-        sigs.count()
+        # localCheckpoint (not persist): blocks are reclaimed when the
+        # frame is GC'd instead of leaking into the session cache.
+        sigs = sigs.localCheckpoint(eager=True)
     bits = 60 if portable else 64
     if bands > bits:
         raise ValueError(f"bands={bands} exceeds signature width {bits}")
@@ -750,7 +751,8 @@ def containment_candidates(
             ).alias("gram"),
         )
         .select("id", F.xxhash64("gram").alias("g"))
-        .persist()
+        # localCheckpoint: reclaimed on GC, not a session-cache leak
+        .localCheckpoint(eager=True)
     )
     if max_df is not None:
         dfreq = grams.groupBy("g").agg(F.count("*").alias("_df"))
@@ -799,7 +801,8 @@ def containment_pairs(
             F.col(id_col).alias("id"),
             F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
         )
-        .persist()
+        # localCheckpoint: reclaimed on GC, not a session-cache leak
+        .localCheckpoint(eager=True)
     )
     j = (
         cand.join(grams.withColumnRenamed("grams", "grams_a"), cand.id_a == grams.id)

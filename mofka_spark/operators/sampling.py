@@ -115,7 +115,8 @@ def group_cap(
         .drop("_rk")
     )
     if prefilter:
-        kept = kept.persist()
+        # localCheckpoint: reclaimed on GC, not a session-cache leak
+        kept = kept.localCheckpoint(eager=True)
         short = (
             kept.groupBy(group_col, "_n_g")
             .agg(F.count("*").alias("_kept"))
@@ -186,19 +187,38 @@ def split_assign(
     engine-portable, and append-stable — new rows never reshuffle
     existing rows' splits, the property random splits lack.
 
+    When the fractions sum to ~1.0 the LAST stratum absorbs the
+    remainder of the hash range (a plain ``otherwise``), so float
+    truncation in the cumulative thresholds can never leave trailing
+    buckets NULL (three 1/3 shares would otherwise drop bucket
+    999999 — ~1e-6 of every split — silently). Partial fractions
+    (sum < 1) keep the NULL remainder: those rows belong to no split
+    by request.
+
     Scale: a scan-local when/otherwise projection, no shuffle."""
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     bucket = hash_bucket(F.col(key_col), salt)
+    absorbing = abs(sum(fractions.values()) - 1.0) < 1e-9
     expr = None
-    hi = 0
-    for name, frac in fractions.items():
-        hi += int(frac * _MOD)
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        # threshold from the CUMULATIVE fraction (rounded, not
+        # truncated) so per-stratum float error never accumulates
+        hi = int(round(cum * _MOD))
         expr = (
             F.when(bucket < hi, F.lit(name))
             if expr is None
             else expr.when(bucket < hi, F.lit(name))
         )
-    return df.withColumn(col_name, expr.otherwise(F.lit(None)))
+    last = F.lit(names[-1]) if absorbing else F.when(
+        bucket < int(round((cum + fractions[names[-1]]) * _MOD)),
+        F.lit(names[-1]),
+    ).otherwise(F.lit(None))
+    if expr is None:
+        return df.withColumn(col_name, last)
+    return df.withColumn(col_name, expr.otherwise(last))
 
 
 def temperature_mix(

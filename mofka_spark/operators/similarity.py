@@ -735,7 +735,7 @@ def label_separation(
     cells = vals.groupBy("lbl", "dim").agg(
         F.avg(F.col("x").cast("double")).alias("c"),
         F.count("*").alias("_n"),
-    ).persist()
+    ).localCheckpoint(eager=True)  # tiny L x d frame; GC-bounded
     norms = cells.groupBy("lbl").agg(
         F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias(
             "centroid_norm"

@@ -181,7 +181,8 @@ def heavy_hitters(
     local = items.select(item_col).mapInPandas(
         local_topm, f"{item_col} string, cnt long"
     )
-    local = local.persist()
+    # localCheckpoint: reclaimed on GC, not a session-cache leak
+    local = local.localCheckpoint(eager=True)
     slack = (
         local.filter(F.col(item_col).isNull()).agg(F.sum("cnt")).collect()[0][0] or 0
     )

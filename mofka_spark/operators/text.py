@@ -629,7 +629,8 @@ def dup_spans(
         .cast("long")
         .alias("h"),
     )
-    grams = grams.persist()
+    # localCheckpoint: reclaimed on GC, not a session-cache leak
+    grams = grams.localCheckpoint(eager=True)
     cross_doc = (
         grams.groupBy("h")
         .agg(F.count_distinct("id").alias("n_docs"))
@@ -1162,7 +1163,12 @@ def distinctive_terms(
     # the counted frame feeds THREE derived aggregates (token totals,
     # group totals, the scored join) — persist it or the explode+count
     # runs once per consumer
-    a_tbl = toks.groupBy("grp", "tok").agg(F.count("*").alias("a")).persist()
+    a_tbl = (
+        toks.groupBy("grp", "tok")
+        .agg(F.count("*").alias("a"))
+        # localCheckpoint: reclaimed on GC, not a session-cache leak
+        .localCheckpoint(eager=True)
+    )
     t_tbl = a_tbl.groupBy("tok").agg(F.sum("a").alias("t"))
     c_tbl = a_tbl.groupBy("grp").agg(F.sum("a").alias("c"))
     n_tot = c_tbl.agg(F.sum("c").alias("n"))
@@ -1211,6 +1217,7 @@ def cooccurrence_pmi(
     window: int = 5,
     min_count: int = 10,
     k: int = 50,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Pointwise mutual information over token co-occurrence within a
     sliding window — the corpus-linguistics collocation detector
@@ -1229,13 +1236,35 @@ def cooccurrence_pmi(
     join, no per-doc cross product; volume = window x corpus tokens,
     linear. Pair counts and unigram counts both partial-agg map-side
     (Zipf-small); the totals are one-row broadcasts; ranking windows
-    over the min_count-filtered pair vocabulary only."""
-    toks = (
-        df.filter(F.col(text_col).isNotNull())
-        .withColumn("_doc", F.monotonically_increasing_id())
-        .select("_doc", F.posexplode(_tokens(F.col(text_col))).alias("pos", "w"))
-        .filter(F.col("w") != "")
-    )
+    over the min_count-filtered pair vocabulary only.
+
+    ``id_col`` names a stable per-document key (pass it whenever one
+    exists — it is the scale path). Without one, the tokenized frame
+    is pinned with ``localCheckpoint`` before the (doc, position)
+    self-join: the fallback doc key is ``monotonically_increasing_id``
+    whose values depend on partition layout, and letting both join
+    sides recompute that expression through separate lineages (AQE
+    re-plans, upstream shuffles) could silently pair tokens across
+    different documents."""
+    if id_col is not None:
+        toks = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col).alias("_doc"),
+                F.posexplode(_tokens(F.col(text_col))).alias("pos", "w"),
+            )
+            .filter(F.col("w") != "")
+        )
+    else:
+        toks = (
+            df.filter(F.col(text_col).isNotNull())
+            .withColumn("_doc", F.monotonically_increasing_id())
+            .select(
+                "_doc", F.posexplode(_tokens(F.col(text_col))).alias("pos", "w")
+            )
+            .filter(F.col("w") != "")
+            .localCheckpoint(eager=True)
+        )
     uni = toks.groupBy("w").agg(F.count("*").alias("c"))
     n_tok = uni.agg(F.sum("c").alias("n"))
     right = toks.select("_doc", F.col("pos").alias("pos2"), F.col("w").alias("wb"))
@@ -1255,7 +1284,10 @@ def cooccurrence_pmi(
         )
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_pair"))
-        .persist()  # feeds the pair total AND the scored join
+        # feeds the pair total AND the scored join; localCheckpoint
+        # (not persist) so the blocks are reclaimed when the frame is
+        # GC'd rather than leaking into the session cache
+        .localCheckpoint(eager=True)
     )
     # p(x,y) denominator = ALL window pairs, counted pre-filter
     n_pairs = pairs.agg(F.sum("n_pair").alias("p")).collect()[0][0]

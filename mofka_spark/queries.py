@@ -3084,10 +3084,10 @@ def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) > 90
                 THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey=l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -4524,7 +4524,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prune the corpus-sized split frame to pair members (broadcast
     # semi-join on the tiny member-id set) BEFORE joining — the split
     # column itself is then broadcast-sized, never the corpus
-    pairs = pairs.persist()
+    pairs = pairs.localCheckpoint(eager=True)  # GC-bounded reuse
     members = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .union(pairs.select(F.col("id_b").alias("doc_id")))
@@ -4770,7 +4770,9 @@ def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return text.cooccurrence_pmi(docs, window=5, min_count=10, k=50)
+    return text.cooccurrence_pmi(
+        docs, window=5, min_count=10, k=50, id_col="doc_id"
+    )
 
 
 def _streaming_pca_oracle(iters: int = 4) -> str:

@@ -14,13 +14,18 @@ each epoch's largest dropped count:
 
 - an item absent from EVERY epoch's kept set has total <= slack;
 - a candidate's merged count is exact for epochs where it was kept
-  and undercounts by at most that epoch's slack elsewhere;
-- ``guaranteed`` is true when the k-th candidate count strictly
-  exceeds slack — no non-candidate can then displace the top-k set.
-  With m sized to the per-epoch distinct-item count (slack 0), every
-  count is exact and the result equals the batch answer — the gate
-  regime; under real truncation the flag says "set certified, counts
-  are lower bounds within slack".
+  and undercounts by at most that epoch's slack elsewhere — so ANY
+  stored item's true count is at most its merged count + slack;
+- ``guaranteed`` is true when slack == 0 (nothing was ever dropped,
+  every count exact, result equals the batch answer — the gate
+  regime) OR when the k-th merged count strictly exceeds the
+  (k+1)-th merged count + slack (no item outside the returned set —
+  stored-but-ranked-below OR never-kept — can reach the k-th
+  candidate's lower bound). When fewer than k+1 distinct items are
+  stored the second test degenerates to c_k > slack. Note c_k >
+  slack alone is NOT sufficient: an item kept in some epochs but
+  ranked k+1 can have true count up to c_{k+1} + slack, which may
+  exceed c_k.
 
 Storage follows streaming/store.py's epoch protocol: replayed epochs
 overwrite their own partition, so restarts are idempotent; compaction
@@ -93,22 +98,38 @@ def read_top_k(
         partials.filter(F.col("item").isNull())
         .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_slack"))
     )
+    # Take k+1 merged rows: the (k+1)-th count is the certificate's
+    # adversary bound (an item we stored but rank below k undercounts
+    # by at most slack from c_{k+1}, never from 0).
     merged = (
         partials.filter(F.col("item").isNotNull())
         .groupBy("item")
         .agg(F.sum("cnt").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("item"))
-        .limit(k)
+        .limit(k + 1)
     )
     w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cnt"), F.asc("item"))
+    wall = Window.partitionBy(F.lit(1))
     return (
         merged.withColumn("rnk", F.row_number().over(w).cast("long"))
         .crossJoin(F.broadcast(slack_row))
         .withColumn(
-            "guaranteed",
-            F.min("cnt").over(Window.partitionBy(F.lit(1))) > F.col("_slack"),
+            "_ck", F.min(F.when(F.col("rnk") <= k, F.col("cnt"))).over(wall)
         )
-        .drop("_slack")
+        .withColumn(
+            "_cnext",
+            F.max(F.when(F.col("rnk") == k + 1, F.col("cnt"))).over(wall),
+        )
+        .withColumn(
+            "guaranteed",
+            (F.col("_slack") == 0)
+            | (
+                F.col("_ck")
+                > F.coalesce(F.col("_cnext"), F.lit(0)) + F.col("_slack")
+            ),
+        )
+        .filter(F.col("rnk") <= k)
+        .select("item", "cnt", "rnk", "guaranteed")
     )
 
 

@@ -323,3 +323,26 @@ class TestSplitAssign:
         out = split_assign(df, "doc_id", fractions={"train": 0.5}).collect()
         splits = {r.split for r in out}
         assert splits == {"train", None}
+
+    def test_full_fractions_cover_every_bucket(self, spark):
+        """Three 1/3 shares truncate to 333333 each; the last stratum
+        must absorb the trailing hash buckets so fractions summing to
+        1.0 never leave a NULL split."""
+        from mofka_spark.operators.sampling import _MOD, hash_bucket, split_assign
+
+        df = spark.createDataFrame([(i,) for i in range(3000)], ["doc_id"])
+        thirds = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+        out = split_assign(df, "doc_id", fractions=thirds)
+        assert out.filter(F.col("split").isNull()).count() == 0
+        # and specifically a key hashing into the last bucket gets 'c':
+        # synthesize one row per residue near the top of the range
+        probe = spark.createDataFrame(
+            [(f"k{i}",) for i in range(200_000)], ["doc_id"]
+        ).withColumn("b", hash_bucket(F.col("doc_id"), "split"))
+        top = probe.filter(F.col("b") >= _MOD - 5)
+        if top.count():
+            got = {
+                r.split
+                for r in split_assign(top, "doc_id", fractions=thirds).collect()
+            }
+            assert got == {"c"}

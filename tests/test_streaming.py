@@ -899,6 +899,56 @@ class TestStreamingHeavyHitters:
         assert by_rank[2].item == "y" and by_rank[2].cnt == 4
         assert not by_rank[1].guaranteed and not by_rank[2].guaranteed
 
+    def test_certificate_rejects_displaceable_runner_up(self, spark, tmp_path):
+        """An item kept in SOME epochs but ranked k+1 in the merged view
+        can have true count up to c_{k+1} + slack; c_k > slack alone
+        would wrongly certify it away. epoch0 keeps y=10 (drops z=3 ->
+        slack 3); epoch1 keeps x=12 (drops y=8 -> slack 8). Merged:
+        x=12, y=10, slack=11 — y's true count is 18 > 12, so
+        read_top_k(k=1) must NOT be guaranteed (12 > 10 + 11 fails)."""
+        from mofka_spark.streaming.heavyhitters import (
+            heavyhitter_sink,
+            read_top_k,
+        )
+
+        path = str(tmp_path / "hh")
+        sink = heavyhitter_sink(path, m_per_epoch=1)
+        sink(
+            spark.createDataFrame([("y",)] * 10 + [("z",)] * 3, "item string"),
+            0,
+        )
+        sink(
+            spark.createDataFrame([("x",)] * 12 + [("y",)] * 8, "item string"),
+            1,
+        )
+        (row,) = read_top_k(spark, path, 1).collect()
+        assert row.item == "x" and row.cnt == 12
+        assert not row.guaranteed
+
+    def test_certificate_accepts_dominant_leader(self, spark, tmp_path):
+        """Positive case under truncation: c_k > c_{k+1} + slack does
+        certify. epoch0 x=20 drops y=2 (slack 2); epoch1 x=15 drops
+        z=1 (slack 1). Merged x=35, no runner-up stored; slack=3 ->
+        35 > 0 + 3 -> guaranteed even though slack > 0."""
+        from mofka_spark.streaming.heavyhitters import (
+            heavyhitter_sink,
+            read_top_k,
+        )
+
+        path = str(tmp_path / "hh")
+        sink = heavyhitter_sink(path, m_per_epoch=1)
+        sink(
+            spark.createDataFrame([("x",)] * 20 + [("y",)] * 2, "item string"),
+            0,
+        )
+        sink(
+            spark.createDataFrame([("x",)] * 15 + [("z",)] * 1, "item string"),
+            1,
+        )
+        (row,) = read_top_k(spark, path, 1).collect()
+        assert row.item == "x" and row.cnt == 35
+        assert row.guaranteed
+
     def test_compaction_is_invisible(self, spark, tmp_path):
         from mofka_spark.streaming.heavyhitters import (
             compact_hitters,

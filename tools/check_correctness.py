@@ -88,6 +88,15 @@ def compare(name: str, spark, con) -> dict:
         res["oracle_cols"] = sorted(duck_pd.columns)
         return res
     a, b = _normalize(spark_pd), _normalize(duck_pd)
+    # The driver hashes values *with* their dtype, so an integer Spark
+    # column against a float oracle column (DuckDB HUGEINT -> float64,
+    # the q12 trap) hash-mismatches even when every value is equal.
+    # Surface that locally as a hard failure.
+    dtype_risks = []
+    for col in a.columns:
+        ka, kb = a[col].dtype.kind, b[col].dtype.kind
+        if {ka, kb} <= {"i", "u", "f"} and ("f" in (ka, kb)) != (ka == kb == "f"):
+            dtype_risks.append(f"{col}: spark={a[col].dtype} oracle={b[col].dtype}")
     n_exact = n_close = n_bad = 0
     first_bad = None
     for col in a.columns:
@@ -106,6 +115,9 @@ def compare(name: str, spark, con) -> dict:
                     first_bad = ("DIFF", col, i, x, y)
     if n_bad:
         res["status"] = "VALUE_MISMATCH"
+    elif dtype_risks:
+        res["status"] = "DTYPE_MISMATCH"  # values equal, hash would differ
+        res["dtype_risks"] = dtype_risks
     elif n_close:
         res["status"] = "CLOSE_ONLY"  # would likely fail a strict hash
     else:
