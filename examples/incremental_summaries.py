@@ -94,6 +94,34 @@ def main() -> None:
     print("hottest users (top-m + slack certificate):")
     read_top_k(spark, stores["hh"], k=5).show()
 
+    # Maintenance cadence: compact each store once epoch fragments
+    # outgrow the merge-on-read budget. Answers are identical before
+    # and after; in production this is a cron job running the CLI:
+    #   python -m mofka_spark store compact STORE -k rollup \
+    #       --group-cols kind --aggs '{"value": ["count", "sum"]}'
+    #   python -m mofka_spark store compact STORE -k distinct --group-cols kind
+    #   python -m mofka_spark store compact STORE -k quantiles --group-cols kind
+    #   python -m mofka_spark store compact STORE -k heavyhitters
+    # (and `store bucketize -k neardup|textindex` for the join-heavy
+    # stores — exchange-free epoch joins after the fold.)
+    from mofka_spark.__main__ import main as cli
+
+    before = read_rollup(
+        spark, stores["roll"], ["kind"], {"value": ["count", "sum"]}
+    ).collect()
+    cli([
+        "store", "compact", stores["roll"], "-k", "rollup",
+        "--group-cols", "kind", "--aggs", '{"value": ["count", "sum"]}',
+    ])
+    cli(["store", "compact", stores["hll"], "-k", "distinct", "--group-cols", "kind"])
+    cli(["store", "compact", stores["hist"], "-k", "quantiles", "--group-cols", "kind"])
+    cli(["store", "compact", stores["hh"], "-k", "heavyhitters"])
+    after = read_rollup(
+        spark, stores["roll"], ["kind"], {"value": ["count", "sum"]}
+    ).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    print("compacted all four stores; rollup answers unchanged")
+
     spark.stop()
 
 

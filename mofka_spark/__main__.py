@@ -153,6 +153,98 @@ def cmd_topic_compact(args) -> int:
     return 0
 
 
+_STORE_KINDS = (
+    "neardup", "textindex", "annindex", "heavyhitters", "moments",
+    "monitor", "distinct", "quantiles", "rollup", "generic",
+)
+
+
+def cmd_store_compact(args) -> int:
+    """Maintenance compaction for the incremental summary stores
+    (streaming/*.py compact_* — fold epoch fragments into the
+    compacted slot; reads are identical before and after). The
+    streaming analog of ``topic compact``: run on a cadence while no
+    writer is mid-epoch. ``distinct``/``quantiles`` need --group-cols,
+    ``rollup`` needs --group-cols and --aggs (the same dict its reader
+    uses)."""
+    from mofka_spark.session import get_spark
+
+    spark = get_spark(app_name="mofka-store-compact")
+    kind, path = args.kind, args.path
+    cols = args.group_cols.split(",") if args.group_cols else None
+    if kind in ("distinct", "quantiles", "rollup") and not cols:
+        print(f"--group-cols is required for kind={kind}", file=sys.stderr)
+        return 2
+    if kind == "neardup":
+        from mofka_spark.streaming.neardup import compact_store
+        compact_store(spark, path)
+    elif kind == "textindex":
+        from mofka_spark.streaming.textindex import compact_index
+        compact_index(spark, path)
+    elif kind == "annindex":
+        from mofka_spark.streaming.annindex import compact_index
+        compact_index(spark, path)
+    elif kind == "heavyhitters":
+        from mofka_spark.streaming.heavyhitters import compact_hitters
+        compact_hitters(spark, path)
+    elif kind == "moments":
+        from mofka_spark.streaming.moments import compact_moments
+        compact_moments(spark, path)
+    elif kind == "monitor":
+        from mofka_spark.streaming.monitor import compact_monitor
+        compact_monitor(spark, path)
+    elif kind == "distinct":
+        from mofka_spark.streaming.distinct import compact_distinct
+        compact_distinct(spark, path, cols)
+    elif kind == "quantiles":
+        from mofka_spark.streaming.quantiles import compact_histogram
+        compact_histogram(spark, path, cols)
+    elif kind == "rollup":
+        from mofka_spark.streaming.rollup import compact_rollup
+        compact_rollup(spark, path, cols, _jarg(args.aggs, "--aggs"))
+    else:  # generic epoch store
+        from mofka_spark.streaming.store import compact_epoch_store
+        compact_epoch_store(spark, path)
+    print(json.dumps({"compacted": path, "kind": kind}))
+    return 0
+
+
+def cmd_store_bucketize(args) -> int:
+    """Opt-in bucketed layout maintenance (streaming/store.py
+    bucketize_store): fold the accumulated store into a catalog table
+    bucketed on the hot join/agg key so subsequent epoch joins read
+    the store side without an Exchange. ``neardup`` buckets bands/ on
+    (band_id, band_hash); ``textindex`` buckets postings/ on token;
+    ``generic`` buckets --path on --cols."""
+    from mofka_spark.session import get_spark
+
+    spark = get_spark(app_name="mofka-store-bucketize")
+    if args.kind == "neardup":
+        from mofka_spark.streaming.neardup import bucketize_bands
+
+        wm = bucketize_bands(spark, args.path, args.buckets, args.table)
+    elif args.kind == "textindex":
+        from mofka_spark.streaming.textindex import bucketize_postings
+
+        wm = bucketize_postings(spark, args.path, args.buckets, args.table)
+    else:
+        if not args.cols:
+            print("--cols is required for kind=generic", file=sys.stderr)
+            return 2
+        from mofka_spark.streaming.store import bucketize_store
+
+        wm = bucketize_store(
+            spark,
+            args.path,
+            args.cols.split(","),
+            args.buckets,
+            args.sort.split(",") if args.sort else None,
+            args.table,
+        )
+    print(json.dumps({"bucketized": args.path, "kind": args.kind, "watermark": wm}))
+    return 0
+
+
 def cmd_partition_add(args) -> int:
     cfg = _registry(args).add_partitions(
         args.name, args.count, backend=args.type
@@ -289,6 +381,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-files", type=int, default=8)
     p.add_argument("--target-mb", type=int, default=512)
     p.set_defaults(fn=cmd_topic_compact)
+
+    store = sub.add_parser(
+        "store", help="Incremental summary-store maintenance"
+    ).add_subparsers(dest="cmd", required=True)
+    p = store.add_parser(
+        "compact", help="Fold a store's epoch fragments (reads unchanged)"
+    )
+    p.add_argument("path", help="Store root directory")
+    p.add_argument("-k", "--kind", default="generic", choices=_STORE_KINDS)
+    p.add_argument("--group-cols", help="Comma list (distinct/quantiles/rollup)")
+    p.add_argument("--aggs", help="Rollup aggs JSON (rollup only)")
+    p.set_defaults(fn=cmd_store_compact)
+    p = store.add_parser(
+        "bucketize",
+        help="Fold a store into a bucketed table (exchange-free epoch joins)",
+    )
+    p.add_argument("path", help="Store root directory")
+    p.add_argument(
+        "-k", "--kind", default="generic",
+        choices=["neardup", "textindex", "generic"],
+    )
+    p.add_argument("-b", "--buckets", type=int, default=32)
+    p.add_argument("--cols", help="Comma bucket-key list (generic only)")
+    p.add_argument("--sort", help="Comma sort-cols list (generic only)")
+    p.add_argument("--table", help="Catalog table name (default derived)")
+    p.set_defaults(fn=cmd_store_bucketize)
 
     part = sub.add_parser("partition", help="Manipulate partitions").add_subparsers(
         dest="cmd", required=True

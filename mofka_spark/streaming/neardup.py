@@ -35,11 +35,13 @@ module maintains the LSH state incrementally:
 buckets), never O(corpus) — the store join is an equi-join on
 (band_id, band_hash) whose store side prunes to buckets the batch
 actually touches; verify joins text onto candidate ids only. The store
-is partitioned by ``_epoch`` for idempotent writes; a production
-deployment additionally buckets ``bands/`` by band_hash so the per-epoch
-join is shuffle-free on the store side (operators/layout.py bucketize —
-same pattern the co-located join tests pin), and compacts old epochs
-like rollup.compact_rollup. Duplicate-of-history docs still append
+is partitioned by ``_epoch`` for idempotent writes; at deployment scale
+run ``bucketize_bands`` on a maintenance cadence — it folds the
+accumulated bands into a (band_id, band_hash)-bucketed catalog table
+(operators/layout.py bucketize) so the per-epoch history join is
+shuffle-free on the store side (tests/test_plans.py pins the plan), with
+epochs since the last run joining as a small overlay — and compact old
+epochs like rollup.compact_rollup. Duplicate-of-history docs still append
 their bands (they are legitimate future match targets), so the store
 grows with the corpus, not the unique set — cap with edges-aware
 retention if dup rates are extreme.
@@ -61,9 +63,11 @@ from mofka_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 from mofka_spark.streaming.store import (
+    bucketize_store,
     compact_epoch_store,
     epoch_write as _epoch_write_generic,
     read_store as _read_store,
+    read_store_split as _read_store_split,
 )
 
 _BANDS, _TEXTS, _EDGES = "bands", "texts", "edges"
@@ -71,6 +75,29 @@ _BANDS, _TEXTS, _EDGES = "bands", "texts", "edges"
 
 def _epoch_write(df: DataFrame, path: str, epoch_id: int) -> None:
     _epoch_write_generic(df, path, epoch_id)
+
+
+def bucketize_bands(
+    spark: SparkSession,
+    store_path: str,
+    num_buckets: int = 32,
+    table: str | None = None,
+) -> int:
+    """Opt-in deployment-scale layout: fold the accumulated ``bands/``
+    store into a catalog table bucketed on (band_id, band_hash) — the
+    epoch join's key — so every subsequent micro-batch's history-join
+    reads the store side WITHOUT an Exchange (the batch side alone
+    shuffles into the bucket count). Run on a maintenance cadence like
+    compaction; epochs written after a run land in the overlay until
+    the next one. Plan pinned in tests/test_plans.py."""
+    return bucketize_store(
+        spark,
+        os.path.join(store_path, _BANDS),
+        ["band_id", "band_hash"],
+        num_buckets,
+        sort_cols=["band_id", "band_hash"],
+        table=table,
+    )
 
 
 def compact_store(spark: SparkSession, store_path: str) -> None:
@@ -83,6 +110,48 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
         path = os.path.join(store_path, sub)
         if os.path.isdir(path):
             compact_epoch_store(spark, path, dedup=dedup)
+
+
+def history_candidates(
+    spark: SparkSession, store_path: str, new_bands: DataFrame
+) -> DataFrame:
+    """Batch-vs-history candidate pairs: equi-join the new docs' band
+    rows against the accumulated ``bands/`` store on (band_id,
+    band_hash). Orientation by least/greatest — arrival order need not
+    follow id order, and read_result's keeper aggregation relies on
+    id_a < id_b regardless of which side is history.
+
+    With a bucketed layout (bucketize_bands), history comes back split:
+    base = the (band_id, band_hash)-bucketed table — its side of the
+    join carries NO Exchange (plan pinned in tests/test_plans.py) —
+    and overlay = epochs since the last maintenance run. Each side
+    joins separately and the RESULTS union: unioning the inputs first
+    would discard the base's bucketing and put the Exchange back on
+    the corpus-sized side."""
+    base_bands, overlay_bands = _read_store_split(
+        spark, os.path.join(store_path, _BANDS),
+        "id long, band_id int, band_hash long",
+    )
+
+    def _hist_join(hist: DataFrame) -> DataFrame:
+        s, n = hist.alias("s"), new_bands.alias("n")
+        return (
+            s.join(
+                n,
+                (F.col("s.band_id") == F.col("n.band_id"))
+                & (F.col("s.band_hash") == F.col("n.band_hash"))
+                & (F.col("s.id") != F.col("n.id")),
+            )
+            .select(
+                F.least("s.id", "n.id").alias("id_a"),
+                F.greatest("s.id", "n.id").alias("id_b"),
+            )
+        )
+
+    cand = _hist_join(overlay_bands)
+    if base_bands is not None:
+        cand = cand.union(_hist_join(base_bands))
+    return cand
 
 
 def neardup_sink(
@@ -114,10 +183,6 @@ def neardup_sink(
         new_bands = minhash_band_rows(
             docs, "id", "text", num_hashes, bands, shingle_k
         ).persist()
-        old_bands = _read_store(
-            spark, os.path.join(store_path, _BANDS),
-            "id long, band_id int, band_hash long",
-        )
         # within-batch candidates: standard LSH self-join, a < b
         a, b = new_bands.alias("a"), new_bands.alias("b")
         cand_new = (
@@ -129,23 +194,7 @@ def neardup_sink(
             )
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         )
-        # batch-vs-history candidates: bucket join on the band key.
-        # Orientation by least/greatest — arrival order need not follow
-        # id order, and read_result's keeper aggregation relies on
-        # id_a < id_b regardless of which side is history.
-        s, n = old_bands.alias("s"), new_bands.alias("n")
-        cand_hist = (
-            s.join(
-                n,
-                (F.col("s.band_id") == F.col("n.band_id"))
-                & (F.col("s.band_hash") == F.col("n.band_hash"))
-                & (F.col("s.id") != F.col("n.id")),
-            )
-            .select(
-                F.least("s.id", "n.id").alias("id_a"),
-                F.greatest("s.id", "n.id").alias("id_b"),
-            )
-        )
+        cand_hist = history_candidates(spark, store_path, new_bands)
         cand = cand_new.union(cand_hist).distinct()
         # verify with exact n-gram Jaccard; texts resolve from the
         # batch plus the store (candidate ids only — the semi-join

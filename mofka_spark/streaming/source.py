@@ -112,7 +112,7 @@ def _arrow_scan(part: _RangePartition):
 
 
 class MofkaStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, durable_floor: bool = True):
         self.root = options.get("path") or options.get("root")
         self.topic = options["topic"]
         if self.root is None:
@@ -141,15 +141,55 @@ class MofkaStreamReader(DataSourceStreamReader):
         # offsets (observed as duplicate rows in a file sink). Both the
         # announcement base and every emitted range clamp to the floor.
         #
-        # Durability: when the caller passes option "floor_path" (the
-        # read_stream(checkpoint=...) wiring puts it INSIDE the query's
-        # checkpoint dir, so isolation matches Spark's own offset log),
-        # committed ends persist there and a restarted reader reloads
-        # them — the floor then does not depend on inferring the
-        # committed position from Spark's recovery call pattern (the
-        # s == e probe heuristic in partitions(), kept as the fallback
-        # for callers that stream without the wiring).
-        self.floor_path = options.get("floor_path")
+        # Durability: committed ends persist to "floor_path" and a
+        # restarted reader reloads them — the floor then does not
+        # depend on inferring the committed position from Spark's
+        # recovery call pattern (the s == e probe heuristic in
+        # partitions(), kept as a fallback). Resolution order:
+        #   - explicit "floor_path" option (the read_stream(
+        #     checkpoint=...) wiring puts it INSIDE the query's
+        #     checkpoint dir, so isolation matches Spark's offset log);
+        #   - "" disables the file (heuristic only — tests/tools);
+        #   - otherwise, rate-capped stream readers DEFAULT to a file
+        #     under <topic>/_stream_floor/ keyed by the query's option
+        #     signature (topic, batch_size, starting_offsets), so the
+        #     exactly-once restart guard is durable out of the box and
+        #     dies with the topic. A LATER fresh query with the same
+        #     options is safe — initialOffset (which Spark only calls
+        #     when the offset log is empty, i.e. never on restart)
+        #     resets the shared file to the fresh start. Two
+        #     CONCURRENT queries with identical options still share
+        #     the file and the floor of one could clamp (skip rows in)
+        #     the other — run such twins with
+        #     read_stream(checkpoint=...) to isolate them.
+        # Uncapped readers (batch_size None) take no default: without
+        # the rate cap latestOffset never announces below committed
+        # ends, so the floor guards nothing and a stale shared file
+        # would only add risk. Batch-mode reads (MofkaBatchReader)
+        # never default either — they must see the whole log.
+        raw_floor = options.get("floor_path")
+        if raw_floor == "":
+            self.floor_path = None
+        elif raw_floor is not None:
+            self.floor_path = raw_floor
+        elif durable_floor and self.batch_size is not None:
+            import hashlib
+
+            key = json.dumps(
+                {
+                    "topic": self.topic,
+                    "batch_size": self.batch_size,
+                    "starting": self.starting,
+                },
+                sort_keys=True,
+            )
+            self.floor_path = os.path.join(
+                self.topic_path,
+                "_stream_floor",
+                f"q-{hashlib.sha1(key.encode()).hexdigest()[:12]}.json",
+            )
+        else:
+            self.floor_path = None
         self._floor: dict[str, int] = {}
         if self.floor_path:
             try:
@@ -164,17 +204,27 @@ class MofkaStreamReader(DataSourceStreamReader):
         _trace(self, "initialOffset")
         ledger = _read_ledger(self.topic_path)
         if self.starting == "latest":
-            return {p: int(n) for p, n in ledger.items()}
-        if self.starting != "earliest":
+            start = {p: int(n) for p, n in ledger.items()}
+        elif self.starting != "earliest":
             explicit = {str(k): int(v) for k, v in json.loads(self.starting).items()}
             # clamp to the log: an offset past the head would make the
             # first batch's range negative
-            return {
+            start = {
                 p: min(explicit.get(p, 0), int(ledger.get(p, 0)))
                 for p in set(ledger) | set(explicit)
             }
-        # start of the log: offset 0 for every currently-known partition
-        return {p: 0 for p in ledger}
+        else:
+            # start of the log: offset 0 for every known partition
+            start = {p: 0 for p in ledger}
+        # Spark calls initialOffset ONLY when the query's offset log is
+        # empty — i.e. this is a FRESH query, not a restart. Reset the
+        # floor to the fresh start: a floor file left behind by an
+        # EARLIER query on this topic (the shared default path) records
+        # that query's committed ends and would otherwise clamp this
+        # one's first batches empty / skip its early offsets.
+        self._floor = dict(start)
+        self._save_floor()
+        return start
 
     def latestOffset(self) -> dict:
         ledger = {p: int(n) for p, n in _read_ledger(self.topic_path).items()}
@@ -232,12 +282,16 @@ class MofkaStreamReader(DataSourceStreamReader):
         # restarted reader's rate cap can never announce below them
         for p, n in end.items():
             self._floor[p] = max(self._floor.get(p, 0), int(n))
-        if self.floor_path:
-            os.makedirs(os.path.dirname(self.floor_path), exist_ok=True)
-            tmp = f"{self.floor_path}.tmp-{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump(self._floor, f, sort_keys=True)
-            os.replace(tmp, self.floor_path)
+        self._save_floor()
+
+    def _save_floor(self) -> None:
+        if not self.floor_path:
+            return
+        os.makedirs(os.path.dirname(self.floor_path), exist_ok=True)
+        tmp = f"{self.floor_path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(self._floor, f, sort_keys=True)
+        os.replace(tmp, self.floor_path)
 
 
 class MofkaBatchReader(DataSourceReader):
@@ -246,7 +300,9 @@ class MofkaBatchReader(DataSourceReader):
     for analytics because it uses Spark's vectorized parquet scan)."""
 
     def __init__(self, options: dict):
-        self.stream = MofkaStreamReader(options)
+        # durable_floor=False: a batch read must scan the WHOLE log; a
+        # floor file left by some streaming query must never clamp it
+        self.stream = MofkaStreamReader(options, durable_floor=False)
 
     def partitions(self):
         end = self.stream.latestOffset()

@@ -21,12 +21,18 @@ Protocol (the LSM shape, entirely in Spark operators):
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 COMPACTED_EPOCH = -1
+
+# marker file inside the store dir (underscore prefix: parquet partition
+# discovery ignores it) recording the bucketed-layout recipe + watermark
+_BUCKET_META = "_bucketed.json"
 
 
 def epoch_write(
@@ -80,6 +86,87 @@ def read_store(
     return spark.createDataFrame([], schema)
 
 
+def bucketize_store(
+    spark: SparkSession,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    table: str | None = None,
+) -> int:
+    """Opt-in bucketed layout for an epoch store: fold every epoch
+    written so far into a catalog table bucketed on ``bucket_cols``
+    (operators/layout.bucketize) and record the recipe + covered-epoch
+    watermark in ``_bucketed.json`` inside the store dir.
+
+    After this, ``read_store_split`` returns (base, overlay): the
+    bucketed table plus only the epochs past the watermark — joins and
+    aggregations on the bucket key hit the BASE with no Exchange (the
+    write-time bucketing is the shuffle, paid once per maintenance
+    run), while the small overlay shuffles as usual. Run on the same
+    maintenance cadence as compaction; each run re-folds the whole
+    store and advances the watermark. The directory store stays the
+    replay-idempotent source of truth — the table is a derived layout,
+    so epoch replays and time travel are unaffected.
+
+    Returns the watermark (highest real epoch folded; -1 for an empty
+    store). ``table`` defaults to a name derived from the store path.
+    """
+    if table is None:
+        digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+        table = f"mofka_bucketed_{digest}"
+    from mofka_spark.operators.layout import bucketize
+
+    df = spark.read.parquet(path)
+    watermark = df.agg(F.max("_epoch")).collect()[0][0]
+    watermark = int(watermark) if watermark is not None else COMPACTED_EPOCH
+    bucketize(df.drop("_epoch"), table, bucket_cols, num_buckets, sort_cols)
+    meta = {
+        "table": table,
+        "max_epoch": watermark,
+        "bucket_cols": bucket_cols,
+        "num_buckets": num_buckets,
+        "sort_cols": sort_cols,
+    }
+    tmp = os.path.join(path, f"{_BUCKET_META}.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, os.path.join(path, _BUCKET_META))
+    return watermark
+
+
+def _bucket_meta(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, _BUCKET_META)) as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def read_store_split(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+) -> tuple[DataFrame | None, DataFrame]:
+    """(base, overlay) view of a store: ``base`` is the bucketed
+    catalog table when ``bucketize_store`` has run (None otherwise),
+    ``overlay`` is every epoch after the bucketize watermark (partition
+    pruning keeps that read proportional to what arrived since the
+    last maintenance run). base ∪ overlay == read_store — but keeping
+    them separate lets callers run the bucket-key join/agg on the base
+    WITHOUT an Exchange and union only the (small) results."""
+    meta = _bucket_meta(path)
+    if meta and spark.catalog.tableExists(meta["table"]):
+        base = spark.table(meta["table"])
+        overlay = (
+            spark.read.parquet(path)
+            .filter(F.col("_epoch") > int(meta["max_epoch"]))
+            .drop("_epoch")
+        )
+        return base, overlay
+    return None, read_store(spark, path, schema)
+
+
 def compact_epoch_store(
     spark: SparkSession,
     path: str,
@@ -100,7 +187,21 @@ def compact_epoch_store(
     merged.write.mode("overwrite").partitionBy(*partition_cols, "_epoch").parquet(
         tmp
     )
+    meta = _bucket_meta(path)
     old = path.rstrip("/") + ".compact-old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+    if meta:
+        # compaction folded every epoch into _epoch=-1, which sits at or
+        # below any bucketize watermark — refresh the bucketed layout
+        # with its stored recipe so the (base, overlay) split stays
+        # exact (watermark becomes -1; future epochs land in overlay)
+        bucketize_store(
+            spark,
+            path,
+            meta["bucket_cols"],
+            meta["num_buckets"],
+            meta.get("sort_cols"),
+            meta["table"],
+        )

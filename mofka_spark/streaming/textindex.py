@@ -25,9 +25,11 @@ compaction).
 
 100 TB shape: read_index's df-bound pruning happens BEFORE posting
 lists materialize, exactly like the batch operator; at deployment
-scale, bucket ``postings/`` by token (operators/layout.py) so the
-merge groupBy is exchange-free, and compact on a maintenance cadence
-(compact_index) to bound per-token fragment counts.
+scale run ``bucketize_postings`` on a maintenance cadence — it folds
+the accumulated postings into a token-bucketed catalog table so the
+merge groupBy/join run exchange-free on the corpus-sized base (only
+the since-last-run overlay and the vocab-sized merge shuffle) — and
+compact (compact_index) to bound per-token fragment counts.
 """
 
 from __future__ import annotations
@@ -38,12 +40,36 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mofka_spark.streaming.store import (
+    bucketize_store,
     compact_epoch_store,
     epoch_write,
     read_store,
+    read_store_split,
 )
 
 _POSTINGS, _META, _DOCLEN = "postings", "meta", "doclen"
+
+
+def bucketize_postings(
+    spark: SparkSession,
+    store_path: str,
+    num_buckets: int = 32,
+    table: str | None = None,
+) -> int:
+    """Opt-in deployment-scale layout: fold the accumulated
+    ``postings/`` store into a catalog table bucketed on token — the
+    merge groupBy's key — so read_index's df-stats and posting-list
+    aggregations run on the corpus-sized base WITHOUT an Exchange
+    (only the small since-last-run overlay shuffles). Maintenance
+    cadence like compact_index."""
+    return bucketize_store(
+        spark,
+        os.path.join(store_path, _POSTINGS),
+        ["token"],
+        num_buckets,
+        sort_cols=["token"],
+        table=table,
+    )
 
 
 def index_sink(
@@ -109,8 +135,14 @@ def read_index(
     """token -> (df, sorted postings) from the accumulated store —
     identical contract AND result to the batch inverted_index over
     every document ingested so far (same df bounds, same pruning-
-    before-collect order)."""
-    pairs = read_store(
+    before-collect order).
+
+    With a bucketed layout (bucketize_postings), the corpus-sized base
+    aggregates and joins on its bucket key WITHOUT an Exchange; only
+    the since-last-maintenance overlay and the vocab-sized merge
+    shuffle. Docs are unique across epochs, so per-side posting lists
+    are disjoint and concatenate exactly."""
+    base, overlay = read_store_split(
         spark, os.path.join(store_path, _POSTINGS),
         "token string, doc long, tf double",
     )
@@ -120,17 +152,42 @@ def read_index(
         .collect()[0]["n"]
     )
     max_df = int(n_docs * max_df_ratio)
+    sides = [overlay] if base is None else [overlay, base]
+    counts = sides[0].groupBy("token").agg(F.count("*").alias("df"))
+    for s in sides[1:]:
+        counts = counts.unionByName(
+            s.groupBy("token").agg(F.count("*").alias("df"))
+        )
     stats = (
-        pairs.groupBy("token")
-        .agg(F.count("*").alias("df"))
+        counts.groupBy("token")
+        .agg(F.sum("df").alias("df"))
         .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
     )
+    if base is None:
+        return (
+            overlay.join(stats, "token")
+            .groupBy("token")
+            .agg(
+                F.first("df").alias("df"),
+                F.sort_array(F.collect_list("doc")).alias("postings"),
+            )
+            .select("token", F.col("df").cast("long").alias("df"), "postings")
+        )
+    # per-side df-pruned collect (base side exchange-free), then a
+    # vocab-sized merge of <= 2 partial rows per token
+    parts = None
+    for s in sides:
+        part = (
+            s.join(stats, "token")
+            .groupBy("token")
+            .agg(F.first("df").alias("df"), F.collect_list("doc").alias("p"))
+        )
+        parts = part if parts is None else parts.unionByName(part)
     return (
-        pairs.join(stats, "token")
-        .groupBy("token")
+        parts.groupBy("token")
         .agg(
             F.first("df").alias("df"),
-            F.sort_array(F.collect_list("doc")).alias("postings"),
+            F.sort_array(F.flatten(F.collect_list("p"))).alias("postings"),
         )
         .select("token", F.col("df").cast("long").alias("df"), "postings")
     )

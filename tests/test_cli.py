@@ -64,3 +64,48 @@ class TestTopicCommands:
         import pytest
         with pytest.raises(SystemExit):
             run("topic", "create", "bad", "-r", str(tmp_path), "--validator", "not-json")
+
+
+class TestStoreCommands:
+    """store compact / store bucketize: the maintenance cadence for the
+    incremental summary stores, runnable without writing a driver
+    script (these DO bring up a SparkSession — the spark fixture keeps
+    get_spark reusing the test session)."""
+
+    def _snap(self, spark, store):
+        from mofka_spark.streaming.textindex import read_index
+
+        return {
+            (r.token, r.df, tuple(r.postings))
+            for r in read_index(spark, store, min_df=1, max_df_ratio=1.0).collect()
+        }
+
+    def test_store_compact_and_bucketize(self, spark, tmp_path):
+        from mofka_spark.streaming.textindex import index_sink
+
+        store = str(tmp_path / "ti")
+        sink = index_sink(store)
+        sink(spark.createDataFrame([(1, "a b a"), (2, "a c")], "id long, text string"), 0)
+        sink(spark.createDataFrame([(3, "b c a")], "id long, text string"), 1)
+        before = self._snap(spark, store)
+        assert before  # non-trivial store
+
+        rc, out = run("store", "compact", store, "-k", "textindex")
+        assert rc == 0 and json.loads(out)["kind"] == "textindex"
+        assert self._snap(spark, store) == before
+
+        try:
+            rc, out = run(
+                "store", "bucketize", store, "-k", "textindex",
+                "-b", "2", "--table", "bk_cli_postings",
+            )
+            assert rc == 0
+            # post-compaction the only epoch is the compacted slot (-1)
+            assert json.loads(out)["watermark"] == -1
+            assert self._snap(spark, store) == before
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bk_cli_postings")
+
+    def test_store_compact_requires_group_cols(self, spark, tmp_path):
+        rc, _ = run("store", "compact", str(tmp_path / "x"), "-k", "distinct")
+        assert rc == 2

@@ -291,6 +291,114 @@ class TestBucketedJoin:
             spark.sql("DROP TABLE IF EXISTS bk_cust")
 
 
+class TestBucketedStoreJoin:
+    def _build_store(self, spark, tmp_path):
+        from mofka_spark.operators.dedup import minhash_band_rows
+        from mofka_spark.streaming.neardup import neardup_sink
+
+        store = str(tmp_path / "nd-store")
+        docs = spark.createDataFrame(
+            [(i, f"doc number {i} with some shared words here") for i in range(30)],
+            "id long, text string",
+        )
+        neardup_sink(store)(docs, 0)
+        # exact duplicate of stored doc 5: identical signature, so every
+        # band bucket matches and the history join provably fires
+        new = spark.createDataFrame(
+            [(100, "doc number 5 with some shared words here")],
+            "id long, text string",
+        )
+        new_bands = minhash_band_rows(new, "id", "text", 64, 16, 3)
+        return store, new_bands
+
+    def test_bucketized_bands_store_side_has_no_exchange(self, spark, tmp_path):
+        """After bucketize_bands, the epoch join's history side reads
+        the (band_id, band_hash)-bucketed table with NO Exchange — only
+        the micro-batch side shuffles into the bucket count. This is
+        the SCALING.md deployment prescription, now executable."""
+        import os
+
+        from mofka_spark.streaming.neardup import bucketize_bands
+        from mofka_spark.streaming.store import read_store_split
+
+        store, new_bands = self._build_store(spark, tmp_path)
+        table = "bk_nd_bands_plan"
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            bucketize_bands(spark, store, num_buckets=4, table=table)
+            base, _ = read_store_split(
+                spark,
+                os.path.join(store, "bands"),
+                "id long, band_id int, band_hash long",
+            )
+            assert base is not None
+            j = base.join(new_bands, ["band_id", "band_hash"])
+            p = plans.plan_string(j, mode="simple")
+            assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+            # the STORE side (the join's left branch, ':'-prefixed in
+            # the tree) reads co-located bucket files with NO Exchange;
+            # the batch side shuffles as usual (its own signature agg
+            # plus the bucket alignment)
+            left_branch = [
+                ln for ln in p.splitlines() if ln.lstrip().startswith(":")
+            ]
+            assert left_branch, p
+            assert any("Bucketed: true" in ln for ln in left_branch), p
+            assert not any("Exchange" in ln for ln in left_branch), p
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def test_history_candidates_match_across_layouts(self, spark, tmp_path):
+        """history_candidates returns the identical pair set before and
+        after bucketize_bands (base + overlay split is an internal
+        layout change, not a semantic one)."""
+        from mofka_spark.streaming.neardup import (
+            bucketize_bands,
+            history_candidates,
+            neardup_sink,
+        )
+        from mofka_spark.operators.dedup import minhash_band_rows
+
+        store, new_bands = self._build_store(spark, tmp_path)
+        table = "bk_nd_bands_eq"
+        try:
+            before = {
+                (r.id_a, r.id_b)
+                for r in history_candidates(spark, store, new_bands).collect()
+            }
+            bucketize_bands(spark, store, num_buckets=4, table=table)
+            after = {
+                (r.id_a, r.id_b)
+                for r in history_candidates(spark, store, new_bands).collect()
+            }
+            assert before == after and before  # non-trivial pair set
+            # epochs AFTER the maintenance run land in the overlay and
+            # still join: append a later epoch and re-check
+            docs2 = spark.createDataFrame(
+                [(200, "doc number 7 with some shared words here")],
+                "id long, text string",
+            )
+            neardup_sink(store)(docs2, 1)
+            nb3 = minhash_band_rows(
+                spark.createDataFrame(
+                    [(300, "doc number 200 unseen before anywhere at all")],
+                    "id long, text string",
+                ).union(docs2.select(F.lit(201).alias("id"), "text")),
+                "id", "text", 64, 16, 3,
+            )
+            pairs2 = {
+                (r.id_a, r.id_b)
+                for r in history_candidates(spark, store, nb3).collect()
+            }
+            # 201 duplicates 200, which lives ONLY in the post-bucketize
+            # overlay epoch — the overlay is visible
+            assert (200, 201) in pairs2
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 class TestQ6Pushdown:
     def test_filters_reach_scan_single_agg(self, spark):
         df = queries.SPARK_QUERIES["q6_forecast_revenue"](spark, SF)

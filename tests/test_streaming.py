@@ -517,23 +517,40 @@ class TestConsumerLag:
         assert topic.consumer_lag("mon") == lag
 
 
-@pytest.mark.parametrize("durable_floor", [True, False])
-def test_checkpoint_restart_exactly_once(driver, tmp_path, spark, durable_floor):
+@pytest.mark.parametrize("floor_mode", ["checkpoint", "default", "heuristic"])
+def test_checkpoint_restart_exactly_once(driver, tmp_path, spark, floor_mode):
     """Stop a streaming query mid-drain, start a NEW query on the same
     checkpoint + sink: the mofka source resumes from committed offsets
-    — every event delivered exactly once across the restart. Runs both
-    with the durable floor file (read_stream(checkpoint=...)) and the
-    in-memory recovery heuristic."""
-    name = f"restart-t-{int(durable_floor)}"
+    — every event delivered exactly once across the restart. Three
+    floor modes: the explicit checkpoint-dir floor file
+    (read_stream(checkpoint=...)), the DEFAULT durable floor under the
+    topic directory (no checkpoint passed), and the recovery-pattern
+    heuristic with the floor file disabled (floor_path="")."""
+    name = f"restart-t-{floor_mode}"
     topic = _fill_topic(driver, name=name, partitions=2, n=40)
     out_dir = str(tmp_path / "restart-out")
     ckpt = str(tmp_path / "restart-ckpt")
 
+    def _source():
+        if floor_mode == "heuristic":
+            from mofka_spark.streaming.source import MofkaDataSource
+
+            spark.dataSource.register(MofkaDataSource)
+            return (
+                spark.readStream.format("mofka")
+                .option("path", driver.root)
+                .option("topic", name)
+                .option("batch_size", 5)
+                .option("floor_path", "")  # disable the durable floor
+                .load()
+            )
+        return topic.read_stream(
+            batch_size=5, checkpoint=ckpt if floor_mode == "checkpoint" else None
+        )
+
     def start():
         return (
-            topic.read_stream(
-                batch_size=5, checkpoint=ckpt if durable_floor else None
-            )
+            _source()
             .writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", ckpt)
@@ -568,6 +585,46 @@ def test_checkpoint_restart_exactly_once(driver, tmp_path, spark, durable_floor)
     got = sorted((r["partition"], r["offset"]) for r in rows)
     # exactly once: every (partition, offset) exactly one time
     assert got == [(p, o) for p in (0, 1) for o in range(20)]
+    import glob
+    import os
+
+    floor_files = glob.glob(
+        os.path.join(driver.root, "**", "_stream_floor", "*.json"),
+        recursive=True,
+    )
+    if floor_mode == "default":
+        # the durable default floor was actually written (and lives
+        # under the topic dir, so destroy() takes it with the topic)
+        assert floor_files
+    elif floor_mode == "heuristic":
+        assert not floor_files  # "" really disabled the file
+
+
+def test_default_floor_resets_for_fresh_query(driver, tmp_path, spark):
+    """Two SEQUENTIAL fresh queries (distinct checkpoints) on the same
+    topic share the default floor file; the second query's
+    initialOffset must reset it, or the first query's committed head
+    would clamp the second one empty (the gate fixtures reuse topics
+    across queries exactly like this)."""
+    topic = _fill_topic(driver, name="floor-reset-t", partitions=2, n=20)
+    topic.mark_as_complete()  # await_completion needs the flag
+
+    def drain(ckpt, out):
+        q = (
+            topic.read_stream(batch_size=5)  # no checkpoint => default floor
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        assert topic.await_completion(q, timeout=120)
+        return spark.read.parquet(out).count()
+
+    assert drain(str(tmp_path / "c1"), str(tmp_path / "o1")) == 20
+    # fresh query, fresh checkpoint, SAME topic + batch_size:
+    # must re-deliver the full log, not resume at query 1's head
+    assert drain(str(tmp_path / "c2"), str(tmp_path / "o2")) == 20
 
 
 class TestIncrementalNearDup:
@@ -831,6 +888,41 @@ class TestIncrementalInvertedIndex:
 
         out = read_index(spark, str(tmp_path / "missing")).collect()
         assert out == []
+
+    def test_bucketized_layout_is_invisible(self, spark, tmp_path):
+        """read_index returns the identical index before and after
+        bucketize_postings, with a post-maintenance overlay epoch, and
+        after a compaction (which refreshes the bucketed table)."""
+        from mofka_spark.streaming.textindex import (
+            bucketize_postings,
+            compact_index,
+            index_sink,
+            read_index,
+        )
+
+        store = str(tmp_path / "bkstore")
+        sink = index_sink(store)
+        table = "bk_postings_eq"
+        try:
+            sink(spark.createDataFrame(self.DOCS[:3], "id long, text string"), 0)
+            bucketize_postings(spark, store, num_buckets=4, table=table)
+            # overlay epoch after the maintenance run
+            sink(spark.createDataFrame(self.DOCS[3:], "id long, text string"), 1)
+
+            def snap():
+                return {
+                    (r.token, r.df, tuple(r.postings))
+                    for r in read_index(
+                        spark, store, min_df=2, max_df_ratio=0.9
+                    ).collect()
+                }
+
+            assert snap() == self._expected(spark)
+            # compaction folds epochs AND refreshes the bucketed table
+            compact_index(spark, store)
+            assert snap() == self._expected(spark)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
 
     def test_bm25_matches_batch(self, spark, tmp_path):
         from mofka_spark.operators.text import bm25_scores
