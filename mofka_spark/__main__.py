@@ -155,7 +155,8 @@ def cmd_topic_compact(args) -> int:
 
 _STORE_KINDS = (
     "neardup", "textindex", "annindex", "heavyhitters", "moments",
-    "monitor", "distinct", "quantiles", "rollup", "generic",
+    "monitor", "distinct", "quantiles", "rollup", "bloom", "sample",
+    "generic",
 )
 
 
@@ -202,6 +203,12 @@ def cmd_store_compact(args) -> int:
     elif kind == "rollup":
         from mofka_spark.streaming.rollup import compact_rollup
         compact_rollup(spark, path, cols, _jarg(args.aggs, "--aggs"))
+    elif kind == "bloom":
+        from mofka_spark.streaming.bloom import compact_bloom
+        compact_bloom(spark, path)
+    elif kind == "sample":
+        from mofka_spark.streaming.sample import compact_sample
+        compact_sample(spark, path, k=args.k)
     else:  # generic epoch store
         from mofka_spark.streaming.store import compact_epoch_store
         compact_epoch_store(spark, path)
@@ -392,6 +399,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-k", "--kind", default="generic", choices=_STORE_KINDS)
     p.add_argument("--group-cols", help="Comma list (distinct/quantiles/rollup)")
     p.add_argument("--aggs", help="Rollup aggs JSON (rollup only)")
+    p.add_argument(
+        "--sample-k", type=int, default=100, dest="k",
+        help="Sample size per stratum (sample only)",
+    )
     p.set_defaults(fn=cmd_store_compact)
     p = store.add_parser(
         "bucketize",

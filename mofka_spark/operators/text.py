@@ -1363,3 +1363,84 @@ def readability_scores(
             ).alias("flesch"),
         )
     )
+
+
+def corpus_overlap(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise stratum overlap matrix over distinct word n-grams — the
+    cross-domain contamination / redundancy audit a corpus curator runs
+    before mixing sources: which domain pairs share boilerplate, which
+    "new" source is mostly contained in one already ingested, where a
+    dedup pass should focus. Per stratum pair:
+
+        jaccard     = |A ∩ B| / |A ∪ B|
+        containment = |A ∩ B| / min(|A|, |B|)
+
+    over the strata's distinct n-gram sets. Returns (src_a, src_b,
+    n_common, n_a, n_b, jaccard, containment) for pairs sharing >= 1
+    gram, src_a < src_b, ratios rounded to 6dp.
+
+    Scale shape: gram text never shuffles — grams reduce to 60-bit md5
+    keys scan-side (engine-portable, same trick as dup_spans), then ONE
+    (stratum, gram)-distinct exchange and ONE gram-keyed aggregate.
+    Each gram's stratum set is bounded by the stratum count S (tens,
+    not corpus-sized), so the pair explode is O(distinct grams x S^2)
+    worst case and the final matrix is O(S^2) rows. Set sizes join
+    back broadcast.
+    """
+    from mofka_spark.operators.dedup import _spread, word_ngrams
+
+    grams = (
+        _spread(df.filter(F.col(text_col).isNotNull()), strata_col)
+        .select(
+            F.col(strata_col).alias("s"),
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("gram"),
+        )
+        .select(
+            "s",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("s").agg(F.count("*").alias("n"))
+    per_gram = (
+        grams.groupBy("g")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = (
+        per_gram.select(F.explode("ss").alias("a"), "ss")
+        .select("a", F.explode("ss").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("s").alias("a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("s").alias("b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select(
+            F.col("a").alias("src_a"),
+            F.col("b").alias("src_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )

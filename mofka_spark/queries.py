@@ -5243,6 +5243,167 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_trend(ev)
 
 
+# Streaming Bloom membership store (streaming/bloom.py): mergeable
+# bit_or word partials over an engine-portable md5 hash family — both
+# engines compute the identical bit positions, so even the false
+# positives hash-match. Probes cover every ingested key (no false
+# negatives) plus 500 never-ingested ids (FPs at the designed rate).
+@query(
+    "streaming_bloom_membership",
+    """
+    WITH keys AS (
+      SELECT DISTINCT CAST(doc_id AS VARCHAR) AS key
+      FROM documents WHERE text IS NOT NULL AND doc_id < 1000
+    ), setpos AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(key || '#' || CAST(j AS VARCHAR)), 1, 12))
+               ::BIGINT % 16384 AS pos
+      FROM keys, UNNEST([0, 1, 2, 3]) AS t(j)
+    ), probes AS (
+      SELECT CAST(i AS BIGINT) AS id FROM generate_series(0, 1499) AS g(i)
+    ), ppos AS (
+      SELECT id,
+             ('0x' || substr(md5(CAST(id AS VARCHAR) || '#'
+                                 || CAST(j AS VARCHAR)), 1, 12))
+               ::BIGINT % 16384 AS pos
+      FROM probes, UNNEST([0, 1, 2, 3]) AS t(j)
+    )
+    SELECT id, BOOL_AND(pos IN (SELECT pos FROM setpos)) AS might_contain
+    FROM ppos GROUP BY id
+    """,
+)
+def q_streaming_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.bloom import bloom_sink, read_membership
+
+    topic = _stream_fixture(spark, sf_dir, "docs")
+    deepest = max(topic.snapshot().values())
+    keys = topic.read_stream(batch_size=(deepest + 1) // 2).select(
+        F.get_json_object("metadata", "$.doc_id").alias("key")
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-bloom-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            keys.writeStream.foreachBatch(
+                bloom_sink(store, "key", m_bits=16384, k=4)
+            )
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        if not topic.await_completion(q, timeout=300):
+            q.stop()
+            raise RuntimeError("streaming_bloom_membership did not drain")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    probes = spark.range(1500).select(
+        "id", F.col("id").cast("string").alias("key")
+    )
+    return read_membership(
+        spark, store, probes, "key", m_bits=16384, k=4
+    ).select("id", "might_contain")
+
+
+# Streaming deterministic uniform sample (streaming/sample.py):
+# bottom-k race keys are mergeable across epochs, so the store
+# reproduces the exact all-history sample — a pure function of the
+# ingested key set, hash-matched against SQL computing it directly.
+@query(
+    "streaming_reservoir",
+    """
+    WITH keys AS (
+      SELECT DISTINCT CAST(doc_id AS VARCHAR) AS key
+      FROM documents WHERE text IS NOT NULL AND doc_id < 1000
+    ), raced AS (
+      SELECT 'all' AS stratum, key,
+             ('0x' || substr(md5('rs' || key), 1, 12))::BIGINT
+               % 1000000 AS race
+      FROM keys
+    ), ranked AS (
+      SELECT stratum, key, race,
+             CAST(ROW_NUMBER() OVER (ORDER BY race, key) AS BIGINT) AS rnk
+      FROM raced)
+    SELECT stratum, key, race, rnk FROM ranked WHERE rnk <= 50
+    """,
+)
+def q_streaming_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.sample import read_sample, sample_sink
+
+    topic = _stream_fixture(spark, sf_dir, "docs")
+    deepest = max(topic.snapshot().values())
+    keys = topic.read_stream(batch_size=(deepest + 1) // 2).select(
+        F.get_json_object("metadata", "$.doc_id").alias("key")
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-sample-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            keys.writeStream.foreachBatch(sample_sink(store, "key", k=50))
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        if not topic.await_completion(q, timeout=300):
+            q.stop()
+            raise RuntimeError("streaming_reservoir did not drain")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return read_sample(spark, store, k=50)
+
+
+# Stratum-pair n-gram overlap matrix (operators/text.py
+# corpus_overlap): the cross-domain contamination audit. Gram keys are
+# 60-bit md5 ints in BOTH engines, so counts agree bit-for-bit.
+@query(
+    "corpus_overlap_matrix",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                          ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), g AS (
+      SELECT DISTINCT source AS s,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g
+      FROM (
+        SELECT source,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - 2, 1)),
+                 i -> array_to_string(t[i:i+2], ' ')))) AS gram
+        FROM toks)
+    ), sizes AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY s
+    ), common AS (
+      SELECT a.s AS src_a, b.s AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM g a JOIN g b ON a.g = b.g AND a.s < b.s
+      GROUP BY a.s, b.s)
+    SELECT src_a, src_b, n_common, na.n AS n_a, nb.n AS n_b,
+           ROUND(n_common / (na.n + nb.n - n_common)::DOUBLE, 6) AS jaccard,
+           ROUND(n_common / least(na.n, nb.n)::DOUBLE, 6) AS containment
+    FROM common
+    JOIN sizes na ON na.s = src_a
+    JOIN sizes nb ON nb.s = src_b
+    """,
+)
+def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.corpus_overlap(docs, strata_col="source", n=3)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -1062,6 +1062,169 @@ class TestStreamingHeavyHitters:
         assert read_top_k(spark, str(tmp_path / "none"), 5).count() == 0
 
 
+class TestStreamingBloom:
+    """streaming/bloom.py: OR-mergeable filter words — no false
+    negatives ever, replay/compaction invisible, FPR observable."""
+
+    def _fill(self, spark, path, m=1 << 14, k=4):
+        from mofka_spark.streaming.bloom import bloom_sink
+
+        sink = bloom_sink(path, "key", m_bits=m, k=k)
+        sink(spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string"), 0)
+        sink(spark.createDataFrame([(f"k{i}",) for i in range(50, 100)], "key string"), 1)
+        return sink
+
+    def test_no_false_negatives_across_epochs(self, spark, tmp_path):
+        from mofka_spark.streaming.bloom import read_membership
+
+        path = str(tmp_path / "bf")
+        self._fill(spark, path)
+        probes = spark.createDataFrame(
+            [(f"k{i}",) for i in range(100)], "key string"
+        )
+        out = read_membership(spark, path, probes, "key", m_bits=1 << 14, k=4)
+        assert out.filter(~F.col("might_contain")).count() == 0
+
+    def test_absent_keys_mostly_miss(self, spark, tmp_path):
+        from mofka_spark.streaming.bloom import bloom_stats, read_membership
+
+        path = str(tmp_path / "bf")
+        self._fill(spark, path)
+        probes = spark.createDataFrame(
+            [(f"absent{i}",) for i in range(200)], "key string"
+        )
+        out = read_membership(spark, path, probes, "key", m_bits=1 << 14, k=4)
+        fp = out.filter(F.col("might_contain")).count()
+        # 100 keys x 4 hashes in 16384 bits -> fill ~2.4%, fpr ~3e-7;
+        # allow a generous margin — the point is "mostly false"
+        assert fp <= 2
+        stats = bloom_stats(spark, path, m_bits=1 << 14, k=4).collect()[0]
+        assert 0 < stats.fill_ratio < 0.05 and stats.est_fpr < 1e-4
+
+    def test_replay_and_compaction_are_invisible(self, spark, tmp_path):
+        from mofka_spark.streaming.bloom import (
+            bloom_sink,
+            compact_bloom,
+            read_membership,
+        )
+
+        path = str(tmp_path / "bf")
+        sink = self._fill(spark, path)
+        probes = spark.createDataFrame(
+            [(f"k{i}",) for i in range(0, 120, 3)], "key string"
+        )
+
+        def snap():
+            return {
+                (r.key, r.might_contain)
+                for r in read_membership(
+                    spark, path, probes, "key", m_bits=1 << 14, k=4
+                ).collect()
+            }
+
+        before = snap()
+        # replay epoch 1: OR is idempotent AND the partition overwrites
+        sink(
+            spark.createDataFrame(
+                [(f"k{i}",) for i in range(50, 100)], "key string"
+            ),
+            1,
+        )
+        assert snap() == before
+        compact_bloom(spark, path)
+        assert snap() == before
+        # exactly one compacted fragment set remains
+        assert set(
+            spark.read.parquet(path).select("_epoch").distinct().toPandas()["_epoch"]
+        ) == {-1}
+
+    def test_empty_store_all_false(self, spark, tmp_path):
+        from mofka_spark.streaming.bloom import read_membership
+
+        probes = spark.createDataFrame([("x",)], "key string")
+        out = read_membership(
+            spark, str(tmp_path / "none"), probes, "key"
+        ).collect()
+        assert [r.might_contain for r in out] == [False]
+
+
+class TestStreamingSample:
+    """streaming/sample.py: bottom-k race keys merge to the exact
+    all-history sample regardless of batch boundaries or replays."""
+
+    def _expected(self, spark, keys, k=5):
+        from mofka_spark.operators.sampling import hash_bucket
+
+        df = spark.createDataFrame([(x,) for x in keys], "key string")
+        raced = df.withColumn("race", hash_bucket(F.col("key"), "rs"))
+        return [
+            (r.key, r.race)
+            for r in raced.orderBy("race", "key").limit(k).collect()
+        ]
+
+    def test_merge_equals_batch_bottom_k(self, spark, tmp_path):
+        from mofka_spark.streaming.sample import read_sample, sample_sink
+
+        keys = [f"doc{i}" for i in range(40)]
+        path = str(tmp_path / "rs")
+        sink = sample_sink(path, "key", k=5)
+        # three uneven epochs, overlapping key in two of them
+        for eid, part in enumerate([keys[:7], keys[7:30] + [keys[0]], keys[30:]]):
+            sink(spark.createDataFrame([(x,) for x in part], "key string"), eid)
+        got = [
+            (r.key, r.race)
+            for r in read_sample(spark, path, k=5).orderBy("rnk").collect()
+        ]
+        assert got == self._expected(spark, keys)
+
+    def test_replay_and_compaction_are_invisible(self, spark, tmp_path):
+        from mofka_spark.streaming.sample import (
+            compact_sample,
+            read_sample,
+            sample_sink,
+        )
+
+        keys = [f"doc{i}" for i in range(30)]
+        path = str(tmp_path / "rs")
+        sink = sample_sink(path, "key", k=5)
+        b0 = spark.createDataFrame([(x,) for x in keys[:15]], "key string")
+        b1 = spark.createDataFrame([(x,) for x in keys[15:]], "key string")
+        sink(b0, 0)
+        sink(b1, 1)
+        before = [tuple(r) for r in read_sample(spark, path, 5).orderBy("rnk").collect()]
+        sink(b1, 1)  # replay
+        assert [tuple(r) for r in read_sample(spark, path, 5).orderBy("rnk").collect()] == before
+        compact_sample(spark, path, k=5)
+        assert [tuple(r) for r in read_sample(spark, path, 5).orderBy("rnk").collect()] == before
+
+    def test_stratified_and_time_travel(self, spark, tmp_path):
+        from mofka_spark.streaming.sample import read_sample, sample_sink
+
+        path = str(tmp_path / "rs")
+        sink = sample_sink(path, "key", strata_col="grp", k=3)
+        sink(
+            spark.createDataFrame(
+                [(f"a{i}", "x") for i in range(10)]
+                + [(f"b{i}", "y") for i in range(10)],
+                "key string, grp string",
+            ),
+            0,
+        )
+        sink(
+            spark.createDataFrame(
+                [(f"c{i}", "x") for i in range(10)], "key string, grp string"
+            ),
+            1,
+        )
+        full = read_sample(spark, path, k=3)
+        assert full.filter(F.col("stratum") == "x").count() == 3
+        assert full.filter(F.col("stratum") == "y").count() == 3
+        # as-of epoch 0 sees only the first batch's keys
+        asof = read_sample(spark, path, k=3, as_of_epoch=0)
+        keys0 = {r.key for r in asof.collect()}
+        assert keys0 and all(k0[0] in ("a", "b") for k0 in keys0)
+
+
 class TestStreamingMoments:
     """Mergeable uncentered moments: any epoch split recovers the same
     covariance/eigenvector as one batch; replay and compaction are

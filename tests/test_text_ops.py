@@ -473,3 +473,41 @@ class TestReadability:
             ["doc_id", "text"],
         )
         assert readability_scores(df).count() == 1
+
+
+class TestCorpusOverlap:
+    def test_known_overlap_matrix(self, spark):
+        from mofka_spark.operators.text import corpus_overlap
+
+        # unigram sets: A={a,b,c}, B={b,c,d}, C={x}
+        df = spark.createDataFrame(
+            [
+                ("A", "a b"), ("A", "b c"),
+                ("B", "b c"), ("B", "c d"),
+                ("C", "x"),
+            ],
+            ["source", "text"],
+        )
+        out = {
+            (r.src_a, r.src_b): (r.n_common, r.n_a, r.n_b, r.jaccard, r.containment)
+            for r in corpus_overlap(df, n=1).collect()
+        }
+        # only the A-B pair shares grams; C pairs are absent entirely
+        assert set(out) == {("A", "B")}
+        n_common, n_a, n_b, jac, cont = out[("A", "B")]
+        assert (n_common, n_a, n_b) == (2, 3, 3)
+        assert jac == round(2 / 4, 6) and cont == round(2 / 3, 6)
+
+    def test_symmetric_and_ordered(self, spark):
+        from mofka_spark.operators.text import corpus_overlap
+
+        df = spark.createDataFrame(
+            [("zeta", "a b c"), ("alpha", "a b c")], ["source", "text"]
+        )
+        rows = corpus_overlap(df, n=3).collect()
+        assert len(rows) == 1
+        (r,) = rows
+        # src_a < src_b regardless of input order; identical docs ->
+        # full overlap
+        assert (r.src_a, r.src_b) == ("alpha", "zeta")
+        assert r.jaccard == 1.0 and r.containment == 1.0
