@@ -142,3 +142,70 @@ def profile(
     return row.select(F.explode(cells).alias("p")).select(
         "p.col_name", "p.n_rows", "p.n_nulls", "p.null_ratio", "p.n_distinct"
     )
+
+
+def inclusion_profile(
+    frames: dict[str, DataFrame],
+    columns: list[tuple[str, str]],
+) -> DataFrame:
+    """Pairwise inclusion coefficients between key-ish columns — the
+    foreign-key DISCOVERY pass (constraint_audit / fk_violations check
+    keys you already declared; this finds the candidates). For every
+    ordered pair of distinct (table, column) entries:
+
+        inclusion = |distinct(A) ∩ distinct(B)| / |distinct(A)|
+
+    inclusion ~ 1.0 means A's values are contained in B — A is an FK
+    candidate referencing B. Returns (from_table, from_col, to_table,
+    to_col, n_from, n_common, inclusion) for every ordered pair,
+    inclusion rounded to 6dp.
+
+    ``columns`` lists (table_name, column_name); ``frames`` maps table
+    names to DataFrames.
+
+    Scale shape: ONE distinct per column (partial-agg shuffle of the
+    column's values only — key columns, not rows), then per pair one
+    co-partitioned join of two already-distinct value sets; counts
+    only, output O(#pairs). Values compare as strings so heterogeneous
+    key types (int FK -> string PK exports) still profile.
+    """
+    sets = {}
+    for tbl, col in columns:
+        sets[(tbl, col)] = (
+            frames[tbl]
+            .select(F.col(col).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+        )
+    sizes = {
+        k: s.agg(F.count("*").alias("n")).collect()[0]["n"]
+        for k, s in sets.items()
+    }
+    spark = next(iter(frames.values())).sparkSession
+    out = None
+    for a in columns:
+        for b in columns:
+            if a == b:
+                continue
+            common = sets[tuple(a)].join(sets[tuple(b)], "v", "left_semi")
+            row = common.agg(F.count("*").alias("n_common")).select(
+                F.lit(a[0]).alias("from_table"),
+                F.lit(a[1]).alias("from_col"),
+                F.lit(b[0]).alias("to_table"),
+                F.lit(b[1]).alias("to_col"),
+                F.lit(int(sizes[tuple(a)])).cast("long").alias("n_from"),
+                F.col("n_common").cast("long").alias("n_common"),
+                F.round(
+                    F.col("n_common")
+                    / F.greatest(F.lit(int(sizes[tuple(a)])), F.lit(1)),
+                    6,
+                ).alias("inclusion"),
+            )
+            out = row if out is None else out.unionByName(row)
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            "from_table string, from_col string, to_table string, "
+            "to_col string, n_from long, n_common long, inclusion double",
+        )
+    return out

@@ -1444,3 +1444,69 @@ def corpus_overlap(
             ).alias("containment"),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model scoring: train add-one-smoothed bigram
+    conditional probabilities on the corpus itself, then score each
+    document by its mean bigram log-probability — the next rung above
+    lm_score's unigram signal (order sensitivity catches shuffled /
+    templated / gibberish text that unigram frequencies cannot).
+
+        P(w | v) = (c(v, w) + 1) / (c(v, ·) + V)
+
+    with c(v, ·) = occurrences of v as a left context and V = distinct
+    unigram vocabulary (Laplace smoothing keeps every observed bigram's
+    probability finite and the training set self-scoring exact).
+
+    Returns (id, n_bigrams, avg_logp) for docs with >= 2 tokens,
+    avg_logp rounded to 6dp.
+
+    Scale shape: bigram pairs come out of each doc's own token array
+    (arrays_zip of the two shifted slices — scan-local, NO join on
+    (doc, position)); counts partial-agg map-side on the (v, w) key
+    (bigram vocab is Zipf-small relative to the pair stream); the
+    trained tables broadcast back onto the pair stream, so the per-doc
+    aggregation is the only other shuffle. Two corpus scans (train +
+    score), both pruned to (id, text)."""
+    from mofka_spark.operators.dedup import _spread
+
+    spread = _spread(
+        df.filter(F.col(text_col).isNotNull()), id_col
+    )
+    arr = _tokens(F.col(text_col))
+    n = F.size(arr)
+    pairs_arr = F.arrays_zip(
+        F.slice(arr, 1, F.greatest(n - 1, F.lit(0))).alias("v"),
+        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))).alias("w"),
+    )
+    grams = spread.filter(n >= 2).select(
+        F.col(id_col).alias("id"), F.explode(pairs_arr).alias("p")
+    ).select("id", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    big = grams.groupBy("v", "w").agg(F.count("*").alias("cvw"))
+    ctx = big.groupBy("v").agg(F.sum("cvw").alias("cv"))
+    # V counts the full unigram vocabulary (every token position, not
+    # just left contexts) — the smoothing denominator's event space
+    vocab = (
+        spread.select(F.explode(arr).alias("tok"))
+        .agg(F.count_distinct("tok").alias("vsz"))
+    )
+    scored = (
+        grams.join(F.broadcast(big), ["v", "w"])
+        .join(F.broadcast(ctx), "v")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            (
+                F.log(F.col("cvw") + 1) - F.log(F.col("cv") + F.col("vsz"))
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )

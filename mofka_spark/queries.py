@@ -5404,6 +5404,90 @@ def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_overlap(docs, strata_col="source", n=3)
 
 
+# Corpus-trained bigram LM scoring (operators/text.py bigram_lm_score):
+# order-sensitive perplexity proxy one rung above lm_scores' unigram.
+@query(
+    "bigram_lm_scores",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS a
+      FROM documents WHERE text IS NOT NULL
+    ), g AS (
+      SELECT doc_id, a[i] AS v, a[i+1] AS w
+      FROM t, UNNEST(generate_series(1, len(a) - 1)) AS s(i)
+      WHERE len(a) >= 2
+    ), big AS (
+      SELECT v, w, CAST(COUNT(*) AS BIGINT) AS cvw FROM g GROUP BY v, w
+    ), ctx AS (
+      SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv FROM big GROUP BY v
+    ), vs AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz
+      FROM (SELECT unnest(a) AS tok FROM t)
+    )
+    SELECT g.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN(cvw + 1) - LN(cv + vsz)), 6) AS avg_logp
+    FROM g JOIN big USING (v, w) JOIN ctx USING (v) CROSS JOIN vs
+    GROUP BY g.doc_id
+    """,
+)
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.bigram_lm_score(docs)
+
+
+_INCLUSION_COLS = [
+    ("orders", "o_custkey"),
+    ("customer", "c_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_orderkey"),
+]
+
+
+def _inclusion_oracle() -> str:
+    """Unrolled per-pair inclusion coefficients — mirrors
+    operators/quality.inclusion_profile pair for pair."""
+    ctes, names = [], {}
+    for i, (t, c) in enumerate(_INCLUSION_COLS):
+        nm = f"s{i}"
+        names[(t, c)] = nm
+        ctes.append(
+            f"{nm} AS (SELECT DISTINCT CAST({c} AS VARCHAR) AS v "
+            f"FROM {t} WHERE {c} IS NOT NULL)"
+        )
+    selects = []
+    for a in _INCLUSION_COLS:
+        for b in _INCLUSION_COLS:
+            if a == b:
+                continue
+            sa, sb = names[a], names[b]
+            selects.append(
+                f"""
+    SELECT '{a[0]}' AS from_table, '{a[1]}' AS from_col,
+           '{b[0]}' AS to_table, '{b[1]}' AS to_col,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {sa}) AS n_from,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {sa}
+             WHERE v IN (SELECT v FROM {sb})) AS n_common,
+           ROUND((SELECT COUNT(*) FROM {sa} WHERE v IN (SELECT v FROM {sb}))
+                 / GREATEST((SELECT COUNT(*) FROM {sa}), 1)::DOUBLE,
+                 6) AS inclusion"""
+            )
+    return "WITH " + ",\n".join(ctes) + "\nUNION ALL\n".join(selects)
+
+
+# FK DISCOVERY (operators/quality.py inclusion_profile): pairwise
+# inclusion coefficients between key columns — fk_violations audits
+# declared keys, this finds the candidates (inclusion ~ 1.0).
+@query("fk_discovery", _inclusion_oracle())
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.quality import inclusion_profile
+
+    frames = {
+        t: _t(spark, sf_dir, t) for t in {t for t, _ in _INCLUSION_COLS}
+    }
+    return inclusion_profile(frames, _INCLUSION_COLS)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -143,3 +143,36 @@ class TestProfile:
         assert "Expand" not in approx_plan  # HLL keeps one replica
         out = {r.col_name: r.n_distinct for r in profile(df, exact_distinct=False).collect()}
         assert out == {"k": 1, "v": 1}
+
+
+class TestInclusionProfile:
+    def test_known_inclusions(self, spark):
+        from mofka_spark.operators.quality import inclusion_profile
+
+        a = spark.createDataFrame([(1,), (2,), (3,), (3,)], ["x"])
+        b = spark.createDataFrame([(2,), (3,), (4,), (5,)], ["y"])
+        out = {
+            (r.from_table, r.from_col, r.to_table, r.to_col): (
+                r.n_from, r.n_common, r.inclusion
+            )
+            for r in inclusion_profile(
+                {"ta": a, "tb": b}, [("ta", "x"), ("tb", "y")]
+            ).collect()
+        }
+        assert out[("ta", "x", "tb", "y")] == (3, 2, round(2 / 3, 6))
+        assert out[("tb", "y", "ta", "x")] == (4, 2, 0.5)
+
+    def test_true_fk_scores_one(self, spark, sf_dir):
+        from mofka_spark.operators.quality import inclusion_profile
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        out = {
+            (r.from_table, r.to_table): r.inclusion
+            for r in inclusion_profile(
+                {"orders": orders, "customer": cust},
+                [("orders", "o_custkey"), ("customer", "c_custkey")],
+            ).collect()
+        }
+        # every order's customer exists: the true FK direction is 1.0
+        assert out[("orders", "customer")] == 1.0

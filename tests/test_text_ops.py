@@ -511,3 +511,37 @@ class TestCorpusOverlap:
         # full overlap
         assert (r.src_a, r.src_b) == ("alpha", "zeta")
         assert r.jaccard == 1.0 and r.containment == 1.0
+
+
+class TestBigramLm:
+    def test_hand_computed_probabilities(self, spark):
+        import math
+
+        from mofka_spark.operators.text import bigram_lm_score
+
+        # doc1 bigrams: (a,b) (b,a) (a,b); doc2: (b,a)
+        # counts: c(a,b)=2, c(b,a)=2; ctx: c(a)=2, c(b)=2;
+        # V = |{a, b, solo}| = 3 (vocab spans ALL tokens, including the
+        # bigram-less doc 3 — the smoothing event space)
+        # P(b|a) = (2+1)/(2+3) = 0.6 = P(a|b)
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "b a"), (3, "solo"), (4, None)],
+            ["doc_id", "text"],
+        )
+        out = {r.id: (r.n_bigrams, r.avg_logp) for r in bigram_lm_score(df).collect()}
+        lp = round(math.log(0.6), 6)
+        # doc 3 has one token (no bigrams) and doc 4 is null: excluded
+        assert out == {1: (3, lp), 2: (1, lp)}
+
+    def test_order_sensitivity(self, spark):
+        """The signal lm_score cannot give: same token multiset,
+        different order -> different bigram score."""
+        from mofka_spark.operators.text import bigram_lm_score
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "mat the on sat cat the")]
+            + [(i, "the cat sat on the mat") for i in range(3, 10)],
+            ["doc_id", "text"],
+        )
+        out = {r.id: r.avg_logp for r in bigram_lm_score(df).collect()}
+        assert out[1] > out[2]  # natural order dominates the corpus
