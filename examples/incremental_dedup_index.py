@@ -46,6 +46,28 @@ def main() -> None:
     read_result(spark, store).orderBy("id").show()
     compact_store(spark, store)  # epoch fragments -> one slot, same answer
 
+    # --- Bloom prefilter: the cheap "seen this exact key before?"
+    # membership gate that runs BEFORE the (pricier) near-dup check —
+    # O(m/64) rows of state, no false negatives ---
+    from pyspark.sql import functions as F
+
+    from mofka_spark.streaming.bloom import bloom_sink, read_membership
+
+    bf = tempfile.mkdtemp(prefix="bloom-") + "/store"
+    seen = bloom_sink(bf, "key", m_bits=1 << 14, k=4)
+    for epoch, rows in enumerate(batches):
+        batch = spark.createDataFrame(rows, "id long, text string")
+        seen(batch.select(F.md5("text").alias("key")), epoch)
+    probe = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog today",),
+         ("never ingested text",)],
+        "text string",
+    ).select("text", F.md5("text").alias("key"))
+    print("bloom membership (exact-text prefilter):")
+    read_membership(spark, bf, probe, "key", m_bits=1 << 14, k=4).select(
+        "text", "might_contain"
+    ).show(truncate=45)
+
     # --- ANN index: vectors arrive, the index grows, searches prune ---
     vecs = [(i, [float(i % 4 == j) + 0.01 * i for j in range(4)])
             for i in range(32)]

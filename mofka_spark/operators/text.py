@@ -1510,3 +1510,45 @@ def bigram_lm_score(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("logp"), 6).alias("avg_logp"),
     )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution plus the
+    type-token ratio — the lexical-diversity quality signals next to
+    repetition_signals' top-gram fractions (low entropy = repetitive /
+    templated / keyword-stuffed text; high TTR on long docs = unusual
+    vocabulary churn).
+
+        entropy = -Σ_t (c_t / n) ln(c_t / n)    over distinct tokens t
+        ttr     = n_types / n_tokens
+
+    Returns (id, n_tokens, n_types, entropy, ttr), rounded to 6dp.
+
+    Scale shape: everything folds inside each doc's own token array
+    (distinct -> per-type count via array filter, O(types x len) per
+    doc, the same in-array fold as the inverted-index tf path) — one
+    scan, NO explode, NO shuffle, no UDF. The entropy fold runs over
+    the SORTED type list so an external engine reproduces the
+    identical IEEE double (same ordered-fold trick as
+    temperature_mix)."""
+    col = F.col(text_col)
+    arr = _tokens(col)
+    n = F.size(arr).cast("double")
+
+    def _p(t):
+        return F.size(F.filter(arr, lambda x: x == t)) / n
+
+    ent = -F.aggregate(
+        F.sort_array(F.array_distinct(arr)),
+        F.lit(0.0),
+        lambda acc, t: acc + _p(t) * F.log(_p(t)),
+    )
+    return df.filter(col.isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.size(arr).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(arr)).cast("long").alias("n_types"),
+        F.round(ent, 6).alias("entropy"),
+        F.round(F.size(F.array_distinct(arr)) / n, 6).alias("ttr"),
+    )

@@ -5436,6 +5436,35 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_score(docs)
 
 
+# Token-entropy / type-token-ratio lexical diversity (operators/text.py
+# token_entropy): ordered fold over sorted types for float identity.
+@query(
+    "token_entropy",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS a
+      FROM documents WHERE text IS NOT NULL
+    ), e AS (
+      SELECT doc_id, a, CAST(len(a) AS DOUBLE) AS n,
+             list_sort(list_distinct(a)) AS d
+      FROM t
+    )
+    SELECT doc_id AS id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(d) AS BIGINT) AS n_types,
+           ROUND(-list_sum(list_transform(d, x ->
+                 (len(list_filter(a, y -> y = x)) / n)
+                 * LN(len(list_filter(a, y -> y = x)) / n))), 6) AS entropy,
+           ROUND(len(d) / n, 6) AS ttr
+    FROM e
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.token_entropy(docs)
+
+
 _INCLUSION_COLS = [
     ("orders", "o_custkey"),
     ("customer", "c_custkey"),

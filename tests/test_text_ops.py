@@ -545,3 +545,32 @@ class TestBigramLm:
         )
         out = {r.id: r.avg_logp for r in bigram_lm_score(df).collect()}
         assert out[1] > out[2]  # natural order dominates the corpus
+
+
+class TestTokenEntropy:
+    def test_hand_computed(self, spark):
+        import math
+
+        from mofka_spark.operators.text import token_entropy
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "x x x x"), (3, None)], ["doc_id", "text"]
+        )
+        out = {r.id: r for r in token_entropy(df).collect()}
+        assert set(out) == {1, 2}
+        h = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+        assert out[1].n_tokens == 3 and out[1].n_types == 2
+        assert out[1].entropy == round(h, 6)
+        assert out[1].ttr == round(2 / 3, 6)
+        # all-same tokens: zero entropy, minimal diversity
+        assert out[2].entropy == 0.0 and out[2].ttr == 0.25
+
+    def test_diversity_orders_docs(self, spark):
+        from mofka_spark.operators.text import token_entropy
+
+        df = spark.createDataFrame(
+            [(1, "the the the the the cat"), (2, "one two three four five six")],
+            ["doc_id", "text"],
+        )
+        out = {r.id: r.entropy for r in token_entropy(df).collect()}
+        assert out[2] > out[1]  # uniform vocabulary = max entropy
