@@ -399,6 +399,43 @@ class TestBucketedStoreJoin:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+class TestBucketedPostingsAgg:
+    def test_base_groupby_has_no_exchange(self, spark, tmp_path):
+        """After bucketize_postings, the token-keyed df-stats aggregate
+        over the corpus-sized base runs with NO Exchange (the bucketed
+        scan already provides the hash partitioning)."""
+        import os
+
+        from mofka_spark.streaming.store import read_store_split
+        from mofka_spark.streaming.textindex import (
+            bucketize_postings,
+            index_sink,
+        )
+
+        store = str(tmp_path / "ti")
+        sink = index_sink(store)
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 7} shared words tok{i % 3}") for i in range(40)],
+            "id long, text string",
+        )
+        sink(docs, 0)
+        table = "bk_ti_plan"
+        try:
+            bucketize_postings(spark, store, num_buckets=4, table=table)
+            base, _ = read_store_split(
+                spark,
+                os.path.join(store, "postings"),
+                "token string, doc long, tf double",
+            )
+            assert base is not None
+            agg = base.groupBy("token").count()
+            p = plans.plan_string(agg, mode="simple")
+            assert "Bucketed: true" in plans.plan_string(agg)
+            assert "Exchange" not in p, p
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 class TestQ6Pushdown:
     def test_filters_reach_scan_single_agg(self, spark):
         df = queries.SPARK_QUERIES["q6_forecast_revenue"](spark, SF)
