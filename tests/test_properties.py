@@ -505,3 +505,90 @@ class TestTemperatureMixProperties:
         for s, n in sizes.items():
             expect = min(1.0, target * (n**alpha) / wsum / n)
             assert abs(rates[s] - expect) < 1e-9
+
+
+class TestBloomStoreProperties:
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(data=st.data())
+    def test_any_split_equals_one_epoch_filter(self, spark, data):
+        """OR-merge algebra: the filter built from ANY epoch split (and
+        any replay) has EXACTLY the bit set of the single-batch filter —
+        so membership answers are split-invariant, and ingested keys are
+        always found."""
+        import tempfile
+
+        from mofka_spark.streaming.bloom import bloom_sink, read_membership
+
+        keys = data.draw(
+            st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                     min_size=1, max_size=20, unique=True)
+        )
+        n_batches = data.draw(st.integers(1, min(3, len(keys))))
+        replay = data.draw(st.booleans())
+
+        def words(path):
+            return {
+                (r.word, r.bits)
+                for r in spark.read.parquet(path)
+                .groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+                .collect()
+            }
+
+        one = tempfile.mkdtemp(prefix="prop-bloom1-") + "/store"
+        bloom_sink(one, "key", m_bits=1 << 10, k=3)(
+            spark.createDataFrame([(k,) for k in keys], "key string"), 0
+        )
+        split = tempfile.mkdtemp(prefix="prop-bloomN-") + "/store"
+        sink = bloom_sink(split, "key", m_bits=1 << 10, k=3)
+        per = (len(keys) + n_batches - 1) // n_batches
+        for eid in range(n_batches):
+            chunk = keys[eid * per:(eid + 1) * per]
+            if chunk:
+                sink(spark.createDataFrame([(k,) for k in chunk], "key string"), eid)
+                if replay:
+                    sink(spark.createDataFrame([(k,) for k in chunk], "key string"), eid)
+        assert words(one) == words(split)
+        probes = spark.createDataFrame([(k,) for k in keys], "key string")
+        hits = read_membership(spark, split, probes, "key", m_bits=1 << 10, k=3)
+        assert hits.filter(~F.col("might_contain")).count() == 0
+
+
+class TestSampleStoreProperties:
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(data=st.data())
+    def test_any_split_equals_direct_bottom_k(self, spark, data):
+        """Bottom-k of per-epoch bottom-ks == bottom-k of the full key
+        set, for any split and arrival order."""
+        import tempfile
+
+        from mofka_spark.operators.sampling import hash_bucket
+        from mofka_spark.streaming.sample import read_sample, sample_sink
+
+        keys = data.draw(
+            st.lists(st.text(alphabet="xyz0123", min_size=1, max_size=6),
+                     min_size=1, max_size=25, unique=True)
+        )
+        order = data.draw(st.permutations(keys))
+        n_batches = data.draw(st.integers(1, min(4, len(keys))))
+        k = data.draw(st.integers(1, 6))
+
+        expected = [
+            (r.key, r.race)
+            for r in spark.createDataFrame([(x,) for x in keys], "key string")
+            .withColumn("race", hash_bucket(F.col("key"), "rs"))
+            .orderBy("race", "key").limit(k).collect()
+        ]
+        store = tempfile.mkdtemp(prefix="prop-sample-") + "/store"
+        sink = sample_sink(store, "key", k=k)
+        per = (len(order) + n_batches - 1) // n_batches
+        for eid in range(n_batches):
+            chunk = order[eid * per:(eid + 1) * per]
+            if chunk:
+                sink(spark.createDataFrame([(x,) for x in chunk], "key string"), eid)
+        got = [
+            (r.key, r.race)
+            for r in read_sample(spark, store, k=k).orderBy("rnk").collect()
+        ]
+        assert got == expected, (keys, n_batches, k)
