@@ -271,3 +271,54 @@ def group_zscores(
         df.join(F.broadcast(stats), group_col)
         .select(group_col, *keep, value_col, F.round(z, 6).alias("z"))
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col,
+    qs: list[float] | None = None,
+) -> DataFrame:
+    """Exact weighted quantiles per group: the smallest value whose
+    cumulative weight fraction reaches q — the weighted companion to
+    quantile_gate's unweighted forms (token-weighted length medians,
+    importance-weighted score cuts; weights are first-class in
+    curation, where a "document" can stand for 1 or 10^4 samples).
+
+    ``weight_col`` is a column name or Column expression; rows with
+    NULL values or non-positive weights are excluded. Returns
+    (group, q, wq) for each q in ``qs`` (default quartiles + p90).
+
+    Semantics on ties: the cumulative sum runs over a RANGE frame
+    (ORDER BY value), so every copy of a tied value shares the
+    cumulative weight of the whole tie group — the standard weighted-
+    quantile definition, and identical across engines because RANGE
+    UNBOUNDED PRECEDING .. CURRENT ROW is the default ordered-window
+    frame in both.
+
+    Scale shape: ONE group-keyed shuffle + in-partition sort shared by
+    the cumulative and total windows (same Window partitioning); the
+    per-q picks are conditional MIN aggregates over the same pass, and
+    the unpivot is O(#groups x #qs). No driver-side collection."""
+    qs = qs or [0.25, 0.5, 0.75, 0.9]
+    wt = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    base = df.filter(F.col(value_col).isNotNull() & (wt > 0)).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+        wt.cast("long").alias("wt"),
+    )
+    cum = F.sum("wt").over(Window.partitionBy("g").orderBy("v"))
+    tot = F.sum("wt").over(Window.partitionBy("g"))
+    cf = base.select("g", "v", (cum / tot).alias("cf"))
+    picks = cf.groupBy("g").agg(
+        *[
+            F.min(F.when(F.col("cf") >= q, F.col("v"))).alias(f"_q{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    stack = ", ".join(f"{q}D, _q{i}" for i, q in enumerate(qs))
+    return picks.selectExpr(
+        f"g AS {group_col}",
+        f"stack({len(qs)}, {stack}) AS (q, wq)",
+    )

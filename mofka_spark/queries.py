@@ -5465,6 +5465,49 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_entropy(docs)
 
 
+# Exact weighted quantiles per group (operators/sketch.py
+# weighted_quantiles): smallest value whose cumulative weight fraction
+# reaches q; RANGE-frame cumsum makes tie handling engine-identical.
+@query(
+    "weighted_value_quantiles",
+    """
+    WITH w AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+             (event_id % 5) + 1 AS wt
+      FROM events WHERE value IS NOT NULL AND (event_id % 5) + 1 > 0
+    ), c AS (
+      SELECT g, v,
+             SUM(wt) OVER (PARTITION BY g ORDER BY v
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) * 1.0
+             / SUM(wt) OVER (PARTITION BY g) AS cf
+      FROM w
+    ), p AS (
+      SELECT g,
+             MIN(CASE WHEN cf >= 0.25 THEN v END) AS q0,
+             MIN(CASE WHEN cf >= 0.5  THEN v END) AS q1,
+             MIN(CASE WHEN cf >= 0.75 THEN v END) AS q2,
+             MIN(CASE WHEN cf >= 0.9  THEN v END) AS q3
+      FROM c GROUP BY g)
+    SELECT g AS event_type, 0.25 AS q, q0 AS wq FROM p
+    UNION ALL SELECT g, 0.5,  q1 FROM p
+    UNION ALL SELECT g, 0.75, q2 FROM p
+    UNION ALL SELECT g, 0.9,  q3 FROM p
+    """,
+)
+def q_weighted_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sketch import weighted_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return weighted_quantiles(
+        ev,
+        "event_type",
+        "value",
+        F.pmod(F.col("event_id"), F.lit(5)) + 1,
+        [0.25, 0.5, 0.75, 0.9],
+    )
+
+
 _INCLUSION_COLS = [
     ("orders", "o_custkey"),
     ("customer", "c_custkey"),

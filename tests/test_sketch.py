@@ -129,3 +129,46 @@ class TestGroupZscores:
         p = plans.plan_string(out)
         assert "Window" not in p
         assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+class TestWeightedQuantiles:
+    def test_hand_computed(self, spark):
+        from mofka_spark.operators.sketch import weighted_quantiles
+
+        # group a: values 1,2,3 with weights 1,8,1 -> cf 0.1, 0.9, 1.0
+        df = spark.createDataFrame(
+            [("a", 1.0, 1), ("a", 2.0, 8), ("a", 3.0, 1), ("b", 5.0, 2)],
+            ["g", "v", "w"],
+        )
+        out = {
+            (r.g, r.q): r.wq
+            for r in weighted_quantiles(df, "g", "v", "w", [0.05, 0.5, 0.95]).collect()
+        }
+        assert out[("a", 0.05)] == 1.0   # cf(1.0)=0.1 >= 0.05
+        assert out[("a", 0.5)] == 2.0
+        assert out[("a", 0.95)] == 3.0   # cf(2.0)=0.9 < 0.95
+        assert out[("b", 0.5)] == 5.0
+
+    def test_ties_share_cumulative_weight(self, spark):
+        from mofka_spark.operators.sketch import weighted_quantiles
+
+        # tied value 2.0 twice: RANGE frame gives both copies cf=0.75,
+        # so q=0.6 resolves to the tie value, not past it
+        df = spark.createDataFrame(
+            [("a", 1.0, 1), ("a", 2.0, 1), ("a", 2.0, 1), ("a", 9.0, 1)],
+            ["g", "v", "w"],
+        )
+        out = {
+            r.q: r.wq
+            for r in weighted_quantiles(df, "g", "v", "w", [0.6, 0.8]).collect()
+        }
+        assert out[0.6] == 2.0 and out[0.8] == 9.0
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from mofka_spark.operators.sketch import weighted_quantiles
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 0), ("a", 2.0, -3), ("a", 3.0, 1)], ["g", "v", "w"]
+        )
+        out = weighted_quantiles(df, "g", "v", "w", [0.5]).collect()
+        assert [(r.g, r.wq) for r in out] == [("a", 3.0)]
