@@ -65,6 +65,16 @@ def main() -> None:
         F.desc("tfidf")
     ).show()
 
+    # 6. corpus health: lexical diversity per doc, cross-source n-gram
+    # overlap (which source pairs share boilerplate), and an
+    # order-sensitive bigram-LM score (low = templated/shuffled text)
+    print("lexical diversity (entropy / TTR):")
+    text.token_entropy(docs).orderBy("id").show()
+    print("cross-source n-gram overlap:")
+    text.corpus_overlap(docs, strata_col="source", n=1).show()
+    print("bigram LM scores (order-sensitive quality):")
+    text.bigram_lm_score(kept).orderBy("id").show()
+
     spark.stop()
 
 
