@@ -600,6 +600,63 @@ def test_checkpoint_restart_exactly_once(driver, tmp_path, spark, floor_mode):
         assert not floor_files  # "" really disabled the file
 
 
+def test_store_sink_survives_query_restart(driver, tmp_path, spark):
+    """END-TO-END exactly-once for a summary store through a REAL
+    Spark restart (the unit replay tests call sinks by hand; this one
+    kills a live query mid-drain and resumes it on the same
+    checkpoint): the rollup store's merged answer must equal the batch
+    aggregate over the topic — no double-counted epochs, no holes."""
+    from mofka_spark.streaming.rollup import read_rollup, rollup_sink
+
+    topic = _fill_topic(driver, name="restart-store-t", partitions=2, n=60)
+    topic.mark_as_complete()
+    store = str(tmp_path / "roll")
+    ckpt = str(tmp_path / "ckpt")
+    sink = rollup_sink(store, ["k"], {"n": ["count", "sum"]})
+
+    def start():
+        parsed = topic.read_stream(batch_size=5).select(
+            F.pmod(
+                F.get_json_object("metadata", "$.event_num").cast("long"),
+                F.lit(3),
+            ).alias("k"),
+            F.get_json_object("metadata", "$.event_num")
+            .cast("long")
+            .alias("n"),
+        )
+        return (
+            parsed.writeStream.foreachBatch(
+                lambda b, e: sink(b, e)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="150 milliseconds")
+            .start()
+        )
+
+    q1 = start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(store).count() >= 2:
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+    q1.stop()  # kill mid-drain; some epochs committed, maybe one pending
+    q2 = start()
+    assert topic.await_completion(q2, timeout=120)
+    got = {
+        r.k: (r.n_count, r.n_sum)
+        for r in read_rollup(spark, store, ["k"], {"n": ["count", "sum"]}).collect()
+    }
+    want = {
+        k: (sum(1 for i in range(60) if i % 3 == k),
+            sum(i for i in range(60) if i % 3 == k))
+        for k in range(3)
+    }
+    assert got == want
+
+
 def test_default_floor_resets_for_fresh_query(driver, tmp_path, spark):
     """Two SEQUENTIAL fresh queries (distinct checkpoints) on the same
     topic share the default floor file; the second query's
