@@ -420,3 +420,151 @@ def decode_embeddings(
             )
 
     return narrow.mapInPandas(run, out_schema)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Resize-stage plumbing (brief: decode / feature-extract / RESIZE /
+    frame-sample): Arrow-batched mapInPandas over (id, data) emitting
+    the image rows with target dimensions and a rewritten payload.
+
+    The real pixel resample would be PIL/libvips via ``resizer``; this
+    container has none, so the default fake patches the TARGET
+    dimensions into a rewritten header (png big-endian at 16/20, gif
+    little-endian at 6/8) and keeps the body bytes — deterministic,
+    oracle-checkable, and shaped exactly like production: (id, data)
+    column pruning, fixed output schema, pure map stage, non-image
+    rows dropped in Python (cheap per-batch predicate, no second scan).
+    Set allow_fake=False to fail loudly instead of faking."""
+    if resizer is None and not allow_fake:
+        raise NotImplementedError(
+            "no image library available and allow_fake=False"
+        )
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(data_col).alias("data"),
+    )
+    tw, th = int(target_w), int(target_h)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fmts, datas = [], [], []
+            for i, raw in zip(pdf["doc_id"], pdf["data"]):
+                b = bytes(raw) if raw is not None else b""
+                if b.startswith(b"\x89PNG\r\n\x1a\n") and len(b) >= 24:
+                    if resizer is not None:
+                        out = resizer(b, tw, th)
+                    else:
+                        out = (
+                            b[:16]
+                            + tw.to_bytes(4, "big")
+                            + th.to_bytes(4, "big")
+                            + b[24:]
+                        )
+                    fmts.append("png")
+                elif b.startswith(b"GIF8") and len(b) >= 10:
+                    if resizer is not None:
+                        out = resizer(b, tw, th)
+                    else:
+                        out = (
+                            b[:6]
+                            + tw.to_bytes(2, "little")
+                            + th.to_bytes(2, "little")
+                            + b[10:]
+                        )
+                    fmts.append("gif")
+                else:
+                    continue  # not an image payload
+                ids.append(int(i))
+                datas.append(out)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "format": fmts,
+                    "width": pd.array([tw] * len(ids), dtype="int64"),
+                    "height": pd.array([th] * len(ids), dtype="int64"),
+                    "data": datas,
+                }
+            )
+
+    return narrow.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int,
+    every: int = 1,
+    header_skip: int = 8,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Frame-sampling plumbing (brief: decode / feature-extract /
+    resize / FRAME-SAMPLE): treat each payload's body (after a fixed
+    ``header_skip``-byte container header) as a stream of
+    ``frame_bytes``-sized frames and emit every ``every``-th one as its
+    own row — the fan-out stage a video pipeline runs before per-frame
+    feature extraction. A real demuxer (pyav/ffmpeg) would slot in
+    here; the fixed-stride slicing is the deterministic stand-in, and
+    the Spark-side shape is production-real: (id, data) column pruning,
+    Arrow batches, a pure map stage whose output rows fan out per
+    input row (flatMap shape, bounded by batch size), frame_idx
+    preserving the source order. The trailing partial frame is kept
+    when non-empty."""
+    if frame_bytes <= 0 or every <= 0:
+        raise ValueError("frame_bytes and every must be positive")
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(data_col).alias("data"),
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, raw in zip(pdf["doc_id"], pdf["data"]):
+                b = bytes(raw) if raw is not None else b""
+                body = b[header_skip:]
+                n = (len(body) + frame_bytes - 1) // frame_bytes
+                for k in range(0, n, every):
+                    ids.append(int(i))
+                    idxs.append(k)
+                    frames.append(body[k * frame_bytes:(k + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return narrow.mapInPandas(run, FRAME_SCHEMA)

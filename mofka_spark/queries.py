@@ -5436,6 +5436,75 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_score(docs)
 
 
+# Resize-stage plumbing (operators/modality.py resize_images): target
+# dims patched into the rewritten header, body preserved; the oracle
+# reconstructs the rewritten payload and hashes it.
+@query(
+    "modality_resize",
+    """
+    WITH t AS (
+      SELECT doc_id, text FROM documents
+    )
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' ELSE 'gif' END AS format,
+           CAST(64 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+           CASE doc_id % 4
+             WHEN 0 THEN md5(lower(hex(
+               unhex('89504E470D0A1A0A0000000D49484452'
+                     || '00000040' || '00000020') || encode(text))))
+             ELSE md5(lower(hex(
+               encode('GIF89a') || unhex('4000' || '2000') || encode(text))))
+           END AS data_md5
+    FROM t WHERE doc_id % 4 IN (0, 2)
+    """,
+)
+def q_modality_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import modality
+
+    docs = _wide(_t(spark, sf_dir, "documents"), "doc_id")
+    payloads = modality.synthetic_payload(docs).select("doc_id", "data")
+    out = modality.resize_images(payloads, 64, 32)
+    return out.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        # DuckDB's md5 takes VARCHAR only -> hash the lowercase hex
+        # rendering of the payload on both sides
+        F.md5(F.lower(F.hex("data"))).alias("data_md5"),
+    )
+
+
+# Frame-sampling plumbing (operators/modality.py sample_frames): the
+# raw payloads' bodies slice into fixed-stride frames; every 2nd frame
+# of 16 bytes, trailing partial kept. Oracle slices the (ASCII) text.
+@query(
+    "modality_frames",
+    """
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE doc_id % 4 = 3
+    ), f AS (
+      SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+             substr(text, k * 16 + 1, 16) AS frame
+      FROM t, UNNEST(generate_series(0, CAST(CEIL(n / 16.0) AS BIGINT) - 1))
+             AS s(k)
+      WHERE k % 2 = 0
+    )
+    SELECT doc_id, frame_idx, md5(frame) AS frame_md5 FROM f
+    """,
+)
+def q_modality_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import modality
+
+    docs = _wide(_t(spark, sf_dir, "documents"), "doc_id").filter(
+        F.pmod("doc_id", F.lit(4)) == 3
+    )
+    payloads = modality.synthetic_payload(docs).select("doc_id", "data")
+    out = modality.sample_frames(payloads, frame_bytes=16, every=2, header_skip=8)
+    return out.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+
+
 # Token-entropy / type-token-ratio lexical diversity (operators/text.py
 # token_entropy): ordered fold over sorted types for float identity.
 @query(

@@ -180,3 +180,62 @@ class TestDecodeEmbeddings:
                 for i in range(4)
             ]
             assert out[d] == pytest.approx(exp, abs=0)
+
+
+class TestResizeImages:
+    def test_header_patched_body_kept(self, spark):
+        from mofka_spark.operators import modality
+
+        docs = spark.createDataFrame(
+            [(0, "pngbody", 100), (2, "gifbody", 100), (3, "rawbody", 100)],
+            ["doc_id", "text", "n_chars"],
+        )
+        payloads = modality.synthetic_payload(docs).select("doc_id", "data")
+        out = {r.doc_id: r for r in modality.resize_images(payloads, 7, 9).collect()}
+        # raw payload (doc 3) dropped; images resized
+        assert set(out) == {0, 2}
+        png = bytes(out[0].data)
+        assert png[16:20] == (7).to_bytes(4, "big")
+        assert png[20:24] == (9).to_bytes(4, "big")
+        assert png.endswith(b"pngbody")
+        gif = bytes(out[2].data)
+        assert gif[6:8] == (7).to_bytes(2, "little")
+        assert gif[8:10] == (9).to_bytes(2, "little")
+        assert gif.endswith(b"gifbody")
+        assert all(
+            (r.width, r.height, r.format in ("png", "gif")) == (7, 9, True)
+            for r in out.values()
+        )
+
+    def test_fail_loud_without_fake(self, spark):
+        import pytest
+
+        from mofka_spark.operators import modality
+
+        df = spark.createDataFrame([(1, b"x")], ["doc_id", "data"])
+        with pytest.raises(NotImplementedError):
+            modality.resize_images(df, 1, 1, allow_fake=False)
+
+
+class TestSampleFrames:
+    def test_stride_and_partial_tail(self, spark):
+        from mofka_spark.operators import modality
+
+        # 8-byte header + 20-byte body, frames of 8 -> idx 0,1,2
+        # (last frame is the 4-byte tail); every=2 keeps 0 and 2
+        payload = b"HDRHDRHD" + b"A" * 8 + b"B" * 8 + b"C" * 4
+        df = spark.createDataFrame([(5, payload)], ["doc_id", "data"])
+        out = {
+            r.frame_idx: bytes(r.frame)
+            for r in modality.sample_frames(df, frame_bytes=8, every=2).collect()
+        }
+        assert out == {0: b"A" * 8, 2: b"C" * 4}
+
+    def test_invalid_params(self, spark):
+        import pytest
+
+        from mofka_spark.operators import modality
+
+        df = spark.createDataFrame([(1, b"x")], ["doc_id", "data"])
+        with pytest.raises(ValueError):
+            modality.sample_frames(df, frame_bytes=0)
