@@ -436,6 +436,48 @@ class TestBucketedPostingsAgg:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+class TestRound5OperatorPlans:
+    def test_weighted_quantiles_single_exchange(self, spark):
+        """The cumulative and total windows AND the final per-group agg
+        all share ONE group-keyed exchange."""
+        from mofka_spark.operators.sketch import weighted_quantiles
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        df = weighted_quantiles(
+            ev, "event_type", "value",
+            F.pmod(F.col("event_id"), F.lit(5)) + 1, [0.5, 0.9],
+        )
+        p = plans.plan_string(df, mode="simple")
+        assert p.count("Exchange") == 1, p
+
+    def test_bigram_lm_broadcasts_trained_tables(self, spark):
+        """The bigram/context/vocab tables broadcast back onto the pair
+        stream — no sort-merge join anywhere in the score pass."""
+        from mofka_spark.operators.text import bigram_lm_score
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = plans.plan_string(bigram_lm_score(docs), mode="simple")
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p, p
+
+    def test_corpus_overlap_broadcasts_sizes_and_hashes_grams(self, spark):
+        """Stratum set sizes broadcast onto the pair matrix, and gram
+        TEXT never reaches an exchange — grams travel as 60-bit ints
+        (the md5/conv projection happens scan-side)."""
+        from mofka_spark.operators.text import corpus_overlap
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = corpus_overlap(docs, "source", n=3)
+        p = plans.plan_string(df, mode="simple")
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p, p
+        # every Exchange keys on the hashed gram (g) or stratum pair —
+        # none mentions the raw gram string column
+        for ln in p.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "gram" not in ln, ln
+
+
 class TestQ6Pushdown:
     def test_filters_reach_scan_single_agg(self, spark):
         df = queries.SPARK_QUERIES["q6_forecast_revenue"](spark, SF)
