@@ -773,3 +773,62 @@ def label_separation(
         "nearest_label",
         "nearest_dist",
     )
+
+
+def label_agreement(
+    df: DataFrame,
+    neighbors: DataFrame | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label-agreement — the confident-learning-style label-noise
+    detector: for each labeled vector, the fraction of its k nearest
+    neighbors sharing its label. Agreement near 0 flags probable
+    mislabels (the vector sits inside another class's neighborhood);
+    per-class mean agreement complements label_separation's
+    centroid-level view with an instance-level one.
+
+    ``neighbors``: optional (query_id, neighbor_id) pairs from ANY
+    search operator — pass search_index/lsh results at deployment
+    scale, where exact all-pairs kNN is off the table. The default
+    computes exact brute-force top-k with the corpus as its own query
+    set (the gate regime; O(N^2), small-N only — the broadcast side is
+    the whole corpus).
+
+    Returns (id, label, n_neighbors, agreement), agreement rounded to
+    6dp. Scale shape beyond the neighbor search: two thin joins of the
+    pair frame onto the (id, label) projection and one per-id
+    aggregate — no vectors move past the search stage."""
+    labeled = df.filter(F.col(label_col).isNotNull())
+    if neighbors is None:
+        neighbors = brute_force_topk(
+            labeled, labeled, k, id_col, vec_col
+        ).select("query_id", "neighbor_id")
+    lbl = labeled.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl")
+    )
+    paired = (
+        neighbors.join(
+            lbl.withColumnRenamed("_id", "query_id").withColumnRenamed(
+                "_lbl", "q_label"
+            ),
+            "query_id",
+        )
+        .join(
+            lbl.withColumnRenamed("_id", "neighbor_id").withColumnRenamed(
+                "_lbl", "n_label"
+            ),
+            "neighbor_id",
+        )
+    )
+    return (
+        paired.groupBy(F.col("query_id").alias("id"), F.col("q_label").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_neighbors"),
+            F.round(
+                F.avg((F.col("n_label") == F.col("q_label")).cast("double")), 6
+            ).alias("agreement"),
+        )
+    )

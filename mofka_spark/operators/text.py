@@ -1552,3 +1552,49 @@ def token_entropy(
         F.round(ent, 6).alias("entropy"),
         F.round(F.size(F.array_distinct(arr)) / n, 6).alias("ttr"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a reference
+    vocabulary — the corpus-vs-tokenizer fit check run before training
+    (high OOV = the tokenizer will shred this text into bytes) and a
+    cheap domain-shift signal against any fixed lexicon.
+
+    ``vocab`` is a one-column DataFrame of in-vocabulary tokens
+    (derive one with vocab_stats, or load the tokenizer's). Returns
+    (id, n_tokens, n_oov, oov_rate) over token OCCURRENCES (not
+    types), oov_rate rounded to 6dp; empty docs are excluded.
+
+    Scale shape: tokens explode once and LEFT-join the broadcast
+    vocabulary (vocabularies are MBs, corpora are TBs), so the corpus
+    never shuffles for the lookup; the only exchange is the per-doc
+    rollup keyed on id."""
+    toks = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(_tokens(F.col(text_col))).alias("tok"),
+        )
+    )
+    v = vocab.select(
+        F.col(vocab_col).alias("tok"), F.lit(True).alias("_in_vocab")
+    ).distinct()
+    return (
+        toks.join(F.broadcast(v), "tok", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("_in_vocab").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.avg(F.col("_in_vocab").isNull().cast("double")), 6
+            ).alias("oov_rate"),
+        )
+    )

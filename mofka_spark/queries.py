@@ -5505,6 +5505,71 @@ def q_modality_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
 
 
+# OOV rate vs a corpus-derived vocabulary (operators/text.py
+# oov_rate): tokenizer-fit / domain-shift signal; the gate's
+# vocabulary is the corpus's >= 10-count unigrams (thresholded, so no
+# top-k tie sensitivity).
+@query(
+    "oov_rates",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), v AS (
+      SELECT tok FROM t GROUP BY tok HAVING COUNT(*) >= 10
+    )
+    SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(AVG(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS oov_rate
+    FROM t LEFT JOIN v USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    vocab = text.vocab_stats(docs, n=1, min_count=10).select(
+        F.col("gram").alias("token")
+    )
+    return text.oov_rate(docs, vocab)
+
+
+# kNN label-agreement (operators/similarity.py label_agreement):
+# instance-level label-noise scan over the labeled embeddings; the
+# gate runs the exact brute-force regime the oracle can mirror.
+@query(
+    "label_noise_scan",
+    """
+    WITH l AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings WHERE label IS NOT NULL
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.label AS q_label, c.label AS n_label,
+             ROUND(list_cosine_similarity(q.v, c.v), 6) AS score
+      FROM l q JOIN l c ON c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id AS id, q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           ROUND(AVG(CASE WHEN n_label = q_label THEN 1.0 ELSE 0.0 END), 6)
+             AS agreement
+    FROM ranked WHERE rnk <= 10
+    GROUP BY query_id, q_label
+    """,
+)
+def q_label_noise_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.similarity import label_agreement
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_agreement(emb, k=10)
+
+
 # Token-entropy / type-token-ratio lexical diversity (operators/text.py
 # token_entropy): ordered fold over sorted types for float identity.
 @query(

@@ -251,3 +251,33 @@ class TestLabelSeparation:
         out = {r.label: r for r in label_separation(df).collect()}
         assert out[0].centroid_norm == 0.0  # averaged away to origin
         assert out[1].centroid_norm > 0
+
+
+class TestLabelAgreement:
+    def test_planted_mislabel_scores_low(self, spark):
+        from mofka_spark.operators.similarity import label_agreement
+
+        # two tight clusters in 2-D; vec 99 sits in cluster A but
+        # carries cluster B's label -> agreement 0; everyone else 1
+        rows = [(i, [1.0 + 0.01 * i, 0.0], 0) for i in range(5)]
+        rows += [(10 + i, [0.0, 1.0 + 0.01 * i], 1) for i in range(5)]
+        rows.append((99, [1.0, 0.005], 1))  # mislabeled A-cluster point
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        out = {r.id: r.agreement for r in label_agreement(df, k=4).collect()}
+        assert out[99] == 0.0
+        assert all(v == 1.0 for i, v in out.items() if i in range(5))
+
+    def test_external_neighbors_frame(self, spark):
+        from mofka_spark.operators.similarity import label_agreement
+
+        df = spark.createDataFrame(
+            [(1, [1.0], 0), (2, [1.0], 0), (3, [1.0], 1)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        nbrs = spark.createDataFrame(
+            [(1, 2), (1, 3)], "query_id long, neighbor_id long"
+        )
+        (row,) = label_agreement(df, neighbors=nbrs).filter("id = 1").collect()
+        assert row.n_neighbors == 2 and row.agreement == 0.5

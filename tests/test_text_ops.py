@@ -574,3 +574,22 @@ class TestTokenEntropy:
         )
         out = {r.id: r.entropy for r in token_entropy(df).collect()}
         assert out[2] > out[1]  # uniform vocabulary = max entropy
+
+
+class TestOovRate:
+    def test_known_rates(self, spark):
+        from mofka_spark.operators.text import oov_rate
+
+        docs = _docs(spark, [(1, "a b zz"), (2, "a a a"), (3, "  "), (4, None)])
+        vocab = spark.createDataFrame([("a",), ("b",)], ["token"])
+        out = {r.id: (r.n_tokens, r.n_oov, r.oov_rate) for r in oov_rate(docs, vocab).collect()}
+        # blank/null docs excluded
+        assert out == {1: (3, 1, round(1 / 3, 6)), 2: (3, 0, 0.0)}
+
+    def test_duplicate_vocab_rows_do_not_double_count(self, spark):
+        from mofka_spark.operators.text import oov_rate
+
+        docs = _docs(spark, [(1, "a b")])
+        vocab = spark.createDataFrame([("a",), ("a",)], ["token"])
+        (row,) = oov_rate(docs, vocab).collect()
+        assert (row.n_tokens, row.n_oov) == (2, 1)
