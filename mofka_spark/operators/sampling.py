@@ -310,3 +310,136 @@ def rank_bins(
         .cast("long")
         .alias("bin"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every raw document by how much
+    more likely its hashed n-gram features are under a bag-of-ngrams
+    model of the TARGET corpus than under the raw corpus's own model,
+
+        logw(x) = sum_f c_f(x) * ( ln p_target[b(f)] - ln p_raw[b(f)] )
+
+    with features f = whitespace unigrams + adjacent bigrams, b(f) an
+    md5 hash bucket in [0, n_buckets), and both bucket distributions
+    add-one smoothed: p[b] = (count[b] + 1) / (total + n_buckets).
+    High logw = looks like the target domain; feed the output to
+    dsir_select / weighted sampling to build the training mixture.
+
+    Returns (id, n_feats, logw) per raw doc with >= 1 token, logw
+    rounded to 6dp. The per-doc sum folds in ascending-bucket order
+    (sort_array + aggregate, the tfidf_scores trick) so an external
+    engine reproduces the identical IEEE double.
+
+    Scale shape: features come out of each doc's own token array
+    (bigrams via arrays_zip of shifted slices — scan-local, no
+    positional join); the per-doc (bucket, count) frame is the ONLY
+    corpus-sized shuffle and both global bucket tables derive from it
+    (raw) or from the target's own thin stream (target) as
+    O(n_buckets)-row partial aggs that BROADCAST back onto the doc
+    stream — the raw corpus never shuffles again. Target corpora are
+    small by construction (that is DSIR's premise), raw-side cost is
+    two scans of (id, text)."""
+    from mofka_spark.operators.text import _tokens
+
+    def feats(frame: DataFrame, with_id: bool) -> DataFrame:
+        arr = _tokens(F.col(text_col))
+        n = F.size(arr)
+        big = F.transform(
+            F.arrays_zip(
+                F.slice(arr, 1, F.greatest(n - 1, F.lit(0))).alias("v"),
+                F.slice(arr, 2, F.greatest(n - 1, F.lit(0))).alias("w"),
+            ),
+            lambda p: F.concat_ws(" ", p["v"], p["w"]),
+        )
+        cols = [F.col(id_col).alias("id")] if with_id else []
+        exploded = (
+            frame.filter(F.col(text_col).isNotNull())
+            .filter(n >= 1)
+            .select(*cols, F.explode(F.concat(arr, big)).alias("feat"))
+        )
+        bucket = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("feat"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_buckets),
+        )
+        return exploded.select(*(["id"] if with_id else []), bucket.alias("bucket"))
+
+    doc = feats(df, True).groupBy("id", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    raw = doc.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    tgt = feats(target, False).groupBy("bucket").agg(
+        F.count("*").alias("ct")
+    )
+    tot_r = raw.agg(F.sum("cr").alias("tr"))
+    tot_t = tgt.agg(F.sum("ct").alias("tt"))
+    terms = (
+        raw.join(F.broadcast(tgt), "bucket", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            (
+                F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                - F.log(F.col("tt") + F.lit(n_buckets))
+                - F.log(F.col("cr") + 1)
+                + F.log(F.col("tr") + F.lit(n_buckets))
+            ).alias("term"),
+        )
+    )
+    contrib = doc.join(F.broadcast(terms), "bucket").select(
+        "id", "bucket", "c", (F.col("c") * F.col("term")).alias("contrib")
+    )
+    folded = contrib.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_feats"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("bucket", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("_logw"),
+    )
+    return folded.select(
+        "id", "n_feats", F.round("_logw", 6).alias("logw")
+    )
+
+
+def dsir_select(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "id",
+    logw_col: str = "logw",
+    salt: str = "gumbel",
+) -> DataFrame:
+    """Gumbel-top-k resampling over DSIR log-weights: each doc draws a
+    deterministic Gumbel g = -ln(-ln(u)) from the md5 hash of its id
+    and the k largest (logw + g) win — exactly sampling-without-
+    replacement proportional to exp(logw) (Vieira 2014), but safe in
+    log space (no exp overflow) and reproducible from (id, salt).
+
+    Scale shape: the perturbed key is a scan-local projection and the
+    global top-k is orderBy + limit, which Spark executes as
+    TakeOrderedAndProject — each partition keeps its local top-k heap
+    and the driver merges k-sized heaps, NO global sort or
+    single-partition window. Mergeable across shards for the same
+    reason: the global top-k is the top-k of per-shard top-ks."""
+    u = (hash_bucket(F.col(id_col), salt) + 1) / F.lit(float(_MOD))
+    key = F.col(logw_col) + (-F.log(-F.log(u)))
+    return (
+        weights.select(id_col, logw_col, key.alias("_gkey"))
+        .orderBy(F.col("_gkey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, logw_col, F.round(F.col("_gkey"), 6).alias("gumbel_key"))
+    )

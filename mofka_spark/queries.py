@@ -5694,6 +5694,90 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inclusion_profile(frames, _INCLUSION_COLS)
 
 
+# DSIR (operators/sampling.py dsir_weights): hashed-ngram importance
+# weights log p_target - log p_raw (Xie et al. 2023) — the
+# domain-targeted data-selection signal; target = English docs.
+_DSIR_CTE = r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\s+') AS a
+      FROM documents WHERE text IS NOT NULL
+    ), uni AS (
+      SELECT doc_id, lang, unnest(a) AS feat FROM t WHERE len(a) >= 1
+    ), bi AS (
+      SELECT doc_id, lang, a[i] || ' ' || a[i+1] AS feat
+      FROM t, UNNEST(generate_series(1, len(a) - 1)) AS s(i)
+      WHERE len(a) >= 2
+    ), feats AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('dsir' || feat), 1, 12))::BIGINT % 8192
+               AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ), doc AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM feats GROUP BY doc_id, bucket
+    ), raw AS (
+      SELECT bucket, CAST(SUM(c) AS BIGINT) AS cr FROM doc GROUP BY bucket
+    ), tgt AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM feats WHERE lang = 'en' GROUP BY bucket
+    ), tot_r AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr FROM raw),
+    tot_t AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM tgt),
+    terms AS (
+      SELECT raw.bucket,
+             LN(COALESCE(ct, 0) + 1) - LN(tt + 8192)
+               - LN(cr + 1) + LN(tr + 8192) AS term
+      FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket
+      CROSS JOIN tot_r CROSS JOIN tot_t
+    ), contrib AS (
+      SELECT doc_id, doc.bucket, c, c * term AS contrib
+      FROM doc JOIN terms ON doc.bucket = terms.bucket
+    ), weights AS (
+      SELECT doc_id AS id, CAST(SUM(c) AS BIGINT) AS n_feats,
+             ROUND(list_sum(list_transform(list(contrib ORDER BY bucket),
+                                           x -> x)), 6) AS logw
+      FROM contrib GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dsir_weights",
+    _DSIR_CTE + "SELECT id, n_feats, logw FROM weights",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+@query(
+    "dsir_select",
+    _DSIR_CTE
+    + """
+    SELECT id, logw,
+           ROUND(logw + (-LN(-LN(
+             ((('0x' || substr(md5('gumbel' || id::VARCHAR), 1, 12))::BIGINT
+               % 1000000) + 1) / 1000000.0))), 6) AS gumbel_key
+    FROM weights
+    ORDER BY (logw + (-LN(-LN(
+             ((('0x' || substr(md5('gumbel' || id::VARCHAR), 1, 12))::BIGINT
+               % 1000000) + 1) / 1000000.0)))) DESC, id ASC
+    LIMIT 50
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k resample of the DSIR weights: sampling without
+    replacement proportional to exp(logw), deterministic from the doc
+    id's hash, executed as TakeOrderedAndProject (no global sort)."""
+    from mofka_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    w = sampling.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    return sampling.dsir_select(w, 50)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

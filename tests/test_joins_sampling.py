@@ -346,3 +346,75 @@ class TestSplitAssign:
                 for r in split_assign(top, "doc_id", fractions=thirds).collect()
             }
             assert got == {"c"}
+
+
+class TestDSIR:
+    def _docs(self, spark):
+        rows = [
+            # target-looking docs: English function words
+            (1, "the cat sat on the mat and the dog sat too", "en"),
+            (2, "the quick brown fox jumps over the lazy dog", "en"),
+            (3, "a cat and a dog and a fox sat on a mat", "en"),
+            # off-target docs: disjoint vocabulary
+            (4, "zzz qqq www eee rrr ttt yyy uuu iii ooo", "xx"),
+            (5, "aaa bbb ccc ddd fff ggg hhh jjj kkk lll", "xx"),
+            (6, "the cat sat qqq www eee on the mat", "mix"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    def test_target_docs_score_higher(self, spark):
+        from mofka_spark.operators.sampling import dsir_weights
+
+        docs = self._docs(spark)
+        target = docs.filter(F.col("lang") == "en")
+        w = {r.id: r.logw for r in dsir_weights(docs, target).collect()}
+        assert len(w) == 6
+        # every on-target doc outranks every off-target doc
+        assert min(w[1], w[2], w[3]) > max(w[4], w[5])
+        # the mixed doc lands between the pure groups
+        assert w[6] > max(w[4], w[5])
+
+    def test_deterministic_across_runs(self, spark):
+        from mofka_spark.operators.sampling import dsir_weights
+
+        docs = self._docs(spark)
+        target = docs.filter(F.col("lang") == "en")
+        a = sorted(map(tuple, dsir_weights(docs, target).collect()))
+        b = sorted(map(tuple, dsir_weights(docs, target).collect()))
+        assert a == b
+
+    def test_select_is_subset_and_biased(self, spark):
+        from mofka_spark.operators.sampling import dsir_select, dsir_weights
+
+        docs = self._docs(spark)
+        target = docs.filter(F.col("lang") == "en")
+        w = dsir_weights(docs, target)
+        top = dsir_select(w, 3).collect()
+        assert len(top) == 3
+        ids = {r.id for r in top}
+        assert ids <= {r.id for r in w.collect()}
+        # Gumbel noise spans ~[-2, 5]; amplify separation so selection
+        # must follow the weights: scale logw by 100
+        amplified = w.withColumn("logw", F.col("logw") * 100)
+        ids_amp = {r.id for r in dsir_select(amplified, 3).collect()}
+        assert ids_amp == {1, 2, 3}
+
+    def test_select_plan_is_take_ordered(self, spark):
+        from mofka_spark.operators.sampling import dsir_select, dsir_weights
+
+        docs = self._docs(spark)
+        w = dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+        plan = dsir_select(w, 3)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        # global Sort must NOT appear (that would be a full-sort top-k)
+        assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+    def test_weights_plan_broadcasts_bucket_tables(self, spark):
+        from mofka_spark.operators.sampling import dsir_weights
+
+        docs = self._docs(spark)
+        plan = (
+            dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
