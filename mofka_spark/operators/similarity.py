@@ -832,3 +832,64 @@ def label_agreement(
             ).alias("agreement"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / metric training: for each
+    anchor, the k most-cosine-similar corpus vectors carrying a
+    DIFFERENT label — the examples a contrastive loss learns most from
+    (similar embedding, wrong class). The label filter applies BEFORE
+    the top-k (a different-label neighbor outside the unfiltered top-k
+    is still a hard negative), which is why this is not a post-filter
+    over brute_force_topk.
+
+    Returns (anchor_id, negative_id, anchor_label, negative_label,
+    score, rank) with score ties broken on negative_id.
+
+    Scale shape: anchors broadcast against the partitioned corpus
+    (the usual mining regime — anchors are the current training batch
+    or a probe set, MBs against TBs); the per-anchor top-k is a
+    window over each anchor's candidate rows only. For corpus-scale
+    anchor sets swap the cross score for ivf_topk cells and keep the
+    same label-filtered ranking."""
+    anchors = anchors if anchors is not None else corpus
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("avec"),
+        norm(F.col(vec_col)).alias("anrm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnrm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            "anchor_label",
+            "negative_label",
+            F.round(
+                dot(F.col("avec"), F.col("cvec"))
+                / (F.col("anrm") * F.col("cnrm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("score"), F.asc("negative_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1598,3 +1598,90 @@ def oov_rate(
             ).alias("oov_rate"),
         )
     )
+
+
+def fuzzy_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy eval-set decontamination: flag training docs NEAR-duplicate
+    to any evaluation document by word n-gram Jaccard — the rewrite-
+    robust complement to decontaminate()'s exact 8-gram overlap test
+    (paraphrased or lightly-edited benchmark text shares almost no
+    exact 8-grams but keeps high 3-gram Jaccard).
+
+    Two docs are compared only if MinHash LSH blocks them together
+    (bands=32 of r=2 rows: P[candidate] = 1-(1-J^2)^bands ~ 0.9999 at
+    J=0.5), then the exact Jaccard filter >= threshold decides. Returns
+    one row per corpus doc: (id, n_matches, max_jaccard, contaminated).
+
+    Scale shape: the eval side's band rows and gram arrays BROADCAST
+    (benchmarks are MBs, corpora are TBs) — the corpus is never
+    shuffled against the eval set; the only corpus shuffles are the
+    minhash signature agg and the final per-doc rollup, which carries
+    only candidate rows. Never all-pairs: the verify join sees LSH
+    candidates only.
+
+    Reference parity: complements decontaminate (SURVEY §2.8); the
+    blocking machinery is dedup.minhash_band_rows."""
+    from mofka_spark.operators.dedup import minhash_band_rows, word_ngrams
+
+    eid = eval_id_col or id_col
+    etext = eval_text_col or text_col
+    corpus_bands = minhash_band_rows(
+        df, id_col, text_col, num_hashes, bands, shingle_k, "word"
+    )
+    eval_bands = minhash_band_rows(
+        eval_df, eid, etext, num_hashes, bands, shingle_k, "word"
+    ).withColumnRenamed("id", "eval_id")
+    cand = (
+        corpus_bands.join(
+            F.broadcast(eval_bands), ["band_id", "band_hash"]
+        )
+        .select("id", "eval_id")
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(F.col(text_col), shingle_k)).alias("gs"),
+    )
+    eval_grams = eval_df.select(
+        F.col(eid).alias("eval_id"),
+        F.array_distinct(word_ngrams(F.col(etext), shingle_k)).alias("egs"),
+    )
+    inter = F.size(F.array_intersect(F.col("gs"), F.col("egs")))
+    jac = F.round(
+        inter.cast("double")
+        / F.greatest(
+            F.size("gs") + F.size("egs") - inter, F.lit(1)
+        ),
+        6,
+    )
+    verified = (
+        cand.join(doc_grams, "id")
+        .join(F.broadcast(eval_grams), "eval_id")
+        .select("id", "eval_id", jac.alias("j"))
+        .filter(F.col("j") >= threshold)
+    )
+    hits = verified.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.max("j").alias("max_jaccard"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.round(F.coalesce("max_jaccard", F.lit(0.0)), 6).alias("max_jaccard"),
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -5694,6 +5694,89 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inclusion_profile(frames, _INCLUSION_COLS)
 
 
+# Hard-negative mining (operators/similarity.py hard_negatives):
+# per-anchor top-k most-similar DIFFERENT-label vectors — the
+# contrastive-training batch builder. Anchors = vec_id < 8.
+@query(
+    "hard_negatives",
+    """
+    WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+                      CAST(embedding AS DOUBLE[]) AS avec
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT anchor_id, c.vec_id AS negative_id,
+             anchor_label, c.label AS negative_label,
+             ROUND(list_cosine_similarity(a.avec,
+                                          CAST(c.embedding AS DOUBLE[])),
+                   6) AS score
+      FROM embeddings c, a
+      WHERE c.label <> a.anchor_label
+    )
+    SELECT anchor_id, negative_id, anchor_label, negative_label, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY score DESC, negative_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.select(
+        "anchor_id",
+        "negative_id",
+        "anchor_label",
+        "negative_label",
+        "score",
+        F.col("rank").cast("long").alias("rnk"),
+    )
+
+
+# Fuzzy decontamination (operators/text.py fuzzy_decontaminate):
+# near-dup contamination vs a (synthetic) eval set = docs with
+# doc_id % 97 = 0. Oracle = naive exact Jaccard cross join; the Spark
+# side must route through MinHash-LSH blocking (bands=32, r=2: miss
+# probability at J>=0.5 is (1-J^2)^32 <= 1e-4 per pair, and the
+# deterministic hashing makes the local sf0.01 check decisive) —
+# blocking recall is part of the gate, like minhash_dedup's.
+@query(
+    "fuzzy_decontamination",
+    _ORACLE_TOKS
+    + r"""
+    , g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS gs
+      FROM toks
+    ), ev AS (
+      SELECT doc_id AS eval_id, gs AS egs FROM g WHERE doc_id % 97 = 0
+    ), cand AS (
+      SELECT a.doc_id AS id, eval_id,
+             ROUND(len(list_intersect(a.gs, ev.egs))::DOUBLE /
+                   greatest(len(a.gs) + len(ev.egs)
+                            - len(list_intersect(a.gs, ev.egs)), 1),
+                   6) AS j
+      FROM g a CROSS JOIN ev
+    ), hits AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(j) AS max_jaccard
+      FROM cand WHERE j >= 0.5 GROUP BY id
+    )
+    SELECT d.doc_id AS id,
+           CAST(COALESCE(n_matches, 0) AS BIGINT) AS n_matches,
+           ROUND(COALESCE(max_jaccard, 0.0), 6) AS max_jaccard,
+           COALESCE(n_matches, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits ON d.doc_id = hits.id
+    """,
+)
+def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.fuzzy_decontaminate(
+        docs, docs.filter(F.col("doc_id") % 97 == 0)
+    )
+
+
 # DSIR (operators/sampling.py dsir_weights): hashed-ngram importance
 # weights log p_target - log p_raw (Xie et al. 2023) — the
 # domain-targeted data-selection signal; target = English docs.

@@ -281,3 +281,39 @@ class TestLabelAgreement:
         )
         (row,) = label_agreement(df, neighbors=nbrs).filter("id = 1").collect()
         assert row.n_neighbors == 2 and row.agreement == 0.5
+
+
+class TestHardNegatives:
+    def _emb(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], 0),
+                (2, [0.99, 0.14], 1),   # very close, other label
+                (3, [0.0, 1.0], 1),     # far, other label
+                (4, [1.0, 0.01], 0),    # close but SAME label
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+
+    def test_label_filter_before_topk(self, spark):
+        from mofka_spark.operators.similarity import hard_negatives
+
+        emb = self._emb(spark)
+        out = hard_negatives(emb, emb.filter("vec_id = 1"), k=1).collect()
+        (row,) = out
+        # nearest overall is 4 (same label) — must be skipped for 2
+        assert row.negative_id == 2 and row.negative_label == 1
+
+    def test_k_and_rank_order(self, spark):
+        from mofka_spark.operators.similarity import hard_negatives
+
+        emb = self._emb(spark)
+        rows = hard_negatives(emb, emb.filter("vec_id = 1"), k=2).collect()
+        assert [r.negative_id for r in sorted(rows, key=lambda r: r.rank)] == [2, 3]
+
+    def test_anchors_default_to_corpus(self, spark):
+        from mofka_spark.operators.similarity import hard_negatives
+
+        emb = self._emb(spark)
+        out = hard_negatives(emb, k=10)
+        assert out.select("anchor_id").distinct().count() == 4

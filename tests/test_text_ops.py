@@ -593,3 +593,40 @@ class TestOovRate:
         vocab = spark.createDataFrame([("a",), ("a",)], ["token"])
         (row,) = oov_rate(docs, vocab).collect()
         assert (row.n_tokens, row.n_oov) == (2, 1)
+
+
+class TestFuzzyDecontaminate:
+    def test_near_dup_of_eval_flagged_exact_miss_not(self, spark):
+        from mofka_spark.operators.text import fuzzy_decontaminate
+
+        eval_doc = "the quick brown fox jumps over the lazy dog near the river"
+        near = "the quick brown fox leaps over the lazy dog near the river"
+        far = "completely unrelated text about spark shuffles and joins here"
+        docs = _docs(spark, [(1, eval_doc), (2, near), (3, far)])
+        evals = _docs(spark, [(100, eval_doc)])
+        out = {r.id: r for r in fuzzy_decontaminate(docs, evals).collect()}
+        assert out[1].contaminated and out[1].max_jaccard == 1.0
+        assert out[2].contaminated and 0.5 <= out[2].max_jaccard < 1.0
+        assert not out[3].contaminated and out[3].max_jaccard == 0.0
+
+    def test_threshold_applies(self, spark):
+        from mofka_spark.operators.text import fuzzy_decontaminate
+
+        # J = 6/10 = 0.6 — inside the blocking regime (bands=32, r=2:
+        # miss probability ~6e-7), so the threshold alone decides
+        docs = _docs(spark, [(1, "a b c d e f g h i j")])
+        evals = _docs(spark, [(100, "a b c d e f g h w v")])
+        loose = fuzzy_decontaminate(docs, evals, threshold=0.1).collect()[0]
+        tight = fuzzy_decontaminate(docs, evals, threshold=0.9).collect()[0]
+        assert loose.contaminated and not tight.contaminated
+
+    def test_eval_side_broadcasts(self, spark):
+        from mofka_spark.operators.text import fuzzy_decontaminate
+
+        docs = _docs(spark, [(i, f"doc {i} text body") for i in range(20)])
+        evals = _docs(spark, [(100, "doc 5 text body")])
+        plan = (
+            fuzzy_decontaminate(docs, evals)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
