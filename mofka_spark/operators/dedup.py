@@ -30,6 +30,31 @@ def normalize_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+# the 32 ASCII punctuation characters, escaped for a regex class;
+# identical byte-for-byte semantics in Java regex and DuckDB's RE2
+_ASCII_PUNCT_RE = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+
+
+def normalize_text_aggressive(col: Column) -> Column:
+    """CCNet-style aggressive canonicalization for paragraph/doc hash
+    dedup (Wenzek et al. 2020 §4.1): lowercase, digits -> 0,
+    punctuation stripped, whitespace collapsed. Catches duplicates
+    that differ only in numbers ("updated 2023" vs "updated 2024"),
+    punctuation style, or spacing — the web-crawl boilerplate regime
+    where plain content hashing under-deduplicates.
+
+    The punctuation class is the explicit ASCII set (not ``[^\\w\\s]``,
+    whose ``\\w`` is ASCII-only in both Java and RE2 and would strip
+    every non-Latin letter — emptying CJK documents entirely), so
+    Unicode letters survive.
+
+    Pure regexp built-ins — scan-local, codegen'd, no UDF."""
+    lowered = F.lower(F.trim(col))
+    digits0 = F.regexp_replace(lowered, r"\d", "0")
+    nopunct = F.regexp_replace(digits0, _ASCII_PUNCT_RE, "")
+    return F.trim(F.regexp_replace(nopunct, r"\s+", " "))
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Ensure enough input partitions before explode-heavy stages.
 
@@ -45,15 +70,22 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    aggressive: bool = False,
 ) -> DataFrame:
     """Exact duplicates by md5 of normalized text. Returns
     (content_hash, keeper_id, n_copies, ids). Keeper = min id.
+    ``aggressive=True`` swaps the whitespace/case canon for the CCNet
+    form (digits -> 0, punctuation stripped) — same plan, stronger
+    collapse.
 
     Scale: groupBy on a uniform 128-bit key — one shuffle, perfect
     distribution, partial_agg does most work map-side. md5 (not
     xxhash64) so the result is oracle-checkable across engines."""
-    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    canon = normalize_text_aggressive if aggressive else normalize_text
+    h = F.md5(canon(F.col(text_col))).alias("content_hash")
     # Spread by the aggregation key itself: when the scan is narrow the
     # pre-shuffle both parallelizes the md5 stage AND satisfies the
     # groupBy's hash-partitioning requirement, so Catalyst inserts no

@@ -5694,6 +5694,31 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inclusion_profile(frames, _INCLUSION_COLS)
 
 
+# CCNet-style aggressive-normalization dedup (operators/dedup.py
+# exact_dedup(aggressive=True)): digits -> 0, punctuation stripped —
+# collapses "updated 2023!" / "Updated 2024" style boilerplate dups
+# that plain content hashing keeps apart.
+@query(
+    "dedup_normalized",
+    r"""
+    SELECT md5(trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(trim(text)), '\d', '0', 'g'),
+               '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g'),
+             '\s+', ' ', 'g'))) AS content_hash,
+           MIN(doc_id) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, aggressive=True).select(
+        "content_hash", "keeper_id", "n_copies"
+    )
+
+
 # Hard-negative mining (operators/similarity.py hard_negatives):
 # per-anchor top-k most-similar DIFFERENT-label vectors — the
 # contrastive-training batch builder. Anchors = vec_id < 8.

@@ -215,3 +215,35 @@ class TestTriangleCount:
         p = plans.plan_string(triangle_count(edges))
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestAggressiveNormalization:
+    def test_collapses_digit_punct_variants(self, spark):
+        from mofka_spark.operators.dedup import exact_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "Updated 2023! The cat sat."),
+                (2, "updated 2024 -- the cat sat"),
+                (3, "a different document entirely"),
+            ],
+            ["doc_id", "text"],
+        )
+        plain = exact_dedup(docs)
+        assert plain.count() == 3  # plain canon keeps them apart
+        agg = exact_dedup(docs, aggressive=True).collect()
+        groups = {r.content_hash: r for r in agg}
+        assert len(groups) == 2
+        merged = [r for r in agg if r.n_copies == 2][0]
+        assert merged.keeper_id == 1 and set(merged.ids) == {1, 2}
+
+    def test_normalizer_output(self, spark):
+        from pyspark.sql import functions as F
+        from mofka_spark.operators.dedup import normalize_text_aggressive
+
+        df = spark.createDataFrame([("  Héllo,   World 42!_x  ",)], ["t"])
+        (row,) = df.select(
+            normalize_text_aggressive(F.col("t")).alias("n")
+        ).collect()
+        # lowercase, digits->0, punctuation/underscore gone, ws collapsed
+        assert row.n == "héllo world 00x"
