@@ -893,3 +893,103 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection d -> k: proj_j =
+    dot(vec, g_j) / sqrt(k) with g_j a seeded Gaussian row — distances
+    are preserved within (1 +- eps) for k = O(ln n / eps^2), so
+    downstream ANN / clustering / dedup can run on k=16 doubles
+    instead of d=1024 floats (the standard pre-ANN compaction at
+    corpus scale; composes with lsh_topk / ivf_topk / semantic_dedup
+    unchanged).
+
+    Deterministic from ``seed`` (same matrix every run/engine).
+    Returns (id, proj: array<double>[out_dim]).
+
+    Scale shape: the matrix is d x k literals baked into the plan
+    (KBs); the projection is a scan-local fold per row — ONE scan, no
+    shuffle, no UDF, no driver-side matrix distribution needed."""
+    planes = _hyperplanes(in_dim, out_dim, seed)
+    vec = F.col(vec_col)
+    proj = F.array(
+        *[
+            (
+                dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+                / F.sqrt(F.lit(float(out_dim)))
+            )
+            for plane in planes
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), proj.alias("proj"))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization: scale_d =
+    max(|v_d|) / 127 over the corpus, q_d = clamp(round(v_d / scale_d),
+    -127, 127) — the standard 4x storage / memory-bandwidth cut for
+    embedding stores (search re-ranks exactly on the float vectors for
+    the shortlist only). Returns (id, q: array<int>, mse) where mse is
+    the per-vector mean squared reconstruction error (q * scale vs v),
+    rounded to 8dp (coarse enough that fold order cannot move the
+    rounded value).
+
+    Scale shape: the scales are ONE O(d)-row aggregate (posexplode ->
+    per-dim max-abs partial aggs) collapsed to a single broadcast
+    array row; the quantize pass is then scan-local zip_with — two
+    corpus scans total, no corpus shuffle. Zero-variance dims get
+    scale 1 so division is always defined."""
+    vec = F.col(vec_col)
+    dims = df.select(
+        F.posexplode(vec).alias("dim", "v")
+    ).groupBy("dim").agg(F.max(F.abs(F.col("v").cast("double"))).alias("amax"))
+    scales_row = dims.groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "amax"))),
+            lambda s: F.when(s["amax"] > 0, s["amax"] / F.lit(127.0)).otherwise(
+                F.lit(1.0)
+            ),
+        ).alias("scales")
+    )
+    quantized = df.crossJoin(F.broadcast(scales_row)).select(
+        F.col(id_col).alias("id"),
+        F.zip_with(
+            vec,
+            F.col("scales"),
+            lambda v, s: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127), F.round(v.cast("double") / s, 0).cast("int")
+                ),
+            ),
+        ).alias("q"),
+        F.zip_with(
+            vec,
+            F.col("scales"),
+            lambda v, s: v.cast("double")
+            - F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.round(v.cast("double") / s, 0)),
+            )
+            * s,
+        ).alias("_err"),
+    )
+    mse = F.round(
+        F.aggregate(
+            F.col("_err"), F.lit(0.0), lambda acc, e: acc + e * e
+        )
+        / F.size("q"),
+        8,
+    )
+    return quantized.select("id", "q", mse.alias("mse"))

@@ -5694,6 +5694,78 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inclusion_profile(frames, _INCLUSION_COLS)
 
 
+# JL random projection (operators/similarity.py random_projection):
+# seeded Gaussian d=64 -> k=8; the oracle inlines the IDENTICAL
+# matrix literals (same seed path), so the projection values must
+# agree to 6dp.
+def _rp_oracle() -> str:
+    from mofka_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=7)
+    selects = []
+    for j, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        selects.append(
+            f"SELECT vec_id AS id, CAST({j} AS BIGINT) AS dim,\n"
+            f"  ROUND(list_inner_product(CAST(embedding AS DOUBLE[]),\n"
+            f"        [{lits}]) / sqrt(8.0), 6) AS value\n"
+            f"FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+@query("random_projection", _rp_oracle())
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.random_projection(emb, in_dim=64, out_dim=8, seed=7)
+    return out.select(
+        "id", F.posexplode("proj").alias("dim", "value")
+    ).select(
+        "id", F.col("dim").cast("long").alias("dim"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+# int8 embedding quantization (operators/similarity.py
+# quantize_embeddings): per-dim symmetric scales from the corpus
+# max-abs; gate checks every quantized value and the per-vector
+# reconstruction MSE.
+@query(
+    "quantize_embeddings",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    d AS (
+      SELECT vec_id, i - 1 AS dim, v[i] AS val
+      FROM e, UNNEST(generate_series(1, len(v))) AS s(i)
+    ), sc AS (
+      SELECT dim,
+             CASE WHEN MAX(ABS(val)) > 0 THEN MAX(ABS(val)) / 127.0
+                  ELSE 1.0 END AS s
+      FROM d GROUP BY dim
+    ), q AS (
+      SELECT vec_id, d.dim,
+             GREATEST(-127, LEAST(127, CAST(ROUND(val / s) AS INT))) AS qv,
+             val - GREATEST(-127.0, LEAST(127.0, ROUND(val / s))) * s AS err
+      FROM d JOIN sc USING (dim)
+    ), m AS (
+      SELECT vec_id, ROUND(SUM(err * err) / COUNT(*), 8) AS mse
+      FROM q GROUP BY vec_id
+    )
+    SELECT q.vec_id AS id, CAST(q.dim AS BIGINT) AS dim, qv, m.mse
+    FROM q JOIN m ON q.vec_id = m.vec_id
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings(emb)
+    return out.select(
+        "id", "mse", F.posexplode("q").alias("dim", "qv")
+    ).select(
+        "id", F.col("dim").cast("long").alias("dim"), "qv", "mse"
+    )
+
+
 # CCNet-style aggressive-normalization dedup (operators/dedup.py
 # exact_dedup(aggressive=True)): digits -> 0, punctuation stripped —
 # collapses "updated 2023!" / "Updated 2024" style boilerplate dups
