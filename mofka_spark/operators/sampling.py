@@ -443,3 +443,66 @@ def dsir_select(
         .limit(k)
         .select(id_col, logw_col, F.round(F.col("_gkey"), 6).alias("gumbel_key"))
     )
+
+
+def cell_balanced_sample(
+    df: DataFrame,
+    centroids: list[list[float]],
+    cap: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "",
+) -> DataFrame:
+    """Cluster-balanced subset selection: assign every vector to its
+    nearest centroid cell, then keep at most ``cap`` rows per cell,
+    chosen by deterministic hash rank — the diversity-preserving
+    downsample (D4-style: dense regions contribute at most cap
+    examples, sparse regions survive whole) that a plain uniform
+    sample cannot give you.
+
+    Returns (cell, id) for the kept rows.
+
+    Scale shape: assignment is scan-local (Arrow matmul for wide
+    centroid sets); the quota is group_cap's one cell-keyed shuffle —
+    enable its prefilter regime when single cells are web-scale."""
+    from mofka_spark.operators.similarity import assign_cells
+
+    cells = assign_cells(df, centroids, id_col, vec_col)
+    return group_cap(cells, "id", "cell", cap, salt).select("cell", "id")
+
+
+def interleave_strata(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    salt: str = "interleave",
+) -> DataFrame:
+    """Deterministic proportional interleaving for training order:
+    every stratum is spread uniformly through the epoch instead of
+    arriving in blocks (which would make the loss curve ride the
+    domain schedule). Each row gets
+
+        interleave_key = (rank_in_stratum - 0.5) / n_stratum
+
+    with the in-stratum order itself a deterministic hash shuffle —
+    sorting by interleave_key yields the classic low-discrepancy
+    schedule: a stratum with share p contributes ~every 1/p-th row.
+    Pure integer-derived doubles, so engines agree bit-for-bit.
+
+    Returns (strata_col, key_col, interleave_key); writers order by
+    (interleave_key, stratum, key) — a total deterministic order.
+
+    Scale shape: one stratum-keyed shuffle for the rank window (the
+    exact/gate form); corpus-scale strata swap the window for
+    epoch_shuffle's distributed prefix-sum rank, same key formula."""
+    bucket = hash_bucket(F.col(key_col), salt)
+    w = Window.partitionBy(strata_col).orderBy(bucket.asc(), F.col(key_col).asc())
+    cnt = Window.partitionBy(strata_col)
+    return df.select(
+        strata_col,
+        key_col,
+        (
+            (F.row_number().over(w) - F.lit(0.5))
+            / F.count("*").over(cnt)
+        ).alias("interleave_key"),
+    )

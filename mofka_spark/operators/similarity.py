@@ -993,3 +993,18 @@ def quantize_embeddings(
         8,
     )
     return quantized.select("id", "q", mse.alias("mse"))
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): nearest centroid by cosine, ties to the smaller
+    centroid id — the public single-cell form of the IVF assignment
+    kernel (fit centroids with fit_centroids, or pass any fixed list).
+    Scan-local per row; auto-switches to the Arrow matmul kernel for
+    wide centroid sets like _cell_frame."""
+    cells = _cell_frame(df, id_col, vec_col, centroids, topn=1)
+    return cells.select("id", F.element_at("cells", 1).alias("cell"))

@@ -5694,6 +5694,70 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inclusion_profile(frames, _INCLUSION_COLS)
 
 
+# Cluster-balanced subset selection (operators/sampling.py
+# cell_balanced_sample): nearest-centroid cells (fixed seeded
+# centroids, literal-mirrored in the oracle) + deterministic per-cell
+# hash quota — dense regions capped, sparse regions survive whole.
+def _cell_sample_oracle() -> str:
+    from mofka_spark.operators.similarity import _hyperplanes
+
+    cents = _hyperplanes(64, 4, seed=11)
+    cos = ",\n             ".join(
+        f"list_cosine_similarity(v, [{', '.join(repr(float(x)) for x in c)}]) AS c{i}"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id,
+             {cos}
+          FROM e),
+    a AS (SELECT vec_id,
+            CASE WHEN c0 >= c1 AND c0 >= c2 AND c0 >= c3 THEN 0
+                 WHEN c1 >= c2 AND c1 >= c3 THEN 1
+                 WHEN c2 >= c3 THEN 2 ELSE 3 END AS cell
+          FROM s),
+    r AS (SELECT cell, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+              ('0x' || substr(md5(vec_id::VARCHAR), 1, 12))::BIGINT
+                % 1000000,
+              vec_id) AS rk
+          FROM a)
+    SELECT CAST(cell AS INT) AS cell, vec_id AS id FROM r WHERE rk <= 40
+    """
+
+
+@query("cell_balanced_sample", _cell_sample_oracle())
+def q_cell_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sampling import cell_balanced_sample
+    from mofka_spark.operators.similarity import _hyperplanes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cell_balanced_sample(emb, _hyperplanes(64, 4, seed=11), cap=40)
+
+
+# Proportional stratum interleaving (operators/sampling.py
+# interleave_strata): low-discrepancy training-order schedule —
+# integer-derived key (rank - 0.5)/n so engines agree bit-for-bit.
+@query(
+    "interleave_strata",
+    """
+    SELECT source, doc_id,
+           (ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+              ('0x' || substr(md5('interleave' || doc_id::VARCHAR), 1, 12))
+                ::BIGINT % 1000000,
+              doc_id) - 0.5)
+           / COUNT(*) OVER (PARTITION BY source) AS interleave_key
+    FROM documents
+    """,
+)
+def q_interleave_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sampling import interleave_strata
+
+    docs = _t(spark, sf_dir, "documents")
+    return interleave_strata(docs, "doc_id", "source")
+
+
 # JL random projection (operators/similarity.py random_projection):
 # seeded Gaussian d=64 -> k=8; the oracle inlines the IDENTICAL
 # matrix literals (same seed path), so the projection values must

@@ -418,3 +418,59 @@ class TestDSIR:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestCellBalancedSample:
+    def test_cap_binds_only_on_dense_cells(self, spark):
+        from mofka_spark.operators.sampling import cell_balanced_sample
+
+        # two well-separated directions; 10 docs near +x, 2 near +y
+        rows = [(i, [1.0, 0.01 * i]) for i in range(10)]
+        rows += [(100, [0.0, 1.0]), (101, [0.01, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        out = cell_balanced_sample(df, cents, cap=3)
+        counts = {
+            r.cell: r.n
+            for r in out.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts[0] == 3      # dense cell capped
+        assert counts[1] == 2      # sparse cell survives whole
+
+    def test_deterministic(self, spark):
+        from mofka_spark.operators.sampling import cell_balanced_sample
+
+        df = spark.createDataFrame(
+            [(i, [1.0, float(i % 5)]) for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        a = sorted(map(tuple, cell_balanced_sample(df, cents, 5).collect()))
+        b = sorted(map(tuple, cell_balanced_sample(df, cents, 5).collect()))
+        assert a == b
+
+
+class TestInterleaveStrata:
+    def test_low_discrepancy_schedule(self, spark):
+        from mofka_spark.operators.sampling import interleave_strata
+
+        rows = [(i, "big") for i in range(90)] + [(1000 + i, "small") for i in range(10)]
+        df = spark.createDataFrame(rows, ["doc_id", "stratum"])
+        out = interleave_strata(df, "doc_id", "stratum").collect()
+        ordered = sorted(out, key=lambda r: (r.interleave_key, r.stratum, r.doc_id))
+        # the small stratum (10%) appears ~every 10th position: check
+        # gaps between consecutive small rows are tight around 10
+        pos = [i for i, r in enumerate(ordered) if r.stratum == "small"]
+        gaps = [b - a for a, b in zip(pos, pos[1:])]
+        assert gaps and all(8 <= g <= 12 for g in gaps)
+
+    def test_keys_in_unit_interval_and_deterministic(self, spark):
+        from mofka_spark.operators.sampling import interleave_strata
+
+        df = spark.createDataFrame(
+            [(i, "s%d" % (i % 3)) for i in range(60)], ["doc_id", "stratum"]
+        )
+        out = interleave_strata(df, "doc_id", "stratum").collect()
+        assert all(0.0 < r.interleave_key < 1.0 for r in out)
+        again = interleave_strata(df, "doc_id", "stratum").collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
