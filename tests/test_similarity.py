@@ -402,3 +402,31 @@ class TestQuantizeEmbeddings:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestBruteForceArrowPath:
+    def test_arrow_equals_expr(self, spark):
+        import random as pyrandom
+
+        from mofka_spark.operators.similarity import brute_force_topk
+
+        rng = pyrandom.Random(5)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        expr = brute_force_topk(df, df, k=5).collect()
+        arrow = brute_force_topk(df, df, k=5, method="arrow").collect()
+        key = lambda r: (r.query_id, r.rank)
+        assert sorted(map(tuple, expr), key=lambda t: (t[0], t[3])) == sorted(
+            map(tuple, arrow), key=lambda t: (t[0], t[3])
+        )
+
+    def test_no_self_pairs_and_k_rows(self, spark):
+        from mofka_spark.operators.similarity import brute_force_topk
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        out = brute_force_topk(df, df, k=3, method="arrow").collect()
+        assert all(r.query_id != r.neighbor_id for r in out)
+        assert len(out) == 30
