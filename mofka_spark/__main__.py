@@ -156,7 +156,7 @@ def cmd_topic_compact(args) -> int:
 _STORE_KINDS = (
     "neardup", "textindex", "annindex", "heavyhitters", "moments",
     "monitor", "distinct", "quantiles", "rollup", "bloom", "sample",
-    "generic",
+    "dsir", "generic",
 )
 
 
@@ -209,6 +209,9 @@ def cmd_store_compact(args) -> int:
     elif kind == "sample":
         from mofka_spark.streaming.sample import compact_sample
         compact_sample(spark, path, k=args.k)
+    elif kind == "dsir":
+        from mofka_spark.streaming.dsirstore import compact_dsir
+        compact_dsir(spark, path)
     else:  # generic epoch store
         from mofka_spark.streaming.store import compact_epoch_store
         compact_epoch_store(spark, path)

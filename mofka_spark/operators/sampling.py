@@ -312,6 +312,49 @@ def rank_bins(
     )
 
 
+def dsir_feature_buckets(
+    frame: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    salt: str = "dsir",
+    id_col: str | None = None,
+) -> DataFrame:
+    """The DSIR hashed-feature stream: one row per (unigram + bigram)
+    occurrence, as md5 hash buckets in [0, n_buckets). With ``id_col``
+    returns (id, bucket), else (bucket) — shared by the batch
+    dsir_weights and the incremental streaming/dsirstore sink so both
+    populate the identical bucket space. Scan-local (features fold out
+    of each doc's own token array; no positional join)."""
+    from mofka_spark.operators.text import _tokens
+
+    arr = _tokens(F.col(text_col))
+    n = F.size(arr)
+    big = F.transform(
+        F.arrays_zip(
+            F.slice(arr, 1, F.greatest(n - 1, F.lit(0))).alias("v"),
+            F.slice(arr, 2, F.greatest(n - 1, F.lit(0))).alias("w"),
+        ),
+        lambda p: F.concat_ws(" ", p["v"], p["w"]),
+    )
+    cols = [F.col(id_col).alias("id")] if id_col else []
+    exploded = (
+        frame.filter(F.col(text_col).isNotNull())
+        .filter(n >= 1)
+        .select(*cols, F.explode(F.concat(arr, big)).alias("feat"))
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("feat"))), 1, 12),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+    return exploded.select(
+        *(["id"] if id_col else []), bucket.alias("bucket")
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target: DataFrame,
@@ -319,6 +362,7 @@ def dsir_weights(
     text_col: str = "text",
     n_buckets: int = 8192,
     salt: str = "dsir",
+    raw_counts: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Data Selection via Importance
     Resampling, Xie et al. 2023): score every raw document by how much
@@ -346,48 +390,31 @@ def dsir_weights(
     O(n_buckets)-row partial aggs that BROADCAST back onto the doc
     stream — the raw corpus never shuffles again. Target corpora are
     small by construction (that is DSIR's premise), raw-side cost is
-    two scans of (id, text)."""
-    from mofka_spark.operators.text import _tokens
+    two scans of (id, text).
 
-    def feats(frame: DataFrame, with_id: bool) -> DataFrame:
-        arr = _tokens(F.col(text_col))
-        n = F.size(arr)
-        big = F.transform(
-            F.arrays_zip(
-                F.slice(arr, 1, F.greatest(n - 1, F.lit(0))).alias("v"),
-                F.slice(arr, 2, F.greatest(n - 1, F.lit(0))).alias("w"),
-            ),
-            lambda p: F.concat_ws(" ", p["v"], p["w"]),
-        )
-        cols = [F.col(id_col).alias("id")] if with_id else []
-        exploded = (
-            frame.filter(F.col(text_col).isNotNull())
-            .filter(n >= 1)
-            .select(*cols, F.explode(F.concat(arr, big)).alias("feat"))
-        )
-        bucket = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(salt), F.col("feat"))), 1, 12
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(n_buckets),
-        )
-        return exploded.select(*(["id"] if with_id else []), bucket.alias("bucket"))
-
-    doc = feats(df, True).groupBy("id", "bucket").agg(
-        F.count("*").alias("c")
+    ``raw_counts``: optional externally-maintained (bucket, cr) table
+    — pass streaming/dsirstore.read_bucket_counts to score docs
+    against a raw distribution accumulated incrementally instead of
+    rescanning the corpus."""
+    doc = dsir_feature_buckets(
+        df, text_col, n_buckets, salt, id_col=id_col
+    ).groupBy("id", "bucket").agg(F.count("*").alias("c"))
+    raw = (
+        raw_counts.select("bucket", F.col("cr").cast("long").alias("cr"))
+        if raw_counts is not None
+        else doc.groupBy("bucket").agg(F.sum("c").alias("cr"))
     )
-    raw = doc.groupBy("bucket").agg(F.sum("c").alias("cr"))
-    tgt = feats(target, False).groupBy("bucket").agg(
-        F.count("*").alias("ct")
-    )
+    tgt = dsir_feature_buckets(target, text_col, n_buckets, salt).groupBy(
+        "bucket"
+    ).agg(F.count("*").alias("ct"))
     tot_r = raw.agg(F.sum("cr").alias("tr"))
     tot_t = tgt.agg(F.sum("ct").alias("tt"))
+    # FULL OUTER over the bucket key sets: with an external raw_counts
+    # table a scored doc may carry a bucket the store has only in the
+    # target (or, mid-ingest, in neither) — smoothing keeps every
+    # bucket's term defined, so none may silently drop from the join
     terms = (
-        raw.join(F.broadcast(tgt), "bucket", "left")
+        raw.join(F.broadcast(tgt), "bucket", "full_outer")
         .crossJoin(F.broadcast(tot_r))
         .crossJoin(F.broadcast(tot_t))
         .select(
@@ -395,13 +422,30 @@ def dsir_weights(
             (
                 F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
                 - F.log(F.col("tt") + F.lit(n_buckets))
-                - F.log(F.col("cr") + 1)
+                - F.log(F.coalesce(F.col("cr"), F.lit(0)) + 1)
                 + F.log(F.col("tr") + F.lit(n_buckets))
             ).alias("term"),
         )
     )
-    contrib = doc.join(F.broadcast(terms), "bucket").select(
-        "id", "bucket", "c", (F.col("c") * F.col("term")).alias("contrib")
+    # LEFT join + smoothed default: a doc bucket absent from BOTH
+    # tables (possible only with an external raw_counts mid-ingest)
+    # scores with the both-sides-unseen term rather than dropping
+    default_term = (
+        F.log(F.lit(1)) - F.log(F.col("tt") + F.lit(n_buckets))
+        - F.log(F.lit(1)) + F.log(F.col("tr") + F.lit(n_buckets))
+    )
+    contrib = (
+        doc.join(F.broadcast(terms), "bucket", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "id",
+            "bucket",
+            "c",
+            (F.col("c") * F.coalesce(F.col("term"), default_term)).alias(
+                "contrib"
+            ),
+        )
     )
     folded = contrib.groupBy("id").agg(
         F.sum("c").cast("long").alias("n_feats"),

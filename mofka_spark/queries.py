@@ -5996,6 +5996,60 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
 
 
+# Streaming DSIR store (streaming/dsirstore.py): the raw bucket
+# distribution accumulated incrementally over the docs topic, then
+# dsir_weights scored against the MERGED store counts — bucket counts
+# are exact mergeable sums, so the result must hash-match the batch
+# oracle (same CTE, fixture's doc_id < 1000 cut on both sides).
+@query(
+    "streaming_dsir",
+    _DSIR_CTE.replace(
+        "FROM documents WHERE text IS NOT NULL",
+        "FROM documents WHERE text IS NOT NULL AND doc_id < 1000",
+    )
+    + "SELECT id, n_feats, logw FROM weights",
+)
+def q_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.operators import sampling
+    from mofka_spark.streaming.dsirstore import dsir_sink, read_bucket_counts
+
+    topic = _stream_fixture(spark, sf_dir, "docs")
+    deepest = max(topic.snapshot().values())
+    parsed = topic.read_stream(batch_size=(deepest + 1) // 2).select(
+        F.get_json_object("metadata", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("metadata", "$.text").alias("text"),
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-dsir-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(dsir_sink(store))
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        if not topic.await_completion(q, timeout=300):
+            q.stop()
+            raise RuntimeError("streaming_dsir did not drain the topic")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 1000)
+    )
+    return sampling.dsir_weights(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        raw_counts=read_bucket_counts(spark, store),
+    )
+
+
 @query(
     "dsir_select",
     _DSIR_CTE

@@ -1561,3 +1561,82 @@ class TestStoreTimeTravel:
         assert snap0[0].v_sum == 3.0
         snap2 = read_rollup(spark, path, ["k"], aggs, as_of_epoch=2).collect()
         assert snap2[0].v_sum == 7.0
+
+
+class TestStreamingDsir:
+    """Bucket counts are exact mergeable sums: any epoch split yields
+    the identical raw distribution — and therefore identical DSIR
+    weights — as one batch scan; replay and compaction are invisible."""
+
+    def _docs(self, spark, lo, hi):
+        rows = [
+            (i, f"doc {i} the quick token t{i % 7} body text") for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_split_equals_single_batch(self, spark, tmp_path):
+        from mofka_spark.streaming.dsirstore import dsir_sink, read_bucket_counts
+
+        one, two = str(tmp_path / "one"), str(tmp_path / "two")
+        dsir_sink(one)(self._docs(spark, 0, 60), 0)
+        s2 = dsir_sink(two)
+        s2(self._docs(spark, 0, 23), 0)
+        s2(self._docs(spark, 23, 60), 1)
+        a = sorted(map(tuple, read_bucket_counts(spark, one).collect()))
+        b = sorted(map(tuple, read_bucket_counts(spark, two).collect()))
+        assert a == b and a
+
+    def test_weights_from_store_equal_batch(self, spark, tmp_path):
+        from mofka_spark.operators.sampling import dsir_weights
+        from mofka_spark.streaming.dsirstore import dsir_sink, read_bucket_counts
+
+        docs = self._docs(spark, 0, 50).withColumn(
+            "lang",
+            (F.col("doc_id") % 3 == 0).cast("string"),
+        )
+        path = str(tmp_path / "s")
+        sink = dsir_sink(path)
+        sink(docs.filter("doc_id < 25"), 0)
+        sink(docs.filter("doc_id >= 25"), 1)
+        target = docs.filter("lang = 'true'")
+        batch = sorted(map(tuple, dsir_weights(docs, target).collect()))
+        stored = sorted(
+            map(
+                tuple,
+                dsir_weights(
+                    docs, target, raw_counts=read_bucket_counts(spark, path)
+                ).collect(),
+            )
+        )
+        assert batch == stored
+
+    def test_replay_and_compaction_invisible(self, spark, tmp_path):
+        from mofka_spark.streaming.dsirstore import (
+            compact_dsir,
+            dsir_sink,
+            read_bucket_counts,
+        )
+
+        path = str(tmp_path / "d")
+        sink = dsir_sink(path)
+        sink(self._docs(spark, 0, 30), 0)
+        sink(self._docs(spark, 30, 60), 1)
+        sink(self._docs(spark, 30, 60), 1)  # replay overwrites its epoch
+        before = sorted(map(tuple, read_bucket_counts(spark, path).collect()))
+        compact_dsir(spark, path)
+        after = sorted(map(tuple, read_bucket_counts(spark, path).collect()))
+        assert before == after
+        # one row per bucket after compaction
+        n_buckets = spark.read.parquet(path).select("bucket").distinct().count()
+        assert spark.read.parquet(path).count() == n_buckets
+
+    def test_time_travel(self, spark, tmp_path):
+        from mofka_spark.streaming.dsirstore import dsir_sink, read_bucket_counts
+
+        path = str(tmp_path / "t")
+        sink = dsir_sink(path)
+        sink(self._docs(spark, 0, 30), 0)
+        total0 = read_bucket_counts(spark, path).agg(F.sum("cr")).collect()[0][0]
+        sink(self._docs(spark, 30, 60), 1)
+        asof = read_bucket_counts(spark, path, as_of_epoch=0)
+        assert asof.agg(F.sum("cr")).collect()[0][0] == total0
