@@ -75,6 +75,28 @@ def main() -> None:
     print("bigram LM scores (order-sensitive quality):")
     text.bigram_lm_score(kept).orderBy("id").show()
 
+    # 7. domain-targeted selection: DSIR importance weights against a
+    # target domain (here: the news docs), then Gumbel-top-k resample
+    target = kept.filter(F.col("source") == "news")
+    w = sampling.dsir_weights(kept, target)
+    print("DSIR selection (news-like first):")
+    sampling.dsir_select(w, 3).show()
+
+    # 8. fuzzy decontamination vs a benchmark and a low-discrepancy
+    # training order: every source spread uniformly through the epoch
+    evals = spark.createDataFrame(
+        [(100, "the quick brown fox leaps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    flagged = text.fuzzy_decontaminate(kept, evals)
+    clean = kept.join(
+        flagged.filter(~F.col("contaminated")).select(F.col("id").alias("doc_id")),
+        "doc_id", "left_semi",
+    )
+    order = sampling.interleave_strata(clean, "doc_id", "source")
+    print("training order (interleaved):")
+    order.orderBy("interleave_key", "source", "doc_id").show()
+
     spark.stop()
 
 
