@@ -550,3 +550,27 @@ def interleave_strata(
             / F.count("*").over(cnt)
         ).alias("interleave_key"),
     )
+
+
+def cluster_safe_split(
+    components: DataFrame,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by the near-dup
+    CLUSTER keeper instead of the raw document id, so every member of
+    a duplicate cluster lands in the same split — the fix for the
+    contamination split_leakage audits (a near-copy of a training doc
+    sitting in test silently inflates eval).
+
+    ``components`` is (id, keeper_id) from minhash_lsh_dedup(
+    transitive=True) / dedup_components — singletons carry themselves.
+    Returns (id, keeper_id, split) with split_assign's hash semantics
+    on the keeper.
+
+    Scale shape: a scan-local hash projection over the components
+    frame (the expensive part — clustering — is the dedup pipeline the
+    corpus already runs); no extra shuffle."""
+    return split_assign(
+        components.select("id", "keeper_id"), "keeper_id", fractions, salt
+    )

@@ -1685,3 +1685,34 @@ def fuzzy_decontaminate(
             (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def blocklist_scan(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Term-blocklist filter signal: per-document occurrence counts of
+    blocklisted tokens (the web-curation safety/NSFW wordlist stage —
+    Dolma/C4-style). Token-exact matching on the whitespace tokenizer
+    (no substring false positives: "class" never hits "ass").
+
+    Returns (id, n_hits, flagged) for EVERY doc — the caller picks the
+    policy (drop on flagged, or threshold on n_hits/len for the C4
+    fraction rule).
+
+    Scale shape: blocklists are KBs — the term set broadcasts as a
+    literal array membership probe folded inside each doc's own token
+    array: one scan, NO explode, NO shuffle except the nothing-sized
+    result of a scan-local projection. (For 100k+-term lists swap the
+    literal array for a broadcast-join on exploded tokens — same
+    result, still no corpus shuffle.)"""
+    lst = F.array(*[F.lit(t.lower()) for t in terms])
+    arr = _tokens(F.col(text_col))
+    hits = F.size(F.filter(arr, lambda t: F.array_contains(lst, t)))
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        hits.cast("long").alias("n_hits"),
+        (hits > 0).alias("flagged"),
+    )

@@ -1934,7 +1934,7 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact all-pairs Jaccard >= 0.8 edges, component = min reachable id.
 # Hash-match therefore gates BOTH the LSH candidate recall and the
 # iterative component computation against an independent formulation.
-_COMPONENTS_SQL = (
+_COMPONENTS_CTE = (
     _ORACLE_TOKS.replace("WITH toks", "WITH RECURSIVE toks")
     + r"""
     , grams AS (
@@ -1959,6 +1959,12 @@ _COMPONENTS_SQL = (
     ), comp AS (
       SELECT s AS id, MIN(d) AS component FROM reach GROUP BY s
     )
+    """
+)
+
+_COMPONENTS_SQL = (
+    _COMPONENTS_CTE
+    + """
     SELECT doc.doc_id AS id,
            COALESCE(c.component, doc.doc_id) AS keeper_id,
            (c.component IS NOT NULL AND c.component <> doc.doc_id)
@@ -5692,6 +5698,63 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         t: _t(spark, sf_dir, t) for t in {t for t, _ in _INCLUSION_COLS}
     }
     return inclusion_profile(frames, _INCLUSION_COLS)
+
+
+# Term-blocklist scan (operators/text.py blocklist_scan): per-doc
+# occurrence counts of blocklisted tokens, token-exact — the
+# C4/Dolma-style wordlist safety stage.
+@query(
+    "blocklist_scan",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id AS id,
+           CAST(len(list_filter(t,
+             x -> list_contains(['spark', 'vector', 'stream'], x)))
+             AS BIGINT) AS n_hits,
+           len(list_filter(t,
+             x -> list_contains(['spark', 'vector', 'stream'], x)))
+             > 0 AS flagged
+    FROM toks
+    """,
+)
+def q_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.blocklist_scan(docs, ["spark", "vector", "stream"])
+
+
+# Leakage-safe split (operators/sampling.py cluster_safe_split):
+# split by near-dup cluster keeper so duplicate clusters never
+# straddle train/test — the FIX for what split_leakage audits.
+@query(
+    "cluster_safe_split",
+    _COMPONENTS_CTE
+    + """
+    , assigned AS (
+      SELECT doc.doc_id AS id,
+             COALESCE(c.component, doc.doc_id) AS keeper_id
+      FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
+    )
+    SELECT id, keeper_id,
+           CASE WHEN ('0x' || substr(md5('split' || keeper_id::VARCHAR),
+                      1, 12))::BIGINT % 1000000 < 800000 THEN 'train'
+                WHEN ('0x' || substr(md5('split' || keeper_id::VARCHAR),
+                      1, 12))::BIGINT % 1000000 < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+)
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sampling import cluster_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = dedup.minhash_lsh_dedup(
+        docs, verify_threshold=0.8, transitive=True
+    ).select("id", "keeper_id")
+    return cluster_safe_split(comp)
 
 
 # Cluster-balanced subset selection (operators/sampling.py

@@ -474,3 +474,36 @@ class TestInterleaveStrata:
         assert all(0.0 < r.interleave_key < 1.0 for r in out)
         again = interleave_strata(df, "doc_id", "stratum").collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+class TestClusterSafeSplit:
+    def test_cluster_members_share_split(self, spark):
+        from mofka_spark.operators.sampling import cluster_safe_split
+
+        comp = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+            ["id", "keeper_id"],
+        )
+        out = cluster_safe_split(comp).collect()
+        by_keeper = {}
+        for r in out:
+            by_keeper.setdefault(r.keeper_id, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_keeper.values())
+
+    def test_matches_split_assign_on_keeper(self, spark):
+        from mofka_spark.operators.sampling import (
+            cluster_safe_split,
+            split_assign,
+        )
+
+        comp = spark.createDataFrame(
+            [(i, i // 3 * 3) for i in range(60)], ["id", "keeper_id"]
+        )
+        a = {r.id: r.split for r in cluster_safe_split(comp).collect()}
+        b = {
+            r.keeper_id: r.split
+            for r in split_assign(
+                comp.select("keeper_id").distinct(), "keeper_id"
+            ).collect()
+        }
+        assert all(a[i] == b[i // 3 * 3] for i in range(60))

@@ -630,3 +630,38 @@ class TestFuzzyDecontaminate:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestBlocklistScan:
+    def test_token_exact_no_substring_hits(self, spark):
+        from mofka_spark.operators.text import blocklist_scan
+
+        docs = _docs(
+            spark,
+            [
+                (1, "the class is in session"),   # 'ass' must NOT hit
+                (2, "bad bad word here"),
+                (3, "clean text only"),
+            ],
+        )
+        out = {r.id: r for r in blocklist_scan(docs, ["ass", "bad"]).collect()}
+        assert not out[1].flagged and out[1].n_hits == 0
+        assert out[2].flagged and out[2].n_hits == 2
+        assert not out[3].flagged
+
+    def test_case_insensitive(self, spark):
+        from mofka_spark.operators.text import blocklist_scan
+
+        docs = _docs(spark, [(1, "BAD things")])
+        (row,) = blocklist_scan(docs, ["bad"]).collect()
+        assert row.flagged
+
+    def test_no_shuffle_plan(self, spark):
+        from mofka_spark.operators.text import blocklist_scan
+
+        docs = _docs(spark, [(1, "a b c")])
+        plan = (
+            blocklist_scan(docs, ["a"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
