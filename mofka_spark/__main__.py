@@ -32,14 +32,15 @@ from mofka_spark.errors import MofkaError
 
 
 def _jarg(s: str | None, what: str) -> dict:
+    flag = what if what.startswith("--") else f"--{what}"
     if s is None:
         return {}
     try:
         doc = json.loads(s)
     except ValueError as e:
-        raise SystemExit(f"error: --{what} must be a JSON object: {e}")
+        raise SystemExit(f"error: {flag} must be a JSON object: {e}")
     if not isinstance(doc, dict):
-        raise SystemExit(f"error: --{what} must be a JSON object")
+        raise SystemExit(f"error: {flag} must be a JSON object")
     return doc
 
 
@@ -175,6 +176,9 @@ def cmd_store_compact(args) -> int:
     cols = args.group_cols.split(",") if args.group_cols else None
     if kind in ("distinct", "quantiles", "rollup") and not cols:
         print(f"--group-cols is required for kind={kind}", file=sys.stderr)
+        return 2
+    if kind == "rollup" and not args.aggs:
+        print("--aggs is required for kind=rollup", file=sys.stderr)
         return 2
     if kind == "neardup":
         from mofka_spark.streaming.neardup import compact_store

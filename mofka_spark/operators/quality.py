@@ -169,6 +169,10 @@ def inclusion_profile(
     only, output O(#pairs). Values compare as strings so heterogeneous
     key types (int FK -> string PK exports) still profile.
     """
+    # each distinct set is materialized ONCE (localCheckpoint —
+    # GC-bounded, not a session-cache leak): every column's set feeds
+    # the sizes collect plus ~2(P-1) pair joins, which would otherwise
+    # re-scan and re-distinct the source table per consumer
     sets = {}
     for tbl, col in columns:
         sets[(tbl, col)] = (
@@ -176,11 +180,9 @@ def inclusion_profile(
             .select(F.col(col).cast("string").alias("v"))
             .filter(F.col("v").isNotNull())
             .distinct()
+            .localCheckpoint(eager=True)
         )
-    sizes = {
-        k: s.agg(F.count("*").alias("n")).collect()[0]["n"]
-        for k, s in sets.items()
-    }
+    sizes = {k: s.count() for k, s in sets.items()}
     spark = next(iter(frames.values())).sparkSession
     out = None
     for a in columns:

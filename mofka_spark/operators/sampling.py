@@ -479,7 +479,12 @@ def dsir_select(
     and the driver merges k-sized heaps, NO global sort or
     single-partition window. Mergeable across shards for the same
     reason: the global top-k is the top-k of per-shard top-ks."""
-    u = (hash_bucket(F.col(id_col), salt) + 1) / F.lit(float(_MOD))
+    # u = (bucket + 0.5)/MOD keeps u strictly inside (0, 1): with
+    # (bucket + 1) a key hashing to bucket MOD-1 gives u = 1.0 exactly,
+    # where -log(-log(1)) is log(0) -> NULL in Spark (the doc would be
+    # silently unselectable) but +inf in DuckDB (ranked first) — an
+    # engine mismatch on ~1e-6 of any corpus
+    u = (hash_bucket(F.col(id_col), salt) + 0.5) / F.lit(float(_MOD))
     key = F.col(logw_col) + (-F.log(-F.log(u)))
     return (
         weights.select(id_col, logw_col, key.alias("_gkey"))

@@ -71,7 +71,10 @@ def brute_force_topk(
             queries, corpus, k, id_col, vec_col, metric
         )
     # norms precomputed once per row (not once per pair); the final
-    # dot/(nq*nc) keeps the exact fp evaluation order of cosine()
+    # dot/(nq*nc) keeps the exact fp evaluation order of cosine().
+    # Zero-norm vectors have no defined cosine: both sides filter them
+    # out BEFORE the division (ANSI mode would otherwise raise
+    # DIVIDE_BY_ZERO) — the arrow kernel mirrors this exclusion.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -82,6 +85,9 @@ def brute_force_topk(
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnrm"),
     )
+    if metric == "cosine":
+        q = q.filter(F.col("qnrm") != 0)
+        c = c.filter(F.col("cnrm") != 0)
     joined = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -120,13 +126,31 @@ def _brute_force_topk_arrow(
     from pyspark.sql import types as T
 
     qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    id_type = corpus.schema[id_col].dataType
+    if not qrows:
+        # empty query side: the expr path returns an empty frame — so
+        # must this one (np.asarray([]) is 1-D and would AxisError)
+        from pyspark.sql import types as T
+
+        empty_schema = T.StructType(
+            [
+                T.StructField("query_id", id_type),
+                T.StructField("neighbor_id", id_type),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
+        )
+        return corpus.sparkSession.createDataFrame([], empty_schema)
     qids = np.asarray([r[0] for r in qrows])
     qmat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
     if metric == "cosine":
-        qmat = qmat / np.maximum(
-            np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300
-        )
-    id_type = corpus.schema[id_col].dataType
+        qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+        # zero-norm queries: the expr path's cosine divides by zero ->
+        # NULL score -> no rows for that query; mark for exclusion
+        zero_q = qnorm[:, 0] == 0.0
+        qmat = qmat / np.maximum(qnorm, 1e-300)
+    else:
+        zero_q = np.zeros(len(qrows), dtype=bool)
     schema = T.StructType(
         [
             T.StructField("query_id", id_type),
@@ -146,12 +170,16 @@ def _brute_force_topk_arrow(
                 [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
             )
             if metric == "cosine":
-                x = x / np.maximum(
-                    np.linalg.norm(x, axis=1, keepdims=True), 1e-300
-                )
+                xnorm = np.linalg.norm(x, axis=1, keepdims=True)
+                x = x / np.maximum(xnorm, 1e-300)
             nids = pdf["nid"].to_numpy()
             cos = x @ qmat.T  # (batch_rows, n_queries)
             cos[nids[:, None] == qids[None, :]] = -np.inf  # self pairs
+            if metric == "cosine":
+                # zero-norm rows/queries: expr-path cosine is NULL
+                # (division by zero) and never ranks — mirror exactly
+                cos[xnorm[:, 0] == 0.0, :] = -np.inf
+                cos[:, zero_q] = -np.inf
             kk = min(k, len(pdf))
             # per query (column): indices of the kk largest raw scores
             top = np.argpartition(-cos, kk - 1, axis=0)[:kk, :]

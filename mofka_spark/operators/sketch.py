@@ -303,10 +303,13 @@ def weighted_quantiles(
     the unpivot is O(#groups x #qs). No driver-side collection."""
     qs = qs or [0.25, 0.5, 0.75, 0.9]
     wt = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # weights stay DOUBLE: a long cast would silently truncate the
+    # fractional importance weights the docstring advertises (0.5
+    # passes the wt > 0 filter, then becomes 0 — every quantile NULL)
     base = df.filter(F.col(value_col).isNotNull() & (wt > 0)).select(
         F.col(group_col).alias("g"),
         F.col(value_col).cast("double").alias("v"),
-        wt.cast("long").alias("wt"),
+        wt.cast("double").alias("wt"),
     )
     cum = F.sum("wt").over(Window.partitionBy("g").orderBy("v"))
     tot = F.sum("wt").over(Window.partitionBy("g"))

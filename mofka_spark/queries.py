@@ -6120,11 +6120,11 @@ def q_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id, logw,
            ROUND(logw + (-LN(-LN(
              ((('0x' || substr(md5('gumbel' || id::VARCHAR), 1, 12))::BIGINT
-               % 1000000) + 1) / 1000000.0))), 6) AS gumbel_key
+               % 1000000) + 0.5) / 1000000.0))), 6) AS gumbel_key
     FROM weights
     ORDER BY (logw + (-LN(-LN(
              ((('0x' || substr(md5('gumbel' || id::VARCHAR), 1, 12))::BIGINT
-               % 1000000) + 1) / 1000000.0)))) DESC, id ASC
+               % 1000000) + 0.5) / 1000000.0)))) DESC, id ASC
     LIMIT 50
     """,
 )

@@ -42,7 +42,6 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from mofka_spark.streaming.store import (
-    COMPACTED_EPOCH,
     epoch_write,
     read_store,
 )
@@ -179,20 +178,12 @@ def compact_bloom(spark: SparkSession, path: str) -> None:
     """Fold per-epoch word fragments into the compacted slot with one
     bit_or per word — reads identical before and after (OR is
     idempotent)."""
-    import os
-    import shutil
+    from mofka_spark.streaming.store import compact_epoch_store
 
-    merged = (
-        spark.read.parquet(path)
-        .drop("_epoch")
-        .groupBy("word")
-        .agg(F.bit_or("bits").alias("bits"))
+    compact_epoch_store(
+        spark,
+        path,
+        merge=lambda df: df.groupBy("word").agg(
+            F.bit_or("bits").alias("bits")
+        ),
     )
-    tmp = path.rstrip("/") + ".compact-tmp"
-    merged.withColumn("_epoch", F.lit(COMPACTED_EPOCH)).write.mode(
-        "overwrite"
-    ).partitionBy("_epoch").parquet(tmp)
-    old = path.rstrip("/") + ".compact-old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)

@@ -30,7 +30,6 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mofka_spark.streaming.store import (
-    COMPACTED_EPOCH,
     epoch_write,
     read_store,
 )
@@ -79,20 +78,12 @@ def compact_distinct(
     """Union per-group sketch fragments into one row each in the
     compacted slot. Register-wise max is idempotent, so estimates are
     identical before and after."""
-    import os
-    import shutil
+    from mofka_spark.streaming.store import compact_epoch_store
 
-    merged = (
-        spark.read.parquet(path)
-        .drop("_epoch")
-        .groupBy(*group_cols)
-        .agg(F.hll_union_agg("sk").alias("sk"))
+    compact_epoch_store(
+        spark,
+        path,
+        merge=lambda df: df.groupBy(*group_cols).agg(
+            F.hll_union_agg("sk").alias("sk")
+        ),
     )
-    tmp = path.rstrip("/") + ".compact-tmp"
-    merged.withColumn("_epoch", F.lit(COMPACTED_EPOCH)).write.mode(
-        "overwrite"
-    ).partitionBy("_epoch").parquet(tmp)
-    old = path.rstrip("/") + ".compact-old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)

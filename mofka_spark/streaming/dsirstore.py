@@ -29,7 +29,6 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mofka_spark.streaming.store import (
-    COMPACTED_EPOCH,
     epoch_write,
     read_store,
 )
@@ -76,20 +75,10 @@ def compact_dsir(spark: SparkSession, path: str) -> None:
     """Fold per-epoch fragments into one row per bucket in the
     compacted slot. Integer sums are associative — reads are identical
     before and after."""
-    import os
-    import shutil
+    from mofka_spark.streaming.store import compact_epoch_store
 
-    merged = (
-        spark.read.parquet(path)
-        .drop("_epoch")
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("c"))
+    compact_epoch_store(
+        spark,
+        path,
+        merge=lambda df: df.groupBy("bucket").agg(F.sum("c").alias("c")),
     )
-    tmp = path.rstrip("/") + ".compact-tmp"
-    merged.withColumn("_epoch", F.lit(COMPACTED_EPOCH)).write.mode(
-        "overwrite"
-    ).partitionBy("_epoch").parquet(tmp)
-    old = path.rstrip("/") + ".compact-old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)

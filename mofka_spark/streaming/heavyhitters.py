@@ -43,7 +43,6 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mofka_spark.streaming.store import (
-    COMPACTED_EPOCH,
     epoch_write,
     read_store,
 )
@@ -137,18 +136,11 @@ def compact_hitters(spark: SparkSession, path: str) -> None:
     """Merge per-item kept rows and sum residual slack into the
     compacted epoch slot. read_top_k sees identical results before and
     after (sums of sums; residual slack total preserved)."""
-    import os
-    import shutil
+    from mofka_spark.streaming.store import compact_epoch_store
 
-    df = read_store(spark, path, _SCHEMA)
     # kept rows merge per item; residual (NULL-item) rows sum into one
-    merged = df.groupBy("item").agg(F.sum("cnt").alias("cnt"))
-
-    tmp = path.rstrip("/") + ".compact-tmp"
-    merged.withColumn("_epoch", F.lit(COMPACTED_EPOCH)).write.mode(
-        "overwrite"
-    ).partitionBy("_epoch").parquet(tmp)
-    old = path.rstrip("/") + ".compact-old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    compact_epoch_store(
+        spark,
+        path,
+        merge=lambda df: df.groupBy("item").agg(F.sum("cnt").alias("cnt")),
+    )

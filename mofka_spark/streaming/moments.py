@@ -29,7 +29,6 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mofka_spark.streaming.store import (
-    COMPACTED_EPOCH,
     epoch_write,
     read_store,
 )
@@ -147,19 +146,10 @@ def read_component(
 def compact_moments(spark: SparkSession, path: str) -> None:
     """Merge all epoch partials into one set in the compacted slot;
     read_moments sees identical sums before and after."""
-    import os
-    import shutil
+    from mofka_spark.streaming.store import compact_epoch_store
 
-    merged = (
-        read_store(spark, path, _SCHEMA)
-        .groupBy("i", "j")
-        .agg(F.sum("s").alias("s"))
+    compact_epoch_store(
+        spark,
+        path,
+        merge=lambda df: df.groupBy("i", "j").agg(F.sum("s").alias("s")),
     )
-    tmp = path.rstrip("/") + ".compact-tmp"
-    merged.withColumn("_epoch", F.lit(COMPACTED_EPOCH)).write.mode(
-        "overwrite"
-    ).partitionBy("_epoch").parquet(tmp)
-    old = path.rstrip("/") + ".compact-old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)

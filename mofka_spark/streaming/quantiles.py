@@ -30,7 +30,6 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mofka_spark.streaming.store import (
-    COMPACTED_EPOCH,
     epoch_write,
     read_store,
 )
@@ -130,20 +129,12 @@ def compact_histogram(
 ) -> None:
     """Sum per-(group, bin) fragments into the compacted slot —
     read_quantiles sees identical envelopes before and after."""
-    import os
-    import shutil
+    from mofka_spark.streaming.store import compact_epoch_store
 
-    merged = (
-        spark.read.parquet(path)
-        .drop("_epoch")
-        .groupBy(*group_cols, "bin")
-        .agg(F.sum("cnt").alias("cnt"))
+    compact_epoch_store(
+        spark,
+        path,
+        merge=lambda df: df.groupBy(*group_cols, "bin").agg(
+            F.sum("cnt").alias("cnt")
+        ),
     )
-    tmp = path.rstrip("/") + ".compact-tmp"
-    merged.withColumn("_epoch", F.lit(COMPACTED_EPOCH)).write.mode(
-        "overwrite"
-    ).partitionBy("_epoch").parquet(tmp)
-    old = path.rstrip("/") + ".compact-old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)

@@ -128,19 +128,6 @@ def compact_rollup(
     """Rewrite the partial table to one row per group (epoch 0 slot).
     Readers see the same merged result before and after; run it when
     partials-per-group outgrow the merge-on-read budget."""
-    import os
-    import shutil
+    from mofka_spark.streaming.store import swap_compacted
 
-    merged = read_rollup(spark, path, group_cols, aggs).withColumn(
-        "_epoch", F.lit(-1)
-    )
-    # write the merged form to a sibling dir (distributed, never via
-    # the driver), then swap directories. The swap is two renames —
-    # not atomic; production on an object store would commit via a
-    # table format's log (Delta/Iceberg), which owns exactly this step.
-    tmp = path.rstrip("/") + ".compact-tmp"
-    merged.write.mode("overwrite").partitionBy("_epoch").parquet(tmp)
-    old = path.rstrip("/") + ".compact-old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    swap_compacted(spark, read_rollup(spark, path, group_cols, aggs), path)

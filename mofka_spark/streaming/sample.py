@@ -39,7 +39,6 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mofka_spark.operators.sampling import hash_bucket
 from mofka_spark.streaming.store import (
-    COMPACTED_EPOCH,
     epoch_write,
     read_store,
 )
@@ -114,17 +113,8 @@ def compact_sample(spark: SparkSession, path: str, k: int = 100) -> None:
     """Fold the store to <= k rows per stratum in the compacted slot
     (bottom-k of bottom-ks). read_sample is identical before and
     after."""
-    import os
-    import shutil
+    from mofka_spark.streaming.store import compact_epoch_store
 
-    merged = _bottom_k(
-        spark.read.parquet(path).drop("_epoch").distinct(), k
+    compact_epoch_store(
+        spark, path, merge=lambda df: _bottom_k(df.distinct(), k)
     )
-    tmp = path.rstrip("/") + ".compact-tmp"
-    merged.withColumn("_epoch", F.lit(COMPACTED_EPOCH)).write.mode(
-        "overwrite"
-    ).partitionBy("_epoch").parquet(tmp)
-    old = path.rstrip("/") + ".compact-old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)

@@ -157,11 +157,14 @@ class MofkaStreamReader(DataSourceStreamReader):
         #     dies with the topic. A LATER fresh query with the same
         #     options is safe — initialOffset (which Spark only calls
         #     when the offset log is empty, i.e. never on restart)
-        #     resets the shared file to the fresh start. Two
-        #     CONCURRENT queries with identical options still share
-        #     the file and the floor of one could clamp (skip rows in)
-        #     the other — run such twins with
-        #     read_stream(checkpoint=...) to isolate them.
+        #     resets the shared file to the fresh start. Queries that
+        #     ALIAS the file (concurrent twins, or a restart racing a
+        #     fresh query with identical options) cannot lose rows:
+        #     file-loaded floors are advisory until this query's own
+        #     restored position confirms ownership (see the tier
+        #     comment below) — a foreign floor is discarded, at worst
+        #     costing one oversized batch. Use read_stream(
+        #     checkpoint=...) to isolate twins for tight rate caps.
         # Uncapped readers (batch_size None) take no default: without
         # the rate cap latestOffset never announces below committed
         # ends, so the floor guards nothing and a stale shared file
@@ -190,15 +193,44 @@ class MofkaStreamReader(DataSourceStreamReader):
             )
         else:
             self.floor_path = None
+        # Two floor tiers. _floor: SELF-EVIDENCED (this instance's own
+        # partitions()/commit() calls, or initialOffset) — clamps both
+        # the announcement and the emitted ranges. _file_floor: loaded
+        # from the floor file at construction (a restart, possibly of
+        # a DIFFERENT query aliasing the shared default file) — used
+        # for the latestOffset announcement base only (a too-high
+        # announcement merely enlarges a batch; a too-high RANGE clamp
+        # silently skips rows). A file floor is PROMOTED into _floor
+        # once this query's own restored position (the end of a
+        # partitions()/commit() call, including the s == e recovery
+        # probe, whose offsets come from Spark's own offset log)
+        # reaches it — the legitimate-owner case, where clamping can
+        # only suppress duplicate re-delivery. Evidence that the query
+        # is BEHIND the file floor means the file belongs to another
+        # query (or a stale lineage): that partition's file floor is
+        # DISCARDED instead of skipping rows (the aliasing hazard of
+        # the shared default file).
         self._floor: dict[str, int] = {}
+        self._file_floor: dict[str, int] = {}
         if self.floor_path:
             try:
                 with open(self.floor_path) as f:
-                    self._floor = {
+                    self._file_floor = {
                         str(k): int(v) for k, v in json.load(f).items()
                     }
             except (FileNotFoundError, ValueError):
                 pass
+
+    def _file_floor_evidence(self, p: str, end: int) -> None:
+        """Promote or discard a pending file floor using this query's
+        own restored/committed end for partition ``p``."""
+        ff = self._file_floor.get(p)
+        if ff is None:
+            return
+        if end >= ff:
+            if ff > self._floor.get(p, 0):
+                self._floor[p] = ff
+        del self._file_floor[p]
 
     def initialOffset(self) -> dict:
         _trace(self, "initialOffset")
@@ -223,6 +255,7 @@ class MofkaStreamReader(DataSourceStreamReader):
         # that query's committed ends and would otherwise clamp this
         # one's first batches empty / skip its early offsets.
         self._floor = dict(start)
+        self._file_floor = {}  # fresh query: nothing pending to adopt
         self._save_floor()
         return start
 
@@ -237,7 +270,14 @@ class MofkaStreamReader(DataSourceStreamReader):
         out = {
             p: min(
                 n,
-                max(prev.get(p, 0), self._floor.get(p, 0)) + self.batch_size,
+                max(
+                    prev.get(p, 0),
+                    self._floor.get(p, 0),
+                    # pending file floor: announcement base only — see
+                    # the tier comment in __init__
+                    self._file_floor.get(p, 0),
+                )
+                + self.batch_size,
             )
             for p, n in ledger.items()
         }
@@ -251,6 +291,11 @@ class MofkaStreamReader(DataSourceStreamReader):
         for p, e in end.items():
             s = int(start.get(p, 0))
             e = int(e)
+            p = str(p)
+            # Any planned end carries this query's true position (it
+            # comes from Spark's own offset log on recovery) — decide
+            # pending file floors with it
+            self._file_floor_evidence(p, e)
             # Learn the checkpoint floor from a REAL batch's start: on
             # restart the first genuine plan's start is the committed
             # position. Skip degenerate s == e calls — Spark probes
@@ -281,6 +326,8 @@ class MofkaStreamReader(DataSourceStreamReader):
         # checkpointing is Spark's job; remember committed ends so a
         # restarted reader's rate cap can never announce below them
         for p, n in end.items():
+            p = str(p)
+            self._file_floor_evidence(p, int(n))
             self._floor[p] = max(self._floor.get(p, 0), int(n))
         self._save_floor()
 

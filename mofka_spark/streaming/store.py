@@ -172,19 +172,46 @@ def compact_epoch_store(
     path: str,
     partition_cols: tuple[str, ...] = (),
     dedup: bool = False,
+    merge=None,
 ) -> None:
     """Rewrite all epoch fragments into the ``_epoch=-1`` slot,
     preserving ``partition_cols`` layout (so e.g. the ANN store's
     cell= directory pruning survives compaction). ``dedup=True``
     additionally collapses full-row duplicates — correct for stores
     whose readers are set-semantic (the neardup edge table; its
-    read-side distinct() becomes cheaper after)."""
+    read-side distinct() becomes cheaper after). ``merge`` is the
+    store's fold hook: a callable DataFrame -> DataFrame applied to
+    the epoch-dropped fragments (HLL union, bit_or, per-bucket sums,
+    bottom-k, ...) — every specialized store compactor routes through
+    here so the swap AND the bucketize-metadata refresh stay in one
+    place."""
     df = spark.read.parquet(path).drop("_epoch")
-    if dedup:
+    if merge is not None:
+        df = merge(df)
+    elif dedup:
         df = df.distinct()
-    merged = df.withColumn("_epoch", F.lit(COMPACTED_EPOCH))
+    swap_compacted(spark, df, path, partition_cols)
+
+
+def swap_compacted(
+    spark: SparkSession,
+    merged: "DataFrame",
+    path: str,
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """Write ``merged`` (no ``_epoch`` column) as the ``_epoch=-1``
+    slot via a sibling-dir swap, then refresh any bucketized layout.
+
+    The write is distributed (never via the driver); the swap is two
+    renames — not atomic; production on an object store would commit
+    via a table format's log (Delta/Iceberg), which owns exactly this
+    step. If the store was bucketized, the stored recipe re-folds the
+    base so read_store_split's (base, overlay) watermark stays exact
+    (compaction moves every epoch to -1, at or below any watermark;
+    without the refresh those rows would drop out of the split)."""
+    out = merged.withColumn("_epoch", F.lit(COMPACTED_EPOCH))
     tmp = path.rstrip("/") + ".compact-tmp"
-    merged.write.mode("overwrite").partitionBy(*partition_cols, "_epoch").parquet(
+    out.write.mode("overwrite").partitionBy(*partition_cols, "_epoch").parquet(
         tmp
     )
     meta = _bucket_meta(path)
@@ -193,10 +220,6 @@ def compact_epoch_store(
     os.rename(tmp, path)
     shutil.rmtree(old)
     if meta:
-        # compaction folded every epoch into _epoch=-1, which sits at or
-        # below any bucketize watermark — refresh the bucketed layout
-        # with its stored recipe so the (base, overlay) split stays
-        # exact (watermark becomes -1; future epochs land in overlay)
         bucketize_store(
             spark,
             path,

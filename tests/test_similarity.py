@@ -430,3 +430,44 @@ class TestBruteForceArrowPath:
         out = brute_force_topk(df, df, k=3, method="arrow").collect()
         assert all(r.query_id != r.neighbor_id for r in out)
         assert len(out) == 30
+
+
+class TestBruteForceArrowEdgeCases:
+    def test_zero_vector_excluded_like_expr(self, spark):
+        from mofka_spark.operators.similarity import brute_force_topk
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),
+                (2, [0.0, 0.0]),        # zero vector
+                (3, [-1.0, 0.0]),       # negative cosine vs 1
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        q = df.filter("vec_id = 1")
+        expr = brute_force_topk(q, df, k=3).collect()
+        arrow = brute_force_topk(q, df, k=3, method="arrow").collect()
+        assert sorted(map(tuple, expr)) == sorted(map(tuple, arrow))
+        # zero vector must appear in NEITHER (NULL score in expr path)
+        assert all(r.neighbor_id != 2 for r in arrow)
+
+    def test_empty_query_side_returns_empty(self, spark):
+        from mofka_spark.operators.similarity import brute_force_topk
+
+        df = spark.createDataFrame(
+            [(1, [1.0])], "vec_id long, embedding array<double>"
+        )
+        out = brute_force_topk(
+            df.filter("vec_id < 0"), df, k=3, method="arrow"
+        )
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "score", "rank"]
+
+    def test_label_agreement_all_null_labels(self, spark):
+        from mofka_spark.operators.similarity import label_agreement
+
+        df = spark.createDataFrame(
+            [(1, [1.0], None), (2, [0.5], None)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        assert label_agreement(df).count() == 0

@@ -172,3 +172,30 @@ class TestWeightedQuantiles:
         )
         out = weighted_quantiles(df, "g", "v", "w", [0.5]).collect()
         assert [(r.g, r.wq) for r in out] == [("a", 3.0)]
+
+
+class TestWeightedQuantilesFractionalWeights:
+    def test_fractional_weights_not_truncated(self, spark):
+        from mofka_spark.operators.sketch import weighted_quantiles
+
+        # all weights in (0,1): a long cast would zero them all out
+        df = spark.createDataFrame(
+            [("g", 1.0, 0.5), ("g", 2.0, 0.25), ("g", 3.0, 0.25)],
+            ["grp", "v", "w"],
+        )
+        out = {r.q: r.wq for r in weighted_quantiles(df, "grp", "v", "w").collect()}
+        # cumulative fractions: 1.0 -> 0.5, 2.0 -> 0.75, 3.0 -> 1.0
+        assert out[0.5] == 1.0
+        assert out[0.75] == 2.0
+        assert out[0.9] == 3.0
+
+    def test_mixed_weights_keep_fraction(self, spark):
+        from mofka_spark.operators.sketch import weighted_quantiles
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 1.7), ("g", 2.0, 0.3)], ["grp", "v", "w"]
+        )
+        out = {r.q: r.wq for r in weighted_quantiles(df, "grp", "v", "w").collect()}
+        # 1.7/2.0 = 0.85 of mass at v=1: p90 must be 2.0 (1.7 would
+        # have truncated to 1 -> 1/1.3 fractions, p90 = 1.0... wrong)
+        assert out[0.9] == 2.0 and out[0.5] == 1.0

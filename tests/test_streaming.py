@@ -1640,3 +1640,108 @@ class TestStreamingDsir:
         sink(self._docs(spark, 30, 60), 1)
         asof = read_bucket_counts(spark, path, as_of_epoch=0)
         assert asof.agg(F.sum("cr")).collect()[0][0] == total0
+
+
+class TestFloorAliasing:
+    """The shared default floor file must never make a query SKIP rows
+    it has not delivered: file-loaded floors are advisory until the
+    query's own restored position confirms ownership."""
+
+    def _reader(self, driver, topic_name):
+        from mofka_spark.streaming.source import MofkaStreamReader
+
+        return MofkaStreamReader(
+            {"path": driver.root, "topic": topic_name, "batch_size": 5}
+        )
+
+    def test_foreign_floor_discarded_no_skip(self, driver):
+        topic = _fill_topic(driver, name="alias-t", partitions=1, n=20)
+        r1 = self._reader(driver, "alias-t")
+        r1.initialOffset()
+        r1.commit({"0": 10})  # query 1 commits through offset 10
+
+        # query 2 restarts (no initialOffset) at its own position 4:
+        # it loads query 1's file floor but must NOT clamp with it
+        r2 = self._reader(driver, "alias-t")
+        assert r2._file_floor == {"0": 10}
+        parts = r2.partitions({"0": 2}, {"0": 4})
+        ranges = [(p.start, p.end) for p in parts]
+        assert (2, 4) in ranges          # full range delivered
+        assert r2._file_floor == {}      # foreign floor discarded
+
+    def test_own_floor_promoted_suppresses_replay(self, driver):
+        _fill_topic(driver, name="alias-t2", partitions=1, n=20)
+        r1 = self._reader(driver, "alias-t2")
+        r1.initialOffset()
+        r1.commit({"0": 10})
+
+        # the SAME query restarts: Spark replays the committed batch
+        # (5, 10) — the promoted floor clamps it empty (already in the
+        # sink), exactly the pre-existing durable-floor behavior
+        r2 = self._reader(driver, "alias-t2")
+        parts = r2.partitions({"0": 5}, {"0": 10})
+        assert all(p.start >= 10 or p.start == p.end for p in parts)
+        assert r2._floor.get("0") == 10
+
+    def test_announcement_uses_pending_floor(self, driver):
+        _fill_topic(driver, name="alias-t3", partitions=1, n=20)
+        r1 = self._reader(driver, "alias-t3")
+        r1.initialOffset()
+        r1.commit({"0": 10})
+
+        r2 = self._reader(driver, "alias-t3")
+        # before any evidence the announcement base respects the file
+        # floor (announcing high merely enlarges a batch)
+        out = r2.latestOffset()
+        assert int(out["0"]) >= 10
+
+
+class TestCompactionRefreshesBucketizedLayout:
+    """A specialized store compactor (here: the DSIR bucket-count
+    store) must refresh the bucketized layout's watermark — compaction
+    folds every epoch to _epoch=-1, which sits below any watermark, so
+    without the refresh read_store_split would drop the folded rows
+    from the (base, overlay) split."""
+
+    def test_dsir_compact_after_bucketize_keeps_split_exact(
+        self, spark, tmp_path
+    ):
+        from mofka_spark.streaming.dsirstore import (
+            compact_dsir,
+            dsir_sink,
+            read_bucket_counts,
+        )
+        from mofka_spark.streaming.store import bucketize_store, read_store_split
+
+        path = str(tmp_path / "store")
+        sink = dsir_sink(path)
+        docs = lambda lo, hi: spark.createDataFrame(
+            [(i, f"tok{i % 11} body text {i}") for i in range(lo, hi)],
+            ["doc_id", "text"],
+        )
+        sink(docs(0, 30), 0)
+        sink(docs(30, 60), 1)
+        table = "bk_dsir_test"
+        try:
+            bucketize_store(spark, path, ["bucket"], num_buckets=4, table=table)
+            want = sorted(map(tuple, read_bucket_counts(spark, path).collect()))
+            compact_dsir(spark, path)
+            base, overlay = read_store_split(
+                spark, path, "bucket long, c long"
+            )
+            merged = (
+                base.unionByName(overlay.drop("_epoch"))
+                if overlay is not None
+                else base
+            )
+            got = sorted(
+                map(
+                    tuple,
+                    merged.groupBy("bucket")
+                    .agg(F.sum("c").alias("cr"))
+                    .collect(),
+                )
+            )
+            assert got == want
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
