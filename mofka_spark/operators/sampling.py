@@ -19,16 +19,19 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _MOD = 1_000_000
 
 
-def hash_bucket(key: Column, salt: str = "") -> Column:
-    """Deterministic bucket in [0, 1e6) from md5(salt || key).
+def hash_bucket(key: Column, salt: str = "", mod: int = _MOD) -> Column:
+    """Deterministic bucket in [0, mod) from md5(salt || key) — the
+    ONE engine-portable hash kernel (dsir_feature_buckets reuses it
+    with mod=n_buckets; keep any copy bit-identical to the DuckDB
+    form below or its oracle breaks).
 
     DuckDB equivalent:
-    ``('0x' || substr(md5(salt || key::VARCHAR), 1, 12))::BIGINT % 1000000``
+    ``('0x' || substr(md5(salt || key::VARCHAR), 1, 12))::BIGINT % mod``
     """
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 12), 16, 10
     ).cast("long")
-    return F.pmod(h, F.lit(_MOD))
+    return F.pmod(h, F.lit(mod))
 
 
 def hash_sample(
@@ -342,14 +345,7 @@ def dsir_feature_buckets(
         .filter(n >= 1)
         .select(*cols, F.explode(F.concat(arr, big)).alias("feat"))
     )
-    bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), F.col("feat"))), 1, 12),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(n_buckets),
-    )
+    bucket = hash_bucket(F.col("feat"), salt, mod=n_buckets)
     return exploded.select(
         *(["id"] if id_col else []), bucket.alias("bucket")
     )

@@ -130,8 +130,6 @@ def _brute_force_topk_arrow(
     if not qrows:
         # empty query side: the expr path returns an empty frame — so
         # must this one (np.asarray([]) is 1-D and would AxisError)
-        from pyspark.sql import types as T
-
         empty_schema = T.StructType(
             [
                 T.StructField("query_id", id_type),
@@ -986,18 +984,21 @@ def hard_negatives(
     anchor sets swap the cross score for ivf_topk cells and keep the
     same label-filtered ranking."""
     anchors = anchors if anchors is not None else corpus
+    # zero-norm vectors have no defined cosine — filter BEFORE the
+    # division (ANSI mode raises DIVIDE_BY_ZERO), same contract as
+    # brute_force_topk
     a = anchors.select(
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("anchor_label"),
         F.col(vec_col).alias("avec"),
         norm(F.col(vec_col)).alias("anrm"),
-    )
+    ).filter(F.col("anrm") != 0)
     c = corpus.select(
         F.col(id_col).alias("negative_id"),
         F.col(label_col).alias("negative_label"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnrm"),
-    )
+    ).filter(F.col("cnrm") != 0)
     scored = (
         c.crossJoin(F.broadcast(a))
         .filter(F.col("anchor_label") != F.col("negative_label"))

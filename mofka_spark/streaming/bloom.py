@@ -123,27 +123,51 @@ def read_membership(
     rate, deterministically reproducible (same hash family -> same FPs
     in any engine). The merged filter is <= m_bits/64 rows and
     broadcasts onto the probe side: membership is a map-only stage
-    over any probe volume. ``m_bits``/``k`` must match the sink's."""
+    over any probe volume. ``m_bits``/``k`` must match the sink's.
+
+    Row-preserving: duplicate probe rows come back as duplicates, and
+    the probe frame's own columns are untouched — the bit probing
+    runs on an internal distinct key projection (prefixed columns) and
+    joins back, so a probes frame already carrying a ``word``/``pos``
+    column cannot collide with the internals."""
     words = (
         read_store(spark, path, _SCHEMA, as_of_epoch)
         .groupBy("word")
         .agg(F.bit_or("bits").alias("bits"))
     )
-    probe_pos = probes.select(
-        "*",
+    keys = probes.select(F.col(key_col).alias("__bf_key")).distinct()
+    probe_pos = keys.select(
+        "__bf_key",
         F.explode(
-            F.array(*_positions(F.col(key_col), m_bits, k))
-        ).alias("pos"),
-    ).select("*", *_word_bits("pos"))
+            F.array(*_positions(F.col("__bf_key"), m_bits, k))
+        ).alias("__bf_pos"),
+    ).select(
+        "__bf_key",
+        *[
+            c.alias(n)
+            for c, n in zip(
+                _word_bits("__bf_pos"), ("__bf_word", "__bf_bit")
+            )
+        ],
+    )
     hit = (F.col("bits").isNotNull()) & (
-        F.col("bits").bitwiseAND(F.col("bit")) != 0
+        F.col("bits").bitwiseAND(F.col("__bf_bit")) != 0
     )
-    return (
-        probe_pos.join(F.broadcast(words), "word", "left")
-        .withColumn("_hit", hit)
-        .groupBy(*probes.columns)
-        .agg(F.min("_hit").alias("might_contain"))
+    per_key = (
+        probe_pos.join(
+            F.broadcast(words),
+            probe_pos["__bf_word"] == words["word"],
+            "left",
+        )
+        .withColumn("__bf_hit", hit)
+        .groupBy("__bf_key")
+        .agg(F.min("__bf_hit").alias("might_contain"))
     )
+    return probes.join(
+        F.broadcast(per_key),
+        probes[key_col] == per_key["__bf_key"],
+        "left",
+    ).drop("__bf_key")
 
 
 def bloom_stats(

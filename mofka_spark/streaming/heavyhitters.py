@@ -119,12 +119,27 @@ def read_top_k(
             "_cnext",
             F.max(F.when(F.col("rnk") == k + 1, F.col("cnt"))).over(wall),
         )
+        .withColumn("_stored", F.count("*").over(wall))
         .withColumn(
+            # Adversary bound depends on who can contest rank k:
+            # - stored >= k+1: a stored item ranked k+1 undercounts by
+            #   at most slack from c_{k+1} -> need c_k > c_{k+1}+slack
+            #   (this also dominates the unseen-item bound of slack);
+            # - stored == k: only NEVER-stored items contest, and
+            #   their true count is at most slack -> need c_k > slack;
+            # - stored < k (m_per_epoch < k or a short stream): the
+            #   true top-k may include unseen items in the unfilled
+            #   slots — nothing certifiable while slack > 0.
             "guaranteed",
             (F.col("_slack") == 0)
             | (
-                F.col("_ck")
-                > F.coalesce(F.col("_cnext"), F.lit(0)) + F.col("_slack")
+                F.col("_cnext").isNotNull()
+                & (F.col("_ck") > F.col("_cnext") + F.col("_slack"))
+            )
+            | (
+                F.col("_cnext").isNull()
+                & (F.col("_stored") == k)
+                & (F.col("_ck") > F.col("_slack"))
             ),
         )
         .filter(F.col("rnk") <= k)

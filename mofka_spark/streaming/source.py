@@ -221,13 +221,20 @@ class MofkaStreamReader(DataSourceStreamReader):
             except (FileNotFoundError, ValueError):
                 pass
 
-    def _file_floor_evidence(self, p: str, end: int) -> None:
-        """Promote or discard a pending file floor using this query's
-        own restored/committed end for partition ``p``."""
+    def _file_floor_evidence(self, p: str, position: int) -> None:
+        """Promote or discard a pending file floor using a TRUSTWORTHY
+        position for partition ``p`` — one that provably reflects this
+        query's own offset log, never a value this instance's own
+        (file-floor-seeded) announcements produced. The caller picks
+        the position: batch ENDS are trustworthy only before this
+        instance has announced anything (Spark read them from its
+        offset log); after the first latestOffset, only batch STARTS
+        are (ends echo our announcements — promoting on them would be
+        circular and bless a skip)."""
         ff = self._file_floor.get(p)
         if ff is None:
             return
-        if end >= ff:
+        if position >= ff:
             if ff > self._floor.get(p, 0):
                 self._floor[p] = ff
         del self._file_floor[p]
@@ -292,10 +299,14 @@ class MofkaStreamReader(DataSourceStreamReader):
             s = int(start.get(p, 0))
             e = int(e)
             p = str(p)
-            # Any planned end carries this query's true position (it
-            # comes from Spark's own offset log on recovery) — decide
-            # pending file floors with it
-            self._file_floor_evidence(p, e)
+            # Decide pending file floors. Before this instance's first
+            # latestOffset, the END comes straight from Spark's offset
+            # log (replay of a pre-crash batch / the recovery probe) —
+            # trustworthy. After we have announced, ends echo our own
+            # file-floor-seeded announcements (circular), so only the
+            # START (always from Spark's offset log = the query's true
+            # position) may decide.
+            self._file_floor_evidence(p, e if self._last is None else s)
             # Learn the checkpoint floor from a REAL batch's start: on
             # restart the first genuine plan's start is the committed
             # position. Skip degenerate s == e calls — Spark probes

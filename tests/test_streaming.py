@@ -1683,6 +1683,27 @@ class TestFloorAliasing:
         assert all(p.start >= 10 or p.start == p.end for p in parts)
         assert r2._floor.get("0") == 10
 
+    def test_clean_restart_announcement_does_not_bless_foreign_floor(
+        self, driver
+    ):
+        """The circular case: a CLEAN restart (no pending batch) calls
+        latestOffset FIRST — its announcement is seeded by the foreign
+        file floor, so the following partitions() end >= floor proves
+        nothing. Ownership must be judged by the batch START (Spark's
+        offset log); here start=2 < floor=10 -> foreign, no skip."""
+        topic = _fill_topic(driver, name="alias-t4", partitions=1, n=20)
+        r1 = self._reader(driver, "alias-t4")
+        r1.initialOffset()
+        r1.commit({"0": 10})
+
+        r2 = self._reader(driver, "alias-t4")
+        out = r2.latestOffset()          # announcement-first restart
+        assert int(out["0"]) >= 10       # seeded by the file floor
+        parts = r2.partitions({"0": 2}, {"0": int(out["0"])})
+        ranges = [(p.start, p.end) for p in parts]
+        assert (2, int(out["0"])) in ranges   # rows 2..10 NOT skipped
+        assert r2._file_floor == {}           # foreign floor discarded
+
     def test_announcement_uses_pending_floor(self, driver):
         _fill_topic(driver, name="alias-t3", partitions=1, n=20)
         r1 = self._reader(driver, "alias-t3")
@@ -1745,3 +1766,69 @@ class TestCompactionRefreshesBucketizedLayout:
             assert got == want
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+class TestHeavyHittersUnderfilledCertificate:
+    def test_fewer_stored_than_k_not_guaranteed(self, spark, tmp_path):
+        """m_per_epoch < k: an item dropped every epoch can hold a
+        true count up to slack, so a k wider than the stored summary
+        must never certify."""
+        from mofka_spark.streaming.heavyhitters import (
+            heavyhitter_sink,
+            read_top_k,
+        )
+
+        path = str(tmp_path / "hh")
+        sink = heavyhitter_sink(path, "w", m_per_epoch=3)
+        batch = spark.createDataFrame(
+            [("a",)] * 50 + [("b",)] * 40 + [("c",)] * 30 + [("d",)] * 2,
+            ["w"],
+        )
+        sink(batch, 0)  # keeps a,b,c; drops d -> slack 2
+        rows = read_top_k(spark, path, k=10).collect()
+        assert 0 < len(rows) < 10
+        assert all(not r.guaranteed for r in rows)
+
+    def test_full_kplus1_still_certifies(self, spark, tmp_path):
+        from mofka_spark.streaming.heavyhitters import (
+            heavyhitter_sink,
+            read_top_k,
+        )
+
+        path = str(tmp_path / "hh2")
+        sink = heavyhitter_sink(path, "w", m_per_epoch=3)
+        batch = spark.createDataFrame(
+            [("a",)] * 50 + [("b",)] * 40 + [("c",)] * 30 + [("d",)] * 2,
+            ["w"],
+        )
+        sink(batch, 0)
+        rows = read_top_k(spark, path, k=2).collect()
+        # c_2 = 40 > c_3 (30) + slack (2) -> certifiable
+        assert [r.item for r in rows] == ["a", "b"]
+        assert all(r.guaranteed for r in rows)
+
+
+class TestBloomProbeRobustness:
+    def test_colliding_probe_columns_and_duplicates(self, spark, tmp_path):
+        """Probe frames may carry columns named word/pos/bits and
+        duplicate rows — membership must neither crash nor collapse
+        them."""
+        from mofka_spark.streaming.bloom import bloom_sink, read_membership
+
+        path = str(tmp_path / "bf")
+        bloom_sink(path, "key")(
+            spark.createDataFrame([("a",), ("b",)], ["key"]), 0
+        )
+        probes = spark.createDataFrame(
+            [("a", "word-collide", 7), ("a", "dup", 7), ("zz", "x", 1)],
+            ["key", "word", "pos"],
+        )
+        out = read_membership(spark, path, probes, "key").collect()
+        assert len(out) == 3                       # duplicates preserved
+        assert {c for c in out[0].asDict()} == {
+            "key", "word", "pos", "might_contain"
+        }
+        hits = [r.might_contain for r in out if r.key == "a"]
+        assert hits == [True, True]
+        (miss,) = [r for r in out if r.key == "zz"]
+        assert miss.might_contain is False or miss.might_contain is None
