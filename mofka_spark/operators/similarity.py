@@ -1135,3 +1135,90 @@ def assign_cells(
     wide centroid sets like _cell_frame."""
     cells = _cell_frame(df, id_col, vec_col, centroids, topn=1)
     return cells.select("id", F.element_at("cells", 1).alias("cell"))
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    labels: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval-quality metrics per query over any ranked result
+    frame (brute_force_topk / lsh_topk / ivf_topk output —
+    (query_id, neighbor_id, rank)): binary relevance = neighbor shares
+    the query's label; reports the standard search-eval triple
+
+        precision_at_k = |relevant in top-k| / k
+        mrr            = 1 / rank of the first relevant (0 if none)
+        ndcg           = DCG / IDCG,  DCG = sum rel_i / log2(i + 1)
+
+    with IDCG over min(R, k) ideal slots (R = the query's total
+    relevant corpus items, so a query with only 2 relevant docs can
+    still score ndcg = 1.0). Queries with R = 0 report ndcg 0. All
+    three rounded to 6dp; the DCG folds run in rank order
+    (sort_array + aggregate) for cross-engine float identity.
+
+    Scale shape: two broadcast label joins onto the (already thin)
+    ranked frame, one query-keyed rollup, and an O(#labels)-row
+    relevant-count table broadcast back. The ranked frame is the
+    expensive part and it is an INPUT — metrics cost is independent
+    of corpus size."""
+    lbl = labels.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl")
+    )
+    per_label = lbl.groupBy("_lbl").agg(F.count("*").alias("_n_label"))
+    scored = (
+        ranked.filter(F.col("rank") <= k)
+        .join(
+            F.broadcast(lbl.withColumnRenamed("_id", "query_id").withColumnRenamed("_lbl", "q_label")),
+            "query_id",
+        )
+        .join(
+            F.broadcast(lbl.withColumnRenamed("_id", "neighbor_id").withColumnRenamed("_lbl", "n_label")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "q_label",
+            "rank",
+            (F.col("n_label") == F.col("q_label")).cast("int").alias("rel"),
+        )
+    )
+    folded = scored.groupBy("query_id", "q_label").agg(
+        F.round(F.sum("rel") / F.lit(float(k)), 6).alias("precision_at_k"),
+        F.round(
+            F.coalesce(
+                1.0 / F.min(F.when(F.col("rel") == 1, F.col("rank"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mrr"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("rank", "rel"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["rel"].cast("double") / F.log2(x["rank"].cast("double") + 1),
+        ).alias("_dcg"),
+    )
+    # ideal DCG: the first min(R, k) slots filled, R = relevant corpus
+    # items for the query's label (excluding the query itself)
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("_n_label") - 1, F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1),
+    )
+    return (
+        folded.join(F.broadcast(per_label), folded.q_label == per_label._lbl)
+        .select(
+            "query_id",
+            "precision_at_k",
+            "mrr",
+            F.round(
+                F.when(F.col("_n_label") > 1, F.col("_dcg") / idcg).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("ndcg"),
+        )
+    )

@@ -5700,6 +5700,54 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inclusion_profile(frames, _INCLUSION_COLS)
 
 
+# Retrieval ranking metrics (operators/similarity.py ranking_metrics):
+# precision@k / MRR / nDCG over the exact top-k, binary relevance =
+# shared label — the search-quality harness next to the recall gates.
+@query(
+    "ranking_metrics",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT query_id, q_label, c.vec_id AS neighbor_id,
+             c.label AS n_label,
+             ROUND(list_cosine_similarity(qvec,
+                   CAST(c.embedding AS DOUBLE[])), 6) AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id) AS rnk
+           FROM scored),
+    top AS (SELECT query_id, q_label, rnk,
+                   CAST(n_label = q_label AS INT) AS rel
+            FROM rk WHERE rnk <= 5),
+    nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+           FROM embeddings GROUP BY label),
+    agg AS (
+      SELECT query_id, q_label,
+             ROUND(SUM(rel) / 5.0, 6) AS precision_at_k,
+             ROUND(COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rnk END),
+                            0.0), 6) AS mrr,
+             list_sum(list_transform(
+               list(rel / log2(rnk + 1.0) ORDER BY rnk), x -> x)) AS dcg
+      FROM top GROUP BY query_id, q_label)
+    SELECT query_id, precision_at_k, mrr,
+           ROUND(CASE WHEN nl.n_label > 1 THEN dcg /
+                   list_sum(list_transform(
+                     generate_series(1, least(nl.n_label - 1, 5)),
+                     i -> 1.0 / log2(i + 1.0)))
+                 ELSE 0.0 END, 6) AS ndcg
+    FROM agg JOIN nl ON agg.q_label = nl.label
+    """,
+)
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ranked = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < 8), emb, k=5
+    )
+    return similarity.ranking_metrics(ranked, emb, k=5)
+
+
 # Term-blocklist scan (operators/text.py blocklist_scan): per-doc
 # occurrence counts of blocklisted tokens, token-exact — the
 # C4/Dolma-style wordlist safety stage.

@@ -471,3 +471,52 @@ class TestBruteForceArrowEdgeCases:
             "vec_id long, embedding array<double>, label int",
         )
         assert label_agreement(df).count() == 0
+
+
+class TestRankingMetrics:
+    def test_hand_computed(self, spark):
+        import math
+
+        from mofka_spark.operators.similarity import ranking_metrics
+
+        labels = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 1), (4, 0), (5, 1)], ["vec_id", "label"]
+        )
+        # query 1 (label 0): ranked 3(no), 2(yes), 4(yes)
+        ranked = spark.createDataFrame(
+            [(1, 3, 1), (1, 2, 2), (1, 4, 3)],
+            ["query_id", "neighbor_id", "rank"],
+        )
+        (row,) = ranking_metrics(ranked, labels, k=3).collect()
+        assert row.precision_at_k == round(2 / 3, 6)
+        assert row.mrr == 0.5
+        dcg = 1 / math.log2(3) + 1 / math.log2(4)
+        idcg = 1 / math.log2(2) + 1 / math.log2(3)  # R=2 relevant
+        assert row.ndcg == round(dcg / idcg, 6)
+
+    def test_no_relevant_and_singleton_label(self, spark):
+        from mofka_spark.operators.similarity import ranking_metrics
+
+        labels = spark.createDataFrame(
+            [(1, 7), (2, 0), (3, 0)], ["vec_id", "label"]
+        )
+        ranked = spark.createDataFrame(
+            [(1, 2, 1), (1, 3, 2)], ["query_id", "neighbor_id", "rank"]
+        )
+        (row,) = ranking_metrics(ranked, labels, k=2).collect()
+        assert row.precision_at_k == 0.0 and row.mrr == 0.0
+        assert row.ndcg == 0.0  # singleton label: no achievable ideal
+
+    def test_perfect_ranking_is_one(self, spark):
+        from mofka_spark.operators.similarity import ranking_metrics
+
+        labels = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 0), (4, 1)], ["vec_id", "label"]
+        )
+        ranked = spark.createDataFrame(
+            [(1, 2, 1), (1, 3, 2), (1, 4, 3)],
+            ["query_id", "neighbor_id", "rank"],
+        )
+        (row,) = ranking_metrics(ranked, labels, k=3).collect()
+        # R=2 relevant, both in the first two slots -> ideal
+        assert row.ndcg == 1.0 and row.mrr == 1.0
