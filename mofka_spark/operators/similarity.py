@@ -1222,3 +1222,76 @@ def ranking_metrics(
             ).alias("ndcg"),
         )
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Per-class embedding outlier scan: each vector's Euclidean
+    distance to its label centroid, z-scored within the label —
+    distance outliers are the mislabeled / corrupted / out-of-
+    distribution examples a curation pass drops or re-labels (the
+    geometric complement to label_agreement's neighborhood vote).
+
+    Returns (id, label, dist, z, is_outlier) with dist/z rounded to
+    6dp and is_outlier = z > z_thresh (degenerate classes emit z = 0,
+    group_zscores' contract).
+
+    Scale shape: centroids collapse the corpus to L x d cells via one
+    (label, dim)-keyed partial-agg shuffle (the label_separation
+    shape) and broadcast back as one array row per label; the
+    per-vector distance is a scan-local dimension-ordered fold; the
+    z-pass reuses group_zscores (one O(L)-row stats agg broadcast
+    back). No window, no sort, no UDF."""
+    from mofka_spark.operators.sketch import group_zscores
+
+    labeled = df.filter(F.col(label_col).isNotNull())
+    cents = (
+        labeled.select(
+            F.col(label_col).alias("_lbl"),
+            F.posexplode(F.col(vec_col)).alias("_dim", "_v"),
+        )
+        .groupBy("_lbl", "_dim")
+        .agg(F.avg(F.col("_v").cast("double")).alias("_c"))
+        .groupBy("_lbl")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_dim", "_c"))),
+                lambda s: s["_c"],
+            ).alias("_cent")
+        )
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("_cent"),
+                lambda v, c: (v.cast("double") - c)
+                * (v.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    dists = (
+        labeled.join(
+            F.broadcast(cents), labeled[label_col] == cents["_lbl"]
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("label"),
+            F.round(dist, 6).alias("dist"),
+        )
+    )
+    z = group_zscores(dists, "dist", "label", keep_cols=["id"])
+    return z.select(
+        "id",
+        "label",
+        "dist",
+        "z",
+        (F.col("z") > z_thresh).alias("is_outlier"),
+    )

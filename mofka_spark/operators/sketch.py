@@ -325,3 +325,93 @@ def weighted_quantiles(
         f"g AS {group_col}",
         f"stack({len(qs)}, {stack}) AS (q, wq)",
     )
+
+
+def distinct_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lg_k: int = 12,
+    tol: float = 0.1,
+) -> DataFrame:
+    """Pairwise audience overlap between groups via mergeable HLL
+    sketches and inclusion-exclusion:
+
+        |A ∩ B| ≈ |A| + |B| - |A ∪ B|
+
+    (the union sketch is exact over registers, so the estimate's error
+    is the two HLL standard errors — fine for the "how much do these
+    cohorts / sources / event types share" observability question; an
+    exact answer is one COUNT DISTINCT semi-join away when a pair
+    matters). Returns (group_a, group_b, exact_overlap, sketch_ok)
+    for ordered pairs group_a < group_b; ``sketch_ok`` asserts the
+    sketch estimate is within ``tol`` relative error of exact (+1
+    absolute slack for tiny overlaps) — the exact branch exists FOR
+    the gate, the sketch path is the one that scales.
+
+    Scale shape: ONE pass builds one ~2^lg_k-byte sketch per group
+    (map-side partial agg); the pair matrix is a self-join of the
+    O(#groups) sketch frame — the values are never rescanned or
+    shuffled per pair. Exact branch: one distinct + one pair join of
+    distinct value sets (gate-scale only)."""
+    sk = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sk"),
+        F.countDistinct(value_col).alias("_n"),
+    )
+    a = sk.select(
+        F.col(group_col).alias("group_a"),
+        F.col("sk").alias("_ska"),
+        F.col("_n").alias("_na"),
+    )
+    b = sk.select(
+        F.col(group_col).alias("group_b"),
+        F.col("sk").alias("_skb"),
+        F.col("_n").alias("_nb"),
+    )
+    est = (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            (
+                F.hll_sketch_estimate("_ska")
+                + F.hll_sketch_estimate("_skb")
+                - F.hll_sketch_estimate(
+                    F.hll_union("_ska", "_skb")
+                )
+            ).alias("_est"),
+        )
+    )
+    vals = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).distinct()
+    exact = (
+        vals.alias("x")
+        .join(
+            vals.alias("y"),
+            (F.col("x.v") == F.col("y.v"))
+            & (F.col("x.g") < F.col("y.g")),
+        )
+        .groupBy(
+            F.col("x.g").alias("group_a"), F.col("y.g").alias("group_b")
+        )
+        .agg(F.count("*").cast("long").alias("exact_overlap"))
+    )
+    err = F.abs(F.col("_est") - F.col("exact_overlap")) / F.greatest(
+        F.col("exact_overlap").cast("double"), F.lit(1.0)
+    )
+    return (
+        est.join(exact, ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            F.coalesce("exact_overlap", F.lit(0)).cast("long").alias(
+                "exact_overlap"
+            ),
+            (
+                (err <= tol)
+                | (F.abs(F.col("_est") - F.col("exact_overlap")) <= 1.0)
+                | F.col("exact_overlap").isNull()
+            ).alias("sketch_ok"),
+        )
+    )

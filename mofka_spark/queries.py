@@ -5700,6 +5700,67 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inclusion_profile(frames, _INCLUSION_COLS)
 
 
+# Per-class embedding outliers (operators/similarity.py
+# embedding_outliers): centroid distance z-scored within the label —
+# the geometric mislabel/corruption scan next to label_noise_scan's
+# neighborhood vote.
+@query(
+    "embedding_outliers",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE label IS NOT NULL),
+    d AS (SELECT vec_id, label, i - 1 AS dim, v[i] AS val
+          FROM e, UNNEST(generate_series(1, len(v))) AS s(i)),
+    c AS (SELECT label, dim, AVG(val) AS c FROM d GROUP BY label, dim),
+    dist AS (
+      SELECT d.vec_id AS id, d.label,
+             ROUND(sqrt(list_sum(list_transform(
+               list((val - c.c) * (val - c.c) ORDER BY d.dim),
+               x -> x))), 6) AS dist
+      FROM d JOIN c ON d.label = c.label AND d.dim = c.dim
+      GROUP BY d.vec_id, d.label),
+    stats AS (SELECT label, AVG(dist) AS mu, stddev_samp(dist) AS sd
+              FROM dist GROUP BY label),
+    zz AS (
+      SELECT id, dist.label, dist,
+             ROUND(CASE WHEN sd IS NULL OR sd = 0.0 THEN 0.0
+                        ELSE (dist - mu) / sd END, 6) AS z
+      FROM dist JOIN stats ON dist.label = stats.label)
+    SELECT id, label, dist, z, z > 3.0 AS is_outlier FROM zz
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_outliers(emb)
+
+
+# Pairwise audience overlap via HLL inclusion-exclusion
+# (operators/sketch.py distinct_overlap): |A∩B| ≈ |A|+|B|-|A∪B| from
+# mergeable sketches; gate = exact overlap + accuracy boolean, the
+# distinct_users_sketch pattern applied to pairs.
+@query(
+    "distinct_overlap",
+    """
+    WITH vals AS (SELECT DISTINCT event_type AS g, user_id AS v
+                  FROM events),
+    gs AS (SELECT DISTINCT event_type AS g FROM events),
+    ov AS (SELECT x.g AS ga, y.g AS gb, CAST(COUNT(*) AS BIGINT) AS n
+           FROM vals x JOIN vals y ON x.v = y.v AND x.g < y.g
+           GROUP BY x.g, y.g)
+    SELECT a.g AS group_a, b.g AS group_b,
+           CAST(COALESCE(n, 0) AS BIGINT) AS exact_overlap,
+           TRUE AS sketch_ok
+    FROM gs a JOIN gs b ON a.g < b.g
+    LEFT JOIN ov ON ov.ga = a.g AND ov.gb = b.g
+    """,
+)
+def q_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return sketch.distinct_overlap(ev, "event_type", "user_id")
+
+
 # Retrieval ranking metrics (operators/similarity.py ranking_metrics):
 # precision@k / MRR / nDCG over the exact top-k, binary relevance =
 # shared label — the search-quality harness next to the recall gates.

@@ -520,3 +520,30 @@ class TestRankingMetrics:
         (row,) = ranking_metrics(ranked, labels, k=3).collect()
         # R=2 relevant, both in the first two slots -> ideal
         assert row.ndcg == 1.0 and row.mrr == 1.0
+
+
+class TestEmbeddingOutliers:
+    def test_planted_outlier_flagged(self, spark):
+        from mofka_spark.operators.similarity import embedding_outliers
+
+        # tight cluster at (1, 0) with one far-away point
+        rows = [(i, [1.0 + 0.001 * i, 0.0], 0) for i in range(20)]
+        rows.append((100, [50.0, 50.0], 0))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        out = {r.id: r for r in embedding_outliers(df).collect()}
+        assert out[100].is_outlier
+        assert sum(1 for r in out.values() if r.is_outlier) == 1
+        assert not out[0].is_outlier
+
+    def test_degenerate_class_no_nulls(self, spark):
+        from mofka_spark.operators.similarity import embedding_outliers
+
+        df = spark.createDataFrame(
+            [(1, [1.0], 0), (2, [2.0], None)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        out = embedding_outliers(df).collect()
+        assert len(out) == 1  # null label excluded
+        assert out[0].z == 0.0 and not out[0].is_outlier

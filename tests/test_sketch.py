@@ -199,3 +199,29 @@ class TestWeightedQuantilesFractionalWeights:
         # 1.7/2.0 = 0.85 of mass at v=1: p90 must be 2.0 (1.7 would
         # have truncated to 1 -> 1/1.3 fractions, p90 = 1.0... wrong)
         assert out[0.9] == 2.0 and out[0.5] == 1.0
+
+
+class TestDistinctOverlap:
+    def test_exact_overlap_and_sketch_agreement(self, spark):
+        from mofka_spark.operators.sketch import distinct_overlap
+
+        rows = (
+            [("a", f"u{i}") for i in range(50)]
+            + [("b", f"u{i}") for i in range(25, 75)]   # 25 shared with a
+            + [("c", f"x{i}") for i in range(10)]       # disjoint
+        )
+        df = spark.createDataFrame(rows, ["g", "u"])
+        out = {(r.group_a, r.group_b): r for r in distinct_overlap(df, "g", "u").collect()}
+        assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+        assert out[("a", "b")].exact_overlap == 25
+        assert out[("a", "c")].exact_overlap == 0
+        assert all(r.sketch_ok for r in out.values())
+
+    def test_duplicate_values_do_not_inflate(self, spark):
+        from mofka_spark.operators.sketch import distinct_overlap
+
+        df = spark.createDataFrame(
+            [("a", "u1")] * 5 + [("b", "u1")] * 3, ["g", "u"]
+        )
+        (row,) = distinct_overlap(df, "g", "u").collect()
+        assert row.exact_overlap == 1
