@@ -592,3 +592,72 @@ class TestSampleStoreProperties:
             for r in read_sample(spark, store, k=k).orderBy("rnk").collect()
         ]
         assert got == expected, (keys, n_batches, k)
+
+
+class TestDsirProperties:
+    """DSIR invariants: weights are split-invariant (mergeable bucket
+    sums) and scale-equivariant under target choice."""
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                min_size=1, max_size=6,
+            ).map(" ".join),
+            min_size=2, max_size=12,
+        ),
+        cut=st.integers(0, 11),
+    )
+    def test_store_split_invariance(self, spark, tmp_path_factory, texts, cut):
+        from mofka_spark.operators.sampling import dsir_weights
+        from mofka_spark.streaming.dsirstore import dsir_sink, read_bucket_counts
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        target = docs.filter(F.col("doc_id") % 2 == 0)
+        cut = min(cut, len(texts))
+        path = str(tmp_path_factory.mktemp("dsirprop") / "s")
+        sink = dsir_sink(path)
+        sink(docs.filter(F.col("doc_id") < cut), 0)
+        sink(docs.filter(F.col("doc_id") >= cut), 1)
+        batch = sorted(map(tuple, dsir_weights(docs, target).collect()))
+        stored = sorted(
+            map(
+                tuple,
+                dsir_weights(
+                    docs, target,
+                    raw_counts=read_bucket_counts(spark, path),
+                ).collect(),
+            )
+        )
+        assert batch == stored
+
+
+class TestInterleaveProperties:
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c"])),
+            min_size=1, max_size=40, unique_by=lambda t: t[0],
+        )
+    )
+    def test_keys_form_per_stratum_bijection_in_unit_interval(
+        self, spark, rows
+    ):
+        from mofka_spark.operators.sampling import interleave_strata
+
+        df = spark.createDataFrame(rows, ["doc_id", "s"])
+        out = interleave_strata(df, "doc_id", "s").collect()
+        assert len(out) == len(rows)
+        by_s = {}
+        for r in out:
+            assert 0.0 < r.interleave_key < 1.0
+            by_s.setdefault(r.s, []).append(r.interleave_key)
+        for s, keys in by_s.items():
+            n = len(keys)
+            # exactly the lattice {(i - 0.5)/n : i = 1..n}
+            assert sorted(keys) == [(i + 0.5) / n for i in range(n)]
