@@ -1159,30 +1159,40 @@ def ranking_metrics(
     three rounded to 6dp; the DCG folds run in rank order
     (sort_array + aggregate) for cross-engine float identity.
 
-    Scale shape: two broadcast label joins onto the (already thin)
-    ranked frame, one query-keyed rollup, and an O(#labels)-row
-    relevant-count table broadcast back. The ranked frame is the
-    expensive part and it is an INPUT — metrics cost is independent
-    of corpus size."""
+    Scale shape: two label joins onto the (already thin) ranked frame
+    (optimizer-chosen strategy — the label map is corpus-sized, so it
+    is NOT broadcast-hinted), one query-keyed rollup, and an
+    O(#labels)-row relevant-count table broadcast back. The ranked
+    frame is the expensive part and it is an INPUT — metrics cost
+    scales with |queries| x k, not the corpus."""
     lbl = labels.select(
         F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl")
     )
     per_label = lbl.groupBy("_lbl").agg(F.count("*").alias("_n_label"))
+    # no broadcast hint on the label joins: ``labels`` is corpus-sized
+    # (one row per vector) — forcing it driver-side would be the OOM
+    # path. Spark broadcasts on its own when the frame is small; at
+    # scale the thin ranked frame shuffles against it instead.
     scored = (
         ranked.filter(F.col("rank") <= k)
         .join(
-            F.broadcast(lbl.withColumnRenamed("_id", "query_id").withColumnRenamed("_lbl", "q_label")),
+            lbl.withColumnRenamed("_id", "query_id").withColumnRenamed("_lbl", "q_label"),
             "query_id",
         )
         .join(
-            F.broadcast(lbl.withColumnRenamed("_id", "neighbor_id").withColumnRenamed("_lbl", "n_label")),
+            lbl.withColumnRenamed("_id", "neighbor_id").withColumnRenamed("_lbl", "n_label"),
             "neighbor_id",
         )
         .select(
             "query_id",
             "q_label",
             "rank",
-            (F.col("n_label") == F.col("q_label")).cast("int").alias("rel"),
+            # NULL neighbor labels mean not-relevant, never NULL — an
+            # un-coalesced NULL would poison the DCG fold (acc + NULL)
+            F.coalesce(
+                (F.col("n_label") == F.col("q_label")).cast("int"),
+                F.lit(0),
+            ).alias("rel"),
         )
     )
     folded = scored.groupBy("query_id", "q_label").agg(

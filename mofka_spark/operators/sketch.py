@@ -345,13 +345,17 @@ def distinct_overlap(
     exact answer is one COUNT DISTINCT semi-join away when a pair
     matters). Returns (group_a, group_b, exact_overlap, sketch_ok)
     for ordered pairs group_a < group_b; ``sketch_ok`` asserts the
-    sketch estimate is within ``tol`` relative error of exact (+1
-    absolute slack for tiny overlaps) — the exact branch exists FOR
-    the gate, the sketch path is the one that scales.
+    estimate is within max(``tol`` relative error, a 3-sigma absolute
+    slack scaled to the SET sizes, 1) of exact — inclusion-exclusion
+    error tracks |A|+|B|, not the overlap, so small overlaps between
+    large sets are judged by the absolute bound. The exact branch
+    (and the per-group exact distinct that sizes the slack) exists
+    FOR the gate; the sketch path is the one that scales.
 
-    Scale shape: ONE pass builds one ~2^lg_k-byte sketch per group
-    (map-side partial agg); the pair matrix is a self-join of the
-    O(#groups) sketch frame — the values are never rescanned or
+    Scale shape: one aggregation pass builds one ~2^lg_k-byte sketch
+    per group (map-side partial agg; the gate's exact-distinct shares
+    the same pass at Expand cost); the pair matrix is a self-join of
+    the O(#groups) sketch frame — the values are never rescanned or
     shuffled per pair. Exact branch: one distinct + one pair join of
     distinct value sets (gate-scale only)."""
     sk = df.groupBy(group_col).agg(
@@ -373,6 +377,8 @@ def distinct_overlap(
         .select(
             "group_a",
             "group_b",
+            "_na",
+            "_nb",
             (
                 F.hll_sketch_estimate("_ska")
                 + F.hll_sketch_estimate("_skb")
@@ -397,21 +403,24 @@ def distinct_overlap(
         )
         .agg(F.count("*").cast("long").alias("exact_overlap"))
     )
-    err = F.abs(F.col("_est") - F.col("exact_overlap")) / F.greatest(
-        F.col("exact_overlap").cast("double"), F.lit(1.0)
+    # inclusion-exclusion error scales with the SET SIZES, not the
+    # overlap (three HLL estimates, sd ~ 1.04/sqrt(2^lg_k) each), so
+    # the gate allows max(relative tol, a 3-sigma absolute slack on
+    # na + nb). Zero-overlap pairs coalesce to 0 FIRST so the slack
+    # applies to them too rather than being bypassed.
+    exact0 = F.coalesce(F.col("exact_overlap"), F.lit(0)).cast("long")
+    hll_slack = F.lit(3 * 1.04 / float((1 << lg_k) ** 0.5)) * (
+        F.col("_na") + F.col("_nb")
+    )
+    ok = F.abs(F.col("_est") - exact0.cast("double")) <= F.greatest(
+        F.lit(tol) * exact0.cast("double"), hll_slack, F.lit(1.0)
     )
     return (
         est.join(exact, ["group_a", "group_b"], "left")
         .select(
             "group_a",
             "group_b",
-            F.coalesce("exact_overlap", F.lit(0)).cast("long").alias(
-                "exact_overlap"
-            ),
-            (
-                (err <= tol)
-                | (F.abs(F.col("_est") - F.col("exact_overlap")) <= 1.0)
-                | F.col("exact_overlap").isNull()
-            ).alias("sketch_ok"),
+            exact0.alias("exact_overlap"),
+            ok.alias("sketch_ok"),
         )
     )

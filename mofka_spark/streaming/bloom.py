@@ -121,15 +121,20 @@ def read_membership(
     key's bits are set in the merged filter. No false negatives for
     keys any epoch inserted; false positives at the standard Bloom
     rate, deterministically reproducible (same hash family -> same FPs
-    in any engine). The merged filter is <= m_bits/64 rows and
-    broadcasts onto the probe side: membership is a map-only stage
-    over any probe volume. ``m_bits``/``k`` must match the sink's.
+    in any engine). The merged FILTER is <= m_bits/64 rows and
+    broadcasts onto the probe side — the corpus-sized state never
+    moves. ``m_bits``/``k`` must match the sink's.
 
     Row-preserving: duplicate probe rows come back as duplicates, and
     the probe frame's own columns are untouched — the bit probing
     runs on an internal distinct key projection (prefixed columns) and
-    joins back, so a probes frame already carrying a ``word``/``pos``
-    column cannot collide with the internals."""
+    joins back (null-safe: NULL probe keys report might_contain
+    False, matching the filter's no-NULL-insert contract), so a probes
+    frame already carrying a ``word``/``pos`` column cannot collide
+    with the internals. The per-key verdict frame scales with DISTINCT
+    probe keys, so the join-back is left to the optimizer (broadcast
+    when small, shuffle at crawl-frontier probe volumes — keyed on the
+    probe key either way)."""
     words = (
         read_store(spark, path, _SCHEMA, as_of_epoch)
         .groupBy("word")
@@ -163,11 +168,17 @@ def read_membership(
         .groupBy("__bf_key")
         .agg(F.min("__bf_hit").alias("might_contain"))
     )
-    return probes.join(
-        F.broadcast(per_key),
-        probes[key_col] == per_key["__bf_key"],
-        "left",
-    ).drop("__bf_key")
+    return (
+        probes.join(
+            per_key,
+            probes[key_col].eqNullSafe(per_key["__bf_key"]),
+            "left",
+        )
+        .drop("__bf_key")
+        .withColumn(
+            "might_contain", F.coalesce("might_contain", F.lit(False))
+        )
+    )
 
 
 def bloom_stats(

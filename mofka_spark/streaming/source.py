@@ -195,49 +195,69 @@ class MofkaStreamReader(DataSourceStreamReader):
             self.floor_path = None
         # Two floor tiers. _floor: SELF-EVIDENCED (this instance's own
         # partitions()/commit() calls, or initialOffset) — clamps both
-        # the announcement and the emitted ranges. _file_floor: loaded
-        # from the floor file at construction (a restart, possibly of
-        # a DIFFERENT query aliasing the shared default file) — used
-        # for the latestOffset announcement base only (a too-high
-        # announcement merely enlarges a batch; a too-high RANGE clamp
-        # silently skips rows). A file floor is PROMOTED into _floor
-        # once this query's own restored position (the end of a
-        # partitions()/commit() call, including the s == e recovery
-        # probe, whose offsets come from Spark's own offset log)
-        # reaches it — the legitimate-owner case, where clamping can
-        # only suppress duplicate re-delivery. Evidence that the query
-        # is BEHIND the file floor means the file belongs to another
-        # query (or a stale lineage): that partition's file floor is
-        # DISCARDED instead of skipping rows (the aliasing hazard of
-        # the shared default file).
+        # the announcement and the emitted ranges. _file_floor (+
+        # _file_from, the committed batch's start — the floor's
+        # "signature"): loaded from the floor file at construction (a
+        # restart, possibly of a DIFFERENT query aliasing the shared
+        # default file) — used for the latestOffset announcement base
+        # only (a too-high announcement merely enlarges a batch; a
+        # too-high RANGE clamp silently skips rows) until ownership is
+        # decided by _file_floor_evidence on a REAL planned batch.
         self._floor: dict[str, int] = {}
         self._file_floor: dict[str, int] = {}
+        self._file_from: dict[str, int] = {}
+        # last REAL planned range per partition — lets commit() record
+        # which batch produced each floor (the signature)
+        self._from: dict[str, int] = {}
+        self._ranges: dict[str, tuple[int, int]] = {}
         if self.floor_path:
             try:
                 with open(self.floor_path) as f:
+                    doc = json.load(f)
+                if isinstance(doc, dict) and "floors" in doc:
                     self._file_floor = {
-                        str(k): int(v) for k, v in json.load(f).items()
+                        str(k): int(v) for k, v in doc["floors"].items()
+                    }
+                    self._file_from = {
+                        str(k): int(v)
+                        for k, v in doc.get("from", {}).items()
+                    }
+                elif isinstance(doc, dict):  # legacy plain {p: floor}
+                    self._file_floor = {
+                        str(k): int(v) for k, v in doc.items()
                     }
             except (FileNotFoundError, ValueError):
                 pass
 
-    def _file_floor_evidence(self, p: str, position: int) -> None:
-        """Promote or discard a pending file floor using a TRUSTWORTHY
-        position for partition ``p`` — one that provably reflects this
-        query's own offset log, never a value this instance's own
-        (file-floor-seeded) announcements produced. The caller picks
-        the position: batch ENDS are trustworthy only before this
-        instance has announced anything (Spark read them from its
-        offset log); after the first latestOffset, only batch STARTS
-        are (ends echo our announcements — promoting on them would be
-        circular and bless a skip)."""
+    def _file_floor_evidence(self, p: str, s: int, e: int) -> None:
+        """Promote or discard a pending file floor for partition ``p``
+        using a REAL planned batch (s, e) — offsets Spark read from its
+        own log, never values our file-floor-seeded announcements
+        produced. Three cases:
+
+        - (s, e) == (file_from, file_floor): this is the owner's
+          crash-window replay of the exact batch that wrote the floor
+          (sink committed, Spark's commit-log write lost) — promote,
+          so the clamp suppresses the duplicate re-delivery.
+        - s >= floor: the query's committed position is at/past the
+          floor — owner (or a floor that can no longer skip anything);
+          promote.
+        - s < floor otherwise: the query is provably BEHIND a floor it
+          did not write — foreign/stale; DISCARD rather than skip rows
+          (the aliasing hazard of the shared default file). The one
+          undecidable corner — a foreign query whose pending batch is
+          byte-identical to the owner's committed range — clamps like
+          the owner; isolate twins with read_stream(checkpoint=...).
+        """
         ff = self._file_floor.get(p)
         if ff is None:
             return
-        if position >= ff:
+        signature = self._file_from.get(p) == s and e == ff
+        if signature or s >= ff:
             if ff > self._floor.get(p, 0):
                 self._floor[p] = ff
         del self._file_floor[p]
+        self._file_from.pop(p, None)
 
     def initialOffset(self) -> dict:
         _trace(self, "initialOffset")
@@ -263,6 +283,8 @@ class MofkaStreamReader(DataSourceStreamReader):
         # one's first batches empty / skip its early offsets.
         self._floor = dict(start)
         self._file_floor = {}  # fresh query: nothing pending to adopt
+        self._file_from = {}
+        self._from = {}
         self._save_floor()
         return start
 
@@ -299,14 +321,12 @@ class MofkaStreamReader(DataSourceStreamReader):
             s = int(start.get(p, 0))
             e = int(e)
             p = str(p)
-            # Decide pending file floors. Before this instance's first
-            # latestOffset, the END comes straight from Spark's offset
-            # log (replay of a pre-crash batch / the recovery probe) —
-            # trustworthy. After we have announced, ends echo our own
-            # file-floor-seeded announcements (circular), so only the
-            # START (always from Spark's offset log = the query's true
-            # position) may decide.
-            self._file_floor_evidence(p, e if self._last is None else s)
+            # Decide pending file floors on REAL planned batches only
+            # (the s == e recovery probe carries an END in both slots —
+            # an end can exceed a foreign floor and must not decide).
+            if s != e:
+                self._file_floor_evidence(p, s, e)
+                self._ranges[p] = (s, e)
             # Learn the checkpoint floor from a REAL batch's start: on
             # restart the first genuine plan's start is the committed
             # position. Skip degenerate s == e calls — Spark probes
@@ -335,11 +355,19 @@ class MofkaStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         _trace(self, f"commit end={end}")
         # checkpointing is Spark's job; remember committed ends so a
-        # restarted reader's rate cap can never announce below them
+        # restarted reader's rate cap can never announce below them.
+        # Record each floor's SIGNATURE (the committed batch's start,
+        # from the preceding partitions() call) so a restart can
+        # recognize its own crash-window replay — see
+        # _file_floor_evidence. Pending file floors were already
+        # resolved by that partitions() call; nothing to decide here.
         for p, n in end.items():
             p = str(p)
-            self._file_floor_evidence(p, int(n))
-            self._floor[p] = max(self._floor.get(p, 0), int(n))
+            n = int(n)
+            rng = self._ranges.get(p)
+            if rng is not None and rng[1] == n:
+                self._from[p] = rng[0]
+            self._floor[p] = max(self._floor.get(p, 0), n)
         self._save_floor()
 
     def _save_floor(self) -> None:
@@ -348,7 +376,11 @@ class MofkaStreamReader(DataSourceStreamReader):
         os.makedirs(os.path.dirname(self.floor_path), exist_ok=True)
         tmp = f"{self.floor_path}.tmp-{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump(self._floor, f, sort_keys=True)
+            json.dump(
+                {"floors": self._floor, "from": self._from},
+                f,
+                sort_keys=True,
+            )
         os.replace(tmp, self.floor_path)
 
 

@@ -547,3 +547,21 @@ class TestEmbeddingOutliers:
         out = embedding_outliers(df).collect()
         assert len(out) == 1  # null label excluded
         assert out[0].z == 0.0 and not out[0].is_outlier
+
+
+class TestRankingMetricsNullLabels:
+    def test_null_neighbor_label_is_not_relevant(self, spark):
+        from mofka_spark.operators.similarity import ranking_metrics
+
+        labels = spark.createDataFrame(
+            [(1, 0), (2, None), (3, 0)],
+            "vec_id long, label int",
+        )
+        ranked = spark.createDataFrame(
+            [(1, 2, 1), (1, 3, 2)], ["query_id", "neighbor_id", "rank"]
+        )
+        (row,) = ranking_metrics(ranked, labels, k=2).collect()
+        # neighbor 2 (NULL label) counts as not-relevant, not NULL
+        assert row.precision_at_k == 0.5
+        assert row.mrr == 0.5
+        assert row.ndcg is not None and row.ndcg > 0

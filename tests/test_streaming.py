@@ -1673,14 +1673,45 @@ class TestFloorAliasing:
         _fill_topic(driver, name="alias-t2", partitions=1, n=20)
         r1 = self._reader(driver, "alias-t2")
         r1.initialOffset()
+        r1.partitions({"0": 5}, {"0": 10})   # the batch that commits
         r1.commit({"0": 10})
 
-        # the SAME query restarts: Spark replays the committed batch
-        # (5, 10) — the promoted floor clamps it empty (already in the
-        # sink), exactly the pre-existing durable-floor behavior
+        # the SAME query restarts into the crash window (sink + floor
+        # committed, Spark's commit-log write lost): the replayed
+        # batch carries the floor's exact (start, end) signature —
+        # promote, clamp empty, duplicates suppressed
         r2 = self._reader(driver, "alias-t2")
         parts = r2.partitions({"0": 5}, {"0": 10})
         assert all(p.start >= 10 or p.start == p.end for p in parts)
+        assert r2._floor.get("0") == 10
+
+    def test_foreign_pending_replay_not_skipped(self, driver):
+        """A FOREIGN query's pending replay overlapping the floor must
+        deliver in full: its (start, end) does not match the floor's
+        committed-batch signature and its start is behind the floor."""
+        _fill_topic(driver, name="alias-t5", partitions=1, n=20)
+        r1 = self._reader(driver, "alias-t5")
+        r1.initialOffset()
+        r1.partitions({"0": 5}, {"0": 10})
+        r1.commit({"0": 10})
+
+        r2 = self._reader(driver, "alias-t5")   # different query, pending (2, 12)
+        parts = r2.partitions({"0": 2}, {"0": 12})
+        ranges = [(p.start, p.end) for p in parts]
+        assert (2, 12) in ranges            # rows 2..10 NOT skipped
+        assert r2._file_floor == {}
+
+    def test_owner_past_floor_promotes(self, driver):
+        _fill_topic(driver, name="alias-t6", partitions=1, n=20)
+        r1 = self._reader(driver, "alias-t6")
+        r1.initialOffset()
+        r1.partitions({"0": 5}, {"0": 10})
+        r1.commit({"0": 10})
+
+        r2 = self._reader(driver, "alias-t6")
+        # owner's NEXT batch after a clean restart starts AT the floor
+        parts = r2.partitions({"0": 10}, {"0": 15})
+        assert any(p.start == 10 and p.end == 15 for p in parts)
         assert r2._floor.get("0") == 10
 
     def test_clean_restart_announcement_does_not_bless_foreign_floor(
@@ -1831,4 +1862,19 @@ class TestBloomProbeRobustness:
         hits = [r.might_contain for r in out if r.key == "a"]
         assert hits == [True, True]
         (miss,) = [r for r in out if r.key == "zz"]
-        assert miss.might_contain is False or miss.might_contain is None
+        assert miss.might_contain is False
+
+    def test_null_probe_key_is_false(self, spark, tmp_path):
+        from mofka_spark.streaming.bloom import bloom_sink, read_membership
+
+        path = str(tmp_path / "bfn")
+        bloom_sink(path, "key")(
+            spark.createDataFrame([("a",)], ["key"]), 0
+        )
+        probes = spark.createDataFrame(
+            [("a",), (None,)], "key string"
+        )
+        out = {r.key: r.might_contain for r in read_membership(
+            spark, path, probes, "key").collect()}
+        assert out["a"] is True
+        assert out[None] is False   # pinned: False, never NULL
