@@ -211,3 +211,61 @@ def inclusion_profile(
             "to_col string, n_from long, n_common long, inclusion double",
         )
     return out
+
+
+def corpus_report(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Per-source corpus health report — the one-table summary a data
+    curator reads before mixing sources: volume, exact-dup rate,
+    length profile, punctuation load, language spread. Composes the
+    existing primitives (dedup's content hash, text's token/char
+    ratios) into one aggregation so the answer is a single small
+    frame, not five separate jobs.
+
+    Returns one row per stratum: (strata_col, n_docs,
+    n_unique_content, dup_rate, avg_tokens, avg_chars,
+    avg_punct_ratio, n_langs); ratios rounded to 4dp.
+
+    Scale shape: ONE scan + one stratum-keyed aggregate; the content
+    hash is a scan-local md5 projection and the distinct-count runs
+    inside the same agg (swap for approx_count_distinct at corpus
+    scale — same row shape, documented sketch trade). Output is
+    O(#strata)."""
+    from mofka_spark.operators.dedup import normalize_text
+
+    col = F.col(text_col)
+    n_chars = F.length(col)
+    n_tok = F.size(F.split(F.trim(col), r"\s+"))
+    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    base = df.filter(col.isNotNull()).select(
+        F.col(strata_col).alias("stratum"),
+        F.md5(normalize_text(col)).alias("_h"),
+        n_tok.alias("_tok"),
+        n_chars.alias("_chr"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("_pr"),
+        *(
+            [F.col(lang_col).alias("_lang")]
+            if lang_col is not None
+            else [F.lit(None).alias("_lang")]
+        ),
+    )
+    return (
+        base.groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("_h").cast("long").alias("n_unique_content"),
+            F.round(
+                1.0 - F.count_distinct("_h") / F.count("*"), 4
+            ).alias("dup_rate"),
+            F.round(F.avg("_tok"), 4).alias("avg_tokens"),
+            F.round(F.avg("_chr"), 4).alias("avg_chars"),
+            F.round(F.avg("_pr"), 4).alias("avg_punct_ratio"),
+            F.count_distinct("_lang").cast("long").alias("n_langs"),
+        )
+        .withColumnRenamed("stratum", strata_col)
+    )

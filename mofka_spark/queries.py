@@ -5700,6 +5700,39 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inclusion_profile(frames, _INCLUSION_COLS)
 
 
+# Per-source corpus health report (operators/quality.py
+# corpus_report): volume, exact-dup rate, length/punct profile,
+# language spread — one aggregate, one row per source.
+@query(
+    "corpus_report",
+    r"""
+    WITH base AS (
+      SELECT source AS stratum,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+             len(string_split_regex(trim(text), '\s+')) AS tok,
+             length(text) AS nchr,
+             ROUND(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                   / greatest(length(text), 1), 4) AS pr,
+             lang
+      FROM documents WHERE text IS NOT NULL)
+    SELECT stratum AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_content,
+           ROUND(1.0 - COUNT(DISTINCT h) / COUNT(*), 4) AS dup_rate,
+           ROUND(AVG(tok), 4) AS avg_tokens,
+           ROUND(AVG(nchr), 4) AS avg_chars,
+           ROUND(AVG(pr), 4) AS avg_punct_ratio,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM base GROUP BY stratum
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.quality import corpus_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_report(docs)
+
+
 # Per-class embedding outliers (operators/similarity.py
 # embedding_outliers): centroid distance z-scored within the label —
 # the geometric mislabel/corruption scan next to label_noise_scan's

@@ -176,3 +176,39 @@ class TestInclusionProfile:
         }
         # every order's customer exists: the true FK direction is 1.0
         assert out[("orders", "customer")] == 1.0
+
+
+class TestCorpusReport:
+    def test_per_source_stats(self, spark):
+        from mofka_spark.operators.quality import corpus_report
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat", "en", "web"),
+                (2, "The  cat   sat", "en", "web"),   # dup after canon
+                (3, "totally different", "de", "web"),
+                (4, "single doc here!", "en", "books"),
+                (5, None, "en", "books"),              # null text excluded
+            ],
+            ["doc_id", "text", "lang", "source"],
+        )
+        out = {r.source: r for r in corpus_report(docs).collect()}
+        web = out["web"]
+        assert web.n_docs == 3 and web.n_unique_content == 2
+        assert web.dup_rate == round(1 - 2 / 3, 4)
+        assert web.n_langs == 2
+        books = out["books"]
+        assert books.n_docs == 1 and books.dup_rate == 0.0
+        assert books.avg_tokens == 3.0
+        assert books.avg_punct_ratio == round(1 / 16, 4)
+
+    def test_single_aggregate_plan(self, spark):
+        from mofka_spark import plans
+        from mofka_spark.operators.quality import corpus_report
+
+        docs = spark.createDataFrame(
+            [(1, "a b", "en", "s")], ["doc_id", "text", "lang", "source"]
+        )
+        p = plans.plan_string(corpus_report(docs))
+        # one scan; the distinct counts expand inside the same agg
+        assert p.count("Scan ") <= 1 or p.count("LocalTableScan") <= 2
