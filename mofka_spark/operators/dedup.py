@@ -854,3 +854,34 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def soft_dedup_weights(components: DataFrame) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, weight
+    every cluster member by 1/cluster_size so each duplicated piece of
+    content contributes one unit of training mass in total (the
+    down-weighting alternative to hard dedup — repeated content still
+    appears, but no longer dominates the loss in proportion to its
+    copy count). Feed the weights to weighted_sample / dsir_select or
+    a loss-weighting column in the export.
+
+    ``components`` is (id, keeper_id) from minhash_lsh_dedup(
+    transitive=True) / dedup_components — singletons carry themselves
+    and get weight 1.0. Returns (id, keeper_id, cluster_size, weight),
+    weight rounded to 6dp.
+
+    Scale shape: one keeper-keyed partial-agg count broadcast back
+    onto the components frame (clusters are tiny relative to the
+    corpus; the count table is O(#clusters)); no sort, no window."""
+    sizes = components.groupBy("keeper_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        components.join(F.broadcast(sizes), "keeper_id")
+        .select(
+            "id",
+            "keeper_id",
+            "cluster_size",
+            F.round(1.0 / F.col("cluster_size"), 6).alias("weight"),
+        )
+    )

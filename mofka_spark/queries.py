@@ -5700,6 +5700,34 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inclusion_profile(frames, _INCLUSION_COLS)
 
 
+# Soft dedup weights (operators/dedup.py soft_dedup_weights):
+# down-weight near-dup clusters by 1/size instead of dropping —
+# repeated content contributes one unit of training mass total.
+@query(
+    "soft_dedup_weights",
+    _COMPONENTS_CTE
+    + """
+    , assigned AS (
+      SELECT doc.doc_id AS id,
+             COALESCE(c.component, doc.doc_id) AS keeper_id
+      FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
+    ), sizes AS (
+      SELECT keeper_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM assigned GROUP BY keeper_id
+    )
+    SELECT id, a.keeper_id, cluster_size,
+           ROUND(1.0 / cluster_size, 6) AS weight
+    FROM assigned a JOIN sizes s ON a.keeper_id = s.keeper_id
+    """,
+)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    comp = dedup.minhash_lsh_dedup(
+        docs, verify_threshold=0.8, transitive=True
+    ).select("id", "keeper_id")
+    return dedup.soft_dedup_weights(comp)
+
+
 # Per-source corpus health report (operators/quality.py
 # corpus_report): volume, exact-dup rate, length/punct profile,
 # language spread — one aggregate, one row per source.

@@ -247,3 +247,23 @@ class TestAggressiveNormalization:
         ).collect()
         # lowercase, digits->0, punctuation/underscore gone, ws collapsed
         assert row.n == "héllo world 00x"
+
+
+class TestSoftDedupWeights:
+    def test_cluster_mass_sums_to_one(self, spark):
+        from pyspark.sql import functions as F
+        from mofka_spark.operators.dedup import soft_dedup_weights
+
+        comp = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+            ["id", "keeper_id"],
+        )
+        out = soft_dedup_weights(comp)
+        rows = {r.id: r for r in out.collect()}
+        assert rows[1].cluster_size == 3 and rows[1].weight == round(1 / 3, 6)
+        assert rows[4].cluster_size == 1 and rows[4].weight == 1.0
+        mass = (
+            out.groupBy("keeper_id").agg(F.round(F.sum("weight"), 4).alias("m"))
+            .collect()
+        )
+        assert all(abs(r.m - 1.0) < 1e-3 for r in mass)
