@@ -1305,3 +1305,49 @@ def embedding_outliers(
         "z",
         (F.col("z") > z_thresh).alias("is_outlier"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-search combiner: given N ranked lists per query (BM25,
+    dense cosine, dot, ...), each candidate scores
+
+        rrf = sum over lists of 1 / (k + rank_in_list)
+
+    (absent from a list = contributes 0). Rank-based, so the lists'
+    score scales never need calibrating — which is why RRF is the
+    default fusion in hybrid retrieval stacks. Returns (query_id,
+    neighbor_id, rrf_score, fused_rank) with score rounded to 6dp and
+    ties broken on neighbor id; ``top`` keeps the best N per query.
+
+    Scale shape: a unionAll of the (already thin) ranked frames, one
+    (query, id)-keyed partial-agg sum, and a per-query window over
+    each query's candidate pool (bounded by N_lists x list_len) —
+    cost scales with the rankings, never the corpus."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            (1.0 / (F.lit(k) + F.col(rank_col))).alias("_c"),
+        )
+        contribs = c if contribs is None else contribs.unionAll(c)
+    fused = contribs.groupBy("query_id", "neighbor_id").agg(
+        F.round(F.sum("_c"), 6).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    out = fused.withColumn("fused_rank", F.row_number().over(w))
+    if top is not None:
+        out = out.filter(F.col("fused_rank") <= top)
+    return out

@@ -5700,6 +5700,63 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inclusion_profile(frames, _INCLUSION_COLS)
 
 
+# Reciprocal-rank fusion (operators/similarity.py rrf_fuse): hybrid
+# retrieval's standard combiner — fuse the cosine and dot-product
+# top-10 lists for the 8 query vectors; rrf = sum 1/(60 + rank).
+@query(
+    "rrf_fusion",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < 8),
+    cos_s AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(qvec,
+                   CAST(c.embedding AS DOUBLE[])), 6) AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    dot_s AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             ROUND(list_inner_product(qvec,
+                   CAST(c.embedding AS DOUBLE[])), 6) AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    cos_r AS (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS rnk
+              FROM cos_s),
+    dot_r AS (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS rnk
+              FROM dot_s),
+    contribs AS (
+      SELECT query_id, neighbor_id, 1.0 / (60 + rnk) AS c
+      FROM cos_r WHERE rnk <= 10
+      UNION ALL
+      SELECT query_id, neighbor_id, 1.0 / (60 + rnk) AS c
+      FROM dot_r WHERE rnk <= 10),
+    fused AS (
+      SELECT query_id, neighbor_id, ROUND(SUM(c), 6) AS rrf_score
+      FROM contribs GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, rrf_score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rrf_score DESC, neighbor_id) AS BIGINT)
+             AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    by_cos = similarity.brute_force_topk(queries, emb, k=10)
+    by_dot = similarity.brute_force_topk(queries, emb, k=10, metric="dot")
+    out = similarity.rrf_fuse([by_cos, by_dot], k=60, top=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rrf_score",
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+    )
+
+
 # Soft dedup weights (operators/dedup.py soft_dedup_weights):
 # down-weight near-dup clusters by 1/size instead of dropping —
 # repeated content contributes one unit of training mass total.

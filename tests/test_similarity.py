@@ -565,3 +565,42 @@ class TestRankingMetricsNullLabels:
         assert row.precision_at_k == 0.5
         assert row.mrr == 0.5
         assert row.ndcg is not None and row.ndcg > 0
+
+
+class TestRrfFuse:
+    def test_hand_computed_fusion(self, spark):
+        from mofka_spark.operators.similarity import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)], ["query_id", "neighbor_id", "rank"]
+        )
+        b = spark.createDataFrame(
+            [(1, 11, 1), (1, 12, 2)], ["query_id", "neighbor_id", "rank"]
+        )
+        out = {r.neighbor_id: r for r in rrf_fuse([a, b], k=60).collect()}
+        # 11 appears in both lists -> highest fused score
+        assert out[11].fused_rank == 1
+        assert out[11].rrf_score == round(1 / 61 + 1 / 62, 6)
+        assert out[10].rrf_score == round(1 / 61, 6)
+        assert out[12].rrf_score == round(1 / 62, 6)
+        # tie between 10 (rank1 in a) and 12? no - 1/61 > 1/62
+        assert out[10].fused_rank == 2 and out[12].fused_rank == 3
+
+    def test_top_and_single_list(self, spark):
+        from mofka_spark.operators.similarity import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, i, i) for i in range(1, 6)],
+            ["query_id", "neighbor_id", "rank"],
+        )
+        out = rrf_fuse([a], top=2).collect()
+        assert len(out) == 2
+        assert [r.neighbor_id for r in sorted(out, key=lambda r: r.fused_rank)] == [1, 2]
+
+    def test_empty_list_raises(self, spark):
+        import pytest
+
+        from mofka_spark.operators.similarity import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([])
