@@ -870,14 +870,19 @@ def soft_dedup_weights(components: DataFrame) -> DataFrame:
     and get weight 1.0. Returns (id, keeper_id, cluster_size, weight),
     weight rounded to 6dp.
 
-    Scale shape: one keeper-keyed partial-agg count broadcast back
-    onto the components frame (clusters are tiny relative to the
-    corpus; the count table is O(#clusters)); no sort, no window."""
+    Scale shape: one keeper-keyed partial-agg count joined back onto
+    the components frame on the SAME keeper_id key — a co-partitioned
+    shuffle join (AQE reuses the aggregate's hash partitioning and
+    will still broadcast when the frame is genuinely small). The
+    sizes table is O(#unique docs), NOT O(#non-singleton clusters):
+    singletons carry themselves, so in a mostly-unique corpus it is
+    corpus-sized and must never be broadcast-hinted. No sort, no
+    window."""
     sizes = components.groupBy("keeper_id").agg(
         F.count("*").cast("long").alias("cluster_size")
     )
     return (
-        components.join(F.broadcast(sizes), "keeper_id")
+        components.join(sizes, "keeper_id")
         .select(
             "id",
             "keeper_id",

@@ -199,26 +199,44 @@ def value_trend(
     Returns (key, n_events, slope, intercept) rounded to 6dp;
     intercept is the fitted value at the key's first event.
 
-    Scale shape: two aggregates on the same key partitioning (the
-    rebase MIN, then the five sums after a same-key join-back) — AQE
-    co-partitions, no window, no sort, and every sum is mergeable.
-    """
-    base = df.groupBy(key_col).agg(F.min(ts_col).alias("_t0"))
-    x = (
-        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_t0"))
-    ).cast("double") / F.lit(1e6)
+    Scale shape: ONE key-keyed aggregate collecting each key's points
+    into a (ts, y)-sorted array, then four ordered left folds inside
+    the array — no window, no join, one Exchange. The sums run over
+    the SORTED point list so the IEEE-double result is independent of
+    partial-aggregation order and reproducible by an external engine
+    (the token_entropy / temperature_mix float-identity trick; plain
+    F.sum over doubles rounds differently run-to-run at ROUND(…,6)
+    boundaries). Per-key memory is O(events-per-key) — the per-entity
+    history a trend fit needs anyway; keys with pathological event
+    counts should be pre-capped upstream."""
     y = F.col(value_col).cast("double")
-    sums = (
-        df.join(base, key_col)
-        .filter(y.isNotNull())
+    pts = (
+        df.filter(y.isNotNull())
         .groupBy(key_col)
         .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum(x).alias("sx"),
-            F.sum(y).alias("sy"),
-            F.sum(x * x).alias("sxx"),
-            F.sum(x * y).alias("sxy"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col(ts_col).alias("ts"), y.alias("y")))
+            ).alias("_pts")
         )
+    )
+    t0 = F.unix_micros(F.element_at("_pts", 1).getField("ts"))
+    xs = F.transform(
+        "_pts",
+        lambda p: (F.unix_micros(p.getField("ts")) - t0).cast("double")
+        / F.lit(1e6),
+    )
+    ys = F.transform("_pts", lambda p: p.getField("y"))
+
+    def _fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+    sums = pts.select(
+        key_col,
+        F.size("_pts").cast("long").alias("n"),
+        _fold(xs).alias("sx"),
+        _fold(ys).alias("sy"),
+        _fold(F.zip_with(xs, xs, lambda a, b: a * b)).alias("sxx"),
+        _fold(F.zip_with(xs, ys, lambda a, b: a * b)).alias("sxy"),
     )
     denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
