@@ -184,6 +184,8 @@ def value_trend(
     key_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    method: str = "exact",
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Per-key least-squares trend of value over time: slope (per
     second) and intercept from the closed-form sums
@@ -191,62 +193,110 @@ def value_trend(
     primitive (is this user's/sensor's value drifting up?) that
     time_decayed_average's level signal doesn't capture.
 
-    x is REBASED to each key's earliest event (seconds since first
-    seen) before squaring: raw epoch-microsecond x would put Sxx near
-    1e36 where the closed form loses all precision. Keys need >= 2
-    distinct timestamps for a defined slope (others are dropped).
+    x is REBASED to each key's earliest OBSERVED event — the first
+    event with both a non-null timestamp and a non-null value; rows
+    missing either carry no information for the fit and are excluded
+    up front — measured in seconds since that origin, before
+    squaring: raw epoch-microsecond x would put Sxx near 1e36 where
+    the closed form loses all precision. Keys need >= 2 distinct
+    timestamps for a defined slope (others are dropped).
 
     Returns (key, n_events, slope, intercept) rounded to 6dp;
-    intercept is the fitted value at the key's first event.
+    intercept is the fitted value at the key's first observation.
+    Both are normalized through ``+ 0.0`` AFTER rounding so a slope
+    that rounds to zero is +0.0, never IEEE -0.0 (ROUND(-1e-15, 6)
+    yields -0.0 in both engines; stringified hashes then diverge on
+    the sign bit — the ``0.0 + ROUND(...)`` convention from the
+    streaming_quantiles oracle applies to both sides here).
 
-    Scale shape: ONE key-keyed aggregate collecting each key's points
-    into a (ts, y)-sorted array, then four ordered left folds inside
-    the array — no window, no join, one Exchange. The sums run over
-    the SORTED point list so the IEEE-double result is independent of
-    partial-aggregation order and reproducible by an external engine
-    (the token_entropy / temperature_mix float-identity trick; plain
-    F.sum over doubles rounds differently run-to-run at ROUND(…,6)
-    boundaries). Per-key memory is O(events-per-key) — the per-entity
-    history a trend fit needs anyway; keys with pathological event
-    counts should be pre-capped upstream."""
+    Two physical strategies, same closed form:
+
+    * ``method="exact"`` (default, the correctness gate): ONE
+      key-keyed aggregate collecting each key's points into a
+      (ts, y)-sorted array, then four ordered left folds inside the
+      array — no window, no join, one Exchange. The sums run over the
+      SORTED point list so the IEEE-double result is independent of
+      partial-aggregation order and reproducible by an external
+      engine (the token_entropy / temperature_mix float-identity
+      trick; plain F.sum over doubles rounds differently
+      run-to-run at ROUND(…,6) boundaries). Per-key memory is
+      O(events-per-key); ``max_events_per_key`` caps it (keeping the
+      EARLIEST cap points per key, so t0 — and thus the fit origin —
+      is unchanged) and a skewed key degrades to a truncated fit
+      instead of an executor OOM.
+    * ``method="sums"`` (the corpus-scale path): the per-key MIN-ts
+      anchor joined back on the same key, then five plain mergeable
+      F.sum partial aggregates — O(1) state per key, map-side
+      combine, AQE co-partitions the anchor join. Bit-for-bit
+      reproducibility across engines is NOT guaranteed at ROUND(…,6)
+      tie boundaries (float addition order varies with partial-agg
+      order); values agree to ~1e-9 relative. Use for 100 TB runs,
+      ``exact`` for oracle-checked gates. ``max_events_per_key`` is
+      ignored here (state is already O(1))."""
     y = F.col(value_col).cast("double")
-    pts = (
-        df.filter(y.isNotNull())
-        .groupBy(key_col)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(ts_col).alias("ts"), y.alias("y")))
-            ).alias("_pts")
+    obs = df.filter(y.isNotNull() & F.col(ts_col).isNotNull())
+
+    def _us(c: Column) -> Column:
+        # NTZ-tolerant epoch micros: cast is a no-op on TIMESTAMP, and
+        # for TIMESTAMP_NTZ the session-tz offset cancels in the
+        # t - t0 difference the fit actually uses.
+        return F.unix_micros(c.cast("timestamp"))
+
+    if method == "sums":
+        anchor = obs.groupBy(key_col).agg(F.min(ts_col).alias("_t0"))
+        x = (_us(F.col(ts_col)) - _us(F.col("_t0"))).cast(
+            "double"
+        ) / F.lit(1e6)
+        sums = (
+            obs.join(anchor, key_col)
+            .groupBy(key_col)
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(x).alias("sx"),
+                F.sum(y).alias("sy"),
+                F.sum(x * x).alias("sxx"),
+                F.sum(x * y).alias("sxy"),
+            )
         )
-    )
-    t0 = F.unix_micros(F.element_at("_pts", 1).getField("ts"))
-    xs = F.transform(
-        "_pts",
-        lambda p: (F.unix_micros(p.getField("ts")) - t0).cast("double")
-        / F.lit(1e6),
-    )
-    ys = F.transform("_pts", lambda p: p.getField("y"))
+    elif method == "exact":
+        arr = F.sort_array(
+            F.collect_list(F.struct(F.col(ts_col).alias("ts"), y.alias("y")))
+        )
+        if max_events_per_key is not None:
+            arr = F.slice(arr, 1, int(max_events_per_key))
+        pts = obs.groupBy(key_col).agg(arr.alias("_pts"))
+        t0 = _us(F.element_at("_pts", 1).getField("ts"))
+        xs = F.transform(
+            "_pts",
+            lambda p: (_us(p.getField("ts")) - t0).cast("double")
+            / F.lit(1e6),
+        )
+        ys = F.transform("_pts", lambda p: p.getField("y"))
 
-    def _fold(arr):
-        return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+        def _fold(a):
+            return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v)
 
-    sums = pts.select(
-        key_col,
-        F.size("_pts").cast("long").alias("n"),
-        _fold(xs).alias("sx"),
-        _fold(ys).alias("sy"),
-        _fold(F.zip_with(xs, xs, lambda a, b: a * b)).alias("sxx"),
-        _fold(F.zip_with(xs, ys, lambda a, b: a * b)).alias("sxy"),
-    )
+        sums = pts.select(
+            key_col,
+            F.size("_pts").cast("long").alias("n"),
+            _fold(xs).alias("sx"),
+            _fold(ys).alias("sy"),
+            _fold(F.zip_with(xs, xs, lambda a, b: a * b)).alias("sxx"),
+            _fold(F.zip_with(xs, ys, lambda a, b: a * b)).alias("sxy"),
+        )
+    else:
+        raise ValueError(f"value_trend: unknown method {method!r}")
+
     denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
     return sums.filter(denom > 0).select(
         key_col,
         F.col("n").alias("n_events"),
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-            "intercept"
-        ),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+            + F.lit(0.0)
+        ).alias("intercept"),
     )
 
 

@@ -3760,7 +3760,7 @@ def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type,
            e.value,
-           ROUND(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+           0.0 + ROUND(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
                       ELSE (e.value - mu) / sd END, 6) AS z
     FROM events e JOIN stats s ON s.event_type = e.event_type
     WHERE e.event_id < 2000
@@ -4068,7 +4068,7 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / 86400000000.0) AS wt
       FROM events e JOIN anchor a ON a.user_id = e.user_id)
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value * wt) / SUM(wt), 6) AS ewma
+           0.0 + ROUND(SUM(value * wt) / SUM(wt), 6) AS ewma
     FROM w GROUP BY user_id
     """,
 )
@@ -4761,7 +4761,7 @@ def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(SUM(n_pair) AS DOUBLE) AS p FROM pr
     ), sc AS (
       SELECT w1, w2, n_pair,
-             ROUND(LN((n_pair / (SELECT p FROM pp)) /
+             0.0 + ROUND(LN((n_pair / (SELECT p FROM pp)) /
                       ((u1.c / (SELECT n FROM nt)) *
                        (u2.c / (SELECT n FROM nt)))), 6) AS pmi
       FROM pr JOIN uni u1 ON u1.w = pr.w1 JOIN uni u2 ON u2.w = pr.w2
@@ -5221,14 +5221,15 @@ def q_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "user_value_trend",
     """
-    WITH b AS (
-      SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+    WITH obs AS (
+      SELECT user_id, ts, CAST(value AS DOUBLE) AS y FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), b AS (
+      SELECT user_id, MIN(ts) AS t0 FROM obs GROUP BY user_id
     ), pts AS (
       SELECT e.user_id,
-             (epoch_us(e.ts) - epoch_us(b.t0)) / 1e6 AS x,
-             CAST(e.value AS DOUBLE) AS y
-      FROM events e JOIN b USING (user_id)
-      WHERE e.value IS NOT NULL
+             (epoch_us(e.ts) - epoch_us(b.t0)) / 1e6 AS x, e.y
+      FROM obs e JOIN b USING (user_id)
     ), s AS (
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
              SUM(x) AS sx, SUM(y) AS sy,
@@ -5236,8 +5237,8 @@ def q_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts GROUP BY user_id
     )
     SELECT user_id, n AS n_events,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+           0.0 + ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           0.0 + ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
                  / n, 6) AS intercept
     FROM s WHERE n * sxx - sx * sx > 0
     """,
@@ -5841,7 +5842,7 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM dist GROUP BY label),
     zz AS (
       SELECT id, dist.label, dist,
-             ROUND(CASE WHEN sd IS NULL OR sd = 0.0 THEN 0.0
+             0.0 + ROUND(CASE WHEN sd IS NULL OR sd = 0.0 THEN 0.0
                         ELSE (dist - mu) / sd END, 6) AS z
       FROM dist JOIN stats ON dist.label = stats.label)
     SELECT id, label, dist, z, z > 3.0 AS is_outlier FROM zz

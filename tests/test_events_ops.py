@@ -308,3 +308,102 @@ class TestValueTrend:
         rows = [(1, datetime.datetime(2024, 1, 1), 1.0)]
         df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
         assert "Window" not in plans.plan_string(ev_ops.value_trend(df))
+
+    def test_sums_method_matches_exact(self, spark):
+        import datetime
+        import random
+
+        rng = random.Random(7)
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (
+                u,
+                base + datetime.timedelta(seconds=rng.randrange(0, 86400)),
+                rng.uniform(-50.0, 50.0),
+            )
+            for u in range(5)
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        exact = {
+            r.user_id: r for r in ev_ops.value_trend(df).collect()
+        }
+        sums = {
+            r.user_id: r
+            for r in ev_ops.value_trend(df, method="sums").collect()
+        }
+        assert exact.keys() == sums.keys()
+        for k in exact:
+            assert exact[k].n_events == sums[k].n_events
+            assert abs(exact[k].slope - sums[k].slope) <= 1e-6
+            assert abs(exact[k].intercept - sums[k].intercept) <= 1e-6
+
+    def test_sums_method_has_constant_state(self, spark):
+        import datetime
+
+        from mofka_spark import plans
+
+        rows = [(1, datetime.datetime(2024, 1, 1), 1.0)]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        p = plans.plan_string(ev_ops.value_trend(df, method="sums"))
+        # the scale path must not collect per-key arrays
+        assert "collect_list" not in p
+        assert "Window" not in p
+
+    def test_max_events_cap_keeps_earliest(self, spark):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        # y = 3x + 1 for the first 5 seconds, then a wild outlier tail
+        rows = [
+            (1, base + datetime.timedelta(seconds=s), 3.0 * s + 1.0)
+            for s in range(5)
+        ] + [
+            (1, base + datetime.timedelta(seconds=1000 + s), 1e6)
+            for s in range(3)
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        out = ev_ops.value_trend(df, max_events_per_key=5).collect()[0]
+        assert out.n_events == 5
+        assert out.slope == 3.0
+        assert out.intercept == 1.0
+
+    def test_null_ts_rows_excluded_not_poisoning(self, spark):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (1, None, 99.0),  # null ts must not null t0 / drop the key
+            (1, base, 5.0),
+            (1, base + datetime.timedelta(seconds=10), 25.0),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        out = ev_ops.value_trend(df).collect()
+        assert len(out) == 1
+        assert out[0].n_events == 2
+        assert out[0].slope == 2.0
+        assert out[0].intercept == 5.0
+
+    def test_zero_slope_is_positive_zero(self, spark):
+        import datetime
+        import math
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (1, base + datetime.timedelta(seconds=s), 7.0) for s in range(3)
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        for method in ("exact", "sums"):
+            out = ev_ops.value_trend(df, method=method).collect()[0]
+            assert out.slope == 0.0
+            assert not math.copysign(1.0, out.slope) < 0
+
+    def test_unknown_method_rejected(self, spark):
+        import datetime
+
+        import pytest
+
+        rows = [(1, datetime.datetime(2024, 1, 1), 1.0)]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        with pytest.raises(ValueError, match="unknown method"):
+            ev_ops.value_trend(df, method="bogus")

@@ -65,11 +65,26 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             vals = False
             err = str(e).splitlines()[0:6]
-        status = "OK" if (rows and cols and vals) else "FAIL"
+        # the driver hashes STRINGIFIED values, so -0.0 vs 0.0 (or any
+        # repr difference inside the 1e-9 tolerance) is a real driver
+        # failure even when assert_frame_equal passes — compare reprs
+        # too (the r6 user_value_trend lesson).
+        strict = vals
+        if vals and rows and cols:
+            try:
+                n_str = int((s2.map(repr) != o.map(repr)).values.sum())
+            except Exception:  # noqa: BLE001  (older pandas: applymap)
+                n_str = int(
+                    (s2.applymap(repr) != o.applymap(repr)).values.sum()
+                )
+            strict = n_str == 0
+            if not strict:
+                err = [f"{n_str} stringified cell(s) differ (hash-risk)"]
+        status = "OK" if (rows and cols and vals and strict) else "FAIL"
         if status == "FAIL":
             failures += 1
         print(f"{name}: {status} spark_rows={len(s)} oracle_rows={len(o)} cols_match={cols}")
-        if not vals and rows and cols:
+        if (not vals or not strict) and rows and cols:
             print("  value mismatch:", " / ".join(err))
         elif not cols:
             print(f"  spark cols={list(s.columns)} oracle cols={list(o.columns)}")
