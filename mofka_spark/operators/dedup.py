@@ -745,12 +745,31 @@ def simhash_dedup(
     )
 
 
+def _doc_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Materialized per-doc distinct word-n-gram arrays (id, grams) —
+    the single tokenize pass shared by containment_candidates (which
+    explodes+hashes it into the inverted index) and the
+    containment_pairs exact verify (which intersects the arrays).
+    localCheckpoint: reclaimed on GC, not a session-cache leak."""
+    return (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def containment_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     max_df: int | None = None,
+    doc_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs sharing at least one word-n-gram,
     from an inverted gram index — the recall basis for containment
@@ -771,21 +790,34 @@ def containment_candidates(
     gram-keyed self-join whose fan-out is df-bounded, one distinct on
     (id_a, id_b). Gram text never shuffles — grams travel as 64-bit
     xxhash keys.
+
+    ``doc_grams``: optional pre-materialized (id, grams) frame from
+    ``_doc_grams`` — containment_pairs passes its own so the corpus is
+    tokenized exactly once across candidates + verify.
     """
-    # the exploded gram frame feeds the df aggregate AND both sides of
-    # the self-join — persist it or the tokenize+explode runs 3x
-    grams = (
-        _spread(df, id_col)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(word_ngrams(F.col(text_col), n))
-            ).alias("gram"),
+    if doc_grams is not None:
+        # derive the index from the shared materialized arrays: the
+        # explode+hash re-runs per consumer but reads the checkpoint,
+        # not the raw corpus (no second tokenize pass)
+        grams = doc_grams.select(
+            "id", F.explode("grams").alias("gram")
+        ).select("id", F.xxhash64("gram").alias("g"))
+    else:
+        # the exploded gram frame feeds the df aggregate AND both
+        # sides of the self-join — persist it or the tokenize+explode
+        # runs 3x (localCheckpoint: reclaimed on GC, not a
+        # session-cache leak)
+        grams = (
+            _spread(df, id_col)
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode(
+                    F.array_distinct(word_ngrams(F.col(text_col), n))
+                ).alias("gram"),
+            )
+            .select("id", F.xxhash64("gram").alias("g"))
+            .localCheckpoint(eager=True)
         )
-        .select("id", F.xxhash64("gram").alias("g"))
-        # localCheckpoint: reclaimed on GC, not a session-cache leak
-        .localCheckpoint(eager=True)
-    )
     if max_df is not None:
         dfreq = grams.groupBy("g").agg(F.count("*").alias("_df"))
         grams = grams.join(
@@ -820,22 +852,22 @@ def containment_pairs(
     exact verify joins full gram arrays onto candidates only, same
     shape as ngram_jaccard_pairs. Returns (id_a, id_b, containment)
     for pairs >= threshold, containment rounded to 6dp.
+
+    The corpus is tokenized ONCE: one shared localCheckpoint of the
+    per-doc gram arrays feeds both the candidate index (explode+hash)
+    and the exact verify (array intersect on candidate members only) —
+    previously the verify re-ran tokenize+explode over member docs.
     """
-    cand = containment_candidates(df, id_col, text_col, n, max_df)
+    shared = _doc_grams(df, id_col, text_col, n)
+    cand = containment_candidates(
+        df, id_col, text_col, n, max_df, doc_grams=shared
+    )
     member_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    grams = (
-        _spread(df.join(F.broadcast(member_ids), id_col, "left_semi"), id_col)
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
-        )
-        # localCheckpoint: reclaimed on GC, not a session-cache leak
-        .localCheckpoint(eager=True)
-    )
+    grams = shared.join(F.broadcast(member_ids), "id", "left_semi")
     j = (
         cand.join(grams.withColumnRenamed("grams", "grams_a"), cand.id_a == grams.id)
         .drop("id")

@@ -66,6 +66,11 @@ def brute_force_topk(
     |queries| x |corpus| pairs. Use it when the query side is large
     (e.g. corpus-as-its-own-queries label scans): measured 17s -> <2s
     per run on 5k x 5k x 64d."""
+    # NULL vectors carry no similarity signal and would otherwise
+    # produce NULL scores (dot) or crash the numpy kernel (arrow):
+    # both sides drop them up front in every method/metric.
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     if method == "arrow":
         return _brute_force_topk_arrow(
             queries, corpus, k, id_col, vec_col, metric

@@ -220,6 +220,30 @@ class TestMinhashPlanShape:
         assert "BroadcastNestedLoopJoin" not in p
         assert "CartesianProduct" not in p
 
+    def test_soft_dedup_sizes_join_never_broadcast_hinted(self, spark):
+        """soft_dedup_weights' sizes table is O(#unique docs) — in a
+        mostly-unique corpus it is corpus-sized, so the code must not
+        broadcast-HINT it (the r6 fix this pins). With auto-broadcast
+        disabled, any BroadcastExchange in the plan can only come from
+        a hint; AQE is still free to broadcast at runtime when the
+        frame is genuinely small."""
+        from mofka_spark.operators.dedup import soft_dedup_weights
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            comps = spark.createDataFrame(
+                [(i, i % 7) for i in range(50)], "id long, keeper_id long"
+            )
+            p = plans.plan_string(soft_dedup_weights(comps))
+            assert "BroadcastExchange" not in p, p
+            assert "BroadcastHashJoin" not in p, p
+            # the intended shape: sizes agg + join share the keeper_id
+            # hash partitioning
+            assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
 
 class TestTextOperatorPlans:
     def test_inverted_index_prunes_and_combines(self, spark):

@@ -269,6 +269,31 @@ class TestLabelAgreement:
         assert out[99] == 0.0
         assert all(v == 1.0 for i, v in out.items() if i in range(5))
 
+    def test_null_embedding_excluded_not_crashing(self, spark):
+        # a NULL vector used to crash the Arrow matmul kernel with a
+        # ragged-ndarray error; it must be dropped on both sides like
+        # the expr path drops it (NULL score never ranks)
+        from mofka_spark.operators.similarity import (
+            brute_force_topk,
+            label_agreement,
+        )
+
+        rows = [(i, [1.0 + 0.01 * i, 0.0], 0) for i in range(4)]
+        rows += [(10 + i, [0.0, 1.0 + 0.01 * i], 1) for i in range(4)]
+        rows.append((99, None, 0))  # NULL embedding
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        out = {r.id: r.agreement for r in label_agreement(df, k=3).collect()}
+        assert 99 not in out
+        assert all(v == 1.0 for v in out.values())
+        for method in ("expr", "arrow"):
+            nbrs = brute_force_topk(df, df, k=3, method=method)
+            ids = {r.query_id for r in nbrs.collect()} | {
+                r.neighbor_id for r in nbrs.collect()
+            }
+            assert 99 not in ids
+
     def test_external_neighbors_frame(self, spark):
         from mofka_spark.operators.similarity import label_agreement
 
