@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mofka_spark.operators import joins, sampling, text
+from mofka_spark.operators import dedup, joins, sampling, text
 from mofka_spark.session import get_spark
 
 
@@ -44,6 +44,23 @@ def main() -> None:
     stats = text.cdc_dedup_stats(kept, "source", w=2, divisor=2)
     stats.show(truncate=False)
 
+    # 2b. DROP-FREE dedup: near-dup clusters get 1/cluster_size soft
+    # weights instead of being removed — duplicated content keeps
+    # appearing but contributes ~one unit of sampling mass in total.
+    # The weight column feeds the weighted sample below (and the DSIR
+    # log-weights in stage 7); exact-dup docs 1/2 each get 0.5.
+    comps = dedup.minhash_lsh_dedup(
+        kept, shingle_k=2, transitive=True, verify_threshold=0.8
+    )
+    soft = dedup.soft_dedup_weights(comps)
+    print(
+        "soft dedup weights:",
+        sorted((r.id, r.cluster_size, r.weight) for r in soft.collect()),
+    )
+    weighted = kept.join(
+        soft.select(F.col("id").alias("doc_id"), "weight"), "doc_id"
+    )
+
     # 3. fuzzy reconciliation: noisy external titles -> canonical docs
     probes = spark.createDataFrame(
         [("the quick brown fox jumps over the lazy dogs",),
@@ -53,10 +70,16 @@ def main() -> None:
     matches = joins.fuzzy_join_pairs(probes, kept, "probe", "text", max_dist=2)
     matches.show(truncate=False)
 
-    # 4. curriculum bins by length, then weighted sample per source
-    sized = kept.withColumn("n_chars", F.length("text"))
+    # 4. curriculum bins by length, then weighted sample per source —
+    # sampling mass = length x soft-dedup weight, so a doc duplicated
+    # N times races with 1/N of its solo mass per copy (drop-free
+    # dedup composed into selection; weighted_sample honors
+    # fractional weights as-is)
+    sized = weighted.withColumn(
+        "n_chars", F.length("text")
+    ).withColumn("mass", F.col("n_chars") * F.col("weight"))
     bins = sampling.rank_bins(sized, "n_chars", "source", "doc_id", n_bins=2)
-    sample = sampling.weighted_sample(sized, "doc_id", "n_chars", "source", k=1)
+    sample = sampling.weighted_sample(sized, "doc_id", "mass", "source", k=1)
     print("bins:", sorted((r.source, r.doc_id, r.bin) for r in bins.collect()))
     print("sample:", sorted((r.source, r.doc_id) for r in sample.collect()))
 
@@ -76,11 +99,17 @@ def main() -> None:
     text.bigram_lm_score(kept).orderBy("id").show()
 
     # 7. domain-targeted selection: DSIR importance weights against a
-    # target domain (here: the news docs), then Gumbel-top-k resample
+    # target domain (here: the news docs), then Gumbel-top-k resample.
+    # The soft-dedup weight folds into the log-weight additively
+    # (logw + ln(1/cluster_size)): duplicated docs keep their domain
+    # affinity but split their selection probability across copies.
     target = kept.filter(F.col("source") == "news")
     w = sampling.dsir_weights(kept, target)
-    print("DSIR selection (news-like first):")
-    sampling.dsir_select(w, 3).show()
+    w_soft = w.join(soft.select("id", "weight"), "id").withColumn(
+        "logw", F.col("logw") + F.log("weight")
+    )
+    print("DSIR selection (news-like first, dedup-discounted):")
+    sampling.dsir_select(w_soft, 3).show()
 
     # 8. fuzzy decontamination vs a benchmark and a low-discrepancy
     # training order: every source spread uniformly through the epoch

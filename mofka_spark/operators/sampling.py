@@ -158,11 +158,18 @@ def weighted_sample(
     (stratum, race_key, key) rows, never payloads; callers rejoin
     winners to the fact by key. Ties broken by key for a total order.
 
+    Weights are honored as-is for any positive value — fractional
+    weights matter (soft_dedup_weights emits 1/cluster_size in (0, 1]
+    so a duplicate cluster contributes ~one unit of inclusion mass);
+    nonpositive weights clamp to 1e-12, i.e. effectively never win.
+
     Returns (strata_col, key_col, race_key) with race_key rounded to
     9dp for display — ranking uses the unrounded value.
     """
     u = (hash_bucket(F.col(key_col), salt) + 1) / F.lit(float(_MOD))
-    race = -F.log(u) / F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+    race = -F.log(u) / F.greatest(
+        F.col(weight_col).cast("double"), F.lit(1e-12)
+    )
     w = Window.partitionBy(strata_col).orderBy(
         F.col("_race").asc(), F.col(key_col).asc()
     )

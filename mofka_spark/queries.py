@@ -3703,7 +3703,7 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, doc_id,
              -ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
                    % 1000000) + 1) / 1000000.0)
-               / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS race
+               / GREATEST(CAST(n_chars AS DOUBLE), 1e-12) AS race
       FROM documents),
     r AS (
       SELECT lang, doc_id, race,

@@ -267,3 +267,55 @@ class TestSoftDedupWeights:
             .collect()
         )
         assert all(abs(r.m - 1.0) < 1e-3 for r in mass)
+
+    def test_mass_survives_weighted_sampler(self, spark):
+        """The drop-free composition soft_dedup_weights ->
+        weighted_sample (the curation_pipeline.py stage-2b/4 path):
+        per-cluster mass still sums to one unit after joining onto the
+        corpus, and the sampler honors the fractional weights
+        (race = -ln(u)/w, so halving w exactly doubles the same key's
+        race key — pre-fix, weights < 1 were silently clamped to 1)."""
+        from mofka_spark.operators.dedup import soft_dedup_weights
+        from mofka_spark.operators.sampling import weighted_sample
+
+        comp = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4)], ["id", "keeper_id"]
+        )
+        docs = spark.createDataFrame(
+            [(i, "s") for i in (1, 2, 3, 4)], ["id", "stratum"]
+        )
+        soft = soft_dedup_weights(comp)
+        weighted = docs.join(soft.select("id", "weight"), "id")
+        mass = (
+            weighted.groupBy()
+            .agg(F.sum("weight").alias("m"))
+            .collect()[0]
+            .m
+        )
+        # cluster {1,2,3} contributes ~1 + singleton 1 (6dp rounding)
+        assert abs(mass - 2.0) < 1e-5
+        # sampler honors fractional weights: same key, two strata,
+        # weights w and w/2 draw the same u -> race ratio exactly 2
+        race_df = spark.createDataFrame(
+            [("a", 7, 0.5), ("b", 7, 1.0)], ["s", "id", "w"]
+        )
+        out = {
+            r.s: r.race_key
+            for r in weighted_sample(race_df, "id", "w", "s", k=1).collect()
+        }
+        assert abs(out["a"] - 2.0 * out["b"]) < 1e-6
+        # end-to-end: race keys of the weighted corpus equal the
+        # unit-weight races scaled by 1/weight (cluster members race
+        # 3x slower), so the fractional weights are demonstrably in
+        # force through the whole composition
+        sampled = weighted_sample(weighted, "id", "weight", "stratum", k=4)
+        got = {r.id: r.race_key for r in sampled.collect()}
+        unit = weighted.withColumn("one", F.lit(1.0))
+        base = {
+            r.id: r.race_key
+            for r in weighted_sample(unit, "id", "one", "stratum", k=4).collect()
+        }
+        w_of = {r.id: r.weight for r in soft.collect()}
+        assert set(got) == {1, 2, 3, 4}
+        for i in got:
+            assert got[i] == pytest.approx(base[i] / w_of[i], rel=1e-5)
