@@ -424,3 +424,106 @@ def distinct_overlap(
             ok.alias("sketch_ok"),
         )
     )
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch of the key frequency distribution: a
+    depth x width counter table as (r, c, cnt) rows — the classic
+    Cormode-Muthukrishnan frequency summary for "how often does key X
+    occur" over a stream/corpus far too large to hold exact per-key
+    counts (heavy-hitter prefilters, frequency-weighted sampling,
+    join-skew probes). Estimates only ever OVERcount: est(key) >=
+    true(key) always; overshoot is bounded by e*N/width with
+    probability 1 - e^-depth.
+
+    Counters are plain sums, so sketches MERGE by adding cell-wise —
+    the shard/epoch-parallel shape exact per-key counts lack at
+    unbounded key cardinality (the store stays depth x width cells no
+    matter how many keys exist). ``weight_col`` switches from
+    occurrence counts to summed integer weights.
+
+    The hash family reuses the engine-portable md5 kernel
+    (sampling.hash_bucket with salt "cms{r}#"), so an ANSI-SQL oracle
+    computes the IDENTICAL cells and estimates hash-match exactly —
+    including collision overshoot (the distinct_users_sketch gate
+    philosophy: determinism makes even approximation exact).
+
+    Scale shape: one scan; each row fans out to ``depth`` thin (r, c)
+    pairs inside the row (array explode, no join), then ONE
+    (r, c)-keyed partial aggregate whose output is capped at
+    depth x width rows regardless of corpus size. Map-side combine
+    collapses hot keys before the shuffle."""
+    from mofka_spark.operators.sampling import hash_bucket
+
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                hash_bucket(
+                    F.col(key_col), salt=f"cms{r}#", mod=width
+                ).cast("int").alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("p"), w.alias("_w"))
+        .groupBy(
+            F.col("p.r").cast("int").alias("r"), F.col("p.c").alias("c")
+        )
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point frequency estimates from a count_min_build sketch:
+    est(key) = min over rows r of cell[r][hash_r(key)], with absent
+    cells reading 0 (keys the sketch never saw estimate 0 unless every
+    one of their cells collides). Returns (key_col, est).
+
+    Scale shape: the sketch is <= depth x width rows (a few KB) and
+    BROADCASTS onto the probe side, so estimation is a map-only stage
+    over any probe volume; the per-key min folds depth rows."""
+    from mofka_spark.operators.sampling import hash_bucket
+
+    pos = probes.select(F.col(key_col)).distinct()
+    pos = pos.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("r"),
+                        hash_bucket(F.col(key_col), salt=f"cms{r}#", mod=width)
+                        .cast("int")
+                        .alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+    return (
+        pos.join(F.broadcast(sketch), ["r", "c"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+        )
+    )

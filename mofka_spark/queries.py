@@ -6367,6 +6367,152 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.dsir_select(w, 50)
 
 
+# Count-min frequency sketch (operators/sketch.py count_min_build /
+# count_min_estimate): bounded-state per-key frequency estimates with
+# the one-sided never-undercount guarantee. The md5 hash family is
+# engine-portable, so the oracle computes the IDENTICAL depth x width
+# cells and the estimates hash-match exactly — collisions included.
+# Probes cover every seen user plus the same ids shifted by 100000
+# (never ingested: est is 0 unless every cell collides — also exact).
+@query(
+    "count_min_freq",
+    """
+    WITH rs AS (SELECT UNNEST(RANGE(4)) AS r),
+    sk AS (
+      SELECT rs.r,
+             CAST(('0x' || substr(md5('cms' || rs.r || '#' ||
+                                      user_id::VARCHAR), 1, 12))::BIGINT
+                  % 512 AS INTEGER) AS c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events, rs GROUP BY 1, 2
+    ),
+    seen AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+      SELECT user_id FROM seen
+      UNION ALL SELECT user_id + 100000 FROM seen
+    ),
+    pos AS (
+      SELECT p.user_id, rs.r,
+             CAST(('0x' || substr(md5('cms' || rs.r || '#' ||
+                                      p.user_id::VARCHAR), 1, 12))::BIGINT
+                  % 512 AS INTEGER) AS c
+      FROM probes p, rs
+    ),
+    est AS (
+      SELECT pos.user_id, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+      FROM pos LEFT JOIN sk ON sk.r = pos.r AND sk.c = pos.c
+      GROUP BY 1
+    ),
+    t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_true
+          FROM events GROUP BY 1)
+    SELECT e.user_id, e.est, COALESCE(t.n_true, 0) AS n_true,
+           e.est >= COALESCE(t.n_true, 0) AS never_undercounts
+    FROM est e LEFT JOIN t USING (user_id)
+    """,
+)
+def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = count_min_build(ev, "user_id", depth=4, width=512)
+    seen = ev.select("user_id").distinct()
+    probes = seen.unionAll(
+        seen.select((F.col("user_id") + 100000).alias("user_id"))
+    )
+    est = count_min_estimate(sk, probes, "user_id", depth=4, width=512)
+    true = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+    n_true = F.coalesce(F.col("n_true"), F.lit(0)).cast("long")
+    return est.join(true, "user_id", "left").select(
+        "user_id",
+        "est",
+        n_true.alias("n_true"),
+        (F.col("est") >= n_true).alias("never_undercounts"),
+    )
+
+
+# Streaming count-min store (streaming/cms.py): per-epoch depth x width
+# counter partials summed at read — cell sums are exact mergeable
+# aggregates, so the stream-merged sketch equals the batch sketch no
+# matter how the stream was split into epochs, and the gate
+# hash-matches the batch oracle exactly.
+@query(
+    "streaming_cms",
+    """
+    WITH ev AS (SELECT user_id FROM events WHERE event_id < 5000),
+    rs AS (SELECT UNNEST(RANGE(4)) AS r),
+    sk AS (
+      SELECT rs.r,
+             CAST(('0x' || substr(md5('cms' || rs.r || '#' ||
+                                      user_id::VARCHAR), 1, 12))::BIGINT
+                  % 256 AS INTEGER) AS c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ev, rs GROUP BY 1, 2
+    ),
+    seen AS (SELECT DISTINCT user_id FROM ev),
+    pos AS (
+      SELECT p.user_id, rs.r,
+             CAST(('0x' || substr(md5('cms' || rs.r || '#' ||
+                                      p.user_id::VARCHAR), 1, 12))::BIGINT
+                  % 256 AS INTEGER) AS c
+      FROM seen p, rs
+    ),
+    est AS (
+      SELECT pos.user_id, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+      FROM pos LEFT JOIN sk ON sk.r = pos.r AND sk.c = pos.c
+      GROUP BY 1
+    ),
+    t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_true
+          FROM ev GROUP BY 1)
+    SELECT e.user_id, e.est, t.n_true,
+           e.est >= t.n_true AS never_undercounts
+    FROM est e JOIN t USING (user_id)
+    """,
+)
+def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.cms import cms_estimates, cms_sink
+
+    topic = _stream_fixture(spark, sf_dir, "events")
+    parsed = _events_stream(topic, 5000).select("user_id")
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-cms-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(
+                cms_sink(store, "user_id", depth=4, width=256)
+            )
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    seen = ev.select("user_id").distinct()
+    est = cms_estimates(spark, store, seen, "user_id", depth=4, width=256)
+    true = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+    return est.join(true, "user_id").select(
+        "user_id",
+        "est",
+        "n_true",
+        (F.col("est") >= F.col("n_true")).alias("never_undercounts"),
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -225,3 +225,125 @@ class TestDistinctOverlap:
         )
         (row,) = distinct_overlap(df, "g", "u").collect()
         assert row.exact_overlap == 1
+
+
+class TestCountMin:
+    def test_never_undercounts_and_exact_without_collisions(self, spark):
+        from mofka_spark.operators.sketch import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1
+        df = spark.createDataFrame(rows, ["k"])
+        sk = count_min_build(df, "k", depth=4, width=1024)
+        probes = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("absent",)], ["k"]
+        )
+        est = {
+            r.k: r.est
+            for r in count_min_estimate(
+                sk, probes, "k", depth=4, width=1024
+            ).collect()
+        }
+        # 3 keys in 4x1024 cells: no collisions, estimates are exact
+        assert est == {"a": 7, "b": 3, "c": 1, "absent": 0}
+
+    def test_sketch_size_bounded_by_depth_width(self, spark):
+        from mofka_spark.operators.sketch import count_min_build
+
+        df = spark.createDataFrame([(f"k{i}",) for i in range(500)], ["k"])
+        sk = count_min_build(df, "k", depth=3, width=16)
+        assert sk.count() <= 3 * 16
+        # every row contributes to every hash row: cell sums per r
+        # all equal the input count
+        per_row = {
+            r.r: r.s
+            for r in sk.groupBy("r").agg(F.sum("cnt").alias("s")).collect()
+        }
+        assert per_row == {0: 500, 1: 500, 2: 500}
+
+    def test_merge_is_cellwise_sum(self, spark):
+        from pyspark.sql import functions as SF
+
+        from mofka_spark.operators.sketch import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        a = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, ["k"])
+        b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 5, ["k"])
+        merged = (
+            count_min_build(a, "k", depth=4, width=64)
+            .unionAll(count_min_build(b, "k", depth=4, width=64))
+            .groupBy("r", "c")
+            .agg(SF.sum("cnt").alias("cnt"))
+        )
+        whole = count_min_build(a.unionAll(b), "k", depth=4, width=64)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+        probes = spark.createDataFrame([("x",), ("y",), ("z",)], ["k"])
+        est = {
+            r.k: r.est
+            for r in count_min_estimate(
+                merged, probes, "k", depth=4, width=64
+            ).collect()
+        }
+        assert est["x"] >= 5 and est["y"] >= 2 and est["z"] >= 5
+
+    def test_weight_col_sums_weights(self, spark):
+        from mofka_spark.operators.sketch import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 5), ("b", 2)], ["k", "w"]
+        )
+        sk = count_min_build(df, "k", depth=4, width=256, weight_col="w")
+        probes = spark.createDataFrame([("a",), ("b",)], ["k"])
+        est = {
+            r.k: r.est
+            for r in count_min_estimate(
+                sk, probes, "k", depth=4, width=256
+            ).collect()
+        }
+        assert est == {"a": 15, "b": 2}
+
+    def test_forced_collision_overestimates(self, spark):
+        from mofka_spark.operators.sketch import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        # width=1 forces every key into the same cell per row: the
+        # estimate for any key is the total row count (the documented
+        # one-sided degradation, never an undercount)
+        df = spark.createDataFrame(
+            [("a",)] * 3 + [("b",)] * 2, ["k"]
+        )
+        sk = count_min_build(df, "k", depth=2, width=1)
+        probes = spark.createDataFrame([("a",), ("zzz",)], ["k"])
+        est = {
+            r.k: r.est
+            for r in count_min_estimate(
+                sk, probes, "k", depth=2, width=1
+            ).collect()
+        }
+        assert est == {"a": 5, "zzz": 5}
+
+    def test_broadcast_map_only_estimate_plan(self, spark):
+        from mofka_spark import plans
+        from mofka_spark.operators.sketch import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        df = spark.createDataFrame([(f"k{i}",) for i in range(100)], ["k"])
+        sk = count_min_build(df, "k", depth=4, width=64)
+        out = count_min_estimate(sk, df, "k", depth=4, width=64)
+        p = plans.plan_string(out)
+        # the sketch side broadcasts; the probe side never sort-merges
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p

@@ -1878,3 +1878,80 @@ class TestBloomProbeRobustness:
             spark, path, probes, "key").collect()}
         assert out["a"] is True
         assert out[None] is False   # pinned: False, never NULL
+
+
+class TestStreamingCountMin:
+    """streaming/cms.py: cell sums merge exactly — epoch boundaries,
+    replays, and compaction are invisible to estimates."""
+
+    def _epochs(self, spark, path, width=64):
+        from mofka_spark.streaming.cms import cms_sink
+
+        sink = cms_sink(path, "key", depth=4, width=width)
+        sink(spark.createDataFrame([("a",)] * 3 + [("b",)] * 1, "key string"), 0)
+        sink(spark.createDataFrame([("a",)] * 2 + [("c",)] * 4, "key string"), 1)
+        return sink
+
+    def _est(self, spark, path, width=64, as_of=None):
+        from mofka_spark.streaming.cms import cms_estimates
+
+        probes = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("nope",)], "key string"
+        )
+        return {
+            r.key: r.est
+            for r in cms_estimates(
+                spark, path, probes, "key", depth=4, width=width,
+                as_of_epoch=as_of,
+            ).collect()
+        }
+
+    def test_epoch_split_equals_batch(self, spark, tmp_path):
+        from mofka_spark.operators.sketch import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        path = str(tmp_path / "cms")
+        self._epochs(spark, path)
+        streamed = self._est(spark, path)
+        whole = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 1 + [("c",)] * 4, "key string"
+        )
+        probes = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("nope",)], "key string"
+        )
+        batch = {
+            r.key: r.est
+            for r in count_min_estimate(
+                count_min_build(whole, "key", depth=4, width=64),
+                probes, "key", depth=4, width=64,
+            ).collect()
+        }
+        assert streamed == batch
+        assert streamed["a"] == 5 and streamed["nope"] == 0
+
+    def test_replay_and_compaction_invisible(self, spark, tmp_path):
+        from mofka_spark.streaming.cms import compact_cms
+
+        path = str(tmp_path / "cms")
+        sink = self._epochs(spark, path)
+        before = self._est(spark, path)
+        # replay epoch 1: the partition overwrite makes it idempotent
+        sink(spark.createDataFrame([("a",)] * 2 + [("c",)] * 4, "key string"), 1)
+        assert self._est(spark, path) == before
+        compact_cms(spark, path)
+        assert self._est(spark, path) == before
+        assert set(
+            spark.read.parquet(path).select("_epoch").distinct().toPandas()["_epoch"]
+        ) == {-1}
+
+    def test_time_travel_reads_prefix(self, spark, tmp_path):
+        path = str(tmp_path / "cms")
+        self._epochs(spark, path)
+        at0 = self._est(spark, path, as_of=0)
+        assert at0["a"] == 3 and at0["b"] == 1 and at0["c"] == 0
+
+    def test_empty_store_estimates_zero(self, spark, tmp_path):
+        est = self._est(spark, str(tmp_path / "none"))
+        assert est == {"a": 0, "b": 0, "c": 0, "nope": 0}
