@@ -1356,3 +1356,126 @@ def rrf_fuse(
     if top is not None:
         out = out.filter(F.col("fused_rank") <= top)
     return out
+
+
+def _sqdist_to_literal(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from an array column to a literal centroid,
+    folded in DIM ORDER (acc + (x_i - c_i)^2 for i = 0..d-1) so the
+    IEEE result is reproducible by an external engine computing the
+    same ordered fold (the token_entropy float-identity trick)."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    # (a - b) * (a - b), NOT pow(a - b, 2): Math.pow can differ from
+    # the product in the last ulp, and the oracle computes the product
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            lit,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over centroids of squared L2, ties to the LOWER cell id —
+    one scan-local expression: array_min over (dist, cell) structs
+    compares lexicographically, giving the argmin and the tie-break in
+    a single fold, no join, no UDF."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist_to_literal(vec, c).alias("d"),
+                    F.lit(j).cast("int").alias("cell"),
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+    ).getField("cell")
+
+
+def kmeans_fit_full(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 4,
+    init_centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """FULL-CORPUS distributed Lloyd iterations — the scale
+    counterpart of fit_centroids (which trains on a collected sample).
+    When cluster quality matters more than fit time (SemDeDup cells,
+    cell-balanced quotas, IVF layouts that must respect tail clusters
+    a sample misses), the textbook Lloyd update is exactly two
+    distributed primitives per round:
+
+    - ASSIGN: nearest-centroid id is a scan-local fold against the
+      k x d centroid LITERALS baked into the plan (KBs — the model
+      broadcasts by value, no join);
+    - UPDATE: new centroid = per-(cell, dim) mean — posexplode to thin
+      (cell, dim, value) rows, ONE partial-agg shuffle bounded by
+      k x d output rows, collected to the driver (k x d doubles).
+
+    Per iteration: one corpus scan + one bounded shuffle; nothing else
+    moves. Empty cells keep their previous centroid (the standard
+    degeneracy rule, mirrored by the oracle). Deterministic: default
+    init = the vectors of the k smallest ids (oracle-expressible;
+    ties impossible on a key column). NULL vectors are excluded.
+
+    Returns the k x d centroid list — feed it to kmeans_cells /
+    ivf_topk(centroids=...) / cell_balanced_sample."""
+    vecs = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    if init_centroids is None:
+        first = vecs.orderBy("_id").limit(k).collect()
+        init_centroids = [[float(x) for x in r._v] for r in first]
+    cents = [list(c) for c in init_centroids]
+    for _ in range(iters):
+        assigned = vecs.select(
+            "_id", "_v", _nearest_cell(F.col("_v"), cents).alias("_cell")
+        )
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_dim", "_val"))
+            .groupBy("_cell", "_dim")
+            .agg(F.avg(F.col("_val").cast("double")).alias("_c"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r._cell, {})[r._dim] = r._c
+        cents = [
+            [by_cell[j][d] for d in range(len(cents[j]))]
+            if j in by_cell
+            else cents[j]  # empty cell: keep previous centroid
+            for j in range(len(cents))
+        ]
+    return cents
+
+
+def kmeans_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final cell assignment against fitted centroids: (id, cell,
+    n_cell) — integer-only output so the correctness surface has no
+    float-rounding edge (distances exist only inside the argmin fold).
+    n_cell (the member count of the row's cell) rides along because
+    every consumer (balanced quotas, per-cell stats, SemDeDup pruning)
+    immediately needs it.
+
+    Scale shape: assignment is one scan against centroid literals; the
+    size join-back is a k-row broadcast."""
+    assigned = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        _nearest_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    sizes = assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_cell")
+    )
+    return assigned.join(F.broadcast(sizes), "cell").select(
+        id_col, "cell", "n_cell"
+    )

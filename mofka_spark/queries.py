@@ -6513,6 +6513,81 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Distributed full-corpus k-means (operators/similarity.py
+# kmeans_fit_full / kmeans_cells): textbook Lloyd as two distributed
+# primitives per round — scan-local argmin against centroid literals,
+# then one (cell, dim)-keyed mean capped at k x d rows. The oracle
+# unrolls the iteration (the embedding_pca pattern): same deterministic
+# init (vectors of the k smallest ids), same dim-ordered distance
+# folds, same empty-cell fallback. Output is integer-only (vec_id,
+# cell, n_cell) so there is no float-rounding edge in the gate.
+@query(
+    "kmeans_cells",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cell, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+    ),
+    d1 AS (
+      SELECT e.vec_id, i.cell,
+             list_sum(list_transform(generate_series(1, len(e.v)),
+                      j -> (e.v[j] - i.v[j]) * (e.v[j] - i.v[j]))) AS dist
+      FROM e CROSS JOIN init i
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS rk
+        FROM d1) WHERE rk = 1
+    ),
+    m1 AS (
+      SELECT a1.cell, gs.j AS dim, AVG(e.v[gs.j]) AS c
+      FROM e JOIN a1 USING (vec_id),
+           UNNEST(generate_series(1, len(e.v))) AS gs(j)
+      GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT i.cell, gs.j AS dim, COALESCE(m1.c, i.v[gs.j]) AS c
+      FROM init i
+      CROSS JOIN UNNEST(generate_series(1, len(i.v))) AS gs(j)
+      LEFT JOIN m1 ON m1.cell = i.cell AND m1.dim = gs.j
+    ),
+    c1l AS (SELECT cell, list(c ORDER BY dim) AS cv FROM c1 GROUP BY cell),
+    d2 AS (
+      SELECT e.vec_id, c.cell,
+             list_sum(list_transform(generate_series(1, len(e.v)),
+                      j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]))) AS dist
+      FROM e CROSS JOIN c1l c
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS rk
+        FROM d2) WHERE rk = 1
+    ),
+    sz AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_cell
+           FROM a2 GROUP BY 1)
+    SELECT a2.vec_id, a2.cell, sz.n_cell FROM a2 JOIN sz USING (cell)
+    """,
+)
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.similarity import (
+        kmeans_cells,
+        kmeans_fit_full,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit_full(emb, k=4, iters=1)
+    return kmeans_cells(emb, cents)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -629,3 +629,90 @@ class TestRrfFuse:
 
         with pytest.raises(ValueError):
             rrf_fuse([])
+
+
+class TestKmeansFull:
+    def test_separates_planted_clusters(self, spark):
+        from mofka_spark.operators.similarity import (
+            kmeans_cells,
+            kmeans_fit_full,
+        )
+
+        rows = [(i, [10.0 + 0.1 * i, 0.0]) for i in range(5)]
+        rows += [(10 + i, [0.0, 10.0 + 0.1 * i]) for i in range(5)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = kmeans_fit_full(df, k=2, iters=3)
+        out = {r.vec_id: r.cell for r in kmeans_cells(df, cents).collect()}
+        a = {out[i] for i in range(5)}
+        b = {out[10 + i] for i in range(5)}
+        assert len(a) == 1 and len(b) == 1 and a != b
+        # centroids converge to the cluster means
+        import math
+
+        means = sorted([10.2, 0.0])
+        got0 = sorted(cents[0])
+        assert math.isclose(got0[0], 0.0, abs_tol=1e-9)
+        assert math.isclose(got0[1], means[1] if means[1] else 10.2, rel_tol=1e-9)
+
+    def test_cell_sizes_attached(self, spark):
+        from mofka_spark.operators.similarity import (
+            kmeans_cells,
+            kmeans_fit_full,
+        )
+
+        rows = [(i, [float(i % 2) * 10.0, 1.0]) for i in range(6)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = kmeans_fit_full(df, k=2, iters=2)
+        out = kmeans_cells(df, cents).collect()
+        assert all(r.n_cell == 3 for r in out)
+
+    def test_empty_cell_keeps_previous_centroid(self, spark):
+        from mofka_spark.operators.similarity import kmeans_fit_full
+
+        # 4 identical points, k=3 -> two cells go empty after round 1;
+        # their centroids must stay at the init vectors, not NaN out
+        df = spark.createDataFrame(
+            [(i, [5.0, 5.0]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = kmeans_fit_full(df, k=3, iters=2)
+        assert len(cents) == 3
+        assert all(all(v == 5.0 for v in c) for c in cents)
+
+    def test_null_vectors_excluded(self, spark):
+        from mofka_spark.operators.similarity import (
+            kmeans_cells,
+            kmeans_fit_full,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.0]), (3, None), (4, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = kmeans_fit_full(df, k=2, iters=2)
+        out = kmeans_cells(df, cents).collect()
+        assert {r.vec_id for r in out} == {1, 2, 4}
+
+    def test_deterministic_across_runs(self, spark):
+        from mofka_spark.operators.similarity import kmeans_fit_full
+
+        rows = [(i, [float((i * 37) % 11), float((i * 53) % 7)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        c1 = kmeans_fit_full(df, k=4, iters=3)
+        c2 = kmeans_fit_full(df, k=4, iters=3)
+        assert c1 == c2
+
+    def test_assignment_plan_is_scan_local(self, spark):
+        from mofka_spark import plans
+        from mofka_spark.operators.similarity import kmeans_cells
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        p = plans.plan_string(kmeans_cells(df, [[0.0, 0.0], [10.0, 0.0]]))
+        # centroids are literals: the only join is the k-row size
+        # broadcast; assignment itself never joins or shuffles vectors
+        assert "SortMergeJoin" not in p
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
