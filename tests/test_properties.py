@@ -661,3 +661,107 @@ class TestInterleaveProperties:
             n = len(keys)
             # exactly the lattice {(i - 0.5)/n : i = 1..n}
             assert sorted(keys) == [(i + 0.5) / n for i in range(n)]
+
+
+class TestCountMinProperties:
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(data=st.data())
+    def test_never_undercounts_and_split_invariant(self, spark, data):
+        """For ANY multiset of keys, ANY (depth, width), and ANY split
+        into shards: est(key) >= true(key) for every key (seen or
+        not), and cell-wise-summed shard sketches estimate exactly
+        like the whole-corpus sketch."""
+        from mofka_spark.operators.sketch import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        keys = data.draw(
+            st.lists(
+                st.text(alphabet="abcdefg", min_size=1, max_size=3),
+                min_size=1,
+                max_size=30,
+            )
+        )
+        depth = data.draw(st.integers(1, 4))
+        width = data.draw(st.sampled_from([1, 2, 8, 64]))
+        cut = data.draw(st.integers(0, len(keys)))
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        probe_keys = sorted(set(keys) | {"zzz-absent"})
+        probes = spark.createDataFrame([(k,) for k in probe_keys], "k string")
+        whole = count_min_build(df, "k", depth=depth, width=width)
+        est = {
+            r.k: r.est
+            for r in count_min_estimate(
+                whole, probes, "k", depth=depth, width=width
+            ).collect()
+        }
+        true = {k: keys.count(k) for k in probe_keys}
+        for k in probe_keys:
+            assert est[k] >= true.get(k, 0), (k, est[k], true)
+        # shard merge == whole
+        a = spark.createDataFrame([(k,) for k in keys[:cut]] or [("_",)], "k string")
+        b = spark.createDataFrame([(k,) for k in keys[cut:]] or [("_",)], "k string")
+        merged = (
+            count_min_build(a, "k", depth=depth, width=width)
+            .unionAll(count_min_build(b, "k", depth=depth, width=width))
+            .groupBy("r", "c")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        est2 = {
+            r.k: r.est
+            for r in count_min_estimate(
+                merged, probes, "k", depth=depth, width=width
+            ).collect()
+        }
+        pad = {"_": 1} if (cut == 0 or cut == len(keys)) else {}
+        for k in probe_keys:
+            # the '_' padding key (empty-shard stand-in) can only ADD
+            # collisions, so est2 >= est always; equality holds when
+            # no pad was needed
+            if not pad:
+                assert est2[k] == est[k], (k, est2[k], est[k])
+            else:
+                assert est2[k] >= est[k]
+
+
+class TestKmeansProperties:
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(data=st.data())
+    def test_assignment_is_nearest_centroid(self, spark, data):
+        """For ANY corpus and ANY fitted centroids, every row's cell
+        is the true argmin of squared L2 distance (ties to the lower
+        cell id) — the invariant Lloyd's assignment step must hold."""
+        from mofka_spark.operators.similarity import (
+            kmeans_cells,
+            kmeans_fit_full,
+        )
+
+        dim = data.draw(st.integers(1, 4))
+        vec = st.lists(
+            st.integers(-5, 5).map(float), min_size=dim, max_size=dim
+        )
+        rows = data.draw(
+            st.lists(vec, min_size=2, max_size=15).map(
+                lambda vs: list(enumerate(vs))
+            )
+        )
+        k = data.draw(st.integers(1, 3))
+        iters = data.draw(st.integers(0, 2))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = kmeans_fit_full(df, k=k, iters=iters)
+        # init takes the k smallest ids; a corpus smaller than k can
+        # only seed as many centroids as it has rows
+        assert len(cents) == min(k, len(rows))
+        got = {r.vec_id: r.cell for r in kmeans_cells(df, cents).collect()}
+        for vid, v in rows:
+            dists = [
+                (sum((a - b) * (a - b) for a, b in zip(v, c)), j)
+                for j, c in enumerate(cents)
+            ]
+            want = min(dists)[1]
+            # float fold order differs from python sum only below any
+            # integer-coordinate distance gap, so argmin is exact here
+            assert got[vid] == want, (vid, v, cents, dists)
