@@ -325,6 +325,8 @@ def cmd_benchmark_consumer(args) -> int:
     def selector(metadata, descriptor):
         if (metadata.get("seq", 0) % 100) / 100.0 >= args.selectivity:
             return DataDescriptor.null()
+        if descriptor.size == 0:  # zero-byte payloads have no sub-view
+            return descriptor
         size = max(1, int(descriptor.size * args.proportion))
         return descriptor.make_sub_view(0, size)
 
@@ -341,6 +343,108 @@ def cmd_benchmark_consumer(args) -> int:
                 "events": n,
                 "sec": round(dt, 3),
                 "events_per_sec": round(n / dt, 1) if dt > 0 else None,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_benchmark_generate(args) -> int:
+    """The `mofkactl benchmark generate` analog
+    (/root/reference/python/mochi/mofka/mofkactl/benchmark.py:69-315):
+    build a config space over topic/producer/consumer/engine
+    dimensions, sample ONE configuration (seeded — reproducible,
+    unlike the reference's ambient ConfigSpace state), print the spec
+    JSON. Feed it to `benchmark run --spec`."""
+    from mofka_spark.benchspec import sample_spec, spec_to_json
+
+    overrides = {}
+    for d in args.dim or []:
+        if "=" not in d:
+            raise SystemExit(f"--dim takes name=range, got {d!r}")
+        k, v = d.split("=", 1)
+        overrides[k.strip()] = v.strip()
+    spec = sample_spec(args.num_events, seed=args.seed, overrides=overrides)
+    print(spec_to_json(spec))
+    return 0
+
+
+def cmd_benchmark_run(args) -> int:
+    """Execute a generated spec: create the topic with the sampled
+    layout, run the producer workload, drain it with the sampled
+    consumer, print one JSON line per phase plus a summary. The spec's
+    `spark` block is applied to the session, so the sampled engine
+    dimensions actually steer the run."""
+    import time
+
+    from mofka_spark.benchspec import sample_spec
+    from mofka_spark.client import Driver
+    from mofka_spark.functions.views import DataDescriptor
+    from mofka_spark.session import get_spark
+
+    if args.spec:
+        with open(args.spec) as f:
+            spec = json.load(f)
+    else:
+        spec = sample_spec(args.num_events, seed=args.seed)
+    t, pr, co = spec["topic"], spec["producer"], spec["consumer"]
+    spark = get_spark(app_name="mofka-bench-run", conf=spec.get("spark"))
+    driver = Driver(spark, args.root)
+    name = args.topic
+    if not driver.registry.topic_exists(name):
+        driver.create_topic(name, num_partitions=int(t["num_partitions"]))
+    topic = driver.open_topic(name)
+    meta = {
+        f"f{i}" + "k" * max(0, int(t["metadata_key_sizes"]) - 2): "v"
+        * int(t["metadata_val_sizes"])
+        for i in range(int(t["metadata_num_fields"]))
+    }
+    data = b"x" * int(t["data_total_size"])
+    n = int(spec["num_events"])
+    batch = int(pr["producer_batch_size"])
+    t0 = time.time()
+    with topic.producer(
+        "bench", batch_size=(batch if batch > 0 else 8)
+    ) as producer:
+        for i in range(n):
+            producer.push(dict(meta, seq=i), data)
+            fe = int(pr["producer_flush_every"])
+            if fe > 0 and (i + 1) % fe == 0:
+                producer.flush()
+    prod_dt = time.time() - t0
+    topic.mark_as_complete()
+    sel = float(co["consumer_data_selector_selectivity"])
+    prop = float(co["consumer_data_selector_proportion"])
+
+    def selector(metadata, descriptor):
+        if (metadata.get("seq", 0) % 100) / 100.0 >= sel:
+            return DataDescriptor.null()
+        if descriptor.size == 0:  # spec sampled a zero-byte payload
+            return descriptor
+        size = max(1, int(descriptor.size * prop))
+        return descriptor.make_sub_view(0, size)
+
+    got = 0
+    t0 = time.time()
+    with topic.consumer("bench-consumer", data_selector=selector) as cons:
+        for _ev in cons:
+            got += 1
+    cons_dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "benchmark": "run",
+                "seed": spec.get("seed"),
+                "events": n,
+                "producer_sec": round(prod_dt, 3),
+                "producer_events_per_sec": round(n / prod_dt, 1)
+                if prod_dt > 0
+                else None,
+                "consumer_events": got,
+                "consumer_sec": round(cons_dt, 3),
+                "consumer_events_per_sec": round(got / cons_dt, 1)
+                if cons_dt > 0
+                else None,
             }
         )
     )
@@ -461,6 +565,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--selectivity", type=float, default=0.5)
     p.add_argument("-i", "--proportion", type=float, default=0.8)
     p.set_defaults(fn=cmd_benchmark_consumer)
+    p = bench.add_parser(
+        "generate",
+        help="Sample a benchmark config from a declared space "
+        "(mofkactl benchmark generate analog)",
+    )
+    p.add_argument("-n", "--num-events", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "-d",
+        "--dim",
+        action="append",
+        help="Override a dimension: name=range ('1-16'), name=choice "
+        "list ('a,b,c'), or name=constant; repeatable. See "
+        "mofka_spark/benchspec.py SPACE for dimension names.",
+    )
+    p.set_defaults(fn=cmd_benchmark_generate)
+    p = bench.add_parser(
+        "run", help="Execute a generated spec end-to-end"
+    )
+    p.add_argument("-r", "--root", required=True)
+    p.add_argument("-t", "--topic", default="bench_topic")
+    p.add_argument("--spec", help="Spec JSON from `benchmark generate`")
+    p.add_argument("-n", "--num-events", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_benchmark_run)
     return ap
 
 

@@ -7,6 +7,13 @@ Conventions:
 - aggregate doubles are rounded (4dp money, 4dp ratios) on both sides
 - counts cast to BIGINT on both sides (DuckDB SUM(int) yields HUGEINT)
 - LIMIT/top-k queries carry full deterministic tiebreaks
+- SIGNED ZERO: any oracle ROUND over a difference-shaped expression
+  that can land on zero must be written ``0.0 + ROUND(expr, n)`` —
+  DuckDB's ROUND emits -0.0 for any negative that rounds to zero,
+  Spark's round never does, and the driver hashes stringified values,
+  so a bare ROUND is a latent hash mismatch (the round-6
+  user_value_trend lesson; tools/check_oracle.py now compares reprs
+  and catches this locally)
 """
 
 from __future__ import annotations

@@ -109,3 +109,87 @@ class TestStoreCommands:
     def test_store_compact_requires_group_cols(self, spark, tmp_path):
         rc, _ = run("store", "compact", str(tmp_path / "x"), "-k", "distinct")
         assert rc == 2
+
+
+class TestBenchmarkGenerate:
+    def test_same_seed_same_spec(self):
+        args = (
+            "benchmark", "generate", "-n", "40", "--seed", "7",
+            "-d", "num_partitions=1-8",
+            "-d", "producer_batch_size=4,8,16",
+            "-d", "consumer_data_selector_selectivity=0.1-0.9",
+        )
+        rc1, out1 = run(*args)
+        rc2, out2 = run(*args)
+        assert rc1 == rc2 == 0 and out1 == out2
+        spec = json.loads(out1)
+        assert spec["num_events"] == 40 and spec["seed"] == 7
+        assert 1 <= spec["topic"]["num_partitions"] <= 8
+        assert spec["producer"]["producer_batch_size"] in (4, 8, 16)
+        assert (
+            0.1
+            <= spec["consumer"]["consumer_data_selector_selectivity"]
+            <= 0.9
+        )
+        # engine dims land as real Spark conf keys
+        assert spec["spark"]["spark.sql.shuffle.partitions"] == "32"
+        assert (
+            spec["spark"]["spark.sql.autoBroadcastJoinThreshold"]
+            == str(10 * 1024 * 1024)
+        )
+
+    def test_different_seeds_differ_somewhere(self):
+        outs = set()
+        for seed in range(6):
+            _, out = run(
+                "benchmark", "generate", "--seed", str(seed),
+                "-d", "num_partitions=1-1000000",
+            )
+            outs.add(json.loads(out)["topic"]["num_partitions"])
+        assert len(outs) > 1
+
+    def test_unknown_dimension_rejected(self):
+        import pytest
+
+        from mofka_spark.benchspec import sample_spec
+
+        with pytest.raises(ValueError, match="unknown dimensions"):
+            sample_spec(10, overrides={"num_partitionz": "3"})
+
+    def test_range_grammar(self):
+        import random
+
+        from mofka_spark.benchspec import (
+            _parse_bool_choice,
+            _parse_float_range,
+            _parse_int_range,
+        )
+
+        rng = random.Random(0)
+        assert _parse_int_range("8", rng) == 8
+        assert _parse_int_range("-1", rng) == -1
+        for _ in range(20):
+            assert 1 <= _parse_int_range("1-16", random.Random()) <= 16
+            assert _parse_int_range("4,8", random.Random()) in (4, 8)
+            assert 0.2 <= _parse_float_range("0.2-0.9", random.Random()) <= 0.9
+        assert _parse_bool_choice("true", rng) is True
+        assert _parse_bool_choice("false", rng) is False
+        assert _parse_bool_choice("true,false", rng) in (True, False)
+
+    def test_generated_spec_runs(self, tmp_path):
+        # sample a tiny spec with a real payload and drive it through
+        # benchmark run end-to-end (producer + drain)
+        _, out = run(
+            "benchmark", "generate", "-n", "12", "--seed", "1",
+            "-d", "data_total_size=32",
+            "-d", "num_partitions=2",
+        )
+        spec_file = tmp_path / "spec.json"
+        spec_file.write_text(out)
+        rc, out2 = run(
+            "benchmark", "run", "-r", str(tmp_path / "root"),
+            "--spec", str(spec_file),
+        )
+        assert rc == 0
+        res = json.loads(out2.strip().splitlines()[-1])
+        assert res["events"] == 12 and res["consumer_events"] == 12
