@@ -602,3 +602,75 @@ class TestTpchBreadthPlans:
         assert "Semi" in p
         assert plans.has_pushed_filter(df, "l_shipdate")
         assert "CartesianProduct" not in p
+
+
+class TestGlobalPlanAudit:
+    """One sweep over EVERY registered batch query: a 100 TB engine
+    must never plan a non-broadcast cross product, and every
+    BroadcastNestedLoopJoin must be one of the known intentional
+    small-frame crosses (pinned below — a NEW one failing this test is
+    exactly the review moment we want)."""
+
+    # queries whose plans legitimately contain BNLJ, pinned to the
+    # EXACT observed set (sf0.001 audit). Two shapes, both bounded:
+    # (a) broadcast query/anchor set crossed with the corpus — the
+    #     gate regime of the exact search operators;
+    # (b) a one-row global-stats / O(model)-row trained-table frame
+    #     broadcast onto every row (corpus stats, idf, LM tables,
+    #     quantization scales, DSIR buckets) — the cheapest possible
+    #     plan for "join a scalar onto the stream".
+    BNLJ_ALLOWED = {
+        # (a) broadcast query-set crosses
+        "knn_cosine",
+        "lsh_recall",
+        "ivf_recall",
+        "hard_negatives",
+        "ranking_metrics",
+        "rrf_fusion",
+        "modality_embed_knn",
+        "distinct_overlap",    # O(#groups) sketch-frame pair matrix
+        # (b) scalar / trained-table broadcasts
+        "bm25_scores",         # one corpus-stats row
+        "lm_scores",           # trained LM tables
+        "bigram_lm_scores",    # trained bigram/context/vocab tables
+        "tfidf_retrieval",     # query idf row
+        "distinctive_terms",   # group total rows
+        "pmi_collocations",    # pair/unigram total rows
+        "join_skew_report",    # one global-stats row
+        "funnel_conversion",   # step-0 user count row
+        "rolling_active_users",# window-offset literal frame
+        "quantize_embeddings", # one per-dim scales row
+        "dsir_weights",        # O(n_buckets) bucket tables
+        "dsir_select",         # bucket tables via dsir_weights
+        "q11_important_share", # scalar threshold (TPC-H shape)
+        "q22_idle_customers",  # scalar avg (TPC-H shape)
+    }
+
+    def test_no_cartesian_products_anywhere(self, spark):
+        """CartesianProduct (the NON-broadcast cross, quadratic
+        shuffle) must not appear in any registered query's plan, and
+        BNLJ only where pinned. Streaming-fixture queries are skipped
+        (their function bodies drain a stream; the streaming plans are
+        pinned by their own tests)."""
+        import inspect
+
+        failures = []
+        new_bnlj = []
+        for name, fn in queries.SPARK_QUERIES.items():
+            src = inspect.getsource(fn)
+            if "_stream_fixture" in src or "_run_stream" in src:
+                continue
+            try:
+                p = plans.plan_string(fn(spark, SF), mode="simple")
+            except Exception as e:  # noqa: BLE001
+                failures.append((name, f"plan error: {e}"))
+                continue
+            if "CartesianProduct" in p:
+                failures.append((name, "CartesianProduct"))
+            if "BroadcastNestedLoopJoin" in p and name not in self.BNLJ_ALLOWED:
+                new_bnlj.append(name)
+        assert not failures, failures
+        assert not new_bnlj, (
+            "new BroadcastNestedLoopJoin outside the allowlist — confirm "
+            f"the broadcast side is bounded, then pin it: {new_bnlj}"
+        )
