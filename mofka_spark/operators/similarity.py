@@ -1479,3 +1479,81 @@ def kmeans_cells(
     return assigned.join(F.broadcast(sizes), "cell").select(
         id_col, "cell", "n_cell"
     )
+
+
+def label_propagation(
+    df: DataFrame,
+    neighbors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    iters: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation over the kNN graph: labeled
+    rows are clamped seeds; every unlabeled row takes the MAJORITY
+    label of its k nearest neighbors, iterated ``iters`` synchronous
+    rounds — the classic weak-supervision labeler (expand a small
+    hand-labeled seed set across an embedding corpus) completing the
+    label-health family (label_agreement detects noise,
+    label_separation scores class geometry, this one CREATES labels).
+
+    Ties break on the smaller label; a row whose labeled-neighbor set
+    is empty stays NULL. The labeled set is monotone across rounds
+    (seeds never change, propagated labels can flip but never vanish),
+    so ``iters`` rounds reach everything within ``iters`` hops of a
+    seed.
+
+    ``neighbors``: optional (query_id, neighbor_id) pairs from ANY
+    search operator — pass lsh_topk/ivf_topk output at corpus scale.
+    The default computes exact brute-force top-k with the corpus as
+    its own query set (the gate regime; Arrow matmul kernel).
+
+    Returns (id, label, is_seed). Scale shape past the neighbor
+    search: per round, one thin join of the pair frame onto the
+    (id, label) projection + one (query, label)-keyed count + one
+    per-query argmax window over <= k vote rows; vectors never move.
+    The neighbor frame is localCheckpoint'ed once and reused by every
+    round."""
+    base = df.filter(F.col(vec_col).isNotNull()) if neighbors is None else df
+    if neighbors is None:
+        neighbors = brute_force_topk(
+            base, base, k, id_col, vec_col, method="arrow"
+        ).select("query_id", "neighbor_id")
+    # reused every round — materialize once (GC-bounded, not a cache leak)
+    neighbors = neighbors.localCheckpoint(eager=True)
+    seeds = base.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("_seed")
+    )
+    cur = seeds.select("id", F.col("_seed").alias("lbl"))
+    for _ in range(iters):
+        votes = (
+            neighbors.join(
+                cur.select(
+                    F.col("id").alias("neighbor_id"),
+                    F.col("lbl").alias("n_lbl"),
+                ),
+                "neighbor_id",
+            )
+            .filter(F.col("n_lbl").isNotNull())
+            .groupBy("query_id", "n_lbl")
+            .agg(F.count("*").alias("_n"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("_n"), F.asc("n_lbl")
+        )
+        top = (
+            votes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("query_id").alias("id"), F.col("n_lbl").alias("_prop"))
+        )
+        cur = (
+            seeds.join(top, "id", "left")
+            .select("id", F.coalesce("_seed", "_prop").alias("lbl"))
+            .localCheckpoint(eager=True)  # cut per-round lineage
+        )
+    return seeds.join(cur, "id").select(
+        "id",
+        F.col("lbl").alias("label"),
+        F.col("_seed").isNotNull().alias("is_seed"),
+    )

@@ -527,3 +527,57 @@ def count_min_estimate(
             F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
         )
     )
+
+
+def bottomk_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "bk",
+) -> DataFrame:
+    """Bottom-k (KMV) distinct-count estimation: hash each distinct
+    value to u in (0, 1], keep each group's k smallest, estimate
+    D = (k-1)/u_(k). The engine-portable member of the sketch family:
+    where HLL's estimate is gated by a tolerance boolean
+    (distinct_count_gate), the bottom-k estimate is a pure function of
+    the md5 hash family, so an external engine computes the IDENTICAL
+    estimate and the gate hash-matches exactly — approximation without
+    non-determinism (the weighted_sample / streaming-reservoir
+    philosophy applied to cardinality).
+
+    Groups with fewer than k distinct values return their exact count
+    (the estimator needs a k-th order statistic to exist). Mergeable:
+    bottom-k of a union is the k smallest of the merged bottom-k sets
+    — the same algebra streaming/sample.py exploits, so shard partials
+    are k rows per group. Relative error ~ 1/sqrt(k-2).
+
+    Returns (group_col, est_distinct: double rounded 4dp). Scale
+    shape: one distinct exchange on (group, value) — values leave as
+    48-bit hashes, never raw — then one group-keyed window over the
+    thin (group, u) rows; no corpus-width columns move."""
+    from mofka_spark.operators.sampling import hash_bucket
+
+    mod = 1 << 48  # md5's 12 leading hex chars, full range
+    u = (
+        hash_bucket(F.col(value_col), salt, mod=mod).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(mod))
+    d = (
+        df.select(F.col(group_col), F.col(value_col))
+        .filter(F.col(value_col).isNotNull())
+        .distinct()
+        .select(group_col, u.alias("_u"))
+    )
+    w = Window.partitionBy(group_col).orderBy("_u")
+    ranked = d.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("_n"),
+        F.max(F.when(F.col("_rn") == k, F.col("_u"))).alias("_uk"),
+    )
+    est = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("_uk"))
+    return agg.select(group_col, F.round(est, 4).alias("est_distinct"))

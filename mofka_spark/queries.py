@@ -6595,6 +6595,140 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cells(emb, cents)
 
 
+# Bottom-k (KMV) distinct estimation (operators/sketch.py
+# bottomk_distinct): est = (k-1)/u_(k) over md5-hashed distinct values
+# — the engine-portable sketch: the estimate is a pure function of the
+# hash family, so the oracle computes the IDENTICAL number and the gate
+# hash-matches exactly (no tolerance boolean doing the real work, the
+# within_tol column just documents the ~1/sqrt(k) accuracy).
+@query(
+    "bottomk_distinct",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    u AS (
+      SELECT event_type,
+             ((('0x' || substr(md5('bk' || user_id::VARCHAR), 1, 12))::BIGINT
+               % 281474976710656) + 1) / 281474976710656.0 AS u
+      FROM d
+    ),
+    r AS (
+      SELECT event_type, u,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM u
+    ),
+    a AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = 64 THEN u END) AS uk
+      FROM r WHERE rn <= 64 GROUP BY 1
+    ),
+    e AS (
+      SELECT event_type,
+             ROUND(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                        ELSE 63.0 / uk END, 4) AS est_distinct
+      FROM a
+    ),
+    x AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type, e.est_distinct, x.exact_distinct,
+           ABS(e.est_distinct - x.exact_distinct)
+             <= 0.5 * x.exact_distinct AS within_tol
+    FROM e JOIN x USING (event_type)
+    """,
+)
+def q_bottomk_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sketch import bottomk_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = bottomk_distinct(ev, "event_type", "user_id", k=64)
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    tol = (
+        F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+        <= 0.5 * F.col("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "est_distinct", "exact_distinct",
+        tol.alias("within_tol"),
+    )
+
+
+# Semi-supervised label propagation (operators/similarity.py
+# label_propagation): clamp a 20% seed mask (vec_id % 5 == 0), spread
+# labels two synchronous majority rounds over the exact kNN graph.
+# The oracle unrolls both rounds; the neighbor ranking reuses the
+# label_noise_scan discipline (cosine rounded to 6dp, id tiebreak) and
+# all propagation arithmetic is integer counts with label-asc ties.
+@query(
+    "label_propagation",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CASE WHEN vec_id % 5 = 0 THEN label END AS lbl
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    nb AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.v, c.v), 6) AS score
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    knn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rnk
+        FROM nb) WHERE rnk <= 10
+    ),
+    l0 AS (SELECT vec_id AS id, lbl FROM e),
+    v1 AS (
+      SELECT k.query_id, l.lbl AS n_lbl, COUNT(*) AS n
+      FROM knn k JOIN l0 l ON l.id = k.neighbor_id
+      WHERE l.lbl IS NOT NULL GROUP BY 1, 2
+    ),
+    t1 AS (
+      SELECT query_id AS id, n_lbl AS prop FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY n DESC, n_lbl) AS rk
+        FROM v1) WHERE rk = 1
+    ),
+    l1 AS (
+      SELECT l0.id, COALESCE(l0.lbl, t1.prop) AS lbl
+      FROM l0 LEFT JOIN t1 USING (id)
+    ),
+    v2 AS (
+      SELECT k.query_id, l.lbl AS n_lbl, COUNT(*) AS n
+      FROM knn k JOIN l1 l ON l.id = k.neighbor_id
+      WHERE l.lbl IS NOT NULL GROUP BY 1, 2
+    ),
+    t2 AS (
+      SELECT query_id AS id, n_lbl AS prop FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY n DESC, n_lbl) AS rk
+        FROM v2) WHERE rk = 1
+    )
+    SELECT l0.id, COALESCE(l0.lbl, t2.prop) AS label,
+           l0.lbl IS NOT NULL AS is_seed
+    FROM l0 LEFT JOIN t2 USING (id)
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.similarity import label_propagation
+
+    emb = _t(spark, sf_dir, "embeddings")
+    masked = emb.withColumn(
+        "label",
+        F.when(F.pmod(F.col("vec_id"), F.lit(5)) == 0, F.col("label")),
+    )
+    return label_propagation(masked, k=10, iters=2)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

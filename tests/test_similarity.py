@@ -716,3 +716,76 @@ class TestKmeansFull:
         assert "SortMergeJoin" not in p
         assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+class TestLabelPropagation:
+    def test_seeds_spread_across_clusters(self, spark):
+        from mofka_spark.operators.similarity import label_propagation
+
+        # two tight clusters; one seed each; everyone inherits their
+        # cluster's seed label within 2 rounds
+        rows = [(i, [1.0 + 0.01 * i, 0.0], 0 if i == 0 else None) for i in range(5)]
+        rows += [
+            (10 + i, [0.0, 1.0 + 0.01 * i], 7 if i == 0 else None)
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        out = {r.id: (r.label, r.is_seed) for r in label_propagation(df, k=3).collect()}
+        assert out[0] == (0, True) and out[10] == (7, True)
+        for i in range(1, 5):
+            assert out[i] == (0, False)
+        for i in range(11, 15):
+            assert out[10 + (i - 10)][0] == 7
+
+    def test_seed_clamped_against_majority(self, spark):
+        from mofka_spark.operators.similarity import label_propagation
+
+        # seed 99 sits inside the 0-labeled cluster but keeps label 1
+        rows = [(i, [1.0 + 0.01 * i, 0.0], 0) for i in range(4)]
+        rows.append((99, [1.0, 0.005], 1))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        out = {r.id: r.label for r in label_propagation(df, k=3).collect()}
+        assert out[99] == 1
+
+    def test_vote_tie_takes_smaller_label(self, spark):
+        from mofka_spark.operators.similarity import label_propagation
+
+        nbrs = spark.createDataFrame(
+            [(3, 1), (3, 2)], "query_id long, neighbor_id long"
+        )
+        df = spark.createDataFrame(
+            [(1, [1.0], 5), (2, [1.0], 2), (3, [1.0], None)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        out = {
+            r.id: r.label
+            for r in label_propagation(df, neighbors=nbrs, iters=1).collect()
+        }
+        assert out[3] == 2  # one vote each for 2 and 5 -> smaller wins
+
+    def test_unreachable_stays_null_then_second_hop_reaches(self, spark):
+        from mofka_spark.operators.similarity import label_propagation
+
+        # chain seed(1) -> 2 -> 3 with directed edges: one round labels
+        # 2 only; two rounds reach 3 through 2's new label
+        nbrs = spark.createDataFrame(
+            [(2, 1), (3, 2)], "query_id long, neighbor_id long"
+        )
+        df = spark.createDataFrame(
+            [(1, [1.0], 4), (2, [1.0], None), (3, [1.0], None)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        one = {
+            r.id: r.label
+            for r in label_propagation(df, neighbors=nbrs, iters=1).collect()
+        }
+        assert one == {1: 4, 2: 4, 3: None}
+        two = {
+            r.id: r.label
+            for r in label_propagation(df, neighbors=nbrs, iters=2).collect()
+        }
+        assert two == {1: 4, 2: 4, 3: 4}

@@ -347,3 +347,75 @@ class TestCountMin:
         # the sketch side broadcasts; the probe side never sort-merges
         assert "BroadcastHashJoin" in p
         assert "SortMergeJoin" not in p
+
+
+class TestBottomkDistinct:
+    def test_small_groups_exact(self, spark):
+        from mofka_spark.operators.sketch import bottomk_distinct
+
+        rows = [("a", f"u{i}") for i in range(10)] + [("b", "x")] * 5
+        df = spark.createDataFrame(rows, ["g", "v"])
+        out = {r.g: r.est_distinct for r in bottomk_distinct(df, "g", "v", k=64).collect()}
+        # below k: the exact count comes back; duplicates don't inflate
+        assert out == {"a": 10.0, "b": 1.0}
+
+    def test_estimate_accuracy_above_k(self, spark):
+        from mofka_spark.operators.sketch import bottomk_distinct
+
+        rows = [("g", f"val{i}") for i in range(2000)]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        (row,) = bottomk_distinct(df, "g", "v", k=256).collect()
+        assert abs(row.est_distinct - 2000) / 2000 < 0.25
+
+    def test_nulls_excluded(self, spark):
+        from mofka_spark.operators.sketch import bottomk_distinct
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", None), ("a", "y")], ["g", "v"]
+        )
+        (row,) = bottomk_distinct(df, "g", "v", k=8).collect()
+        assert row.est_distinct == 2.0
+
+    def test_shard_merge_equals_whole(self, spark):
+        """bottom-k of a union == k smallest of the merged per-shard
+        bottom-k sets — the mergeability the estimator rides, asserted
+        through the estimate itself."""
+        from pyspark.sql import Window
+
+        from mofka_spark.operators.sampling import hash_bucket
+        from mofka_spark.operators.sketch import bottomk_distinct
+
+        vals = [f"v{i}" for i in range(500)]
+        k = 64
+        whole = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+        (want,) = bottomk_distinct(whole, "g", "v", k=k).collect()
+        # shard, keep each shard's k smallest u, merge, re-rank, estimate
+        mod = 1 << 48
+        u = (
+            hash_bucket(F.col("v"), "bk", mod=mod).cast("double") + F.lit(1.0)
+        ) / F.lit(float(mod))
+        parts = []
+        for lo, hi in ((0, 200), (200, 500)):
+            shard = spark.createDataFrame(
+                [("g", v) for v in vals[lo:hi]], ["g", "v"]
+            )
+            w = Window.partitionBy("g").orderBy("_u")
+            parts.append(
+                shard.distinct()
+                .select("g", u.alias("_u"))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k)
+                .select("g", "_u")
+            )
+        merged = parts[0].unionAll(parts[1])
+        w = Window.partitionBy("g").orderBy("_u")
+        ranked = merged.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= k
+        )
+        (uk,) = (
+            ranked.filter(F.col("_rn") == k).select("_u").collect()
+        )
+        import builtins
+
+        got = builtins.round((k - 1) / uk._u, 4)
+        assert got == want.est_distinct
