@@ -6729,6 +6729,70 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(masked, k=10, iters=2)
 
 
+# KMV distinct estimates straight off the streaming sample store
+# (streaming/sample.py estimate_distinct): the per-epoch bottom-k
+# summaries ARE a k-minimum-values sketch, so cardinality is one more
+# reader over the store — no new write path, and the estimate is a
+# pure function of the ingested key set (hash-matches the oracle
+# exactly, including the estimator's own error).
+@query(
+    "streaming_bottomk_distinct",
+    """
+    WITH ev AS (
+      SELECT DISTINCT event_type AS stratum, user_id::VARCHAR AS key
+      FROM events WHERE event_id < 5000 AND user_id IS NOT NULL
+    ),
+    u AS (
+      SELECT stratum,
+             ((('0x' || substr(md5('rs' || key), 1, 12))::BIGINT
+               % 1000000) + 1) / 1000000.0 AS u
+      FROM ev
+    ),
+    r AS (
+      SELECT stratum, u,
+             ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY u) AS rn
+      FROM u
+    ),
+    a AS (
+      SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = 64 THEN u END) AS uk
+      FROM r WHERE rn <= 64 GROUP BY 1
+    )
+    SELECT stratum,
+           ROUND(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                      ELSE 63.0 / uk END, 4) AS est_distinct
+    FROM a
+    """,
+)
+def q_streaming_bottomk_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.sample import estimate_distinct, sample_sink
+
+    topic = _stream_fixture(spark, sf_dir, "events")
+    parsed = _events_stream(topic, 5000).select("event_type", "user_id")
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-bkd-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(
+                sample_sink(store, "user_id", "event_type", k=64)
+            )
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return estimate_distinct(spark, store, k=64)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -118,3 +118,48 @@ def compact_sample(spark: SparkSession, path: str, k: int = 100) -> None:
     compact_epoch_store(
         spark, path, merge=lambda df: _bottom_k(df.distinct(), k)
     )
+
+
+def estimate_distinct(
+    spark: SparkSession,
+    path: str,
+    k: int = 100,
+    as_of_epoch: int | None = None,
+) -> DataFrame:
+    """KMV distinct-count estimates per stratum from the SAME stored
+    bottom-k summaries the sample reader uses — the store is already a
+    k-minimum-values sketch, so cardinality comes for free: est =
+    (k-1)/u_(k) with u = (race+1)/1e6 (operators/sketch.py
+    bottomk_distinct's estimator over this store's race family).
+    Strata with fewer than k distinct keys return their exact count
+    (below k, no epoch ever dropped a key, so the merged store IS the
+    key set). Deterministic: an external engine computes the identical
+    estimate from the same keys.
+
+    Race granularity is the sample store's 1e-6 (hash_bucket's MOD):
+    fine through ~1e5 distinct per stratum; past that the quantized
+    u_(k) biases the estimate low — size MOD up (new salt domain) if
+    strata run hotter. Returns (stratum, est_distinct rounded 4dp);
+    ``as_of_epoch`` time-travels, compaction is invisible (the k-th
+    smallest survives any bottom-k-of-bottom-k fold)."""
+    from mofka_spark.operators.sampling import _MOD
+
+    stored = read_store(spark, path, _SCHEMA, as_of_epoch)
+    merged = stored.distinct().select(
+        "stratum",
+        (
+            (F.col("race").cast("double") + F.lit(1.0)) / F.lit(float(_MOD))
+        ).alias("_u"),
+    )
+    w = Window.partitionBy("stratum").orderBy("_u")
+    ranked = merged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    agg = ranked.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.max(F.when(F.col("_rn") == k, F.col("_u"))).alias("_uk"),
+    )
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("_uk")
+    )
+    return agg.select("stratum", F.round(est, 4).alias("est_distinct"))

@@ -1955,3 +1955,101 @@ class TestStreamingCountMin:
     def test_empty_store_estimates_zero(self, spark, tmp_path):
         est = self._est(spark, str(tmp_path / "none"))
         assert est == {"a": 0, "b": 0, "c": 0, "nope": 0}
+
+
+class TestStreamingBottomkDistinct:
+    """streaming/sample.py estimate_distinct: the sample store doubles
+    as a KMV cardinality sketch."""
+
+    def _fill(self, spark, path, k=8):
+        from mofka_spark.streaming.sample import sample_sink
+
+        sink = sample_sink(path, "key", "s", k=k)
+        sink(
+            spark.createDataFrame(
+                [("a", f"k{i}") for i in range(30)] + [("b", "x1")],
+                "s string, key string",
+            ),
+            0,
+        )
+        sink(
+            spark.createDataFrame(
+                [("a", f"k{i}") for i in range(20, 60)] + [("b", "x2")],
+                "s string, key string",
+            ),
+            1,
+        )
+        return sink
+
+    def test_small_stratum_exact_large_estimated(self, spark, tmp_path):
+        from mofka_spark.streaming.sample import estimate_distinct
+
+        path = str(tmp_path / "bk")
+        self._fill(spark, path, k=8)
+        out = {
+            r.stratum: r.est_distinct
+            for r in estimate_distinct(spark, path, k=8).collect()
+        }
+        assert out["b"] == 2.0  # below k: exact
+        assert abs(out["a"] - 60) / 60 < 1.0  # k=8: coarse but sane
+
+    def test_replay_and_compaction_invisible(self, spark, tmp_path):
+        from mofka_spark.streaming.sample import (
+            compact_sample,
+            estimate_distinct,
+        )
+
+        path = str(tmp_path / "bk")
+        sink = self._fill(spark, path, k=8)
+        before = {
+            tuple(r)
+            for r in estimate_distinct(spark, path, k=8).collect()
+        }
+        sink(
+            spark.createDataFrame(
+                [("a", f"k{i}") for i in range(20, 60)] + [("b", "x2")],
+                "s string, key string",
+            ),
+            1,
+        )
+        after_replay = {
+            tuple(r)
+            for r in estimate_distinct(spark, path, k=8).collect()
+        }
+        assert after_replay == before
+        compact_sample(spark, path, k=8)
+        assert {
+            tuple(r)
+            for r in estimate_distinct(spark, path, k=8).collect()
+        } == before
+
+    def test_matches_batch_estimator(self, spark, tmp_path):
+        """stream-merged estimate == the batch bottomk estimator shape
+        over the same keys and race family (salt 'rs', MOD 1e6)."""
+        from mofka_spark.operators.sampling import _MOD, hash_bucket
+        from mofka_spark.streaming.sample import estimate_distinct
+
+        path = str(tmp_path / "bk")
+        self._fill(spark, path, k=8)
+        got = {
+            r.stratum: r.est_distinct
+            for r in estimate_distinct(spark, path, k=8).collect()
+        }
+        keys = spark.createDataFrame(
+            [("a", f"k{i}") for i in range(60)], "s string, key string"
+        )
+        u = (
+            hash_bucket(F.col("key"), "rs").cast("double") + F.lit(1.0)
+        ) / F.lit(float(_MOD))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("s").orderBy("_u")
+        ranked = (
+            keys.distinct()
+            .select("s", u.alias("_u"))
+            .withColumn("_rn", F.row_number().over(w))
+        )
+        (uk,) = ranked.filter(F.col("_rn") == 8).select("_u").collect()
+        import builtins
+
+        assert got["a"] == builtins.round(7.0 / uk._u, 4)
