@@ -1557,3 +1557,64 @@ def label_propagation(
         F.col("lbl").alias("label"),
         F.col("_seed").isNotNull().alias("is_seed"),
     )
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez): start from the
+    smallest id, repeatedly add the point FARTHEST from its nearest
+    already-chosen center — the classic 2-approximation of the
+    k-center cover, and the standard diversity-first coreset /
+    active-learning seed picker (maximize coverage of the embedding
+    space with k exemplars, where uniform sampling oversamples dense
+    clusters).
+
+    Deterministic and engine-exact: centers are actual corpus vectors
+    (never averaged), and every distance is the dim-ordered squared-L2
+    fold, so an external engine unrolling the same rounds computes
+    bit-identical distances — the argmax (ties to the smaller id) and
+    the radii match exactly, no rounding discipline needed.
+
+    Returns k rows (pick_order, id, radius): radius = the pick's
+    distance to its nearest prior center (the covering radius of the
+    first pick_order centers), NULL for the seed pick; radii are
+    non-increasing.
+
+    Scale shape: k-1 rounds, each ONE corpus scan (the running
+    nearest-center distance updates incrementally — least(dmin, one
+    new literal-centroid fold), localCheckpoint'ed per round) + a
+    driver top-1 via TakeOrderedAndProject (per-partition heaps, no
+    global sort). The model state is k vectors on the driver."""
+    vecs = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    first = vecs.orderBy("_id").limit(1).collect()
+    if not first:
+        return corpus.sparkSession.createDataFrame(
+            [], "pick_order int, id long, radius double"
+        )
+    seed_id, seed_v = first[0]._id, [float(x) for x in first[0]._v]
+    picks: list[tuple[int, int, float | None]] = [(0, seed_id, None)]
+    cur = vecs.select(
+        "_id", "_v", _sqdist_to_literal(F.col("_v"), seed_v).alias("_dmin")
+    ).localCheckpoint(eager=True)
+    for i in range(1, min(k, cur.count())):
+        top = (
+            cur.orderBy(F.desc("_dmin"), F.asc("_id")).limit(1).collect()[0]
+        )
+        picks.append((i, top._id, float(top._dmin)))
+        new_c = [float(x) for x in top._v]
+        cur = cur.select(
+            "_id",
+            "_v",
+            F.least(
+                F.col("_dmin"), _sqdist_to_literal(F.col("_v"), new_c)
+            ).alias("_dmin"),
+        ).localCheckpoint(eager=True)
+    return corpus.sparkSession.createDataFrame(
+        picks, "pick_order int, id long, radius double"
+    )

@@ -6793,6 +6793,71 @@ def q_streaming_bottomk_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return estimate_distinct(spark, store, k=64)
 
 
+# Greedy k-center coreset selection (operators/similarity.py
+# kcenter_select): the oracle unrolls all four rounds — centers are
+# actual corpus vectors (never averaged) and distances are dim-ordered
+# folds, so argmax picks and radii are bit-identical across engines.
+@query(
+    "kcenter_coreset",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+    d1 AS (
+      SELECT e.vec_id, e.v,
+             list_sum(list_transform(generate_series(1, len(e.v)),
+                      j -> (e.v[j]-c0.v[j])*(e.v[j]-c0.v[j]))) AS dmin
+      FROM e CROSS JOIN c0
+    ),
+    p1 AS (SELECT vec_id, v, dmin FROM d1
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+    d2 AS (
+      SELECT d1.vec_id, d1.v,
+             LEAST(d1.dmin,
+                   list_sum(list_transform(generate_series(1, len(d1.v)),
+                            j -> (d1.v[j]-p1.v[j])*(d1.v[j]-p1.v[j]))))
+               AS dmin
+      FROM d1 CROSS JOIN p1
+    ),
+    p2 AS (SELECT vec_id, v, dmin FROM d2
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+    d3 AS (
+      SELECT d2.vec_id, d2.v,
+             LEAST(d2.dmin,
+                   list_sum(list_transform(generate_series(1, len(d2.v)),
+                            j -> (d2.v[j]-p2.v[j])*(d2.v[j]-p2.v[j]))))
+               AS dmin
+      FROM d2 CROSS JOIN p2
+    ),
+    p3 AS (SELECT vec_id, v, dmin FROM d3
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+    d4 AS (
+      SELECT d3.vec_id, d3.v,
+             LEAST(d3.dmin,
+                   list_sum(list_transform(generate_series(1, len(d3.v)),
+                            j -> (d3.v[j]-p3.v[j])*(d3.v[j]-p3.v[j]))))
+               AS dmin
+      FROM d3 CROSS JOIN p3
+    ),
+    p4 AS (SELECT vec_id, v, dmin FROM d4
+           ORDER BY dmin DESC, vec_id LIMIT 1)
+    SELECT 0 AS pick_order, (SELECT vec_id FROM c0) AS id,
+           CAST(NULL AS DOUBLE) AS radius
+    UNION ALL SELECT 1, (SELECT vec_id FROM p1), (SELECT dmin FROM p1)
+    UNION ALL SELECT 2, (SELECT vec_id FROM p2), (SELECT dmin FROM p2)
+    UNION ALL SELECT 3, (SELECT vec_id FROM p3), (SELECT dmin FROM p3)
+    UNION ALL SELECT 4, (SELECT vec_id FROM p4), (SELECT dmin FROM p4)
+    """,
+)
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.similarity import kcenter_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, k=5)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -789,3 +789,65 @@ class TestLabelPropagation:
             for r in label_propagation(df, neighbors=nbrs, iters=2).collect()
         }
         assert two == {1: 4, 2: 4, 3: 4}
+
+
+class TestKcenterSelect:
+    def test_picks_cover_clusters_first(self, spark):
+        from mofka_spark.operators.similarity import kcenter_select
+
+        # 3 tight clusters: the first 3 picks must hit 3 DIFFERENT
+        # clusters (diversity-first, unlike uniform sampling)
+        rows = []
+        vid = 0
+        for c in range(3):
+            for i in range(10):
+                rows.append((vid, [10.0 * (d == c) + 0.01 * i for d in range(3)]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        picks = kcenter_select(df, k=3).collect()
+        clusters = {r.id // 10 for r in picks}
+        assert len(clusters) == 3
+        # radii non-increasing after the seed
+        radii = [r.radius for r in sorted(picks, key=lambda r: r.pick_order)]
+        assert radii[0] is None
+        assert radii[1] >= radii[2]
+
+    def test_seed_is_smallest_id_and_deterministic(self, spark):
+        from mofka_spark.operators.similarity import kcenter_select
+
+        df = spark.createDataFrame(
+            [(7, [1.0]), (3, [5.0]), (9, [9.0])],
+            "vec_id long, embedding array<double>",
+        )
+        a = kcenter_select(df, k=3).collect()
+        b = kcenter_select(df, k=3).collect()
+        assert a == b
+        ordered = sorted(a, key=lambda r: r.pick_order)
+        assert ordered[0].id == 3 and ordered[0].radius is None
+        # farthest from 5.0 is 9.0 (dist 16) over 1.0 (dist 16)... tie
+        # breaks to the smaller id 7 (dist (5-1)^2=16 == (9-5)^2=16)
+        assert ordered[1].id == 7 and ordered[1].radius == 16.0
+        assert ordered[2].id == 9
+
+    def test_k_larger_than_corpus(self, spark):
+        from mofka_spark.operators.similarity import kcenter_select
+
+        df = spark.createDataFrame(
+            [(1, [0.0]), (2, [1.0])], "vec_id long, embedding array<double>"
+        )
+        out = kcenter_select(df, k=10).collect()
+        assert len(out) == 2
+
+    def test_empty_and_null_vectors(self, spark):
+        from mofka_spark.operators.similarity import kcenter_select
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        assert kcenter_select(empty, k=3).count() == 0
+        df = spark.createDataFrame(
+            [(1, None), (2, [1.0]), (3, [9.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r.id for r in kcenter_select(df, k=3).collect()}
+        assert out == {2, 3}
