@@ -269,3 +269,113 @@ def corpus_report(
         )
         .withColumnRenamed("stratum", strata_col)
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    bins: int = 10,
+    drift_threshold: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index between a reference snapshot and a
+    current one — the standard production drift metric (credit-risk
+    lineage, now the default "did this feature's distribution move"
+    check): bin the value range, PSI = sum over bins of
+    (p_cur - p_bin_ref) * ln(p_cur / p_ref). Rule of thumb: < 0.1
+    stable, 0.1-0.2 moderate shift, > 0.2 drifted (the default
+    ``drift_threshold``).
+
+    Bins are ``bins`` equal-width slices of the REFERENCE min/max
+    (current values outside clamp into the edge bins — out-of-range
+    mass is exactly the drift signal). Probabilities floor at 1e-6 so
+    empty bins contribute finite terms (the standard PSI smoothing);
+    the per-group PSI folds its bin terms in BIN ORDER so the IEEE
+    result is engine-reproducible (token_entropy discipline).
+
+    Returns one row per group (or a single '_all' group): (group,
+    n_ref, n_cur, psi rounded 6dp, drifted). Scale shape: one bounds
+    aggregate over ref (O(#groups) rows, broadcast back), one
+    (group, bin) count per side with map-side combine, and a
+    #groups x bins-sized spine join — nothing corpus-sized shuffles
+    except the two thin count passes."""
+    g = F.col(group_col) if group_col is not None else F.lit("_all")
+    v = F.col(value_col).cast("double")
+    r = ref.filter(v.isNotNull()).select(g.alias("g"), v.alias("v"))
+    c = cur.filter(v.isNotNull()).select(g.alias("g"), v.alias("v"))
+    bounds = r.groupBy("g").agg(
+        F.min("v").alias("_lo"), F.max("v").alias("_hi")
+    )
+    w = F.greatest(
+        (F.col("_hi") - F.col("_lo")) / F.lit(float(bins)), F.lit(1e-12)
+    )
+    # clamp BEFORE the int cast: a zero-width reference range (width
+    # floored at 1e-12) can put the raw bin index in the trillions,
+    # which would CAST_OVERFLOW under ANSI
+    bin_of = F.least(
+        F.greatest(
+            F.floor((F.col("v") - F.col("_lo")) / w),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(bins - 1).cast("bigint"),
+    ).cast("int")
+
+    def counted(side: DataFrame, name: str) -> DataFrame:
+        return (
+            side.join(F.broadcast(bounds), "g")
+            .select("g", bin_of.alias("b"))
+            .groupBy("g", "b")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    spine = bounds.select(
+        "g", F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("b")
+    )
+    per_bin = (
+        spine.join(counted(r, "_nr"), ["g", "b"], "left")
+        .join(counted(c, "_nc"), ["g", "b"], "left")
+        .select(
+            "g",
+            "b",
+            F.coalesce("_nr", F.lit(0)).alias("_nr"),
+            F.coalesce("_nc", F.lit(0)).alias("_nc"),
+        )
+    )
+    totals = per_bin.groupBy("g").agg(
+        F.sum("_nr").cast("long").alias("n_ref"),
+        F.sum("_nc").cast("long").alias("n_cur"),
+    )
+    pr = F.greatest(
+        F.col("_nr").cast("double") / F.col("n_ref"), F.lit(1e-6)
+    )
+    pc = F.greatest(
+        F.col("_nc").cast("double") / F.col("n_cur"), F.lit(1e-6)
+    )
+    term = (pc - pr) * F.log(pc / pr)
+    folded = (
+        per_bin.join(F.broadcast(totals), "g")
+        .groupBy("g", "n_ref", "n_cur")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("b"), term.alias("t")))
+                    ),
+                    lambda s: s.getField("t"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_psi")
+        )
+    )
+    out_g = (
+        F.col("g").alias(group_col) if group_col is not None else F.col("g")
+    )
+    return folded.select(
+        out_g,
+        "n_ref",
+        "n_cur",
+        F.round(F.col("_psi"), 6).alias("psi"),
+        (F.col("_psi") > drift_threshold).alias("drifted"),
+    )

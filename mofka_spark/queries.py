@@ -6858,6 +6858,81 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(emb, k=5)
 
 
+# PSI drift detection (operators/quality.py psi_drift): population
+# stability index of the value distribution between the stream's first
+# 5000 events (reference) and the rest (current), per event type —
+# reference-min/max equal-width bins, 1e-6 probability floor, bin
+# terms folded in bin order on both sides for float identity.
+@query(
+    "value_drift_psi",
+    """
+    WITH r AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_id < 5000 AND value IS NOT NULL
+    ),
+    c AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_id >= 5000 AND value IS NOT NULL
+    ),
+    b AS (SELECT g, MIN(v) AS lo, MAX(v) AS hi FROM r GROUP BY g),
+    rb AS (
+      SELECT r.g,
+             CAST(LEAST(GREATEST(FLOOR((r.v - b.lo) /
+                     GREATEST((b.hi - b.lo) / 10.0, 1e-12)),
+                   0), 9) AS INTEGER) AS bin
+      FROM r JOIN b USING (g)
+    ),
+    cb AS (
+      SELECT c.g,
+             CAST(LEAST(GREATEST(FLOOR((c.v - b.lo) /
+                     GREATEST((b.hi - b.lo) / 10.0, 1e-12)),
+                   0), 9) AS INTEGER) AS bin
+      FROM c JOIN b USING (g)
+    ),
+    spine AS (
+      SELECT b.g, gs.i AS bin
+      FROM b, UNNEST(generate_series(0, 9)) AS gs(i)
+    ),
+    nr AS (SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS n
+           FROM rb GROUP BY 1, 2),
+    nc AS (SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS n
+           FROM cb GROUP BY 1, 2),
+    pb AS (
+      SELECT s.g, s.bin, COALESCE(nr.n, 0) AS nr, COALESCE(nc.n, 0) AS nc
+      FROM spine s
+      LEFT JOIN nr ON nr.g = s.g AND nr.bin = s.bin
+      LEFT JOIN nc ON nc.g = s.g AND nc.bin = s.bin
+    ),
+    t AS (
+      SELECT g, CAST(SUM(nr) AS BIGINT) AS n_ref,
+             CAST(SUM(nc) AS BIGINT) AS n_cur
+      FROM pb GROUP BY g
+    ),
+    terms AS (
+      SELECT pb.g, pb.bin,
+             (GREATEST(pb.nc / CAST(t.n_cur AS DOUBLE), 1e-6)
+              - GREATEST(pb.nr / CAST(t.n_ref AS DOUBLE), 1e-6))
+             * LN(GREATEST(pb.nc / CAST(t.n_cur AS DOUBLE), 1e-6)
+                  / GREATEST(pb.nr / CAST(t.n_ref AS DOUBLE), 1e-6))
+               AS term
+      FROM pb JOIN t USING (g)
+    ),
+    f AS (SELECT g, list_sum(list(term ORDER BY bin)) AS psi
+          FROM terms GROUP BY g)
+    SELECT f.g AS event_type, t.n_ref, t.n_cur,
+           0.0 + ROUND(f.psi, 6) AS psi, f.psi > 0.2 AS drifted
+    FROM f JOIN t USING (g)
+    """,
+)
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.quality import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") < 5000)
+    cur = ev.filter(F.col("event_id") >= 5000)
+    return psi_drift(ref, cur, "value", group_col="event_type")
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -212,3 +212,62 @@ class TestCorpusReport:
         p = plans.plan_string(corpus_report(docs))
         # one scan; the distinct counts expand inside the same agg
         assert p.count("Scan ") <= 1 or p.count("LocalTableScan") <= 2
+
+
+class TestPsiDrift:
+    def test_identical_distributions_stable(self, spark):
+        from mofka_spark.operators.quality import psi_drift
+
+        rows = [("a", float(i % 20)) for i in range(400)]
+        ref = spark.createDataFrame(rows, ["g", "v"])
+        cur = spark.createDataFrame(rows, ["g", "v"])
+        (row,) = psi_drift(ref, cur, "v", group_col="g").collect()
+        assert row.psi == 0.0 and not row.drifted
+        assert row.n_ref == 400 and row.n_cur == 400
+
+    def test_shifted_distribution_flags_drift(self, spark):
+        from mofka_spark.operators.quality import psi_drift
+
+        ref = spark.createDataFrame(
+            [("a", float(i % 20)) for i in range(400)], ["g", "v"]
+        )
+        cur = spark.createDataFrame(
+            [("a", 100.0 + i % 20) for i in range(400)], ["g", "v"]
+        )
+        (row,) = psi_drift(ref, cur, "v", group_col="g").collect()
+        # all current mass clamps into the reference's top edge bin
+        assert row.drifted and row.psi > 1.0
+
+    def test_moderate_shift_between_thresholds(self, spark):
+        from mofka_spark.operators.quality import psi_drift
+
+        ref = spark.createDataFrame(
+            [("a", float(i % 100)) for i in range(1000)], ["g", "v"]
+        )
+        # current skews 30% of mass into the top half
+        cur_rows = [("a", float(i % 100)) for i in range(700)]
+        cur_rows += [("a", 50.0 + i % 50) for i in range(300)]
+        cur = spark.createDataFrame(cur_rows, ["g", "v"])
+        (row,) = psi_drift(ref, cur, "v", group_col="g").collect()
+        assert 0.0 < row.psi < 1.0
+
+    def test_ungrouped_single_row(self, spark):
+        from mofka_spark.operators.quality import psi_drift
+
+        ref = spark.createDataFrame([(float(i),) for i in range(50)], ["v"])
+        cur = spark.createDataFrame([(float(i),) for i in range(50)], ["v"])
+        out = psi_drift(ref, cur, "v").collect()
+        assert len(out) == 1 and out[0].g == "_all" and out[0].psi == 0.0
+
+    def test_nulls_excluded_and_constant_ref(self, spark):
+        from mofka_spark.operators.quality import psi_drift
+
+        ref = spark.createDataFrame(
+            [("a", 5.0), ("a", 5.0), ("a", None)], ["g", "v"]
+        )
+        cur = spark.createDataFrame([("a", 5.0), ("a", 9.0)], ["g", "v"])
+        (row,) = psi_drift(ref, cur, "v", group_col="g").collect()
+        # zero-width reference range: everything lands in one bin via
+        # the width floor; half the current mass moved -> positive psi
+        assert row.n_ref == 2 and row.n_cur == 2
+        assert row.psi >= 0.0
