@@ -1432,6 +1432,8 @@ def kmeans_fit_full(
         first = vecs.orderBy("_id").limit(k).collect()
         init_centroids = [[float(x) for x in r._v] for r in first]
     cents = [list(c) for c in init_centroids]
+    if not cents:  # empty corpus: no centroids to fit
+        return []
     for _ in range(iters):
         assigned = vecs.select(
             "_id", "_v", _nearest_cell(F.col("_v"), cents).alias("_cell")
@@ -1469,6 +1471,15 @@ def kmeans_cells(
 
     Scale shape: assignment is one scan against centroid literals; the
     size join-back is a k-row broadcast."""
+    if not centroids:  # no centroids (empty-corpus fit): empty result
+        from pyspark.sql import types as T
+
+        return corpus.sparkSession.createDataFrame(
+            [],
+            corpus.select(F.col(id_col))
+            .schema.add("cell", T.IntegerType())
+            .add("n_cell", T.LongType()),
+        )
     assigned = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         _nearest_cell(F.col(vec_col), centroids).alias("cell"),

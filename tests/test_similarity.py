@@ -851,3 +851,22 @@ class TestKcenterSelect:
         )
         out = {r.id for r in kcenter_select(df, k=3).collect()}
         assert out == {2, 3}
+
+
+class TestKmeansEmptyEdges:
+    def test_empty_corpus_fit_and_assign(self, spark):
+        from mofka_spark.operators.similarity import (
+            kmeans_cells,
+            kmeans_fit_full,
+        )
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        cents = kmeans_fit_full(empty, k=3, iters=2)
+        assert cents == []
+        out = kmeans_cells(empty, cents)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "vec_id", "cell", "n_cell",
+        ]
