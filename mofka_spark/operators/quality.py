@@ -342,6 +342,21 @@ def psi_drift(
             F.coalesce("_nc", F.lit(0)).alias("_nc"),
         )
     )
+    out_g = group_col if group_col is not None else "g"
+    return psi_from_binned(per_bin, drift_threshold).withColumnRenamed(
+        "g", out_g
+    )
+
+
+def psi_from_binned(
+    per_bin: DataFrame, drift_threshold: float = 0.2
+) -> DataFrame:
+    """The PSI core over already-binned counts — (g, b, _nr, _nc)
+    rows covering every bin of every group (zeros included). Shared by
+    psi_drift (bins raw snapshots) and the streaming histogram store's
+    drift reader (bins already live in the store). Probabilities floor
+    at 1e-6; the per-group fold runs in BIN ORDER (engine-reproducible
+    IEEE sum). Returns (g, n_ref, n_cur, psi rounded 6dp, drifted)."""
     totals = per_bin.groupBy("g").agg(
         F.sum("_nr").cast("long").alias("n_ref"),
         F.sum("_nc").cast("long").alias("n_cur"),
@@ -369,11 +384,8 @@ def psi_drift(
             ).alias("_psi")
         )
     )
-    out_g = (
-        F.col("g").alias(group_col) if group_col is not None else F.col("g")
-    )
     return folded.select(
-        out_g,
+        "g",
         "n_ref",
         "n_cur",
         F.round(F.col("_psi"), 6).alias("psi"),

@@ -6933,6 +6933,83 @@ def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(ref, cur, "value", group_col="event_type")
 
 
+# Drift-since-checkpoint off the streaming histogram store
+# (streaming/quantiles.py read_drift): reference = the distribution as
+# of epoch 0 (the first 5000 events), current = everything — PSI from
+# stored (group, bin, cnt) rows alone, no history rescan. Epochs are
+# driven deterministically (two direct sink calls) so the oracle can
+# mirror the cut; bins are the store's declared [0, 500)/50 grid.
+@query(
+    "streaming_drift",
+    """
+    WITH r AS (
+      SELECT event_type AS g,
+             CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0), 49) AS BIGINT)
+               AS b
+      FROM events WHERE event_id < 5000 AND value IS NOT NULL
+    ),
+    c AS (
+      SELECT event_type AS g,
+             CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0), 49) AS BIGINT)
+               AS b
+      FROM events WHERE value IS NOT NULL
+    ),
+    nr AS (SELECT g, b, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1, 2),
+    nc AS (SELECT g, b, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1, 2),
+    spine AS (
+      SELECT g, gs.i AS b
+      FROM (SELECT DISTINCT g FROM r), UNNEST(generate_series(0, 49)) AS gs(i)
+    ),
+    pb AS (
+      SELECT s.g, s.b, COALESCE(nr.n, 0) AS _nr, COALESCE(nc.n, 0) AS _nc
+      FROM spine s
+      LEFT JOIN nr ON nr.g = s.g AND nr.b = s.b
+      LEFT JOIN nc ON nc.g = s.g AND nc.b = s.b
+    ),
+    t AS (
+      SELECT g, CAST(SUM(_nr) AS BIGINT) AS n_ref,
+             CAST(SUM(_nc) AS BIGINT) AS n_cur
+      FROM pb GROUP BY g
+    ),
+    terms AS (
+      SELECT pb.g, pb.b,
+             (GREATEST(pb._nc / CAST(t.n_cur AS DOUBLE), 1e-6)
+              - GREATEST(pb._nr / CAST(t.n_ref AS DOUBLE), 1e-6))
+             * LN(GREATEST(pb._nc / CAST(t.n_cur AS DOUBLE), 1e-6)
+                  / GREATEST(pb._nr / CAST(t.n_ref AS DOUBLE), 1e-6))
+               AS term
+      FROM pb JOIN t USING (g)
+    ),
+    f AS (SELECT g, list_sum(list(term ORDER BY b)) AS psi
+          FROM terms GROUP BY g)
+    SELECT f.g AS event_type, t.n_ref, t.n_cur,
+           0.0 + ROUND(f.psi, 6) AS psi, f.psi > 0.2 AS drifted
+    FROM f JOIN t USING (g)
+    """,
+)
+def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.quantiles import histogram_sink, read_drift
+
+    ev = _t(spark, sf_dir, "events")
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-drift-"), "store")
+    sink = histogram_sink(
+        store, ["event_type"], "value", lo=0.0, hi=500.0, nbins=50
+    )
+    sink(ev.filter(F.col("event_id") < 5000), 0)
+    sink(ev.filter(F.col("event_id") >= 5000), 1)
+    return read_drift(
+        spark,
+        store,
+        "event_type",
+        "event_type string, bin long, cnt long",
+        nbins=50,
+        ref_epoch=0,
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -138,3 +138,66 @@ def compact_histogram(
             F.sum("cnt").alias("cnt")
         ),
     )
+
+
+def read_drift(
+    spark: SparkSession,
+    path: str,
+    group_col: str,
+    schema: str,
+    nbins: int = 64,
+    ref_epoch: int = 0,
+    as_of_epoch: int | None = None,
+    drift_threshold: float = 0.2,
+) -> DataFrame:
+    """PSI drift straight off the stored histograms: reference = the
+    distribution as of ``ref_epoch`` (time-travel prefix), current =
+    as of ``as_of_epoch`` (default: everything) — "how far has this
+    value's distribution moved since that checkpoint", per group,
+    WITHOUT rescanning any history. The monitoring loop this enables:
+    snapshot an epoch after a known-good deploy, then read drift
+    against it every trigger for O(#groups x nbins) stored rows.
+
+    Bins are the store's declared fixed grid, so reference and
+    current are always aligned; the PSI arithmetic is
+    operators/quality.psi_from_binned (1e-6 floors, bin-ordered fold
+    — engine-reproducible). Groups absent from the reference prefix
+    have no baseline and are omitted (PSI is defined against a
+    reference). Returns (group_col, n_ref, n_cur, psi, drifted)."""
+    from mofka_spark.operators.quality import psi_from_binned
+
+    def counts(epoch, name):
+        return (
+            read_store(spark, path, schema, epoch)
+            .groupBy(group_col, "bin")
+            .agg(F.sum("cnt").alias(name))
+            .select(
+                F.col(group_col).alias("g"),
+                F.col("bin").alias("b"),
+                name,
+            )
+        )
+
+    ref = counts(ref_epoch, "_nr")
+    cur = counts(as_of_epoch, "_nc")
+    spine = (
+        ref.select("g")
+        .distinct()
+        .select(
+            "g",
+            F.explode(F.sequence(F.lit(0), F.lit(nbins - 1))).alias("b"),
+        )
+    )
+    per_bin = (
+        spine.join(ref, ["g", "b"], "left")
+        .join(cur, ["g", "b"], "left")
+        .select(
+            "g",
+            "b",
+            F.coalesce("_nr", F.lit(0)).alias("_nr"),
+            F.coalesce("_nc", F.lit(0)).alias("_nc"),
+        )
+    )
+    return psi_from_binned(per_bin, drift_threshold).withColumnRenamed(
+        "g", group_col
+    )

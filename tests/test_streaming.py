@@ -2053,3 +2053,82 @@ class TestStreamingBottomkDistinct:
         import builtins
 
         assert got["a"] == builtins.round(7.0 / uk._u, 4)
+
+
+class TestStreamingDrift:
+    """streaming/quantiles.py read_drift: PSI-since-checkpoint off the
+    stored histograms alone."""
+
+    SCHEMA = "g string, bin long, cnt long"
+
+    def _sink(self, path):
+        from mofka_spark.streaming.quantiles import histogram_sink
+
+        return histogram_sink(path, ["g"], "v", lo=0.0, hi=10.0, nbins=10)
+
+    def test_no_drift_then_shift_detected(self, spark, tmp_path):
+        from mofka_spark.streaming.quantiles import read_drift
+
+        path = str(tmp_path / "h")
+        sink = self._sink(path)
+        base = spark.createDataFrame(
+            [("a", float(i % 10)) for i in range(200)], ["g", "v"]
+        )
+        sink(base, 0)
+        # epoch 1 repeats the same distribution: psi ~ 0
+        sink(base, 1)
+        (row,) = read_drift(
+            spark, path, "g", self.SCHEMA, nbins=10, ref_epoch=0
+        ).collect()
+        assert not row.drifted and row.psi < 0.05
+        assert row.n_ref == 200 and row.n_cur == 400
+        # epoch 2 dumps everything in the top bin: drift flips
+        sink(
+            spark.createDataFrame([("a", 9.5)] * 2000, ["g", "v"]), 2
+        )
+        (row2,) = read_drift(
+            spark, path, "g", self.SCHEMA, nbins=10, ref_epoch=0
+        ).collect()
+        assert row2.drifted and row2.psi > 0.2
+
+    def test_group_without_reference_omitted(self, spark, tmp_path):
+        from mofka_spark.streaming.quantiles import read_drift
+
+        path = str(tmp_path / "h")
+        sink = self._sink(path)
+        sink(spark.createDataFrame([("a", 1.0)] * 10, ["g", "v"]), 0)
+        sink(spark.createDataFrame([("b", 2.0)] * 10, ["g", "v"]), 1)
+        out = {r.g for r in read_drift(
+            spark, path, "g", self.SCHEMA, nbins=10, ref_epoch=0
+        ).collect()}
+        assert out == {"a"}  # 'b' has no epoch-0 baseline
+
+    def test_compaction_preserves_current_not_reference(self, spark, tmp_path):
+        """compaction folds epochs into one slot: the FULL distribution
+        (current side) is unchanged, but per-epoch reference cuts are
+        traded away — the documented LSM deal (snapshot the ref PSI
+        before compacting)."""
+        from mofka_spark.streaming.quantiles import read_drift
+        from mofka_spark.streaming.store import compact_epoch_store
+
+        path = str(tmp_path / "h")
+        sink = self._sink(path)
+        sink(spark.createDataFrame([("a", float(i % 10)) for i in range(100)], ["g", "v"]), 0)
+        sink(spark.createDataFrame([("a", 9.5)] * 300, ["g", "v"]), 1)
+        before = read_drift(
+            spark, path, "g", self.SCHEMA, nbins=10, ref_epoch=None
+        ).collect()
+        compact_epoch_store(
+            spark,
+            path,
+            merge=lambda df: df.groupBy("g", "bin").agg(
+                F.sum("cnt").alias("cnt")
+            ),
+        )
+        after = read_drift(
+            spark, path, "g", self.SCHEMA, nbins=10, ref_epoch=None
+        ).collect()
+        # ref=None means ref == cur == full store: psi exactly 0, and
+        # identical before/after compaction
+        assert before == after
+        assert after[0].psi == 0.0
