@@ -82,7 +82,12 @@ def main() -> None:
     print("semantic dedup: vec 0 kept =", keep[0], "| copy 999 kept =",
           keep[999])
 
-    # 7. export form: int8 quantization (per-dim symmetric scales) —
+    # 7. diversity-first exemplars: greedy k-center covers all 3
+    # clusters in the first 3 picks (uniform sampling wouldn't)
+    picks = S.kcenter_select(emb, k=4).orderBy("pick_order").collect()
+    print("k-center picks:", [(r.pick_order, r.id) for r in picks])
+
+    # 8. export form: int8 quantization (per-dim symmetric scales) —
     # reconstruction MSE rides along per vector
     print("quantized export sample:")
     S.quantize_embeddings(emb).select(
