@@ -287,3 +287,51 @@ def _rank_by_id(df: DataFrame, id_col: str) -> DataFrame:
         "id",
         (base_col[F.col("_pid")] + F.col("_rn") - 1).cast("long").alias("epoch_pos"),
     )
+
+
+def pack_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    capacity: int = 2048,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """The dataloader-facing inverse of pack_sequences: one row per
+    (window, document) SPAN — for each packed window, which documents
+    occupy it, where, and whether the span is a document head/tail.
+    This is exactly the structure a training loader turns into
+    attention and loss masks (mask attention across is_doc_start
+    boundaries; zero the loss on continuation fragments if the recipe
+    drops straddled heads), so packing stays a pure layout decision
+    and masking a pure read-time one.
+
+    Returns (bin, id, start_in_bin, span_len, is_doc_start,
+    is_doc_end); zero-token documents yield a zero-length marker span.
+    Every column is integer/boolean arithmetic over pack_sequences'
+    positions — engine-exact.
+
+    Scale shape: pack_sequences' distributed prefix sum, then each doc
+    explodes to its (last_bin - first_bin + 1) window rows INSIDE the
+    row — thin spans, no join, no extra shuffle."""
+    pos = pack_sequences(df, id_col, tokens_col, capacity, num_ranges)
+    c = F.lit(int(capacity)).cast("long")
+    bins = pos.select(
+        "id",
+        "n_tokens",
+        "global_start",
+        F.explode(F.sequence("first_bin", "last_bin")).alias("bin"),
+    )
+    span_start = F.greatest(F.col("global_start"), F.col("bin") * c)
+    span_end = F.least(
+        F.col("global_start") + F.col("n_tokens"), (F.col("bin") + 1) * c
+    )
+    return bins.select(
+        F.col("bin").cast("long").alias("bin"),
+        "id",
+        (span_start - F.col("bin") * c).cast("long").alias("start_in_bin"),
+        (span_end - span_start).cast("long").alias("span_len"),
+        (span_start == F.col("global_start")).alias("is_doc_start"),
+        (span_end == F.col("global_start") + F.col("n_tokens")).alias(
+            "is_doc_end"
+        ),
+    )

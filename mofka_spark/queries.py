@@ -7010,6 +7010,58 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Packing manifest (operators/packing.py pack_manifest): the
+# per-window span table a dataloader turns into attention/loss masks —
+# pure integer arithmetic over pack_sequences' prefix-sum positions,
+# so the oracle extends the pack_sequences CTE with a bin explode.
+@query(
+    "pack_manifest",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), s AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS global_start
+      FROM t
+    ), p AS (
+      SELECT doc_id AS id, n_tokens, global_start,
+             CAST(FLOOR(global_start / 512) AS BIGINT) AS first_bin,
+             CAST(FLOOR((global_start + greatest(n_tokens, 1) - 1) / 512)
+                  AS BIGINT) AS last_bin
+      FROM s
+    ), x AS (
+      SELECT p.id, p.n_tokens, p.global_start, gs.b AS bin
+      FROM p, UNNEST(generate_series(p.first_bin, p.last_bin)) AS gs(b)
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, id,
+           CAST(GREATEST(global_start, bin * 512) - bin * 512 AS BIGINT)
+             AS start_in_bin,
+           CAST(LEAST(global_start + n_tokens, (bin + 1) * 512)
+                - GREATEST(global_start, bin * 512) AS BIGINT) AS span_len,
+           GREATEST(global_start, bin * 512) = global_start AS is_doc_start,
+           LEAST(global_start + n_tokens, (bin + 1) * 512)
+             = global_start + n_tokens AS is_doc_end
+    FROM x
+    """,
+)
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return packing.pack_manifest(
+        sized, id_col="doc_id", tokens_col="n_tokens", capacity=512
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

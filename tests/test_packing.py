@@ -176,3 +176,78 @@ class TestExportShards:
             .collect()
         ]
         assert c != a  # a new seed is a new permutation
+
+
+class TestPackManifest:
+    def test_spans_tile_every_window_exactly(self, spark):
+        from mofka_spark.operators.packing import pack_manifest
+
+        # docs of 3,4,5,2 tokens, capacity 4: stream = 14 tokens over
+        # 4 windows (last partial)
+        df = spark.createDataFrame(
+            [(1, 3), (2, 4), (3, 5), (4, 2)], ["doc_id", "n_tokens"]
+        )
+        rows = pack_manifest(df, capacity=4).collect()
+        # per window, spans are disjoint, ordered, and sum to the
+        # window's fill
+        by_bin: dict = {}
+        for r in rows:
+            by_bin.setdefault(r.bin, []).append(r)
+        fills = {}
+        for b, spans in by_bin.items():
+            spans.sort(key=lambda r: r.start_in_bin)
+            pos = 0
+            for s in spans:
+                assert s.start_in_bin == pos
+                pos += s.span_len
+            fills[b] = pos
+        assert fills == {0: 4, 1: 4, 2: 4, 3: 2}
+        # doc 2 (tokens 3..6) straddles windows 0/1: head then tail
+        d2 = sorted(
+            [r for r in rows if r.id == 2], key=lambda r: r.bin
+        )
+        assert [(r.bin, r.span_len, r.is_doc_start, r.is_doc_end) for r in d2] == [
+            (0, 1, True, False),
+            (1, 3, False, True),
+        ]
+
+    def test_single_window_doc_is_start_and_end(self, spark):
+        from mofka_spark.operators.packing import pack_manifest
+
+        df = spark.createDataFrame([(1, 4)], ["doc_id", "n_tokens"])
+        (row,) = pack_manifest(df, capacity=8).collect()
+        assert row.is_doc_start and row.is_doc_end
+        assert row.span_len == 4 and row.start_in_bin == 0
+
+    def test_zero_token_doc_marker_span(self, spark):
+        from mofka_spark.operators.packing import pack_manifest
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 0), (3, 2)], ["doc_id", "n_tokens"]
+        )
+        rows = {r.id: r for r in pack_manifest(df, capacity=8).collect()}
+        assert rows[2].span_len == 0
+        assert rows[2].start_in_bin == 2  # sits at its stream position
+        # neighbors unaffected
+        assert rows[3].start_in_bin == 2 and rows[3].span_len == 2
+
+    def test_consistent_with_pack_sequences(self, spark):
+        from mofka_spark.operators.packing import (
+            pack_manifest,
+            pack_sequences,
+        )
+
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 11 + 1) for i in range(50)],
+            ["doc_id", "n_tokens"],
+        )
+        pos = {r.id: r for r in pack_sequences(df, capacity=16).collect()}
+        man = pack_manifest(df, capacity=16).collect()
+        for r in man:
+            p = pos[r.id]
+            assert p.first_bin <= r.bin <= p.last_bin
+        # per-doc span lengths sum to n_tokens
+        tot: dict = {}
+        for r in man:
+            tot[r.id] = tot.get(r.id, 0) + r.span_len
+        assert all(tot[i] == pos[i].n_tokens for i in tot)
