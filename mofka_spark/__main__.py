@@ -157,7 +157,7 @@ def cmd_topic_compact(args) -> int:
 _STORE_KINDS = (
     "neardup", "textindex", "annindex", "heavyhitters", "moments",
     "monitor", "distinct", "quantiles", "rollup", "bloom", "sample",
-    "dsir", "generic",
+    "dsir", "cms", "generic",
 )
 
 
@@ -216,6 +216,9 @@ def cmd_store_compact(args) -> int:
     elif kind == "dsir":
         from mofka_spark.streaming.dsirstore import compact_dsir
         compact_dsir(spark, path)
+    elif kind == "cms":
+        from mofka_spark.streaming.cms import compact_cms
+        compact_cms(spark, path)
     else:  # generic epoch store
         from mofka_spark.streaming.store import compact_epoch_store
         compact_epoch_store(spark, path)

@@ -193,3 +193,26 @@ class TestBenchmarkGenerate:
         assert rc == 0
         res = json.loads(out2.strip().splitlines()[-1])
         assert res["events"] == 12 and res["consumer_events"] == 12
+
+
+class TestStoreCompactCms:
+    def test_cms_kind_compacts(self, spark, tmp_path):
+        from mofka_spark.streaming.cms import cms_estimates, cms_sink
+
+        path = str(tmp_path / "cms")
+        sink = cms_sink(path, "key", depth=2, width=16)
+        sink(spark.createDataFrame([("a",)] * 3, "key string"), 0)
+        sink(spark.createDataFrame([("a",)] * 2, "key string"), 1)
+        probes = spark.createDataFrame([("a",)], "key string")
+        before = cms_estimates(
+            spark, path, probes, "key", depth=2, width=16
+        ).collect()
+        rc, out = run("store", "compact", path, "-k", "cms")
+        assert rc == 0 and json.loads(out)["kind"] == "cms"
+        after = cms_estimates(
+            spark, path, probes, "key", depth=2, width=16
+        ).collect()
+        assert before == after and after[0].est == 5
+        assert set(
+            spark.read.parquet(path).select("_epoch").distinct().toPandas()["_epoch"]
+        ) == {-1}
