@@ -582,3 +582,128 @@ def cluster_safe_split(
     return split_assign(
         components.select("id", "keeper_id"), "keeper_id", fractions, salt
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict[str, float],
+    budget: int,
+    weight_col: str | None = None,
+    max_repeat: float = 4.0,
+) -> DataFrame:
+    """Training-mixture budgeting: given target shares per stratum and
+    a total budget (docs, or tokens via ``weight_col``), compute each
+    stratum's required repeat factor — the "how many epochs of books
+    to hit 5% of a 2T-token mix" calculation, with the UniMax-style
+    cap (``max_repeat``) that stops scarce strata from being repeated
+    into memorization. Shares need not sum to 1 (they are per-stratum
+    contracts); strata absent from ``targets`` are omitted.
+
+    Returns one row per targeted stratum: (stratum, available,
+    target_share, desired, repeat_factor, realized, capped) — desired
+    = share x budget, repeat_factor = min(desired/available,
+    max_repeat), realized = available x repeat_factor (< desired only
+    when capped). Feed repeat_factor to mixture_expand (or a loader's
+    epoch schedule).
+
+    Scale shape: ONE stratum-keyed aggregate (count or weight sum) —
+    the corpus is scanned once and O(#strata) rows do all the
+    arithmetic."""
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    counts = (
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.round(F.sum(w), 4).alias("available"))
+    )
+    share = None
+    for s, t in sorted(targets.items()):
+        cond = F.col("stratum") == s
+        share = (
+            F.when(cond, F.lit(float(t)))
+            if share is None
+            else share.when(cond, F.lit(float(t)))
+        )
+    if share is None:
+        raise ValueError("mixture_plan needs at least one target")
+    plan = counts.withColumn("target_share", share).filter(
+        F.col("target_share").isNotNull()
+    )
+    desired = F.col("target_share") * F.lit(float(budget))
+    repeat = F.least(
+        desired / F.col("available"), F.lit(float(max_repeat))
+    )
+    return plan.select(
+        "stratum",
+        "available",
+        "target_share",
+        F.round(desired, 4).alias("desired"),
+        F.round(repeat, 6).alias("repeat_factor"),
+        F.round(F.col("available") * repeat, 4).alias("realized"),
+        (desired / F.col("available") > F.lit(float(max_repeat))).alias(
+            "capped"
+        ),
+    )
+
+
+def mixture_expand(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a mixture with UPSAMPLING: each row of stratum s
+    appears floor(rate_s) times plus one more with probability
+    frac(rate_s), decided by the deterministic md5 hash of its key —
+    the repetition counterpart of stratified_hash_sample (training_mix
+    covers rates <= 1; this covers 'repeat de 2.5x'). Copies carry a
+    1-based ``copy`` index so downstream shuffles/packing can
+    disambiguate repeats. Strata absent from ``rates`` are dropped.
+
+    Deterministic: the copy multiset is a pure function of
+    (key, salt, rates) — an external engine reproduces it exactly.
+
+    Scale shape: scan-local — the copy count is a literal-map lookup
+    plus one hash compare, and the fan-out happens INSIDE the row
+    (explode of a sequence); no shuffle, no join. Output size =
+    sum(rate_s x |s|) by construction."""
+    import math
+
+    n_full_c = None
+    frac_c = None
+    for s, r in sorted(rates.items()):
+        if r < 0:
+            raise ValueError(f"negative rate for stratum {s!r}")
+        nf, fr = int(math.floor(r)), float(r - math.floor(r))
+        cond = F.col(strata_col) == s
+        n_full_c = (
+            F.when(cond, F.lit(nf))
+            if n_full_c is None
+            else n_full_c.when(cond, F.lit(nf))
+        )
+        frac_c = (
+            F.when(cond, F.lit(fr))
+            if frac_c is None
+            else frac_c.when(cond, F.lit(fr))
+        )
+    u = hash_bucket(F.col(id_col), salt).cast("double") / F.lit(float(_MOD))
+    copies = (
+        n_full_c + F.when(u < frac_c, F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    seq = F.when(
+        copies >= 1, F.sequence(F.lit(1), copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies").isNotNull())
+        .select(
+            id_col,
+            strata_col,
+            F.explode(seq).alias("copy"),
+        )
+    )

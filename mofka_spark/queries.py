@@ -7062,6 +7062,85 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Training-mixture budgeting (operators/sampling.py mixture_plan):
+# per-stratum repeat factors to hit target shares of a fixed budget,
+# UniMax-capped — one stratum aggregate plus O(#strata) arithmetic.
+# es's 0.35 share of 1000 needs 4.79 epochs of its 73 docs -> capped.
+@query(
+    "mixture_plan",
+    """
+    WITH counts AS (
+      SELECT lang AS stratum, ROUND(CAST(COUNT(*) AS DOUBLE), 4)
+               AS available
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    t AS (
+      SELECT stratum, available,
+             CASE stratum WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                          WHEN 'zh' THEN 0.2 WHEN 'es' THEN 0.35 END
+               AS target_share
+      FROM counts
+    )
+    SELECT stratum, available, target_share,
+           ROUND(target_share * 1000.0, 4) AS desired,
+           ROUND(LEAST(target_share * 1000.0 / available, 4.0), 6)
+             AS repeat_factor,
+           ROUND(available * LEAST(target_share * 1000.0 / available, 4.0),
+                 4) AS realized,
+           target_share * 1000.0 / available > 4.0 AS capped
+    FROM t WHERE target_share IS NOT NULL
+    """,
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sampling import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.2, "zh": 0.2, "es": 0.35},
+        budget=1000,
+        max_repeat=4.0,
+    )
+
+
+# Mixture materialization with upsampling (operators/sampling.py
+# mixture_expand): floor(rate) full copies per row + one fractional
+# copy decided by the md5 hash — the repetition counterpart of
+# training_mix's downsampling. Copy multisets are pure functions of
+# (key, salt, rates), so the oracle reproduces them exactly.
+@query(
+    "mixture_expand",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2
+                       WHEN 'zh' THEN 1 END AS n_full,
+             CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.5
+                       WHEN 'zh' THEN 0.0 END AS frac
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang,
+             n_full + CASE WHEN
+               (('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 12))
+                 ::BIGINT % 1000000) / 1000000.0 < frac
+               THEN 1 ELSE 0 END AS copies
+      FROM d WHERE n_full IS NOT NULL
+    )
+    SELECT doc_id, lang, CAST(gs.i AS INTEGER) AS copy
+    FROM c, UNNEST(generate_series(1, c.copies)) AS gs(i)
+    """,
+)
+def q_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sampling import mixture_expand
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_expand(
+        docs, "doc_id", "lang", {"en": 0.3, "de": 2.5, "zh": 1.0}
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

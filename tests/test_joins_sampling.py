@@ -507,3 +507,92 @@ class TestClusterSafeSplit:
             ).collect()
         }
         assert all(a[i] == b[i // 3 * 3] for i in range(60))
+
+
+class TestMixturePlan:
+    def test_arithmetic_and_cap(self, spark):
+        from mofka_spark.operators.sampling import mixture_plan
+
+        rows = [("a", i) for i in range(100)] + [("b", i) for i in range(10)]
+        df = spark.createDataFrame(rows, ["s", "id"])
+        out = {r.stratum: r for r in mixture_plan(
+            df, "s", {"a": 0.5, "b": 0.5}, budget=200, max_repeat=4.0
+        ).collect()}
+        # a: 100 desired over 100 available -> repeat 1.0, uncapped
+        assert out["a"].repeat_factor == 1.0 and not out["a"].capped
+        assert out["a"].realized == 100.0
+        # b: 100 desired over 10 available -> wants 10x, capped at 4
+        assert out["b"].repeat_factor == 4.0 and out["b"].capped
+        assert out["b"].realized == 40.0
+
+    def test_untargeted_strata_omitted(self, spark):
+        from mofka_spark.operators.sampling import mixture_plan
+
+        df = spark.createDataFrame(
+            [("a", 1), ("c", 2)], ["s", "id"]
+        )
+        out = mixture_plan(df, "s", {"a": 1.0}, budget=10).collect()
+        assert {r.stratum for r in out} == {"a"}
+
+    def test_weight_col_token_budgeting(self, spark):
+        from mofka_spark.operators.sampling import mixture_plan
+
+        df = spark.createDataFrame(
+            [("a", 1, 70), ("a", 2, 30), ("b", 3, 50)], ["s", "id", "tok"]
+        )
+        out = {r.stratum: r for r in mixture_plan(
+            df, "s", {"a": 0.5, "b": 0.5}, budget=400, weight_col="tok"
+        ).collect()}
+        assert out["a"].available == 100.0 and out["a"].repeat_factor == 2.0
+        assert out["b"].available == 50.0 and out["b"].repeat_factor == 4.0
+
+
+class TestMixtureExpand:
+    def test_integer_rates_exact_copies(self, spark):
+        from mofka_spark.operators.sampling import mixture_expand
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], ["id", "s"]
+        )
+        out = mixture_expand(df, "id", "s", {"a": 3.0, "b": 1.0}).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.id, []).append(r.copy)
+        assert sorted(per[1]) == [1, 2, 3] and sorted(per[2]) == [1, 2, 3]
+        assert per[3] == [1]
+
+    def test_fractional_rate_hits_expected_mass(self, spark):
+        from mofka_spark.operators.sampling import mixture_expand
+
+        df = spark.createDataFrame([(i, "a") for i in range(2000)], ["id", "s"])
+        n = mixture_expand(df, "id", "s", {"a": 1.5}).count()
+        assert abs(n - 3000) / 3000 < 0.05  # 2000 full + ~1000 fractional
+
+    def test_zero_rate_drops_and_unlisted_drops(self, spark):
+        from mofka_spark.operators.sampling import mixture_expand
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["id", "s"]
+        )
+        out = mixture_expand(df, "id", "s", {"a": 0.0, "b": 2.0}).collect()
+        assert {r.id for r in out} == {2}
+
+    def test_deterministic_and_scan_local(self, spark):
+        from mofka_spark import plans
+        from mofka_spark.operators.sampling import mixture_expand
+
+        df = spark.createDataFrame([(i, "a") for i in range(50)], ["id", "s"])
+        a = sorted(map(tuple, mixture_expand(df, "id", "s", {"a": 1.7}).collect()))
+        b = sorted(map(tuple, mixture_expand(df, "id", "s", {"a": 1.7}).collect()))
+        assert a == b
+        p = plans.plan_string(mixture_expand(df, "id", "s", {"a": 1.7}))
+        assert "Exchange" not in p and "Join" not in p
+
+    def test_negative_rate_rejected(self, spark):
+        import pytest
+
+        from mofka_spark.operators.sampling import mixture_expand
+
+        df = spark.createDataFrame([(1, "a")], ["id", "s"])
+        with pytest.raises(ValueError, match="negative rate"):
+            mixture_expand(df, "id", "s", {"a": -1.0})
