@@ -707,3 +707,100 @@ def mixture_expand(
             F.explode(seq).alias("copy"),
         )
     )
+
+
+def curriculum_select(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    key_col: str,
+    budget: int,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Greedy token-budget selection: take rows in (score desc, key
+    asc) order until the running sum of ``weight_col`` (integral — a
+    token count) reaches ``budget``; the row that crosses the line is
+    kept, so the overshoot is at most one row. The "fill a 1T-token
+    training budget with the best-scoring documents" primitive that
+    rank_bins' equal-population curriculum doesn't answer.
+
+    Returns the selected (key, score, weight) rows. Rows with a NULL
+    score or weight carry no rank/budget information and are excluded.
+
+    Scale shape: a literal global sort would shuffle the whole corpus
+    to rank it; instead scores are cut into ``n_bins`` fixed-width
+    bins from one O(1) min/max aggregate, per-bin weight totals (<=
+    n_bins rows) come back to the driver, and the threshold bin is
+    found there. Every row in a strictly-better bin is selected by a
+    scan-local filter (no sort at all); only the ONE partial bin —
+    ~1/n_bins of the data — pays an exact (score desc, key asc)
+    cumulative-sum window to split at the residual budget. Weights are
+    cast to long so the per-bin partial sums commute exactly with the
+    oracle's sequential running sum (no float association drift).
+    Degenerate score range (min == max) collapses to the single-bin
+    exact path."""
+    y = F.col(score_col).cast("double")
+    w = F.col(weight_col).cast("long")
+    obs = (
+        df.filter(y.isNotNull() & ~F.isnan(y) & w.isNotNull())
+        .select(
+            F.col(key_col),
+            y.alias(score_col),
+            w.alias(weight_col),
+        )
+    )
+    if budget <= 0:
+        return obs.filter(F.lit(False))
+    lo, hi = obs.agg(
+        F.min(score_col), F.max(score_col)
+    ).first() or (None, None)
+    if lo is None:
+        return obs.filter(F.lit(False))
+
+    if hi > lo:
+        width = (hi - lo) / n_bins
+        bin_c = F.least(
+            F.floor((y - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(n_bins - 1),
+        )
+    else:
+        bin_c = F.lit(0).cast("long")
+    binned = obs.withColumn("_bin", bin_c)
+
+    # <= n_bins rows: a bounded driver fetch (the repo's broadcast-side
+    # collect pattern), never corpus-sized.
+    totals = {
+        r["_bin"]: r["_w"]
+        for r in binned.groupBy("_bin")
+        .agg(F.sum(weight_col).alias("_w"))
+        .collect()
+    }
+    taken = 0
+    cut_bin = None
+    for b in sorted(totals, reverse=True):
+        if taken + totals[b] >= budget:
+            cut_bin = b
+            break
+        taken += totals[b]
+    if cut_bin is None:
+        # budget exceeds the corpus: everything is selected.
+        return binned.drop("_bin")
+
+    full = binned.filter(F.col("_bin") > cut_bin).drop("_bin")
+    residual = budget - taken
+    # The partial bin: ~1/n_bins of the corpus through one exact
+    # running-sum window (single partition by construction — the slice
+    # is small; the full-bin rows never sort anywhere).
+    win = Window.orderBy(
+        F.col(score_col).desc(), F.col(key_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    partial = (
+        binned.filter(F.col("_bin") == cut_bin)
+        .drop("_bin")
+        .withColumn(
+            "_prior", F.coalesce(F.sum(weight_col).over(win), F.lit(0))
+        )
+        .filter(F.col("_prior") < residual)
+        .drop("_prior")
+    )
+    return full.unionByName(partial)

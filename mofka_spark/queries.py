@@ -7141,6 +7141,53 @@ def q_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-budget curriculum selection (operators/sampling.py
+# curriculum_select): greedy top-score fill until the token budget is
+# crossed. The Spark side finds the threshold through fixed-width score
+# bins (one O(1) bounds agg + an O(n_bins) driver fetch; only the one
+# partial bin sorts); the oracle is the literal global running-sum
+# greedy — bit-identical because weights are integral and bin order
+# refines score order.
+@query(
+    "curriculum_budget",
+    """
+    WITH obs AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             length(text) AS n_len
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), sc AS (
+      SELECT doc_id, CAST(n_tokens AS DOUBLE) / n_len AS score, n_tokens
+      FROM obs
+    ), c AS (
+      SELECT *, COALESCE(SUM(n_tokens) OVER (
+               ORDER BY score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM sc
+    )
+    SELECT doc_id, score, n_tokens FROM c WHERE prior < 10000
+    """,
+)
+def q_curriculum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sampling import curriculum_select
+    from mofka_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    scored = docs.select(
+        "doc_id",
+        (token_count("text").cast("double") / F.length("text")).alias(
+            "score"
+        ),
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    return curriculum_select(
+        scored, "score", "n_tokens", "doc_id", budget=10000
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

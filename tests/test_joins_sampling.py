@@ -596,3 +596,90 @@ class TestMixtureExpand:
         df = spark.createDataFrame([(1, "a")], ["id", "s"])
         with pytest.raises(ValueError, match="negative rate"):
             mixture_expand(df, "id", "s", {"a": -1.0})
+
+
+class TestCurriculumSelect:
+    """curriculum_select: greedy token-budget fill via the binned
+    threshold path, checked against the literal sequential greedy."""
+
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, score double, w long")
+
+    def _greedy(self, rows, budget):
+        taken, acc = [], 0
+        for rid, score, w in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if acc >= budget:
+                break
+            taken.append(rid)
+            acc += w
+        return sorted(taken)
+
+    def test_matches_sequential_greedy(self, spark):
+        from mofka_spark.operators.sampling import curriculum_select
+
+        rows = [(i, float((i * 37) % 101), (i % 7) + 1) for i in range(200)]
+        for budget in (1, 50, 173, 10_000):
+            got = sorted(
+                r["id"]
+                for r in curriculum_select(
+                    self._frame(spark, rows), "score", "w", "id", budget,
+                    n_bins=8,
+                ).collect()
+            )
+            assert got == self._greedy(rows, budget), budget
+
+    def test_crossing_row_included_once(self, spark):
+        from mofka_spark.operators.sampling import curriculum_select
+
+        rows = [(1, 3.0, 10), (2, 2.0, 10), (3, 1.0, 10)]
+        out = curriculum_select(
+            self._frame(spark, rows), "score", "w", "id", budget=15
+        ).collect()
+        # budget crossed inside row 2: rows 1 and 2 kept, row 3 not.
+        assert sorted(r["id"] for r in out) == [1, 2]
+
+    def test_budget_exceeds_corpus_selects_all(self, spark):
+        from mofka_spark.operators.sampling import curriculum_select
+
+        rows = [(1, 3.0, 10), (2, 2.0, 10)]
+        out = curriculum_select(
+            self._frame(spark, rows), "score", "w", "id", budget=10_000
+        )
+        assert out.count() == 2
+
+    def test_zero_budget_and_empty_frame(self, spark):
+        from mofka_spark.operators.sampling import curriculum_select
+
+        rows = [(1, 3.0, 10)]
+        assert (
+            curriculum_select(
+                self._frame(spark, rows), "score", "w", "id", budget=0
+            ).count()
+            == 0
+        )
+        assert (
+            curriculum_select(
+                self._frame(spark, []), "score", "w", "id", budget=5
+            ).count()
+            == 0
+        )
+
+    def test_null_score_or_weight_excluded(self, spark):
+        from mofka_spark.operators.sampling import curriculum_select
+
+        df = spark.createDataFrame(
+            [(1, 9.0, 5), (2, None, 5), (3, 8.0, None), (4, 7.0, 5)],
+            "id long, score double, w long",
+        )
+        out = curriculum_select(df, "score", "w", "id", budget=100)
+        assert sorted(r["id"] for r in out.collect()) == [1, 4]
+
+    def test_degenerate_constant_score_ties_on_key(self, spark):
+        from mofka_spark.operators.sampling import curriculum_select
+
+        rows = [(i, 1.0, 10) for i in range(10)]
+        out = curriculum_select(
+            self._frame(spark, rows), "score", "w", "id", budget=25
+        ).collect()
+        # min==max range: single-bin path; ties resolve key-asc.
+        assert sorted(r["id"] for r in out) == [0, 1, 2]
