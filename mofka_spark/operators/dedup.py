@@ -922,3 +922,51 @@ def soft_dedup_weights(components: DataFrame) -> DataFrame:
             F.round(1.0 / F.col("cluster_size"), 6).alias("weight"),
         )
     )
+
+
+def cluster_representatives(
+    components: DataFrame,
+    scores: DataFrame,
+    score_col: str = "score",
+    id_col: str = "id",
+    keeper_col: str = "keeper_id",
+) -> DataFrame:
+    """Quality-aware keeper selection: instead of keeping each near-dup
+    cluster's min-id member (minhash_lsh_dedup's default — arbitrary
+    with respect to quality), pick the member with the BEST score (ties
+    break id-asc, so selection is deterministic). The "keep the
+    highest-quality copy" policy a curator actually wants when the
+    cluster mixes a clean original with boilerplate-wrapped mirrors.
+
+    ``components`` is (id, keeper_id) from minhash_lsh_dedup(
+    transitive=True) / dedup_components; ``scores`` maps id -> score
+    (any quality signal: gopher_quality, lm_score, token count).
+    Members with a NULL score can't compete and are excluded — cluster
+    sizes count scored members only.
+
+    Returns (keeper_id, rep_id, rep_score, cluster_size).
+
+    Scale shape: one id-keyed join (components and scores are both
+    id-partitioned; AQE broadcasts a genuinely small score table) then
+    ONE keeper-keyed shuffle shared by the rank and size windows (same
+    partition key — Catalyst plans a single Exchange and sort). Per-key
+    window state is one row; nothing collects."""
+    m = components.select(id_col, keeper_col).join(
+        scores.select(id_col, score_col).filter(
+            F.col(score_col).isNotNull()
+        ),
+        id_col,
+    )
+    part = Window.partitionBy(keeper_col)
+    ranked = part.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        m.select(
+            keeper_col,
+            F.col(id_col).alias("rep_id"),
+            F.col(score_col).alias("rep_score"),
+            F.row_number().over(ranked).alias("_rk"),
+            F.count("*").over(part).cast("long").alias("cluster_size"),
+        )
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )

@@ -5793,6 +5793,52 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.soft_dedup_weights(comp)
 
 
+# Quality-aware cluster representatives (operators/dedup.py
+# cluster_representatives): keep each near-dup cluster's BEST-scoring
+# member (token count here; ties id-asc) instead of the arbitrary
+# min-id keeper — the "keep the cleanest copy" dedup policy.
+@query(
+    "dedup_representatives",
+    _COMPONENTS_CTE
+    + """
+    , assigned AS (
+      SELECT doc.doc_id AS id,
+             COALESCE(c.component, doc.doc_id) AS keeper_id
+      FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
+    ), scored AS (
+      SELECT a.keeper_id, a.id,
+             CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM assigned a JOIN documents d ON d.doc_id = a.id
+      WHERE d.text IS NOT NULL AND trim(d.text) <> ''
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY keeper_id
+                                ORDER BY n_tokens DESC, id ASC) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY keeper_id) AS BIGINT)
+               AS cluster_size
+      FROM scored
+    )
+    SELECT keeper_id, id AS rep_id, n_tokens AS rep_score, cluster_size
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = dedup.minhash_lsh_dedup(
+        docs, verify_threshold=0.8, transitive=True
+    ).select("id", "keeper_id")
+    scores = docs.filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    ).select(
+        F.col("doc_id").alias("id"),
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    return dedup.cluster_representatives(comp, scores, "n_tokens")
+
+
 # Per-source corpus health report (operators/quality.py
 # corpus_report): volume, exact-dup rate, length/punct profile,
 # language spread — one aggregate, one row per source.

@@ -319,3 +319,49 @@ class TestSoftDedupWeights:
         assert set(got) == {1, 2, 3, 4}
         for i in got:
             assert got[i] == pytest.approx(base[i] / w_of[i], rel=1e-5)
+
+
+class TestClusterRepresentatives:
+    """cluster_representatives: best-score keeper per component."""
+
+    def _fixtures(self, spark):
+        comp = spark.createDataFrame(
+            # cluster 1 = {1, 2, 3}; cluster 7 = {7}; cluster 9 = {9, 10}
+            [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+            "id long, keeper_id long",
+        )
+        scores = spark.createDataFrame(
+            [(1, 5.0), (2, 9.0), (3, 9.0), (7, 1.0), (9, None), (10, 4.0)],
+            "id long, score double",
+        )
+        return comp, scores
+
+    def test_best_score_wins_ties_break_id_asc(self, spark):
+        from mofka_spark.operators.dedup import cluster_representatives
+
+        comp, scores = self._fixtures(spark)
+        out = {
+            r["keeper_id"]: (r["rep_id"], r["rep_score"], r["cluster_size"])
+            for r in cluster_representatives(comp, scores).collect()
+        }
+        # cluster 1: 2 and 3 tie at 9.0 -> id-asc picks 2.
+        assert out[1] == (2, 9.0, 3)
+        # singleton keeps itself.
+        assert out[7] == (7, 1.0, 1)
+        # null-scored member 9 can't compete; size counts scored only.
+        assert out[9] == (10, 4.0, 1)
+
+    def test_single_exchange_for_both_windows(self, spark):
+        from mofka_spark.operators.dedup import cluster_representatives
+
+        comp, scores = self._fixtures(spark)
+        plan = (
+            cluster_representatives(comp, scores)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # rank + size windows share the keeper-keyed partitioning: the
+        # plan must not re-shuffle between them.
+        n_keeper_exchanges = plan.count("hashpartitioning(keeper_id")
+        assert n_keeper_exchanges <= 1, plan
