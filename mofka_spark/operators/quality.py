@@ -20,7 +20,7 @@ data-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["not_null", "in_range", "is_in", "matches", "unique", "audit"]
 
@@ -390,4 +390,64 @@ def psi_from_binned(
         "n_cur",
         F.round(F.col("_psi"), 6).alias("psi"),
         (F.col("_psi") > drift_threshold).alias("drifted"),
+    )
+
+
+def blend_scores(
+    df: DataFrame,
+    signals: dict[str, float],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Rank-normalized quality blending: each signal column is mapped
+    to its exact empirical percentile (SQL PERCENT_RANK — ties share
+    the tie group's minimum rank; rank_below / (n-1)), then the
+    percentiles combine as a weighted sum in the given signal order.
+    The standard way to fuse scale-incompatible quality signals
+    (an LM score, a token count, a punctuation ratio) into one
+    sortable score without hand-tuned clamps; negative weights turn a
+    signal into a penalty.
+
+    Rows with a NULL or NaN in ANY signal have no defined rank and are
+    excluded. Returns (key, pr_<signal>..., blended) with blended
+    rounded to 6dp (signed-zero normalized — an all-negative-weight
+    blend can round to -0.0).
+
+    Scale shape: NO corpus-wide sort. Per signal, a (value, count)
+    aggregate collapses the corpus map-side to its distinct values;
+    the running-count window that turns counts into ranks orders THAT
+    frame, so its cost is O(#distinct values) — quality signals are
+    ratios/counts with bounded resolution (pre-round truly continuous
+    ones). Each percentile map joins back on its value column (AQE
+    broadcasts the genuinely small maps). n is one scalar aggregate."""
+    if not signals:
+        raise ValueError("blend_scores: signals must be non-empty")
+    cond = None
+    for sig in signals:
+        c = F.col(sig).isNotNull() & ~F.isnan(F.col(sig).cast("double"))
+        cond = c if cond is None else (cond & c)
+    obs = df.filter(cond).select(key_col, *signals)
+    n = obs.count()
+    denom = float(n - 1) if n > 1 else 1.0  # n==1: percent_rank = 0
+    out = obs
+    for sig in signals:
+        counts = obs.groupBy(sig).agg(F.count("*").alias("_c"))
+        w = Window.orderBy(F.col(sig).asc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        pr_map = counts.select(
+            sig,
+            (
+                F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("double")
+                / F.lit(denom)
+            ).alias(f"pr_{sig}"),
+        )
+        out = out.join(pr_map, sig)
+    blended = None
+    for sig, wt in signals.items():
+        term = F.lit(float(wt)) * F.col(f"pr_{sig}")
+        blended = term if blended is None else (blended + term)
+    return out.select(
+        key_col,
+        *[F.col(f"pr_{s}") for s in signals],
+        (F.round(blended, 6) + F.lit(0.0)).alias("blended"),
     )

@@ -7187,6 +7187,55 @@ def q_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rank-normalized quality blending (operators/quality.py
+# blend_scores): scale-incompatible signals fused through exact
+# PERCENT_RANK percentiles and a fixed-order weighted sum. The Spark
+# side never sorts the corpus — ranks come from per-distinct-value
+# running counts; the oracle is the literal window form.
+@query(
+    "quality_blend",
+    """
+    WITH obs AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_len,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+               / length(text) AS density
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), r AS (
+      SELECT doc_id, n_tokens, n_len, density,
+             PERCENT_RANK() OVER (ORDER BY n_tokens ASC) AS pr_n_tokens,
+             PERCENT_RANK() OVER (ORDER BY density ASC) AS pr_density,
+             PERCENT_RANK() OVER (ORDER BY n_len ASC) AS pr_n_len
+      FROM obs
+    )
+    SELECT doc_id, pr_n_tokens, pr_density, pr_n_len,
+           0.0 + ROUND(0.5 * pr_n_tokens + 0.3 * pr_density
+                       + (-0.2) * pr_n_len, 6) AS blended
+    FROM r
+    """,
+)
+def q_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.quality import blend_scores
+    from mofka_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    sigs = docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_len"),
+        (token_count("text").cast("double") / F.length("text")).alias(
+            "density"
+        ),
+    )
+    return blend_scores(
+        sigs, {"n_tokens": 0.5, "density": 0.3, "n_len": -0.2}
+    )
+
+
 # Token-budget curriculum selection (operators/sampling.py
 # curriculum_select): greedy top-score fill until the token budget is
 # crossed. The Spark side finds the threshold through fixed-width score

@@ -1,5 +1,7 @@
 """Constraint-audit operator tests (operators/quality.py)."""
 
+import pytest
+
 from mofka_spark import plans
 from mofka_spark.operators import quality
 
@@ -271,3 +273,65 @@ class TestPsiDrift:
         # the width floor; half the current mass moved -> positive psi
         assert row.n_ref == 2 and row.n_cur == 2
         assert row.psi >= 0.0
+
+
+class TestBlendScores:
+    """blend_scores: exact PERCENT_RANK normalization + weighted sum."""
+
+    def test_matches_literal_percent_rank(self, spark):
+        from mofka_spark.operators.quality import blend_scores
+
+        rows = [(i, float((i * 7) % 5), float(i % 3)) for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, a double, b double")
+        out = {
+            r["id"]: r
+            for r in blend_scores(df, {"a": 1.0, "b": -0.5}, "id").collect()
+        }
+
+        def pr(vals, x):
+            below = sum(1 for v in vals if v < x)
+            return below / (len(vals) - 1)
+
+        av = [r[1] for r in rows]
+        bv = [r[2] for r in rows]
+        for rid, a, b in rows:
+            assert out[rid]["pr_a"] == pytest.approx(pr(av, a), abs=0)
+            assert out[rid]["pr_b"] == pytest.approx(pr(bv, b), abs=0)
+            want = round(1.0 * pr(av, a) - 0.5 * pr(bv, b), 6) + 0.0
+            assert out[rid]["blended"] == pytest.approx(want, abs=1e-12)
+
+    def test_null_or_nan_signal_excludes_row(self, spark):
+        from mofka_spark.operators.quality import blend_scores
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 1.0), (2, None, 1.0), (3, float("nan"), 2.0),
+             (4, 2.0, None), (5, 3.0, 3.0)],
+            "id long, a double, b double",
+        )
+        out = blend_scores(df, {"a": 1.0, "b": 1.0}, "id")
+        assert sorted(r["id"] for r in out.collect()) == [1, 5]
+
+    def test_ties_share_min_rank(self, spark):
+        from mofka_spark.operators.quality import blend_scores
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 1.0), (3, 2.0), (4, 3.0)], "id long, a double"
+        )
+        out = {r["id"]: r["pr_a"] for r in
+               blend_scores(df, {"a": 1.0}, "id").collect()}
+        assert out[1] == out[2] == 0.0
+        assert out[3] == pytest.approx(2 / 3, abs=0)
+
+    def test_single_row_percent_rank_zero(self, spark):
+        from mofka_spark.operators.quality import blend_scores
+
+        df = spark.createDataFrame([(1, 5.0)], "id long, a double")
+        row = blend_scores(df, {"a": 1.0}, "id").first()
+        assert row["pr_a"] == 0.0 and row["blended"] == 0.0
+
+    def test_empty_signals_rejected(self, spark):
+        from mofka_spark.operators.quality import blend_scores
+
+        df = spark.createDataFrame([(1, 5.0)], "id long, a double")
+        with pytest.raises(ValueError):
+            blend_scores(df, {}, "id")
