@@ -970,3 +970,107 @@ def cluster_representatives(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def cross_corpus_dedup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    features: str = "word",
+    verify_threshold: float = 0.8,
+    ngram_n: int = 3,
+    bucket_cap: int | None = 10000,
+    release: list | None = None,
+) -> DataFrame:
+    """Incremental-ingest near-dedup: flag each NEW document that
+    near-duplicates anything in an EXISTING corpus, without
+    re-clustering the existing corpus (the daily-crawl-vs-index
+    regime; decontaminate/fuzzy_decontaminate are the same shape but
+    assume a broadcastable eval set — here BOTH sides are corpora).
+
+    Both sides map through minhash_band_rows with identical parameters
+    — the band rows are deterministic across jobs, so in production the
+    index side is a materialized signature table that new batches
+    equi-join against, never recomputed. Candidates come from the
+    (band_id, band_hash) equi-join (new-side bands never self-join);
+    the exact word-``ngram_n``-gram Jaccard verify touches only
+    candidate members of each side.
+
+    Returns ONE row per new document: (id, is_dup, dup_of, jaccard) —
+    dup_of = the smallest matching index id (deterministic), jaccard =
+    that match's rounded score, both NULL for novel docs. Ids may
+    collide across the corpora (they are different id spaces; no
+    self-pair suppression applies).
+
+    Scale shape: signatures collapse map-side to docs x 512 B; the
+    bucket join is capped per side (_cap_buckets) so boilerplate
+    buckets can't go quadratic across corpora; the verify prunes both
+    gram projections to candidate members via broadcast semi-joins.
+    Nothing all-pairs, nothing corpus-sized on the driver."""
+    kw = dict(
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        features=features,
+    )
+    keys = ["band_id", "band_hash"]
+    nb = _cap_buckets(
+        minhash_band_rows(new_df, id_col, text_col, **kw), keys, bucket_cap
+    ).withColumnRenamed("id", "id_new")
+    ib = _cap_buckets(
+        minhash_band_rows(index_df, id_col, text_col, **kw), keys, bucket_cap
+    ).withColumnRenamed("id", "id_idx")
+    # consumed three times (two member sets + the verify join) and tiny
+    # by construction — persist so the LSH plans run once; ``release``
+    # follows ngram_jaccard_pairs' contract for long-running callers.
+    cand = nb.join(ib, keys).select("id_new", "id_idx").distinct().persist()
+    if release is not None:
+        release.append(cand)
+    new_members = cand.select(F.col("id_new").alias(id_col)).distinct()
+    idx_members = cand.select(F.col("id_idx").alias(id_col)).distinct()
+
+    def _grams(side: DataFrame, members: DataFrame, out_id: str):
+        pruned = side.join(F.broadcast(members), id_col, "left_semi")
+        return _spread(pruned, id_col).select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(
+                word_ngrams(F.col(text_col), ngram_n)
+            ).alias(f"grams_{out_id}"),
+        )
+
+    j = cand.join(_grams(new_df, new_members, "id_new"), "id_new").join(
+        _grams(index_df, idx_members, "id_idx"), "id_idx"
+    )
+    inter = F.size(F.array_intersect("grams_id_new", "grams_id_idx"))
+    union = F.size(F.array_union("grams_id_new", "grams_id_idx"))
+    matches = (
+        j.withColumn(
+            "jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6)
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_new", "id_idx", "jaccard")
+    )
+    # deterministic per-new-doc verdict: smallest matching index id
+    best = matches.groupBy("id_new").agg(
+        F.min_by(
+            F.struct(
+                F.col("id_idx").alias("dup_of"),
+                F.col("jaccard").alias("jaccard"),
+            ),
+            "id_idx",
+        ).alias("_b")
+    )
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(best.withColumnRenamed("id_new", "id"), "id", "left")
+        .select(
+            "id",
+            F.col("_b").isNotNull().alias("is_dup"),
+            F.col("_b.dup_of").alias("dup_of"),
+            F.col("_b.jaccard").alias("jaccard"),
+        )
+    )

@@ -7187,6 +7187,51 @@ def q_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-corpus incremental dedup (operators/dedup.py
+# cross_corpus_dedup): new docs (odd ids) LSH-joined against an
+# existing index corpus (even ids), exact-Jaccard verified; per new
+# doc the smallest matching index id. At threshold 0.8 the LSH miss
+# probability is < 1e-7, so the verified set IS the exact cross-pair
+# set (the dedup_components gate discipline) — recall is part of the
+# gate.
+@query(
+    "cross_corpus_dedup",
+    _ORACLE_TOKS
+    + r"""
+    , grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS gs
+      FROM toks
+    ), hits AS (
+      SELECT b.doc_id AS id, a.doc_id AS id_idx,
+             ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE /
+                   greatest(len(a.gs) + len(b.gs)
+                            - len(list_intersect(a.gs, b.gs)), 1),
+                   6) AS jaccard
+      FROM grams a JOIN grams b
+        ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      WHERE ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE /
+                  greatest(len(a.gs) + len(b.gs)
+                           - len(list_intersect(a.gs, b.gs)), 1),
+                  6) >= 0.8
+    ), best AS (
+      SELECT id, MIN(id_idx) AS dup_of FROM hits GROUP BY id
+    )
+    SELECT d.doc_id AS id, (b.dup_of IS NOT NULL) AS is_dup, b.dup_of,
+           (SELECT h.jaccard FROM hits h
+            WHERE h.id = d.doc_id AND h.id_idx = b.dup_of) AS jaccard
+    FROM documents d LEFT JOIN best b ON b.id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    """,
+)
+def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.cross_corpus_dedup(new, index)
+
+
 # Rank-normalized quality blending (operators/quality.py
 # blend_scores): scale-incompatible signals fused through exact
 # PERCENT_RANK percentiles and a fixed-order weighted sum. The Spark

@@ -365,3 +365,69 @@ class TestClusterRepresentatives:
         # plan must not re-shuffle between them.
         n_keeper_exchanges = plan.count("hashpartitioning(keeper_id")
         assert n_keeper_exchanges <= 1, plan
+
+
+class TestCrossCorpusDedup:
+    """cross_corpus_dedup: new-vs-index LSH + exact verify."""
+
+    _BASE = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+
+    def _corpora(self, spark):
+        index = spark.createDataFrame(
+            [
+                (10, self._BASE),
+                (11, "totally different content about spark shuffles "
+                     "and partition pruning strategies at scale"),
+            ],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, self._BASE),                       # exact cross-dup
+                (2, self._BASE + " extra trailing"),   # near cross-dup
+                (3, "novel words entirely unlike anything indexed "
+                    "nothing shared with either document at all ok"),
+            ],
+            "doc_id long, text string",
+        )
+        return new, index
+
+    def test_flags_cross_duplicates_only(self, spark):
+        from mofka_spark.operators.dedup import cross_corpus_dedup
+
+        new, index = self._corpora(spark)
+        out = {r["id"]: r for r in cross_corpus_dedup(new, index).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1]["is_dup"] and out[1]["dup_of"] == 10
+        assert out[1]["jaccard"] == 1.0
+        assert out[2]["is_dup"] and out[2]["dup_of"] == 10
+        assert not out[3]["is_dup"] and out[3]["dup_of"] is None
+
+    def test_id_collision_across_corpora_not_suppressed(self, spark):
+        from mofka_spark.operators.dedup import cross_corpus_dedup
+
+        # same id on both sides, same text: different documents in
+        # different id spaces — the match must NOT be dropped as a
+        # "self pair".
+        index = spark.createDataFrame(
+            [(1, self._BASE)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(1, self._BASE)], "doc_id long, text string"
+        )
+        row = cross_corpus_dedup(new, index).first()
+        assert row["is_dup"] and row["dup_of"] == 1
+
+    def test_release_contract(self, spark):
+        from mofka_spark.operators.dedup import cross_corpus_dedup
+
+        new, index = self._corpora(spark)
+        rel = []
+        out = cross_corpus_dedup(new, index, release=rel)
+        out.count()
+        assert len(rel) == 1
+        for frame in rel:
+            frame.unpersist()
