@@ -1629,3 +1629,53 @@ def kcenter_select(
     return corpus.sparkSession.createDataFrame(
         picks, "pick_order int, id long, radius double"
     )
+
+
+def kmeans_silhouette(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-point simplified silhouette against fitted centroids: a =
+    distance to the OWN (nearest) centroid, b = distance to the
+    nearest OTHER centroid, s = (b - a) / max(a, b) — the standard
+    centroid-based silhouette that scores a clustering in one pass
+    (exact silhouette needs all pairwise point distances; this is the
+    O(n*k) form every large-scale library uses). s near 1 = well
+    separated, near 0 = boundary, negative never occurs here (a is
+    the min by construction) but the formula keeps the general shape.
+
+    Returns (id, cell, own_dist, other_dist, silhouette), distances
+    and s rounded to 6dp (signed-zero normalized). Points exactly on
+    two centroids (b = 0) get s = 0. NULL vectors are excluded.
+
+    Scale shape: entirely scan-local — the k x d centroid literals
+    bake into the plan, each row sorts its own k-element (dist, cell)
+    struct array (ties to the lower cell, kmeans_cells' rule), no
+    join, no shuffle, no aggregate. Mean-silhouette rollups are one
+    plain groupBy away and deliberately NOT fused in (summation order
+    isn't engine-reproducible; per-point rows are)."""
+    if len(centroids) < 2:
+        raise ValueError("kmeans_silhouette needs >= 2 centroids")
+    vec = F.col(vec_col)
+    structs = F.array(
+        *[
+            F.struct(
+                _sqdist_to_literal(vec, c).alias("d"),
+                F.lit(j).cast("int").alias("cell"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    srt = F.array_sort(structs)
+    sa = F.sqrt(F.element_at(srt, 1).getField("d"))
+    sb = F.sqrt(F.element_at(srt, 2).getField("d"))
+    s = F.when(sb == 0.0, F.lit(0.0)).otherwise((sb - sa) / sb)
+    return corpus.filter(vec.isNotNull()).select(
+        F.col(id_col),
+        F.element_at(srt, 1).getField("cell").alias("cell"),
+        (F.round(sa, 6) + F.lit(0.0)).alias("own_dist"),
+        (F.round(sb, 6) + F.lit(0.0)).alias("other_dist"),
+        (F.round(s, 6) + F.lit(0.0)).alias("silhouette"),
+    )

@@ -7187,6 +7187,59 @@ def q_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Simplified silhouette (operators/similarity.py kmeans_silhouette):
+# per-point (b - a)/max(a, b) against centroid literals — the one-pass
+# cluster-quality score. Gate centroids = the deterministic init
+# (vectors of the 4 smallest ids) so the oracle expresses them exactly;
+# dim-ordered distance folds and identical sqrt/divide trees keep every
+# float bit-identical.
+@query(
+    "kmeans_silhouette",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cell, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+    ),
+    d AS (
+      SELECT e.vec_id, i.cell,
+             list_sum(list_transform(generate_series(1, len(e.v)),
+                      j -> (e.v[j] - i.v[j]) * (e.v[j] - i.v[j]))) AS dist
+      FROM e CROSS JOIN init i
+    ),
+    r AS (
+      SELECT vec_id, cell, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cell) AS rk
+      FROM d
+    ),
+    ab AS (
+      SELECT a.vec_id, a.cell, sqrt(a.dist) AS sa, sqrt(b.dist) AS sb
+      FROM r a JOIN r b ON a.vec_id = b.vec_id
+      WHERE a.rk = 1 AND b.rk = 2
+    )
+    SELECT vec_id, cell,
+           0.0 + ROUND(sa, 6) AS own_dist,
+           0.0 + ROUND(sb, 6) AS other_dist,
+           0.0 + ROUND(CASE WHEN sb = 0 THEN 0.0
+                            ELSE (sb - sa) / sb END, 6) AS silhouette
+    FROM ab
+    """,
+)
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.similarity import kmeans_silhouette
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.filter(F.col("embedding").isNotNull())
+    first = vecs.orderBy("vec_id").limit(4).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in first]
+    return kmeans_silhouette(emb, cents)
+
+
 # Cross-corpus incremental dedup (operators/dedup.py
 # cross_corpus_dedup): new docs (odd ids) LSH-joined against an
 # existing index corpus (even ids), exact-Jaccard verified; per new

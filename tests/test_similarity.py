@@ -870,3 +870,48 @@ class TestKmeansEmptyEdges:
         assert [f.name for f in out.schema.fields] == [
             "vec_id", "cell", "n_cell",
         ]
+
+
+class TestKmeansSilhouette:
+    def test_well_separated_clusters_score_high(self, spark):
+        from mofka_spark.operators.similarity import kmeans_silhouette
+
+        rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(3)] + [
+            (10 + i, [100.0 + i * 0.01, 0.0]) for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = [[0.01, 0.0], [100.01, 0.0]]
+        out = {r["vec_id"]: r for r in kmeans_silhouette(df, cents).collect()}
+        assert all(out[i]["cell"] == 0 for i in range(3))
+        assert all(out[10 + i]["cell"] == 1 for i in range(3))
+        assert all(r["silhouette"] > 0.99 for r in out.values())
+
+    def test_point_on_both_centroids_scores_zero(self, spark):
+        from mofka_spark.operators.similarity import kmeans_silhouette
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+        )
+        row = kmeans_silhouette(df, [[1.0, 1.0], [1.0, 1.0]]).first()
+        assert row["silhouette"] == 0.0 and row["own_dist"] == 0.0
+
+    def test_boundary_point_near_zero_and_tie_to_lower_cell(self, spark):
+        from mofka_spark.operators.similarity import kmeans_silhouette
+
+        df = spark.createDataFrame(
+            [(1, [5.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        row = kmeans_silhouette(df, [[0.0, 0.0], [10.0, 0.0]]).first()
+        assert row["cell"] == 0  # equidistant: lower cell wins
+        assert row["silhouette"] == 0.0
+
+    def test_null_vectors_excluded_and_k1_rejected(self, spark):
+        from mofka_spark.operators.similarity import kmeans_silhouette
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(1, [1.0]), (2, None)], "vec_id long, embedding array<double>"
+        )
+        assert kmeans_silhouette(df, [[0.0], [9.0]]).count() == 1
+        with _pytest.raises(ValueError):
+            kmeans_silhouette(df, [[0.0]])
