@@ -1716,3 +1716,54 @@ def blocklist_scan(
         hits.cast("long").alias("n_hits"),
         (hits > 0).alias("flagged"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum tokenizer fertility: BPE-ish tokens per whitespace
+    word (and chars per BPE token) — the standard diagnostic for "does
+    this tokenizer fragment language X?" when balancing a multilingual
+    mix (high fertility = more compute per word = under-trained
+    language at equal token budget).
+
+    Returns (stratum, n_docs, n_words, n_bpe, fertility,
+    chars_per_token) — fertility = n_bpe / n_words, chars_per_token =
+    n_chars / n_bpe, both single divisions of exact integer sums
+    rounded to 6dp (strata with zero words/tokens yield NULL rather
+    than a division error).
+
+    Scale shape: ONE stratum-keyed aggregate over per-row arithmetic
+    counts; map-side combine collapses to O(#strata) rows."""
+    t = F.col(text_col)
+    words = F.when(t.isNotNull(), token_count(t).cast("long"))
+    bpe = F.when(t.isNotNull(), token_count_bpe(t).cast("long"))
+    chars = F.when(t.isNotNull(), F.length(t).cast("long"))
+    agg = df.groupBy(strata_col).agg(
+        F.count(text_col).cast("long").alias("n_docs"),
+        F.sum(words).alias("n_words"),
+        F.sum(bpe).alias("n_bpe"),
+        F.sum(chars).alias("n_chars"),
+    )
+    return agg.select(
+        strata_col,
+        "n_docs",
+        "n_words",
+        "n_bpe",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_bpe").cast("double") / F.col("n_words"),
+            ),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.when(
+                F.col("n_bpe") > 0,
+                F.col("n_chars").cast("double") / F.col("n_bpe"),
+            ),
+            6,
+        ).alias("chars_per_token"),
+    )

@@ -7187,6 +7187,49 @@ def q_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-language tokenizer fertility (operators/text.py
+# tokenizer_fertility): BPE-ish tokens per whitespace word — the
+# multilingual-mix diagnostic. Integer sums, single divisions.
+@query(
+    "tokenizer_fertility",
+    """
+    WITH obs AS (
+      SELECT lang, text,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS BIGINT) END AS n_words,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE CAST(CEIL(length(regexp_replace(text,
+                         '[^A-Za-z0-9]', '', 'g')) / 4.0)
+                       + length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                         'g')) AS BIGINT) END AS n_bpe,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE CAST(length(text) AS BIGINT) END AS n_chars
+      FROM documents
+    ), agg AS (
+      SELECT lang, CAST(COUNT(text) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_words,
+             CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM obs GROUP BY lang
+    )
+    SELECT lang, n_docs, n_words, n_bpe,
+           ROUND(CASE WHEN n_words > 0
+                      THEN CAST(n_bpe AS DOUBLE) / n_words END, 6)
+             AS fertility,
+           ROUND(CASE WHEN n_bpe > 0
+                      THEN CAST(n_chars AS DOUBLE) / n_bpe END, 6)
+             AS chars_per_token
+    FROM agg
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import tokenizer_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs)
+
+
 # Simplified silhouette (operators/similarity.py kmeans_silhouette):
 # per-point (b - a)/max(a, b) against centroid literals — the one-pass
 # cluster-quality score. Gate centroids = the deterministic init

@@ -665,3 +665,33 @@ class TestBlocklistScan:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestTokenizerFertility:
+    def test_per_stratum_arithmetic(self, spark):
+        from mofka_spark.operators.text import tokenizer_fertility
+
+        df = spark.createDataFrame(
+            [
+                ("en", "hello world"),          # 2 words
+                ("en", "a b c"),                # 3 words
+                ("zh", None),                   # null text: counted out
+                ("zh", "x"),                    # 1 word
+            ],
+            "lang string, text string",
+        )
+        out = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+        assert out["en"]["n_docs"] == 2 and out["en"]["n_words"] == 5
+        assert out["zh"]["n_docs"] == 1 and out["zh"]["n_words"] == 1
+        en = out["en"]
+        assert en["fertility"] == round(en["n_bpe"] / en["n_words"], 6)
+
+    def test_zero_token_stratum_yields_null_not_error(self, spark):
+        from mofka_spark.operators.text import tokenizer_fertility
+
+        df = spark.createDataFrame(
+            [("xx", None)], "lang string, text string"
+        )
+        row = tokenizer_fertility(df).first()
+        assert row["n_docs"] == 0
+        assert row["fertility"] is None and row["chars_per_token"] is None
