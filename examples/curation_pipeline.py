@@ -2,7 +2,8 @@
 
     raw docs -> quality gate -> CDC chunk dedup stats -> fuzzy title
     reconciliation -> curriculum bins -> weighted sample -> TF-IDF
-    retrieval spot-check
+    retrieval spot-check -> blended-score keeper selection ->
+    token-budget cut
 
 Each stage is a pure DataFrame transform from mofka_spark.operators —
 the same calls work unchanged on a 1000-executor cluster; see
@@ -125,6 +126,43 @@ def main() -> None:
     order = sampling.interleave_strata(clean, "doc_id", "source")
     print("training order (interleaved):")
     order.orderBy("interleave_key", "source", "doc_id").show()
+
+    # 9. quality-aware keeper selection + blended scoring + budget cut:
+    # instead of stage 2b's min-id keepers, keep each near-dup
+    # cluster's BEST member under a rank-normalized blend of signals
+    # (token count up-weighted, junk repetition penalized), then fill
+    # a fixed token budget with the top-blended survivors — the
+    # end-to-end "dedup by quality, then spend the budget" path.
+    from mofka_spark.operators import quality as qops
+
+    sigs = docs.join(
+        text.repetition_signals(docs).select(
+            F.col("id").alias("doc_id"), "top_bigram_frac"
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        F.col("top_bigram_frac"),
+    )
+    blended = qops.blend_scores(
+        sigs, {"n_tokens": 0.7, "top_bigram_frac": -0.3}, "doc_id"
+    )
+    reps = dedup.cluster_representatives(
+        comps.select("id", "keeper_id"),
+        blended.select(F.col("doc_id").alias("id"), "blended"),
+        score_col="blended",
+    )
+    print("cluster representatives (best blended member kept):")
+    reps.orderBy("keeper_id").show()
+    survivors = sigs.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    ).join(blended.select("doc_id", "blended"), "doc_id")
+    picked = sampling.curriculum_select(
+        survivors, "blended", "n_tokens", "doc_id", budget=20
+    )
+    print("token-budget selection (20-token budget):")
+    picked.orderBy(F.desc("blended")).show()
 
     spark.stop()
 
