@@ -1767,3 +1767,49 @@ def tokenizer_fertility(
             6,
         ).alias("chars_per_token"),
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-stratum n-gram diversity: distinct n-grams over total
+    n-gram occurrences — the mode-collapse detector for synthetic /
+    model-generated corpora (a generator stuck on templates repeats
+    the same n-grams; diversity collapses long before per-document
+    repetition_signals fire, because the repetition is ACROSS
+    documents).
+
+    Returns (stratum, n_total, n_distinct, diversity) with diversity
+    = n_distinct / n_total rounded to 6dp (NULL for empty strata
+    rather than a division error).
+
+    Scale shape: explode -> ONE stratum-keyed aggregate;
+    count_distinct runs as the standard two-phase expand under the
+    same shuffle, and partial aggregation collapses each map
+    partition's repeated grams first — shuffled volume is the
+    per-partition distinct set (Zipf-bounded), not the token
+    stream."""
+    from mofka_spark.operators.dedup import word_ngrams
+
+    grams = df.filter(F.col(text_col).isNotNull()).select(
+        strata_col, F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    agg = grams.groupBy(strata_col).agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.count_distinct("g").cast("long").alias("n_distinct"),
+    )
+    return agg.select(
+        strata_col,
+        "n_total",
+        "n_distinct",
+        F.round(
+            F.when(
+                F.col("n_total") > 0,
+                F.col("n_distinct").cast("double") / F.col("n_total"),
+            ),
+            6,
+        ).alias("diversity"),
+    )

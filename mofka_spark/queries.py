@@ -7187,6 +7187,38 @@ def q_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus n-gram diversity (operators/text.py ngram_diversity):
+# distinct bigrams over total bigram occurrences per source — the
+# cross-document mode-collapse detector for synthetic corpora.
+@query(
+    "ngram_diversity",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                          ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT source,
+             UNNEST(list_transform(generate_series(1, greatest(len(t)-1, 1)),
+                    i -> array_to_string(t[i:i+1], ' '))) AS g
+      FROM toks
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+           ROUND(CASE WHEN COUNT(*) > 0
+                      THEN COUNT(DISTINCT g)::DOUBLE / COUNT(*) END, 6)
+             AS diversity
+    FROM grams GROUP BY source
+    """,
+)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import ngram_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_diversity(docs, "source", n=2)
+
+
 # Per-language tokenizer fertility (operators/text.py
 # tokenizer_fertility): BPE-ish tokens per whitespace word — the
 # multilingual-mix diagnostic. Integer sums, single divisions.

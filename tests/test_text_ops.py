@@ -695,3 +695,34 @@ class TestTokenizerFertility:
         row = tokenizer_fertility(df).first()
         assert row["n_docs"] == 0
         assert row["fertility"] is None and row["chars_per_token"] is None
+
+
+class TestNgramDiversity:
+    def test_collapsed_stratum_scores_low(self, spark):
+        from mofka_spark.operators.text import ngram_diversity
+
+        df = spark.createDataFrame(
+            [
+                ("tmpl", "the same old template"),
+                ("tmpl", "the same old template"),
+                ("tmpl", "the same old template"),
+                ("var", "one two three four"),
+                ("var", "five six seven eight"),
+            ],
+            "source string, text string",
+        )
+        out = {r["source"]: r for r in ngram_diversity(df, "source").collect()}
+        # template stratum: 3 distinct bigrams over 9 occurrences
+        assert out["tmpl"]["n_total"] == 9 and out["tmpl"]["n_distinct"] == 3
+        # varied stratum: every bigram unique
+        assert out["var"]["n_distinct"] == out["var"]["n_total"] == 6
+        assert out["tmpl"]["diversity"] < out["var"]["diversity"] == 1.0
+
+    def test_null_text_excluded(self, spark):
+        from mofka_spark.operators.text import ngram_diversity
+
+        df = spark.createDataFrame(
+            [("a", None), ("a", "x y")], "source string, text string"
+        )
+        row = ngram_diversity(df, "source").first()
+        assert row["n_total"] == 1  # the single "x y" bigram
