@@ -1813,3 +1813,79 @@ def ngram_diversity(
             6,
         ).alias("diversity"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    max_vocab: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-stratum Zipf fit: least-squares slope/intercept of
+    ln(count) over ln(rank) across the stratum's unigram vocabulary —
+    natural text sits near slope -1; templated or synthetic corpora
+    bend the curve (flat head = vocabulary collapse, steep tail =
+    boilerplate). The corpus-level companion to token_entropy's
+    per-document diversity.
+
+    Rank is count-desc with a token-asc tiebreak (deterministic).
+    ``max_vocab`` fits only the top ranks (the usual practice — the
+    rank-1 tail is noise) and bounds per-stratum state;
+    ``min_count`` prunes hapax grams before ranking. Returns
+    (stratum, vocab_size, slope, intercept) — slope/intercept rounded
+    to 6dp, signed-zero normalized; strata with < 2 vocab rows have
+    no defined fit and are dropped.
+
+    Scale shape: one (stratum, gram) count with map-side combine
+    (Zipf-bounded), one stratum-keyed window for ranks over VOCAB rows
+    (not the token stream), then value_trend's exact discipline: the
+    per-stratum fold runs over the rank-sorted array so the IEEE sums
+    are reproducible by the oracle; per-stratum state is O(vocab),
+    bounded by ``max_vocab``."""
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        strata_col, F.explode(_tokens(F.col(text_col))).alias("g")
+    )
+    vocab = (
+        toks.groupBy(strata_col, "g")
+        .agg(F.count("*").cast("long").alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("c").desc(), F.col("g").asc()
+    )
+    ranked = vocab.select(
+        strata_col, "c", F.row_number().over(w).alias("r")
+    )
+    if max_vocab is not None:
+        ranked = ranked.filter(F.col("r") <= int(max_vocab))
+    pts = ranked.groupBy(strata_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("r"), F.col("c")))
+        ).alias("_pts")
+    )
+    xs = F.transform("_pts", lambda p: F.log(p["r"].cast("double")))
+    ys = F.transform("_pts", lambda p: F.log(p["c"].cast("double")))
+
+    def _fold(a):
+        return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v)
+
+    sums = pts.select(
+        strata_col,
+        F.size("_pts").cast("long").alias("n"),
+        _fold(xs).alias("sx"),
+        _fold(ys).alias("sy"),
+        _fold(F.zip_with(xs, xs, lambda a, b: a * b)).alias("sxx"),
+        _fold(F.zip_with(xs, ys, lambda a, b: a * b)).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return sums.filter(denom > 0).select(
+        strata_col,
+        F.col("n").alias("vocab_size"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+            + F.lit(0.0)
+        ).alias("intercept"),
+    )

@@ -7187,6 +7187,58 @@ def q_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-stratum Zipf fit (operators/text.py zipf_fit): least-squares
+# ln(count) ~ ln(rank) over the unigram vocabulary — natural text sits
+# near slope -1. value_trend's exact discipline: rank-ordered folds on
+# both sides so the IEEE sums agree bit-for-bit.
+@query(
+    "zipf_fit",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             UNNEST(string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ')) AS g
+      FROM documents WHERE text IS NOT NULL
+    ), vocab AS (
+      SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, g
+    ), ranked AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, g ASC) AS r
+      FROM vocab
+    ), pts AS (
+      SELECT source, list(struct_pack(r := r, c := c) ORDER BY r) AS p
+      FROM ranked GROUP BY source
+    ), s AS (
+      SELECT source, CAST(len(p) AS BIGINT) AS n,
+             list_sum(list_transform(p,
+               q -> ln(CAST(q.r AS DOUBLE)))) AS sx,
+             list_sum(list_transform(p,
+               q -> ln(CAST(q.c AS DOUBLE)))) AS sy,
+             list_sum(list_transform(p,
+               q -> ln(CAST(q.r AS DOUBLE)) * ln(CAST(q.r AS DOUBLE))))
+               AS sxx,
+             list_sum(list_transform(p,
+               q -> ln(CAST(q.r AS DOUBLE)) * ln(CAST(q.c AS DOUBLE))))
+               AS sxy
+      FROM pts
+    )
+    SELECT source, n AS vocab_size,
+           0.0 + ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS slope,
+           0.0 + ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                        * sx) / n, 6) AS intercept
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, "source")
+
+
 # Corpus n-gram diversity (operators/text.py ngram_diversity):
 # distinct bigrams over total bigram occurrences per source — the
 # cross-document mode-collapse detector for synthetic corpora.

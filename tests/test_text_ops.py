@@ -726,3 +726,40 @@ class TestNgramDiversity:
         )
         row = ngram_diversity(df, "source").first()
         assert row["n_total"] == 1  # the single "x y" bigram
+
+
+class TestZipfFit:
+    def test_planted_zipf_slope_near_minus_one(self, spark):
+        from mofka_spark.operators.text import zipf_fit
+
+        # counts ~ 1/rank: token t_r appears round(120/r) times
+        words = []
+        for r in range(1, 13):
+            words += [f"t{r:02d}"] * round(120 / r)
+        df = spark.createDataFrame(
+            [("s", " ".join(words))], "source string, text string"
+        )
+        row = zipf_fit(df, "source").first()
+        assert row["vocab_size"] == 12
+        assert -1.15 < row["slope"] < -0.85
+
+    def test_max_vocab_caps_fit_and_min_count_prunes(self, spark):
+        from mofka_spark.operators.text import zipf_fit
+
+        df = spark.createDataFrame(
+            [("s", "a a a a b b b c c d")], "source string, text string"
+        )
+        full = zipf_fit(df, "source").first()
+        capped = zipf_fit(df, "source", max_vocab=3).first()
+        assert full["vocab_size"] == 4 and capped["vocab_size"] == 3
+        pruned = zipf_fit(df, "source", min_count=2).first()
+        assert pruned["vocab_size"] == 3  # drops the hapax "d"
+
+    def test_tiny_vocab_dropped(self, spark):
+        from mofka_spark.operators.text import zipf_fit
+
+        # one distinct token: denom = 0, no defined fit
+        df = spark.createDataFrame(
+            [("s", "a a a")], "source string, text string"
+        )
+        assert zipf_fit(df, "source").count() == 0
