@@ -985,6 +985,7 @@ def cross_corpus_dedup(
     ngram_n: int = 3,
     bucket_cap: int | None = 10000,
     release: list | None = None,
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest near-dedup: flag each NEW document that
     near-duplicates anything in an EXISTING corpus, without
@@ -995,7 +996,13 @@ def cross_corpus_dedup(
     Both sides map through minhash_band_rows with identical parameters
     — the band rows are deterministic across jobs, so in production the
     index side is a materialized signature table that new batches
-    equi-join against, never recomputed. Candidates come from the
+    equi-join against, never recomputed: pass it as ``index_bands``
+    ((id, band_id, band_hash), e.g. a parquet table bucketed on
+    (band_id, band_hash) via operators.layout.bucketize, in which case
+    the store side of the candidate join reads with NO Exchange) and
+    only the NEW batch's signatures are computed. ``index_df`` is
+    still required — the verify step reads matched index docs' text,
+    pruned to candidate members first. Candidates come from the
     (band_id, band_hash) equi-join (new-side bands never self-join);
     the exact word-``ngram_n``-gram Jaccard verify touches only
     candidate members of each side.
@@ -1022,7 +1029,11 @@ def cross_corpus_dedup(
         minhash_band_rows(new_df, id_col, text_col, **kw), keys, bucket_cap
     ).withColumnRenamed("id", "id_new")
     ib = _cap_buckets(
-        minhash_band_rows(index_df, id_col, text_col, **kw), keys, bucket_cap
+        index_bands
+        if index_bands is not None
+        else minhash_band_rows(index_df, id_col, text_col, **kw),
+        keys,
+        bucket_cap,
     ).withColumnRenamed("id", "id_idx")
     # consumed three times (two member sets + the verify join) and tiny
     # by construction — persist so the LSH plans run once; ``release``

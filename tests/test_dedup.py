@@ -431,3 +431,24 @@ class TestCrossCorpusDedup:
         assert len(rel) == 1
         for frame in rel:
             frame.unpersist()
+
+    def test_precomputed_index_bands_equivalent(self, spark):
+        from mofka_spark.operators.dedup import (
+            cross_corpus_dedup,
+            minhash_band_rows,
+        )
+
+        new, index = self._corpora(spark)
+        # production shape: the index's band rows are a materialized
+        # table; only the new batch computes signatures.
+        bands = minhash_band_rows(index, "doc_id", "text")
+        got = sorted(
+            (r["id"], r["is_dup"], r["dup_of"])
+            for r in cross_corpus_dedup(new, index, index_bands=bands)
+            .collect()
+        )
+        want = sorted(
+            (r["id"], r["is_dup"], r["dup_of"])
+            for r in cross_corpus_dedup(new, index).collect()
+        )
+        assert got == want
