@@ -84,6 +84,29 @@ def main() -> None:
         "query_id", "rank"
     ).show()
 
+    # --- batch-shaped ingest against a materialized signature index:
+    # the same decision table cross_corpus_dedup produces when the
+    # index corpus's band rows are persisted once (bucketize them on
+    # (band_id, band_hash) and the store side of the candidate join
+    # reads with no Exchange) and each arriving batch computes only
+    # ITS OWN signatures.
+    from mofka_spark.operators.dedup import (
+        cross_corpus_dedup,
+        minhash_band_rows,
+    )
+
+    index_docs = spark.createDataFrame(
+        batches[0], "id long, text string"
+    )
+    index_bands = minhash_band_rows(index_docs, "id", "text")
+    arriving = spark.createDataFrame(
+        batches[1], "id long, text string"
+    )
+    print("cross-corpus verdicts for the arriving batch:")
+    cross_corpus_dedup(
+        arriving, index_docs, id_col="id", index_bands=index_bands
+    ).orderBy("id").show()
+
     spark.stop()
 
 
