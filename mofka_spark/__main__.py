@@ -454,6 +454,41 @@ def cmd_benchmark_run(args) -> int:
     return 0
 
 
+def cmd_corpus_report(args) -> int:
+    """One-shot corpus health report over a parquet documents table:
+    tokenizer fertility, n-gram diversity, and the Zipf fit per
+    stratum — the pre-training-mix sanity checks as one JSON line per
+    metric (the DataFrame operators underneath are the same gated ones
+    __spark_entry__ exposes)."""
+    from mofka_spark.operators import text
+    from mofka_spark.session import get_spark
+
+    spark = get_spark(app_name="mofka-corpus-report")
+    df = spark.read.parquet(args.path)
+    metrics = args.metrics.split(",")
+    known = {
+        "fertility": lambda: text.tokenizer_fertility(
+            df, args.strata, args.text_col
+        ),
+        "diversity": lambda: text.ngram_diversity(
+            df, args.strata, args.text_col, n=args.ngram
+        ),
+        "zipf": lambda: text.zipf_fit(
+            df, args.strata, args.text_col, max_vocab=args.max_vocab
+        ),
+    }
+    bad = [m for m in metrics if m not in known]
+    if bad:
+        print(f"unknown metrics: {','.join(bad)} (known: fertility,"
+              f"diversity,zipf)", flush=True)
+        return 2
+    for m in metrics:
+        rows = [r.asDict() for r in known[m]().collect()]
+        rows.sort(key=lambda r: str(r.get(args.strata)))
+        print(json.dumps({"metric": m, "rows": rows}, sort_keys=True))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="mofka_spark", description="Mofka-Spark CLI.")
     sub = ap.add_subparsers(dest="group", required=True)
@@ -593,6 +628,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--num-events", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_benchmark_run)
+
+    corpus = sub.add_parser(
+        "corpus", help="Corpus health reports over parquet tables"
+    ).add_subparsers(dest="cmd", required=True)
+    p = corpus.add_parser(
+        "report", help="Fertility / diversity / Zipf per stratum"
+    )
+    p.add_argument("path", help="Parquet path of a documents-like table")
+    p.add_argument(
+        "-m", "--metrics", default="fertility,diversity,zipf",
+        help="Comma list of: fertility, diversity, zipf",
+    )
+    p.add_argument("-s", "--strata", default="lang")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--ngram", type=int, default=2)
+    p.add_argument("--max-vocab", type=int, default=None)
+    p.set_defaults(fn=cmd_corpus_report)
     return ap
 
 

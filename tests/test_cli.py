@@ -216,3 +216,28 @@ class TestStoreCompactCms:
         assert set(
             spark.read.parquet(path).select("_epoch").distinct().toPandas()["_epoch"]
         ) == {-1}
+
+
+class TestCorpusReport:
+    def test_report_json_lines(self, spark, tmp_path):
+        # write a tiny documents-like parquet via the live session
+        df = spark.createDataFrame(
+            [("en", "hello world again"), ("en", "hello there"),
+             ("de", "guten tag welt")],
+            "lang string, text string",
+        )
+        path = str(tmp_path / "docs.parquet")
+        df.write.parquet(path)
+        rc, out = run("corpus", "report", path, "-m", "fertility,diversity")
+        assert rc == 0
+        lines = [json.loads(l) for l in out.strip().splitlines()]
+        assert [l["metric"] for l in lines] == ["fertility", "diversity"]
+        fert = {r["lang"]: r for r in lines[0]["rows"]}
+        assert fert["en"]["n_docs"] == 2 and fert["en"]["n_words"] == 5
+
+    def test_unknown_metric_rejected(self, spark, tmp_path):
+        df = spark.createDataFrame([("en", "x")], "lang string, text string")
+        path = str(tmp_path / "d.parquet")
+        df.write.parquet(path)
+        rc, _ = run("corpus", "report", path, "-m", "nope")
+        assert rc == 2
