@@ -231,16 +231,12 @@ def export_shards(
     orders rows inside it. No global sort, no single-partition window,
     manifest = one tiny agg over positions.
     """
-    if shard_rows <= 0:
-        raise ValueError("shard_rows must be positive")
-    if seed is None:
-        pos = _rank_by_id(df, id_col)
-    else:
-        pos = epoch_shuffle(df, id_col=id_col, seed=seed).drop("shuffle_key")
     out = (
-        df.join(pos.withColumnRenamed("id", id_col), id_col)
-        .withColumn(
-            "shard", F.floor(F.col("epoch_pos") / shard_rows).cast("int")
+        df.join(
+            shard_plan(df, id_col, shard_rows, seed).withColumnRenamed(
+                "id", id_col
+            ),
+            id_col,
         )
         .repartition("shard")
         .sortWithinPartitions("epoch_pos")
@@ -255,6 +251,33 @@ def export_shards(
             F.max("epoch_pos").alias("last_pos"),
         )
         .orderBy("shard")
+    )
+
+
+def shard_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shard_rows: int = 1000,
+    seed: int | None = None,
+) -> DataFrame:
+    """The shard-assignment half of export_shards, as a pure frame:
+    (id, epoch_pos, shard) where shard k holds exactly global-order
+    positions [k*shard_rows, (k+1)*shard_rows). ``seed=None`` orders
+    by ascending id; a seed applies that epoch_shuffle permutation.
+    Exposed separately so the training order is inspectable (and
+    driver-gateable) without writing files; export_shards is exactly
+    this plan + partitioned parquet writes.
+
+    Scale shape: positions from the distributed prefix sum; the shard
+    column is a scan-local floor division — no extra shuffle."""
+    if shard_rows <= 0:
+        raise ValueError("shard_rows must be positive")
+    if seed is None:
+        pos = _rank_by_id(df, id_col)
+    else:
+        pos = epoch_shuffle(df, id_col=id_col, seed=seed).drop("shuffle_key")
+    return pos.withColumn(
+        "shard", F.floor(F.col("epoch_pos") / shard_rows).cast("int")
     )
 
 

@@ -7187,6 +7187,35 @@ def q_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic shard plan (operators/packing.py shard_plan): the
+# export_shards training order as an inspectable frame — seeded
+# epoch_shuffle permutation cut into fixed-size shards.
+@query(
+    "shard_plan",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 15))::BIGINT
+               AS shuffle_key
+      FROM documents
+    ), p AS (
+      SELECT doc_id AS id,
+             CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
+                  AS BIGINT) AS epoch_pos
+      FROM k
+    )
+    SELECT id, epoch_pos,
+           CAST(epoch_pos // 100 AS INTEGER) AS shard
+    FROM p
+    """,
+)
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    return packing.shard_plan(docs, "doc_id", shard_rows=100, seed=17)
+
+
 # Per-stratum Zipf fit (operators/text.py zipf_fit): least-squares
 # ln(count) ~ ln(rank) over the unigram vocabulary — natural text sits
 # near slope -1. value_trend's exact discipline: rank-ordered folds on

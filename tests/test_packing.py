@@ -251,3 +251,37 @@ class TestPackManifest:
         for r in man:
             tot[r.id] = tot.get(r.id, 0) + r.span_len
         assert all(tot[i] == pos[i].n_tokens for i in tot)
+
+
+class TestShardPlan:
+    def test_matches_export_layout_contract(self, spark):
+        from mofka_spark.operators.packing import shard_plan
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(25)], "doc_id long"
+        )
+        out = shard_plan(df, "doc_id", shard_rows=10).collect()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["epoch_pos"])
+        assert sorted(by_shard) == [0, 1, 2]
+        assert sorted(by_shard[0]) == list(range(10))
+        assert sorted(by_shard[2]) == [20, 21, 22, 23, 24]  # ragged tail
+
+    def test_seeded_plan_is_permutation(self, spark):
+        from mofka_spark.operators.packing import shard_plan
+
+        df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+        out = shard_plan(df, "doc_id", shard_rows=5, seed=3).collect()
+        assert sorted(r["epoch_pos"] for r in out) == list(range(12))
+        # order differs from the id order for a real shuffle seed
+        id_order = [r["id"] for r in sorted(out, key=lambda r: r["epoch_pos"])]
+        assert id_order != sorted(id_order)
+
+    def test_bad_shard_rows_rejected(self, spark):
+        from mofka_spark.operators.packing import shard_plan
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        with _pytest.raises(ValueError):
+            shard_plan(df, "doc_id", shard_rows=0)
