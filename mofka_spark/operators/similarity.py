@@ -1679,3 +1679,149 @@ def kmeans_silhouette(
         (F.round(sb, 6) + F.lit(0.0)).alias("other_dist"),
         (F.round(s, 6) + F.lit(0.0)).alias("silhouette"),
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split each d-dim vector into
+    ``m`` contiguous d/m-dim subvectors and k-means each subspace
+    independently (Jégou et al.'s PQ) — the compressed-domain ANN
+    representation: m log2(k) bits per vector instead of 4d bytes,
+    with distances computable from code lookups alone (pq_topk).
+    The compression complement of quantize_embeddings' int8 scalars.
+
+    Returns m codebooks, each k x (d/m) — model state is k x d doubles
+    on the driver, like kmeans_fit_full. Reuses kmeans_fit_full per
+    subspace: deterministic init (the k smallest ids' subvectors),
+    scan-local assignment vs literals, one bounded shuffle per Lloyd
+    round, m x iters passes total. d must divide by m."""
+    first = corpus.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if first is None:
+        return []
+    d = len(first[0])
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for j in range(m):
+        piece = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
+        )
+        books.append(
+            kmeans_fit_full(piece, id_col, vec_col, k=k, iters=iters)
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes: per subspace the argmin codebook entry (ties to the
+    lower code, kmeans_cells' rule). Returns (id, codes array<int>,
+    length m) — the persistable compressed corpus.
+
+    Scale shape: entirely scan-local — every codebook bakes into the
+    plan as literals; no join, no shuffle."""
+    if not codebooks:
+        return corpus.select(F.col(id_col)).filter(F.lit(False)).withColumn(
+            "codes", F.array().cast("array<int>")
+        )
+    sub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    codes = F.array(
+        *[
+            _nearest_cell(F.slice(vec, j * sub + 1, sub), cb)
+            for j, cb in enumerate(codebooks)
+        ]
+    )
+    return corpus.filter(vec.isNotNull()).select(
+        F.col(id_col).alias("id"), codes.alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query an
+    m x k lookup table of exact subvector-to-codebook-entry squared
+    distances is computed ONCE (driver-side — dims folded in order, so
+    the table entries are the same IEEE doubles an external engine
+    derives), then every corpus row's distance is m table lookups
+    summed in subspace order. Returns (query_id, neighbor_id,
+    distance, rank) with distance = the rounded ADC approximation of
+    squared L2; ties rank by neighbor id.
+
+    Scale shape: the query side collapses to (query_id, tables) rows
+    that broadcast (the ANN-query regime); the corpus side reads ONLY
+    the codes — never the vectors. One window per query for the rank;
+    self-pairs excluded like brute_force_topk."""
+    if not codebooks:
+        raise ValueError("pq_topk: empty codebooks")
+    sub = len(codebooks[0][0])
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not qrows:
+        return codes.select(
+            F.col("id").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            F.lit(0.0).alias("distance"),
+            F.lit(0).cast("int").alias("rank"),
+        ).filter(F.lit(False))
+    qtab = []
+    for r in qrows:
+        v = [float(x) for x in r[1]]
+        tables = []
+        for j, cb in enumerate(codebooks):
+            q = v[j * sub : (j + 1) * sub]
+            row = []
+            for cent in cb:
+                acc = 0.0
+                for a, b in zip(q, cent):
+                    acc += (a - b) * (a - b)
+                row.append(acc)
+            tables.append(row)
+        qtab.append((r[0], tables))
+    spark = codes.sparkSession
+    qdf = spark.createDataFrame(
+        qtab, "query_id long, tab array<array<double>>"
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            "codes", "tab", lambda c, t: F.element_at(t, c + F.lit(1))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qdf))
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            (F.round(dist, 6) + F.lit(0.0)).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

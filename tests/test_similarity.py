@@ -915,3 +915,61 @@ class TestKmeansSilhouette:
         assert kmeans_silhouette(df, [[0.0], [9.0]]).count() == 1
         with _pytest.raises(ValueError):
             kmeans_silhouette(df, [[0.0]])
+
+
+class TestProductQuantization:
+    def _corpus(self, spark):
+        # two tight 4-d clusters; PQ with m=2 must separate them
+        rows = [(i, [10.0 + 0.01 * i, 10.0, 0.0, 0.0]) for i in range(5)]
+        rows += [(10 + i, [0.0, 0.0, 7.0 + 0.01 * i, 7.0]) for i in range(5)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_train_encode_roundtrip_separates_clusters(self, spark):
+        from mofka_spark.operators.similarity import pq_encode, pq_train
+
+        df = self._corpus(spark)
+        books = pq_train(df, m=2, k=2, iters=2)
+        assert len(books) == 2 and all(len(b) == 2 for b in books)
+        codes = {r["id"]: tuple(r["codes"]) for r in
+                 pq_encode(df, books).collect()}
+        left = {codes[i] for i in range(5)}
+        right = {codes[10 + i] for i in range(5)}
+        assert len(left) == 1 and len(right) == 1 and left != right
+
+    def test_adc_topk_prefers_same_cluster(self, spark):
+        from mofka_spark.operators.similarity import (
+            pq_encode, pq_topk, pq_train,
+        )
+
+        df = self._corpus(spark)
+        books = pq_train(df, m=2, k=2, iters=2)
+        codes = pq_encode(df, books)
+        out = pq_topk(df.filter("vec_id = 0"), codes, books, k=4)
+        neigh = [r["neighbor_id"] for r in out.collect()]
+        assert set(neigh) == {1, 2, 3, 4}  # own cluster, never the other
+
+    def test_dim_not_divisible_rejected(self, spark):
+        from mofka_spark.operators.similarity import pq_train
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(ValueError):
+            pq_train(df, m=2, k=1)
+
+    def test_empty_corpus_and_empty_queries(self, spark):
+        from mofka_spark.operators.similarity import (
+            pq_encode, pq_topk, pq_train,
+        )
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        assert pq_train(empty) == []
+        df = self._corpus(spark)
+        books = pq_train(df, m=2, k=2, iters=1)
+        codes = pq_encode(df, books)
+        assert pq_topk(empty, codes, books).count() == 0
