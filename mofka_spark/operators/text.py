@@ -1791,10 +1791,17 @@ def ngram_diversity(
     same shuffle, and partial aggregation collapses each map
     partition's repeated grams first — shuffled volume is the
     per-partition distinct set (Zipf-bounded), not the token
-    stream."""
+    stream. A narrow scan (few parquet splits) is widened round-robin
+    before the CPU-bound gram stage — keyless, because strata are few
+    and a stratum-keyed spread would skew (measured 6x on a
+    single-file corpus)."""
     from mofka_spark.operators.dedup import word_ngrams
 
-    grams = df.filter(F.col(text_col).isNotNull()).select(
+    obs = df.filter(F.col(text_col).isNotNull())
+    sc = obs.sparkSession.sparkContext
+    if obs.rdd.getNumPartitions() < max(2, sc.defaultParallelism // 2):
+        obs = obs.repartition(sc.defaultParallelism)
+    grams = obs.select(
         strata_col, F.explode(word_ngrams(F.col(text_col), n)).alias("g")
     )
     agg = grams.groupBy(strata_col).agg(
