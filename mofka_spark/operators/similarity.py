@@ -1800,8 +1800,20 @@ def pq_topk(
             tables.append(row)
         qtab.append((r[0], tables))
     spark = codes.sparkSession
+    from pyspark.sql import types as T
+
     qdf = spark.createDataFrame(
-        qtab, "query_id long, tab array<array<double>>"
+        qtab,
+        T.StructType(
+            [
+                T.StructField(
+                    "query_id", queries.schema[id_col].dataType
+                ),
+                T.StructField(
+                    "tab", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+            ]
+        ),
     )
     dist = F.aggregate(
         F.zip_with(

@@ -973,3 +973,16 @@ class TestProductQuantization:
         books = pq_train(df, m=2, k=2, iters=1)
         codes = pq_encode(df, books)
         assert pq_topk(empty, codes, books).count() == 0
+
+    def test_string_ids_supported(self, spark):
+        from mofka_spark.operators.similarity import (
+            pq_encode, pq_topk, pq_train,
+        )
+
+        rows = [(f"d{i}", [float(i), 0.0]) for i in range(6)]
+        df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        books = pq_train(df, m=2, k=2, iters=1)
+        codes = pq_encode(df, books)
+        out = pq_topk(df.filter("vec_id = 'd0'"), codes, books, k=2)
+        assert out.count() == 2
+        assert out.first()["query_id"] == "d0"
