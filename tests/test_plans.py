@@ -644,6 +644,7 @@ class TestGlobalPlanAudit:
         "dsir_select",         # bucket tables via dsir_weights
         "q11_important_share", # scalar threshold (TPC-H shape)
         "q22_idle_customers",  # scalar avg (TPC-H shape)
+        "pq_adc_topk",         # broadcast (query, m x k ADC table) rows
     }
 
     def test_no_cartesian_products_anywhere(self, spark):
