@@ -1725,13 +1725,18 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """PQ codes: per subspace the argmin codebook entry (ties to the
     lower code, kmeans_cells' rule). Returns (id, codes array<int>,
-    length m) — the persistable compressed corpus.
+    length m) — the persistable compressed corpus. With
+    ``coarse_centroids`` (a kmeans_fit_full model over the FULL
+    vectors) a ``cell`` column rides along — the IVF-PQ layout
+    ivfpq_topk probes; write it partitioned/bucketed by cell so probes
+    prune directories.
 
-    Scale shape: entirely scan-local — every codebook bakes into the
-    plan as literals; no join, no shuffle."""
+    Scale shape: entirely scan-local — every codebook (and the coarse
+    model) bakes into the plan as literals; no join, no shuffle."""
     if not codebooks:
         return corpus.select(F.col(id_col)).filter(F.lit(False)).withColumn(
             "codes", F.array().cast("array<int>")
@@ -1744,9 +1749,10 @@ def pq_encode(
             for j, cb in enumerate(codebooks)
         ]
     )
-    return corpus.filter(vec.isNotNull()).select(
-        F.col(id_col).alias("id"), codes.alias("codes")
-    )
+    cols = [F.col(id_col).alias("id"), codes.alias("codes")]
+    if coarse_centroids:
+        cols.append(_nearest_cell(vec, coarse_centroids).alias("cell"))
+    return corpus.filter(vec.isNotNull()).select(*cols)
 
 
 def pq_topk(
@@ -1825,6 +1831,115 @@ def pq_topk(
     scored = (
         codes.crossJoin(F.broadcast(qdf))
         .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            (F.round(dist, 6) + F.lit(0.0)).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    coarse_centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search (the FAISS-style composition): per query, probe
+    the ``nprobe`` nearest coarse cells, then rank ONLY those cells'
+    rows by the PQ asymmetric distance — the full compressed-domain
+    ANN stack: ivf_topk's pruning with pq_topk's 4d-bytes -> m-codes
+    compression. ``codes`` is pq_encode(..., coarse_centroids=...)'s
+    (id, codes, cell) frame.
+
+    Probe order and distances are deterministic (centroid distance
+    asc, cell asc; dim-ordered driver-side table folds), so results
+    are exactly reproducible by an external engine. Returns
+    (query_id, neighbor_id, distance, rank); self-pairs excluded.
+
+    Scale shape: the query side collapses to broadcast (query,
+    probe-cells, m x k table) rows; the corpus side reads codes only,
+    and the cell filter prunes before any distance math — with the
+    codes frame written partitioned by cell, probes prune at the
+    directory level exactly like ivf_topk / the streaming ANN store."""
+    if nprobe <= 0:
+        raise ValueError("ivfpq_topk: nprobe must be positive")
+    if not codebooks or not coarse_centroids:
+        raise ValueError("ivfpq_topk: empty codebooks or centroids")
+    sub = len(codebooks[0][0])
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not qrows:
+        return codes.select(
+            F.col("id").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            F.lit(0.0).alias("distance"),
+            F.lit(0).cast("int").alias("rank"),
+        ).filter(F.lit(False))
+    qtab = []
+    for r in qrows:
+        v = [float(x) for x in r[1]]
+        cd = []
+        for cell, cent in enumerate(coarse_centroids):
+            acc = 0.0
+            for a, b in zip(v, cent):
+                acc += (a - b) * (a - b)
+            cd.append((acc, cell))
+        probes = [c for _, c in sorted(cd)[:nprobe]]
+        tables = []
+        for j, cb in enumerate(codebooks):
+            q = v[j * sub : (j + 1) * sub]
+            row = []
+            for cent in cb:
+                acc = 0.0
+                for a, b in zip(q, cent):
+                    acc += (a - b) * (a - b)
+                row.append(acc)
+            tables.append(row)
+        qtab.append((r[0], probes, tables))
+    from pyspark.sql import types as T
+
+    spark = codes.sparkSession
+    qdf = spark.createDataFrame(
+        qtab,
+        T.StructType(
+            [
+                T.StructField(
+                    "query_id", queries.schema[id_col].dataType
+                ),
+                T.StructField("probes", T.ArrayType(T.IntegerType())),
+                T.StructField(
+                    "tab", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+            ]
+        ),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            "codes", "tab", lambda c, t: F.element_at(t, c + F.lit(1))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qdf))
+        .filter(
+            F.array_contains(F.col("probes"), F.col("cell"))
+            & (F.col("query_id") != F.col("id"))
+        )
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),

@@ -7339,6 +7339,118 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(queries, codes, books, k=5)
 
 
+# IVF-PQ search (operators/similarity.py ivfpq_topk): nprobe coarse
+# cells pruned first, PQ asymmetric distance within them — the full
+# compressed-domain ANN stack, deterministic end to end (init coarse
+# model + init codebooks; the oracle replays probes, codes, and ADC
+# sums exactly).
+@query(
+    "ivfpq_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cell, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+    ),
+    dfull AS (
+      SELECT e.vec_id, i.cell,
+             list_sum(list_transform(generate_series(1, 64),
+                      t -> (e.v[t] - i.v[t]) * (e.v[t] - i.v[t]))) AS dist
+      FROM e CROSS JOIN init i
+    ),
+    cf AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, cell) AS rk FROM dfull) WHERE rk = 1
+    ),
+    d0 AS (
+      SELECT e.vec_id, i.cell,
+             list_sum(list_transform(generate_series(1, 32),
+                      t -> (e.v[t] - i.v[t]) * (e.v[t] - i.v[t]))) AS dist
+      FROM e CROSS JOIN init i
+    ),
+    c0 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, cell) AS rk FROM d0) WHERE rk = 1
+    ),
+    d1 AS (
+      SELECT e.vec_id, i.cell,
+             list_sum(list_transform(generate_series(1, 32),
+                      t -> (e.v[t + 32] - i.v[t + 32])
+                           * (e.v[t + 32] - i.v[t + 32]))) AS dist
+      FROM e CROSS JOIN init i
+    ),
+    c1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, cell) AS rk FROM d1) WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 3),
+    pr AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, i.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                          t -> (q.v[t] - i.v[t]) * (q.v[t] - i.v[t]))),
+                 i.cell) AS rk
+        FROM q CROSS JOIN init i) WHERE rk <= 2
+    ),
+    t0 AS (
+      SELECT q.query_id, i.cell,
+             list_sum(list_transform(generate_series(1, 32),
+                      t -> (q.v[t] - i.v[t]) * (q.v[t] - i.v[t]))) AS dist
+      FROM q CROSS JOIN init i
+    ),
+    t1 AS (
+      SELECT q.query_id, i.cell,
+             list_sum(list_transform(generate_series(1, 32),
+                      t -> (q.v[t + 32] - i.v[t + 32])
+                           * (q.v[t + 32] - i.v[t + 32]))) AS dist
+      FROM q CROSS JOIN init i
+    ),
+    scored AS (
+      SELECT t0.query_id, e.vec_id AS neighbor_id,
+             0.0 + ROUND(t0.dist + t1.dist, 6) AS distance
+      FROM e
+      JOIN cf ON cf.vec_id = e.vec_id
+      JOIN c0 ON c0.vec_id = e.vec_id
+      JOIN c1 ON c1.vec_id = e.vec_id
+      JOIN t0 ON t0.cell = c0.cell
+      JOIN t1 ON t1.cell = c1.cell AND t1.query_id = t0.query_id
+      JOIN pr ON pr.query_id = t0.query_id AND pr.cell = cf.cell
+      WHERE e.vec_id <> t0.query_id
+    )
+    SELECT query_id, neighbor_id, distance, CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY distance ASC, neighbor_id ASC) AS rk
+      FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.similarity import ivfpq_topk, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    first = (
+        emb.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id").limit(4).collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in first]
+    books = [
+        [[float(x) for x in r["embedding"][:32]] for r in first],
+        [[float(x) for x in r["embedding"][32:]] for r in first],
+    ]
+    codes = pq_encode(emb, books, coarse_centroids=cents)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivfpq_topk(queries, codes, books, cents, k=5, nprobe=2)
+
+
 # Deterministic shard plan (operators/packing.py shard_plan): the
 # export_shards training order as an inspectable frame — seeded
 # epoch_shuffle permutation cut into fixed-size shards.

@@ -645,6 +645,7 @@ class TestGlobalPlanAudit:
         "q11_important_share", # scalar threshold (TPC-H shape)
         "q22_idle_customers",  # scalar avg (TPC-H shape)
         "pq_adc_topk",         # broadcast (query, m x k ADC table) rows
+        "ivfpq_topk",          # broadcast (query, probes, ADC table) rows
     }
 
     def test_no_cartesian_products_anywhere(self, spark):

@@ -986,3 +986,55 @@ class TestProductQuantization:
         out = pq_topk(df.filter("vec_id = 'd0'"), codes, books, k=2)
         assert out.count() == 2
         assert out.first()["query_id"] == "d0"
+
+    def test_ivfpq_full_probe_matches_pq_topk(self, spark):
+        from mofka_spark.operators.similarity import (
+            ivfpq_topk, pq_encode, pq_topk, pq_train,
+        )
+
+        df = self._corpus(spark)
+        books = pq_train(df, m=2, k=2, iters=2)
+        cents = [[10.0, 10.0, 0.0, 0.0], [0.0, 0.0, 7.0, 7.0]]
+        codes = pq_encode(df, books, coarse_centroids=cents)
+        q = df.filter("vec_id = 0")
+        # probing every cell must reproduce the unpruned ADC ranking
+        full = sorted(
+            (r["neighbor_id"], r["distance"], r["rank"])
+            for r in ivfpq_topk(q, codes, books, cents, k=4, nprobe=2)
+            .collect()
+        )
+        ref = sorted(
+            (r["neighbor_id"], r["distance"], r["rank"])
+            for r in pq_topk(q, codes.drop("cell"), books, k=4).collect()
+        )
+        assert full == ref
+
+    def test_ivfpq_prunes_to_probed_cells(self, spark):
+        from mofka_spark.operators.similarity import (
+            ivfpq_topk, pq_encode, pq_train,
+        )
+
+        df = self._corpus(spark)
+        books = pq_train(df, m=2, k=2, iters=2)
+        cents = [[10.0, 10.0, 0.0, 0.0], [0.0, 0.0, 7.0, 7.0]]
+        codes = pq_encode(df, books, coarse_centroids=cents)
+        out = ivfpq_topk(
+            df.filter("vec_id = 0"), codes, books, cents, k=9, nprobe=1
+        ).collect()
+        # nprobe=1 from a cluster-0 query: only cluster-0 members rank
+        assert {r["neighbor_id"] for r in out} == {1, 2, 3, 4}
+
+    def test_ivfpq_validation(self, spark):
+        from mofka_spark.operators.similarity import (
+            ivfpq_topk, pq_encode, pq_train,
+        )
+        import pytest as _pytest
+
+        df = self._corpus(spark)
+        books = pq_train(df, m=2, k=2, iters=1)
+        cents = [[10.0, 10.0, 0.0, 0.0], [0.0, 0.0, 7.0, 7.0]]
+        codes = pq_encode(df, books, coarse_centroids=cents)
+        with _pytest.raises(ValueError):
+            ivfpq_topk(df, codes, books, cents, nprobe=0)
+        with _pytest.raises(ValueError):
+            ivfpq_topk(df, codes, [], cents)
