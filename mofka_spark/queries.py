@@ -785,7 +785,7 @@ def _stream_fixture(spark: SparkSession, sf_dir: str, kind: str):
             F.col("text").isNotNull() & (F.col("doc_id") < 1000)
         )
         payload = docs.select(
-            F.to_json(F.struct("doc_id", "text")).alias("metadata")
+            F.to_json(F.struct("doc_id", "text", "lang")).alias("metadata")
         )
     elif kind == "vecs":
         emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
@@ -1931,6 +1931,105 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value_count",
         F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
+# Incremental tokenizer-fertility monitor: the per-language integer
+# sums (docs, words, BPE tokens, chars) maintained AS documents stream
+# through the rollup store; fertility derives at read time. Mergeable
+# integer partials make the epoch split invisible — the oracle is the
+# batch tokenizer_fertility SQL on the fixture slice.
+@query(
+    "streaming_fertility",
+    """
+    WITH obs AS (
+      SELECT lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_words,
+             CAST(CEIL(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                    / 4.0)
+                  + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               AS BIGINT) AS n_bpe,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents WHERE text IS NOT NULL AND doc_id < 1000
+    ), agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_words,
+             CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM obs GROUP BY lang
+    )
+    SELECT lang, n_docs, n_words, n_bpe,
+           ROUND(CASE WHEN n_words > 0
+                      THEN CAST(n_bpe AS DOUBLE) / n_words END, 6)
+             AS fertility,
+           ROUND(CASE WHEN n_bpe > 0
+                      THEN CAST(n_chars AS DOUBLE) / n_bpe END, 6)
+             AS chars_per_token
+    FROM agg
+    """,
+)
+def q_streaming_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.operators.text import token_count, token_count_bpe
+    from mofka_spark.streaming.rollup import read_rollup, rollup_sink
+
+    topic = _stream_fixture(spark, sf_dir, "docs")
+    stream = topic.read_stream().select(
+        F.get_json_object("metadata", "$.lang").alias("lang"),
+        F.get_json_object("metadata", "$.text").alias("text"),
+    )
+    proj = stream.select(
+        "lang",
+        "text",
+        token_count(F.col("text")).cast("long").alias("n_words"),
+        token_count_bpe(F.col("text")).cast("long").alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    root = tempfile.mkdtemp(prefix="mofka-fert-")
+    agg_path = os.path.join(root, "agg")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    aggs = {
+        "text": "count",
+        "n_words": "sum",
+        "n_bpe": "sum",
+        "n_chars": "sum",
+    }
+    try:
+        q = (
+            proj.writeStream.foreachBatch(
+                rollup_sink(agg_path, ["lang"], aggs)
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    out = read_rollup(spark, agg_path, ["lang"], aggs)
+    return out.select(
+        "lang",
+        F.col("text_count").alias("n_docs"),
+        F.col("n_words_sum").alias("n_words"),
+        F.col("n_bpe_sum").alias("n_bpe"),
+        F.round(
+            F.when(
+                F.col("n_words_sum") > 0,
+                F.col("n_bpe_sum").cast("double") / F.col("n_words_sum"),
+            ),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.when(
+                F.col("n_bpe_sum") > 0,
+                F.col("n_chars_sum").cast("double") / F.col("n_bpe_sum"),
+            ),
+            6,
+        ).alias("chars_per_token"),
     )
 
 
