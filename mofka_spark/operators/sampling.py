@@ -804,3 +804,47 @@ def curriculum_select(
         .drop("_prior")
     )
     return full.unionByName(partial)
+
+
+def group_token_cap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weight_col: str,
+    cap: int,
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget quota per group: keep rows in deterministic hash
+    order until each group's running sum of ``weight_col`` (integral —
+    a token count) reaches ``cap``; the crossing row is kept, so the
+    per-group overshoot is at most one row. group_cap's row quota says
+    "at most N documents per domain"; this says "at most N TOKENS per
+    domain" — the budget web-corpus curation actually enforces (a
+    domain of 10-token stubs and one of 10k-token pages get the same
+    token mass, not the same doc count).
+
+    Rows with a NULL weight carry no budget information and are
+    dropped. Selection is deterministic ((hash, key) order), not
+    append-stable (like group_cap).
+
+    Scale shape: ONE shuffle on the group key + a per-group sort
+    shared by the running-sum window; weights are cast to long so the
+    cumulative sums are exact. For pathological hot groups, pre-cap
+    rows with group_cap(prefilter=True) first — the window then sorts
+    the quota survivors, not the group."""
+    w = F.col(weight_col).cast("long")
+    obs = df.filter(w.isNotNull())
+    bucket = hash_bucket(F.col(key_col), salt)
+    win = (
+        Window.partitionBy(group_col)
+        .orderBy(bucket.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        obs.withColumn(
+            "_prior",
+            F.coalesce(F.sum(w).over(win), F.lit(0)),
+        )
+        .filter(F.col("_prior") < cap)
+        .drop("_prior")
+    )

@@ -7804,6 +7804,44 @@ def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_corpus_dedup(new, index)
 
 
+# Per-domain token budgeting (operators/sampling.py group_token_cap):
+# each source keeps rows in deterministic hash order until 1000 tokens
+# — the token-mass quota (group_cap's doc quota can't equalize domains
+# of very different document lengths).
+@query(
+    "domain_token_cap",
+    r"""
+    WITH obs AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+               % 1000000 AS b
+      FROM documents WHERE text IS NOT NULL
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                      ORDER BY b, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS prior
+      FROM obs
+    )
+    SELECT doc_id, source, n_tokens FROM c WHERE prior < 1000
+    """,
+)
+def q_domain_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sampling import group_token_cap
+    from mofka_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = docs.select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    return group_token_cap(sized, "doc_id", "source", "n_tokens", cap=1000)
+
+
 # Rank-normalized quality blending (operators/quality.py
 # blend_scores): scale-incompatible signals fused through exact
 # PERCENT_RANK percentiles and a fixed-order weighted sum. The Spark

@@ -683,3 +683,39 @@ class TestCurriculumSelect:
         ).collect()
         # min==max range: single-bin path; ties resolve key-asc.
         assert sorted(r["id"] for r in out) == [0, 1, 2]
+
+
+class TestGroupTokenCap:
+    def test_budget_enforced_per_group_with_one_row_overshoot(self, spark):
+        from mofka_spark.operators.sampling import group_token_cap
+
+        rows = [(i, "a", 40) for i in range(10)] + [(100, "b", 5)]
+        df = spark.createDataFrame(rows, "id long, g string, w long")
+        out = group_token_cap(df, "id", "g", "w", cap=100).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["g"], []).append(r["w"])
+        # group a: rows taken until 100 tokens crossed -> 3 rows (120)
+        assert sum(by_g["a"]) == 120 and len(by_g["a"]) == 3
+        # group b under budget: everything kept
+        assert by_g["b"] == [5]
+
+    def test_deterministic_selection(self, spark):
+        from mofka_spark.operators.sampling import group_token_cap
+
+        rows = [(i, "a", 10) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, g string, w long")
+        a = sorted(r["id"] for r in
+                   group_token_cap(df, "id", "g", "w", 50).collect())
+        b = sorted(r["id"] for r in
+                   group_token_cap(df, "id", "g", "w", 50).collect())
+        assert a == b and len(a) == 5
+
+    def test_null_weight_dropped(self, spark):
+        from mofka_spark.operators.sampling import group_token_cap
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", None)], "id long, g string, w long"
+        )
+        out = group_token_cap(df, "id", "g", "w", 100).collect()
+        assert [r["id"] for r in out] == [1]
