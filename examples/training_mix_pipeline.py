@@ -59,6 +59,23 @@ def main() -> None:
     )
     print("per-lang rates:", {k: round(v, 3) for k, v in sorted(rates.items())})
 
+    # 3b. token budget per source: no domain contributes more than 25
+    # tokens of mass, whatever its document count or lengths — the
+    # quota group_cap's row count can't express.
+    from mofka_spark.operators.text import token_count
+
+    sized = kept.select(
+        "doc_id", "lang",
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    capped = sampling.group_token_cap(
+        sized, "doc_id", "lang", "n_tokens", cap=25
+    )
+    print("token-capped per lang:")
+    capped.groupBy("lang").agg(
+        F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
+    ).orderBy("lang").show()
+
     # 4. embedding-space sanity: PC1 projections should spread, not
     # collapse to a point (a collapsed axis means a dead encoder)
     vecs = kept.select(
