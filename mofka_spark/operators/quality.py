@@ -451,3 +451,45 @@ def blend_scores(
         *[F.col(f"pr_{s}") for s in signals],
         (F.round(blended, 6) + F.lit(0.0)).alias("blended"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns: every row whose
+    QI combination is shared by fewer than ``k`` rows is re-identifiable
+    by joining the quasi-identifiers against an external dataset — the
+    release-readiness check run before training data leaves a privacy
+    boundary (the group-size complement of pii_scan's pattern matching).
+
+    Returns one row per QI group: (qi..., group_size, at_risk) with
+    at_risk = group_size < k. With ``sensitive_col``, adds
+    n_sensitive_distinct (distinct sensitive values in the group) and
+    diverse = n_sensitive_distinct >= min(k, group_size) — the
+    l-diversity refinement (a k-anonymous group whose members all share
+    one sensitive value still leaks it).
+
+    Scale shape: ONE QI-keyed aggregate with map-side combine;
+    count_distinct is the standard two-phase expand under the same
+    shuffle. Integer-only output — no float edge anywhere."""
+    if not qi_cols:
+        raise ValueError("k_anonymity: qi_cols must be non-empty")
+    aggs = [F.count("*").cast("long").alias("group_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(sensitive_col))
+            .cast("long")
+            .alias("n_sensitive_distinct")
+        )
+    out = df.groupBy(*qi_cols).agg(*aggs)
+    out = out.withColumn("at_risk", F.col("group_size") < k)
+    if sensitive_col is not None:
+        out = out.withColumn(
+            "diverse",
+            F.col("n_sensitive_distinct")
+            >= F.least(F.lit(k), F.col("group_size")),
+        )
+    return out

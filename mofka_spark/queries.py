@@ -7804,6 +7804,36 @@ def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_corpus_dedup(new, index)
 
 
+# k-anonymity / l-diversity audit (operators/quality.py k_anonymity):
+# QI groups = (event_type, hour-of-day); sensitive = user_id. Integer
+# group sizes and distinct counts — no float edge.
+@query(
+    "k_anonymity_audit",
+    """
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+             AS n_sensitive_distinct,
+           (COUNT(*) < 5) AS at_risk,
+           (COUNT(DISTINCT user_id) >= LEAST(5, COUNT(*))) AS diverse
+    FROM events
+    GROUP BY event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER)
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.quality import k_anonymity
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hour"),
+        "user_id",
+    )
+    return k_anonymity(
+        ev, ["event_type", "hour"], k=5, sensitive_col="user_id"
+    )
+
+
 # Per-domain token budgeting (operators/sampling.py group_token_cap):
 # each source keeps rows in deterministic hash order until 1000 tokens
 # — the token-mass quota (group_cap's doc quota can't equalize domains

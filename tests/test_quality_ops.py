@@ -335,3 +335,38 @@ class TestBlendScores:
         df = spark.createDataFrame([(1, 5.0)], "id long, a double")
         with pytest.raises(ValueError):
             blend_scores(df, {}, "id")
+
+
+class TestKAnonymity:
+    def test_group_sizes_and_risk_flags(self, spark):
+        from mofka_spark.operators.quality import k_anonymity
+
+        df = spark.createDataFrame(
+            [("a", 1, 10), ("a", 1, 11), ("a", 1, 12),
+             ("b", 2, 10), ("b", 2, 10)],
+            "qi1 string, qi2 int, sens int",
+        )
+        out = {(r["qi1"], r["qi2"]): r for r in
+               k_anonymity(df, ["qi1", "qi2"], k=3, sensitive_col="sens")
+               .collect()}
+        a = out[("a", 1)]
+        assert a["group_size"] == 3 and not a["at_risk"]
+        assert a["n_sensitive_distinct"] == 3 and a["diverse"]
+        b = out[("b", 2)]
+        # below k: at risk; one shared sensitive value: not diverse
+        assert b["group_size"] == 2 and b["at_risk"]
+        assert b["n_sensitive_distinct"] == 1 and not b["diverse"]
+
+    def test_without_sensitive_col(self, spark):
+        from mofka_spark.operators.quality import k_anonymity
+
+        df = spark.createDataFrame([("a",)], "qi string")
+        row = k_anonymity(df, ["qi"], k=2).first()
+        assert row["at_risk"] and "n_sensitive_distinct" not in row.asDict()
+
+    def test_empty_qi_rejected(self, spark):
+        from mofka_spark.operators.quality import k_anonymity
+
+        df = spark.createDataFrame([("a",)], "qi string")
+        with pytest.raises(ValueError):
+            k_anonymity(df, [], k=2)
