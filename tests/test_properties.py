@@ -765,3 +765,114 @@ class TestKmeansProperties:
             # float fold order differs from python sum only below any
             # integer-coordinate distance gap, so argmin is exact here
             assert got[vid] == want, (vid, v, cents, dists)
+
+
+class TestCurriculumSelectProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.floats(-100, 100, allow_nan=False),
+                st.integers(1, 50),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        budget=st.integers(1, 400),
+        n_bins=st.sampled_from([2, 7, 1024]),
+    )
+    def test_binned_threshold_equals_sequential_greedy(
+        self, spark, rows, budget, n_bins
+    ):
+        """The binned two-phase selection must equal the literal global
+        greedy for ANY score distribution, budget, and bin count —
+        including duplicate scores, single-bin degeneracy, and budgets
+        beyond the corpus."""
+        from mofka_spark.operators.sampling import curriculum_select
+
+        data = [(i, s, w) for i, (s, w) in enumerate(rows)]
+        df = spark.createDataFrame(data, "id long, score double, w long")
+        got = sorted(
+            r["id"]
+            for r in curriculum_select(
+                df, "score", "w", "id", budget, n_bins=n_bins
+            ).collect()
+        )
+        taken, acc = [], 0
+        for rid, s, w in sorted(data, key=lambda r: (-r[1], r[0])):
+            if acc >= budget:
+                break
+            taken.append(rid)
+            acc += w
+        assert got == sorted(taken)
+
+
+class TestGroupTokenCapProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        rows=st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(1, 30)),
+            min_size=1,
+            max_size=40,
+        ),
+        cap=st.integers(1, 200),
+    )
+    def test_budget_and_overshoot_invariants(self, spark, rows, cap):
+        """Every group's kept mass is < cap + its largest row (one-row
+        overshoot), groups under budget keep everything, and the kept
+        set is a deterministic function of the input."""
+        from mofka_spark.operators.sampling import group_token_cap
+
+        data = [(i, g, w) for i, (g, w) in enumerate(rows)]
+        df = spark.createDataFrame(data, "id long, g string, w long")
+        out = group_token_cap(df, "id", "g", "w", cap).collect()
+        kept = {}
+        for r in out:
+            kept.setdefault(r["g"], []).append((r["id"], r["w"]))
+        tot_in = {}
+        for i, g, w in data:
+            tot_in[g] = tot_in.get(g, 0) + w
+        for g, members in kept.items():
+            mass = sum(w for _, w in members)
+            assert mass < cap + max(w for _, w in members)
+            if tot_in[g] <= cap:
+                assert mass == tot_in[g]
+        # under-budget groups must be fully present
+        for g, tot in tot_in.items():
+            if tot <= cap:
+                assert sum(w for _, w in kept.get(g, [])) == tot
+
+
+class TestBlendScoresProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        vals=st.lists(
+            st.tuples(
+                st.floats(-50, 50, allow_nan=False),
+                st.floats(-50, 50, allow_nan=False),
+            ),
+            min_size=2,
+            max_size=30,
+        )
+    )
+    def test_percentiles_bounded_and_monotone(self, spark, vals):
+        """pr columns live in [0, 1]; a strictly larger signal value
+        never gets a smaller percentile; blended respects the weights'
+        linearity."""
+        from mofka_spark.operators.quality import blend_scores
+
+        data = [(i, a, b) for i, (a, b) in enumerate(vals)]
+        df = spark.createDataFrame(data, "id long, a double, b double")
+        out = {r["id"]: r for r in
+               blend_scores(df, {"a": 0.6, "b": 0.4}, "id").collect()}
+        byid = {i: (a, b) for i, a, b in data}
+        rows = sorted(out, key=lambda i: byid[i][0])
+        for i in out:
+            assert 0.0 <= out[i]["pr_a"] <= 1.0
+            assert 0.0 <= out[i]["pr_b"] <= 1.0
+        for x, y in zip(rows, rows[1:]):
+            if byid[x][0] < byid[y][0]:
+                assert out[x]["pr_a"] <= out[y]["pr_a"]
