@@ -361,11 +361,24 @@ def psi_from_binned(
         F.sum("_nr").cast("long").alias("n_ref"),
         F.sum("_nc").cast("long").alias("n_cur"),
     )
+    # a side with ZERO rows for a group (e.g. the group vanished from
+    # the current snapshot) has no defined probabilities; every bin
+    # takes the 1e-6 floor, which yields the maximal finite PSI — the
+    # right signal for "this group disappeared" — instead of an ANSI
+    # DIVIDE_BY_ZERO.
     pr = F.greatest(
-        F.col("_nr").cast("double") / F.col("n_ref"), F.lit(1e-6)
+        F.when(
+            F.col("n_ref") > 0,
+            F.col("_nr").cast("double") / F.col("n_ref"),
+        ).otherwise(F.lit(0.0)),
+        F.lit(1e-6),
     )
     pc = F.greatest(
-        F.col("_nc").cast("double") / F.col("n_cur"), F.lit(1e-6)
+        F.when(
+            F.col("n_cur") > 0,
+            F.col("_nc").cast("double") / F.col("n_cur"),
+        ).otherwise(F.lit(0.0)),
+        F.lit(1e-6),
     )
     term = (pc - pr) * F.log(pc / pr)
     folded = (

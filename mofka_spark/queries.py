@@ -7055,10 +7055,10 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
       SELECT pb.g, pb.bin,
-             (GREATEST(pb.nc / CAST(t.n_cur AS DOUBLE), 1e-6)
-              - GREATEST(pb.nr / CAST(t.n_ref AS DOUBLE), 1e-6))
-             * LN(GREATEST(pb.nc / CAST(t.n_cur AS DOUBLE), 1e-6)
-                  / GREATEST(pb.nr / CAST(t.n_ref AS DOUBLE), 1e-6))
+             (GREATEST(CASE WHEN t.n_cur > 0 THEN pb.nc / CAST(t.n_cur AS DOUBLE) ELSE 0 END, 1e-6)
+              - GREATEST(CASE WHEN t.n_ref > 0 THEN pb.nr / CAST(t.n_ref AS DOUBLE) ELSE 0 END, 1e-6))
+             * LN(GREATEST(CASE WHEN t.n_cur > 0 THEN pb.nc / CAST(t.n_cur AS DOUBLE) ELSE 0 END, 1e-6)
+                  / GREATEST(CASE WHEN t.n_ref > 0 THEN pb.nr / CAST(t.n_ref AS DOUBLE) ELSE 0 END, 1e-6))
                AS term
       FROM pb JOIN t USING (g)
     ),
@@ -7118,10 +7118,10 @@ def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
       SELECT pb.g, pb.b,
-             (GREATEST(pb._nc / CAST(t.n_cur AS DOUBLE), 1e-6)
-              - GREATEST(pb._nr / CAST(t.n_ref AS DOUBLE), 1e-6))
-             * LN(GREATEST(pb._nc / CAST(t.n_cur AS DOUBLE), 1e-6)
-                  / GREATEST(pb._nr / CAST(t.n_ref AS DOUBLE), 1e-6))
+             (GREATEST(CASE WHEN t.n_cur > 0 THEN pb._nc / CAST(t.n_cur AS DOUBLE) ELSE 0 END, 1e-6)
+              - GREATEST(CASE WHEN t.n_ref > 0 THEN pb._nr / CAST(t.n_ref AS DOUBLE) ELSE 0 END, 1e-6))
+             * LN(GREATEST(CASE WHEN t.n_cur > 0 THEN pb._nc / CAST(t.n_cur AS DOUBLE) ELSE 0 END, 1e-6)
+                  / GREATEST(CASE WHEN t.n_ref > 0 THEN pb._nr / CAST(t.n_ref AS DOUBLE) ELSE 0 END, 1e-6))
                AS term
       FROM pb JOIN t USING (g)
     ),

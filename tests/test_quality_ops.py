@@ -275,6 +275,31 @@ class TestPsiDrift:
         assert row.psi >= 0.0
 
 
+class TestPsiVanishedGroup:
+    def test_group_absent_from_current_drifts_not_crashes(self, spark):
+        """A group present in the reference but with ZERO current rows
+        must yield a finite, strongly-drifted PSI — not DIVIDE_BY_ZERO
+        (found by the sf0.001 sweep: small snapshots routinely lose a
+        whole group)."""
+        from mofka_spark.operators.quality import psi_drift
+
+        ref = spark.createDataFrame(
+            [("a", float(i)) for i in range(20)]
+            + [("gone", float(i)) for i in range(10)],
+            "g string, v double",
+        )
+        cur = spark.createDataFrame(
+            [("a", float(i)) for i in range(20)], "g string, v double"
+        )
+        out = {r["g"]: r for r in
+               psi_drift(ref, cur, "v", group_col="g").collect()}
+        assert out["a"]["psi"] == 0.0 and not out["a"]["drifted"]
+        gone = out["gone"]
+        assert gone["n_cur"] == 0 and gone["drifted"]
+        import math
+        assert math.isfinite(gone["psi"]) and gone["psi"] > 0.2
+
+
 class TestBlendScores:
     """blend_scores: exact PERCENT_RANK normalization + weighted sum."""
 
