@@ -475,15 +475,26 @@ def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # own nation's average balance. The correlation decorrelates into one
 # per-nation aggregate broadcast back onto the customer scan — the
 # classic rewrite Catalyst applies to correlated scalar subqueries.
+# Balances are integral CENTS by TPC-H construction, so the average
+# derives from an exact (order-independent) integer cent sum, rounded
+# to the nearest WHOLE CENT before display — AVG over raw doubles
+# differs in the last ulp between engines, and Spark's ROUND(double)
+# goes through the shortest decimal string while DuckDB rounds the
+# binary value, so a 2dp round of a .XX5 average flips between them
+# (seen at sf0.001). An exact half-cent IS an exact double, so the
+# 0dp cent round agrees everywhere.
 @query(
     "cust_above_nation_avg",
     """
     SELECT c.c_custkey, n.n_name,
            ROUND(c.c_acctbal, 2) AS acctbal,
-           ROUND(a.avg_bal, 2) AS nation_avg
+           a.avg_bal AS nation_avg
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN (SELECT c_nationkey, AVG(c_acctbal) AS avg_bal
+    JOIN (SELECT c_nationkey,
+                 CAST(ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                                 AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   / 100.0 AS avg_bal
           FROM customer GROUP BY c_nationkey) a
       ON c.c_nationkey = a.c_nationkey
     WHERE c.c_acctbal > a.avg_bal
@@ -493,7 +504,15 @@ def q_cust_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     avg_bal = cust.groupBy("c_nationkey").agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (
+            F.round(
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100).cast("long")
+                ).cast("double")
+                / F.count("*")
+            ).cast("long")
+            / F.lit(100.0)
+        ).alias("avg_bal")
     )
     return (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -506,7 +525,7 @@ def q_cust_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "n_name",
             F.round("c_acctbal", 2).alias("acctbal"),
-            F.round("avg_bal", 2).alias("nation_avg"),
+            F.col("avg_bal").alias("nation_avg"),
         )
     )
 
