@@ -1952,3 +1952,66 @@ def ivfpq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_rerank(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    corpus: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search with exact rerank (the production shape): the ADC
+    pass shortlists ``shortlist`` candidates per query from codes
+    alone, then TRUE squared-L2 distances are computed for just those
+    pairs and the top ``k`` re-ranked — quantization error decides
+    only what enters the shortlist, never the final order. Exact
+    distance work per query drops from |corpus| to ``shortlist``.
+
+    Returns (query_id, neighbor_id, distance, rank) with distance =
+    the exact rounded squared L2 (dim-ordered fold, engine-
+    reproducible); ties rank by neighbor id.
+
+    Scale shape: pq_topk's broadcast table pass for the shortlist;
+    the rerank joins the thin (query, neighbor) shortlist back to the
+    corpus on the neighbor id (AQE broadcasts the shortlist — it is
+    queries x shortlist rows) and to the collected query vectors, so
+    full vectors are read for shortlist members only."""
+    short = pq_topk(
+        queries, codes, codebooks, k=shortlist, id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    qv = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cv = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            "_qv",
+            "_cv",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round(dist, 6) + F.lit(0.0)).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -7457,6 +7457,111 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(queries, codes, books, k=5)
 
 
+# PQ shortlist + exact rerank (operators/similarity.py pq_rerank):
+# the production search shape — ADC picks a 20-deep shortlist from
+# codes alone, true squared-L2 reranks just those pairs. Every stage
+# is deterministic under the init-codebook discipline, so the oracle
+# replays shortlist AND rerank bit-for-bit.
+@query(
+    "pq_rerank_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cell, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+    ),
+    d0 AS (
+      SELECT e.vec_id, i.cell,
+             list_sum(list_transform(generate_series(1, 32),
+                      t -> (e.v[t] - i.v[t]) * (e.v[t] - i.v[t]))) AS dist
+      FROM e CROSS JOIN init i
+    ),
+    c0 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, cell) AS rk FROM d0) WHERE rk = 1
+    ),
+    d1 AS (
+      SELECT e.vec_id, i.cell,
+             list_sum(list_transform(generate_series(1, 32),
+                      t -> (e.v[t + 32] - i.v[t + 32])
+                           * (e.v[t + 32] - i.v[t + 32]))) AS dist
+      FROM e CROSS JOIN init i
+    ),
+    c1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, cell) AS rk FROM d1) WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 3),
+    t0 AS (
+      SELECT q.query_id, i.cell,
+             list_sum(list_transform(generate_series(1, 32),
+                      t -> (q.v[t] - i.v[t]) * (q.v[t] - i.v[t]))) AS dist
+      FROM q CROSS JOIN init i
+    ),
+    t1 AS (
+      SELECT q.query_id, i.cell,
+             list_sum(list_transform(generate_series(1, 32),
+                      t -> (q.v[t + 32] - i.v[t + 32])
+                           * (q.v[t + 32] - i.v[t + 32]))) AS dist
+      FROM q CROSS JOIN init i
+    ),
+    scored AS (
+      SELECT t0.query_id, e.vec_id AS neighbor_id,
+             0.0 + ROUND(t0.dist + t1.dist, 6) AS distance
+      FROM e
+      JOIN c0 ON c0.vec_id = e.vec_id
+      JOIN c1 ON c1.vec_id = e.vec_id
+      JOIN t0 ON t0.cell = c0.cell
+      JOIN t1 ON t1.cell = c1.cell AND t1.query_id = t0.query_id
+      WHERE e.vec_id <> t0.query_id
+    )
+    , sl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY distance ASC, neighbor_id ASC) AS rk
+        FROM scored)
+      WHERE rk <= 20
+    ),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id,
+             0.0 + ROUND(list_sum(list_transform(generate_series(1, 64),
+                   t -> (q.v[t] - e.v[t]) * (q.v[t] - e.v[t]))), 6)
+               AS distance
+      FROM sl s
+      JOIN q ON q.query_id = s.query_id
+      JOIN e ON e.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, distance, CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY distance ASC, neighbor_id ASC) AS rk
+      FROM rr)
+    WHERE rk <= 5
+    """,
+)
+def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.similarity import pq_encode, pq_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    first = (
+        emb.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id").limit(4).collect()
+    )
+    books = [
+        [[float(x) for x in r["embedding"][:32]] for r in first],
+        [[float(x) for x in r["embedding"][32:]] for r in first],
+    ]
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return pq_rerank(queries, codes, books, emb, k=5, shortlist=20)
+
+
 # IVF-PQ search (operators/similarity.py ivfpq_topk): nprobe coarse
 # cells pruned first, PQ asymmetric distance within them — the full
 # compressed-domain ANN stack, deterministic end to end (init coarse

@@ -646,6 +646,7 @@ class TestGlobalPlanAudit:
         "q22_idle_customers",  # scalar avg (TPC-H shape)
         "pq_adc_topk",         # broadcast (query, m x k ADC table) rows
         "ivfpq_topk",          # broadcast (query, probes, ADC table) rows
+        "pq_rerank_topk",      # ADC shortlist pass + broadcast query vecs
     }
 
     def test_no_cartesian_products_anywhere(self, spark):

@@ -1038,3 +1038,35 @@ class TestProductQuantization:
             ivfpq_topk(df, codes, books, cents, nprobe=0)
         with _pytest.raises(ValueError):
             ivfpq_topk(df, codes, [], cents)
+
+    def test_rerank_fixes_adc_ordering(self, spark):
+        from mofka_spark.operators.similarity import (
+            pq_encode, pq_rerank, pq_train,
+        )
+
+        # corpus where quantization collapses fine distances: rerank
+        # must order by TRUE L2 within the shortlist.
+        rows = [(i, [float(i), 0.0]) for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        books = pq_train(df, m=2, k=2, iters=2)
+        codes = pq_encode(df, books)
+        out = pq_rerank(
+            df.filter("vec_id = 0"), codes, books, df, k=3, shortlist=9
+        ).collect()
+        by_rank = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert by_rank == [1, 2, 3]  # exact order, not code order
+        # distances are the exact squared L2
+        assert [r["distance"] for r in sorted(out, key=lambda r: r["rank"])] == [1.0, 4.0, 9.0]
+
+    def test_rerank_within_shortlist_only(self, spark):
+        from mofka_spark.operators.similarity import (
+            pq_encode, pq_rerank, pq_train,
+        )
+
+        df = self._corpus(spark)
+        books = pq_train(df, m=2, k=2, iters=2)
+        codes = pq_encode(df, books)
+        out = pq_rerank(
+            df.filter("vec_id = 0"), codes, books, df, k=4, shortlist=4
+        )
+        assert out.count() == 4
