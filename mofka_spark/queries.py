@@ -7674,6 +7674,47 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(queries, codes, books, cents, k=5, nprobe=2)
 
 
+# Incremental IVF-PQ code store (streaming/pqindex.py): vectors stream
+# in, only m-code rows are stored (cell-partitioned), search is ADC
+# over probed directories. Built over an arbitrary epoch split, the
+# result must hash-match batch ivfpq_topk's oracle — same models, same
+# probes, same ADC sums (the streaming_ann_index invariant in the
+# compressed domain).
+@query("streaming_pq_index", ORACLE_SQL["ivfpq_topk"])
+def q_streaming_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.operators.similarity import ivfpq_topk  # noqa: F401
+    from mofka_spark.streaming.pqindex import (
+        compact_pq_index,
+        pq_index_sink,
+        search_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    first = (
+        emb.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id").limit(4).collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in first]
+    books = [
+        [[float(x) for x in r["embedding"][:32]] for r in first],
+        [[float(x) for x in r["embedding"][32:]] for r in first],
+    ]
+    root = tempfile.mkdtemp(prefix="mofka-pqidx-")
+    store = os.path.join(root, "store")
+    sink = pq_index_sink(store, books, cents, id_col="vec_id")
+    med = emb.agg(F.max("vec_id")).first()[0] // 2
+    sink(emb.filter(F.col("vec_id") <= med), 0)
+    sink(emb.filter(F.col("vec_id") > med), 1)
+    compact_pq_index(spark, store)  # fold fragments; answers unchanged
+    queries = emb.filter(F.col("vec_id") < 3)
+    return search_pq_index(
+        spark, store, queries, books, cents, k=5, nprobe=2, id_col="vec_id"
+    )
+
+
 # Deterministic shard plan (operators/packing.py shard_plan): the
 # export_shards training order as an inspectable frame — seeded
 # epoch_shuffle permutation cut into fixed-size shards.

@@ -647,6 +647,7 @@ class TestGlobalPlanAudit:
         "pq_adc_topk",         # broadcast (query, m x k ADC table) rows
         "ivfpq_topk",          # broadcast (query, probes, ADC table) rows
         "pq_rerank_topk",      # ADC shortlist pass + broadcast query vecs
+        "streaming_pq_index",  # same ADC broadcast over the code store
     }
 
     def test_no_cartesian_products_anywhere(self, spark):

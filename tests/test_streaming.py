@@ -2132,3 +2132,83 @@ class TestStreamingDrift:
         # identical before/after compaction
         assert before == after
         assert after[0].psi == 0.0
+
+
+class TestIncrementalPqIndex:
+    """streaming/pqindex.py: the compressed-domain ANN store."""
+
+    def _models(self):
+        cents = [[0.0, 0.0, 0.0, 0.0], [50.0, 50.0, 0.0, 0.0]]
+        books = [
+            [[0.0, 0.0], [50.0, 50.0]],
+            [[0.0, 0.0], [5.0, 5.0]],
+        ]
+        return books, cents
+
+    def _corpus(self, spark):
+        rows = [(i, [float(i % 3), 0.0, 0.0, 0.0]) for i in range(8)]
+        rows += [(10 + i, [50.0, 50.0, 5.0, 5.0]) for i in range(4)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_any_epoch_split_equals_batch(self, spark, tmp_path):
+        from mofka_spark.operators.similarity import ivfpq_topk, pq_encode
+        from mofka_spark.streaming.pqindex import (
+            pq_index_sink,
+            search_pq_index,
+        )
+
+        books, cents = self._models()
+        df = self._corpus(spark)
+        store = str(tmp_path / "s1")
+        sink = pq_index_sink(store, books, cents, id_col="vec_id")
+        sink(df.filter("vec_id < 5"), 0)
+        sink(df.filter("vec_id >= 5"), 1)
+        q = df.filter("vec_id = 0")
+        got = sorted(
+            (r["neighbor_id"], r["distance"], r["rank"])
+            for r in search_pq_index(
+                spark, store, q, books, cents, k=4, nprobe=1
+            ).collect()
+        )
+        batch = sorted(
+            (r["neighbor_id"], r["distance"], r["rank"])
+            for r in ivfpq_topk(
+                q, pq_encode(df, books, coarse_centroids=cents),
+                books, cents, k=4, nprobe=1,
+            ).collect()
+        )
+        assert got == batch and got
+
+    def test_replay_idempotent_and_compaction_invariant(
+        self, spark, tmp_path
+    ):
+        from mofka_spark.streaming.pqindex import (
+            compact_pq_index,
+            pq_index_sink,
+            search_pq_index,
+        )
+
+        books, cents = self._models()
+        df = self._corpus(spark)
+        store = str(tmp_path / "s2")
+        sink = pq_index_sink(store, books, cents, id_col="vec_id")
+        sink(df.filter("vec_id < 5"), 0)
+        sink(df.filter("vec_id >= 5"), 1)
+        sink(df.filter("vec_id >= 5"), 1)  # replayed epoch: no dupes
+        q = df.filter("vec_id = 0")
+
+        def result():
+            return sorted(
+                (r["neighbor_id"], r["rank"])
+                for r in search_pq_index(
+                    spark, store, q, books, cents, k=4, nprobe=2
+                ).collect()
+            )
+
+        before = result()
+        compact_pq_index(spark, store)
+        assert result() == before
+        ids = [n for n, _ in before]
+        assert len(ids) == len(set(ids)) == 4
