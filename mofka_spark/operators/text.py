@@ -1896,3 +1896,58 @@ def zipf_fit(
             + F.lit(0.0)
         ).alias("intercept"),
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    salt: str = "hembed",
+) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing trick): each
+    token adds +/-1 to the dimension its hash selects, so a document
+    becomes a ``dim``-length signed bag-of-words projection — a
+    deterministic, model-free vector that bridges the TEXT corpus into
+    every vector operator (semantic_dedup, kmeans cells, pq codes,
+    brute_force/ivf/lsh top-k take the output directly). Cosine over
+    these vectors approximates token-multiset similarity; signs make
+    collisions cancel in expectation (Weinberger et al.'s signed
+    hashing).
+
+    Both the dimension index and the sign derive from the engine-
+    portable md5 kernel, and per-dimension values are INTEGER sums —
+    the embedding is bit-reproducible by an external engine at any
+    scale. Returns (id, embedding array<double>).
+
+    Scale shape: explode -> ONE (id, dim-index) partial-agg shuffle
+    (thin long rows; map-side combine collapses repeated tokens) ->
+    one per-doc map assembly; the dense array materializes in-row from
+    the sparse map, no spine join, no per-dim rows."""
+    from mofka_spark.operators.sampling import hash_bucket
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("t"))
+    )
+    idx = hash_bucket(F.col("t"), salt, mod=dim)
+    sign = F.lit(1) - F.lit(2) * hash_bucket(F.col("t"), salt + "#s", mod=2)
+    sparse = (
+        toks.select("id", idx.alias("d"), sign.alias("s"))
+        .groupBy("id", "d")
+        .agg(F.sum("s").cast("long").alias("v"))
+    )
+    assembled = sparse.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("d"), F.col("v")))
+        ).alias("_m")
+    )
+    return assembled.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.coalesce(
+                F.element_at("_m", d.cast("long")), F.lit(0)
+            ).cast("double"),
+        ).alias("embedding"),
+    )

@@ -7744,6 +7744,45 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.shard_plan(docs, "doc_id", shard_rows=100, seed=17)
 
 
+# Feature-hashing embeddings (operators/text.py hash_embed): signed
+# token hashing projects each document to a 64-d integer-sum vector —
+# the model-free bridge from the text corpus into the vector stack.
+# md5 index + sign, integer sums: bit-reproducible.
+@query(
+    "doc_hash_embeddings",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             UNNEST(string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ), h AS (
+      SELECT id,
+             ('0x' || substr(md5('hembed' || t), 1, 12))::BIGINT % 64 AS d,
+             1 - 2 * (('0x' || substr(md5('hembed#s' || t), 1, 12))::BIGINT
+                      % 2) AS s
+      FROM toks
+    ), e AS (
+      SELECT id, d, CAST(SUM(s) AS BIGINT) AS v FROM h GROUP BY id, d
+    ), sp AS (
+      SELECT ids.id, gs.i AS d
+      FROM (SELECT DISTINCT id FROM e) ids,
+           UNNEST(generate_series(0, 63)) AS gs(i)
+    ), filled AS (
+      SELECT sp.id, sp.d, COALESCE(e.v, 0) AS v
+      FROM sp LEFT JOIN e ON e.id = sp.id AND e.d = sp.d
+    )
+    SELECT id, list(CAST(v AS DOUBLE) ORDER BY d) AS embedding
+    FROM filled GROUP BY id
+    """,
+)
+def q_doc_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import hash_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_embed(docs)
+
+
 # Per-stratum Zipf fit (operators/text.py zipf_fit): least-squares
 # ln(count) ~ ln(rank) over the unigram vocabulary — natural text sits
 # near slope -1. value_trend's exact discipline: rank-ordered folds on

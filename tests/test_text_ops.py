@@ -763,3 +763,43 @@ class TestZipfFit:
             [("s", "a a a")], "source string, text string"
         )
         assert zipf_fit(df, "source").count() == 0
+
+
+class TestHashEmbed:
+    def test_shape_and_determinism(self, spark):
+        from mofka_spark.operators.text import hash_embed
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+             (3, "totally different words here")],
+            "doc_id long, text string",
+        )
+        out = {r["id"]: r["embedding"] for r in hash_embed(df, dim=16).collect()}
+        assert all(len(v) == 16 for v in out.values())
+        # identical text -> identical vector; different text differs
+        assert out[1] == out[2] != out[3]
+        # signed counts: total L1 mass <= token count (collisions cancel)
+        assert sum(abs(x) for x in out[1]) <= 3
+
+    def test_feeds_the_vector_stack(self, spark):
+        from mofka_spark.operators.similarity import brute_force_topk
+        from mofka_spark.operators.text import hash_embed
+
+        df = spark.createDataFrame(
+            [(1, "spark shuffle join"), (2, "spark shuffle join"),
+             (3, "entirely unrelated corpus text")],
+            "doc_id long, text string",
+        )
+        emb = hash_embed(df).withColumnRenamed("id", "vec_id")
+        nn = brute_force_topk(
+            emb.filter("vec_id = 1"), emb, k=1
+        ).first()
+        assert nn["neighbor_id"] == 2 and nn["score"] == 1.0
+
+    def test_null_text_excluded(self, spark):
+        from mofka_spark.operators.text import hash_embed
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, None)], "doc_id long, text string"
+        )
+        assert [r["id"] for r in hash_embed(df).collect()] == [1]
