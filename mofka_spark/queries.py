@@ -7783,6 +7783,62 @@ def q_doc_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_embed(docs)
 
 
+# Hash-embedded document kNN (hash_embed -> brute_force_topk): the
+# text corpus searched as vectors with NO external model or embeddings
+# table — the full text->vector->ANN composition, oracle-exact.
+@query(
+    "doc_hash_knn",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             UNNEST(string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ), h AS (
+      SELECT id,
+             ('0x' || substr(md5('hembed' || t), 1, 12))::BIGINT % 64 AS d,
+             1 - 2 * (('0x' || substr(md5('hembed#s' || t), 1, 12))::BIGINT
+                      % 2) AS s
+      FROM toks
+    ), e AS (
+      SELECT id, d, CAST(SUM(s) AS BIGINT) AS v FROM h GROUP BY id, d
+    ), sp AS (
+      SELECT ids.id, gs.i AS d
+      FROM (SELECT DISTINCT id FROM e) ids,
+           UNNEST(generate_series(0, 63)) AS gs(i)
+    ), filled AS (
+      SELECT sp.id, sp.d, COALESCE(e.v, 0) AS v
+      FROM sp LEFT JOIN e ON e.id = sp.id AND e.d = sp.d
+    ), vecs AS (
+      SELECT id, list(CAST(v AS DOUBLE) ORDER BY d) AS vec
+      FROM filled GROUP BY id
+      HAVING list_sum(list_transform(list(CAST(v AS DOUBLE) ORDER BY d),
+                      x -> x * x)) > 0
+    ), q AS (
+      SELECT id AS query_id, vec AS qvec FROM vecs WHERE id < 3
+    ), scored AS (
+      SELECT q.query_id, c.id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qvec, c.vec), 6) AS score
+      FROM vecs c, q
+      WHERE c.id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, score, CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_doc_hash_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import hash_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hash_embed(docs).withColumnRenamed("id", "vec_id")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return similarity.brute_force_topk(queries, emb, k=5)
+
+
 # Per-stratum Zipf fit (operators/text.py zipf_fit): least-squares
 # ln(count) ~ ln(rank) over the unigram vocabulary — natural text sits
 # near slope -1. value_trend's exact discipline: rank-ordered folds on

@@ -648,6 +648,7 @@ class TestGlobalPlanAudit:
         "ivfpq_topk",          # broadcast (query, probes, ADC table) rows
         "pq_rerank_topk",      # ADC shortlist pass + broadcast query vecs
         "streaming_pq_index",  # same ADC broadcast over the code store
+        "doc_hash_knn",        # brute_force_topk broadcast over hash embeds
     }
 
     def test_no_cartesian_products_anywhere(self, spark):
