@@ -45,6 +45,26 @@ def main() -> None:
         rows, "vec_id long, embedding array<double>, label int"
     )
 
+    # 0. no embedding model? hash_embed projects raw TEXT into this
+    # same pipeline: near-dup texts land near each other, so every
+    # vector stage below applies to a plain document corpus too.
+    from mofka_spark.operators.text import hash_embed
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle broadcast join"),
+         (2, "spark shuffle broadcast join"),
+         (3, "gardening tips for winter roses")],
+        "doc_id long, text string",
+    )
+    txt_vecs = hash_embed(docs, dim=16).withColumnRenamed("id", "vec_id")
+    nn = S.brute_force_topk(
+        txt_vecs.filter("vec_id = 1"), txt_vecs, k=1
+    ).first()
+    print(
+        "hash-embedded text kNN: doc 1's nearest is "
+        f"{nn['neighbor_id']} (cos {nn['score']})"
+    )
+
     # 1. dimension health: means/stds, collapsed-dimension detection
     print("per-dimension stats:")
     S.embedding_dim_stats(emb).orderBy("dim").show(4)
