@@ -7772,15 +7772,21 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT sp.id, sp.d, COALESCE(e.v, 0) AS v
       FROM sp LEFT JOIN e ON e.id = sp.id AND e.d = sp.d
     )
-    SELECT id, list(CAST(v AS DOUBLE) ORDER BY d) AS embedding
-    FROM filled GROUP BY id
+    SELECT id, CAST(d AS BIGINT) AS dim, CAST(v AS DOUBLE) AS value
+    FROM filled
     """,
 )
 def q_doc_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array outputs follow the posexplode convention (random_projection
+    # above): the driver's canonicalizer sorts rows by all columns via
+    # pandas and cannot hash list cells, so gates emit (id, dim, value)
+    # scalars. Values are exact integer sums stored as doubles.
     from mofka_spark.operators.text import hash_embed
 
     docs = _t(spark, sf_dir, "documents")
-    return hash_embed(docs)
+    return hash_embed(docs).select(
+        "id", F.posexplode("embedding").alias("dim", "value")
+    ).select("id", F.col("dim").cast("long").alias("dim"), "value")
 
 
 # Hash-embedded document kNN (hash_embed -> brute_force_topk): the

@@ -31,6 +31,17 @@ TABLES = [
 ]
 
 
+def _nonscalar_fields(schema) -> list[str]:
+    """Column names whose Spark type the driver's canonicalizer cannot
+    sort/hash (Array/Map/Struct/Binary). The driver sorts rows by all
+    columns via pandas and crashes on list cells (the round-7
+    doc_hash_embeddings red); gates must posexplode to scalar rows."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    bad = (ArrayType, MapType, StructType, BinaryType)
+    return [f.name for f in schema.fields if isinstance(f.dataType, bad)]
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -38,7 +49,19 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].map(
                 lambda v: v.tolist() if hasattr(v, "tolist") else v
             )
-            df[c] = df[c].map(lambda v: str(v) if isinstance(v, (list, dict, bytes, bytearray)) else v)
+            # The driver does NOT stringify non-scalars — it crashes on
+            # them. Mirror that strictness: any list/dict/bytes cell is
+            # a hard failure (caught earlier via _nonscalar_fields, but
+            # guard the pandas level too for dtype surprises).
+            bad = df[c].map(
+                lambda v: isinstance(v, (list, dict, bytes, bytearray))
+            )
+            if bad.any():
+                raise TypeError(
+                    f"non-scalar cells in column {c!r}: the driver's "
+                    "canonicalizer cannot hash these — posexplode the "
+                    "gate output to scalar rows"
+                )
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -68,6 +91,14 @@ def _values_equal(a, b) -> tuple[bool, bool]:
 def compare(name: str, spark, con) -> dict:
     t0 = time.time()
     sdf = entrymod.queries()[name](spark, SF_DIR)
+    bad_cols = _nonscalar_fields(sdf.schema)
+    if bad_cols:
+        return {
+            "query": name, "status": "NONSCALAR_SCHEMA",
+            "nonscalar_cols": bad_cols,
+            "hint": "driver canonicalizer crashes on Array/Map/Struct/"
+                    "Binary outputs — posexplode to (id, dim, value)",
+        }
     spark_pd = sdf.toPandas()
     t1 = time.time()
     oracles = entrymod.oracle_sql()
