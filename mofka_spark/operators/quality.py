@@ -410,6 +410,7 @@ def blend_scores(
     df: DataFrame,
     signals: dict[str, float],
     key_col: str = "doc_id",
+    signal_round: int | None = 6,
 ) -> DataFrame:
     """Rank-normalized quality blending: each signal column is mapped
     to its exact empirical percentile (SQL PERCENT_RANK — ties share
@@ -428,10 +429,23 @@ def blend_scores(
     Scale shape: NO corpus-wide sort. Per signal, a (value, count)
     aggregate collapses the corpus map-side to its distinct values;
     the running-count window that turns counts into ranks orders THAT
-    frame, so its cost is O(#distinct values) — quality signals are
-    ratios/counts with bounded resolution (pre-round truly continuous
-    ones). Each percentile map joins back on its value column (AQE
-    broadcasts the genuinely small maps). n is one scalar aggregate."""
+    frame, so its cost is O(#distinct values). For integer-typed
+    signals that is naturally bounded; floating-point signals are
+    quantized BY CONSTRUCTION to ``signal_round`` decimal digits of
+    resolution (ranking key = ``floor(sig * 10^signal_round)``), so
+    the distinct map is bounded by value range x resolution, never by
+    corpus size — a continuous LM score over 100 TB of documents still
+    collapses to at most ~1e6 buckets per unit of range. floor (not
+    round) because IEEE floor is bit-identical across engines while
+    round half-way tie-breaking is not; values that collide in a
+    bucket share the tie group's minimum rank, the exact PERCENT_RANK
+    semantics over the quantized values. ``signal_round=None``
+    restores raw-value ranking (exact, but O(#distinct raw) —
+    corpus-sized for continuous signals; gate/debug only). Each
+    percentile map joins back on its (quantized) key (AQE broadcasts
+    the genuinely small maps). n is one scalar aggregate."""
+    from pyspark.sql.types import DoubleType, FloatType
+
     if not signals:
         raise ValueError("blend_scores: signals must be non-empty")
     cond = None
@@ -439,22 +453,50 @@ def blend_scores(
         c = F.col(sig).isNotNull() & ~F.isnan(F.col(sig).cast("double"))
         cond = c if cond is None else (cond & c)
     obs = df.filter(cond).select(key_col, *signals)
+    fields = {f.name: f.dataType for f in obs.schema.fields}
+
+    def _rank_key(sig: str):
+        if signal_round is not None and isinstance(
+            fields[sig], (DoubleType, FloatType)
+        ):
+            return F.floor(F.col(sig) * F.lit(float(10 ** signal_round)))
+        return F.col(sig)
+
+    # Materialize the narrow (key, quantized-signal) projection ONCE:
+    # it is read 2+#signals times (the n count, each per-signal
+    # distinct-value map, the final join-back), and without a
+    # checkpoint Spark re-evaluates the upstream signal expressions
+    # (often regexp tokenization over the full text) for every branch.
+    # The projection is k longs per row — tiny next to the corpus —
+    # and the checkpoint is GC-bounded, same discipline as
+    # containment_candidates (dedup.py). _spread first: a narrow
+    # parquet input would otherwise run the CPU-bound signal compute
+    # on a handful of tasks.
+    from mofka_spark.operators.dedup import _spread
+
+    obs = _spread(
+        obs.select(
+            key_col, *[_rank_key(s).alias(f"_q_{s}") for s in signals]
+        ),
+        key_col,
+    ).localCheckpoint(eager=True)
     n = obs.count()
     denom = float(n - 1) if n > 1 else 1.0  # n==1: percent_rank = 0
     out = obs
     for sig in signals:
-        counts = obs.groupBy(sig).agg(F.count("*").alias("_c"))
-        w = Window.orderBy(F.col(sig).asc()).rowsBetween(
+        q = f"_q_{sig}"
+        counts = obs.groupBy(q).agg(F.count("*").alias("_c"))
+        w = Window.orderBy(F.col(q).asc()).rowsBetween(
             Window.unboundedPreceding, -1
         )
         pr_map = counts.select(
-            sig,
+            q,
             (
                 F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("double")
                 / F.lit(denom)
             ).alias(f"pr_{sig}"),
         )
-        out = out.join(pr_map, sig)
+        out = out.join(pr_map, q)
     blended = None
     for sig, wt in signals.items():
         term = F.lit(float(wt)) * F.col(f"pr_{sig}")

@@ -8142,7 +8142,10 @@ def q_domain_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blend_scores): scale-incompatible signals fused through exact
 # PERCENT_RANK percentiles and a fixed-order weighted sum. The Spark
 # side never sorts the corpus — ranks come from per-distinct-value
-# running counts; the oracle is the literal window form.
+# running counts, with continuous (floating) signals quantized to
+# floor(sig * 1e6) ranking keys so the distinct map is bounded by
+# construction; the oracle is the literal window form over the same
+# quantized key (floor, not ROUND: IEEE floor is engine-identical).
 @query(
     "quality_blend",
     """
@@ -8157,7 +8160,8 @@ def q_domain_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), r AS (
       SELECT doc_id, n_tokens, n_len, density,
              PERCENT_RANK() OVER (ORDER BY n_tokens ASC) AS pr_n_tokens,
-             PERCENT_RANK() OVER (ORDER BY density ASC) AS pr_density,
+             PERCENT_RANK() OVER (ORDER BY floor(density * 1000000.0) ASC)
+               AS pr_density,
              PERCENT_RANK() OVER (ORDER BY n_len ASC) AS pr_n_len
       FROM obs
     )

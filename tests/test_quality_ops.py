@@ -361,6 +361,36 @@ class TestBlendScores:
         with pytest.raises(ValueError):
             blend_scores(df, {}, "id")
 
+    def test_continuous_signals_quantized_by_default(self, spark):
+        # The distinct-value map must be bounded by construction:
+        # floating signals rank on floor(sig * 10^signal_round), so
+        # values closer than the resolution share one bucket (and its
+        # min rank). signal_round=None restores raw-value ranking.
+        from mofka_spark.operators.quality import blend_scores
+
+        df = spark.createDataFrame(
+            [(1, 0.1000001), (2, 0.10000011), (3, 0.2), (4, 0.3)],
+            "id long, a double",
+        )
+        out = {r["id"]: r["pr_a"] for r in
+               blend_scores(df, {"a": 1.0}, "id").collect()}
+        assert out[1] == out[2] == 0.0  # same 1e-6 bucket -> tied
+        assert out[3] == pytest.approx(2 / 3, abs=0)
+        raw = {r["id"]: r["pr_a"] for r in
+               blend_scores(df, {"a": 1.0}, "id",
+                            signal_round=None).collect()}
+        assert raw[1] == 0.0 and raw[2] == pytest.approx(1 / 3, abs=0)
+
+    def test_integer_signals_not_quantized(self, spark):
+        from mofka_spark.operators.quality import blend_scores
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 11), (3, 12)], "id long, a long"
+        )
+        out = {r["id"]: r["pr_a"] for r in
+               blend_scores(df, {"a": 1.0}, "id").collect()}
+        assert out == {1: 0.0, 2: 0.5, 3: 1.0}
+
 
 class TestKAnonymity:
     def test_group_sizes_and_risk_flags(self, spark):
