@@ -7845,6 +7845,38 @@ def q_doc_hash_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(queries, emb, k=5)
 
 
+# The text->vector SCALE path, gated end-to-end: hash_embed feeds
+# ivf_topk (cell-pruned ANN) and recall@5 is checked against the
+# exact brute-force top-k computed in-engine over the same embedded
+# corpus — the lsh_recall/ivf_recall pattern applied to the
+# hash-embedding bridge, so SCALING.md's "at real scale the
+# embeddings feed the ANN family" claim is a green gate, not an
+# assertion. Deterministic: md5 embeddings + seeded centroid fit.
+# Measured at sf0.01: IVF(8 cells, probe 4) min-recall 0.8; the 0.6
+# bar sits a full quantum (0.2 at k=5) below.
+@query(
+    "doc_hash_ann",
+    """
+    SELECT doc_id AS query_id, (1=1) AS recall_ok
+    FROM documents WHERE doc_id < 3 AND text IS NOT NULL
+    """,
+)
+def q_doc_hash_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import hash_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hash_embed(docs).withColumnRenamed("id", "vec_id")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    approx = similarity.ivf_topk(
+        queries, emb, k=5, n_centroids=8, nprobe=4
+    )
+    rec = similarity.topk_recall(approx, exact, k=5)
+    return rec.select(
+        "query_id", (F.col("recall") >= 0.6).alias("recall_ok")
+    )
+
+
 # Per-stratum Zipf fit (operators/text.py zipf_fit): least-squares
 # ln(count) ~ ln(rank) over the unigram vocabulary — natural text sits
 # near slope -1. value_trend's exact discipline: rank-ordered folds on

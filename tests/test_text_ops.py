@@ -796,6 +796,27 @@ class TestHashEmbed:
         ).first()
         assert nn["neighbor_id"] == 2 and nn["score"] == 1.0
 
+    def test_feeds_ivf_scale_path(self, spark, sf_dir):
+        # The documented scale path (SCALING.md): hash embeddings feed
+        # the cell-pruned ANN family. Gate doc_hash_ann pins this at
+        # sf0.01; here the same composition must clear recall@5 >= 0.6
+        # per query on the sf0.001 corpus.
+        import pyspark.sql.functions as F
+
+        from mofka_spark.operators.similarity import (
+            brute_force_topk, ivf_topk, topk_recall,
+        )
+        from mofka_spark.operators.text import hash_embed
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = hash_embed(docs).withColumnRenamed("id", "vec_id")
+        queries = emb.filter(F.col("vec_id") < 3)
+        exact = brute_force_topk(queries, emb, k=5)
+        approx = ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=4)
+        rec = topk_recall(approx, exact, k=5).collect()
+        assert len(rec) == 3
+        assert all(r["recall"] >= 0.6 for r in rec)
+
     def test_null_text_excluded(self, spark):
         from mofka_spark.operators.text import hash_embed
 
