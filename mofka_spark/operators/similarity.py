@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1951,6 +1951,75 @@ def ivfpq_topk(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def write_pq_codes(codes: DataFrame, path: str) -> None:
+    """Persist pq_encode's (id, codes, cell) frame as the BATCH IVF-PQ
+    code table, hive-partitioned by cell — the layout that lets
+    search_pq_codes turn each query's probe set into a directory-level
+    prune (same layout the incremental streaming/pqindex.py store
+    uses). At 100 TB the code table is the index: m ints per vector,
+    and a probe touches nprobe/n_cells of its files, not the corpus."""
+    if "cell" not in codes.columns:
+        raise ValueError(
+            "write_pq_codes: codes must carry a cell column "
+            "(pq_encode(..., coarse_centroids=...))"
+        )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def search_pq_codes(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    coarse_centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search against a write_pq_codes table: the union of the
+    queries' probe cells (driver-side — O(#queries x n_cells) float
+    math over the already-broadcast-sized query set) becomes a LITERAL
+    isin predicate on the ``cell`` partition column, so unprobed cell
+    directories are never opened (PartitionFilters at plan time, the
+    batch analog of streaming/pqindex.py search_pq_index); ivfpq_topk
+    then ranks the surviving code rows with its per-query probe filter
+    and ADC tables. Results are bit-identical to in-memory ivfpq_topk
+    over the same codes frame."""
+    if nprobe <= 0:
+        raise ValueError("search_pq_codes: nprobe must be positive")
+    if not coarse_centroids:
+        raise ValueError("search_pq_codes: empty coarse centroids")
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(vec_col)
+        .collect()
+    )
+    probed: set[int] = set()
+    for r in qrows:
+        v = [float(x) for x in r[0]]
+        cd = []
+        for cell, cent in enumerate(coarse_centroids):
+            acc = 0.0
+            for a, b in zip(v, cent):
+                acc += (a - b) * (a - b)
+            cd.append((acc, cell))
+        probed.update(c for _, c in sorted(cd)[:nprobe])
+    codes = spark.read.parquet(path).filter(
+        F.col("cell").isin(sorted(probed))
+    )
+    return ivfpq_topk(
+        queries,
+        codes,
+        codebooks,
+        coarse_centroids,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
 

@@ -1024,6 +1024,48 @@ class TestProductQuantization:
         # nprobe=1 from a cluster-0 query: only cluster-0 members rank
         assert {r["neighbor_id"] for r in out} == {1, 2, 3, 4}
 
+    def test_pq_code_table_matches_in_memory_and_prunes(
+        self, spark, tmp_path
+    ):
+        # The batch code-table path: write_pq_codes partitions by cell,
+        # search_pq_codes must (a) reproduce in-memory ivfpq_topk
+        # bit-for-bit and (b) turn the probe set into a directory-level
+        # partition prune (same evidence bar as the streaming ANN
+        # store's test_probe_prunes_directories).
+        from mofka_spark import plans
+        from mofka_spark.operators.similarity import (
+            ivfpq_topk, pq_encode, pq_train, search_pq_codes,
+            write_pq_codes,
+        )
+
+        df = self._corpus(spark)
+        books = pq_train(df, m=2, k=2, iters=2)
+        cents = [[10.0, 10.0, 0.0, 0.0], [0.0, 0.0, 7.0, 7.0]]
+        codes = pq_encode(df, books, coarse_centroids=cents)
+        path = str(tmp_path / "pqcodes")
+        write_pq_codes(codes, path)
+        q = df.filter("vec_id = 0")
+        out = search_pq_codes(
+            spark, path, q, books, cents, k=4, nprobe=1
+        )
+        mem = ivfpq_topk(q, codes, books, cents, k=4, nprobe=1)
+        assert {tuple(r) for r in out.collect()} == {
+            tuple(r) for r in mem.collect()
+        }
+        p = plans.plan_string(out)
+        assert "PartitionFilters" in p and "cell" in p
+
+    def test_pq_code_table_requires_cell(self, spark, tmp_path):
+        from mofka_spark.operators.similarity import (
+            pq_encode, pq_train, write_pq_codes,
+        )
+        import pytest as _pytest
+
+        df = self._corpus(spark)
+        books = pq_train(df, m=2, k=2, iters=1)
+        with _pytest.raises(ValueError):
+            write_pq_codes(pq_encode(df, books), str(tmp_path / "x"))
+
     def test_ivfpq_validation(self, spark):
         from mofka_spark.operators.similarity import (
             ivfpq_topk, pq_encode, pq_train,
