@@ -734,11 +734,13 @@ def curriculum_select(
     found there. Every row in a strictly-better bin is selected by a
     scan-local filter (no sort at all); only the ONE partial bin —
     ~1/n_bins of the data — pays an exact (score desc, key asc)
-    cumulative-sum window to split at the residual budget. Weights are
-    cast to long so the per-bin partial sums commute exactly with the
-    oracle's sequential running sum (no float association drift).
-    Degenerate score range (min == max) collapses to the single-bin
-    exact path."""
+    cumulative sum, computed as a DISTRIBUTED prefix sum
+    (range-partition in greedy order + per-partition windows + driver
+    bases, packing's decomposition), so even the degenerate score
+    range (min == max: the whole corpus lands in one bin) never sorts
+    on a single partition. Weights are cast to long so the split sums
+    commute exactly with the oracle's sequential running sum (no
+    float association drift)."""
     y = F.col(score_col).cast("double")
     w = F.col(weight_col).cast("long")
     obs = (
@@ -788,21 +790,43 @@ def curriculum_select(
 
     full = binned.filter(F.col("_bin") > cut_bin).drop("_bin")
     residual = budget - taken
-    # The partial bin: ~1/n_bins of the corpus through one exact
-    # running-sum window (single partition by construction — the slice
-    # is small; the full-bin rows never sort anywhere).
-    win = Window.orderBy(
-        F.col(score_col).desc(), F.col(key_col).asc()
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    partial = (
-        binned.filter(F.col("_bin") == cut_bin)
-        .drop("_bin")
-        .withColumn(
-            "_prior", F.coalesce(F.sum(weight_col).over(win), F.lit(0))
-        )
-        .filter(F.col("_prior") < residual)
-        .drop("_prior")
+    # The partial bin's exact running sum, as a DISTRIBUTED prefix sum
+    # (packing._rank_by_id's decomposition): range-partition the slice
+    # in the greedy order, per-partition running sums, per-partition
+    # totals back to the driver (<= defaultParallelism rows), broadcast
+    # cumulative bases. The cut bin is ~1/n_bins of the corpus in the
+    # generic case but can be ALL of it (min == max score — unscored
+    # corpora defaulting to a constant are a real input), so it must
+    # never funnel through a single-partition global window.
+    # RangePartitioner assigns ranges in partition-index order for the
+    # given sort expressions, so pid order IS greedy order; integral
+    # weights make the split-sum exactly equal the sequential fold.
+    slice_ = binned.filter(F.col("_bin") == cut_bin).drop("_bin")
+    n_ranges = df.sparkSession.sparkContext.defaultParallelism
+    order = [F.col(score_col).desc(), F.col(key_col).asc()]
+    ranged = slice_.repartitionByRange(n_ranges, *order).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    w = Window.partitionBy("_pid").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = ranged.withColumn(
+        "_prior", F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    ).persist()
+    ptotals = (
+        local.groupBy("_pid").agg(F.sum(weight_col).alias("_t")).collect()
+    )
+    if not ptotals:
+        return full
+    base: dict[int, int] = {}
+    acc = 0
+    for r in sorted(ptotals, key=lambda r: r["_pid"]):
+        base[r["_pid"]] = acc
+        acc += r["_t"]
+    base_col = F.create_map(*[F.lit(x) for kv in base.items() for x in kv])
+    partial = local.filter(
+        base_col[F.col("_pid")] + F.col("_prior") < residual
+    ).drop("_pid", "_prior")
     return full.unionByName(partial)
 
 

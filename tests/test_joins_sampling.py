@@ -638,6 +638,30 @@ class TestCurriculumSelect:
         # budget crossed inside row 2: rows 1 and 2 kept, row 3 not.
         assert sorted(r["id"] for r in out) == [1, 2]
 
+    def test_constant_score_corpus_distributed_greedy(self, spark):
+        # min == max drops the whole corpus into one bin (unscored
+        # corpora defaulting to a constant are a real input). The
+        # partial-bin prefix sum must stay distributed (no global
+        # single-partition Sort in the plan) and still match the
+        # literal key-asc greedy exactly.
+        from mofka_spark.operators.sampling import curriculum_select
+
+        rows = [(i, 1.0, (i % 5) + 1) for i in range(500)]
+        out = curriculum_select(
+            self._frame(spark, rows), "score", "w", "id", budget=700
+        )
+        assert sorted(r["id"] for r in out.collect()) == self._greedy(
+            rows, 700
+        )
+        # plan evidence: every Sort node is partition-local (the
+        # executed-plan string is "Sort [cols], <global>, 0" — a
+        # global sort would print ", true, 0")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        sorts = [l for l in plan.splitlines() if "Sort [" in l]
+        assert sorts, "expected a partition-local Sort for the window"
+        for line in sorts:
+            assert ", false, 0" in line, line
+
     def test_budget_exceeds_corpus_selects_all(self, spark):
         from mofka_spark.operators.sampling import curriculum_select
 
