@@ -1402,6 +1402,7 @@ def kmeans_fit_full(
     k: int = 8,
     iters: int = 4,
     init_centroids: list[list[float]] | None = None,
+    method: str = "sums",
 ) -> list[list[float]]:
     """FULL-CORPUS distributed Lloyd iterations — the scale
     counterpart of fit_centroids (which trains on a collected sample).
@@ -1423,8 +1424,24 @@ def kmeans_fit_full(
     init = the vectors of the k smallest ids (oracle-expressible;
     ties impossible on a key column). NULL vectors are excluded.
 
+    ``method`` is the repo's exact-for-gate / mergeable-for-scale
+    split (value_trend's convention), applied to the centroid means:
+
+    * ``"sums"`` (default, the corpus-scale path): plain partial-agg
+      AVG per (cell, dim). Association-order dependent in the last
+      ulp — under multi-partition/AQE reordering a near-tied argmin
+      assignment can flip, so fitted models are stable but not
+      bit-pinned run to run.
+    * ``"ordered"`` (the correctness-gate path): per-(cell, dim) sum
+      as an id-ordered fold (sort_array(collect_list) + F.aggregate)
+      divided by the count — the same IEEE doubles an external engine
+      derives via list_sum(list(v ORDER BY id)) / COUNT. Costs
+      O(cell size) group state; gate/small-model use only.
+
     Returns the k x d centroid list — feed it to kmeans_cells /
     ivf_topk(centroids=...) / cell_balanced_sample."""
+    if method not in ("sums", "ordered"):
+        raise ValueError(f"kmeans_fit_full: unknown method {method!r}")
     vecs = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
@@ -1434,14 +1451,36 @@ def kmeans_fit_full(
     cents = [list(c) for c in init_centroids]
     if not cents:  # empty corpus: no centroids to fit
         return []
+    if method == "ordered":
+        mean_agg = (
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("_id"), F.col("_val")))
+                    ),
+                    lambda s: s.getField("_val"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count("_val").cast("double")
+        ).alias("_c")
+    else:
+        mean_agg = F.avg("_val").alias("_c")
     for _ in range(iters):
         assigned = vecs.select(
             "_id", "_v", _nearest_cell(F.col("_v"), cents).alias("_cell")
         )
         means = (
-            assigned.select("_cell", F.posexplode("_v").alias("_dim", "_val"))
+            assigned.select(
+                "_id",
+                "_cell",
+                F.posexplode(F.col("_v").cast("array<double>")).alias(
+                    "_dim", "_val"
+                ),
+            )
             .groupBy("_cell", "_dim")
-            .agg(F.avg(F.col("_val").cast("double")).alias("_c"))
+            .agg(mean_agg)
             .collect()
         )
         by_cell: dict[int, dict[int, float]] = {}
@@ -1688,6 +1727,7 @@ def pq_train(
     m: int = 4,
     k: int = 16,
     iters: int = 2,
+    method: str = "sums",
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: split each d-dim vector into
     ``m`` contiguous d/m-dim subvectors and k-means each subspace
@@ -1700,7 +1740,9 @@ def pq_train(
     on the driver, like kmeans_fit_full. Reuses kmeans_fit_full per
     subspace: deterministic init (the k smallest ids' subvectors),
     scan-local assignment vs literals, one bounded shuffle per Lloyd
-    round, m x iters passes total. d must divide by m."""
+    round, m x iters passes total. d must divide by m. ``method``
+    passes through to kmeans_fit_full ("sums" scale path /
+    "ordered" bit-pinned gate path)."""
     first = corpus.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
     if first is None:
         return []
@@ -1715,7 +1757,9 @@ def pq_train(
             F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
         )
         books.append(
-            kmeans_fit_full(piece, id_col, vec_col, k=k, iters=iters)
+            kmeans_fit_full(
+                piece, id_col, vec_col, k=k, iters=iters, method=method
+            )
         )
     return books
 

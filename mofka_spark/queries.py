@@ -6690,8 +6690,14 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then one (cell, dim)-keyed mean capped at k x d rows. The oracle
 # unrolls the iteration (the embedding_pca pattern): same deterministic
 # init (vectors of the k smallest ids), same dim-ordered distance
-# folds, same empty-cell fallback. Output is integer-only (vec_id,
-# cell, n_cell) so there is no float-rounding edge in the gate.
+# folds, same empty-cell fallback. The gate fits with
+# method="ordered" — centroid means as id-ordered folds / count,
+# mirrored by list_sum(list(v ORDER BY vec_id)) / COUNT(*) — so the
+# means are the same IEEE doubles on both engines and a near-tied
+# argmin can never flip under partial-agg reordering (plain AVG is
+# association-order dependent; "sums" remains the scale path).
+# Output is integer-only (vec_id, cell, n_cell) so there is no
+# float-rounding edge in the gate.
 @query(
     "kmeans_cells",
     """
@@ -6718,7 +6724,9 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d1) WHERE rk = 1
     ),
     m1 AS (
-      SELECT a1.cell, gs.j AS dim, AVG(e.v[gs.j]) AS c
+      SELECT a1.cell, gs.j AS dim,
+             list_sum(list(e.v[gs.j] ORDER BY e.vec_id))
+               / COUNT(*) AS c
       FROM e JOIN a1 USING (vec_id),
            UNNEST(generate_series(1, len(e.v))) AS gs(j)
       GROUP BY 1, 2
@@ -6755,7 +6763,7 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = kmeans_fit_full(emb, k=4, iters=1)
+    cents = kmeans_fit_full(emb, k=4, iters=1, method="ordered")
     return kmeans_cells(emb, cents)
 
 

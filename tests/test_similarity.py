@@ -654,6 +654,47 @@ class TestKmeansFull:
         assert math.isclose(got0[0], 0.0, abs_tol=1e-9)
         assert math.isclose(got0[1], means[1] if means[1] else 10.2, rel_tol=1e-9)
 
+    def test_ordered_method_partitioning_invariant(self, spark):
+        # method="ordered" (the gate path) must produce bit-identical
+        # centroids regardless of how the corpus is partitioned — the
+        # float-identity property plain AVG cannot give (partial-agg
+        # association order varies under repartition/AQE).
+        import random
+
+        from mofka_spark.operators.similarity import kmeans_fit_full
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        fits = [
+            kmeans_fit_full(
+                df.repartition(p, "vec_id"), k=3, iters=2, method="ordered"
+            )
+            for p in (1, 7, 32)
+        ]
+        assert fits[0] == fits[1] == fits[2]
+        # and the scale path agrees to float tolerance (same model,
+        # different summation order)
+        sums = kmeans_fit_full(df, k=3, iters=2, method="sums")
+        for ca, cb in zip(fits[0], sums):
+            for a, b in zip(ca, cb):
+                assert abs(a - b) < 1e-9
+
+    def test_unknown_method_rejected(self, spark):
+        import pytest as _pytest
+
+        from mofka_spark.operators.similarity import kmeans_fit_full
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(ValueError, match="method"):
+            kmeans_fit_full(df, k=1, iters=1, method="bogus")
+
     def test_cell_sizes_attached(self, spark):
         from mofka_spark.operators.similarity import (
             kmeans_cells,
