@@ -374,10 +374,15 @@ def cmd_benchmark_generate(args) -> int:
 
 def cmd_benchmark_run(args) -> int:
     """Execute a generated spec: create the topic with the sampled
-    layout, run the producer workload, drain it with the sampled
-    consumer, print one JSON line per phase plus a summary. The spec's
-    `spark` block is applied to the session, so the sampled engine
-    dimensions actually steer the run."""
+    layout (validator / partition_selector / serializer included), run
+    the producer workload across ``num_producers`` round-robin
+    producers with the sampled batching mode, drain it with
+    ``num_consumers`` partition-subset consumers at the sampled
+    consume batch size, print one JSON line per phase plus a summary.
+    The spec's `spark` block is applied to the session — EVERY sampled
+    dimension steers the run (the reference's benchmark.py applies all
+    of its dimensions the same way)."""
+    import contextlib
     import time
 
     from mofka_spark.benchspec import sample_spec
@@ -394,30 +399,73 @@ def cmd_benchmark_run(args) -> int:
     spark = get_spark(app_name="mofka-bench-run", conf=spec.get("spark"))
     driver = Driver(spark, args.root)
     name = args.topic
-    if not driver.registry.topic_exists(name):
-        driver.create_topic(name, num_partitions=int(t["num_partitions"]))
-    topic = driver.open_topic(name)
-    meta = {
-        f"f{i}" + "k" * max(0, int(t["metadata_key_sizes"]) - 2): "v"
-        * int(t["metadata_val_sizes"])
+    meta_fields = [
+        f"f{i}" + "k" * max(0, int(t["metadata_key_sizes"]) - 2)
         for i in range(int(t["metadata_num_fields"]))
-    }
-    data = b"x" * int(t["data_total_size"])
+    ]
+    if not driver.registry.topic_exists(name):
+        driver.create_topic(
+            name,
+            num_partitions=int(t["num_partitions"]),
+            validator=(
+                {"type": "schema",
+                 "schema": {"type": "object", "required": ["seq"]}}
+                if t["validator"] == "schema"
+                else None
+            ),
+            selector=(
+                {"type": "key_hash", "field": "seq"}
+                if t["partition_selector"] == "key_hash"
+                else None
+            ),
+            serializer=(
+                {"type": "compact", "fields": meta_fields + ["seq"]}
+                if t["serializer"] == "compact"
+                else None
+            ),
+        )
+    topic = driver.open_topic(name)
+    meta = {f: "v" * int(t["metadata_val_sizes"]) for f in meta_fields}
+    # data_num_blocks: the reference pushes the payload as that many
+    # segments; this engine's event payload is one contiguous buffer
+    # (the flatten view re-exposes segment structure, SURVEY §2.6), so
+    # blocks assemble client-side.
+    total = int(t["data_total_size"])
+    nblocks = max(1, int(t["data_num_blocks"]))
+    if total > 0:
+        per = max(1, total // nblocks)
+        data = b"".join(
+            [b"x" * per] * (nblocks - 1) + [b"x" * (total - per * (nblocks - 1))]
+        )
+    else:
+        data = b""
     n = int(spec["num_events"])
     batch = int(pr["producer_batch_size"])
+    # adaptive == send-on-flush (batch_size None); fixed mode uses the
+    # sampled positive batch size, falling back to 8 like the reference
+    if bool(pr["producer_adaptive_batch_size"]):
+        bsize = None
+    else:
+        bsize = batch if batch > 0 else 8
+    nprod = max(1, int(pr["num_producers"]))
+    fe = int(pr["producer_flush_every"])
     t0 = time.time()
-    with topic.producer(
-        "bench", batch_size=(batch if batch > 0 else 8)
-    ) as producer:
+    with contextlib.ExitStack() as stack:
+        producers = [
+            stack.enter_context(
+                topic.producer(f"bench-{j}", batch_size=bsize)
+            )
+            for j in range(nprod)
+        ]
         for i in range(n):
-            producer.push(dict(meta, seq=i), data)
-            fe = int(pr["producer_flush_every"])
+            producers[i % nprod].push(dict(meta, seq=i), data)
             if fe > 0 and (i + 1) % fe == 0:
-                producer.flush()
+                producers[i % nprod].flush()
     prod_dt = time.time() - t0
     topic.mark_as_complete()
     sel = float(co["consumer_data_selector_selectivity"])
     prop = float(co["consumer_data_selector_proportion"])
+    check = bool(co["consumer_check_data"])
 
     def selector(metadata, descriptor):
         if (metadata.get("seq", 0) % 100) / 100.0 >= sel:
@@ -427,11 +475,33 @@ def cmd_benchmark_run(args) -> int:
         size = max(1, int(descriptor.size * prop))
         return descriptor.make_sub_view(0, size)
 
+    nparts = int(t["num_partitions"])
+    ncons = max(1, min(int(co["num_consumers"]), nparts))
+    cbs = int(co["consumer_batch_size"])
     got = 0
     t0 = time.time()
-    with topic.consumer("bench-consumer", data_selector=selector) as cons:
-        for _ev in cons:
-            got += 1
+    with contextlib.ExitStack() as stack:
+        consumers = [
+            stack.enter_context(
+                topic.consumer(
+                    f"bench-consumer-{c}",
+                    batch_size=(cbs if cbs > 0 else None),
+                    data_selector=selector,
+                    targets=[p for p in range(nparts) if p % ncons == c],
+                )
+            )
+            for c in range(ncons)
+        ]
+        for cons in consumers:
+            for ev in cons:
+                if check and ev.data is not None and len(ev.data):
+                    want = max(1, int(total * prop)) if total else 0
+                    if len(ev.data) != want:
+                        raise SystemExit(
+                            f"consumer_check_data: event {ev.offset} "
+                            f"payload {len(ev.data)} != {want}"
+                        )
+                got += 1
     cons_dt = time.time() - t0
     print(
         json.dumps(

@@ -194,6 +194,50 @@ class TestBenchmarkGenerate:
         res = json.loads(out2.strip().splitlines()[-1])
         assert res["events"] == 12 and res["consumer_events"] == 12
 
+    def test_all_sampled_dimensions_steer_the_run(self, tmp_path):
+        # every formerly-ignored dimension pinned to its non-default
+        # value: schema validator, key_hash selector, compact
+        # serializer, 2 producers, fixed (non-adaptive) batching,
+        # 4 data blocks, 2 partition-subset consumers with a fixed
+        # consume batch size, payload verification on.
+        _, out = run(
+            "benchmark", "generate", "-n", "10", "--seed", "3",
+            "-d", "data_total_size=32",
+            "-d", "data_num_blocks=4",
+            "-d", "num_partitions=3",
+            "-d", "validator=schema",
+            "-d", "partition_selector=key_hash",
+            "-d", "serializer=compact",
+            "-d", "num_producers=2",
+            "-d", "producer_adaptive_batch_size=false",
+            "-d", "producer_batch_size=4",
+            "-d", "num_consumers=2",
+            "-d", "consumer_batch_size=3",
+            "-d", "consumer_check_data=true",
+            "-d", "consumer_data_selector_proportion=0.5",
+        )
+        spec = json.loads(out)
+        assert spec["topic"]["validator"] == "schema"
+        assert spec["producer"]["num_producers"] == 2
+        spec_file = tmp_path / "spec.json"
+        spec_file.write_text(out)
+        rc, out2 = run(
+            "benchmark", "run", "-r", str(tmp_path / "root"),
+            "--spec", str(spec_file),
+        )
+        assert rc == 0, out2
+        res = json.loads(out2.strip().splitlines()[-1])
+        assert res["events"] == 10 and res["consumer_events"] == 10
+        # the sampled topic layout really landed in the registry
+        from mofka_spark.client import Driver
+        from mofka_spark.session import get_spark
+
+        drv = Driver(get_spark(app_name="cli-test"), str(tmp_path / "root"))
+        cfg = drv.registry.open_topic("bench_topic")
+        assert cfg.validator["type"] == "schema"
+        assert cfg.selector["type"] == "key_hash"
+        assert cfg.serializer["type"] == "compact"
+
 
 class TestStoreCompactCms:
     def test_cms_kind_compacts(self, spark, tmp_path):
