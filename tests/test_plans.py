@@ -11,6 +11,20 @@ from mofka_spark import plans, queries
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _fresh_plans(spark):
+    """Plan-shape pins must see FRESH planning. Earlier tests (e.g. the
+    all-gates schema walk) legitimately leave frames persisted for the
+    session; CacheManager then substitutes those cached fragments —
+    whose PHYSICAL plans were frozen under whatever confs held at
+    persist time (e.g. the default broadcast threshold) — into
+    matching subtrees here, so an assertion like 'no BroadcastHashJoin
+    under threshold=-1' would be judging a stale cached plan, not the
+    planner."""
+    spark.catalog.clearCache()
+    yield
+
+
 class TestRelationalPlans:
     def test_q5_broadcasts_dims(self, spark):
         df = queries.SPARK_QUERIES["q5_region_revenue"](spark, SF)
@@ -649,6 +663,7 @@ class TestGlobalPlanAudit:
         "pq_rerank_topk",      # ADC shortlist pass + broadcast query vecs
         "streaming_pq_index",  # same ADC broadcast over the code store
         "doc_hash_knn",        # brute_force_topk broadcast over hash embeds
+        "doc_hash_ann",        # recall gate: exact arm = same bounded cross
     }
 
     def test_no_cartesian_products_anywhere(self, spark):
