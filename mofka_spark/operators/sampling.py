@@ -716,6 +716,7 @@ def curriculum_select(
     key_col: str,
     budget: int,
     n_bins: int = 1024,
+    exact_bin_rows: int = 1_000_000,
 ) -> DataFrame:
     """Greedy token-budget selection: take rows in (score desc, key
     asc) order until the running sum of ``weight_col`` (integral — a
@@ -734,23 +735,33 @@ def curriculum_select(
     found there. Every row in a strictly-better bin is selected by a
     scan-local filter (no sort at all); only the ONE partial bin —
     ~1/n_bins of the data — pays an exact (score desc, key asc)
-    cumulative sum, computed as a DISTRIBUTED prefix sum
-    (range-partition in greedy order + per-partition windows + driver
-    bases, packing's decomposition), so even the degenerate score
-    range (min == max: the whole corpus lands in one bin) never sorts
-    on a single partition. Weights are cast to long so the split sums
-    commute exactly with the oracle's sequential running sum (no
-    float association drift)."""
+    cumulative sum. Up to ``exact_bin_rows`` rows that is one small
+    single-partition window (cheapest); above it — notably the
+    degenerate score range (min == max: the WHOLE corpus lands in one
+    bin) — it switches to a DISTRIBUTED prefix sum (range-partition in
+    greedy order + per-partition windows + driver bases, packing's
+    decomposition), so no input shape ever sorts the corpus on one
+    partition. Both paths return identical rows. Weights are cast to
+    long so the split sums commute exactly with the oracle's
+    sequential running sum (no float association drift)."""
     y = F.col(score_col).cast("double")
     w = F.col(weight_col).cast("long")
-    obs = (
-        df.filter(y.isNotNull() & ~F.isnan(y) & w.isNotNull())
-        .select(
+    # Materialize the narrow (key, score, weight) projection once: it
+    # is scanned 3+ times (bounds agg, bin totals, full-bin filter,
+    # partial-bin split), and the upstream score/weight expressions are
+    # often regexp token counts over full text — without a checkpoint
+    # they re-evaluate per scan (blend_scores' discipline; _spread
+    # widens narrow parquet inputs first).
+    from mofka_spark.operators.dedup import _spread
+
+    obs = _spread(
+        df.filter(y.isNotNull() & ~F.isnan(y) & w.isNotNull()).select(
             F.col(key_col),
             y.alias(score_col),
             w.alias(weight_col),
-        )
-    )
+        ),
+        key_col,
+    ).localCheckpoint(eager=True)
     if budget <= 0:
         return obs.filter(F.lit(False))
     lo, hi = obs.agg(
@@ -771,39 +782,56 @@ def curriculum_select(
 
     # <= n_bins rows: a bounded driver fetch (the repo's broadcast-side
     # collect pattern), never corpus-sized.
-    totals = {
-        r["_bin"]: r["_w"]
+    stats = {
+        r["_bin"]: (r["_w"], r["_n"])
         for r in binned.groupBy("_bin")
-        .agg(F.sum(weight_col).alias("_w"))
+        .agg(F.sum(weight_col).alias("_w"), F.count("*").alias("_n"))
         .collect()
     }
     taken = 0
     cut_bin = None
-    for b in sorted(totals, reverse=True):
-        if taken + totals[b] >= budget:
+    for b in sorted(stats, reverse=True):
+        if taken + stats[b][0] >= budget:
             cut_bin = b
             break
-        taken += totals[b]
+        taken += stats[b][0]
     if cut_bin is None:
         # budget exceeds the corpus: everything is selected.
         return binned.drop("_bin")
 
     full = binned.filter(F.col("_bin") > cut_bin).drop("_bin")
     residual = budget - taken
-    # The partial bin's exact running sum, as a DISTRIBUTED prefix sum
-    # (packing._rank_by_id's decomposition): range-partition the slice
-    # in the greedy order, per-partition running sums, per-partition
-    # totals back to the driver (<= defaultParallelism rows), broadcast
-    # cumulative bases. The cut bin is ~1/n_bins of the corpus in the
-    # generic case but can be ALL of it (min == max score — unscored
-    # corpora defaulting to a constant are a real input), so it must
-    # never funnel through a single-partition global window.
-    # RangePartitioner assigns ranges in partition-index order for the
-    # given sort expressions, so pid order IS greedy order; integral
-    # weights make the split-sum exactly equal the sequential fold.
     slice_ = binned.filter(F.col("_bin") == cut_bin).drop("_bin")
-    n_ranges = df.sparkSession.sparkContext.defaultParallelism
     order = [F.col(score_col).desc(), F.col(key_col).asc()]
+    cut_rows = stats[cut_bin][1]
+    if cut_rows <= exact_bin_rows:
+        # Generic case: the cut bin is ~1/n_bins of the corpus — one
+        # exact running-sum window over a slice this small is cheaper
+        # than the distributed machinery (range-sampling pass +
+        # checkpoint + totals collect).
+        win = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        partial = (
+            slice_.withColumn(
+                "_prior", F.coalesce(F.sum(weight_col).over(win), F.lit(0))
+            )
+            .filter(F.col("_prior") < residual)
+            .drop("_prior")
+        )
+        return full.unionByName(partial)
+    # Degenerate/huge cut bin (min == max score drops the WHOLE corpus
+    # into one bin — unscored corpora defaulting to a constant are a
+    # real input): the exact running sum as a DISTRIBUTED prefix sum
+    # (packing._rank_by_id's decomposition) — range-partition the
+    # slice in greedy order, per-partition running sums, per-partition
+    # totals back to the driver (<= defaultParallelism rows),
+    # broadcast cumulative bases. RangePartitioner assigns ranges in
+    # partition-index order for the given sort expressions, so pid
+    # order IS greedy order; integral weights make the split-sum
+    # exactly equal the sequential fold, so both paths return
+    # identical rows.
+    n_ranges = df.sparkSession.sparkContext.defaultParallelism
     ranged = slice_.repartitionByRange(n_ranges, *order).withColumn(
         "_pid", F.spark_partition_id()
     )

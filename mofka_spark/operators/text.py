@@ -1923,11 +1923,16 @@ def hash_embed(
     Scale shape: explode -> ONE (id, dim-index) partial-agg shuffle
     (thin long rows; map-side combine collapses repeated tokens) ->
     one per-doc map assembly; the dense array materializes in-row from
-    the sparse map, no spine join, no per-dim rows."""
+    the sparse map, no spine join, no per-dim rows. _spread first: a
+    corpus arriving as one or two parquet splits would otherwise run
+    the CPU-bound tokenize/hash explode on as many tasks (measured
+    6.6x on the 10x single-file sf1 smoke before the spread; no-op on
+    a wide scan — the 100 TB case)."""
+    from mofka_spark.operators.dedup import _spread
     from mofka_spark.operators.sampling import hash_bucket
 
     toks = (
-        df.filter(F.col(text_col).isNotNull())
+        _spread(df.filter(F.col(text_col).isNotNull()), id_col)
         .select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("t"))
     )
     idx = hash_bucket(F.col("t"), salt, mod=dim)

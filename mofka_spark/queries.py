@@ -7848,7 +7848,12 @@ def q_doc_hash_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.operators.text import hash_embed
 
     docs = _t(spark, sf_dir, "documents")
-    emb = hash_embed(docs).withColumnRenamed("id", "vec_id")
+    # one materialization: the embed frame feeds the query filter AND
+    # the corpus side — without it the tokenize/hash pipeline would
+    # re-run per branch (thin id + 64 doubles; GC-bounded checkpoint)
+    emb = hash_embed(docs).withColumnRenamed("id", "vec_id").localCheckpoint(
+        eager=True
+    )
     queries = emb.filter(F.col("vec_id") < 3)
     return similarity.brute_force_topk(queries, emb, k=5)
 
@@ -7873,7 +7878,12 @@ def q_doc_hash_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.operators.text import hash_embed
 
     docs = _t(spark, sf_dir, "documents")
-    emb = hash_embed(docs).withColumnRenamed("id", "vec_id")
+    # the embed frame feeds FOUR consumers (exact arm, approx arm, the
+    # centroid fit inside ivf_topk, the query filter) — materialize it
+    # once or the tokenize/hash pipeline re-runs per branch
+    emb = hash_embed(docs).withColumnRenamed("id", "vec_id").localCheckpoint(
+        eager=True
+    )
     queries = emb.filter(F.col("vec_id") < 3)
     exact = similarity.brute_force_topk(queries, emb, k=5)
     approx = similarity.ivf_topk(

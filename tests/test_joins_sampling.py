@@ -647,8 +647,11 @@ class TestCurriculumSelect:
         from mofka_spark.operators.sampling import curriculum_select
 
         rows = [(i, 1.0, (i % 5) + 1) for i in range(500)]
+        # exact_bin_rows=100 forces the distributed path on this small
+        # frame (production default only trips it at 1M-row bins)
         out = curriculum_select(
-            self._frame(spark, rows), "score", "w", "id", budget=700
+            self._frame(spark, rows), "score", "w", "id", budget=700,
+            exact_bin_rows=100,
         )
         assert sorted(r["id"] for r in out.collect()) == self._greedy(
             rows, 700
@@ -661,6 +664,13 @@ class TestCurriculumSelect:
         assert sorts, "expected a partition-local Sort for the window"
         for line in sorts:
             assert ", false, 0" in line, line
+        # and the small-bin exact path returns the identical selection
+        small = curriculum_select(
+            self._frame(spark, rows), "score", "w", "id", budget=700
+        )
+        assert sorted(r["id"] for r in small.collect()) == self._greedy(
+            rows, 700
+        )
 
     def test_budget_exceeds_corpus_selects_all(self, spark):
         from mofka_spark.operators.sampling import curriculum_select
