@@ -241,7 +241,19 @@ class EventLog:
         driver-side metadata reads only, no Spark job. (A production
         deployment would keep a transaction log instead; footer stats
         are the file-layout equivalent of the reference's chunk-*.idx
-        rescan.)"""
+        rescan.)
+
+        TORN files (unreadable footer) are QUARANTINED here — renamed
+        to ``*.corrupt`` so Spark scans never see them. A torn
+        ``*.parquet`` can only be the remnant of a writer killed
+        mid-``pq.write_table``: the fast path writes UNDER the ledger
+        flock and commits the ledger only after the write returns, the
+        Spark bulk path publishes files by job-commit rename, and
+        compaction stages under a non-parquet tmp name — so a torn
+        file is never ledger-committed and never an acknowledged
+        event; dropping it is the reference's trust-the-data recovery
+        applied to the file layer (its pre-test kills a live server
+        the same way, /root/reference/tests/pre-test.sh)."""
         import pyarrow.parquet as pq
 
         out: dict[int, int] = {}
@@ -257,7 +269,18 @@ class EventLog:
             for fn in os.listdir(pdir):
                 if not fn.endswith(".parquet"):
                     continue
-                md = pq.ParquetFile(os.path.join(pdir, fn)).metadata
+                path = os.path.join(pdir, fn)
+                try:
+                    md = pq.ParquetFile(path).metadata
+                except Exception:  # torn footer: crash remnant
+                    # dot-prefix: Spark scans skip hidden files, so
+                    # the quarantined remnant disappears from readers
+                    # (a bare suffix rename would NOT — Spark lists
+                    # every non-hidden file regardless of extension)
+                    os.replace(
+                        path, os.path.join(pdir, "." + fn + ".corrupt")
+                    )
+                    continue
                 idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["offset"]
                 for rg in range(md.num_row_groups):
                     stats = md.row_group(rg).column(idx).statistics
@@ -653,6 +676,13 @@ class EventLog:
         Catalyst prunes unselected directories at planning time, so no
         bytes of other partitions are ever read.
         """
+        # First read on a fresh log after a crash must not choke on a
+        # torn file a killed writer left behind: run the same
+        # consistency check the first append runs (quarantines torn
+        # parquet, repairs a stale ledger). Once per EventLog instance.
+        if not self._verified:
+            with self._ledger_lock():
+                self._ensure_consistent()
         if not self._has_data():
             df = self.spark.createDataFrame([], EVENT_SCHEMA)
             if partitions is not None:
