@@ -7682,6 +7682,41 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(queries, codes, books, cents, k=5, nprobe=2)
 
 
+# Batch IVF-PQ code TABLE (operators/similarity.py write_pq_codes /
+# search_pq_codes): the codes persisted hive-partitioned by cell, the
+# probe union pruning unopened cell directories at plan time. Same
+# oracle as ivfpq_topk — the persisted layout must be invisible to
+# results (pytest separately pins the PartitionFilters evidence).
+@query("pq_code_table_topk", ORACLE_SQL["ivfpq_topk"])
+def q_pq_code_table_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.operators.similarity import (
+        pq_encode,
+        search_pq_codes,
+        write_pq_codes,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    first = (
+        emb.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id").limit(4).collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in first]
+    books = [
+        [[float(x) for x in r["embedding"][:32]] for r in first],
+        [[float(x) for x in r["embedding"][32:]] for r in first],
+    ]
+    root = tempfile.mkdtemp(prefix="mofka-pqtable-")
+    path = os.path.join(root, "codes")
+    write_pq_codes(pq_encode(emb, books, coarse_centroids=cents), path)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return search_pq_codes(
+        spark, path, queries, books, cents, k=5, nprobe=2
+    )
+
+
 # Incremental IVF-PQ code store (streaming/pqindex.py): vectors stream
 # in, only m-code rows are stored (cell-partitioned), search is ADC
 # over probed directories. Built over an arbitrary epoch split, the

@@ -660,6 +660,7 @@ class TestGlobalPlanAudit:
         "q22_idle_customers",  # scalar avg (TPC-H shape)
         "pq_adc_topk",         # broadcast (query, m x k ADC table) rows
         "ivfpq_topk",          # broadcast (query, probes, ADC table) rows
+        "pq_code_table_topk",  # same ADC broadcast over the code table
         "pq_rerank_topk",      # ADC shortlist pass + broadcast query vecs
         "streaming_pq_index",  # same ADC broadcast over the code store
         "doc_hash_knn",        # brute_force_topk broadcast over hash embeds
