@@ -584,6 +584,80 @@ def cluster_safe_split(
     )
 
 
+def temperature_shares(
+    df: DataFrame,
+    strata_col: str,
+    temperature: float = 1.0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Sampling-temperature mixture shares: share_s proportional to
+    (w_s / W)^(1/T) — the standard multilingual/multi-source
+    rebalancing knob (mT5/XLM-R style). T=1 reproduces natural
+    proportions, T -> inf approaches uniform, T < 1 sharpens toward
+    the head. Returns one row per stratum: (stratum, available,
+    natural_share, share); feed ``share`` into mixture_plan's targets
+    to turn the temperature into repeat factors.
+
+    Scale shape: ONE stratum-keyed aggregate collapses the corpus to
+    O(#strata) rows; every power/normalization happens in-row on the
+    collected stratum array, so corpus volume touches only the first
+    aggregate.
+
+    Float identity (gate discipline): p^(1/T) is computed as
+    exp(ln(p)/T) — the pow() expansion both engines evaluate
+    identically — and both normalizing sums are stratum-ordered folds,
+    so an external engine reproduces every share bit-for-bit."""
+    if temperature <= 0:
+        raise ValueError("temperature_shares: temperature must be > 0")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    counts = (
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.sum(w).alias("available"))
+    )
+    one = counts.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("stratum"), F.col("available")))
+        ).alias("arr")
+    )
+    add = lambda acc, x: acc + x  # noqa: E731
+    total = F.aggregate(
+        F.transform("arr", lambda s: s["available"].cast("double")),
+        F.lit(0.0),
+        add,
+    )
+    one = one.withColumn("_total", total)
+    powered = F.transform(
+        "arr",
+        lambda s: F.exp(
+            F.log(s["available"].cast("double") / F.col("_total"))
+            / F.lit(float(temperature))
+        ),
+    )
+    one = one.withColumn("_pp", powered).withColumn(
+        "_denom", F.aggregate("_pp", F.lit(0.0), add)
+    )
+    return one.select(
+        F.posexplode("arr").alias("_i", "_s"),
+        "_total",
+        "_pp",
+        "_denom",
+    ).select(
+        F.col("_s.stratum").alias("stratum"),
+        F.col("_s.available").cast("double").alias("available"),
+        F.round(
+            F.col("_s.available").cast("double") / F.col("_total"), 6
+        ).alias("natural_share"),
+        F.round(
+            F.element_at("_pp", F.col("_i") + 1) / F.col("_denom"), 6
+        ).alias("share"),
+    )
+
+
 def mixture_plan(
     df: DataFrame,
     strata_col: str,

@@ -7234,6 +7234,45 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sampling-temperature mixture shares (operators/sampling.py
+# temperature_shares): share_s ∝ (count_s / total)^(1/T), the
+# mT5/XLM-R multilingual rebalancing knob, T=2 here. Exact float
+# identity: p^(1/T) written as exp(ln(p)/T) on BOTH engines and both
+# normalizing sums as stratum-ordered folds (list_sum over ORDER BY
+# stratum = the in-row F.aggregate fold).
+@query(
+    "temperature_mix",
+    """
+    WITH c AS (
+      SELECT lang AS stratum, CAST(COUNT(*) AS DOUBLE) AS available
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ), l AS (
+      SELECT list(stratum ORDER BY stratum) AS ss,
+             list(available ORDER BY stratum) AS aa
+      FROM c
+    ), t AS (
+      SELECT ss, aa, list_sum(aa) AS total FROM l
+    ), p AS (
+      SELECT ss, aa, total,
+             list_transform(aa, a -> exp(ln(a / total) / 2.0)) AS pp
+      FROM t
+    ), d AS (
+      SELECT ss, aa, total, pp, list_sum(pp) AS denom FROM p
+    )
+    SELECT ss[gs.i] AS stratum,
+           aa[gs.i] AS available,
+           ROUND(aa[gs.i] / total, 6) AS natural_share,
+           ROUND(pp[gs.i] / denom, 6) AS share
+    FROM d, UNNEST(generate_series(1, len(ss))) AS gs(i)
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.sampling import temperature_shares
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_shares(docs, "lang", temperature=2.0)
+
+
 # Training-mixture budgeting (operators/sampling.py mixture_plan):
 # per-stratum repeat factors to hit target shares of a fixed budget,
 # UniMax-capped — one stratum aggregate plus O(#strata) arithmetic.

@@ -509,6 +509,56 @@ class TestClusterSafeSplit:
         assert all(a[i] == b[i // 3 * 3] for i in range(60))
 
 
+class TestTemperatureShares:
+    def _frame(self, spark):
+        rows = (
+            [("en",)] * 80 + [("de",)] * 15 + [("zh",)] * 5
+        )
+        return spark.createDataFrame(rows, "lang string")
+
+    def test_t1_reproduces_natural_proportions(self, spark):
+        from mofka_spark.operators.sampling import temperature_shares
+
+        out = {r["stratum"]: r for r in
+               temperature_shares(self._frame(spark), "lang", 1.0).collect()}
+        assert out["en"]["share"] == pytest.approx(0.8, abs=1e-6)
+        assert out["zh"]["natural_share"] == pytest.approx(0.05, abs=1e-6)
+
+    def test_high_t_flattens_low_t_sharpens(self, spark):
+        from mofka_spark.operators.sampling import temperature_shares
+
+        df = self._frame(spark)
+        hot = {r["stratum"]: r["share"] for r in
+               temperature_shares(df, "lang", 100.0).collect()}
+        cold = {r["stratum"]: r["share"] for r in
+               temperature_shares(df, "lang", 0.5).collect()}
+        # T -> inf: near uniform (1/3 each); T < 1: head grows
+        assert abs(hot["zh"] - 1 / 3) < 0.02
+        assert cold["en"] > 0.8 and cold["zh"] < 0.05
+
+    def test_composes_with_mixture_plan(self, spark):
+        from mofka_spark.operators.sampling import (
+            mixture_plan, temperature_shares,
+        )
+
+        df = self._frame(spark)
+        shares = {r["stratum"]: r["share"] for r in
+                  temperature_shares(df, "lang", 2.0).collect()}
+        plan = mixture_plan(df, "lang", shares, budget=1000)
+        got = {r["stratum"]: r for r in plan.collect()}
+        # every stratum planned; desired = share * budget
+        for s, t in shares.items():
+            assert got[s]["desired"] == pytest.approx(
+                round(t * 1000, 4), abs=1e-6
+            )
+
+    def test_invalid_temperature_rejected(self, spark):
+        from mofka_spark.operators.sampling import temperature_shares
+
+        with pytest.raises(ValueError):
+            temperature_shares(self._frame(spark), "lang", 0.0)
+
+
 class TestMixturePlan:
     def test_arithmetic_and_cap(self, spark):
         from mofka_spark.operators.sampling import mixture_plan
