@@ -163,6 +163,84 @@ def vocab_stats(
     return out
 
 
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_vocab: int = 1024,
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency vocabulary with dense, deterministic token ids — the
+    tokenizer-model half of the text -> training-tensor bridge
+    (vocab_stats ranks grams; this assigns the ids encode_ids maps
+    with). Token id 0 is RESERVED for OOV/unk; real tokens take ids
+    1..max_vocab in (count desc, token asc) order — reproducible
+    under retries and across engines. Returns (token, token_id,
+    n_total).
+
+    Scale shape: one token partial-agg shuffle (the per-partition
+    DISTINCT token set moves, not the stream — Zipf); the top-k is
+    orderBy+limit, which Spark plans as TakeOrderedAndProject
+    (per-partition heaps, NO full sort); id assignment is one window
+    over <= max_vocab rows."""
+    if max_vocab <= 0:
+        raise ValueError("build_vocab: max_vocab must be positive")
+    from mofka_spark.operators.dedup import _spread
+
+    counts = (
+        _spread(df.filter(F.col(text_col).isNotNull()), text_col)
+        .select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_total"))
+        .filter(F.col("n_total") >= min_count)
+    )
+    top = counts.orderBy(F.desc("n_total"), F.asc("token")).limit(max_vocab)
+    w = Window.orderBy(F.desc("n_total"), F.asc("token"))
+    return top.select(
+        "token",
+        F.row_number().over(w).cast("int").alias("token_id"),
+        "n_total",
+    )
+
+
+def encode_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Encode documents to token-id sequences against a build_vocab
+    table: (id, pos, token_id) scalar rows in document order, OOV
+    tokens mapped to ``unk_id`` — the long format that streams
+    straight into pack_sequences / shard writers (and reassembles to
+    array<int> with one sort_array(collect_list) when a loader wants
+    per-doc tensors).
+
+    Scale shape: the token stream explodes scan-locally and the vocab
+    (<= max_vocab rows) BROADCASTS onto it — the corpus never
+    shuffles; positions come from the explode itself."""
+    from mofka_spark.operators.dedup import _spread
+
+    toks = (
+        _spread(df.filter(F.col(text_col).isNotNull()), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_tokens(F.col(text_col))).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    return toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        "id",
+        F.col("pos").cast("long").alias("pos"),
+        F.coalesce(F.col("token_id"), F.lit(int(unk_id)))
+        .cast("int")
+        .alias("token_id"),
+    )
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,

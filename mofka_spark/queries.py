@@ -7234,6 +7234,45 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Vocabulary build + id encoding (operators/text.py build_vocab /
+# encode_ids): the text -> training-tensor bridge. Ids are dense and
+# deterministic (count desc, token asc; 0 reserved for OOV) so the
+# oracle replays the whole tokenizer: same token pipeline as the
+# doc_hash gates, ROW_NUMBER ids over the same order, LEFT JOIN +
+# COALESCE(0) for OOV. Integer-only output.
+@query(
+    "token_ids",
+    r"""
+    WITH d AS (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ), toks AS (
+      SELECT id, gs.i - 1 AS pos, ts[gs.i] AS token
+      FROM d, UNNEST(generate_series(1, len(ts))) AS gs(i)
+      WHERE ts[gs.i] <> ''
+    ), counts AS (
+      SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+    ), vocab AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC)
+                  AS INTEGER) AS token_id
+      FROM counts ORDER BY n DESC, token ASC LIMIT 50
+    )
+    SELECT toks.id, CAST(toks.pos AS BIGINT) AS pos,
+           COALESCE(vocab.token_id, 0) AS token_id
+    FROM toks LEFT JOIN vocab USING (token)
+    """,
+)
+def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import build_vocab, encode_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, max_vocab=50)
+    return encode_ids(docs, vocab)
+
+
 # Sampling-temperature mixture shares (operators/sampling.py
 # temperature_shares): share_s ∝ (count_s / total)^(1/T), the
 # mT5/XLM-R multilingual rebalancing knob, T=2 here. Exact float

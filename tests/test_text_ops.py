@@ -765,6 +765,76 @@ class TestZipfFit:
         assert zipf_fit(df, "source").count() == 0
 
 
+class TestBuildVocabEncodeIds:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "the cat sat on the mat"),
+             (2, "the dog sat"),
+             (3, "zebra xylophone"),
+             (4, None)],
+            "doc_id long, text string",
+        )
+
+    def test_ids_dense_and_deterministic(self, spark):
+        from mofka_spark.operators.text import build_vocab
+
+        v = {r["token"]: r["token_id"] for r in
+             build_vocab(self._docs(spark), max_vocab=3).collect()}
+        # count desc, token asc: the(3), sat(2), then 'cat' wins the
+        # 1-count tie alphabetically
+        assert v == {"the": 1, "sat": 2, "cat": 3}
+
+    def test_oov_maps_to_unk(self, spark):
+        from mofka_spark.operators.text import build_vocab, encode_ids
+
+        docs = self._docs(spark)
+        vocab = build_vocab(docs, max_vocab=3)
+        out = encode_ids(docs, vocab)
+        rows = {(r["id"], r["pos"]): r["token_id"] for r in out.collect()}
+        # doc 3 is entirely OOV; doc 2: the=1 dog=0 sat=2
+        assert rows[(3, 0)] == 0 and rows[(3, 1)] == 0
+        assert [rows[(2, p)] for p in range(3)] == [1, 0, 2]
+        # null-text doc contributes no rows
+        assert not any(k[0] == 4 for k in rows)
+
+    def test_reassembles_to_per_doc_arrays(self, spark):
+        import pyspark.sql.functions as F
+
+        from mofka_spark.operators.text import build_vocab, encode_ids
+
+        docs = self._docs(spark)
+        out = encode_ids(docs, build_vocab(docs, max_vocab=3))
+        seqs = {
+            r["id"]: [s["token_id"] for s in r["seq"]]
+            for r in out.groupBy("id").agg(
+                F.sort_array(
+                    F.collect_list(F.struct("pos", "token_id"))
+                ).alias("seq")
+            ).collect()
+        }
+        assert seqs[1] == [1, 3, 2, 0, 1, 0]  # the cat sat on the mat
+
+    def test_min_count_prunes_and_validation(self, spark):
+        import pytest as _pytest
+
+        from mofka_spark.operators.text import build_vocab
+
+        v = build_vocab(self._docs(spark), max_vocab=10, min_count=2)
+        assert {r["token"] for r in v.collect()} == {"the", "sat"}
+        with _pytest.raises(ValueError):
+            build_vocab(self._docs(spark), max_vocab=0)
+
+    def test_vocab_broadcasts_no_corpus_shuffle(self, spark):
+        from mofka_spark import plans
+        from mofka_spark.operators.text import build_vocab, encode_ids
+
+        docs = self._docs(spark)
+        out = encode_ids(docs, build_vocab(docs, max_vocab=3))
+        p = plans.plan_string(out)
+        assert "BroadcastHashJoin" in p  # vocab side broadcasts
+        assert "SortMergeJoin" not in p  # corpus never shuffles to join
+
+
 class TestHashEmbed:
     def test_shape_and_determinism(self, spark):
         from mofka_spark.operators.text import hash_embed
