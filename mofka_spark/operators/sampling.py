@@ -598,6 +598,11 @@ def temperature_shares(
     natural_share, share); feed ``share`` into mixture_plan's targets
     to turn the temperature into repeat factors.
 
+    Relationship to ``temperature_mix`` (above): same proportions
+    (alpha = 1/T), different deliverable — temperature_mix SAMPLES
+    ~target_rows rows at those proportions, this returns the share
+    TABLE for budget planning (mixture_plan / reporting).
+
     Scale shape: ONE stratum-keyed aggregate collapses the corpus to
     O(#strata) rows; every power/normalization happens in-row on the
     collected stratum array, so corpus volume touches only the first

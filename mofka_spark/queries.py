@@ -109,6 +109,11 @@ ORACLE_SQL: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # a duplicate name silently REPLACES the earlier gate in the
+        # registry (dict assignment) — losing its driver coverage with
+        # no error anywhere; fail at import time instead
+        if name in SPARK_QUERIES:
+            raise ValueError(f"duplicate gate name {name!r}")
         SPARK_QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
@@ -7273,14 +7278,16 @@ def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_ids(docs, vocab)
 
 
-# Sampling-temperature mixture shares (operators/sampling.py
+# Sampling-temperature mixture SHARES (operators/sampling.py
 # temperature_shares): share_s ∝ (count_s / total)^(1/T), the
-# mT5/XLM-R multilingual rebalancing knob, T=2 here. Exact float
-# identity: p^(1/T) written as exp(ln(p)/T) on BOTH engines and both
-# normalizing sums as stratum-ordered folds (list_sum over ORDER BY
-# stratum = the in-row F.aggregate fold).
+# mT5/XLM-R multilingual rebalancing knob, T=2 here — the share-TABLE
+# companion of the temperature_mix gate above (which SAMPLES rows at
+# n^alpha budgets; alpha = 1/T yields the same proportions). Exact
+# float identity: p^(1/T) written as exp(ln(p)/T) on BOTH engines and
+# both normalizing sums as stratum-ordered folds (list_sum over ORDER
+# BY stratum = the in-row F.aggregate fold).
 @query(
-    "temperature_mix",
+    "temperature_shares",
     """
     WITH c AS (
       SELECT lang AS stratum, CAST(COUNT(*) AS DOUBLE) AS available
@@ -7305,7 +7312,7 @@ def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM d, UNNEST(generate_series(1, len(ss))) AS gs(i)
     """,
 )
-def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_temperature_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.operators.sampling import temperature_shares
 
     docs = _t(spark, sf_dir, "documents")
