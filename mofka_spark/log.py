@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import fcntl
 import json
+import logging
 import os
 from contextlib import contextmanager
 from typing import Any
@@ -36,6 +37,28 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_LOG = logging.getLogger(__name__)
+
+
+def _lacks_parquet_footer(path: str) -> bool:
+    """True iff the file cannot have a valid parquet footer: shorter
+    than the minimum parquet file (12 bytes) or missing the trailing
+    PAR1 magic. A writer killed mid-``pq.write_table`` essentially
+    never ends on the 4-byte magic; a healthy file always does — this
+    is the discriminator between a torn crash remnant (quarantine) and
+    a transient read fault on good data (propagate)."""
+    try:
+        size = os.path.getsize(path)
+        if size < 12:
+            return True
+        with open(path, "rb") as fh:
+            fh.seek(-4, os.SEEK_END)
+            return fh.read(4) != b"PAR1"
+    except OSError:
+        # Can't even stat/read the tail: transient I/O, not proof of a
+        # torn footer — do not quarantine.
+        return False
 
 # The canonical events schema (FIXTURES.md F1).
 EVENT_SCHEMA = T.StructType(
@@ -272,11 +295,20 @@ class EventLog:
                 path = os.path.join(pdir, fn)
                 try:
                     md = pq.ParquetFile(path).metadata
-                except Exception:  # torn footer: crash remnant
+                except Exception:
+                    # Quarantine ONLY files that genuinely lack a parquet
+                    # footer (no trailing PAR1 magic = writer killed
+                    # mid-write). A transient I/O error (EIO, out-of-FDs)
+                    # on a healthy ledger-committed file must NOT rename
+                    # acked data out of the readable set — re-raise so the
+                    # caller sees the fault instead of silent data loss.
+                    if not _lacks_parquet_footer(path):
+                        raise
                     # dot-prefix: Spark scans skip hidden files, so
                     # the quarantined remnant disappears from readers
                     # (a bare suffix rename would NOT — Spark lists
                     # every non-hidden file regardless of extension)
+                    _LOG.warning("quarantining torn parquet file %s", path)
                     os.replace(
                         path, os.path.join(pdir, "." + fn + ".corrupt")
                     )
@@ -333,6 +365,12 @@ class EventLog:
         Spark shape is a partition-pruned max(offset) aggregation.
         """
         with self._ledger_lock():
+            # Run the first-read consistency check HERE, while we already
+            # hold the flock: read() would otherwise try to re-acquire it
+            # (flock on a second fd in the same process is not re-entrant)
+            # and a fresh post-crash handle (_verified=False — the exact
+            # scenario this API exists for) would self-deadlock.
+            self._ensure_consistent()
             if self._has_data():
                 agg = (
                     self.read(sorted(self.scope) if self.scope is not None else None)

@@ -459,7 +459,16 @@ def blend_scores(
         if signal_round is not None and isinstance(
             fields[sig], (DoubleType, FloatType)
         ):
-            return F.floor(F.col(sig) * F.lit(float(10 ** signal_round)))
+            # floor computed IN THE DOUBLE DOMAIN: Spark's floor()
+            # returns LongType and overflows for |scaled| > 2^63
+            # (signals beyond ~9.2e12 at signal_round=6), silently
+            # diverging from an external engine's double floor().
+            # x - pmod(x, 1.0) IS the exact IEEE floor for finite
+            # doubles (fmod by 1.0 is exact, the subtraction result is
+            # integral and representable) and stays a double at any
+            # magnitude (|x| >= 2^53 is already integral, remainder 0).
+            scaled = F.col(sig) * F.lit(float(10 ** signal_round))
+            return scaled - F.pmod(scaled, F.lit(1.0))
         return F.col(sig)
 
     # Materialize the narrow (key, quantized-signal) projection ONCE:

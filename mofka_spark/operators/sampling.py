@@ -623,6 +623,13 @@ def temperature_shares(
         df.filter(F.col(strata_col).isNotNull())
         .groupBy(F.col(strata_col).alias("stratum"))
         .agg(F.sum(w).alias("available"))
+        # With weight_col, a stratum whose weight sum is <= 0 would make
+        # F.log return NULL, and that NULL propagates through the _pp
+        # fold into _denom — silently NULLing EVERY stratum's share
+        # (and diverging from engines that error on ln(<=0)). A
+        # non-positive-weight stratum has no sampling mass to allocate:
+        # drop it, mirroring the temperature<=0 guard.
+        .filter(F.col("available") > 0)
     )
     one = counts.agg(
         F.sort_array(

@@ -162,6 +162,69 @@ class TestSigkillMidWrite:
         rows = _all_rows(fresh.data_path)
         assert [o for o, _ in rows[0]] == [0, 1]
 
+    def test_recover_ledger_on_fresh_handle_with_data(self, spark, tmp_path):
+        # Regression: recover_ledger() holds the ledger flock and calls
+        # read(); read() on a fresh handle (_verified=False — the exact
+        # post-crash state this API exists for) used to try to re-acquire
+        # the flock on a second fd and self-deadlock. Run it in a child
+        # process with a hard timeout so a regression fails fast instead
+        # of hanging the suite.
+        from mofka_spark.log import EventLog
+
+        root = str(tmp_path / "topic")
+        log = EventLog(spark, root, "t-rec")
+        log.append_rows(
+            [(0, i, json.dumps({"i": i}), None) for i in range(3)]
+        )
+        # simulate a lost ledger (crash before ledger rename)
+        os.remove(log.ledger_path)
+
+        fresh = EventLog(spark, root, "t-rec")
+        assert not fresh._verified
+        done = {}
+
+        import threading
+
+        def run():
+            done["ledger"] = fresh.recover_ledger()
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout=120)
+        assert not t.is_alive(), "recover_ledger deadlocked on fresh handle"
+        assert done["ledger"] == {0: 3}
+
+    def test_transient_read_error_does_not_quarantine(self, tmp_path, monkeypatch):
+        # A transient I/O fault on a HEALTHY (PAR1-terminated,
+        # ledger-committed) file must propagate, not rename acked data
+        # out of the readable set.
+        import pyarrow.parquet as pq
+        from mofka_spark.log import EventLog
+
+        root = str(tmp_path / "topic")
+        log = EventLog(None, root, "t-io")
+        log.append_rows([(0, 0, json.dumps({"i": 0}), None)])
+        pdir = os.path.join(log.data_path, "partition=0")
+        healthy = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        assert healthy
+
+        class Flaky:
+            def __new__(cls, path, *a, **kw):
+                raise OSError(5, "simulated EIO", str(path))
+
+        # _footer_max_offsets imports pyarrow.parquet locally, so the
+        # module-level patch is what it sees
+        monkeypatch.setattr(pq, "ParquetFile", Flaky)
+        fresh = EventLog(None, root, "t-io")
+        with pytest.raises(OSError):
+            fresh._footer_max_offsets()
+        monkeypatch.undo()
+        # the healthy file is untouched — no .corrupt rename happened
+        assert sorted(
+            f for f in os.listdir(pdir) if f.endswith(".parquet")
+        ) == sorted(healthy)
+        assert not any(f.endswith(".corrupt") for f in os.listdir(pdir))
+
     def test_read_path_survives_torn_file(self, spark, tmp_path):
         # a consumer opening the topic AFTER a crash (before any new
         # append) must not choke on the torn file either

@@ -558,6 +558,23 @@ class TestTemperatureShares:
         with pytest.raises(ValueError):
             temperature_shares(self._frame(spark), "lang", 0.0)
 
+    def test_nonpositive_weight_stratum_dropped_not_poisoning(self, spark):
+        # a stratum whose weight sum is <= 0 used to make ln() NULL and
+        # NULL-poison EVERY stratum's share through the shared _denom
+        from mofka_spark.operators.sampling import temperature_shares
+
+        df = spark.createDataFrame(
+            [("en", 8.0), ("en", 2.0), ("de", 5.0), ("zz", 0.0),
+             ("neg", -3.0)],
+            "lang string, w double",
+        )
+        out = {r["stratum"]: r for r in
+               temperature_shares(df, "lang", 1.0, weight_col="w").collect()}
+        assert set(out) == {"en", "de"}
+        assert out["en"]["share"] == pytest.approx(10 / 15, abs=1e-6)
+        assert out["de"]["share"] == pytest.approx(5 / 15, abs=1e-6)
+        assert all(r["share"] is not None for r in out.values())
+
 
 class TestMixturePlan:
     def test_arithmetic_and_cap(self, spark):

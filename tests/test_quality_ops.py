@@ -391,6 +391,22 @@ class TestBlendScores:
                blend_scores(df, {"a": 1.0}, "id").collect()}
         assert out == {1: 0.0, 2: 0.5, 3: 1.0}
 
+    def test_large_magnitude_signals_keep_rank_order(self, spark):
+        # floor(sig * 10^6) as a LONG overflows for |sig| >~ 9.2e12 and
+        # scrambles rank order; the double-domain floor must not.
+        # Negatives included: x - pmod(x, 1.0) must floor (not truncate).
+        from mofka_spark.operators.quality import blend_scores
+
+        vals = [-2.0e13, -1.5, -0.5, 0.5, 1.0e13, 3.0e13]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, a double"
+        )
+        out = {r["id"]: r["pr_a"] for r in
+               blend_scores(df, {"a": 1.0}, "id").collect()}
+        ranks = [out[i] for i in range(len(vals))]
+        assert ranks == sorted(ranks) and len(set(ranks)) == len(vals)
+        assert ranks[0] == 0.0 and ranks[-1] == 1.0
+
 
 class TestKAnonymity:
     def test_group_sizes_and_risk_flags(self, spark):
