@@ -289,16 +289,22 @@ def _rank_by_id(df: DataFrame, id_col: str) -> DataFrame:
     ranged = df.select(F.col(id_col).alias("id")).repartitionByRange(
         n_ranges, "id"
     )
-    part = ranged.withColumn("_pid", F.spark_partition_id())
+    # localCheckpoint the _pid-stamped frame, not a leaked persist():
+    # read twice (totals collect + the returned select), _pid frozen
+    # against RangePartitioner re-sampling, blocks reclaimed on GC;
+    # checkpointing pre-window keeps the partition-local Sort in the
+    # returned plan (the row_number recompute is one local sort).
+    part = ranged.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("_pid").orderBy("id")
-    local = part.withColumn("_rn", F.row_number().over(w)).persist()
+    local = part.withColumn("_rn", F.row_number().over(w))
     totals = (
         local.groupBy("_pid")
         .agg(F.count("*").alias("t"), F.min("id").alias("lo"))
         .collect()
     )
     if not totals:
-        local.unpersist()
         return sess.createDataFrame([], "id long, epoch_pos long")
     base: dict[int, int] = {}
     acc = 0

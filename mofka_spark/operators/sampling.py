@@ -918,15 +918,27 @@ def curriculum_select(
     # exactly equal the sequential fold, so both paths return
     # identical rows.
     n_ranges = df.sparkSession.sparkContext.defaultParallelism
-    ranged = slice_.repartitionByRange(n_ranges, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint the _pid-stamped frame, not a leaked persist():
+    # it is read twice (per-partition totals collect + the returned
+    # filter), and RangePartitioner re-sampling on a recompute could
+    # re-draw range bounds — the checkpoint freezes _pid. GC-bounded
+    # (blocks reclaimed when the frame is collected), so repeated
+    # degenerate-bin calls in a long-lived session never accumulate
+    # cached blocks — same discipline as dedup.containment_candidates.
+    # Checkpointing BEFORE the window keeps the (partition-local)
+    # running-sum Sort in the returned plan; recomputing it twice over
+    # the bin slice is cheaper than pinning post-window blocks forever.
+    ranged = (
+        slice_.repartitionByRange(n_ranges, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("_pid").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, -1
     )
     local = ranged.withColumn(
         "_prior", F.coalesce(F.sum(weight_col).over(w), F.lit(0))
-    ).persist()
+    )
     ptotals = (
         local.groupBy("_pid").agg(F.sum(weight_col).alias("_t")).collect()
     )

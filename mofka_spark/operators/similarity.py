@@ -2025,36 +2025,46 @@ def search_pq_codes(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-PQ search against a write_pq_codes table: the union of the
-    queries' probe cells (driver-side — O(#queries x n_cells) float
-    math over the already-broadcast-sized query set) becomes a LITERAL
-    isin predicate on the ``cell`` partition column, so unprobed cell
-    directories are never opened (PartitionFilters at plan time, the
-    batch analog of streaming/pqindex.py search_pq_index); ivfpq_topk
-    then ranks the surviving code rows with its per-query probe filter
-    and ADC tables. Results are bit-identical to in-memory ivfpq_topk
-    over the same codes frame."""
+    queries' probe cells becomes a LITERAL isin predicate on the
+    ``cell`` partition column, so unprobed cell directories are never
+    opened (PartitionFilters at plan time, the batch analog of
+    streaming/pqindex.py search_pq_index); ivfpq_topk then ranks the
+    surviving code rows with its per-query probe filter and ADC
+    tables. Results are bit-identical to in-memory ivfpq_topk over the
+    same codes frame.
+
+    The probe union is computed ENGINE-SIDE: each query's nprobe
+    argmin cells come from the same literal-centroid dim-ordered fold
+    ivfpq_topk ranks with (array_sort over (dist, cell) structs — ties
+    to the lower cell, IEEE-identical to the driver loop it replaced),
+    then one explode+distinct collapses the corpus of probe lists to
+    at most n_cells rows before the only collect. No query VECTOR ever
+    reaches the driver here — only the O(n_cells) distinct cell ids —
+    so a 10k-query frame stays distributed through probe selection."""
     if nprobe <= 0:
         raise ValueError("search_pq_codes: nprobe must be positive")
     if not coarse_centroids:
         raise ValueError("search_pq_codes: empty coarse centroids")
-    qrows = (
-        queries.filter(F.col(vec_col).isNotNull())
-        .select(vec_col)
+    cand = F.array(
+        *[
+            F.struct(
+                _sqdist_to_literal(F.col(vec_col), c).alias("d"),
+                F.lit(j).cast("int").alias("cell"),
+            )
+            for j, c in enumerate(coarse_centroids)
+        ]
+    )
+    probe_cells = F.transform(
+        F.slice(F.array_sort(cand), 1, nprobe), lambda s: s["cell"]
+    )
+    probed = sorted(
+        r["cell"]
+        for r in queries.filter(F.col(vec_col).isNotNull())
+        .select(F.explode(probe_cells).alias("cell"))
+        .distinct()
         .collect()
     )
-    probed: set[int] = set()
-    for r in qrows:
-        v = [float(x) for x in r[0]]
-        cd = []
-        for cell, cent in enumerate(coarse_centroids):
-            acc = 0.0
-            for a, b in zip(v, cent):
-                acc += (a - b) * (a - b)
-            cd.append((acc, cell))
-        probed.update(c for _, c in sorted(cd)[:nprobe])
-    codes = spark.read.parquet(path).filter(
-        F.col("cell").isin(sorted(probed))
-    )
+    codes = spark.read.parquet(path).filter(F.col("cell").isin(probed))
     return ivfpq_topk(
         queries,
         codes,

@@ -785,6 +785,30 @@ class TestCurriculumSelect:
         # min==max range: single-bin path; ties resolve key-asc.
         assert sorted(r["id"] for r in out) == [0, 1, 2]
 
+    def test_distributed_path_leaves_no_unbounded_persist(self, spark):
+        # the distributed prefix-sum path must not leak a bare
+        # persist(): any block it pins must be a GC-bounded
+        # localCheckpoint (reclaimed when the frame is collected), so
+        # repeated degenerate-bin calls in a long-lived session don't
+        # accumulate cached blocks until memory pressure evicts them
+        from mofka_spark.operators.sampling import curriculum_select
+
+        sc = spark.sparkContext
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        rows = [(i, 1.0, (i % 5) + 1) for i in range(500)]
+        out = curriculum_select(
+            self._frame(spark, rows), "score", "w", "id", budget=700,
+            exact_bin_rows=100,
+        )
+        out.collect()
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in set(jmap.keySet().toArray()) - before:
+            jrdd = jmap.get(rid)
+            assert jrdd.rdd().isLocallyCheckpointed(), (
+                f"RDD {rid} pinned by a bare persist(), not a "
+                "GC-bounded localCheckpoint"
+            )
+
 
 class TestGroupTokenCap:
     def test_budget_enforced_per_group_with_one_row_overshoot(self, spark):
