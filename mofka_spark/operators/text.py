@@ -1998,14 +1998,19 @@ def hash_embed(
     the embedding is bit-reproducible by an external engine at any
     scale. Returns (id, embedding array<double>).
 
-    Scale shape: explode -> ONE (id, dim-index) partial-agg shuffle
-    (thin long rows; map-side combine collapses repeated tokens) ->
-    one per-doc map assembly; the dense array materializes in-row from
-    the sparse map, no spine join, no per-dim rows. _spread first: a
-    corpus arriving as one or two parquet splits would otherwise run
-    the CPU-bound tokenize/hash explode on as many tasks (measured
-    6.6x on the 10x single-file sf1 smoke before the spread; no-op on
-    a wide scan — the 100 TB case)."""
+    Scale shape: explode -> ONE id-keyed shuffle. For dim <= 256 the
+    per-dimension sums are ``dim`` conditional-sum agg columns in a
+    single codegen'd HashAggregate (map-side combine carries dim longs
+    per doc) — no collect_list, no object aggregation, no second
+    shuffle; the round-9 profile showed the former per-doc
+    map-from-entries assembly (an ObjectHashAggregate) was 80% of the
+    sf1 wall (3.5s -> 1.7s after, curve 4.0x -> ~1.4x). Wider dims
+    fall back to the sparse (id, dim-index) partial agg + in-row map
+    assembly (bounded agg state beats thousand-column plans there).
+    _spread first: a corpus arriving as one or two parquet splits
+    would otherwise run the CPU-bound tokenize/hash explode on as many
+    tasks (measured 6.6x on the 10x single-file sf1 smoke before the
+    spread; no-op on a wide scan — the 100 TB case)."""
     from mofka_spark.operators.dedup import _spread
     from mofka_spark.operators.sampling import hash_bucket
 
@@ -2015,11 +2020,23 @@ def hash_embed(
     )
     idx = hash_bucket(F.col("t"), salt, mod=dim)
     sign = F.lit(1) - F.lit(2) * hash_bucket(F.col("t"), salt + "#s", mod=2)
-    sparse = (
-        toks.select("id", idx.alias("d"), sign.alias("s"))
-        .groupBy("id", "d")
-        .agg(F.sum("s").cast("long").alias("v"))
-    )
+    hashed = toks.select("id", idx.alias("d"), sign.alias("s"))
+    if dim <= 256:
+        agg = hashed.groupBy("id").agg(
+            *[
+                F.sum(F.when(F.col("d") == k, F.col("s")).otherwise(0))
+                .cast("long")
+                .alias(f"_v{k}")
+                for k in range(dim)
+            ]
+        )
+        return agg.select(
+            "id",
+            F.array(
+                *[F.col(f"_v{k}").cast("double") for k in range(dim)]
+            ).alias("embedding"),
+        )
+    sparse = hashed.groupBy("id", "d").agg(F.sum("s").cast("long").alias("v"))
     assembled = sparse.groupBy("id").agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("d"), F.col("v")))
@@ -2033,4 +2050,241 @@ def hash_embed(
                 F.element_at("_m", d.cast("long")), F.lit(0)
             ).cast("double"),
         ).alias("embedding"),
+    )
+
+
+# --- Distributed BPE -----------------------------------------------------
+#
+# Byte-pair-encoding merge LEARNING (Sennrich et al. 2016, ACL —
+# public algorithm) re-expressed for Spark. The corpus collapses ONCE
+# to its Zipf-small (word, freq) table; every merge iteration then
+# runs on that bounded frame, never the corpus:
+#   - pair counting is one (lhs, rhs)-keyed partial-agg shuffle over
+#     the word table (adjacent-symbol structs exploded scan-locally);
+#   - the argmax is TakeOrderedAndProject (1 row to the driver — a
+#     bounded model-state fetch, like kmeans_fit_full's centroids);
+#   - applying the merge is a scan-local string replace on the
+#     segmentation column (narrow, no shuffle).
+# Segmentations are SEP-prefixed strings ("\x1fl\x1fo\x1fw"), so
+# "merge (a,b)" is replace(seg, SEP+a+SEP+b, SEP+a+b): both Spark and
+# external engines implement replace as LEFT-TO-RIGHT NON-OVERLAPPING
+# scan — exactly BPE's greedy application — and the prefix separator
+# makes a match possible only at a symbol boundary (a suffix of the
+# previous symbol can never fake the leading SEP+a).
+_BPE_SEP = "\x1f"
+
+
+def _bpe_seg0(word: Column) -> Column:
+    """Initial segmentation: SEP-prefixed characters."""
+    return F.concat(
+        F.lit(_BPE_SEP), F.array_join(F.split(word, ""), _BPE_SEP)
+    )
+
+
+def _bpe_pairs(seg: Column) -> Column:
+    """Adjacent symbol pairs of a segmentation, overlapping (the BPE
+    pair count: [a,a,a] contributes (a,a) twice)."""
+    syms = F.slice(F.split(seg, _BPE_SEP), 2, F.greatest(
+        F.size(F.split(seg, _BPE_SEP)) - 1, F.lit(0)
+    ))
+    n = F.size(syms)
+    return F.zip_with(
+        F.slice(syms, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(syms, 2, F.greatest(n - 1, F.lit(0))),
+        lambda l, r: F.struct(l.alias("lhs"), r.alias("rhs")),
+    )
+
+
+def bpe_word_freq(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The (word, freq) table BPE trains on — ONE corpus-collapsing
+    aggregate (the same partial-agg shape as build_vocab; Zipf makes
+    the result vocabulary-sized). Words containing the internal
+    separator (U+001F, a control char that never appears in text)
+    are dropped on both engines."""
+    from mofka_spark.operators.dedup import _spread
+
+    return (
+        _spread(df.filter(F.col(text_col).isNotNull()), text_col)
+        .select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .filter((F.col("word") != "") & ~F.col("word").contains(_BPE_SEP))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Learn BPE merges: the standard iterative pair-count/argmax/merge
+    loop, distributed. Returns the merge table (rank, lhs, rhs,
+    merged, pair_count) in learned order — rank 1 is the first merge.
+    Deterministic: ties break (pair_count desc, lhs asc, rhs asc), so
+    an external engine replaying the same greedy order reproduces the
+    table exactly. Stops early when no pair reaches
+    ``min_pair_count``.
+
+    Scale shape: the corpus is touched ONCE (bpe_word_freq); each of
+    the ``n_merges`` iterations is one bounded aggregate job over the
+    word table plus a narrow string replace. The per-iteration driver
+    fetch is a single row (the argmax pair). localCheckpoint every
+    ``checkpoint_every`` iterations keeps the replace-chain lineage
+    (and per-job planning time) bounded. Sequentiality is inherent to
+    BPE (merge k+1's counts depend on merge k's application); at
+    32k-merge production scale the per-job latency dominates and
+    batching non-conflicting merges is the known optimization — out
+    of scope here, the algorithm is the reference semantics."""
+    if n_merges <= 0:
+        raise ValueError("bpe_train: n_merges must be positive")
+    if min_pair_count < 1:
+        raise ValueError("bpe_train: min_pair_count must be >= 1")
+    spark = df.sparkSession
+    words = (
+        bpe_word_freq(df, text_col)
+        .withColumn("seg", _bpe_seg0(F.col("word")))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for it in range(1, n_merges + 1):
+        best = (
+            words.select(
+                F.explode(_bpe_pairs(F.col("seg"))).alias("p"), "freq"
+            )
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("freq").alias("cnt"))
+            .filter(F.col("cnt") >= min_pair_count)
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
+        merges.append((it, lhs, rhs, lhs + rhs, cnt))
+        words = words.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(_BPE_SEP + lhs + _BPE_SEP + rhs),
+                F.lit(_BPE_SEP + lhs + rhs),
+            ),
+        )
+        if it % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "rank int, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame | list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents into BPE pieces by replaying the learned
+    merges in rank order — TRAINING-REPLAY semantics: each merge is
+    applied once, globally, in the order it was learned (exactly how
+    training itself segmented the corpus, so encoding the training
+    corpus reproduces the final training segmentation bit-for-bit).
+    Returns scalar rows (id, word_pos, piece_pos, piece, token_id):
+    word_pos = token index in the document, piece_pos = piece index
+    within the word. token_id is deterministic: characters seen in
+    this corpus sorted asc take ids 1..A, merged symbols take
+    A+rank (duplicate merged strings — two pairs concatenating to the
+    same string — keep the lowest id); id 0 is reserved for OOV.
+
+    Scale shape: the merge table is vocab-sized MODEL STATE — it is
+    collected once and baked into the plan as a chain of
+    ``n_merges`` scan-local string replaces (no join, no shuffle on
+    the corpus); the token stream explodes scan-locally and only the
+    tiny vocab broadcasts for the id join. Bounded-merges contract:
+    the replace chain is one Catalyst expression per merge — fine for
+    the 10^2..10^3 merge tables this trains; a 32k-merge production
+    encode belongs in an Arrow-batched kernel."""
+    rows = (
+        merges.orderBy("rank").collect()
+        if isinstance(merges, DataFrame)
+        else [
+            r if not isinstance(r, dict) else (
+                r["rank"], r["lhs"], r["rhs"], r.get("merged"),
+            )
+            for r in merges
+        ]
+    )
+    ranked: list[tuple[int, str, str]] = []
+    for r in rows:
+        if isinstance(r, tuple):
+            ranked.append((int(r[0]), str(r[1]), str(r[2])))
+        else:
+            ranked.append((int(r["rank"]), str(r["lhs"]), str(r["rhs"])))
+    ranked.sort(key=lambda t: t[0])
+
+    from mofka_spark.operators.dedup import _spread
+
+    toks = (
+        _spread(df.filter(F.col(text_col).isNotNull()), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_tokens(F.col(text_col))).alias(
+                "word_pos", "word"
+            ),
+        )
+        .filter((F.col("word") != "") & ~F.col("word").contains(_BPE_SEP))
+    )
+    seg = _bpe_seg0(F.col("word"))
+    for _, lhs, rhs in ranked:
+        seg = F.replace(
+            seg,
+            F.lit(_BPE_SEP + lhs + _BPE_SEP + rhs),
+            F.lit(_BPE_SEP + lhs + rhs),
+        )
+    pieces = toks.select(
+        "id",
+        F.col("word_pos").cast("long").alias("word_pos"),
+        F.posexplode(
+            F.slice(
+                F.split(seg, _BPE_SEP),
+                2,
+                F.greatest(
+                    F.size(F.split(seg, _BPE_SEP)) - 1, F.lit(0)
+                ),
+            )
+        ).alias("piece_pos", "piece"),
+    ).withColumn("piece_pos", F.col("piece_pos").cast("long"))
+
+    # deterministic piece ids: corpus alphabet (chars asc) = 1..A,
+    # merged symbols = A + rank, duplicates keep the lowest id
+    alphabet = toks.select(
+        F.explode(F.split(F.col("word"), "")).alias("piece")
+    ).filter(F.col("piece") != "").distinct()
+    aw = Window.orderBy(F.asc("piece"))
+    alpha_ids = alphabet.select(
+        "piece", F.row_number().over(aw).cast("int").alias("token_id")
+    )
+    n_alpha = alpha_ids.count()
+    spark = df.sparkSession
+    merged_ids = spark.createDataFrame(
+        [(lhs + rhs, n_alpha + rank) for rank, lhs, rhs in ranked],
+        "piece string, token_id int",
+    )
+    vocab = (
+        alpha_ids.unionByName(merged_ids)
+        .groupBy("piece")
+        .agg(F.min("token_id").cast("int").alias("token_id"))
+    )
+    return pieces.join(F.broadcast(vocab), "piece", "left").select(
+        "id",
+        "word_pos",
+        "piece_pos",
+        "piece",
+        F.coalesce(F.col("token_id"), F.lit(0)).cast("int").alias(
+            "token_id"
+        ),
     )

@@ -8408,6 +8408,177 @@ def q_curriculum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Distributed BPE merge learning (operators/text.py bpe_train): the
+# Sennrich pair-count/argmax/merge loop on the Zipf-collapsed (word,
+# freq) table. Deterministic order (pair_count desc, lhs asc, rhs asc)
+# and greedy left-to-right merge application via string replace on
+# SEP-prefixed segmentations — replace() is a left-to-right
+# non-overlapping scan on BOTH engines, so the oracle replays the
+# whole training loop with a recursive CTE (one level per merge; the
+# recursive self-reference is the previous level's word table) and
+# lands on the identical merge sequence.
+@query(
+    "bpe_vocab",
+    r"""
+    WITH RECURSIVE
+    toks AS (
+      SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+             '\s+', ' ', 'g'), ' ')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+      WHERE word <> '' AND word NOT LIKE '%' || chr(31) || '%'
+      GROUP BY word
+    ),
+    base AS (
+      SELECT word, freq,
+             chr(31) || array_to_string(string_split(word, ''), chr(31))
+               AS seg
+      FROM wf
+    ),
+    steps(iter, word, freq, seg, lhs, rhs, cnt) AS (
+      SELECT 0, word, freq, seg, CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT iter + 1, word, freq,
+             replace(seg, chr(31) || best.lhs || chr(31) || best.rhs,
+                     chr(31) || best.lhs || best.rhs),
+             best.lhs, best.rhs, best.cnt
+      FROM steps, (
+        SELECT a AS lhs, b AS rhs, cnt FROM (
+          SELECT p.a, p.b, SUM(p.freq) AS cnt
+          FROM (
+            SELECT s.freq, s.syms[gs.i] AS a, s.syms[gs.i + 1] AS b
+            FROM (SELECT freq, string_split(seg, chr(31))[2:] AS syms
+                  FROM steps) s,
+                 UNNEST(generate_series(1, len(s.syms) - 1)) AS gs(i)
+          ) p
+          GROUP BY p.a, p.b
+        ) q
+        WHERE cnt >= 2
+        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+      ) best
+      WHERE iter < 16
+    )
+    SELECT DISTINCT CAST(iter AS INTEGER) AS rank, lhs, rhs,
+           lhs || rhs AS merged, cnt AS pair_count
+    FROM steps WHERE iter > 0
+    """,
+)
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=16)
+
+
+# BPE corpus encoding (operators/text.py bpe_encode): training-replay
+# semantics — each merge applied once, globally, in learned order, so
+# encoding the training corpus IS the final training segmentation. The
+# oracle therefore joins the recursive replay's final-iteration word
+# segmentations onto the token stream (no second recursion) and
+# assigns the same deterministic ids: corpus alphabet asc = 1..A,
+# merged symbols A+rank, duplicate strings keep the lowest id.
+@query(
+    "bpe_token_ids",
+    r"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    stream AS (
+      SELECT id, CAST(gs.i - 1 AS BIGINT) AS word_pos, ts[gs.i] AS word
+      FROM d, UNNEST(generate_series(1, len(ts))) AS gs(i)
+      WHERE ts[gs.i] <> ''
+        AND ts[gs.i] NOT LIKE '%' || chr(31) || '%'
+    ),
+    wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM stream
+      GROUP BY word
+    ),
+    base AS (
+      SELECT word, freq,
+             chr(31) || array_to_string(string_split(word, ''), chr(31))
+               AS seg
+      FROM wf
+    ),
+    steps(iter, word, freq, seg, lhs, rhs, cnt) AS (
+      SELECT 0, word, freq, seg, CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT iter + 1, word, freq,
+             replace(seg, chr(31) || best.lhs || chr(31) || best.rhs,
+                     chr(31) || best.lhs || best.rhs),
+             best.lhs, best.rhs, best.cnt
+      FROM steps, (
+        SELECT a AS lhs, b AS rhs, cnt FROM (
+          SELECT p.a, p.b, SUM(p.freq) AS cnt
+          FROM (
+            SELECT s.freq, s.syms[gs.i] AS a, s.syms[gs.i + 1] AS b
+            FROM (SELECT freq, string_split(seg, chr(31))[2:] AS syms
+                  FROM steps) s,
+                 UNNEST(generate_series(1, len(s.syms) - 1)) AS gs(i)
+          ) p
+          GROUP BY p.a, p.b
+        ) q
+        WHERE cnt >= 2
+        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+      ) best
+      WHERE iter < 16
+    ),
+    merges AS (
+      SELECT DISTINCT iter AS rank, lhs, rhs, lhs || rhs AS merged
+      FROM steps WHERE iter > 0
+    ),
+    final AS (
+      SELECT word, string_split(seg, chr(31))[2:] AS syms
+      FROM steps WHERE iter = (SELECT max(iter) FROM steps)
+    ),
+    alpha AS (
+      SELECT DISTINCT unnest(string_split(word, '')) AS piece FROM wf
+    ),
+    alpha_ids AS (
+      SELECT piece,
+             CAST(ROW_NUMBER() OVER (ORDER BY piece ASC) AS INTEGER)
+               AS token_id
+      FROM alpha WHERE piece <> ''
+    ),
+    vocab AS (
+      SELECT piece, CAST(MIN(token_id) AS INTEGER) AS token_id FROM (
+        SELECT piece, token_id FROM alpha_ids
+        UNION ALL
+        SELECT merged AS piece,
+               (SELECT COUNT(*) FROM alpha_ids) + rank AS token_id
+        FROM merges
+      ) GROUP BY piece
+    ),
+    pieces AS (
+      SELECT stream.id, stream.word_pos,
+             CAST(gs.i - 1 AS BIGINT) AS piece_pos,
+             final.syms[gs.i] AS piece
+      FROM stream
+      JOIN final USING (word),
+           UNNEST(generate_series(1, len(final.syms))) AS gs(i)
+    )
+    SELECT pieces.id, pieces.word_pos, pieces.piece_pos, pieces.piece,
+           COALESCE(vocab.token_id, 0) AS token_id
+    FROM pieces LEFT JOIN vocab ON pieces.piece = vocab.piece
+    """,
+)
+def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=16)
+    return bpe_encode(docs, merges)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

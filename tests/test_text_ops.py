@@ -894,3 +894,112 @@ class TestHashEmbed:
             [(1, "x"), (2, None)], "doc_id long, text string"
         )
         assert [r["id"] for r in hash_embed(df).collect()] == [1]
+
+
+class TestBpe:
+    CORPUS = (
+        "low low low low low lower lower newest newest newest "
+        "newest newest newest widest widest widest"
+    )
+
+    def _df(self, spark, text=None):
+        return spark.createDataFrame(
+            [(1, text or self.CORPUS)], "doc_id long, text string"
+        )
+
+    def test_merge_sequence_matches_hand_computed(self, spark):
+        # the classic Sennrich example corpus: low x5, lower x2,
+        # newest x6, widest x3 — merge sequence derived by hand
+        # (pair_count desc, lhs asc, rhs asc ties)
+        from mofka_spark.operators.text import bpe_train
+
+        got = [
+            (r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+            for r in bpe_train(self._df(spark), n_merges=8)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == [
+            (1, "e", "s", "es", 9),
+            (2, "es", "t", "est", 9),
+            (3, "l", "o", "lo", 7),
+            (4, "lo", "w", "low", 7),
+            (5, "e", "w", "ew", 6),
+            (6, "ew", "est", "ewest", 6),
+            (7, "n", "ewest", "newest", 6),
+            (8, "d", "est", "dest", 3),
+        ]
+
+    def test_overlapping_pairs_counted_greedy_applied(self, spark):
+        # "aaaa" x3: pair (a,a) counts OVERLAPPING (3 per word = 9);
+        # application is greedy left-to-right ((aa)(aa), never a(aa)a),
+        # so the next round's top pair is (aa,aa) at count 3
+        from mofka_spark.operators.text import bpe_train
+
+        got = [
+            (r["lhs"], r["rhs"], r["pair_count"])
+            for r in bpe_train(
+                self._df(spark, "aaaa aaaa aaaa"), n_merges=2
+            ).orderBy("rank").collect()
+        ]
+        assert got == [("a", "a", 9), ("aa", "aa", 3)]
+
+    def test_early_stop_below_min_pair_count(self, spark):
+        # every pair unique -> nothing reaches min_pair_count=2
+        from mofka_spark.operators.text import bpe_train
+
+        m = bpe_train(self._df(spark, "abc def"), n_merges=5)
+        assert m.count() == 0
+
+    def test_encode_reproduces_training_segmentation(self, spark):
+        from mofka_spark.operators.text import bpe_encode, bpe_train
+
+        df = self._df(spark)
+        merges = bpe_train(df, n_merges=8)
+        enc = bpe_encode(df, merges).orderBy("word_pos", "piece_pos")
+        by_word = {}
+        for r in enc.collect():
+            by_word.setdefault(r["word_pos"], []).append(r["piece"])
+        # corpus word order: low x5, lower x2, newest x6, widest x3
+        assert by_word[0] == ["low"]
+        assert by_word[5] == ["low", "e", "r"]
+        assert by_word[7] == ["newest"]
+        assert by_word[13] == ["w", "i", "dest"]
+
+    def test_encode_token_ids_deterministic(self, spark):
+        # alphabet d,e,i,l,n,o,r,s,t,w -> ids 1..10 asc; merges 11..18
+        from mofka_spark.operators.text import bpe_encode, bpe_train
+
+        df = self._df(spark)
+        enc = bpe_encode(df, bpe_train(df, n_merges=8))
+        ids = {r["piece"]: r["token_id"] for r in enc.collect()}
+        assert ids["low"] == 10 + 4  # 4th merge
+        assert ids["e"] == 2 and ids["r"] == 7
+        assert ids["newest"] == 10 + 7
+
+    def test_encode_accepts_merge_list_and_handles_unseen(self, spark):
+        # encoding a corpus with merges learned elsewhere: unseen
+        # chars get OOV id 0; applicable merges still apply
+        from mofka_spark.operators.text import bpe_encode
+
+        df = self._df(spark, "lox qq")
+        enc = bpe_encode(df, [(1, "l", "o"), (2, "lo", "x")])
+        got = {
+            (r["word_pos"], r["piece_pos"]): (r["piece"], r["token_id"])
+            for r in enc.collect()
+        }
+        # alphabet of THIS corpus: l,o,q,x -> 1..4; merges: lo=5, lox=6
+        assert got[(0, 0)] == ("lox", 6)
+        assert got[(1, 0)] == ("q", 3) and got[(1, 1)] == ("q", 3)
+
+    def test_train_leaves_only_gc_bounded_blocks(self, spark):
+        # the iteration checkpoints must be localCheckpoints (GC-
+        # reclaimed), never bare persists
+        from mofka_spark.operators.text import bpe_train
+
+        sc = spark.sparkContext
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        bpe_train(self._df(spark), n_merges=3).collect()
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in set(jmap.keySet().toArray()) - before:
+            assert jmap.get(rid).rdd().isLocallyCheckpointed()
