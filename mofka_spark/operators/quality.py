@@ -557,3 +557,113 @@ def k_anonymity(
             >= F.least(F.lit(k), F.col("group_size")),
         )
     return out
+
+
+# --- Batched classifier inference ----------------------------------------
+
+#: Stopword inventory the default scorer shares with the language-ID
+#: heuristic's English row (text.LANG_STOPWORDS["en"]).
+_SCORER_STOPWORDS = ("the", "and", "of", "to", "in")
+_SCORER_PUNCT = ".,!?;:"
+
+
+def default_text_scorer(texts):
+    """The built-in deterministic scorer: a fixed-weight rational
+    heuristic over cheap text features (stopword density favored,
+    punctuation soup penalized) — a stand-in with the same call shape
+    as a real quality classifier (pandas.Series[str] ->
+    pandas.Series[float64]). Pure rational arithmetic in a fixed
+    operand order, so an external engine computing the same tree
+    reproduces every score bit-for-bit (no transcendentals, no
+    library-dependent rounding — gates round ENGINE-side, not here).
+    Feature semantics mirror the repo tokenizer (lower, trim of
+    SPACES only, split on \\s+, drop empty tokens)."""
+    low = texts.str.lower().str.strip(" ")
+    toks = low.str.split(r"\s+", regex=True)
+    nt = toks.apply(lambda l: sum(1 for t in l if t != ""))
+    sw = toks.apply(
+        lambda l: sum(1 for t in l if t in _SCORER_STOPWORDS)
+    )
+    pu = texts.apply(lambda s: sum(s.count(c) for c in _SCORER_PUNCT))
+    ln = texts.str.len()
+    return (2.0 * sw + 1.0) / (nt + 3.0) - pu / (ln + 10.0)
+
+
+def classifier_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scorer=None,
+    score_col: str = "score",
+    keep_cols: bool = False,
+) -> DataFrame:
+    """Batched text-classifier INFERENCE stage — the quality-classifier
+    filtering step of a modern pretraining pipeline (FineWeb-Edu-style:
+    score every document with a small model, keep the top band). The
+    Spark-side plumbing is the production shape and is what the gate
+    pins: only the needed columns flow to Python (column pruning),
+    batches arrive as Arrow record batches via mapInPandas, the stage
+    parallelizes per input partition with NO shuffle, and the scorer is
+    a per-batch vectorized hook — plug a real model by passing
+    ``scorer`` (load weights lazily inside the callable: module-level
+    cache, one load per worker process; the decode_images
+    decoder-injection pattern, operators/modality.py).
+
+    ``scorer``: Callable[[pandas.Series[str]], pandas.Series[float]].
+    Defaults to :func:`default_text_scorer` (deterministic,
+    oracle-reproducible). Returns (id, score) — or every input column
+    plus ``score_col`` when ``keep_cols`` (the filter-pipeline shape:
+    the document rides along, still zero shuffles).
+
+    Composes directly with blend_scores (a classifier score is one
+    more signal) and curriculum_select / classifier_filter (threshold
+    selection)."""
+    scorer = scorer or default_text_scorer
+    base = df.filter(F.col(text_col).isNotNull())
+    if keep_cols:
+        in_df = base
+        out_schema = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields]
+            + [f"`{score_col}` double"]
+        )
+    else:
+        in_df = base.select(id_col, text_col)
+        id_type = base.schema[id_col].dataType.simpleString()
+        out_schema = f"`id` {id_type}, `{score_col}` double"
+
+    id_name = id_col if keep_cols else "id"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            scores = pd.Series(scorer(pdf[text_col]), dtype="float64")
+            if keep_cols:
+                out = pdf.copy()
+                out[score_col] = scores
+            else:
+                out = pd.DataFrame(
+                    {id_name: pdf[id_col], score_col: scores}
+                )
+            yield out
+
+    return in_df.mapInPandas(run, out_schema)
+
+
+def classifier_filter(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scorer=None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Keep documents whose classifier score clears ``threshold`` —
+    the FineWeb-Edu selection step. Every input column rides through
+    the scoring stage (keep_cols plumbing), so the output is the
+    filtered corpus plus its scores: zero shuffles, one Python stage,
+    filter applied engine-side after it."""
+    scored = classifier_scores(
+        df, id_col, text_col, scorer, score_col, keep_cols=True
+    )
+    return scored.filter(F.col(score_col) >= float(threshold))

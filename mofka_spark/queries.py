@@ -8579,6 +8579,47 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+# Batched classifier inference (operators/quality.py
+# classifier_scores): the FineWeb-Edu-style quality-classifier stage —
+# Arrow-batched mapInPandas with a pluggable vectorized scorer. The
+# gate pins the PLUMBING (pruned columns into Python, fixed output
+# schema, no shuffle) with the deterministic default scorer: a
+# fixed-weight rational heuristic whose operand order is written
+# identically in the oracle, so scores are bit-identical before the
+# engine-side 6dp round.
+@query(
+    "classifier_scores",
+    r"""
+    WITH t AS (
+      SELECT doc_id AS id, text,
+             string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ), f AS (
+      SELECT id,
+             len(list_filter(ts, x -> x <> '')) AS nt,
+             len(list_filter(ts,
+                 x -> x IN ('the','and','of','to','in'))) AS sw,
+             length(text)
+               - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS pu,
+             length(text) AS ln
+      FROM t
+    )
+    SELECT id,
+           0.0 + ROUND((2.0 * sw + 1.0) / (nt + 3.0)
+                       - pu / (ln + 10.0), 6) AS score
+    FROM f
+    """,
+)
+def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.quality import classifier_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return classifier_scores(docs).select(
+        "id", (F.round("score", 6) + F.lit(0.0)).alias("score")
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

@@ -441,3 +441,79 @@ class TestKAnonymity:
         df = spark.createDataFrame([("a",)], "qi string")
         with pytest.raises(ValueError):
             k_anonymity(df, [], k=2)
+
+
+class TestClassifierScores:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the cat and the dog went to the park in peace"),
+                (2, "buy!!! now!!! click;;; here... cheap,,, deals???"),
+                (3, None),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_default_scorer_ranks_prose_over_punct_soup(self, spark):
+        from mofka_spark.operators.quality import classifier_scores
+
+        out = {r["id"]: r["score"] for r in
+               classifier_scores(self._docs(spark)).collect()}
+        assert set(out) == {1, 2, 4}  # NULL text dropped, empty kept
+        assert out[1] > out[2]
+
+    def test_default_scorer_arithmetic(self, spark):
+        # doc 1: 11 tokens, 6 stopword hits (the x3, and, to, in),
+        # 0 punct -> (2*6+1)/(11+3) - 0 = 13/14
+        from mofka_spark.operators.quality import classifier_scores
+
+        row = {r["id"]: r["score"] for r in
+               classifier_scores(self._docs(spark)).collect()}
+        assert row[1] == pytest.approx(13.0 / 14.0, abs=1e-12)
+        # empty text: 0 tokens -> 1/3 exactly
+        assert row[4] == pytest.approx(1.0 / 3.0, abs=1e-12)
+
+    def test_custom_scorer_hook(self, spark):
+        from mofka_spark.operators.quality import classifier_scores
+
+        def scorer(texts):
+            return texts.str.len().astype("float64")
+
+        out = {r["id"]: r["score"] for r in
+               classifier_scores(self._docs(spark), scorer=scorer).collect()}
+        assert out[4] == 0.0 and out[1] == 45.0
+
+    def test_keep_cols_and_filter(self, spark):
+        from mofka_spark.operators.quality import (
+            classifier_filter, classifier_scores,
+        )
+
+        scored = classifier_scores(self._docs(spark), keep_cols=True)
+        assert scored.columns == ["doc_id", "text", "score"]
+        kept = classifier_filter(self._docs(spark), threshold=0.5)
+        assert [r["doc_id"] for r in kept.collect()] == [1]
+        assert "text" in kept.columns  # the document rides through
+
+    def test_no_shuffle_in_plan(self, spark):
+        # inference is scan-local: Arrow batches per input partition,
+        # no Exchange anywhere in the scoring stage
+        from mofka_spark.operators.quality import classifier_scores
+
+        plan = (
+            classifier_scores(self._docs(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "MapInPandas" in plan
+
+    def test_composes_with_blend_scores(self, spark):
+        from mofka_spark.operators.quality import (
+            blend_scores, classifier_scores,
+        )
+
+        sigs = classifier_scores(self._docs(spark)).withColumnRenamed(
+            "id", "doc_id"
+        )
+        out = blend_scores(sigs, {"score": 1.0})
+        assert out.count() == 3
