@@ -876,3 +876,100 @@ class TestBlendScoresProperties:
         for x, y in zip(rows, rows[1:]):
             if byid[x][0] < byid[y][0]:
                 assert out[x]["pr_a"] <= out[y]["pr_a"]
+
+
+def _py_bpe(word_freq: dict, n_merges: int, min_pair: int = 2):
+    """Pure-Python Sennrich BPE trainer (the spec bpe_train must
+    match): overlapping pair counts, (count desc, lhs asc, rhs asc)
+    argmax, greedy left-to-right application."""
+    segs = {w: list(w) for w in word_freq}
+    merges = []
+    for it in range(n_merges):
+        counts: dict = {}
+        for w, f in word_freq.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                k = (s[i], s[i + 1])
+                counts[k] = counts.get(k, 0) + f
+        cands = [
+            (c, a, b) for (a, b), c in counts.items() if c >= min_pair
+        ]
+        if not cands:
+            break
+        cands.sort(key=lambda t: (-t[0], t[1], t[2]))
+        cnt, a, b = cands[0]
+        merges.append((it + 1, a, b, a + b, cnt))
+        for w in segs:
+            s = segs[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+class TestBpeProperties:
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        words=st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            min_size=1,
+            max_size=12,
+        ),
+        reps=st.lists(st.integers(1, 5), min_size=12, max_size=12),
+    )
+    def test_train_matches_python_reference(self, spark, words, reps):
+        # arbitrary small corpora: distributed bpe_train must replay
+        # the exact Sennrich merge sequence, including ties and
+        # overlapping pairs (e.g. runs of one character)
+        from mofka_spark.operators.text import bpe_train
+
+        corpus = " ".join(w for w, r in zip(words, reps) for _ in range(r))
+        wf: dict = {}
+        for w in corpus.split():
+            wf[w] = wf.get(w, 0) + 1
+        ref, _ = _py_bpe(wf, n_merges=4)
+        df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+        got = [
+            (r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+            for r in bpe_train(df, n_merges=4).orderBy("rank").collect()
+        ]
+        assert got == ref
+
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        words=st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=5),
+            min_size=2,
+            max_size=8,
+        ),
+    )
+    def test_encode_matches_training_segmentation(self, spark, words):
+        # training-replay semantics: encoding the training corpus must
+        # reproduce the Python reference's final segmentation
+        from mofka_spark.operators.text import bpe_encode, bpe_train
+
+        corpus = " ".join(words + words)  # every word appears >= 2x
+        wf: dict = {}
+        for w in corpus.split():
+            wf[w] = wf.get(w, 0) + 1
+        _, ref_segs = _py_bpe(wf, n_merges=3)
+        df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+        merges = bpe_train(df, n_merges=3)
+        enc = bpe_encode(df, merges).collect()
+        got: dict = {}
+        for r in enc:
+            got.setdefault(r["word_pos"], []).append(
+                (r["piece_pos"], r["piece"])
+            )
+        toks = corpus.split()
+        for wpos, pieces in got.items():
+            pieces = [p for _, p in sorted(pieces)]
+            assert pieces == ref_segs[toks[wpos]]
