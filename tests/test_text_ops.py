@@ -1003,3 +1003,22 @@ class TestBpe:
         jmap = sc._jsc.getPersistentRDDs()
         for rid in set(jmap.keySet().toArray()) - before:
             assert jmap.get(rid).rdd().isLocallyCheckpointed()
+
+    def test_unicode_codepoint_segmentation(self, spark):
+        # char segmentation is by CODE POINT in both engines (verified
+        # incl. non-BMP: Spark split('', '') == DuckDB string_split
+        # '' on 'a<emoji>b'); a multibyte corpus must train the same
+        # merges the pure-Python (code-point) reference computes
+        from mofka_spark.operators.text import bpe_train
+
+        got = [
+            (r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+            for r in bpe_train(
+                self._df(spark, "héé wörld héé wörld héé"), n_merges=2
+            ).orderBy("rank").collect()
+        ]
+        # hand-computed: héé x3 -> pairs (h,é)x3, (é,é)x3 tie ->
+        # lhs asc: (h,é) wins? 'h' < 'é' in code-point order (h=0x68,
+        # é=0xE9) -> (h,é) first; then (hé,é) x3
+        assert got[0] == ("h", "é", "hé", 3)
+        assert got[1] == ("hé", "é", "héé", 3)
