@@ -2065,28 +2065,52 @@ def hash_embed(
 #     bounded model-state fetch, like kmeans_fit_full's centroids);
 #   - applying the merge is a scan-local string replace on the
 #     segmentation column (narrow, no shuffle).
-# Segmentations are SEP-prefixed strings ("\x1fl\x1fo\x1fw"), so
-# "merge (a,b)" is replace(seg, SEP+a+SEP+b, SEP+a+b): both Spark and
+# Segmentations are strings with every symbol WRAPPED in separators
+# ("\x1fl\x1f\x1fo\x1f\x1fw\x1f"), so "merge (a,b)" is
+# replace(seg, SEP+a+SEP + SEP+b+SEP, SEP+a+b+SEP): both Spark and
 # external engines implement replace as LEFT-TO-RIGHT NON-OVERLAPPING
-# scan — exactly BPE's greedy application — and the prefix separator
-# makes a match possible only at a symbol boundary (a suffix of the
-# previous symbol can never fake the leading SEP+a).
+# scan — exactly BPE's greedy application. The wrap anchors BOTH ends
+# of both symbols: a prefix-only separator would let pattern
+# SEP+b+SEP+b match seg SEP+b+SEP+ba (symbol "ba" merely STARTS with
+# "b") and mis-merge — a real bug hypothesis found on the corpus
+# {ba, bba, bb}; and because adjacent symbols contribute their OWN
+# separators (two between neighbors), consecutive matches never share
+# a character, so "abab" + merge (a,b) correctly yields (ab)(ab).
+# Scheme fuzz-verified against the pure-Python reference on 3000
+# corpora over {a,b} (the prefix-pathology-dense alphabet).
 _BPE_SEP = "\x1f"
 
 
 def _bpe_seg0(word: Column) -> Column:
-    """Initial segmentation: SEP-prefixed characters."""
-    return F.concat(
-        F.lit(_BPE_SEP), F.array_join(F.split(word, ""), _BPE_SEP)
+    """Initial segmentation: each character wrapped as SEP+c+SEP."""
+    return F.array_join(
+        F.transform(
+            F.split(word, ""),
+            lambda c: F.concat(F.lit(_BPE_SEP), c, F.lit(_BPE_SEP)),
+        ),
+        "",
+    )
+
+
+def _bpe_syms(seg: Column) -> Column:
+    """Parse a segmentation back to its symbol array (split on SEP,
+    drop the empty strings the wrapping produces)."""
+    return F.filter(F.split(seg, _BPE_SEP), lambda x: x != "")
+
+
+def _bpe_merge_expr(seg: Column, lhs: str, rhs: str) -> Column:
+    """Apply one merge to a segmentation string."""
+    return F.replace(
+        seg,
+        F.lit(_BPE_SEP + lhs + _BPE_SEP + _BPE_SEP + rhs + _BPE_SEP),
+        F.lit(_BPE_SEP + lhs + rhs + _BPE_SEP),
     )
 
 
 def _bpe_pairs(seg: Column) -> Column:
     """Adjacent symbol pairs of a segmentation, overlapping (the BPE
     pair count: [a,a,a] contributes (a,a) twice)."""
-    syms = F.slice(F.split(seg, _BPE_SEP), 2, F.greatest(
-        F.size(F.split(seg, _BPE_SEP)) - 1, F.lit(0)
-    ))
+    syms = _bpe_syms(seg)
     n = F.size(syms)
     return F.zip_with(
         F.slice(syms, 1, F.greatest(n - 1, F.lit(0))),
@@ -2167,12 +2191,7 @@ def bpe_train(
         lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
         merges.append((it, lhs, rhs, lhs + rhs, cnt))
         words = words.withColumn(
-            "seg",
-            F.replace(
-                F.col("seg"),
-                F.lit(_BPE_SEP + lhs + _BPE_SEP + rhs),
-                F.lit(_BPE_SEP + lhs + rhs),
-            ),
+            "seg", _bpe_merge_expr(F.col("seg"), lhs, rhs)
         )
         if it % checkpoint_every == 0:
             words = words.localCheckpoint(eager=True)
@@ -2182,32 +2201,10 @@ def bpe_train(
     )
 
 
-def bpe_encode(
-    df: DataFrame,
-    merges: DataFrame | list,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Encode documents into BPE pieces by replaying the learned
-    merges in rank order — TRAINING-REPLAY semantics: each merge is
-    applied once, globally, in the order it was learned (exactly how
-    training itself segmented the corpus, so encoding the training
-    corpus reproduces the final training segmentation bit-for-bit).
-    Returns scalar rows (id, word_pos, piece_pos, piece, token_id):
-    word_pos = token index in the document, piece_pos = piece index
-    within the word. token_id is deterministic: characters seen in
-    this corpus sorted asc take ids 1..A, merged symbols take
-    A+rank (duplicate merged strings — two pairs concatenating to the
-    same string — keep the lowest id); id 0 is reserved for OOV.
-
-    Scale shape: the merge table is vocab-sized MODEL STATE — it is
-    collected once and baked into the plan as a chain of
-    ``n_merges`` scan-local string replaces (no join, no shuffle on
-    the corpus); the token stream explodes scan-locally and only the
-    tiny vocab broadcasts for the id join. Bounded-merges contract:
-    the replace chain is one Catalyst expression per merge — fine for
-    the 10^2..10^3 merge tables this trains; a 32k-merge production
-    encode belongs in an Arrow-batched kernel."""
+def _bpe_ranked(merges: "DataFrame | list") -> list[tuple[int, str, str]]:
+    """Normalize a merge table (DataFrame / list of tuples or dicts)
+    to a rank-sorted [(rank, lhs, rhs)] list — vocab-sized model
+    state, the one bounded collect in the encode path."""
     rows = (
         merges.orderBy("rank").collect()
         if isinstance(merges, DataFrame)
@@ -2225,6 +2222,112 @@ def bpe_encode(
         else:
             ranked.append((int(r["rank"]), str(r["lhs"]), str(r["rhs"])))
     ranked.sort(key=lambda t: t[0])
+    return ranked
+
+
+def _bpe_apply_kernel(ranked: list[tuple[int, str, str]]):
+    """Arrow-batch kernel applying merges in rank order to each word —
+    the SAME training-replay semantics as the replace chain, one
+    Python pass instead of n_merges Catalyst expressions. Per word:
+    iterate merges in rank order, skipping any whose lhs/rhs symbol
+    is absent from the word's current symbol set (O(1) membership —
+    almost every merge skips for a short word), greedy left-to-right
+    when it applies. Distinct words are memoized per batch (Zipf: the
+    token stream repeats a small vocabulary), so the per-word cost is
+    paid once per TYPE, not per occurrence."""
+    plain = [(a, b, a + b) for _, a, b in ranked]
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        if len(syms) > 1:
+            symset = set(syms)
+            for a, b, m in plain:
+                if a not in symset or b not in symset:
+                    continue
+                out, i, n, changed = [], 0, len(syms), False
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(m)
+                        i += 2
+                        changed = True
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                if changed:
+                    syms = out
+                    if len(syms) == 1:
+                        break
+                    symset = set(syms)
+        return syms
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, wpos, ppos, pieces = [], [], [], []
+            for i, w, p in zip(
+                pdf["id"], pdf["word_pos"], pdf["word"]
+            ):
+                segs = cache.get(p)
+                if segs is None:
+                    segs = encode_word(p)
+                    cache[p] = segs
+                ids.extend([i] * len(segs))
+                wpos.extend([w] * len(segs))
+                ppos.extend(range(len(segs)))
+                pieces.extend(segs)
+            yield pd.DataFrame(
+                {
+                    # inherit the id dtype so empty batches (object
+                    # inference) still convert to the declared schema
+                    "id": pd.Series(ids, dtype=pdf["id"].dtype),
+                    "word_pos": pd.Series(wpos, dtype="int64"),
+                    "piece_pos": pd.Series(ppos, dtype="int64"),
+                    "piece": pd.Series(pieces, dtype="object"),
+                }
+            )
+
+    return run
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame | list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "replace",
+) -> DataFrame:
+    """Encode documents into BPE pieces by replaying the learned
+    merges in rank order — TRAINING-REPLAY semantics: each merge is
+    applied once, globally, in the order it was learned (exactly how
+    training itself segmented the corpus, so encoding the training
+    corpus reproduces the final training segmentation bit-for-bit).
+    Returns scalar rows (id, word_pos, piece_pos, piece, token_id):
+    word_pos = token index in the document, piece_pos = piece index
+    within the word. token_id is deterministic: characters seen in
+    this corpus sorted asc take ids 1..A, merged symbols take
+    A+rank (duplicate merged strings — two pairs concatenating to the
+    same string — keep the lowest id); id 0 is reserved for OOV.
+
+    Scale shape: the merge table is vocab-sized MODEL STATE —
+    collected once; the token stream explodes scan-locally and only
+    the tiny vocab broadcasts for the id join; zero corpus shuffles
+    either way. ``method`` picks how merges apply:
+
+    - ``"replace"`` (default, the gate path): a chain of
+      ``n_merges`` scan-local string replaces baked into the plan —
+      pure JVM/codegen, exactly reproducible by an external engine's
+      replace(). Bounded-merges contract: one Catalyst expression per
+      merge, right for the 10^2..10^3 tables the gates train.
+    - ``"arrow"`` (the 32k-merge production path): one Arrow-batched
+      mapInPandas kernel applying the same rank-order greedy replay
+      per word, memoized per DISTINCT word within each batch (Zipf:
+      cost per type, not per occurrence; symbol-set membership skips
+      the merges a word can't contain). Bit-identical output —
+      pinned by pytest over random corpora and by the shared vocab
+      join."""
+    ranked = _bpe_ranked(merges)
 
     from mofka_spark.operators.dedup import _spread
 
@@ -2238,26 +2341,26 @@ def bpe_encode(
         )
         .filter((F.col("word") != "") & ~F.col("word").contains(_BPE_SEP))
     )
-    seg = _bpe_seg0(F.col("word"))
-    for _, lhs, rhs in ranked:
-        seg = F.replace(
-            seg,
-            F.lit(_BPE_SEP + lhs + _BPE_SEP + rhs),
-            F.lit(_BPE_SEP + lhs + rhs),
+    if method == "arrow":
+        id_type = toks.schema["id"].dataType.simpleString()
+        pieces = toks.select(
+            "id", F.col("word_pos").cast("long").alias("word_pos"), "word"
+        ).mapInPandas(
+            _bpe_apply_kernel(ranked),
+            f"`id` {id_type}, `word_pos` long, `piece_pos` long, "
+            "`piece` string",
         )
-    pieces = toks.select(
-        "id",
-        F.col("word_pos").cast("long").alias("word_pos"),
-        F.posexplode(
-            F.slice(
-                F.split(seg, _BPE_SEP),
-                2,
-                F.greatest(
-                    F.size(F.split(seg, _BPE_SEP)) - 1, F.lit(0)
-                ),
-            )
-        ).alias("piece_pos", "piece"),
-    ).withColumn("piece_pos", F.col("piece_pos").cast("long"))
+    elif method == "replace":
+        seg = _bpe_seg0(F.col("word"))
+        for _, lhs, rhs in ranked:
+            seg = _bpe_merge_expr(seg, lhs, rhs)
+        pieces = toks.select(
+            "id",
+            F.col("word_pos").cast("long").alias("word_pos"),
+            F.posexplode(_bpe_syms(seg)).alias("piece_pos", "piece"),
+        ).withColumn("piece_pos", F.col("piece_pos").cast("long"))
+    else:
+        raise ValueError(f"bpe_encode: unknown method {method!r}")
 
     # deterministic piece ids: corpus alphabet (chars asc) = 1..A,
     # merged symbols = A + rank, duplicates keep the lowest id
@@ -2273,7 +2376,7 @@ def bpe_encode(
     merged_ids = spark.createDataFrame(
         [(lhs + rhs, n_alpha + rank) for rank, lhs, rhs in ranked],
         "piece string, token_id int",
-    )
+    ) if ranked else spark.createDataFrame([], "piece string, token_id int")
     vocab = (
         alpha_ids.unionByName(merged_ids)
         .groupBy("piece")

@@ -8412,7 +8412,7 @@ def q_curriculum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sennrich pair-count/argmax/merge loop on the Zipf-collapsed (word,
 # freq) table. Deterministic order (pair_count desc, lhs asc, rhs asc)
 # and greedy left-to-right merge application via string replace on
-# SEP-prefixed segmentations — replace() is a left-to-right
+# SEP-wrapped segmentations (both ends anchored) — replace() is a left-to-right
 # non-overlapping scan on BOTH engines, so the oracle replays the
 # whole training loop with a recursive CTE (one level per merge; the
 # recursive self-reference is the previous level's word table) and
@@ -8433,8 +8433,8 @@ def q_curriculum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     base AS (
       SELECT word, freq,
-             chr(31) || array_to_string(string_split(word, ''), chr(31))
-               AS seg
+             array_to_string(list_transform(string_split(word, ''),
+                    c -> chr(31) || c || chr(31)), '') AS seg
       FROM wf
     ),
     steps(iter, word, freq, seg, lhs, rhs, cnt) AS (
@@ -8443,15 +8443,16 @@ def q_curriculum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
       UNION ALL
       SELECT iter + 1, word, freq,
-             replace(seg, chr(31) || best.lhs || chr(31) || best.rhs,
-                     chr(31) || best.lhs || best.rhs),
+             replace(seg, chr(31) || best.lhs || chr(31)
+                          || chr(31) || best.rhs || chr(31),
+                     chr(31) || best.lhs || best.rhs || chr(31)),
              best.lhs, best.rhs, best.cnt
       FROM steps, (
         SELECT a AS lhs, b AS rhs, cnt FROM (
           SELECT p.a, p.b, SUM(p.freq) AS cnt
           FROM (
             SELECT s.freq, s.syms[gs.i] AS a, s.syms[gs.i + 1] AS b
-            FROM (SELECT freq, string_split(seg, chr(31))[2:] AS syms
+            FROM (SELECT freq, list_filter(string_split(seg, chr(31)), x -> x <> '') AS syms
                   FROM steps) s,
                  UNNEST(generate_series(1, len(s.syms) - 1)) AS gs(i)
           ) p
@@ -8503,8 +8504,8 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     base AS (
       SELECT word, freq,
-             chr(31) || array_to_string(string_split(word, ''), chr(31))
-               AS seg
+             array_to_string(list_transform(string_split(word, ''),
+                    c -> chr(31) || c || chr(31)), '') AS seg
       FROM wf
     ),
     steps(iter, word, freq, seg, lhs, rhs, cnt) AS (
@@ -8513,15 +8514,16 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
       UNION ALL
       SELECT iter + 1, word, freq,
-             replace(seg, chr(31) || best.lhs || chr(31) || best.rhs,
-                     chr(31) || best.lhs || best.rhs),
+             replace(seg, chr(31) || best.lhs || chr(31)
+                          || chr(31) || best.rhs || chr(31),
+                     chr(31) || best.lhs || best.rhs || chr(31)),
              best.lhs, best.rhs, best.cnt
       FROM steps, (
         SELECT a AS lhs, b AS rhs, cnt FROM (
           SELECT p.a, p.b, SUM(p.freq) AS cnt
           FROM (
             SELECT s.freq, s.syms[gs.i] AS a, s.syms[gs.i + 1] AS b
-            FROM (SELECT freq, string_split(seg, chr(31))[2:] AS syms
+            FROM (SELECT freq, list_filter(string_split(seg, chr(31)), x -> x <> '') AS syms
                   FROM steps) s,
                  UNNEST(generate_series(1, len(s.syms) - 1)) AS gs(i)
           ) p
@@ -8537,7 +8539,7 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM steps WHERE iter > 0
     ),
     final AS (
-      SELECT word, string_split(seg, chr(31))[2:] AS syms
+      SELECT word, list_filter(string_split(seg, chr(31)), x -> x <> '') AS syms
       FROM steps WHERE iter = (SELECT max(iter) FROM steps)
     ),
     alpha AS (
@@ -8623,8 +8625,8 @@ _BPE_REPLAY_CTE = r"""
     ),
     base AS (
       SELECT word, freq,
-             chr(31) || array_to_string(string_split(word, ''), chr(31))
-               AS seg
+             array_to_string(list_transform(string_split(word, ''),
+                    c -> chr(31) || c || chr(31)), '') AS seg
       FROM wf
     ),
     steps(iter, word, freq, seg, lhs, rhs, cnt) AS (
@@ -8633,15 +8635,16 @@ _BPE_REPLAY_CTE = r"""
       FROM base
       UNION ALL
       SELECT iter + 1, word, freq,
-             replace(seg, chr(31) || best.lhs || chr(31) || best.rhs,
-                     chr(31) || best.lhs || best.rhs),
+             replace(seg, chr(31) || best.lhs || chr(31)
+                          || chr(31) || best.rhs || chr(31),
+                     chr(31) || best.lhs || best.rhs || chr(31)),
              best.lhs, best.rhs, best.cnt
       FROM steps, (
         SELECT a AS lhs, b AS rhs, cnt FROM (
           SELECT p.a, p.b, SUM(p.freq) AS cnt
           FROM (
             SELECT s.freq, s.syms[gs.i] AS a, s.syms[gs.i + 1] AS b
-            FROM (SELECT freq, string_split(seg, chr(31))[2:] AS syms
+            FROM (SELECT freq, list_filter(string_split(seg, chr(31)), x -> x <> '') AS syms
                   FROM steps) s,
                  UNNEST(generate_series(1, len(s.syms) - 1)) AS gs(i)
           ) p
@@ -8653,7 +8656,7 @@ _BPE_REPLAY_CTE = r"""
       WHERE iter < 16
     ),
     final AS (
-      SELECT word, string_split(seg, chr(31))[2:] AS syms
+      SELECT word, list_filter(string_split(seg, chr(31)), x -> x <> '') AS syms
       FROM steps WHERE iter = (SELECT max(iter) FROM steps)
     ),
     pieces AS (

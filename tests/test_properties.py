@@ -914,11 +914,15 @@ def _py_bpe(word_freq: dict, n_merges: int, min_pair: int = 2):
 
 
 class TestBpeProperties:
-    @settings(max_examples=6, deadline=None,
+    @settings(max_examples=8, deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
     @given(
+        # two-letter alphabet: maximal density of the prefix-adjacency
+        # pathology (symbol "ba" starting with merge-rhs "b") that a
+        # prefix-only separator scheme mis-merged — caught by this
+        # suite's encode property in round 9
         words=st.lists(
-            st.text(alphabet="abcd", min_size=1, max_size=6),
+            st.text(alphabet="ab", min_size=1, max_size=6),
             min_size=1,
             max_size=12,
         ),
@@ -946,7 +950,7 @@ class TestBpeProperties:
               suppress_health_check=[HealthCheck.function_scoped_fixture])
     @given(
         words=st.lists(
-            st.text(alphabet="abc", min_size=1, max_size=5),
+            st.text(alphabet="ab", min_size=1, max_size=5),
             min_size=2,
             max_size=8,
         ),
@@ -963,13 +967,14 @@ class TestBpeProperties:
         _, ref_segs = _py_bpe(wf, n_merges=3)
         df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
         merges = bpe_train(df, n_merges=3)
-        enc = bpe_encode(df, merges).collect()
-        got: dict = {}
-        for r in enc:
-            got.setdefault(r["word_pos"], []).append(
-                (r["piece_pos"], r["piece"])
-            )
         toks = corpus.split()
-        for wpos, pieces in got.items():
-            pieces = [p for _, p in sorted(pieces)]
-            assert pieces == ref_segs[toks[wpos]]
+        for method in ("replace", "arrow"):
+            enc = bpe_encode(df, merges, method=method).collect()
+            got: dict = {}
+            for r in enc:
+                got.setdefault(r["word_pos"], []).append(
+                    (r["piece_pos"], r["piece"])
+                )
+            for wpos, pieces in got.items():
+                pieces = [p for _, p in sorted(pieces)]
+                assert pieces == ref_segs[toks[wpos]], method

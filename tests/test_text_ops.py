@@ -1022,3 +1022,47 @@ class TestBpe:
         # é=0xE9) -> (h,é) first; then (hé,é) x3
         assert got[0] == ("h", "é", "hé", 3)
         assert got[1] == ("hé", "é", "héé", 3)
+
+    def test_arrow_encode_identical_to_replace_chain(self, spark):
+        # the production (arrow kernel) path must be bit-identical to
+        # the gate (replace chain) path — same pieces, positions, ids
+        from mofka_spark.operators.text import bpe_encode, bpe_train
+
+        df = self._df(spark)
+        merges = bpe_train(df, n_merges=8)
+        a = bpe_encode(df, merges, method="replace")
+        b = bpe_encode(df, merges, method="arrow")
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_arrow_encode_identical_on_adversarial_corpus(self, spark):
+        # overlapping runs, merged-symbol re-merges, unseen words,
+        # single-char words, unicode
+        from mofka_spark.operators.text import bpe_encode
+
+        merges = [(1, "a", "a"), (2, "aa", "aa"), (3, "é", "x"),
+                  (4, "aaaa", "b")]
+        df = self._df(spark, "aaaaa aaaab zz q éx a héé")
+        a = bpe_encode(df, merges, method="replace")
+        b = bpe_encode(df, merges, method="arrow")
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb
+        got = {}
+        for r in a.collect():
+            got.setdefault(r["word_pos"], []).append(
+                (r["piece_pos"], r["piece"])
+            )
+        # aaaaa -> aa aa a -> aaaa a -> (merge 4 needs b) stays
+        assert [p for _, p in sorted(got[0])] == ["aaaa", "a"]
+        # aaaab -> aa aa b -> aaaa b -> aaaab
+        assert [p for _, p in sorted(got[1])] == ["aaaab"]
+
+    def test_arrow_encode_empty_partitions(self, spark):
+        from mofka_spark.operators.text import bpe_encode
+
+        df = spark.createDataFrame(
+            [(1, "ab")], "doc_id long, text string"
+        ).repartition(8)
+        out = bpe_encode(df, [(1, "a", "b")], method="arrow").collect()
+        assert [(r["piece"], r["token_id"]) for r in out] == [("ab", 3)]
