@@ -978,3 +978,48 @@ class TestBpeProperties:
             for wpos, pieces in got.items():
                 pieces = [p for _, p in sorted(pieces)]
                 assert pieces == ref_segs[toks[wpos]], method
+
+
+class TestWinnowingProperties:
+    @staticmethod
+    def _py_winnow(text: str, k: int = 5, window: int = 4) -> set:
+        """Pure-Python mirror of winnow_fingerprints' documented
+        semantics: normalize, char k-shingles (short text -> one
+        truncated shingle), 60-bit md5-prefix hashes, min per sliding
+        window (short docs -> one window over everything), distinct."""
+        import hashlib
+        import re as _re
+
+        # Spark trim strips SPACES only (not \t); mirror that exactly
+        norm = _re.sub(r"\s+", " ", text.lower().strip(" "))
+        n = max(len(norm) - (k - 1), 1)
+        grams = [norm[i:i + k] for i in range(n)]
+        hashes = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            for g in grams
+        ]
+        nwin = max(len(hashes) - (window - 1), 1)
+        return {
+            min(hashes[i:i + window]) for i in range(nwin)
+        }
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        text=st.text(
+            alphabet="ab x.\t", min_size=1, max_size=40
+        ).filter(lambda t: t.strip())
+    )
+    def test_matches_python_mirror(self, spark, text):
+        # guards the expression machinery (try_element_at past-the-end,
+        # short-doc single-window path, normalization) against an
+        # independent evaluator — the check class that caught the BPE
+        # separator bug
+        from mofka_spark.operators.text import winnow_fingerprints
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = {
+            r["fingerprint"]
+            for r in winnow_fingerprints(df).collect()
+        }
+        assert got == self._py_winnow(text)
