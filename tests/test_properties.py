@@ -1023,3 +1023,60 @@ class TestWinnowingProperties:
             for r in winnow_fingerprints(df).collect()
         }
         assert got == self._py_winnow(text)
+
+
+class TestCdcChunkProperties:
+    @staticmethod
+    def _py_cdc(text, w=3, divisor=8, min_words=1):
+        """Pure-Python mirror of cdc_chunks' documented semantics."""
+        import hashlib
+        import re as _re
+
+        toks = _re.split(r"\s+", text.lower().strip(" "))
+        n = len(toks)
+        gh = {}
+        for i in range(w, n + 1):
+            gram = " ".join(toks[i - w:i])
+            gh[i] = int(
+                hashlib.md5(gram.encode()).hexdigest()[:15], 16
+            )
+        cuts = [
+            i for i in range(1, n + 1)
+            if i == n or (i in gh and gh[i] % divisor == 0)
+        ]
+        starts = [0] + cuts[:-1]
+        chunks = [
+            (e - s,
+             hashlib.md5(" ".join(toks[s:e]).encode()).hexdigest())
+            for s, e in zip(starts, cuts)
+        ]
+        return [
+            (idx, nw, h)
+            for idx, (nw, h) in enumerate(
+                c for c in chunks if c[0] >= min_words
+            )
+        ]
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        words=st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "e"]),
+            min_size=1, max_size=30,
+        ),
+        min_words=st.integers(1, 3),
+    )
+    def test_matches_python_mirror(self, spark, words, min_words):
+        # the cut logic (null w-gram guard, doc-end close, min_words
+        # drop, POST-filter chunk_idx) re-evaluated independently
+        from mofka_spark.operators.text import cdc_chunks
+
+        text = " ".join(words)
+        df = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        got = sorted(
+            (r["chunk_idx"], r["n_words"], r["chunk_hash"])
+            for r in cdc_chunks(df, min_words=min_words).collect()
+        )
+        assert got == self._py_cdc(text, min_words=min_words)
