@@ -625,6 +625,11 @@ def classifier_scores(
     selection)."""
     scorer = scorer or default_text_scorer
     base = df.filter(F.col(text_col).isNotNull())
+    if keep_cols and score_col in base.columns:
+        raise ValueError(
+            f"classifier_scores: input already has a {score_col!r} "
+            "column; pass a different score_col"
+        )
     if keep_cols:
         in_df = base
         out_schema = ", ".join(

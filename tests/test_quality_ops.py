@@ -517,3 +517,12 @@ class TestClassifierScores:
         )
         out = blend_scores(sigs, {"score": 1.0})
         assert out.count() == 3
+
+    def test_keep_cols_rejects_score_collision(self, spark):
+        from mofka_spark.operators.quality import classifier_scores
+
+        df = spark.createDataFrame(
+            [(1, "x", 0.5)], "doc_id long, text string, score double"
+        )
+        with pytest.raises(ValueError, match="score"):
+            classifier_scores(df, keep_cols=True)
