@@ -111,7 +111,7 @@ def main() -> None:
     # reconstruction MSE rides along per vector
     print("quantized export sample:")
     S.quantize_embeddings(emb).select(
-        "vec_id", "mse"
+        "id", "mse"
     ).orderBy(F.desc("mse")).show(3)
 
     spark.stop()
