@@ -54,10 +54,19 @@ def pack_sequences(
         raise ValueError("capacity must be positive")
     sess = df.sparkSession
     n_ranges = num_ranges or sess.sparkContext.defaultParallelism
-    ranged = df.select(
-        F.col(id_col).alias("id"), F.col(tokens_col).cast("long").alias("n_tokens")
-    ).repartitionByRange(n_ranges, "id")
-    part = ranged.withColumn("_pid", F.spark_partition_id())
+    # localCheckpoint the _pid-stamped frame, not a leaked persist():
+    # read twice (totals + result), _pid frozen against
+    # RangePartitioner re-sampling, blocks reclaimed on GC; the
+    # partition-local running-sum window recomputes (cheaply) per read
+    part = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+        )
+        .repartitionByRange(n_ranges, "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     # local running sum inside each sorted range
     w = (
         Window.partitionBy("_pid")
@@ -65,7 +74,6 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = part.withColumn("_local_end", F.sum("n_tokens").over(w))
-    local = local.persist()
     # exclusive cumulative base per partition: tiny (#partitions rows)
     totals = (
         local.groupBy("_pid")
@@ -73,7 +81,6 @@ def pack_sequences(
         .collect()
     )
     if not totals:
-        local.unpersist()
         return sess.createDataFrame(
             [],
             "id long, n_tokens long, global_start long, first_bin long, "
@@ -173,13 +180,16 @@ def epoch_shuffle(
         16,
         10,
     ).cast("long")
-    ranged = df.select(
-        F.col(id_col).alias("id"), key.alias("shuffle_key")
-    ).repartitionByRange(n_ranges, "shuffle_key", "id")
-    part = ranged.withColumn("_pid", F.spark_partition_id())
+    # localCheckpoint, not a leaked persist() — same discipline as
+    # pack_sequences above
+    part = (
+        df.select(F.col(id_col).alias("id"), key.alias("shuffle_key"))
+        .repartitionByRange(n_ranges, "shuffle_key", "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     w = Window.partitionBy("_pid").orderBy("shuffle_key", "id")
     local = part.withColumn("_rn", F.row_number().over(w))
-    local = local.persist()
     totals = (
         local.groupBy("_pid")
         .agg(
@@ -189,7 +199,6 @@ def epoch_shuffle(
         .collect()
     )
     if not totals:
-        local.unpersist()
         return sess.createDataFrame([], "id long, shuffle_key long, epoch_pos long")
     base: dict[int, int] = {}
     acc = 0
@@ -363,4 +372,104 @@ def pack_manifest(
         (span_end == F.col("global_start") + F.col("n_tokens")).alias(
             "is_doc_end"
         ),
+    )
+
+
+def bucket_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    boundaries: tuple = (16, 64, 256),
+    batch_size: int = 8,
+    salt: str = "",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Length-bucketed batch assignment — the seq2seq dataloader layout
+    pack_sequences does NOT cover: instead of concatenating documents
+    into fixed windows, group documents of SIMILAR length into batches
+    so per-batch padding waste is bounded by the bucket width (batching
+    a 10-token doc with a 2000-token doc pads the short one 200x).
+
+    ``boundaries`` are ascending length thresholds: bucket = number of
+    boundaries <= n_tokens (so (16, 64, 256) yields buckets
+    [0,16) [16,64) [64,256) [256,inf)). Within each bucket, documents
+    order deterministically by (hash_bucket(id, salt), id) — a seeded
+    shuffle, reproducible across engines — and fill batches of
+    ``batch_size`` in that order; each bucket's last batch may be
+    ragged. Rows with a NULL length carry no layout information and
+    are dropped. Returns (id, n_tokens, bucket, batch_idx).
+
+    Scale shape: the bucket id and hash key are scan-local; the
+    per-bucket rank is the DISTRIBUTED prefix count (curriculum_select
+    / _rank_by_id's decomposition, extended to composite keys) —
+    range-partition by (bucket, hash, id), one partition-LOCAL
+    row_number window, per-(partition, bucket) counts to the driver
+    (<= num_ranges x #buckets rows), broadcast cumulative bases. No
+    per-bucket global sort, so a 4-bucket corpus at 100 TB never
+    funnels through 4 tasks; integral counts make the split rank
+    exactly equal the sequential one."""
+    if batch_size <= 0:
+        raise ValueError("bucket_batches: batch_size must be positive")
+    if list(boundaries) != sorted(set(boundaries)):
+        raise ValueError(
+            "bucket_batches: boundaries must be strictly ascending"
+        )
+    from mofka_spark.operators.sampling import hash_bucket
+
+    n_tok = F.col(tokens_col).cast("long")
+    bucket = F.size(
+        F.filter(
+            F.array(*[F.lit(int(b)).cast("long") for b in boundaries]),
+            lambda b: n_tok >= b,
+        )
+    ).cast("int")
+    staged = (
+        df.filter(n_tok.isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            n_tok.alias("n_tokens"),
+            bucket.alias("bucket"),
+            hash_bucket(F.col(id_col), salt).alias("_h"),
+        )
+    )
+    sess = df.sparkSession
+    n_ranges = num_ranges or sess.sparkContext.defaultParallelism
+    # localCheckpoint (GC-bounded): read twice (totals + result) and
+    # _pid must not re-draw under RangePartitioner re-sampling
+    ranged = (
+        staged.repartitionByRange(n_ranges, "bucket", "_h", "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("_pid", "bucket").orderBy("_h", "id")
+    local = ranged.withColumn("_rn", F.row_number().over(w))
+    ptotals = ranged.groupBy("_pid", "bucket").count().collect()
+    if not ptotals:
+        return sess.createDataFrame(
+            [], "id long, n_tokens long, bucket int, batch_idx long"
+        )
+    # bases: cumulative count of the SAME bucket over earlier pids —
+    # range order on (bucket, _h, id) makes pid order = greedy order
+    # within each bucket's contiguous pid span
+    acc: dict[int, int] = {}
+    base: dict[tuple[int, int], int] = {}
+    for r in sorted(ptotals, key=lambda r: (r["bucket"], r["_pid"])):
+        base[(r["_pid"], r["bucket"])] = acc.get(r["bucket"], 0)
+        acc[r["bucket"]] = acc.get(r["bucket"], 0) + r["count"]
+    kmod = len(boundaries) + 2
+    base_col = F.create_map(
+        *[
+            F.lit(x)
+            for (pid, b), v in base.items()
+            for x in (pid * kmod + b, v)
+        ]
+    )
+    rank = (
+        base_col[F.col("_pid") * kmod + F.col("bucket")] + F.col("_rn")
+    )
+    return local.select(
+        "id",
+        "n_tokens",
+        "bucket",
+        F.floor((rank - 1) / batch_size).cast("long").alias("batch_idx"),
     )

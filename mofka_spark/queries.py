@@ -2249,14 +2249,16 @@ def q_modality_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _wide(_t(spark, sf_dir, "documents"), "doc_id")
     payloads = modality.synthetic_payload(docs).select("doc_id", "data")
-    # persist + EAGER count: the query and corpus sides of the top-k
-    # both read this frame, and ArrowEvalPython subtrees get no AQE
-    # stage reuse — an unpersisted plan runs payload synthesis + the
-    # Python encoder twice, and a lazily-populated cache makes both
-    # sides race per-partition block locks through the Python stage
-    # (the simhash materialization rule, SCALING.md)
-    emb = modality.decode_embeddings(payloads, dim=16).persist()
-    emb.count()
+    # EAGER localCheckpoint (GC-bounded, not a session-cache leak): the
+    # query and corpus sides of the top-k both read this frame, and
+    # ArrowEvalPython subtrees get no AQE stage reuse — an
+    # unmaterialized plan runs payload synthesis + the Python encoder
+    # twice, and a lazily-populated cache makes both sides race
+    # per-partition block locks through the Python stage (the simhash
+    # materialization rule, SCALING.md)
+    emb = modality.decode_embeddings(payloads, dim=16).localCheckpoint(
+        eager=True
+    )
     queries = emb.filter(F.col("vec_id") < 8)
     out = similarity.brute_force_topk(queries, emb, k=5)
     return out.select(
@@ -8826,6 +8828,52 @@ def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return classifier_scores(docs).select(
         "id", (F.round("score", 6) + F.lit(0.0)).alias("score")
+    )
+
+
+# Length-bucketed batch assignment (operators/packing.py
+# bucket_batches): the seq2seq dataloader layout — group docs of
+# similar length into batches so padding waste is bounded by the
+# bucket width. The Spark side ranks within each bucket via the
+# distributed prefix count (no per-bucket global sort — 4 buckets at
+# 100 TB must not funnel through 4 tasks); the oracle is the literal
+# per-bucket ROW_NUMBER over the same deterministic (md5-hash, id)
+# order — bit-identical because counts are integral.
+@query(
+    "bucket_batches",
+    r"""
+    WITH s AS (
+      SELECT doc_id AS id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+               % 1000000 AS h
+      FROM documents WHERE text IS NOT NULL
+    ), b AS (
+      SELECT id, n_tokens,
+             CAST(len(list_filter([16, 64, 256], x -> n_tokens >= x))
+                  AS INTEGER) AS bucket,
+             h
+      FROM s
+    ), r AS (
+      SELECT id, n_tokens, bucket,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, id) AS rn
+      FROM b
+    )
+    SELECT id, n_tokens, bucket,
+           CAST((rn - 1) // 8 AS BIGINT) AS batch_idx
+    FROM r
+    """,
+)
+def q_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = docs.select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return packing.bucket_batches(
+        sized, boundaries=(16, 64, 256), batch_size=8
     )
 
 

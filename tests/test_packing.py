@@ -285,3 +285,84 @@ class TestShardPlan:
         df = spark.createDataFrame([(1,)], "doc_id long")
         with _pytest.raises(ValueError):
             shard_plan(df, "doc_id", shard_rows=0)
+
+
+class TestBucketBatches:
+    def _naive(self, rows, boundaries=(16, 64, 256), batch_size=8):
+        import hashlib
+
+        out = {}
+        by_bucket = {}
+        for i, n in rows:
+            b = sum(1 for x in boundaries if n >= x)
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) % 1000000
+            by_bucket.setdefault(b, []).append((h, i, n))
+        for b, items in by_bucket.items():
+            for rn, (h, i, n) in enumerate(sorted(items)):
+                out[i] = (n, b, rn // batch_size)
+        return out
+
+    def test_matches_naive_greedy(self, spark):
+        from mofka_spark.operators.packing import bucket_batches
+
+        rows = [(i, (i * 37) % 300) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = {
+            r["id"]: (r["n_tokens"], r["bucket"], r["batch_idx"])
+            for r in bucket_batches(df, batch_size=8).collect()
+        }
+        assert got == self._naive(rows)
+
+    def test_batches_are_full_except_last_per_bucket(self, spark):
+        from mofka_spark.operators.packing import bucket_batches
+
+        rows = [(i, 20) for i in range(21)]  # one bucket, 21 docs, bs=8
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = bucket_batches(df, batch_size=8).collect()
+        sizes = {}
+        for r in out:
+            sizes[(r["bucket"], r["batch_idx"])] = (
+                sizes.get((r["bucket"], r["batch_idx"]), 0) + 1
+            )
+        assert sorted(sizes.values()) == [5, 8, 8]
+
+    def test_null_tokens_dropped_and_validation(self, spark):
+        from mofka_spark.operators.packing import bucket_batches
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, None)], "doc_id long, n_tokens long"
+        )
+        assert [r["id"] for r in bucket_batches(df).collect()] == [1]
+        with pytest.raises(ValueError):
+            bucket_batches(df, batch_size=0)
+        with pytest.raises(ValueError):
+            bucket_batches(df, boundaries=(64, 16))
+
+    def test_no_per_bucket_global_sort_and_gc_bounded(self, spark):
+        # the rank must come from the distributed prefix count: every
+        # Sort in the plan partition-local, every pinned block a
+        # localCheckpoint
+        from mofka_spark.operators.packing import bucket_batches
+
+        sc = spark.sparkContext
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        rows = [(i, (i * 7) % 100) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = bucket_batches(df, batch_size=4)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Sort [" in line:
+                assert ", false, 0" in line, line
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in set(jmap.keySet().toArray()) - before:
+            assert jmap.get(rid).rdd().isLocallyCheckpointed()
+
+    def test_deterministic_across_runs(self, spark):
+        from mofka_spark.operators.packing import bucket_batches
+
+        rows = [(i, (i * 13) % 200) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        a = sorted(map(tuple, bucket_batches(df).collect()))
+        b = sorted(map(tuple, bucket_batches(df).collect()))
+        assert a == b
