@@ -2138,12 +2138,143 @@ def bpe_word_freq(
     )
 
 
+def _bpe_select_batch(
+    rows: list, batch: int, truncated: bool
+) -> list[tuple[str, str, int]]:
+    """Select a prefix of the round's sorted pair table that a
+    SEQUENTIAL greedy trainer provably merges in the same order —
+    the conservative-exact version of the standard "batch
+    non-conflicting merges" trick. ``rows`` is the pair-count table
+    sorted (cnt desc, lhs asc, rhs asc), possibly truncated to the
+    top-K (``truncated``: unseen pairs exist, every one with
+    cnt <= rows[-1]'s).
+
+    A candidate p_j (j >= 2, count cnt_j) is accepted only when
+    sequential training, having applied the already-accepted
+    p_1..p_{j-1} (symbols S, merged strings M), provably still picks
+    p_j as its argmax. Sound because after those merges every pair
+    falls in one of four classes:
+
+    - symbol-disjoint from S ∪ M and pre-existing: count UNCHANGED
+      (a merge never creates or destroys an adjacency of two
+      untouched symbols — the merged symbol sits between). The
+      accepted prefix is the sorted head of this class, so p_j wins
+      it, tie-breaks included. The walk stops at the first
+      conflicting row rather than skipping it — a conflicting pair
+      ranked above p_j could retain its count and outrank p_j.
+    - sharing a symbol with S but containing no m ∈ M: count can
+      only DECREASE (occurrences get consumed, never created).
+      Round counts bound them: every visible one must be < cnt_j
+      (they rank below p_j, so ties are the only risk); unseen ones
+      are <= the truncation bound.
+    - containing merged symbols (grown or new): each post-merge
+      occurrence of (m_i, y) maps to a round-start occurrence of
+      (m_i, y) — m_i already existed as a symbol (CONFLATION) — or
+      of (b_i, y) — the boundary adjacency the merge consumed. So
+      post(m_i, y) <= cnt(m_i, y) + cnt(b_i, y); symmetrically
+      (x, m_i) <= cnt(x, m_i) + cnt(x, a_i); and (m_i, m_l) is
+      bounded by its four pre-images. Each term is looked up
+      exactly among visible rows, defaulting to the truncation
+      bound; the accept requires every such bound < cnt_j. For
+      pairs (m_i, y) with UNSEEN y the lookup can't enumerate, the
+      bound is trunc + max visible cnt(b_i, *) (resp. cnt(*, a_i)).
+    - a SELF-PAIR (lhs == rhs) ends the batch after its own
+      acceptance: its greedy residues create pairs like (bb, b)
+      whose pre-image is the accepted pair ITSELF, so no later
+      candidate can dominate them.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    symset: set[str] = set()
+    merged: list[tuple[str, str, str]] = []  # (a_i, b_i, m_i)
+    tb = int(rows[-1]["cnt"]) if truncated else 0
+    by_pair = {(r["lhs"], r["rhs"]): int(r["cnt"]) for r in rows}
+
+    def _lk(a: str, b: str) -> int:
+        return by_pair.get((a, b), tb)
+
+    for j, r in enumerate(rows):
+        if len(accepted) >= batch:
+            break
+        lhs, rhs, cnt = r["lhs"], r["rhs"], int(r["cnt"])
+        if accepted:
+            if lhs in symset or rhs in symset:
+                break
+            if truncated and cnt <= tb:
+                break
+            # decreasing-class ties: every visible row below sharing
+            # a symbol with the accepted set must be strictly below
+            tail = rows[j + 1 :]
+            if any(
+                rr["lhs"] in symset or rr["rhs"] in symset
+                for rr in tail
+                if int(rr["cnt"]) == cnt
+            ):
+                break
+            # grown/new pairs involving each accepted merged symbol
+            ok = True
+            for a_i, b_i, m_i in merged:
+                in_max = max(
+                    [
+                        int(rr["cnt"])
+                        for rr in rows
+                        if rr["lhs"] == b_i and (rr["lhs"], rr["rhs"]) != (a_i, b_i)
+                    ]
+                    + [tb]
+                )
+                out_max = max(
+                    [
+                        int(rr["cnt"])
+                        for rr in rows
+                        if rr["rhs"] == a_i and (rr["lhs"], rr["rhs"]) != (a_i, b_i)
+                    ]
+                    + [tb]
+                )
+                # generic unseen-partner bounds: base (conflated
+                # pre-existing (m_i, ?), unseen => <= tb) + boundary
+                if cnt <= tb + in_max or cnt <= tb + out_max:
+                    ok = False
+                    break
+                # visible conflated pairs get their exact bound
+                for rr in rows:
+                    rl, rr_, rc = rr["lhs"], rr["rhs"], int(rr["cnt"])
+                    if rl == m_i and cnt <= rc + _lk(b_i, rr_):
+                        ok = False
+                        break
+                    if rr_ == m_i and cnt <= rc + _lk(rl, a_i):
+                        ok = False
+                        break
+                if not ok:
+                    break
+                # merged-merged pairs (both orders)
+                for a_l, b_l, m_l in merged:
+                    if (
+                        cnt
+                        <= _lk(m_i, m_l)
+                        + _lk(b_i, a_l)
+                        + _lk(m_i, a_l)
+                        + _lk(b_i, m_l)
+                    ):
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if not ok:
+                break
+        accepted.append((lhs, rhs, cnt))
+        symset |= {lhs, rhs, lhs + rhs}
+        merged.append((lhs, rhs, lhs + rhs))
+        if lhs == rhs:
+            break
+    return accepted
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 32,
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
+    merges_per_round: int = 1,
 ) -> DataFrame:
     """Learn BPE merges: the standard iterative pair-count/argmax/merge
     loop, distributed. Returns the merge table (rank, lhs, rhs,
@@ -2153,20 +2284,29 @@ def bpe_train(
     table exactly. Stops early when no pair reaches
     ``min_pair_count``.
 
-    Scale shape: the corpus is touched ONCE (bpe_word_freq); each of
-    the ``n_merges`` iterations is one bounded aggregate job over the
-    word table plus a narrow string replace. The per-iteration driver
-    fetch is a single row (the argmax pair). localCheckpoint every
-    ``checkpoint_every`` iterations keeps the replace-chain lineage
-    (and per-job planning time) bounded. Sequentiality is inherent to
-    BPE (merge k+1's counts depend on merge k's application); at
-    32k-merge production scale the per-job latency dominates and
-    batching non-conflicting merges is the known optimization — out
-    of scope here, the algorithm is the reference semantics."""
+    Scale shape: the corpus is touched ONCE (bpe_word_freq); each
+    ROUND is one bounded aggregate job over the word table plus a
+    narrow string replace. The per-round driver fetch is a bounded
+    top-K slice of the pair table (model state). localCheckpoint
+    every ``checkpoint_every`` applied merges keeps the replace-chain
+    lineage (and per-job planning time) bounded.
+
+    ``merges_per_round`` lifts the one-job-per-merge ceiling for
+    production-scale vocabularies (32k merges at ~0.25s/job floor is
+    hours of pure scheduling): each round accepts up to that many
+    merges from the sorted pair table under the conservative-exact
+    rule of :func:`_bpe_select_batch` — the result is IDENTICAL to
+    sequential training (merges_per_round=1) by construction, pinned
+    by a hypothesis property against the pure-Python reference.
+    Worst case (every top pair conflicts, e.g. one repeated
+    character) still makes one merge per round — never slower than
+    sequential, typically 4-8x fewer jobs on natural text."""
     if n_merges <= 0:
         raise ValueError("bpe_train: n_merges must be positive")
     if min_pair_count < 1:
         raise ValueError("bpe_train: min_pair_count must be >= 1")
+    if merges_per_round < 1:
+        raise ValueError("bpe_train: merges_per_round must be >= 1")
     spark = df.sparkSession
     words = (
         bpe_word_freq(df, text_col)
@@ -2174,8 +2314,15 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for it in range(1, n_merges + 1):
-        best = (
+    since_ckpt = 0
+    while len(merges) < n_merges:
+        remaining = n_merges - len(merges)
+        batch = min(merges_per_round, remaining)
+        # top-K window: enough rows to see the whole tied tail of any
+        # accepted count in practice; the truncation bound keeps the
+        # selection exact regardless.
+        top_k = 1 if batch == 1 else max(32, 8 * batch)
+        rows = (
             words.select(
                 F.explode(_bpe_pairs(F.col("seg"))).alias("p"), "freq"
             )
@@ -2183,18 +2330,21 @@ def bpe_train(
             .agg(F.sum("freq").alias("cnt"))
             .filter(F.col("cnt") >= min_pair_count)
             .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
+            .limit(top_k)
             .collect()
         )
-        if not best:
+        if not rows:
             break
-        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
-        merges.append((it, lhs, rhs, lhs + rhs, cnt))
-        words = words.withColumn(
-            "seg", _bpe_merge_expr(F.col("seg"), lhs, rhs)
-        )
-        if it % checkpoint_every == 0:
+        picked = _bpe_select_batch(rows, batch, truncated=len(rows) == top_k)
+        seg = F.col("seg")
+        for lhs, rhs, cnt in picked:
+            merges.append((len(merges) + 1, lhs, rhs, lhs + rhs, cnt))
+            seg = _bpe_merge_expr(seg, lhs, rhs)
+        words = words.withColumn("seg", seg)
+        since_ckpt += len(picked)
+        if since_ckpt >= checkpoint_every:
             words = words.localCheckpoint(eager=True)
+            since_ckpt = 0
     return spark.createDataFrame(
         merges,
         "rank int, lhs string, rhs string, merged string, pair_count long",
@@ -2291,12 +2441,61 @@ def _bpe_apply_kernel(ranked: list[tuple[int, str, str]]):
     return run
 
 
+def bpe_vocab_table(
+    merges: DataFrame | list,
+    train_df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The TRAIN-TIME tokenizer id artifact: (piece, token_id) derived
+    from the training corpus's alphabet plus the learned merge table —
+    characters seen in the training corpus sorted asc take ids 1..A,
+    merged symbols take A+rank (duplicate merged strings keep the
+    lowest id), id 0 reserved for OOV. Persist this next to the merge
+    table: ids are then a stable property of the TOKENIZER, so
+    encoding any shard/corpus with (merges, vocab) assigns the same
+    id to the same piece — the contract a checkpointed training run
+    needs (without it, per-corpus alphabets would drift the ids
+    between shards; ADVICE r9). Same id discipline as build_vocab's
+    dense-id/OOV-0 scheme.
+
+    Scale shape: one distinct-char aggregate over the token stream
+    (alphabet-sized result) + a vocab-sized union; the output is
+    MODEL STATE — broadcast-sized by construction."""
+    ranked = _bpe_ranked(merges)
+    from mofka_spark.operators.dedup import _spread
+
+    alphabet = (
+        _spread(train_df.filter(F.col(text_col).isNotNull()), text_col)
+        .select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .filter((F.col("word") != "") & ~F.col("word").contains(_BPE_SEP))
+        .select(F.explode(F.split(F.col("word"), "")).alias("piece"))
+        .filter(F.col("piece") != "")
+        .distinct()
+    )
+    aw = Window.orderBy(F.asc("piece"))
+    alpha_ids = alphabet.select(
+        "piece", F.row_number().over(aw).cast("int").alias("token_id")
+    )
+    n_alpha = alpha_ids.count()
+    spark = train_df.sparkSession
+    merged_ids = spark.createDataFrame(
+        [(lhs + rhs, n_alpha + rank) for rank, lhs, rhs in ranked],
+        "piece string, token_id int",
+    ) if ranked else spark.createDataFrame([], "piece string, token_id int")
+    return (
+        alpha_ids.unionByName(merged_ids)
+        .groupBy("piece")
+        .agg(F.min("token_id").cast("int").alias("token_id"))
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: DataFrame | list,
     id_col: str = "doc_id",
     text_col: str = "text",
     method: str = "replace",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Encode documents into BPE pieces by replaying the learned
     merges in rank order — TRAINING-REPLAY semantics: each merge is
@@ -2309,6 +2508,13 @@ def bpe_encode(
     this corpus sorted asc take ids 1..A, merged symbols take
     A+rank (duplicate merged strings — two pairs concatenating to the
     same string — keep the lowest id); id 0 is reserved for OOV.
+    That default derives the alphabet from the corpus being ENCODED —
+    fine when train corpus == encode corpus (the gates), but ids are
+    then NOT a stable property of the tokenizer across shards. Pass
+    ``vocab`` (the :func:`bpe_vocab_table` train-time artifact) to
+    pin ids to the TRAINING corpus: shared pieces get the training
+    ids on any input, unseen characters become OOV 0 — the
+    shard-by-shard production contract.
 
     Scale shape: the merge table is vocab-sized MODEL STATE —
     collected once; the token stream explodes scan-locally and only
@@ -2362,26 +2568,37 @@ def bpe_encode(
     else:
         raise ValueError(f"bpe_encode: unknown method {method!r}")
 
-    # deterministic piece ids: corpus alphabet (chars asc) = 1..A,
-    # merged symbols = A + rank, duplicates keep the lowest id
-    alphabet = toks.select(
-        F.explode(F.split(F.col("word"), "")).alias("piece")
-    ).filter(F.col("piece") != "").distinct()
-    aw = Window.orderBy(F.asc("piece"))
-    alpha_ids = alphabet.select(
-        "piece", F.row_number().over(aw).cast("int").alias("token_id")
-    )
-    n_alpha = alpha_ids.count()
-    spark = df.sparkSession
-    merged_ids = spark.createDataFrame(
-        [(lhs + rhs, n_alpha + rank) for rank, lhs, rhs in ranked],
-        "piece string, token_id int",
-    ) if ranked else spark.createDataFrame([], "piece string, token_id int")
-    vocab = (
-        alpha_ids.unionByName(merged_ids)
-        .groupBy("piece")
-        .agg(F.min("token_id").cast("int").alias("token_id"))
-    )
+    if vocab is None:
+        # deterministic piece ids: corpus alphabet (chars asc) = 1..A,
+        # merged symbols = A + rank, duplicates keep the lowest id
+        alphabet = toks.select(
+            F.explode(F.split(F.col("word"), "")).alias("piece")
+        ).filter(F.col("piece") != "").distinct()
+        aw = Window.orderBy(F.asc("piece"))
+        alpha_ids = alphabet.select(
+            "piece", F.row_number().over(aw).cast("int").alias("token_id")
+        )
+        n_alpha = alpha_ids.count()
+        spark = df.sparkSession
+        merged_ids = spark.createDataFrame(
+            [(lhs + rhs, n_alpha + rank) for rank, lhs, rhs in ranked],
+            "piece string, token_id int",
+        ) if ranked else spark.createDataFrame(
+            [], "piece string, token_id int"
+        )
+        vocab = (
+            alpha_ids.unionByName(merged_ids)
+            .groupBy("piece")
+            .agg(F.min("token_id").cast("int").alias("token_id"))
+        )
+    else:
+        if not {"piece", "token_id"} <= set(vocab.columns):
+            raise ValueError(
+                "bpe_encode: vocab must have (piece, token_id) columns"
+            )
+        vocab = vocab.select(
+            "piece", F.col("token_id").cast("int").alias("token_id")
+        )
     return pieces.join(F.broadcast(vocab), "piece", "left").select(
         "id",
         "word_pos",

@@ -913,6 +913,55 @@ def _py_bpe(word_freq: dict, n_merges: int, min_pair: int = 2):
     return merges, segs
 
 
+def _py_bpe_batched(word_freq: dict, n_merges: int, batch: int,
+                    min_pair: int = 2):
+    """Pure-Python mirror of bpe_train's BATCHED round loop: sorted
+    pair table -> _bpe_select_batch (the same selection code the
+    distributed trainer runs) -> sequential greedy application of the
+    accepted merges. Exercises the conservative-exact selection rule
+    against the sequential reference without paying a Spark job per
+    example."""
+    from mofka_spark.operators.text import _bpe_select_batch
+
+    segs = {w: list(w) for w in word_freq}
+    merges = []
+    while len(merges) < n_merges:
+        counts: dict = {}
+        for w, f in word_freq.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                k = (s[i], s[i + 1])
+                counts[k] = counts.get(k, 0) + f
+        cands = sorted(
+            (
+                {"lhs": a, "rhs": b, "cnt": c}
+                for (a, b), c in counts.items()
+                if c >= min_pair
+            ),
+            key=lambda r: (-r["cnt"], r["lhs"], r["rhs"]),
+        )
+        if not cands:
+            break
+        b = min(batch, n_merges - len(merges))
+        top_k = 1 if b == 1 else max(32, 8 * b)
+        rows = cands[:top_k]
+        picked = _bpe_select_batch(rows, b, truncated=len(rows) == top_k)
+        for lhs, rhs, cnt in picked:
+            merges.append((len(merges) + 1, lhs, rhs, lhs + rhs, cnt))
+            for w in segs:
+                s = segs[w]
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                segs[w] = out
+    return merges, segs
+
+
 class TestBpeProperties:
     @settings(max_examples=8, deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
@@ -978,6 +1027,85 @@ class TestBpeProperties:
             for wpos, pieces in got.items():
                 pieces = [p for _, p in sorted(pieces)]
                 assert pieces == ref_segs[toks[wpos]], method
+
+
+class TestBpeBatchedProperties:
+    """The batched-merge selection must reproduce the SEQUENTIAL
+    trainer's merge table exactly — the whole point of the
+    conservative-exact rule (_bpe_select_batch). Pure-Python mirrors
+    run the REAL selection code at fuzz scale; one Spark case pins
+    the distributed loop's wiring."""
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        # two-letter alphabet: tie- and conflict-dense (the regime
+        # where naive batching diverges from sequential)
+        words=st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=7),
+            min_size=1,
+            max_size=14,
+        ),
+        reps=st.lists(st.integers(1, 4), min_size=14, max_size=14),
+        batch=st.integers(2, 6),
+        n_merges=st.integers(1, 10),
+    )
+    def test_batched_selection_matches_sequential_ab(
+        self, words, reps, batch, n_merges
+    ):
+        wf: dict = {}
+        for w, r in zip(words, reps):
+            wf[w] = wf.get(w, 0) + r
+        ref, ref_segs = _py_bpe(wf, n_merges=n_merges)
+        got, got_segs = _py_bpe_batched(wf, n_merges=n_merges, batch=batch)
+        assert got == ref
+        assert got_segs == ref_segs
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        words=st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=8),
+            min_size=2,
+            max_size=20,
+        ),
+        batch=st.integers(2, 8),
+    )
+    def test_batched_selection_matches_sequential_wider_alphabet(
+        self, words, batch
+    ):
+        wf: dict = {}
+        for w in words:
+            wf[w] = wf.get(w, 0) + 1
+        ref, _ = _py_bpe(wf, n_merges=12)
+        got, _ = _py_bpe_batched(wf, n_merges=12, batch=batch)
+        assert got == ref
+
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        words=st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            min_size=1,
+            max_size=10,
+        ),
+    )
+    def test_distributed_batched_matches_python_reference(
+        self, spark, words
+    ):
+        from mofka_spark.operators.text import bpe_train
+
+        corpus = " ".join(words + words)
+        wf: dict = {}
+        for w in corpus.split():
+            wf[w] = wf.get(w, 0) + 1
+        ref, _ = _py_bpe(wf, n_merges=5)
+        df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+        got = [
+            (r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+            for r in bpe_train(df, n_merges=5, merges_per_round=3)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == ref
 
 
 class TestWinnowingProperties:

@@ -1066,3 +1066,116 @@ class TestBpe:
         ).repartition(8)
         out = bpe_encode(df, [(1, "a", "b")], method="arrow").collect()
         assert [(r["piece"], r["token_id"]) for r in out] == [("ab", 3)]
+
+    def test_vocab_table_is_train_time_artifact(self, spark):
+        # the persisted (piece, token_id) artifact: alphabet of the
+        # TRAINING corpus 1..A asc, merged symbols A+rank, OOV 0
+        from mofka_spark.operators.text import bpe_train, bpe_vocab_table
+
+        df = self._df(spark)
+        merges = bpe_train(df, n_merges=8)
+        vocab = {
+            r["piece"]: r["token_id"]
+            for r in bpe_vocab_table(merges, df).collect()
+        }
+        # alphabet d,e,i,l,n,o,r,s,t,w -> 1..10; merges 11..18
+        assert vocab["d"] == 1 and vocab["w"] == 10
+        assert vocab["low"] == 14 and vocab["newest"] == 17
+        assert len(vocab) == 18
+
+    def test_encode_with_vocab_stable_ids_on_disjoint_corpus(self, spark):
+        # encoding a DISJOINT corpus with the trained artifact: shared
+        # pieces keep the TRAINING ids; unseen chars become OOV 0 —
+        # the exact property corpus-derived ids lack (ADVICE r9)
+        from mofka_spark.operators.text import (
+            bpe_encode,
+            bpe_train,
+            bpe_vocab_table,
+        )
+
+        train = self._df(spark)
+        merges = bpe_train(train, n_merges=8)
+        vocab = bpe_vocab_table(merges, train)
+        train_ids = {
+            r["piece"]: r["token_id"]
+            for r in bpe_encode(train, merges, vocab=vocab).collect()
+        }
+        other = self._df(spark, "slow lowest zest")
+        enc = {
+            (r["word_pos"], r["piece_pos"]): (r["piece"], r["token_id"])
+            for r in bpe_encode(other, merges, vocab=vocab).collect()
+        }
+        # every shared piece id equals the training corpus's id
+        for (wp, pp), (piece, tid) in enc.items():
+            if piece in train_ids:
+                assert tid == train_ids[piece], piece
+        # "slow" -> s + low (training merge id), "zest" -> z(OOV) + est
+        assert enc[(0, 0)] == ("s", 8)
+        assert enc[(0, 1)] == ("low", 14)
+        assert enc[(2, 0)] == ("z", 0)  # z unseen in training -> OOV
+        assert enc[(2, 1)] == ("est", 12)
+        # corpus-derived ids on the same input DIVERGE (the footgun)
+        drift = {
+            r["piece"]: r["token_id"]
+            for r in bpe_encode(other, merges).collect()
+        }
+        assert drift["low"] != train_ids["low"]
+
+    def test_encode_with_vocab_arrow_method(self, spark):
+        from mofka_spark.operators.text import (
+            bpe_encode,
+            bpe_train,
+            bpe_vocab_table,
+        )
+
+        train = self._df(spark)
+        merges = bpe_train(train, n_merges=8)
+        vocab = bpe_vocab_table(merges, train)
+        other = self._df(spark, "slow zest")
+        a = bpe_encode(other, merges, vocab=vocab, method="replace")
+        b = bpe_encode(other, merges, vocab=vocab, method="arrow")
+        key = ["word_pos", "piece_pos"]
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+
+    def test_encode_rejects_malformed_vocab(self, spark):
+        import pytest
+
+        from mofka_spark.operators.text import bpe_encode
+
+        df = self._df(spark, "ab")
+        bad = spark.createDataFrame([("a", 1)], "piece string, wrong int")
+        with pytest.raises(ValueError, match="vocab"):
+            bpe_encode(df, [(1, "a", "b")], vocab=bad)
+
+    def test_batched_train_matches_sequential_classic(self, spark):
+        # merges_per_round > 1 must reproduce the sequential table
+        # exactly (the conservative-exact selection rule)
+        from mofka_spark.operators.text import bpe_train
+
+        df = self._df(spark)
+        seq = [tuple(r) for r in bpe_train(df, n_merges=8).collect()]
+        for mpr in (3, 8):
+            got = [
+                tuple(r)
+                for r in bpe_train(
+                    df, n_merges=8, merges_per_round=mpr
+                ).collect()
+            ]
+            assert got == seq, mpr
+
+    def test_batched_train_self_pair_worst_case(self, spark):
+        # a self-pair ends its batch: "aaaa" corpora degrade to one
+        # merge per round but stay exact
+        from mofka_spark.operators.text import bpe_train
+
+        got = [
+            (r["lhs"], r["rhs"], r["pair_count"])
+            for r in bpe_train(
+                self._df(spark, "aaaa aaaa aaaa"),
+                n_merges=2,
+                merges_per_round=4,
+            ).orderBy("rank").collect()
+        ]
+        assert got == [("a", "a", 9), ("aa", "aa", 3)]
