@@ -452,7 +452,17 @@ def blend_scores(
         raise ValueError("blend_scores: signals must be non-empty")
     cond = None
     for sig in signals:
-        c = F.col(sig).isNotNull() & ~F.isnan(F.col(sig).cast("double"))
+        sd = F.col(sig).cast("double")
+        # non-FINITE rows are excluded, same as NULL/NaN: +/-Inf
+        # would otherwise reach the quantizer, where pmod(inf, 1.0)
+        # turns the rank key into NaN and the row silently collapses
+        # into one NaN bucket instead of ranking at the extreme
+        # (ADVICE r9)
+        c = (
+            F.col(sig).isNotNull()
+            & ~F.isnan(sd)
+            & (F.abs(sd) != F.lit(float("inf")))
+        )
         cond = c if cond is None else (cond & c)
     obs = df.filter(cond).select(key_col, *signals)
     fields = {f.name: f.dataType for f in obs.schema.fields}
@@ -567,6 +577,9 @@ def k_anonymity(
 #: heuristic's English row (text.LANG_STOPWORDS["en"]).
 _SCORER_STOPWORDS = ("the", "and", "of", "to", "in")
 _SCORER_PUNCT = ".,!?;:"
+#: ASCII non-whitespace char class — the engine-portable \S (see
+#: default_text_scorer's docstring).
+_SCORER_NONWS = r"[^ \t\n\x0b\f\r]"
 
 
 def default_text_scorer(texts):
@@ -578,16 +591,23 @@ def default_text_scorer(texts):
     operand order, so an external engine computing the same tree
     reproduces every score bit-for-bit (no transcendentals, no
     library-dependent rounding — gates round ENGINE-side, not here).
-    Feature semantics mirror the repo tokenizer (lower, split on \\s+,
-    drop empty tokens), computed fully VECTORIZED: token count =
-    count of non-whitespace runs, stopword hits = token-anchored
-    alternation ((?<!\\S)...(?!\\S) — exact token equality, never a
-    substring), punctuation = one char-class count. Measured 2x the
-    per-row .apply form it replaced; values identical."""
+    Feature semantics mirror the repo tokenizer (lower, split on
+    whitespace, drop empty tokens), computed fully VECTORIZED: token
+    count = count of non-whitespace runs, stopword hits =
+    token-anchored alternation (exact token equality, never a
+    substring), punctuation = one char-class count. Whitespace is the
+    EXPLICIT ASCII class [ \\t\\n\\x0b\\f\\r], not \\s: Python re's
+    \\s is Unicode-aware while the DuckDB oracle (RE2) and the repo
+    tokenizer (Java regex) treat only ASCII as whitespace — U+00A0 /
+    U+2028 in a document would silently diverge the three engines'
+    token counts (ADVICE r9). Measured 2x the per-row .apply form it
+    replaced; values identical."""
     low = texts.str.lower()
-    nt = low.str.count(r"\S+")
+    nt = low.str.count(_SCORER_NONWS + "+")
     sw = low.str.count(
-        r"(?<!\S)(?:" + "|".join(_SCORER_STOPWORDS) + r")(?!\S)"
+        "(?<!" + _SCORER_NONWS + ")(?:"
+        + "|".join(_SCORER_STOPWORDS)
+        + ")(?!" + _SCORER_NONWS + ")"
     )
     pu = texts.str.count("[" + re.escape(_SCORER_PUNCT) + "]")
     ln = texts.str.len()

@@ -8844,8 +8844,9 @@ def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH s AS (
       SELECT doc_id AS id,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-               AS n_tokens,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                            AS BIGINT) END AS n_tokens,
              ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
                % 1000000 AS h
       FROM documents WHERE text IS NOT NULL
@@ -8874,6 +8875,233 @@ def q_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packing.bucket_batches(
         sized, boundaries=(16, 64, 256), batch_size=8
+    )
+
+
+# Batched BPE merge learning (operators/text.py bpe_train
+# merges_per_round): the production-scale trainer — up to m
+# provably-sequential-equivalent merges per pair-count job (the
+# conservative-exact selection of _bpe_select_batch). The oracle is
+# the SAME sequential recursive-CTE replay as bpe_vocab: a hash match
+# here is driver-level evidence that batching changes the JOB COUNT,
+# not the learned tokenizer.
+@query(
+    "bpe_vocab_batched",
+    r"""
+    WITH RECURSIVE
+    toks AS (
+      SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+             '\s+', ' ', 'g'), ' ')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+      WHERE word <> '' AND word NOT LIKE '%' || chr(31) || '%'
+      GROUP BY word
+    ),
+    base AS (
+      SELECT word, freq,
+             array_to_string(list_transform(string_split(word, ''),
+                    c -> chr(31) || c || chr(31)), '') AS seg
+      FROM wf
+    ),
+    steps(iter, word, freq, seg, lhs, rhs, cnt) AS (
+      SELECT 0, word, freq, seg, CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT iter + 1, word, freq,
+             replace(seg, chr(31) || best.lhs || chr(31)
+                          || chr(31) || best.rhs || chr(31),
+                     chr(31) || best.lhs || best.rhs || chr(31)),
+             best.lhs, best.rhs, best.cnt
+      FROM steps, (
+        SELECT a AS lhs, b AS rhs, cnt FROM (
+          SELECT p.a, p.b, SUM(p.freq) AS cnt
+          FROM (
+            SELECT s.freq, s.syms[gs.i] AS a, s.syms[gs.i + 1] AS b
+            FROM (SELECT freq, list_filter(string_split(seg, chr(31)), x -> x <> '') AS syms
+                  FROM steps) s,
+                 UNNEST(generate_series(1, len(s.syms) - 1)) AS gs(i)
+          ) p
+          GROUP BY p.a, p.b
+        ) q
+        WHERE cnt >= 2
+        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+      ) best
+      WHERE iter < 16
+    )
+    SELECT DISTINCT CAST(iter AS INTEGER) AS rank, lhs, rhs,
+           lhs || rhs AS merged, cnt AS pair_count
+    FROM steps WHERE iter > 0
+    """,
+)
+def q_bpe_vocab_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=16, merges_per_round=8)
+
+
+# Even-half-trained merges fixture for the stable-id gate (the
+# _bpe_merges discipline: bpe_stable_ids measures the ARTIFACT +
+# encode path, not training).
+_BPE_HALF_FIXTURE: dict[str, list[tuple[int, str, str]]] = {}
+
+
+def _bpe_merges_even(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str]]:
+    hit = _BPE_HALF_FIXTURE.get(sf_dir)
+    if hit is None:
+        from mofka_spark.operators.text import bpe_train
+
+        rows = bpe_train(
+            _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0),
+            n_merges=16,
+        ).collect()
+        hit = sorted((int(r["rank"]), r["lhs"], r["rhs"]) for r in rows)
+        _BPE_HALF_FIXTURE[sf_dir] = hit
+    return hit
+
+
+# Train-stable tokenizer ids (operators/text.py bpe_vocab_table +
+# bpe_encode(vocab=...)): train on the EVEN doc_ids, persist the
+# (piece, token_id) artifact, encode the DISJOINT odd half — ids must
+# be a property of the TOKENIZER, not of the corpus being encoded
+# (the r9 footgun: corpus-derived alphabets drift ids across shards).
+# Oracle: replay training on the even half (recursive CTE #1), apply
+# the learned merges to the odd half's words in rank order (recursive
+# CTE #2 — one replace per level, exactly bpe_encode's replace
+# chain), assign ids from the TRAIN alphabet + merge ranks, OOV 0.
+@query(
+    "bpe_stable_ids",
+    r"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ') AS ts
+      FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+    ),
+    stream AS (
+      SELECT id, CAST(gs.i - 1 AS BIGINT) AS word_pos, ts[gs.i] AS word
+      FROM d, UNNEST(generate_series(1, len(ts))) AS gs(i)
+      WHERE ts[gs.i] <> ''
+        AND ts[gs.i] NOT LIKE '%' || chr(31) || '%'
+    ),
+    wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM stream
+      GROUP BY word
+    ),
+    base AS (
+      SELECT word, freq,
+             array_to_string(list_transform(string_split(word, ''),
+                    c -> chr(31) || c || chr(31)), '') AS seg
+      FROM wf
+    ),
+    steps(iter, word, freq, seg, lhs, rhs, cnt) AS (
+      SELECT 0, word, freq, seg, CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT iter + 1, word, freq,
+             replace(seg, chr(31) || best.lhs || chr(31)
+                          || chr(31) || best.rhs || chr(31),
+                     chr(31) || best.lhs || best.rhs || chr(31)),
+             best.lhs, best.rhs, best.cnt
+      FROM steps, (
+        SELECT a AS lhs, b AS rhs, cnt FROM (
+          SELECT p.a, p.b, SUM(p.freq) AS cnt
+          FROM (
+            SELECT s.freq, s.syms[gs.i] AS a, s.syms[gs.i + 1] AS b
+            FROM (SELECT freq, list_filter(string_split(seg, chr(31)), x -> x <> '') AS syms
+                  FROM steps) s,
+                 UNNEST(generate_series(1, len(s.syms) - 1)) AS gs(i)
+          ) p
+          GROUP BY p.a, p.b
+        ) q
+        WHERE cnt >= 2
+        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+      ) best
+      WHERE iter < 16
+    ),
+    merges AS (
+      SELECT DISTINCT iter AS rank, lhs, rhs, lhs || rhs AS merged
+      FROM steps WHERE iter > 0
+    ),
+    alpha AS (
+      SELECT DISTINCT unnest(string_split(word, '')) AS piece FROM wf
+    ),
+    alpha_ids AS (
+      SELECT piece,
+             CAST(ROW_NUMBER() OVER (ORDER BY piece ASC) AS INTEGER)
+               AS token_id
+      FROM alpha WHERE piece <> ''
+    ),
+    vocab AS (
+      SELECT piece, CAST(MIN(token_id) AS INTEGER) AS token_id FROM (
+        SELECT piece, token_id FROM alpha_ids
+        UNION ALL
+        SELECT merged AS piece,
+               (SELECT COUNT(*) FROM alpha_ids) + rank AS token_id
+        FROM merges
+      ) GROUP BY piece
+    ),
+    od AS (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ') AS ts
+      FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1
+    ),
+    ostream AS (
+      SELECT id, CAST(gs.i - 1 AS BIGINT) AS word_pos, ts[gs.i] AS word
+      FROM od, UNNEST(generate_series(1, len(ts))) AS gs(i)
+      WHERE ts[gs.i] <> ''
+        AND ts[gs.i] NOT LIKE '%' || chr(31) || '%'
+    ),
+    owf AS (SELECT DISTINCT word FROM ostream),
+    applied(iter, word, seg) AS (
+      SELECT 0, word,
+             array_to_string(list_transform(string_split(word, ''),
+                    c -> chr(31) || c || chr(31)), '')
+      FROM owf
+      UNION ALL
+      SELECT a.iter + 1, a.word,
+             replace(a.seg, chr(31) || m.lhs || chr(31)
+                            || chr(31) || m.rhs || chr(31),
+                     chr(31) || m.lhs || m.rhs || chr(31))
+      FROM applied a JOIN merges m ON m.rank = a.iter + 1
+    ),
+    ofinal AS (
+      SELECT word, list_filter(string_split(seg, chr(31)), x -> x <> '')
+               AS syms
+      FROM applied
+      WHERE iter = (SELECT COALESCE(MAX(rank), 0) FROM merges)
+    ),
+    opieces AS (
+      SELECT ostream.id, ostream.word_pos,
+             CAST(gs.i - 1 AS BIGINT) AS piece_pos,
+             ofinal.syms[gs.i] AS piece
+      FROM ostream
+      JOIN ofinal USING (word),
+           UNNEST(generate_series(1, len(ofinal.syms))) AS gs(i)
+    )
+    SELECT opieces.id, opieces.word_pos, opieces.piece_pos,
+           opieces.piece, COALESCE(vocab.token_id, 0) AS token_id
+    FROM opieces LEFT JOIN vocab ON opieces.piece = vocab.piece
+    """,
+)
+def q_bpe_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import bpe_encode, bpe_vocab_table
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = _bpe_merges_even(spark, sf_dir)
+    vocab = bpe_vocab_table(
+        merges, docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    return bpe_encode(
+        docs.filter(F.col("doc_id") % 2 == 1), merges, vocab=vocab
     )
 
 

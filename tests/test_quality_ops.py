@@ -336,6 +336,24 @@ class TestBlendScores:
         out = blend_scores(df, {"a": 1.0, "b": 1.0}, "id")
         assert sorted(r["id"] for r in out.collect()) == [1, 5]
 
+    def test_infinite_signal_excludes_row(self, spark):
+        # +/-Inf must be excluded like NULL/NaN: the quantizer's
+        # pmod(inf, 1.0) is NaN, which would silently collapse
+        # infinite signals into one NaN bucket (ADVICE r9)
+        from mofka_spark.operators.quality import blend_scores
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 1.0), (2, float("inf"), 1.0),
+             (3, float("-inf"), 2.0), (4, 2.0, float("inf")),
+             (5, 3.0, 3.0)],
+            "id long, a double, b double",
+        )
+        out = blend_scores(df, {"a": 1.0, "b": 1.0}, "id")
+        assert sorted(r["id"] for r in out.collect()) == [1, 5]
+        # and with quantization off too (consistent contract)
+        out2 = blend_scores(df, {"a": 1.0}, "id", signal_round=None)
+        assert sorted(r["id"] for r in out2.collect()) == [1, 4, 5]
+
     def test_ties_share_min_rank(self, spark):
         from mofka_spark.operators.quality import blend_scores
 
@@ -473,6 +491,24 @@ class TestClassifierScores:
         assert row[1] == pytest.approx(13.0 / 14.0, abs=1e-12)
         # empty text: 0 tokens -> 1/3 exactly
         assert row[4] == pytest.approx(1.0 / 3.0, abs=1e-12)
+
+    def test_default_scorer_ascii_whitespace_only(self, spark):
+        # Unicode whitespace (U+00A0, U+2028) must count as TOKEN
+        # CHARS, matching the Java-regex tokenizer and the RE2
+        # oracle, not Python's Unicode-aware \s (ADVICE r9)
+        import pandas as pd
+
+        from mofka_spark.operators.quality import default_text_scorer
+
+        s = default_text_scorer(
+            pd.Series(["the\u00a0cat", "the cat", "in\u2028peace"])
+        )
+        # "the cat": ONE token (nbsp is not a separator), no
+        # exact stopword hit -> (2*0+1)/(1+3) - 0/(7+10)
+        assert s[0] == pytest.approx(1.0 / 4.0, abs=1e-12)
+        # "the cat": two tokens, one stopword
+        assert s[1] == pytest.approx(3.0 / 5.0, abs=1e-12)
+        assert s[2] == pytest.approx(1.0 / 4.0, abs=1e-12)
 
     def test_custom_scorer_hook(self, spark):
         from mofka_spark.operators.quality import classifier_scores
