@@ -17,8 +17,10 @@ from mofka_spark.operators import dedup, text
 from mofka_spark.session import get_spark
 
 
-def main() -> None:
-    spark = get_spark(master="local[4]")
+def main(spark=None) -> None:
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark(master="local[4]")
     driver = Driver(spark, tempfile.mkdtemp())
 
     topic = driver.create_topic("docs", num_partitions=2)

@@ -20,8 +20,10 @@ from mofka_spark.operators import dedup, joins, sampling, text
 from mofka_spark.session import get_spark
 
 
-def main() -> None:
-    spark = get_spark(master="local[4]")
+def main(spark=None) -> None:
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark(master="local[4]")
     corpus = [
         (1, "the quick brown fox jumps over the lazy dog", "web"),
         (2, "the quick brown fox jumps over the lazy dog", "web"),  # dup
@@ -127,6 +129,36 @@ def main() -> None:
     print("training order (interleaved):")
     order.orderBy("interleave_key", "source", "doc_id").show()
 
+    # 8b. REAL-model classifier gate (the FineWeb-Edu-shaped stage):
+    # a serialized hashed-feature logistic regression — weights in an
+    # .npz artifact, loaded lazily ONCE per worker process inside the
+    # Arrow-batched scoring stage (hashed_logistic_scorer), never
+    # shipped per task. Here the "model" is trained by construction:
+    # prose words get positive weight, the junk token negative.
+    import tempfile
+    import zlib
+
+    import numpy as np
+
+    from mofka_spark.operators import quality as qops
+
+    n_feat = 256
+    wts = np.zeros(n_feat)
+    for tok in ("fox", "box", "wizards", "zebras", "quartz", "jugs"):
+        wts[zlib.crc32(tok.encode()) % n_feat] += 2.0
+    wts[zlib.crc32(b"a") % n_feat] -= 1.0  # the repetition doc's token
+    import os
+
+    model = os.path.join(tempfile.mkdtemp(prefix="clf-"), "lr.npz")
+    np.savez(model, w=wts, b=np.float64(-1.0))
+    scored = qops.classifier_filter(
+        docs,
+        threshold=0.5,
+        scorer=qops.hashed_logistic_scorer(model),
+    )
+    print("real-model classifier gate (sigmoid > 0.5):")
+    scored.select("doc_id", "score").orderBy("doc_id").show()
+
     # 9. quality-aware keeper selection + blended scoring + budget cut:
     # instead of stage 2b's min-id keepers, keep each near-dup
     # cluster's BEST member under a rank-normalized blend of signals
@@ -164,7 +196,8 @@ def main() -> None:
     print("token-budget selection (20-token budget):")
     picked.orderBy(F.desc("blended")).show()
 
-    spark.stop()
+    if owns_spark:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -26,8 +26,10 @@ from mofka_spark.operators import similarity as S
 from mofka_spark.session import get_spark
 
 
-def main() -> None:
-    spark = get_spark(master="local[4]")
+def main(spark=None) -> None:
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark(master="local[4]")
     # 3 well-separated clusters in 8-dim, 20 vectors each; only every
     # 5th vector keeps its true label (the weak-supervision regime)
     rng = random.Random(11)
@@ -114,7 +116,8 @@ def main() -> None:
         "id", "mse"
     ).orderBy(F.desc("mse")).show(3)
 
-    spark.stop()
+    if owns_spark:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -27,8 +27,10 @@ from mofka_spark.streaming.neardup import (
 )
 
 
-def main() -> None:
-    spark = get_spark(master="local[4]")
+def main(spark=None) -> None:
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark(master="local[4]")
 
     # --- near-dup: batches arrive, each checks against ALL history ---
     batches = [
@@ -107,7 +109,8 @@ def main() -> None:
         arriving, index_docs, id_col="id", index_bands=index_bands
     ).orderBy("id").show()
 
-    spark.stop()
+    if owns_spark:
+        spark.stop()
 
 
 if __name__ == "__main__":

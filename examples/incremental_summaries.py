@@ -28,8 +28,10 @@ from mofka_spark.streaming.quantiles import histogram_sink, read_quantiles
 from mofka_spark.streaming.rollup import read_rollup, rollup_sink
 
 
-def main() -> None:
-    spark = get_spark(master="local[4]")
+def main(spark=None) -> None:
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark(master="local[4]")
     root = tempfile.mkdtemp(prefix="summaries-")
     driver = Driver(spark, root)
 
@@ -122,7 +124,8 @@ def main() -> None:
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
     print("compacted all four stores; rollup answers unchanged")
 
-    spark.stop()
+    if owns_spark:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -20,8 +20,10 @@ from mofka_spark.operators import quality, text
 from mofka_spark.session import get_spark
 
 
-def main() -> None:
-    spark = get_spark(master="local[4]")
+def main(spark=None) -> None:
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark(master="local[4]")
     docs = spark.createDataFrame(
         [
             (1, "contact me at jane.doe@example.com or 555-867-5309", "web"),
@@ -80,7 +82,8 @@ def main() -> None:
     print("release shard plan:")
     shard_plan(survivors, "id", shard_rows=2).orderBy("epoch_pos").show()
 
-    spark.stop()
+    if owns_spark:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -17,8 +17,10 @@ from mofka_spark.functions.views import DataDescriptor
 from mofka_spark.session import get_spark
 
 
-def main(root: str) -> None:
-    spark = get_spark(master="local[4]")
+def main(root: str, spark=None) -> None:
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark(master="local[4]")
     driver = Driver(spark, root)
 
     topic = driver.create_topic(

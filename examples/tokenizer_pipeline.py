@@ -16,8 +16,10 @@ from mofka_spark.operators.text import bpe_encode, bpe_train
 from mofka_spark.session import get_spark
 
 
-def main() -> None:
-    spark = get_spark(master="local[4]")
+def main(spark=None) -> None:
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark(master="local[4]")
     corpus = [
         "the quick brown fox jumps over the lazy dog",
         "pack my box with five dozen liquor jugs",
@@ -66,7 +68,8 @@ def main() -> None:
               f"len {r['span_len']} start={r['is_doc_start']} "
               f"end={r['is_doc_end']}")
 
-    spark.stop()
+    if owns_spark:
+        spark.stop()
 
 
 if __name__ == "__main__":

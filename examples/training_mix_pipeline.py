@@ -22,8 +22,10 @@ from mofka_spark.operators import dedup, events, sampling, similarity
 from mofka_spark.session import get_spark
 
 
-def main() -> None:
-    spark = get_spark(master="local[4]")
+def main(spark=None) -> None:
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark(master="local[4]")
     base = "the quick brown fox jumps over the lazy dog again and again"
     corpus = [
         (1, base + " plus unique tail one", "en"),
@@ -106,7 +108,8 @@ def main() -> None:
     events.transition_matrix(ev).orderBy("from_type", "to_type").show()
     events.rolling_active_users(ev).orderBy("day").show()
 
-    spark.stop()
+    if owns_spark:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -31,8 +31,10 @@ from mofka_spark.operators.text import hash_embed
 from mofka_spark.session import get_spark
 
 
-def main() -> None:
-    spark = get_spark(master="local[4]")
+def main(spark=None) -> None:
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark(master="local[4]")
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     docs = spark.read.parquet(f"{sf}/documents.parquet")
 
@@ -76,7 +78,8 @@ def main() -> None:
     print("after exact rerank (top-3 per query):")
     exact.orderBy("query_id", "rank").show(9)
 
-    spark.stop()
+    if owns_spark:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -614,6 +614,72 @@ def default_text_scorer(texts):
     return (2.0 * sw + 1.0) / (nt + 3.0) - pu / (ln + 10.0)
 
 
+#: Per-worker-process model cache for hashed_logistic_scorer: keyed
+#: by model path, populated on the FIRST batch a worker scores and
+#: reused for every later batch/task that worker runs (Spark reuses
+#: Python workers across tasks). Lives at module level so the
+#: cloudpickled scorer closure resolves it through the module import,
+#: one instance per worker process.
+_MODEL_CACHE: dict[str, tuple] = {}
+
+
+def hashed_logistic_scorer(model_path: str, record_loads: bool = False):
+    """A REAL serialized-model scorer for :func:`classifier_scores` —
+    the documented production injection pattern made executable: a
+    hashed-feature (hashing-trick) logistic regression whose weights
+    live in an ``.npz`` file (``w``: float64[n_features], ``b``:
+    float64 scalar) and load LAZILY inside each worker process on its
+    first batch, cached at module level thereafter (the decode_images
+    decoder-injection discipline, operators/modality.py). Nothing
+    model-sized is captured in the closure — only the PATH ships with
+    the task, so a 10 MB (or 10 GB, via a shared filesystem) model
+    costs one load per worker, not one per task or per row.
+
+    Features: crc32-hashed bag of lowercase whitespace tokens
+    (crc32, not Python hash(): hash() is per-process salted and
+    would silently disagree across workers). Score =
+    sigmoid(w . x + b), float64 throughout — deterministic.
+
+    ``record_loads`` appends the worker pid to ``model_path +
+    ".loads"`` on each ACTUAL load — test instrumentation for
+    pinning the one-load-per-worker contract; leave False in
+    production."""
+
+    def scorer(texts):
+        import os
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        # resolve the cache through the IMPORTED module, not the
+        # closure's global: cloudpickle ships nested functions by
+        # value with a per-task snapshot of their globals, so a bare
+        # _MODEL_CACHE reference would be a fresh dict every task —
+        # one load per TASK instead of per worker process
+        from mofka_spark.operators import quality as _q
+
+        mdl = _q._MODEL_CACHE.get(model_path)
+        if mdl is None:
+            data = np.load(model_path)
+            mdl = (np.asarray(data["w"], dtype="float64"), float(data["b"]))
+            _q._MODEL_CACHE[model_path] = mdl
+            if record_loads:
+                with open(model_path + ".loads", "a") as f:
+                    f.write(f"{os.getpid()}\n")
+        w, b = mdl
+        n = w.shape[0]
+        out = np.empty(len(texts), dtype="float64")
+        for i, t in enumerate(texts.fillna("").str.lower()):
+            z = b
+            for tok in t.split():
+                z += w[zlib.crc32(tok.encode()) % n]
+            out[i] = 1.0 / (1.0 + np.exp(-z))
+        return pd.Series(out, index=texts.index)
+
+    return scorer
+
+
 def classifier_scores(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -531,6 +531,68 @@ class TestClassifierScores:
         assert [r["doc_id"] for r in kept.collect()] == [1]
         assert "text" in kept.columns  # the document rides through
 
+    def test_real_model_scorer_loads_once_per_worker(
+        self, spark, tmp_path
+    ):
+        # the production injection pattern, executable: a serialized
+        # hashed-feature logistic regression loads lazily inside each
+        # worker and is cached — loads recorded == DISTINCT worker
+        # pids, never once per task/batch/row
+        import numpy as np
+
+        from mofka_spark.operators.quality import (
+            classifier_scores,
+            hashed_logistic_scorer,
+        )
+
+        n = 64
+        rng = np.random.default_rng(7)
+        model = str(tmp_path / "lr.npz")
+        np.savez(model, w=rng.normal(size=n), b=np.float64(0.25))
+        docs = spark.createDataFrame(
+            [(i, f"doc number {i} with words w{i % 5}") for i in range(64)],
+            "doc_id long, text string",
+        ).repartition(16)  # many tasks, few workers
+        scorer = hashed_logistic_scorer(model, record_loads=True)
+        out = classifier_scores(docs, scorer=scorer).collect()
+        assert len(out) == 64
+        loads = open(model + ".loads").read().split()
+        assert len(loads) == len(set(loads)), loads  # 1 load per pid
+        assert 1 <= len(loads) <= 16
+
+    def test_real_model_scorer_matches_local_math(self, spark, tmp_path):
+        import zlib
+
+        import numpy as np
+
+        from mofka_spark.operators.quality import (
+            classifier_scores,
+            hashed_logistic_scorer,
+        )
+
+        n = 32
+        rng = np.random.default_rng(3)
+        w = rng.normal(size=n)
+        model = str(tmp_path / "lr.npz")
+        np.savez(model, w=w, b=np.float64(-0.5))
+        texts = {1: "Alpha beta GAMMA", 2: "", 3: "alpha alpha"}
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["id"]: r["score"]
+            for r in classifier_scores(
+                docs, scorer=hashed_logistic_scorer(model)
+            ).collect()
+        }
+        for did, t in texts.items():
+            z = -0.5  # accumulate in the scorer's exact operand order
+            for tok in t.lower().split():
+                z += w[zlib.crc32(tok.encode()) % n]
+            assert got[did] == pytest.approx(
+                1.0 / (1.0 + np.exp(-z)), abs=0
+            ), did
+
     def test_no_shuffle_in_plan(self, spark):
         # inference is scan-local: Arrow batches per input partition,
         # no Exchange anywhere in the scoring stage
