@@ -473,3 +473,96 @@ def bucket_batches(
         "bucket",
         F.floor((rank - 1) / batch_size).cast("long").alias("batch_idx"),
     )
+
+
+def bucket_shard_plan(
+    batches: DataFrame,
+    batches_per_shard: int = 64,
+) -> DataFrame:
+    """Compose :func:`bucket_batches` output into the shard layout a
+    seq2seq dataloader actually consumes: every batch gets a GLOBAL
+    dense sequence number and lands WHOLE in one numbered shard —
+    a batch is the dataloader's atomic unit, so it must never split
+    across shard files the way raw rows may in shard_plan.
+
+    Input: (id, n_tokens, bucket, batch_idx) — bucket_batches'
+    schema. Output adds ``batch_seq`` (dense 0..n_batches-1 over
+    (bucket asc, batch_idx asc) — similar-length batches stay
+    adjacent, so a loader streaming shards in order replays the
+    bucketed curriculum) and ``shard`` = batch_seq //
+    batches_per_shard (last shard ragged).
+
+    Scale shape: per-bucket batch counts are ONE tiny aggregate
+    (#buckets rows to the driver — model-state-sized by
+    construction); batch_seq is then a scan-local projection through
+    a broadcast offset map. No global window, no extra shuffle —
+    the 100 TB corpus never funnels anywhere."""
+    if batches_per_shard <= 0:
+        raise ValueError(
+            "bucket_shard_plan: batches_per_shard must be positive"
+        )
+    counts = (
+        batches.groupBy("bucket")
+        .agg((F.max("batch_idx") + 1).alias("nb"))
+        .collect()
+    )
+    sess = batches.sparkSession
+    if not counts:
+        return sess.createDataFrame(
+            [],
+            "id long, n_tokens long, bucket int, batch_idx long, "
+            "batch_seq long, shard int",
+        )
+    off: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["bucket"]):
+        off[r["bucket"]] = acc
+        acc += int(r["nb"])
+    off_col = F.create_map(*[F.lit(x) for kv in off.items() for x in kv])
+    seq = (off_col[F.col("bucket")] + F.col("batch_idx")).cast("long")
+    return batches.select(
+        "id",
+        "n_tokens",
+        "bucket",
+        "batch_idx",
+        seq.alias("batch_seq"),
+        F.floor(seq / batches_per_shard).cast("int").alias("shard"),
+    )
+
+
+def export_bucket_shards(
+    batches: DataFrame,
+    path: str,
+    batches_per_shard: int = 64,
+) -> DataFrame:
+    """Write :func:`bucket_shard_plan`'s layout as numbered shard
+    directories and return the shard manifest — export_shards'
+    batch-atomic sibling. Layout: ``<path>/shard=<k>/*.parquet``,
+    rows sorted by (batch_seq, id) inside each shard so concatenating
+    shards in order IS the batched training order.
+
+    Manifest: (shard, n_batches, n_rows, first_seq, last_seq) —
+    exact integer spans, one tiny agg over the written files.
+
+    Scale shape: the plan is scan-local (see bucket_shard_plan); ONE
+    hash exchange on shard co-locates each shard's rows for the
+    write, sortWithinPartitions orders them — no global sort."""
+    plan = bucket_shard_plan(batches, batches_per_shard)
+    (
+        plan.repartition("shard")
+        .sortWithinPartitions("batch_seq", "id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    written = batches.sparkSession.read.parquet(path)
+    return (
+        written.groupBy("shard")
+        .agg(
+            F.count_distinct("batch_seq").cast("long").alias("n_batches"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("batch_seq").alias("first_seq"),
+            F.max("batch_seq").alias("last_seq"),
+        )
+        .orderBy("shard")
+    )

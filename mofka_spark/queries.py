@@ -8878,6 +8878,65 @@ def q_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bucketed batches composed into the shard-export layout
+# (operators/packing.py bucket_shard_plan): every batch gets a global
+# dense sequence number over (bucket, batch_idx) and lands WHOLE in
+# one numbered shard — the batch-atomic contract a seq2seq dataloader
+# needs (raw-row sharding may split a batch across files). Integer
+# arithmetic end-to-end: exact.
+@query(
+    "bucket_shards",
+    r"""
+    WITH s AS (
+      SELECT doc_id AS id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                            AS BIGINT) END AS n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+               % 1000000 AS h
+      FROM documents WHERE text IS NOT NULL
+    ), b AS (
+      SELECT id, n_tokens,
+             CAST(len(list_filter([16, 64, 256], x -> n_tokens >= x))
+                  AS INTEGER) AS bucket,
+             h
+      FROM s
+    ), r AS (
+      SELECT id, n_tokens, bucket,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, id) AS rn
+      FROM b
+    ), f AS (
+      SELECT id, n_tokens, bucket,
+             CAST((rn - 1) // 8 AS BIGINT) AS batch_idx
+      FROM r
+    ), nb AS (
+      SELECT bucket, MAX(batch_idx) + 1 AS nb FROM f GROUP BY bucket
+    ), o AS (
+      SELECT bucket,
+             CAST(COALESCE(SUM(nb) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+      FROM nb
+    )
+    SELECT f.id, f.n_tokens, f.bucket, f.batch_idx,
+           CAST(o.off + f.batch_idx AS BIGINT) AS batch_seq,
+           CAST((o.off + f.batch_idx) // 4 AS INTEGER) AS shard
+    FROM f JOIN o USING (bucket)
+    """,
+)
+def q_bucket_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = docs.select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    batches = packing.bucket_batches(
+        sized, boundaries=(16, 64, 256), batch_size=8
+    )
+    return packing.bucket_shard_plan(batches, batches_per_shard=4)
+
+
 # Batched BPE merge learning (operators/text.py bpe_train
 # merges_per_round): the production-scale trainer — up to m
 # provably-sequential-equivalent merges per pair-count job (the

@@ -366,3 +366,86 @@ class TestBucketBatches:
         a = sorted(map(tuple, bucket_batches(df).collect()))
         b = sorted(map(tuple, bucket_batches(df).collect()))
         assert a == b
+
+
+class TestBucketShardExport:
+    def _batches(self, spark, n=90):
+        from mofka_spark.operators.packing import bucket_batches
+
+        rows = [(i, (i * 37) % 300) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        return bucket_batches(df, batch_size=8)
+
+    def test_plan_batch_seq_dense_and_bucket_ordered(self, spark):
+        from mofka_spark.operators.packing import bucket_shard_plan
+
+        out = bucket_shard_plan(self._batches(spark), 4).collect()
+        # batch_seq is dense 0..n_batches-1
+        seqs = sorted({r["batch_seq"] for r in out})
+        assert seqs == list(range(len(seqs)))
+        # (bucket, batch_idx) -> batch_seq is strictly increasing in
+        # (bucket asc, batch_idx asc): bucketed curriculum preserved
+        keyed = sorted(
+            {(r["bucket"], r["batch_idx"], r["batch_seq"]) for r in out}
+        )
+        assert [k[2] for k in keyed] == list(range(len(keyed)))
+        # a batch is atomic: one batch_seq per (bucket, batch_idx)
+        assert len(keyed) == len({(k[0], k[1]) for k in keyed})
+
+    def test_batches_never_split_across_shards(self, spark):
+        from mofka_spark.operators.packing import bucket_shard_plan
+
+        out = bucket_shard_plan(self._batches(spark), 4).collect()
+        shard_of = {}
+        for r in out:
+            key = (r["bucket"], r["batch_idx"])
+            shard_of.setdefault(key, set()).add(r["shard"])
+        assert all(len(s) == 1 for s in shard_of.values())
+        # exactly batches_per_shard batches per shard (last ragged)
+        per_shard = {}
+        for (b, bi), s in shard_of.items():
+            per_shard[next(iter(s))] = per_shard.get(next(iter(s)), 0) + 1
+        shards = sorted(per_shard)
+        assert shards == list(range(len(shards)))
+        assert all(per_shard[s] == 4 for s in shards[:-1])
+        assert 1 <= per_shard[shards[-1]] <= 4
+
+    def test_export_manifest_exact_spans(self, spark, tmp_path):
+        from mofka_spark.operators.packing import export_bucket_shards
+
+        path = str(tmp_path / "shards")
+        man = {
+            r["shard"]: r
+            for r in export_bucket_shards(
+                self._batches(spark), path, batches_per_shard=4
+            ).collect()
+        }
+        # contiguous non-overlapping [first_seq, last_seq] spans
+        prev_last = -1
+        for s in sorted(man):
+            row = man[s]
+            assert row["first_seq"] == prev_last + 1
+            assert row["first_seq"] == s * 4
+            assert row["n_batches"] == row["last_seq"] - row["first_seq"] + 1
+            prev_last = row["last_seq"]
+        # written files: concatenation in shard order is batch_seq order
+        got = (
+            spark.read.parquet(path)
+            .orderBy("shard", "batch_seq", "id")
+            .collect()
+        )
+        assert [r["batch_seq"] for r in got] == sorted(
+            r["batch_seq"] for r in got
+        )
+        # row totals survive the round-trip
+        assert len(got) == self._batches(spark).count()
+
+    def test_plan_validation_and_empty(self, spark):
+        from mofka_spark.operators.packing import bucket_shard_plan
+
+        empty = spark.createDataFrame(
+            [], "id long, n_tokens long, bucket int, batch_idx long"
+        )
+        assert bucket_shard_plan(empty, 4).count() == 0
+        with pytest.raises(ValueError):
+            bucket_shard_plan(empty, 0)
