@@ -179,6 +179,23 @@ def main() -> None:
     # full per-query dump FIRST (local use; the driver keeps only the
     # last ~2000 chars of stdout, which truncates this line) ...
     print(json.dumps({**common, "queries": timings}))
+    # ... then a compact slowest-15 line so the expensive-query TREND
+    # stays inside the driver's tail window as the suite grows ...
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t >= 0),
+            key=lambda kv: -kv[1],
+        )[:15]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "slowest_15_sec",
+                "sf": sf,
+                "queries": slowest,
+            }
+        )
+    )
     # ... and a compact line LAST restricted to the 23 baseline-
     # comparable queries, so the per-query evidence against BENCH_r01 /
     # BASELINE.md lands INSIDE the recorded tail window and parses.
