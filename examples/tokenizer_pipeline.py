@@ -38,16 +38,32 @@ def main(spark=None) -> None:
     print(f"classifier kept {kept.count()}/{docs.count()} docs")
 
     # 2. learn BPE merges on the surviving corpus (one corpus collapse,
-    #    then bounded per-merge iterations)
-    merges = bpe_train(kept, n_merges=24)
+    #    then bounded per-ROUND jobs: merges_per_round batches
+    #    provably-sequential-equivalent merges — the 32k-merge
+    #    production trainer)
+    merges = bpe_train(kept, n_merges=24, merges_per_round=8)
     print("top merges:")
     for r in merges.orderBy("rank").limit(8).collect():
         print(f"  {r['rank']:>2}  {r['lhs']!r} + {r['rhs']!r} "
               f"-> {r['merged']!r}  (count {r['pair_count']})")
 
-    # 3. encode: replace-chain for bounded tables; method="arrow" is
-    #    the big-merge-table production path (bit-identical)
-    enc = bpe_encode(kept, merges, method="arrow")
+    # 2b. persist the TOKENIZER ARTIFACT (merges + train-time vocab):
+    #     ids become a property of the tokenizer, so every later
+    #     shard — or engine — encodes with identical token_ids
+    import tempfile
+
+    from mofka_spark.operators.text import (
+        bpe_vocab_table, load_bpe_tokenizer, save_bpe_tokenizer,
+    )
+
+    tok_path = tempfile.mkdtemp(prefix="tokenizer-") + "/tok"
+    save_bpe_tokenizer(tok_path, merges, bpe_vocab_table(merges, kept))
+    merges2, vocab2 = load_bpe_tokenizer(spark, tok_path)
+
+    # 3. encode WITH the loaded artifact: replace-chain for bounded
+    #    tables; method="arrow" is the big-merge-table production
+    #    path (bit-identical)
+    enc = bpe_encode(kept, merges2, method="arrow", vocab=vocab2)
     per_doc = enc.groupBy("id").agg(
         F.count("*").cast("long").alias("n_tokens")
     )

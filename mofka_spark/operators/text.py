@@ -2441,6 +2441,44 @@ def _bpe_apply_kernel(ranked: list[tuple[int, str, str]]):
     return run
 
 
+def save_bpe_tokenizer(
+    path: str,
+    merges: DataFrame | list,
+    vocab: DataFrame,
+) -> None:
+    """Persist the complete tokenizer ARTIFACT — the merge table and
+    the train-time vocab — as two parquet directories
+    (``<path>/merges``, ``<path>/vocab``). Together they make
+    encoding a pure function of the artifact: any engine (or any
+    later run) loading them assigns identical pieces AND identical
+    ids to every shard, which is the checkpoint-compatibility
+    contract a training run needs. Both tables are MODEL STATE
+    (vocab-sized); the writes are bounded regardless of corpus
+    scale."""
+    spark = vocab.sparkSession
+    if not isinstance(merges, DataFrame):
+        ranked = _bpe_ranked(merges)
+        merges = spark.createDataFrame(
+            [(r, a, b, a + b) for r, a, b in ranked],
+            "rank int, lhs string, rhs string, merged string",
+        )
+    merges.coalesce(1).write.mode("overwrite").parquet(path + "/merges")
+    vocab.select("piece", "token_id").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/vocab")
+
+
+def load_bpe_tokenizer(spark, path: str):
+    """Load a :func:`save_bpe_tokenizer` artifact. Returns
+    ``(merges, vocab)``: merges as the rank-sorted [(rank, lhs, rhs)]
+    list bpe_encode consumes (one bounded collect — model state),
+    vocab as the (piece, token_id) DataFrame for
+    ``bpe_encode(vocab=...)``."""
+    merges = _bpe_ranked(spark.read.parquet(path + "/merges"))
+    vocab = spark.read.parquet(path + "/vocab")
+    return merges, vocab
+
+
 def bpe_vocab_table(
     merges: DataFrame | list,
     train_df: DataFrame,

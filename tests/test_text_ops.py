@@ -1149,6 +1149,32 @@ class TestBpe:
         with pytest.raises(ValueError, match="vocab"):
             bpe_encode(df, [(1, "a", "b")], vocab=bad)
 
+    def test_tokenizer_artifact_round_trip(self, spark, tmp_path):
+        # save/load the full artifact: a fresh load must encode a NEW
+        # corpus with ids identical to the original tokenizer's
+        from mofka_spark.operators.text import (
+            bpe_encode,
+            bpe_train,
+            bpe_vocab_table,
+            load_bpe_tokenizer,
+            save_bpe_tokenizer,
+        )
+
+        train = self._df(spark)
+        merges = bpe_train(train, n_merges=8)
+        vocab = bpe_vocab_table(merges, train)
+        path = str(tmp_path / "tok")
+        save_bpe_tokenizer(path, merges, vocab)
+        m2, v2 = load_bpe_tokenizer(spark, path)
+        other = self._df(spark, "slow lowest zest")
+        a = sorted(map(tuple, bpe_encode(other, merges, vocab=vocab).collect()))
+        b = sorted(map(tuple, bpe_encode(other, m2, vocab=v2).collect()))
+        assert a == b
+        # merge-LIST artifacts round-trip too
+        save_bpe_tokenizer(path, [(1, "l", "o"), (2, "lo", "w")], vocab)
+        m3, _ = load_bpe_tokenizer(spark, path)
+        assert m3 == [(1, "l", "o"), (2, "lo", "w")]
+
     def test_batched_train_matches_sequential_classic(self, spark):
         # merges_per_round > 1 must reproduce the sequential table
         # exactly (the conservative-exact selection rule)
