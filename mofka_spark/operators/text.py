@@ -79,6 +79,63 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def encoding_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encoding-noise signals per document — the cleanup filter a web
+    crawl needs before any text stage: U+FFFD replacement characters
+    (decode failures), C0/DEL control characters (binary contamination;
+    tab/newline/CR excluded — they are legitimate layout), UTF-8-as-
+    Latin-1 mojibake lead bytes (U+00C2/U+00C3, the 'Ã©'/'â€™' class
+    of double-encoding artifacts), and the non-ASCII count (a
+    legitimate-multilingual vs noise discriminator when read next to
+    the others). Returns (id, n_chars, n_repl, n_ctrl, n_moji,
+    n_nonascii, repl_ratio, ctrl_ratio, moji_ratio, nonascii_ratio);
+    NULL text is dropped, empty text yields zero ratios.
+
+    Counts are length-difference of a regexp_replace — exact integers
+    on any engine whose regex understands the same char class (Java
+    here, RE2 in the oracle: the classes are written in both syntaxes'
+    common subset). Ratios are ROUND(count/chars, 6) with the
+    signed-zero wrap.
+
+    Scale shape: entirely scan-local (one projection, zero shuffles,
+    zero UDFs) — composes as extra signals into blend_scores /
+    classifier_filter thresholds."""
+    col = F.col(text_col)
+    n_chars = F.length(col)
+
+    def _count(cls: str) -> Column:
+        return (n_chars - F.length(F.regexp_replace(col, cls, ""))).cast(
+            "long"
+        )
+
+    n_repl = _count("[\ufffd]")
+    n_ctrl = _count("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")
+    n_moji = _count("[\u00c2\u00c3]")
+    n_nonascii = _count("[^\\x00-\\x7F]")
+
+    def _ratio(cnt: Column) -> Column:
+        return F.round(
+            cnt.cast("double") / F.greatest(n_chars, F.lit(1)), 6
+        ) + F.lit(0.0)
+
+    return df.filter(col.isNotNull()).select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_repl.alias("n_repl"),
+        n_ctrl.alias("n_ctrl"),
+        n_moji.alias("n_moji"),
+        n_nonascii.alias("n_nonascii"),
+        _ratio(n_repl).alias("repl_ratio"),
+        _ratio(n_ctrl).alias("ctrl_ratio"),
+        _ratio(n_moji).alias("moji_ratio"),
+        _ratio(n_nonascii).alias("nonascii_ratio"),
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID: argmax over per-language stopword
     token counts; 'und' (undetermined) when all are zero.

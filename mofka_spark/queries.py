@@ -8937,6 +8937,48 @@ def q_bucket_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.bucket_shard_plan(batches, batches_per_shard=4)
 
 
+# Encoding-noise signals (operators/text.py encoding_signals): the
+# web-crawl cleanup filter — replacement chars, C0/DEL control chars,
+# UTF-8-as-Latin-1 mojibake leads, non-ASCII counts. Counts are
+# length-difference of a regexp_replace with char classes written in
+# the Java/RE2 common subset; exact integers + rounded divisions.
+@query(
+    "encoding_noise",
+    r"""
+    WITH t AS (
+      SELECT doc_id AS id, text, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents WHERE text IS NOT NULL
+    ), c AS (
+      SELECT id, n_chars,
+             n_chars - CAST(length(regexp_replace(text,
+                 '[\x{FFFD}]', '', 'g')) AS BIGINT) AS n_repl,
+             n_chars - CAST(length(regexp_replace(text,
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))
+               AS BIGINT) AS n_ctrl,
+             n_chars - CAST(length(regexp_replace(text,
+                 '[\x{C2}\x{C3}]', '', 'g')) AS BIGINT) AS n_moji,
+             n_chars - CAST(length(regexp_replace(text,
+                 '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS n_nonascii
+      FROM t
+    )
+    SELECT id, n_chars, n_repl, n_ctrl, n_moji, n_nonascii,
+           0.0 + ROUND(CAST(n_repl AS DOUBLE)
+                       / GREATEST(n_chars, 1), 6) AS repl_ratio,
+           0.0 + ROUND(CAST(n_ctrl AS DOUBLE)
+                       / GREATEST(n_chars, 1), 6) AS ctrl_ratio,
+           0.0 + ROUND(CAST(n_moji AS DOUBLE)
+                       / GREATEST(n_chars, 1), 6) AS moji_ratio,
+           0.0 + ROUND(CAST(n_nonascii AS DOUBLE)
+                       / GREATEST(n_chars, 1), 6) AS nonascii_ratio
+    FROM c
+    """,
+)
+def q_encoding_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import encoding_signals
+
+    return encoding_signals(_t(spark, sf_dir, "documents"))
+
+
 # Batched BPE merge learning (operators/text.py bpe_train
 # merges_per_round): the production-scale trainer — up to m
 # provably-sequential-equivalent merges per pair-count job (the

@@ -1205,3 +1205,43 @@ class TestBpe:
             ).orderBy("rank").collect()
         ]
         assert got == [("a", "a", 9), ("aa", "aa", 3)]
+
+
+class TestEncodingSignals:
+    def test_counts_each_noise_class(self, spark):
+        from mofka_spark.operators.text import encoding_signals
+
+        rows = [
+            (1, "clean ascii text"),
+            (2, "bad � decode � here"),          # 2 repl
+            (3, "ctrl\x01\x02 and del\x7f"),               # 3 ctrl
+            (4, "cafÃ© naÃ¯ve Â "),  # 3 moji leads
+            (5, "tab\tand\nnewline\rok"),                  # layout != ctrl
+            (6, "münchen 中文"),              # legit non-ascii
+            (7, None),
+            (8, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["id"]: r for r in encoding_signals(df).collect()}
+        assert set(out) == {1, 2, 3, 4, 5, 6, 8}  # NULL dropped
+        assert out[1]["n_repl"] == out[1]["n_ctrl"] == out[1]["n_moji"] == 0
+        assert out[2]["n_repl"] == 2
+        assert out[2]["repl_ratio"] == round(2 / len(rows[1][1]), 6)
+        assert out[3]["n_ctrl"] == 3
+        assert out[4]["n_moji"] == 3
+        assert out[4]["n_nonascii"] == 6  # 3 leads + 2 trails + nbsp
+        assert out[5]["n_ctrl"] == 0  # \t \n \r are layout, not noise
+        assert out[6]["n_moji"] == 0 and out[6]["n_nonascii"] == 3
+        assert out[8]["n_chars"] == 0 and out[8]["repl_ratio"] == 0.0
+
+    def test_scan_local_no_shuffle(self, spark):
+        from mofka_spark.operators.text import encoding_signals
+
+        df = spark.createDataFrame(
+            [(1, "x")], "doc_id long, text string"
+        )
+        plan = (
+            encoding_signals(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
