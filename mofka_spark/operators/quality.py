@@ -63,6 +63,20 @@ def matches(col: str, pattern: str) -> tuple[str, Column]:
     )
 
 
+def no_match(col: str, pattern: str) -> tuple[str, Column]:
+    """Violations = non-null rows CONTAINING a match of ``pattern``
+    (unanchored find — matches' complement direction): the
+    contamination-style rule, e.g. no control bytes, no replacement
+    chars, no secrets-shaped substrings. Distributive (a plain
+    conditional sum), so it composes into the streaming audit
+    monitor unchanged."""
+    c = F.col(col)
+    return (
+        f"no_match({col})",
+        F.sum((c.isNotNull() & c.rlike(pattern)).cast("long")),
+    )
+
+
 def unique(col: str) -> tuple[str, Column]:
     """Violations = non-null rows beyond the first of each value
     (count - count distinct)."""

@@ -38,6 +38,29 @@ class TestConstraintAudit:
         assert out["matches(prio)"] == 1
         assert out["unique(k)"] == 1  # 3 non-null keys, 2 distinct
 
+    def test_no_match_finds_substring(self, spark):
+        # the contamination direction: violation when the pattern is
+        # FOUND anywhere (unanchored), e.g. control bytes in text
+        df = spark.createDataFrame(
+            [("clean",), ("has \x01 ctrl",), (None,)], ["t"]
+        )
+        out = quality.audit(
+            df, [quality.no_match("t", "[\\x00-\\x08]")]
+        ).collect()
+        assert out[0].violations == 1  # NULL not counted
+
+    def test_no_match_streams(self, spark, tmp_path):
+        # distributive: composes into the streaming audit monitor
+        from mofka_spark.streaming.monitor import audit_sink, read_audit
+
+        rules = [quality.no_match("t", "[\\x00-\\x08]")]
+        store = str(tmp_path / "m")
+        sink = audit_sink(store, rules)
+        sink(spark.createDataFrame([("ok",), ("b\x02ad",)], ["t"]), 0)
+        sink(spark.createDataFrame([("w\x03orse",)], ["t"]), 1)
+        got = read_audit(spark, store, rules).collect()
+        assert got[0].violations == 2
+
     def test_matches_is_anchored(self, spark):
         df = spark.createDataFrame([("x1-URGENTx",)], ["prio"])
         out = quality.audit(
