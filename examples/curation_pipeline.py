@@ -135,6 +135,7 @@ def main(spark=None) -> None:
     # Arrow-batched scoring stage (hashed_logistic_scorer), never
     # shipped per task. Here the "model" is trained by construction:
     # prose words get positive weight, the junk token negative.
+    import os
     import tempfile
     import zlib
 
@@ -147,8 +148,6 @@ def main(spark=None) -> None:
     for tok in ("fox", "box", "wizards", "zebras", "quartz", "jugs"):
         wts[zlib.crc32(tok.encode()) % n_feat] += 2.0
     wts[zlib.crc32(b"a") % n_feat] -= 1.0  # the repetition doc's token
-    import os
-
     model = os.path.join(tempfile.mkdtemp(prefix="clf-"), "lr.npz")
     np.savez(model, w=wts, b=np.float64(-1.0))
     scored = qops.classifier_filter(
@@ -165,8 +164,6 @@ def main(spark=None) -> None:
     # (token count up-weighted, junk repetition penalized), then fill
     # a fixed token budget with the top-blended survivors — the
     # end-to-end "dedup by quality, then spend the budget" path.
-    from mofka_spark.operators import quality as qops
-
     sigs = docs.join(
         text.repetition_signals(docs).select(
             F.col("id").alias("doc_id"), "top_bigram_frac"
