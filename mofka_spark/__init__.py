@@ -33,6 +33,7 @@ from mofka_spark.client import (
     TopicHandle,
 )
 from mofka_spark.errors import MofkaError, TopicExistsError, TopicNotFoundError, ValidationError
+from mofka_spark.kafka import KafkaDriver
 from mofka_spark.registry import TopicRegistry
 from mofka_spark.session import get_spark
 
@@ -40,6 +41,7 @@ __all__ = [
     "Consumer",
     "Driver",
     "Event",
+    "KafkaDriver",
     "MofkaError",
     "NoMoreEvents",
     "Producer",

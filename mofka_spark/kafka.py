@@ -1,0 +1,121 @@
+"""Kafka-flavored facade over the engine driver.
+
+Reference parity: ``pymofka_kafka.KafkaDriver``
+(/root/reference/python/py-mofka-kafka.cpp:17-52) — a thin binding
+exposing exactly three methods over the same service the main driver
+manages: ``create_topic(topic_name, num_partitions=1,
+replication_factor=1, config={}, validator=..., selector=...,
+serializer=...)``, ``open_topic(topic_name)`` and
+``topic_exists(topic_name)``. The reference constructs it from a
+Kafka-style *config file*; everything downstream (producers,
+consumers, events) is the ordinary client API.
+
+Spark-first mapping: the facade wraps :class:`mofka_spark.client.Driver`
+one-to-one. ``replication_factor`` is accepted, validated and
+persisted with the topic config, but replication itself is the
+storage layer's job here (HDFS / object-store replication or erasure
+coding under the Parquet log) — exactly like the reference delegates
+it to the Kafka brokers. The Kafka ``config`` map is persisted
+verbatim in the topic registry (``TopicConfig.extra``) so
+``open_topic`` round-trips it.
+
+The config file is JSON (the facade's analogue of a Kafka properties
+file)::
+
+    {"root": "/path/to/service/root"}
+
+Any other keys are kept as facade defaults (e.g.
+``"replication_factor": 3`` applies to topics created without an
+explicit one). For convenience a bare directory path is also
+accepted — it is treated as the service root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from mofka_spark.client import Driver, TopicHandle
+from mofka_spark.errors import MofkaError
+
+
+class KafkaDriver:
+    """Kafka-flavored control plane (≙ ``pymofka_kafka.KafkaDriver``).
+
+    The three reference methods, same names, same defaults
+    (py-mofka-kafka.cpp:23-51); topics it creates are ordinary engine
+    topics, so every producer/consumer/streaming path works on them
+    unchanged.
+    """
+
+    def __init__(self, config_file: str, spark: SparkSession | None = None):
+        self._defaults: dict[str, Any] = {}
+        if os.path.isdir(config_file):
+            root = config_file
+        else:
+            try:
+                with open(config_file) as f:
+                    cfg = json.load(f)
+            except FileNotFoundError:
+                raise MofkaError(
+                    f"KafkaDriver: config file {config_file!r} not found"
+                ) from None
+            except json.JSONDecodeError as e:
+                raise MofkaError(
+                    f"KafkaDriver: config file {config_file!r} is not JSON: {e}"
+                ) from None
+            if not isinstance(cfg, dict) or "root" not in cfg:
+                raise MofkaError(
+                    "KafkaDriver: config must be a JSON object with a 'root' key"
+                )
+            root = cfg.pop("root")
+            self._defaults = cfg
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise MofkaError(
+                    "KafkaDriver: no active SparkSession; pass spark="
+                )
+        self._driver = Driver(spark, root)
+
+    # -- the reference surface (py-mofka-kafka.cpp:23-51) ------------------
+    def create_topic(
+        self,
+        topic_name: str,
+        num_partitions: int = 1,
+        replication_factor: int = 1,
+        config: dict[str, Any] | None = None,
+        validator: dict[str, Any] | None = None,
+        selector: dict[str, Any] | None = None,
+        serializer: dict[str, Any] | None = None,
+    ) -> None:
+        """Create a topic; duplicate names raise (like the reference's
+        underlying createTopic). Returns None to match the binding."""
+        if replication_factor == 1 and "replication_factor" in self._defaults:
+            replication_factor = int(self._defaults["replication_factor"])
+        if replication_factor < 1:
+            raise MofkaError(
+                f"replication_factor must be >= 1, got {replication_factor}"
+            )
+        self._driver.registry.create_topic(
+            topic_name,
+            num_partitions=num_partitions,
+            validator=validator,
+            selector=selector,
+            serializer=serializer,
+            extra={
+                "kafka": {
+                    "replication_factor": replication_factor,
+                    "config": dict(config) if config else {},
+                }
+            },
+        )
+
+    def open_topic(self, topic_name: str) -> TopicHandle:
+        return self._driver.open_topic(topic_name)
+
+    def topic_exists(self, topic_name: str) -> bool:
+        return self._driver.topic_exists(topic_name)

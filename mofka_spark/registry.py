@@ -59,6 +59,10 @@ class TopicConfig:
     # include/mofka/MofkaDriver.hpp:220-279). None = every partition
     # uses `backend`; else entry i is partition i's backend.
     partition_backends: list[str] | None = None
+    # Free-form facade metadata (e.g. the Kafka facade's topic config
+    # map + replication_factor, python/py-mofka-kafka.cpp:23-40).
+    # Persisted verbatim; never interpreted by the engine.
+    extra: dict[str, Any] = field(default_factory=dict)
 
     def backend_of(self, partition: int) -> str:
         if self.partition_backends is not None and partition < len(
@@ -137,13 +141,16 @@ class TopicRegistry:
         serializer: dict[str, Any] | None = None,
         backend: str = "default",
         partition_backends: list[str] | None = None,
+        extra: dict[str, Any] | None = None,
     ) -> TopicConfig:
         """S1 createTopic. Fails with TopicExistsError on duplicates.
 
         ``partition_backends``: optional per-partition backend list
         (length num_partitions) mixing "default"/"memory" on one topic,
         the reference's per-partition manager choice
-        (/root/reference/src/MofkaDriver.cpp:510-643)."""
+        (/root/reference/src/MofkaDriver.cpp:510-643).
+        ``extra``: opaque facade metadata persisted with the config
+        (e.g. KafkaDriver's topic config + replication_factor)."""
         self._check_name(name)
         if num_partitions < 1:
             raise MofkaError(f"num_partitions must be >= 1, got {num_partitions}")
@@ -173,6 +180,7 @@ class TopicRegistry:
             partition_backends=(
                 list(partition_backends) if partition_backends is not None else None
             ),
+            extra=dict(extra) if extra else {},
         )
         os.makedirs(self.topic_path(name), exist_ok=True)
         # O_EXCL-equivalent create-new-only semantics (NEW_ONLY putMulti,
