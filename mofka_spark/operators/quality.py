@@ -777,3 +777,92 @@ def classifier_filter(
         df, id_col, text_col, scorer, score_col, keep_cols=True
     )
     return scored.filter(F.col(score_col) >= float(threshold))
+
+
+def retention_curve(
+    df: DataFrame,
+    thresholds: list[float],
+    score_col: str = "score",
+    group_col: str | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Threshold sweep for calibrating a quality filter: for each
+    candidate threshold t (and group, e.g. source), how many documents
+    and how much weight (e.g. tokens) survive ``score >= t`` — the
+    table you read before committing classifier_filter's threshold,
+    because the real constraint is usually "keep >= X% of tokens per
+    domain", not a score value.
+
+    Returns one row per (group,) threshold: ``n_kept`` / ``w_kept``
+    (weight omitted when ``weight_col`` is None) plus ``frac_docs`` /
+    ``frac_weight`` relative to the group's totals. Rows with a
+    NULL/NaN score count in the totals but never in the kept sums — a
+    scoreless doc cannot clear any threshold.
+
+    Scale shape: ONE scan, one narrow shuffle on the group key; every
+    threshold is a codegen'd conditional sum inside the same
+    HashAggregate (len(thresholds) conditional aggregates, not
+    len(thresholds) passes or an exploded corpus x thresholds join);
+    the unpivot to (threshold,) rows happens AFTER aggregation on the
+    #groups-row result via inline() — output is #groups x #thresholds
+    rows, model-state-sized."""
+    if not thresholds:
+        raise ValueError("retention_curve: thresholds must be non-empty")
+    ts = [float(t) for t in thresholds]
+    if len(set(ts)) != len(ts):
+        raise ValueError("retention_curve: duplicate thresholds")
+    s = F.col(score_col)
+    scored = s.isNotNull() & ~F.isnan(s.cast("double"))
+    aggs = [
+        F.count(F.lit(1)).alias("_nd"),
+    ]
+    if weight_col is not None:
+        aggs.append(F.sum(F.col(weight_col).cast("double")).alias("_wd"))
+    for i, t in enumerate(ts):
+        keep = scored & (s >= F.lit(t))
+        aggs.append(F.sum(keep.cast("long")).alias(f"_k{i}"))
+        if weight_col is not None:
+            aggs.append(
+                F.sum(
+                    F.when(keep, F.col(weight_col).cast("double")).otherwise(
+                        F.lit(0.0)
+                    )
+                ).alias(f"_w{i}")
+            )
+    grouped = df.groupBy(group_col) if group_col else df.groupBy()
+    agg = grouped.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"_k{i}").alias("n_kept"),
+                *(
+                    [F.col(f"_w{i}").alias("w_kept")]
+                    if weight_col is not None
+                    else []
+                ),
+            )
+            for i, t in enumerate(ts)
+        ]
+    )
+    head = [F.col(group_col)] if group_col else []
+    out = agg.select(
+        *head,
+        F.col("_nd"),
+        *([F.col("_wd")] if weight_col is not None else []),
+        F.inline(rows),
+    )
+    cols = [
+        *head,
+        F.col("threshold"),
+        F.col("n_kept"),
+        (F.col("n_kept") / F.col("_nd")).alias("frac_docs"),
+    ]
+    if weight_col is not None:
+        cols.insert(-1, F.col("w_kept"))
+        cols.append(
+            F.when(F.col("_wd") != 0, F.col("w_kept") / F.col("_wd"))
+            .otherwise(F.lit(None))
+            .alias("frac_weight")
+        )
+    return out.select(*cols)

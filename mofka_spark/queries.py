@@ -9206,6 +9206,84 @@ def q_bpe_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quality-threshold calibration (operators/quality.py
+# retention_curve): sweep candidate classifier thresholds and report
+# docs/tokens retained per source — the table read before committing
+# classifier_filter's threshold (the production constraint is "keep
+# >= X% of tokens per domain", not a score value). One scan, every
+# threshold a codegen'd conditional sum in one HashAggregate, unpivot
+# AFTER aggregation; the oracle is the same sweep via CROSS JOIN
+# UNNEST over the scorer's SQL mirror. Scores are 6dp-rounded on both
+# sides BEFORE the >= comparison so the sweep compares identical
+# doubles (the classifier_scores gate pins the rounded scores
+# bit-identical).
+@query(
+    "retention_curve",
+    r"""
+    WITH t AS (
+      SELECT source, text,
+             string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ), f AS (
+      SELECT source,
+             0.0 + ROUND(
+               (2.0 * len(list_filter(ts,
+                      x -> x IN ('the','and','of','to','in'))) + 1.0)
+               / (len(list_filter(ts, x -> x <> '')) + 3.0)
+               - (length(text)
+                  - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                 / (length(text) + 10.0), 6) AS score,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                            AS BIGINT) END AS n_tokens
+      FROM t
+    ), th AS (
+      SELECT CAST(unnest([0.0, 0.05, 0.1, 0.15, 0.2]) AS DOUBLE)
+        AS threshold
+    ), g AS (
+      SELECT source, threshold,
+             SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
+               AS n_kept,
+             CAST(SUM(CASE WHEN score >= threshold THEN n_tokens
+                           ELSE 0 END) AS DOUBLE) AS w_kept,
+             COUNT(*) AS nd,
+             CAST(SUM(n_tokens) AS DOUBLE) AS wd
+      FROM f CROSS JOIN th
+      GROUP BY source, threshold
+    )
+    SELECT source, threshold, CAST(n_kept AS BIGINT) AS n_kept, w_kept,
+           0.0 + ROUND(CAST(n_kept AS DOUBLE) / nd, 6) AS frac_docs,
+           0.0 + ROUND(w_kept / wd, 6) AS frac_weight
+    FROM g
+    """,
+)
+def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.quality import classifier_scores, retention_curve
+    from mofka_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        classifier_scores(docs, keep_cols=True)
+        .withColumn("score", F.round("score", 6) + F.lit(0.0))
+        .withColumn("n_tokens", token_count("text"))
+    )
+    rc = retention_curve(
+        scored,
+        [0.0, 0.05, 0.1, 0.15, 0.2],
+        group_col="source",
+        weight_col="n_tokens",
+    )
+    return rc.select(
+        "source",
+        "threshold",
+        "n_kept",
+        "w_kept",
+        (F.round("frac_docs", 6) + F.lit(0.0)).alias("frac_docs"),
+        (F.round("frac_weight", 6) + F.lit(0.0)).alias("frac_weight"),
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

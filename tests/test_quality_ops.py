@@ -647,3 +647,75 @@ class TestClassifierScores:
         )
         with pytest.raises(ValueError, match="score"):
             classifier_scores(df, keep_cols=True)
+
+
+class TestRetentionCurve:
+    def _scored(self, spark):
+        rows = [
+            (1, "a", 0.9, 10),
+            (2, "a", 0.5, 20),
+            (3, "a", 0.1, 30),
+            (4, "b", 0.5, 40),
+            (5, "b", None, 50),       # NULL score: in totals, never kept
+            (6, "b", float("nan"), 60),  # NaN score: same
+        ]
+        return spark.createDataFrame(
+            rows, "id long, source string, score double, n_tokens long"
+        )
+
+    def test_counts_and_fractions(self, spark):
+        from mofka_spark.operators.quality import retention_curve
+
+        out = retention_curve(
+            self._scored(spark),
+            [0.0, 0.5],
+            group_col="source",
+            weight_col="n_tokens",
+        )
+        got = {
+            (r["source"], r["threshold"]): r
+            for r in out.collect()
+        }
+        assert got[("a", 0.0)]["n_kept"] == 3
+        assert got[("a", 0.5)]["n_kept"] == 2
+        assert got[("a", 0.5)]["w_kept"] == 30.0
+        assert got[("a", 0.5)]["frac_docs"] == pytest.approx(2 / 3)
+        assert got[("a", 0.5)]["frac_weight"] == pytest.approx(30 / 60)
+        # b: NULL and NaN rows count in totals (3 docs, 150 tokens)
+        # but never clear a threshold — even 0.0
+        assert got[("b", 0.0)]["n_kept"] == 1
+        assert got[("b", 0.0)]["frac_docs"] == pytest.approx(1 / 3)
+        assert got[("b", 0.5)]["w_kept"] == 40.0
+        assert got[("b", 0.5)]["frac_weight"] == pytest.approx(40 / 150)
+
+    def test_global_no_weight(self, spark):
+        from mofka_spark.operators.quality import retention_curve
+
+        out = retention_curve(self._scored(spark), [0.2]).collect()
+        assert len(out) == 1
+        assert out[0]["n_kept"] == 3
+        assert out[0]["frac_docs"] == pytest.approx(3 / 6)
+        assert "w_kept" not in out[0].asDict()
+        assert "frac_weight" not in out[0].asDict()
+
+    def test_validation(self, spark):
+        from mofka_spark.operators.quality import retention_curve
+
+        with pytest.raises(ValueError, match="non-empty"):
+            retention_curve(self._scored(spark), [])
+        with pytest.raises(ValueError, match="duplicate"):
+            retention_curve(self._scored(spark), [0.1, 0.1])
+
+    def test_single_aggregate_plan(self, spark):
+        """One scan, one exchange: the sweep must be conditional sums
+        in a single HashAggregate, not per-threshold passes."""
+        from mofka_spark.operators.quality import retention_curve
+
+        out = retention_curve(
+            self._scored(spark),
+            [0.0, 0.1, 0.2, 0.3],
+            group_col="source",
+            weight_col="n_tokens",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
