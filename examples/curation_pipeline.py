@@ -158,6 +158,19 @@ def main(spark=None) -> None:
     print("real-model classifier gate (sigmoid > 0.5):")
     scored.select("doc_id", "score").orderBy("doc_id").show()
 
+    # 8c. calibrate the cutoff BEFORE committing it: the retention
+    # curve sweeps candidate thresholds in ONE aggregate pass and
+    # reports docs/tokens surviving each — pick the threshold from the
+    # retention constraint ("keep >= X% of tokens"), not from the
+    # score's absolute value.
+    curve_in = qops.classifier_scores(
+        docs, scorer=qops.hashed_logistic_scorer(model), keep_cols=True
+    ).withColumn("n_tokens", text.token_count("text").cast("long"))
+    print("retention curve (threshold -> surviving docs/tokens):")
+    qops.retention_curve(
+        curve_in, [0.3, 0.5, 0.7], weight_col="n_tokens"
+    ).orderBy("threshold").show()
+
     # 9. quality-aware keeper selection + blended scoring + budget cut:
     # instead of stage 2b's min-id keepers, keep each near-dup
     # cluster's BEST member under a rank-normalized blend of signals
