@@ -140,8 +140,16 @@ def main() -> None:
         # GC between queries, outside the timed region: accumulated
         # heap state otherwise makes late queries measure the earlier
         # ones' garbage (observed 4.8s isolated vs 8.2s at position
-        # ~100 for the same query in one session)
+        # ~100 for the same query in one session). Python gc FIRST:
+        # localCheckpoint RDD blocks (iterative ops — closure,
+        # pagerank, prefix sums) are pinned by Python-side DataFrame
+        # refs, so JVM gc alone cannot release them (observed 10.9s
+        # in-session vs 5.4s isolated for dedup_representatives at
+        # position ~190)
         try:
+            import gc
+
+            gc.collect()
             spark.sparkContext._jvm.System.gc()
         except Exception:  # noqa: BLE001
             pass
