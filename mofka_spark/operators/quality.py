@@ -24,7 +24,10 @@ import re
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["not_null", "in_range", "is_in", "matches", "unique", "audit"]
+__all__ = [
+    "not_null", "in_range", "is_in", "matches", "no_match", "unique",
+    "audit",
+]
 
 
 def not_null(col: str) -> tuple[str, Column]:
