@@ -86,16 +86,24 @@ class KafkaDriver:
         self,
         topic_name: str,
         num_partitions: int = 1,
-        replication_factor: int = 1,
+        replication_factor: int | None = None,
         config: dict[str, Any] | None = None,
         validator: dict[str, Any] | None = None,
         selector: dict[str, Any] | None = None,
         serializer: dict[str, Any] | None = None,
     ) -> None:
         """Create a topic; duplicate names raise (like the reference's
-        underlying createTopic). Returns None to match the binding."""
-        if replication_factor == 1 and "replication_factor" in self._defaults:
-            replication_factor = int(self._defaults["replication_factor"])
+        underlying createTopic). Returns None to match the binding.
+
+        ``replication_factor`` resolution: explicit argument (even an
+        explicit 1) > config-file ``replication_factor`` default > 1
+        (the binding's default). A None sentinel — not ``== 1`` — so
+        an explicit request for no replication is never silently
+        overridden by the file default."""
+        if replication_factor is None:
+            replication_factor = int(
+                self._defaults.get("replication_factor", 1)
+            )
         if replication_factor < 1:
             raise MofkaError(
                 f"replication_factor must be >= 1, got {replication_factor}"

@@ -25,9 +25,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+# whitespace runs as an explicit class (RE2's \s): Java's \s also
+# matches \x0b, which RE2 (the DuckDB oracle) does not — see
+# operators/text.py _WS
+_WS_RUN = r"[ \t\n\f\r]+"
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical text for dedup: lowercase, collapse whitespace."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(col)), _WS_RUN, " ")
 
 
 # the 32 ASCII punctuation characters, escaped for a regex class;
@@ -52,7 +58,7 @@ def normalize_text_aggressive(col: Column) -> Column:
     lowered = F.lower(F.trim(col))
     digits0 = F.regexp_replace(lowered, r"\d", "0")
     nopunct = F.regexp_replace(digits0, _ASCII_PUNCT_RE, "")
-    return F.trim(F.regexp_replace(nopunct, r"\s+", " "))
+    return F.trim(F.regexp_replace(nopunct, _WS_RUN, " "))
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:

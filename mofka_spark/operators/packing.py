@@ -549,8 +549,16 @@ def export_bucket_shards(
     write, sortWithinPartitions orders them — no global sort."""
     plan = bucket_shard_plan(batches, batches_per_shard)
     (
+        # shard FIRST in the sort key: the partitioned writer requires
+        # its output ordered by the partition column and inserts its
+        # own SortExec("shard") above any child that is not — which
+        # preserves the (batch_seq, id) order only while that sort
+        # stays in memory (spill-merge interleaves equal-key runs).
+        # Leading with shard satisfies the writer's requirement, so no
+        # extra sort is inserted and the within-shard order is the one
+        # we wrote, at any scale.
         plan.repartition("shard")
-        .sortWithinPartitions("batch_seq", "id")
+        .sortWithinPartitions("shard", "batch_seq", "id")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

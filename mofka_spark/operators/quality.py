@@ -259,8 +259,8 @@ def corpus_report(
 
     col = F.col(text_col)
     n_chars = F.length(col)
-    n_tok = F.size(F.split(F.trim(col), r"\s+"))
-    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    n_tok = F.size(F.split(F.trim(col), r"[ \t\n\f\r]+"))
+    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9 \t\n\f\r]", ""))
     base = df.filter(col.isNotNull()).select(
         F.col(strata_col).alias("stratum"),
         F.md5(normalize_text(col)).alias("_h"),
@@ -594,9 +594,12 @@ def k_anonymity(
 #: heuristic's English row (text.LANG_STOPWORDS["en"]).
 _SCORER_STOPWORDS = ("the", "and", "of", "to", "in")
 _SCORER_PUNCT = ".,!?;:"
-#: ASCII non-whitespace char class — the engine-portable \S (see
-#: default_text_scorer's docstring).
-_SCORER_NONWS = r"[^ \t\n\x0b\f\r]"
+#: non-whitespace char class over RE2's \s — the engine-portable \S
+#: (see default_text_scorer's docstring). NO \x0b: RE2 (the DuckDB
+#: oracle) does not treat vertical tab as whitespace, and the repo
+#: tokenizer _WS uses the same explicit class, so all three engines
+#: agree on every ASCII character.
+_SCORER_NONWS = r"[^ \t\n\f\r]"
 
 
 def default_text_scorer(texts):
@@ -613,12 +616,13 @@ def default_text_scorer(texts):
     count = count of non-whitespace runs, stopword hits =
     token-anchored alternation (exact token equality, never a
     substring), punctuation = one char-class count. Whitespace is the
-    EXPLICIT ASCII class [ \\t\\n\\x0b\\f\\r], not \\s: Python re's
-    \\s is Unicode-aware while the DuckDB oracle (RE2) and the repo
-    tokenizer (Java regex) treat only ASCII as whitespace — U+00A0 /
-    U+2028 in a document would silently diverge the three engines'
-    token counts (ADVICE r9). Measured 2x the per-row .apply form it
-    replaced; values identical."""
+    EXPLICIT class [ \\t\\n\\f\\r] (RE2's \\s), not an engine \\s:
+    Python re's \\s is Unicode-aware (U+00A0 / U+2028 would diverge),
+    Java's \\s adds \\x0b which RE2's does not — the explicit class is
+    the exact intersection all three engines compute identically, and
+    the repo tokenizer _WS uses the same class (ADVICE r9 + review).
+    Measured 2x the per-row .apply form it replaced; values
+    identical."""
     low = texts.str.lower()
     nt = low.str.count(_SCORER_NONWS + "+")
     sw = low.str.count(
@@ -637,7 +641,7 @@ def default_text_scorer(texts):
 #: Python workers across tasks). Lives at module level so the
 #: cloudpickled scorer closure resolves it through the module import,
 #: one instance per worker process.
-_MODEL_CACHE: dict[str, tuple] = {}
+_MODEL_CACHE: dict[tuple, tuple] = {}  # (path, mtime_ns, size) -> (w, b)
 
 
 def hashed_logistic_scorer(model_path: str, record_loads: bool = False):
@@ -676,11 +680,22 @@ def hashed_logistic_scorer(model_path: str, record_loads: bool = False):
         # one load per TASK instead of per worker process
         from mofka_spark.operators import quality as _q
 
-        mdl = _q._MODEL_CACHE.get(model_path)
+        # cache key includes (mtime_ns, size): retraining the model in
+        # place at the same path must not keep serving warm workers the
+        # old weights while fresh workers load the new file (a silent
+        # mixed-version scoring job). The stat is cheap relative to an
+        # Arrow batch; a changed file loads exactly once more.
+        st = os.stat(model_path)
+        key = (model_path, st.st_mtime_ns, st.st_size)
+        mdl = _q._MODEL_CACHE.get(key)
         if mdl is None:
             data = np.load(model_path)
             mdl = (np.asarray(data["w"], dtype="float64"), float(data["b"]))
-            _q._MODEL_CACHE[model_path] = mdl
+            # evict this path's stale versions only (two DIFFERENT
+            # models scoring in one job must not evict each other)
+            for k in [k for k in _q._MODEL_CACHE if k[0] == model_path]:
+                del _q._MODEL_CACHE[k]
+            _q._MODEL_CACHE[key] = mdl
             if record_loads:
                 with open(model_path + ".loads", "a") as f:
                     f.write(f"{os.getpid()}\n")

@@ -11,9 +11,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Tokenization: whitespace runs. Kept intentionally simple and
-# cross-engine-reproducible (same regex semantics in DuckDB).
-_WS = r"\s+"
+# Tokenization: whitespace runs. EXPLICIT class, not \s: Java's \s
+# includes \x0b (vertical tab) while RE2's (the DuckDB oracle's
+# regexp_split '\s+') does not — the one ASCII character the two
+# engines disagree on. The explicit class IS RE2's \s, so tokenize
+# semantics are engine-identical on any input, not just \x0b-free
+# corpora. Kept intentionally simple and cross-engine-reproducible.
+_WS = r"[ \t\n\f\r]+"
 
 # A tiny per-language stopword inventory for the n-gram/stopword
 # language-ID heuristic. Deterministic, oracle-expressible.
@@ -2664,28 +2668,12 @@ def bpe_encode(
         raise ValueError(f"bpe_encode: unknown method {method!r}")
 
     if vocab is None:
-        # deterministic piece ids: corpus alphabet (chars asc) = 1..A,
-        # merged symbols = A + rank, duplicates keep the lowest id
-        alphabet = toks.select(
-            F.explode(F.split(F.col("word"), "")).alias("piece")
-        ).filter(F.col("piece") != "").distinct()
-        aw = Window.orderBy(F.asc("piece"))
-        alpha_ids = alphabet.select(
-            "piece", F.row_number().over(aw).cast("int").alias("token_id")
-        )
-        n_alpha = alpha_ids.count()
-        spark = df.sparkSession
-        merged_ids = spark.createDataFrame(
-            [(lhs + rhs, n_alpha + rank) for rank, lhs, rhs in ranked],
-            "piece string, token_id int",
-        ) if ranked else spark.createDataFrame(
-            [], "piece string, token_id int"
-        )
-        vocab = (
-            alpha_ids.unionByName(merged_ids)
-            .groupBy("piece")
-            .agg(F.min("token_id").cast("int").alias("token_id"))
-        )
+        # deterministic piece ids from THIS corpus — exactly the
+        # train-time artifact computed over df, so the "ids 1..A asc,
+        # merged A+rank, min-id dedup" contract lives in one place
+        # (ranked is already collected; passing it skips a second
+        # merge-table collect)
+        vocab = bpe_vocab_table(ranked, df, text_col)
     else:
         if not {"piece", "token_id"} <= set(vocab.columns):
             raise ValueError(

@@ -49,10 +49,12 @@ class TestKafkaDriver:
             json.dumps({"root": str(tmp_path / "svc"), "replication_factor": 3})
         )
         kd = KafkaDriver(str(cfg), spark=spark)
-        kd.create_topic("a")  # default 1 -> file default 3
+        kd.create_topic("a")  # unspecified -> file default 3
         kd.create_topic("b", replication_factor=2)  # explicit wins
+        kd.create_topic("c", replication_factor=1)  # explicit 1 wins too
         assert kd.open_topic("a")._refresh().extra["kafka"]["replication_factor"] == 3
         assert kd.open_topic("b")._refresh().extra["kafka"]["replication_factor"] == 2
+        assert kd.open_topic("c")._refresh().extra["kafka"]["replication_factor"] == 1
 
     def test_bare_root_dir_accepted(self, spark, tmp_path):
         kd = KafkaDriver(str(tmp_path), spark=spark)
