@@ -72,6 +72,25 @@ def main(root: str, spark=None) -> None:
         event.acknowledge()
     print(f"consumed {n} events, {kept} payloads selected")
 
+    # -- Kafka-flavored control plane over the same service -----------
+    # (reference python/py-mofka-kafka.cpp): same registry, so the
+    # facade sees the engine topic and vice versa.
+    import json
+    import os
+
+    from mofka_spark.kafka import KafkaDriver
+
+    cfg_path = os.path.join(root, "kafka.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"root": root, "replication_factor": 3}, f)
+    kd = KafkaDriver(cfg_path, spark=spark)
+    kd.create_topic("kafka_clicks", num_partitions=2,
+                    config={"retention.ms": "604800000"})
+    print("facade sees engine topic:", kd.topic_exists("sensor_readings"))
+    print("engine sees facade topic:", driver.topic_exists("kafka_clicks"),
+          "| rf:", driver.registry.open_topic("kafka_clicks")
+          .extra["kafka"]["replication_factor"])
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp())
