@@ -9284,6 +9284,101 @@ def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Curation-pipeline composition (the flagship end-to-end selection
+# path a pretraining data pipeline actually runs): encoding-noise
+# filter (no replacement chars, no control bytes) -> Gopher-style
+# quality filter -> exact dedup among the SURVIVORS (keeper = min id)
+# -> per-source token budget in deterministic hash order. Every stage
+# reuses an already-gated operator; the value here is the oracle
+# checking the whole composition in one SQL — stage boundaries,
+# survivor sets, and budget arithmetic, not just each stage alone.
+# Scale shape inherits the stages': two scan-local filters, one
+# uniform-key dedup shuffle, one per-source running-sum cap (the
+# distributed prefix count) — no new machinery. The gate form keeps
+# each operator intact (6 pushed scans of documents via semi-joins);
+# a scan-count-sensitive production run fuses the two scan-local
+# filters into one projection and persists the survivor frame before
+# dedup — same results, 2 scans.
+@query(
+    "curation_select",
+    r"""
+    WITH base AS (
+      SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
+    ), encf AS (
+      SELECT doc_id FROM base
+      WHERE length(text) = length(regexp_replace(
+              text, '[\x{FFFD}]', '', 'g'))
+        AND length(text) = length(regexp_replace(
+              text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))
+    ), toks AS (
+      SELECT b.doc_id, b.source, b.text,
+             string_split(regexp_replace(lower(trim(b.text)),
+                    '\s+', ' ', 'g'), ' ') AS t
+      FROM base b JOIN encf USING (doc_id)
+    ), qual AS (
+      SELECT doc_id, source, text, CAST(len(t) AS BIGINT) AS n_tokens
+      FROM toks
+      WHERE CAST(len(t) AS BIGINT) BETWEEN 50 AND 100000
+        AND ROUND(list_sum(list_transform(t, x -> len(x)))
+                  / greatest(len(t), 1), 4) BETWEEN 3.0 AND 10.0
+        AND ROUND(((len(text) - len(replace(text, '#', '')))
+                 + (len(text) - len(replace(text, '...', ''))) / 3)
+                  / greatest(len(t), 1), 4) < 0.1
+        AND ROUND(len(list_filter(t, x -> regexp_full_match(x, '[a-z]+')))
+                  / greatest(len(t), 1), 4) > 0.8
+        AND len(list_filter(t,
+                x -> list_contains(['the','and','of','to','in'], x))) >= 2
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM qual
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    ), capped AS (
+      SELECT q.doc_id, q.source, q.n_tokens,
+             COALESCE(SUM(q.n_tokens) OVER (PARTITION BY q.source
+                      ORDER BY ('0x' || substr(md5(q.doc_id::VARCHAR),
+                                1, 12))::BIGINT % 1000000, q.doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS prior
+      FROM qual q JOIN keep USING (doc_id)
+    )
+    SELECT doc_id, source, n_tokens FROM capped WHERE prior < 300
+    """,
+)
+def q_curation_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.dedup import exact_dedup
+    from mofka_spark.operators.sampling import group_token_cap
+    from mofka_spark.operators.text import (
+        encoding_signals,
+        gopher_quality,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    clean = (
+        encoding_signals(docs)
+        .filter((F.col("n_repl") == 0) & (F.col("n_ctrl") == 0))
+        .select(F.col("id").alias("doc_id"))
+    )
+    qual = (
+        gopher_quality(docs)
+        .filter(F.col("pass_quality"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    surv = docs.join(clean, "doc_id", "left_semi").join(
+        qual, "doc_id", "left_semi"
+    )
+    keepers = exact_dedup(surv).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = surv.join(keepers, "doc_id", "left_semi")
+    sized = kept.select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    return group_token_cap(sized, "doc_id", "source", "n_tokens", cap=300)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo
