@@ -1208,3 +1208,75 @@ class TestCdcChunkProperties:
             for r in cdc_chunks(df, min_words=min_words).collect()
         )
         assert got == self._py_cdc(text, min_words=min_words)
+
+
+class TestRetentionCurveProperties:
+    """retention_curve == a pure-pandas mirror on arbitrary scored
+    frames: kept counts/weights per (group, threshold), totals
+    including NULL/NaN scores, and the monotone structure
+    (n_kept non-increasing in threshold)."""
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.one_of(
+                    st.none(),
+                    st.just(float("nan")),
+                    st.floats(-2.0, 2.0, allow_nan=False),
+                ),
+                st.integers(0, 100),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        thresholds=st.lists(
+            st.floats(-1.5, 1.5, allow_nan=False),
+            min_size=1, max_size=5, unique=True,
+        ),
+    )
+    def test_matches_pandas_mirror(self, spark, rows, thresholds):
+        import math
+
+        from mofka_spark.operators.quality import retention_curve
+
+        df = spark.createDataFrame(
+            [(i, g, s, w) for i, (g, s, w) in enumerate(rows)],
+            "id long, grp string, score double, w long",
+        )
+        got = {
+            (r["grp"], r["threshold"]): r
+            for r in retention_curve(
+                df, thresholds, group_col="grp", weight_col="w"
+            ).collect()
+        }
+        groups = {g for g, _, _ in rows}
+        assert set(got) == {(g, t) for g in groups for t in thresholds}
+        for g in groups:
+            grows = [(s, w) for gg, s, w in rows if gg == g]
+            nd, wd = len(grows), float(sum(w for _, w in grows))
+            per_t = []
+            for t in thresholds:
+                kept = [
+                    (s, w) for s, w in grows
+                    if s is not None and not math.isnan(s) and s >= t
+                ]
+                r = got[(g, t)]
+                assert r["n_kept"] == len(kept)
+                assert r["w_kept"] == pytest.approx(
+                    float(sum(w for _, w in kept))
+                )
+                assert r["frac_docs"] == pytest.approx(len(kept) / nd)
+                if wd:
+                    assert r["frac_weight"] == pytest.approx(
+                        sum(w for _, w in kept) / wd
+                    )
+                else:
+                    assert r["frac_weight"] is None
+                per_t.append((t, len(kept)))
+            # monotone: higher threshold never keeps more
+            per_t.sort()
+            for (t1, k1), (t2, k2) in zip(per_t, per_t[1:]):
+                assert k1 >= k2
