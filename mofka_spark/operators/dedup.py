@@ -26,9 +26,13 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 # whitespace runs as an explicit class (RE2's \s): Java's \s also
-# matches \x0b, which RE2 (the DuckDB oracle) does not — see
-# operators/text.py _WS
-_WS_RUN = r"[ \t\n\f\r]+"
+# matches \x0b, which RE2 (the DuckDB oracle) does not. ONE shared
+# definition — text._WS_CHARS — so the engines cannot drift one
+# site at a time (text.py's dedup imports are function-local; no
+# cycle).
+from mofka_spark.operators.text import _WS_CHARS
+
+_WS_RUN = f"[{_WS_CHARS}]+"
 
 
 def normalize_text(col: Column) -> Column:

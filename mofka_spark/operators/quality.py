@@ -259,8 +259,10 @@ def corpus_report(
 
     col = F.col(text_col)
     n_chars = F.length(col)
-    n_tok = F.size(F.split(F.trim(col), r"[ \t\n\f\r]+"))
-    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9 \t\n\f\r]", ""))
+    from mofka_spark.operators.text import _WS_CHARS
+
+    n_tok = F.size(F.split(F.trim(col), f"[{_WS_CHARS}]+"))
+    n_punct = F.length(F.regexp_replace(col, f"[A-Za-z0-9{_WS_CHARS}]", ""))
     base = df.filter(col.isNotNull()).select(
         F.col(strata_col).alias("stratum"),
         F.md5(normalize_text(col)).alias("_h"),
@@ -596,10 +598,12 @@ _SCORER_STOPWORDS = ("the", "and", "of", "to", "in")
 _SCORER_PUNCT = ".,!?;:"
 #: non-whitespace char class over RE2's \s — the engine-portable \S
 #: (see default_text_scorer's docstring). NO \x0b: RE2 (the DuckDB
-#: oracle) does not treat vertical tab as whitespace, and the repo
-#: tokenizer _WS uses the same explicit class, so all three engines
-#: agree on every ASCII character.
-_SCORER_NONWS = r"[^ \t\n\f\r]"
+#: oracle) does not treat vertical tab as whitespace; built from the
+#: repo-wide text._WS_CHARS definition so all three engines agree on
+#: every ASCII character and cannot drift one site at a time.
+from mofka_spark.operators.text import _WS_CHARS as _TOK_WS_CHARS
+
+_SCORER_NONWS = f"[^{_TOK_WS_CHARS}]"
 
 
 def default_text_scorer(texts):
@@ -684,9 +688,21 @@ def hashed_logistic_scorer(model_path: str, record_loads: bool = False):
         # place at the same path must not keep serving warm workers the
         # old weights while fresh workers load the new file (a silent
         # mixed-version scoring job). The stat is cheap relative to an
-        # Arrow batch; a changed file loads exactly once more.
-        st = os.stat(model_path)
-        key = (model_path, st.st_mtime_ns, st.st_size)
+        # Arrow batch; a changed file loads exactly once more. If the
+        # file vanishes mid-job (rotated/cleaned up on a shared FS)
+        # warm workers keep serving their cached version — the
+        # pre-key behavior — instead of failing the job; only a
+        # never-loaded worker raises. Caveat: an in-place rewrite
+        # preserving both mtime_ns and size is indistinguishable —
+        # write-then-rename model updates, don't rewrite in place.
+        try:
+            st = os.stat(model_path)
+            key = (model_path, st.st_mtime_ns, st.st_size)
+        except OSError:
+            cached = [k for k in _q._MODEL_CACHE if k[0] == model_path]
+            if not cached:
+                raise
+            key = cached[0]
         mdl = _q._MODEL_CACHE.get(key)
         if mdl is None:
             data = np.load(model_path)

@@ -11,13 +11,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Tokenization: whitespace runs. EXPLICIT class, not \s: Java's \s
+# Tokenization: whitespace runs. EXPLICIT chars, not \s: Java's \s
 # includes \x0b (vertical tab) while RE2's (the DuckDB oracle's
 # regexp_split '\s+') does not — the one ASCII character the two
-# engines disagree on. The explicit class IS RE2's \s, so tokenize
+# engines disagree on. The explicit set IS RE2's \s, so tokenize
 # semantics are engine-identical on any input, not just \x0b-free
-# corpora. Kept intentionally simple and cross-engine-reproducible.
-_WS = r"[ \t\n\f\r]+"
+# corpora. _WS_CHARS is THE whitespace definition for the whole
+# engine — every Spark-side char class embeds it (dedup
+# normalization, punctuation complements, the classifier scorer's
+# \S) so the engines cannot drift one site at a time.
+_WS_CHARS = " \t\n\f\r"
+_WS = f"[{_WS_CHARS}]+"
 
 # A tiny per-language stopword inventory for the n-gram/stopword
 # language-ID heuristic. Deterministic, oracle-expressible.
@@ -46,7 +50,7 @@ def token_count_bpe(text: Column | str) -> Column:
     counts — deterministic and oracle-expressible."""
     col = F.col(text) if isinstance(text, str) else text
     n_word_chars = F.length(F.regexp_replace(col, r"[^A-Za-z0-9]", ""))
-    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    n_punct = F.length(F.regexp_replace(col, f"[A-Za-z0-9{_WS_CHARS}]", ""))
     return (F.ceil(n_word_chars / F.lit(4.0)) + n_punct).cast("long")
 
 
@@ -68,7 +72,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     col = F.col(text_col)
     n_chars = F.length(col)
     n_tok = token_count(col)
-    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    n_punct = F.length(F.regexp_replace(col, f"[A-Za-z0-9{_WS_CHARS}]", ""))
     n_upper = F.length(F.regexp_replace(col, r"[^A-Z]", ""))
     n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
     n_stop = _stopword_hits(col, LANG_STOPWORDS["en"])

@@ -719,3 +719,35 @@ class TestRetentionCurve:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+class TestModelCacheInvalidation:
+    def _save(self, path, w0):
+        import numpy as np
+
+        np.savez(path, w=np.full(16, w0), b=np.float64(0.0))
+
+    def test_inplace_retrain_and_vanish(self, tmp_path):
+        import os
+
+        import pandas as pd
+
+        from mofka_spark.operators import quality as q
+
+        path = str(tmp_path / "m.npz")
+        self._save(path, 1.0)
+        scorer = q.hashed_logistic_scorer(path)
+        texts = pd.Series(["x"])
+        s1 = scorer(texts).iloc[0]
+        # retrain in place (distinct mtime_ns forced): new weights
+        # must be picked up, not the cached ones
+        self._save(path, -1.0)
+        os.utime(path, ns=(1, 1))
+        s2 = scorer(texts).iloc[0]
+        assert s1 != s2
+        # file vanishes mid-job: warm cache keeps serving
+        os.unlink(path)
+        assert scorer(texts).iloc[0] == s2
+        # a never-loaded path still raises
+        with pytest.raises(OSError):
+            q.hashed_logistic_scorer(str(tmp_path / "missing.npz"))(texts)
