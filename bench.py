@@ -113,6 +113,25 @@ def main() -> None:
             print(f"# unknown queries: {unknown}", file=sys.stderr)
         selected = {n: selected[n] for n in args.queries if n in selected}
 
+    def _release_rdds() -> None:
+        """Blocking unpersist of every persisted RDD in the session.
+
+        localCheckpoint blocks (iterative ops — closure, pagerank,
+        prefix sums, gram frames) are ordinary persisted RDDs; relying
+        on Python gc + JVM gc + the async ContextCleaner to drop them
+        proved non-deterministic across environments (r10: 232s local
+        vs 283s in the driver run with identical code). Every bench
+        query is self-contained — nothing persisted by a finished run
+        is ever re-read — so a blocking sweep between runs is safe and
+        makes the release deterministic.
+        """
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jmap.values():
+                jrdd.unpersist(True)
+        except Exception:  # noqa: BLE001
+            pass
+
     timings: dict[str, float] = {}
     t_all = time.time()
     for name, fn in selected.items():
@@ -136,7 +155,9 @@ def main() -> None:
                 # intermediates (simhash/minhash signatures, gram
                 # frames) would otherwise leak cached blocks into every
                 # later query's session state
+                df = None  # noqa: F841 — drop the lineage ref first
                 spark.catalog.clearCache()
+                _release_rdds()
         # GC between queries, outside the timed region: accumulated
         # heap state otherwise makes late queries measure the earlier
         # ones' garbage (observed 4.8s isolated vs 8.2s at position
