@@ -124,6 +124,7 @@ class Driver:
         serializer: dict[str, Any] | None = None,
         backend: str = "default",
         partition_backends: list[str] | None = None,
+        write_cache: dict[str, Any] | None = None,
     ) -> "TopicHandle":
         self.registry.create_topic(
             name,
@@ -133,6 +134,7 @@ class Driver:
             serializer=serializer,
             backend=backend,
             partition_backends=partition_backends,
+            write_cache=write_cache,
         )
         return self.open_topic(name)
 
@@ -202,16 +204,18 @@ class TopicHandle:
         self._cfg = cfg
         path = driver.registry.topic_path(cfg.name)
         used = cfg.backends_used
+        wc = getattr(cfg, "write_cache", None)
         if len(used) > 1:
             self.log = MixedEventLog(
                 driver.spark,
                 path,
                 cfg.name,
                 {p: cfg.backend_of(p) for p in range(cfg.num_partitions)},
+                write_cache=wc,
             )
         else:
             log_cls = MemoryEventLog if used == {"memory"} else EventLog
-            self.log = log_cls(driver.spark, path, cfg.name)
+            self.log = log_cls(driver.spark, path, cfg.name, write_cache=wc)
 
     @property
     def name(self) -> str:
@@ -220,6 +224,24 @@ class TopicHandle:
     @property
     def num_partitions(self) -> int:
         return self._refresh().num_partitions
+
+    def write_cache_stats(self) -> dict[str, int] | None:
+        """Write-through cache hit/miss counters (the reference logs
+        these at partition destruction,
+        /root/reference/tests/MofkaWriteCacheTest.cpp:102). None when
+        the cache is disabled for this topic."""
+        caches = [
+            log.write_cache
+            for log in getattr(self.log, "_subs", [self.log])
+            if log.write_cache is not None
+        ]
+        if not caches:
+            return None
+        out: dict[str, int] = {}
+        for c in caches:
+            for k, v in c.stats().items():
+                out[k] = out.get(k, 0) + v
+        return out
 
     def _refresh(self) -> TopicConfig:
         self._cfg = self.driver.registry.open_topic(self._cfg.name)

@@ -41,6 +41,103 @@ from pyspark.sql import types as T
 _LOG = logging.getLogger(__name__)
 
 
+class WriteCache:
+    """Write-through batch cache: recently appended batches retained in
+    memory to serve consumer pulls without file I/O.
+
+    The reference keeps a FIFO of ``CachedBatch`` objects per default
+    partition, populated after the disk write succeeds (write-through —
+    durability is never relaxed) and consulted by feedConsumer/getData
+    before touching disk (/root/reference/default-partition-design.md
+    §Write-Through Batch Cache;
+    /root/reference/tests/MofkaWriteCacheTest.cpp:14-60). Eviction is
+    FIFO over BOTH limits: the overflowing batch is inserted first, then
+    the oldest batches are dropped until ``max_batches`` and
+    ``max_memory_bytes`` are both satisfied.
+
+    A range read is a hit only when the FULL requested offset range is
+    covered by cached batches (the reference's ``coversRange``);
+    anything less falls back to the Parquet scan. Scale note: this
+    caches only the driver-side producer fast path's batches (bounded:
+    ≤ max_batches × flush size); the distributed ``append_batch`` path
+    never collects rows to the driver, so it never populates the cache —
+    bulk-written rows simply read as cache misses.
+    """
+
+    DEFAULTS = {"enabled": True, "max_batches": 16,
+                "max_memory_bytes": 64 * 1024 * 1024}
+
+    def __init__(self, max_batches: int = 16,
+                 max_memory_bytes: int = 64 * 1024 * 1024):
+        # each entry: (partition, first_offset, [(metadata, data), ...], nbytes)
+        self._batches: list[tuple[int, int, list, int]] = []
+        self.max_batches = int(max_batches)
+        self.max_memory_bytes = int(max_memory_bytes)
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+        self.insertions = 0
+        self.evictions = 0
+
+    def insert(self, partition: int, first_offset: int, items: list) -> None:
+        """Cache one just-written batch. ``items``: (metadata, data)
+        pairs in offset order starting at ``first_offset``."""
+        nbytes = sum(
+            len(m.encode("utf-8", "ignore")) + (len(d) if d else 0)
+            for m, d in items
+        )
+        self._batches.append((partition, first_offset, list(items), nbytes))
+        self._bytes += nbytes
+        self.insertions += 1
+        # insert-then-evict to fixpoint (reference eviction contract)
+        while self._batches and (
+            len(self._batches) > self.max_batches
+            or self._bytes > self.max_memory_bytes
+        ):
+            _, _, _, nb = self._batches.pop(0)
+            self._bytes -= nb
+            self.evictions += 1
+
+    def get_range(
+        self, partition: int, start: int, stop: int
+    ) -> list[tuple[int, str, bytes | None]] | None:
+        """Rows (offset, metadata, data) for [start, stop), or None on a
+        coverage miss. Offsets are dense and immutable (append-only
+        log), so cached rows can never be stale — only uncovered."""
+        if stop <= start:
+            return []
+        found: dict[int, tuple[str, bytes | None]] = {}
+        for p, first, items, _ in self._batches:
+            if p != partition or first >= stop or first + len(items) <= start:
+                continue
+            for i, (m, d) in enumerate(items):
+                off = first + i
+                if start <= off < stop:
+                    found[off] = (m, d)
+        if len(found) != stop - start:
+            self.misses += 1
+            return None
+        self.hits += 1
+        return [(off, *found[off]) for off in range(start, stop)]
+
+    def stats(self) -> dict[str, int]:
+        return {
+            "hits": self.hits, "misses": self.misses,
+            "insertions": self.insertions, "evictions": self.evictions,
+            "cached_batches": len(self._batches),
+            "cached_bytes": self._bytes,
+        }
+
+    @classmethod
+    def from_config(cls, cfg: dict | None) -> "WriteCache | None":
+        """Build from a ``write_cache`` config object (None = defaults,
+        which are ENABLED — the reference's cache is on by default)."""
+        merged = {**cls.DEFAULTS, **(cfg or {})}
+        if not merged["enabled"]:
+            return None
+        return cls(merged["max_batches"], merged["max_memory_bytes"])
+
+
 def _lacks_parquet_footer(path: str) -> bool:
     """True iff the file cannot have a valid parquet footer: shorter
     than the minimum parquet file (12 bytes) or missing the trailing
@@ -126,6 +223,7 @@ class EventLog:
         topic_path: str,
         topic: str,
         scope: set[int] | None = None,
+        write_cache: dict | None = None,
     ):
         self.spark = spark
         self.topic_path = topic_path
@@ -140,6 +238,10 @@ class EventLog:
         # file; scoping keeps each sub-log's consistency/recovery logic
         # off the other backend's entries.
         self.scope = scope
+        # write-through batch cache (None when disabled); populated by
+        # the producer fast path, consulted by fetch_rows. Cache hit
+        # stats: write_cache.stats().
+        self.write_cache = WriteCache.from_config(write_cache)
 
     # -- ledger ------------------------------------------------------------
     # On-disk format v4: {"offsets": {partition: readable-head},
@@ -454,6 +556,12 @@ class EventLog:
                 reserved[str(p)] = max(reserved.get(str(p), 0), base + n)
                 self._commit_range(full, p, base, n)
                 acks[p] = (base, n)
+                # write-through: cache AFTER the durable write, like the
+                # reference's receiveBatch (insert after
+                # writeBatchToFiles succeeds) — ack_early batches flow
+                # through this same path, so they are cached too
+                if self.write_cache is not None:
+                    self.write_cache.insert(p, base, items)
             if txn is not None:
                 full["txns"][txn[0]] = txn[1]
             self._write_ledger_full(full)
@@ -822,15 +930,26 @@ class EventLog:
         out: list[tuple[int, int, str | None, bytes | None]] = []
         for p in parts:
             c = int(cursors.get(p, 0))
+            # upper bound is the committed readable head, not c+batch:
+            # rows published above an in-flight lower reservation stay
+            # invisible until the hole fills (see _commit_range)
+            hi = min(c + batch_size, heads[p])
+            if hi <= c:
+                continue
+            # write-through cache first (reference feedConsumer calls
+            # coversRange before readMetadataFromDisk); full-range
+            # coverage only — partial coverage falls back to the scan
+            if self.write_cache is not None:
+                cached = self.write_cache.get_range(p, c, hi)
+                if cached is not None:
+                    out.extend((p, off, m, d) for off, m, d in cached)
+                    continue
             pdir = os.path.join(self.data_path, f"partition={p}")
             if not os.path.isdir(pdir):
                 continue
             dataset = pads.dataset(pdir, format="parquet")
-            # upper bound is the committed readable head, not c+batch:
-            # rows published above an in-flight lower reservation stay
-            # invisible until the hole fills (see _commit_range)
             flt = (pads.field("offset") >= c) & (
-                pads.field("offset") < min(c + batch_size, heads[p])
+                pads.field("offset") < hi
             )
             tbl = dataset.to_table(
                 columns=["offset", "metadata", "data"], filter=flt
@@ -906,6 +1025,13 @@ class MemoryEventLog(EventLog):
 
     # class-level store: topic_path -> {partition: [row tuples]}
     _STORES: dict[str, dict[int, list[tuple]]] = {}
+
+    def __init__(self, *args, **kwargs):
+        # the memory backend is already memory-served end to end; the
+        # write-through cache is a default(file)-partition feature (the
+        # reference caches only in DefaultPartitionManager)
+        kwargs["write_cache"] = {"enabled": False}
+        super().__init__(*args, **kwargs)
 
     @property
     def _store(self) -> dict[int, list[tuple]]:
@@ -1119,14 +1245,24 @@ class MixedEventLog(EventLog):
         topic_path: str,
         topic: str,
         backends: dict[int, str],
+        write_cache: dict | None = None,
     ):
-        super().__init__(spark, topic_path, topic)
+        super().__init__(spark, topic_path, topic, write_cache=write_cache)
+        # the cache lives on the file SUB-log (which owns the actual
+        # append/fetch paths); the router itself holds none
+        self.write_cache = None
         self.backends = dict(backends)
         file_scope = {p for p, b in backends.items() if b != "memory"}
         mem_scope = {p for p, b in backends.items() if b == "memory"}
         self._subs: list[EventLog] = []
         if file_scope:
-            self._subs.append(EventLog(spark, topic_path, topic, scope=file_scope))
+            # the file sub-log owns the write-through cache (the
+            # reference's cache lives on DEFAULT partition managers
+            # only; memory partitions are already memory-served)
+            self._subs.append(EventLog(
+                spark, topic_path, topic, scope=file_scope,
+                write_cache=write_cache,
+            ))
         if mem_scope:
             self._subs.append(
                 MemoryEventLog(spark, topic_path, topic, scope=mem_scope)

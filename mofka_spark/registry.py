@@ -59,6 +59,13 @@ class TopicConfig:
     # include/mofka/MofkaDriver.hpp:220-279). None = every partition
     # uses `backend`; else entry i is partition i's backend.
     partition_backends: list[str] | None = None
+    # Write-through batch cache config for file-backed partitions
+    # (reference default-partition-design.md §Write-Through Batch
+    # Cache: {"enabled": bool, "max_batches": int,
+    # "max_memory_bytes": int}). None = reference defaults (ENABLED,
+    # 16 batches, 64 MiB). Validated at creation like the reference's
+    # JSON-Schema check of the partition config.
+    write_cache: dict[str, Any] | None = None
     # Free-form facade metadata (e.g. the Kafka facade's topic config
     # map + replication_factor, python/py-mofka-kafka.cpp:23-40).
     # Persisted verbatim; never interpreted by the engine.
@@ -142,6 +149,7 @@ class TopicRegistry:
         backend: str = "default",
         partition_backends: list[str] | None = None,
         extra: dict[str, Any] | None = None,
+        write_cache: dict[str, Any] | None = None,
     ) -> TopicConfig:
         """S1 createTopic. Fails with TopicExistsError on duplicates.
 
@@ -150,7 +158,11 @@ class TopicRegistry:
         the reference's per-partition manager choice
         (/root/reference/src/MofkaDriver.cpp:510-643).
         ``extra``: opaque facade metadata persisted with the config
-        (e.g. KafkaDriver's topic config + replication_factor)."""
+        (e.g. KafkaDriver's topic config + replication_factor).
+        ``write_cache``: write-through batch cache config for file
+        partitions ({"enabled", "max_batches", "max_memory_bytes"};
+        None = reference defaults, enabled). Validated here like the
+        reference's JSON-Schema partition-config check."""
         self._check_name(name)
         if num_partitions < 1:
             raise MofkaError(f"num_partitions must be >= 1, got {num_partitions}")
@@ -165,6 +177,7 @@ class TopicRegistry:
             bad = sorted(set(partition_backends) - {"default", "memory"})
             if bad:
                 raise MofkaError(f"unknown partition backend(s) {bad!r}")
+        write_cache = self._check_write_cache(write_cache)
         path = self._config_path(name)
         if os.path.exists(path):
             raise TopicExistsError(f"Topic {name!r} already exists")
@@ -180,6 +193,7 @@ class TopicRegistry:
             partition_backends=(
                 list(partition_backends) if partition_backends is not None else None
             ),
+            write_cache=write_cache,
             extra=dict(extra) if extra else {},
         )
         os.makedirs(self.topic_path(name), exist_ok=True)
@@ -192,6 +206,35 @@ class TopicRegistry:
         with os.fdopen(fd, "w") as f:
             f.write(cfg.to_json())
         return cfg
+
+    @staticmethod
+    def _check_write_cache(
+        cfg: dict[str, Any] | None,
+    ) -> dict[str, Any] | None:
+        """Validate a write_cache config object at creation time (the
+        reference validates the whole partition config against a JSON
+        Schema; bad configs fail createTopic, not the first read)."""
+        if cfg is None:
+            return None
+        if not isinstance(cfg, dict):
+            raise MofkaError(
+                f"write_cache must be an object, got {type(cfg).__name__}"
+            )
+        allowed = {"enabled", "max_batches", "max_memory_bytes"}
+        unknown = sorted(set(cfg) - allowed)
+        if unknown:
+            raise MofkaError(f"unknown write_cache key(s) {unknown!r}")
+        out = dict(cfg)
+        if "enabled" in out and not isinstance(out["enabled"], bool):
+            raise MofkaError("write_cache.enabled must be a boolean")
+        for k in ("max_batches", "max_memory_bytes"):
+            if k in out:
+                v = out[k]
+                if isinstance(v, bool) or not isinstance(v, int) or v < 1:
+                    raise MofkaError(
+                        f"write_cache.{k} must be a positive integer, got {v!r}"
+                    )
+        return out
 
     def open_topic(self, name: str) -> TopicConfig:
         """S2 openTopic. Fails with TopicNotFoundError if missing."""
