@@ -1,0 +1,428 @@
+"""Web-crawl text extraction: HTML → text plus line-level corrections.
+
+Beyond-reference (the LLM-pipeline mandate): the first stage of a
+FineWeb/RefinedWeb-style pipeline over crawled HTML — tag stripping,
+entity decoding, line-wise quality corrections, within-document line
+dedup, and cross-corpus boilerplate-line removal.
+
+Scale design (100 TB): everything except :func:`dedup_lines_across_docs`
+is scan-local Column work — regexp chains and higher-order array
+functions that run inside whole-stage codegen with zero shuffles, so
+extraction throughput is pure scan bandwidth. Cross-corpus line dedup
+is ONE hash shuffle on the line fingerprint (the same key for the
+count and the join-back, so AQE reuses the exchange), never an
+all-pairs operation. Regexes are written in the Java∩RE2 common
+subset (no lookaround, no backreferences) so the DuckDB oracles run
+the same patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# -- HTML → text -------------------------------------------------------------
+
+# Elements whose CONTENT is not text (dropped wholesale). One pattern
+# per element — RE2 has no backreferences, and an alternation of the
+# open/close names would let ``<script>…</style>`` match.
+_CONTAINER_RES = [
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+]
+_COMMENT_RE = r"(?s)<!--.*?-->"
+# Block-level elements break lines; inline tags vanish without a space
+# (``<em>word</em>s`` → ``words``).
+_BLOCK_TAGS = (
+    "p|div|br|hr|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|thead|tbody|"
+    "blockquote|pre|section|article|aside|header|footer|form|nav|title|"
+    "figure|figcaption|main"
+)
+_BLOCK_RE = rf"(?is)</?({_BLOCK_TAGS})\b[^>]*>"
+_ANY_TAG_RE = r"(?s)<[^>]*>"
+# Minimal named-entity map (decoded in this order; ``&amp;`` LAST so
+# ``&amp;lt;`` decodes to the literal text ``&lt;``, not ``<``).
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_text_column(html: Column) -> Column:
+    """Extracted plain text of an HTML column (one Column expression).
+
+    Pipeline: drop script/style bodies and comments → block tags become
+    newlines → remaining tags vanish → named entities decode →
+    horizontal whitespace collapses to single spaces → blank/padded
+    lines collapse → outer whitespace trims. Numeric character
+    references (``&#NN;``) other than ``&#39;`` are NOT decoded (a
+    deliberate pure-SQL limit, identical on the oracle side).
+    """
+    c = html
+    for pat in _CONTAINER_RES:
+        c = F.regexp_replace(c, pat, "")
+    c = F.regexp_replace(c, _COMMENT_RE, "")
+    c = F.regexp_replace(c, _BLOCK_RE, "\n")
+    c = F.regexp_replace(c, _ANY_TAG_RE, "")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    # horizontal whitespace (NOT \n — lines are structure here)
+    c = F.regexp_replace(c, r"[ \t\f\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n+", "\n")
+    return F.btrim(c, F.lit(" \n"))
+
+
+def html_to_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Add ``out_col`` = extracted plain text of ``html_col``."""
+    return df.withColumn(out_col, html_text_column(F.col(html_col)))
+
+
+# -- line-level signals and corrections --------------------------------------
+
+# RefinedWeb-style boilerplate phrases (line dropped when its lowercase
+# form CONTAINS one). Kept short and high-precision; callers pass their
+# own list for a real crawl.
+BOILERPLATE_PHRASES = [
+    "all rights reserved",
+    "cookie policy",
+    "terms of service",
+    "terms of use",
+    "privacy policy",
+    "click here",
+    "read more",
+    "share this",
+    "sign in",
+    "log in to",
+    "subscribe to our newsletter",
+    "javascript is disabled",
+    "enable javascript",
+]
+
+
+def _boilerplate_regex(phrases: list[str] | None = None) -> str:
+    import re as _re
+
+    return "|".join(
+        _re.escape(p.lower()) for p in (phrases or BOILERPLATE_PHRASES)
+    )
+
+
+def _line_drop_cond(
+    line: Column,
+    min_words: int,
+    max_caps_ratio: float,
+    boilerplate_re: str,
+) -> Column:
+    """True when a line should be removed (RefinedWeb line-wise
+    corrections: mainly-uppercase lines, numeric-only lines / counters,
+    too-short lines, boilerplate phrases)."""
+    n_chars = F.length(line)
+    n_alpha = n_chars - F.length(F.regexp_replace(line, r"[A-Za-z]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(line, r"[A-Z]", ""))
+    n_words = F.size(F.split(F.btrim(line), r" +"))
+    caps_ratio = n_upper / F.greatest(n_alpha, F.lit(1))
+    return (
+        (F.length(F.btrim(line)) == 0)
+        | (n_words < F.lit(min_words))
+        | line.rlike(r"^[0-9 .,:/-]+$")  # numeric-only / counter lines
+        | ((n_alpha >= 5) & (caps_ratio > F.lit(max_caps_ratio)))
+        | F.lower(line).rlike(boilerplate_re)
+    )
+
+
+def filter_lines(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    min_words: int = 1,
+    max_caps_ratio: float = 0.8,
+    max_removed_frac: float = 0.5,
+    phrases: list[str] | None = None,
+) -> DataFrame:
+    """Line-wise corrections: drop bad lines, reassemble the document,
+    drop documents that lost more than ``max_removed_frac`` of their
+    lines (RefinedWeb drops docs whose line corrections removed too
+    much). Zero shuffles — split/filter/join run as array expressions
+    inside the scan.
+
+    Returns (id, clean_text, n_lines, n_kept, removed_frac, kept).
+    """
+    bre = _boilerplate_regex(phrases)
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: ~_line_drop_cond(l, min_words, max_caps_ratio, bre),
+    )
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    removed_frac = (n_lines - n_kept) / F.greatest(n_lines, F.lit(1))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        (F.round(removed_frac, 6) + F.lit(0.0)).alias("removed_frac"),
+        (removed_frac <= F.lit(max_removed_frac)).alias("kept"),
+    )
+
+
+def split_lines(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Explode a document frame to (id, line_no, line) — 1-based
+    line_no in document order."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).select("id", (F.col("pos") + 1).cast("int").alias("line_no"), "line")
+
+
+def dedup_lines_within_doc(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Remove repeated lines WITHIN each document, keeping the first
+    occurrence (within-page menu/nav repetition). Scan-local: the seen-
+    set accumulates in an array aggregate, no shuffle; documents are
+    bounded (a page), so the O(lines²) membership scan is constant
+    work per row.
+
+    Returns (id, clean_text, n_lines, n_kept).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    uniq = F.aggregate(
+        lines,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(uniq, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(uniq).cast("long").alias("n_kept"),
+    )
+
+
+# -- URL / domain curation ----------------------------------------------------
+
+# Tracking query parameters stripped during canonicalization (name
+# matched against the part before '='). Java∩RE2-safe alternation.
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src|igshid|mc_cid|mc_eid)"
+    r"(=.*)?$"
+)
+# Second-level labels under which a 2-char ccTLD hosts registrations
+# ("example.co.uk"). A heuristic, NOT the public-suffix list — callers
+# with a real crawl should join their own PSL snapshot instead.
+_COMMON_SLD_RE = r"^(co|com|net|org|gov|edu|ac)$"
+
+_URL_SCHEME_RE = r"^([^:/?#]+)://.*$"
+_URL_HOST_RE = r"^[^:/?#]+://([^/?#]*).*$"
+_URL_PATH_RE = r"^[^:/?#]+://[^/?#]*([^?#]*).*$"
+_URL_QUERY_RE = r"^[^#?]*\?([^#]*).*$"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL, as one Column
+    expression (scan-local; zero shuffles):
+
+    - scheme and host lowercase; a leading ``www.`` strips
+    - default ports strip (``:80`` for http, ``:443`` for https)
+    - the fragment drops
+    - tracking query params (:data:`TRACKING_PARAM_RE`) drop; the
+      survivors SORT (order-insensitive dedup) and rejoin
+    - trailing slashes on the path strip (``/`` alone becomes empty)
+
+    Non-URL strings (no ``scheme://``) pass through trimmed — garbage
+    in, garbage out, but deterministic.
+    """
+    scheme, host, path, query = _canon_parts(url)
+    return F.when(
+        scheme == F.lit(""),  # not an absolute URL
+        F.btrim(url),
+    ).otherwise(
+        F.concat(
+            scheme, F.lit("://"), host, path,
+            F.when(query == F.lit(""), F.lit("")).otherwise(
+                F.concat(F.lit("?"), query)
+            ),
+        )
+    )
+
+
+def _canon_parts(url: Column) -> tuple[Column, Column, Column, Column]:
+    u = F.btrim(url)
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, _URL_HOST_RE, 1)), r"^www\.", ""
+    )
+    host = F.when(
+        (scheme == F.lit("http")), F.regexp_replace(host, r":80$", "")
+    ).otherwise(host)
+    host = F.when(
+        (scheme == F.lit("https")), F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+    path = F.regexp_replace(
+        F.regexp_extract(u, _URL_PATH_RE, 1), r"/+$", ""
+    )
+    query = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(u, _URL_QUERY_RE, 1), "&"),
+                lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    return scheme, host, path, query
+
+
+def url_domain(url: Column) -> Column:
+    """Host of an absolute URL, lowercased, ``www.``-stripped, port
+    dropped (``site.example.com:8080`` → ``site.example.com``)."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.btrim(url), _URL_HOST_RE, 1)),
+        r"^www\.", "",
+    )
+    return F.regexp_replace(host, r":[0-9]+$", "")
+
+
+def url_base_domain(url: Column) -> Column:
+    """Registrable-domain HEURISTIC: last two host labels, or last
+    three when the middle one is a common SLD under a 2-char ccTLD
+    (``a.b.example.co.uk`` → ``example.co.uk``). See
+    :data:`_COMMON_SLD_RE` for the PSL caveat."""
+    labels = F.split(url_domain(url), r"\.")
+    n = F.size(labels)
+    take3 = (
+        (n >= 3)
+        & (F.length(F.element_at(labels, -1)) == 2)
+        & F.element_at(labels, -2).rlike(_COMMON_SLD_RE)
+    )
+    k = F.when(take3, F.lit(3)).otherwise(F.lit(2))
+    return F.array_join(
+        F.slice(labels, F.greatest(n - k + 1, F.lit(1)), k), "."
+    )
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canon_url"
+) -> DataFrame:
+    """Add canonical-URL + domain + base-domain columns (all
+    scan-local)."""
+    return (
+        df.withColumn(out_col, canonicalize_url(F.col(url_col)))
+        .withColumn("domain", url_domain(F.col(url_col)))
+        .withColumn("base_domain", url_base_domain(F.col(url_col)))
+    )
+
+
+def dedup_urls(
+    df: DataFrame, id_col: str = "id", url_col: str = "url"
+) -> DataFrame:
+    """URL-level exact dedup after canonicalization: rows sharing a
+    canonical URL collapse to one keeper (lowest id — the
+    dedup_normalized keeper rule, operators/dedup.py). One shuffle on
+    the canonical-URL hash; no pair table is ever formed.
+
+    Returns (id, canon_url, keeper_id, is_dup)."""
+    from pyspark.sql import Window
+
+    canon = df.select(
+        F.col(id_col).alias("id"),
+        canonicalize_url(F.col(url_col)).alias("canon_url"),
+    )
+    w = Window.partitionBy("canon_url")
+    return canon.select(
+        "id",
+        "canon_url",
+        F.min("id").over(w).alias("keeper_id"),
+        (F.col("id") != F.min("id").over(w)).alias("is_dup"),
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-base-domain corpus stats (feeds group_cap/corpus_report for
+    domain budgets): n_urls, n_unique_canon, n_hosts."""
+    parts = df.select(
+        canonicalize_url(F.col(url_col)).alias("canon_url"),
+        url_domain(F.col(url_col)).alias("domain"),
+        url_base_domain(F.col(url_col)).alias("base_domain"),
+    )
+    return parts.groupBy("base_domain").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.count_distinct("canon_url").alias("n_unique_canon"),
+        F.count_distinct("domain").alias("n_hosts"),
+    )
+
+
+def dedup_lines_across_docs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Cross-corpus boilerplate-line removal: a line (trimmed form)
+    appearing in ``min_docs``+ DISTINCT documents is removed from all
+    of them (CCNet/RefinedWeb shard-level line dedup). Short lines
+    (< ``min_line_chars``) are exempt — list markers and headers
+    legitimately repeat.
+
+    ONE shuffle: lines hash-partition on the line fingerprint for the
+    distinct-doc count, and the join back is on the same key, so the
+    exchange is reused; the filtered reassembly groups by id (second
+    bounded shuffle on the doc key). No step is all-pairs.
+
+    Returns (id, clean_text, n_lines, n_kept).
+    """
+    lines = split_lines(df, id_col, text_col).withColumn(
+        "fp", F.xxhash64(F.btrim(F.col("line")))
+    )
+    counts = (
+        lines.filter(F.length(F.btrim("line")) >= min_line_chars)
+        .groupBy("fp")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp", F.lit(True).alias("shared"))
+    )
+    kept = (
+        lines.join(counts, "fp", "left")
+        .filter(F.col("shared").isNull())
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_kept"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    # left join from totals: a document whose EVERY line was shared
+    # still appears, with an empty clean_text and n_kept = 0
+    return totals.join(kept, "id", "left").select(
+        "id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )

@@ -9379,6 +9379,467 @@ def q_curation_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_token_cap(sized, "doc_id", "source", "n_tokens", cap=300)
 
 
+# ===========================================================================
+# Web-crawl extraction: HTML -> text + line-level corrections
+# (operators/webtext.py — the FineWeb/RefinedWeb first stage). The
+# documents table carries clean text, so each gate SYNTHESIZES its
+# crawled input deterministically from (doc_id, source, lang, text)
+# with the same expression on both sides; the operator under test is
+# the extraction/correction, not the synthesis.
+# ===========================================================================
+
+# Shared HTML template pieces (no single quotes — they embed in SQL).
+_HTML_A = "<html><head><title>Doc "
+_HTML_B = "</title><script>var n = 1 < 2 && 3 > "
+_HTML_C = ";</script><style>p { margin: 0; }</style></head><body><h1>"
+_HTML_D = "</h1><p>"
+_HTML_E = (
+    "</p><!-- hidden comment --><div> 42 </div>"
+    "<div>All rights reserved.</div><p>Tail &amp; "
+)
+_HTML_F = "&nbsp;end</p></body></html>"
+
+
+def _synth_html() -> F.Column:
+    return F.concat(
+        F.lit(_HTML_A), F.col("doc_id").cast("string"),
+        F.lit(_HTML_B), F.col("doc_id").cast("string"),
+        F.lit(_HTML_C), F.upper("source"),
+        F.lit(_HTML_D), F.col("text"),
+        F.lit(_HTML_E), F.col("lang"),
+        F.lit(_HTML_F),
+    )
+
+
+_SYNTH_HTML_SQL = (
+    f"'{_HTML_A}' || CAST(doc_id AS VARCHAR) || '{_HTML_B}' || "
+    f"CAST(doc_id AS VARCHAR) || '{_HTML_C}' || upper(source) || "
+    f"'{_HTML_D}' || text || '{_HTML_E}' || lang || '{_HTML_F}'"
+)
+
+
+# HTML -> text extraction (webtext.html_to_text): script/style/comment
+# removal, block tags -> line breaks, inline tags vanish, entity
+# decode, whitespace normalization. The oracle replays the IDENTICAL
+# Java∩RE2 regex chain in DuckDB, so a hash match certifies the two
+# engines agree on every document's extracted text byte for byte.
+@query(
+    "html_extract",
+    rf"""
+    WITH h AS (
+      SELECT doc_id AS id, {_SYNTH_HTML_SQL} AS html FROM documents
+    ),
+    s1 AS (SELECT id, regexp_replace(html,
+      '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g') AS t FROM h),
+    s2 AS (SELECT id, regexp_replace(t,
+      '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g') AS t FROM s1),
+    s3 AS (SELECT id, regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t
+      FROM s2),
+    s4 AS (SELECT id, regexp_replace(t,
+      '(?is)</?(p|div|br|hr|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|thead|tbody|blockquote|pre|section|article|aside|header|footer|form|nav|title|figure|figcaption|main)\b[^>]*>',
+      chr(10), 'g') AS t FROM s3),
+    s5 AS (SELECT id, regexp_replace(t, '(?s)<[^>]*>', '', 'g') AS t
+      FROM s4),
+    s6 AS (SELECT id,
+      replace(replace(replace(replace(replace(replace(replace(t,
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS t
+      FROM s5),
+    s7 AS (SELECT id, regexp_replace(t,
+      '[ ' || chr(9) || chr(12) || chr(13) || ']+', ' ', 'g') AS t
+      FROM s6),
+    s8 AS (SELECT id, regexp_replace(t,
+      ' ?' || chr(10) || ' ?', chr(10), 'g') AS t FROM s7),
+    s9 AS (SELECT id, regexp_replace(t,
+      chr(10) || '+', chr(10), 'g') AS t FROM s8),
+    x AS (SELECT id, trim(t, ' ' || chr(10)) AS text FROM s9)
+    SELECT id, text,
+           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+    FROM x
+    """,
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(F.col("doc_id").alias("id"), _synth_html().alias("html"))
+    return webtext.html_to_text(df).select(
+        "id",
+        "text",
+        F.size(F.split("text", "\n")).cast("long").alias("n_lines"),
+    )
+
+
+# Line-wise corrections (webtext.filter_lines — RefinedWeb's line
+# filters): each document becomes a 5-line page (a caps header, the
+# body, a numeric counter line, an alternating boilerplate/ordinary
+# closer, a trailing blank); the operator must drop exactly the bad
+# lines, reassemble, and flag docs that lost >70% of their lines. The
+# oracle replays the per-line predicate via unnest + string_agg.
+_LINE_SYNTH_SQL = """
+      upper(substr(text, 1, 24)) || chr(10) || text || chr(10)
+      || CAST(doc_id AS VARCHAR) || ' / 100' || chr(10)
+      || CASE WHEN doc_id % 2 = 0
+              THEN 'See our Privacy Policy for details'
+              ELSE 'an ordinary closing line here' END
+      || chr(10)
+"""
+_LINE_FILTER_PHRASES = ["privacy policy", "all rights reserved"]
+
+
+def _synth_lines() -> F.Column:
+    return F.concat_ws(
+        "\n",
+        F.upper(F.substring("text", 1, 24)),
+        F.col("text"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(" / 100")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("See our Privacy Policy for details"),
+        ).otherwise(F.lit("an ordinary closing line here")),
+        F.lit(""),
+    )
+
+
+@query(
+    "line_filter_docs",
+    rf"""
+    WITH d AS (
+      SELECT doc_id AS id, {_LINE_SYNTH_SQL} AS text FROM documents
+    ),
+    sp AS (SELECT id, string_split(text, chr(10)) AS l FROM d),
+    ln AS (SELECT id, unnest(l) AS line, generate_subscripts(l, 1) AS i
+           FROM sp),
+    sig AS (
+      SELECT id, line, i,
+             length(line)
+               - length(regexp_replace(line, '[A-Za-z]', '', 'g'))
+               AS n_alpha,
+             length(line) - length(regexp_replace(line, '[A-Z]', '', 'g'))
+               AS n_upper,
+             len(regexp_split_to_array(trim(line), ' +')) AS n_words
+      FROM ln
+    ),
+    keepd AS (
+      SELECT id, line, i FROM sig
+      WHERE NOT (
+        length(trim(line)) = 0
+        OR n_words < 1
+        OR regexp_matches(line, '^[0-9 .,:/-]+$')
+        OR (n_alpha >= 5
+            AND CAST(n_upper AS DOUBLE) / GREATEST(n_alpha, 1) > 0.8)
+        OR regexp_matches(lower(line), 'privacy policy|all rights reserved')
+      )
+    ),
+    agg AS (
+      SELECT id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM keepd GROUP BY id
+    )
+    SELECT d.id,
+           COALESCE(agg.clean_text, '') AS clean_text,
+           CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           0.0 + ROUND(
+             CAST(len(string_split(d.text, chr(10))) - COALESCE(agg.n_kept, 0)
+                  AS DOUBLE)
+             / GREATEST(len(string_split(d.text, chr(10))), 1), 6)
+             AS removed_frac,
+           (CAST(len(string_split(d.text, chr(10))) - COALESCE(agg.n_kept, 0)
+                 AS DOUBLE)
+            / GREATEST(len(string_split(d.text, chr(10))), 1) <= 0.7) AS kept
+    FROM d LEFT JOIN agg ON d.id = agg.id
+    """,
+)
+def q_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(F.col("doc_id").alias("id"), _synth_lines().alias("text"))
+    return webtext.filter_lines(
+        df, max_removed_frac=0.7, phrases=_LINE_FILTER_PHRASES
+    )
+
+
+# Within-document line dedup (webtext.dedup_lines_within_doc): repeated
+# nav/menu lines collapse to their first occurrence; document order is
+# preserved. Scan-local array aggregate on the Spark side; the oracle
+# is the ROW_NUMBER()-keep-first formulation.
+_WITHIN_SYNTH_SQL = """
+      'nav menu home about' || chr(10) || text || chr(10)
+      || 'nav menu home about' || chr(10) || substr(text, 1, 30)
+      || chr(10) || text
+"""
+
+
+def _synth_within() -> F.Column:
+    return F.concat_ws(
+        "\n",
+        F.lit("nav menu home about"),
+        F.col("text"),
+        F.lit("nav menu home about"),
+        F.substring("text", 1, 30),
+        F.col("text"),
+    )
+
+
+@query(
+    "line_dedup_within",
+    rf"""
+    WITH d AS (
+      SELECT doc_id AS id, {_WITHIN_SYNTH_SQL} AS text FROM documents
+    ),
+    sp AS (SELECT id, string_split(text, chr(10)) AS l FROM d),
+    ln AS (SELECT id, unnest(l) AS line, generate_subscripts(l, 1) AS i
+           FROM sp),
+    fst AS (
+      SELECT id, line, i,
+             ROW_NUMBER() OVER (PARTITION BY id, line ORDER BY i) AS rn
+      FROM ln
+    ),
+    agg AS (
+      SELECT id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM fst WHERE rn = 1 GROUP BY id
+    )
+    SELECT d.id, agg.clean_text,
+           CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+           agg.n_kept
+    FROM d JOIN agg ON d.id = agg.id
+    """,
+)
+def q_line_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(F.col("doc_id").alias("id"), _synth_within().alias("text"))
+    return webtext.dedup_lines_within_doc(df)
+
+
+# Cross-corpus boilerplate-line removal (webtext.dedup_lines_across_docs):
+# a banner line shared by every document and a second banner shared by
+# the even half must vanish corpus-wide; unique closers and short
+# repeated lines stay. ONE line-fingerprint shuffle — the CCNet-style
+# shard line dedup shape.
+_CORPUS_SYNTH_SQL = """
+      'Subscribe to our newsletter for updates' || chr(10) || text
+      || chr(10)
+      || CASE WHEN doc_id % 2 = 0
+              THEN 'Even docs share this second banner line'
+              ELSE 'closing ' || CAST(doc_id AS VARCHAR) END
+"""
+
+
+def _synth_corpus() -> F.Column:
+    return F.concat_ws(
+        "\n",
+        F.lit("Subscribe to our newsletter for updates"),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("Even docs share this second banner line"),
+        ).otherwise(F.concat(F.lit("closing "), F.col("doc_id").cast("string"))),
+    )
+
+
+@query(
+    "line_dedup_corpus",
+    rf"""
+    WITH d AS (
+      SELECT doc_id AS id, {_CORPUS_SYNTH_SQL} AS text FROM documents
+    ),
+    sp AS (SELECT id, string_split(text, chr(10)) AS l FROM d),
+    ln AS (SELECT id, unnest(l) AS line, generate_subscripts(l, 1) AS i
+           FROM sp),
+    shared AS (
+      SELECT trim(line) AS key
+      FROM ln WHERE length(trim(line)) >= 10
+      GROUP BY trim(line) HAVING COUNT(DISTINCT id) >= 2
+    ),
+    keepd AS (
+      SELECT ln.id, ln.line, ln.i
+      FROM ln LEFT JOIN shared ON trim(ln.line) = shared.key
+      WHERE shared.key IS NULL
+    ),
+    agg AS (
+      SELECT id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM keepd GROUP BY id
+    )
+    SELECT d.id,
+           COALESCE(agg.clean_text, '') AS clean_text,
+           CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+           COALESCE(agg.n_kept, 0) AS n_kept
+    FROM d LEFT JOIN agg ON d.id = agg.id
+    """,
+)
+def q_line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(F.col("doc_id").alias("id"), _synth_corpus().alias("text"))
+    return webtext.dedup_lines_across_docs(df, min_docs=2, min_line_chars=10)
+
+
+# URL / domain curation (webtext.canonicalize_url & friends). URLs
+# are synthesized from doc_id so each consecutive PAIR of documents
+# yields two surface forms of one canonical URL (case, www, default
+# port, trailing slash, tracking params, param order, fragment all
+# differ) — the canonicalizer must collapse the pair, the deduper must
+# keep the even (lower) id, and domain stats must see exactly three
+# base domains.
+
+
+def _synth_url() -> F.Column:
+    g = F.expr("doc_id DIV 2")
+    sfx = (
+        F.when(g % 3 == 0, F.lit(".example.com"))
+        .when(g % 3 == 1, F.lit(".my-shop.co.uk"))
+        .otherwise(F.lit(".data.org"))
+    )
+    hostcore = F.concat(F.lit("site"), (g % 37).cast("string"), sfx)
+    gs = g.cast("string")
+    return F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTP://WWW."), F.upper(hostcore), F.lit(":80/articles/"),
+            gs, F.lit("/?utm_source=feed&b=2&a=1#sec"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://"), hostcore, F.lit("/articles/"),
+            gs, F.lit("?a=1&b=2"),
+        )
+    )
+
+
+_SYNTH_URL_SQL = """
+      CASE WHEN doc_id % 2 = 0 THEN
+        'HTTP://WWW.' || upper('site' || CAST((doc_id // 2) % 37 AS VARCHAR)
+          || CASE (doc_id // 2) % 3 WHEN 0 THEN '.example.com'
+                  WHEN 1 THEN '.my-shop.co.uk' ELSE '.data.org' END)
+        || ':80/articles/' || CAST(doc_id // 2 AS VARCHAR)
+        || '/?utm_source=feed&b=2&a=1#sec'
+      ELSE
+        'http://site' || CAST((doc_id // 2) % 37 AS VARCHAR)
+          || CASE (doc_id // 2) % 3 WHEN 0 THEN '.example.com'
+                  WHEN 1 THEN '.my-shop.co.uk' ELSE '.data.org' END
+        || '/articles/' || CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2'
+      END
+"""
+
+# Canonicalization CTE shared by the three URL oracles: d(id, url) ->
+# u(id, url, canon_url, domain, base_domain). Mirrors webtext._canon_parts
+# / url_domain / url_base_domain expression for expression.
+_URL_CANON_CTE_SQL = r"""
+    p AS (
+      SELECT id, url,
+        lower(regexp_extract(trim(url), '^([^:/?#]+)://.*$', 1)) AS scheme,
+        regexp_replace(lower(regexp_extract(trim(url),
+          '^[^:/?#]+://([^/?#]*).*$', 1)), '^www\.', '') AS rawhost,
+        regexp_replace(regexp_extract(trim(url),
+          '^[^:/?#]+://[^/?#]*([^?#]*).*$', 1), '/+$', '') AS path,
+        array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(trim(url),
+            '^[^#?]*\?([^#]*).*$', 1), '&'),
+          q -> q <> '' AND NOT regexp_matches(q,
+            '^(utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src|igshid|mc_cid|mc_eid)(=.*)?$')
+        )), '&') AS query
+      FROM d
+    ),
+    c AS (
+      SELECT id, url, scheme, path, query,
+        CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+             ELSE rawhost END AS host,
+        regexp_replace(rawhost, ':[0-9]+$', '') AS domain
+      FROM p
+    ),
+    b AS (
+      SELECT *, string_split(domain, '.') AS labels FROM c
+    ),
+    u AS (
+      SELECT id, url,
+        CASE WHEN scheme = '' THEN trim(url)
+             ELSE scheme || '://' || host || path ||
+                  CASE WHEN query = '' THEN ''
+                       ELSE '?' || query END END AS canon_url,
+        domain,
+        array_to_string(labels[GREATEST(len(labels) -
+          (CASE WHEN len(labels) >= 3
+                     AND length(labels[len(labels)]) = 2
+                     AND regexp_matches(labels[len(labels) - 1],
+                         '^(co|com|net|org|gov|edu|ac)$')
+                THEN 3 ELSE 2 END) + 1, 1):len(labels)], '.')
+          AS base_domain
+      FROM b
+    )
+"""
+
+
+@query(
+    "url_canonical",
+    rf"""
+    WITH d AS (
+      SELECT doc_id AS id, {_SYNTH_URL_SQL} AS url FROM documents
+    ),
+    {_URL_CANON_CTE_SQL}
+    SELECT id, url, canon_url, domain, base_domain FROM u
+    """,
+)
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(F.col("doc_id").alias("id"), _synth_url().alias("url"))
+    return webtext.canonicalize_urls(df).select(
+        "id", "url", "canon_url", "domain", "base_domain"
+    )
+
+
+@query(
+    "url_dedup",
+    rf"""
+    WITH d AS (
+      SELECT doc_id AS id, {_SYNTH_URL_SQL} AS url FROM documents
+    ),
+    {_URL_CANON_CTE_SQL}
+    SELECT id, canon_url,
+           MIN(id) OVER (PARTITION BY canon_url) AS keeper_id,
+           id <> MIN(id) OVER (PARTITION BY canon_url) AS is_dup
+    FROM u
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(F.col("doc_id").alias("id"), _synth_url().alias("url"))
+    return webtext.dedup_urls(df)
+
+
+@query(
+    "url_domain_stats",
+    rf"""
+    WITH d AS (
+      SELECT doc_id AS id, {_SYNTH_URL_SQL} AS url FROM documents
+    ),
+    {_URL_CANON_CTE_SQL}
+    SELECT base_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_unique_canon,
+           CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_hosts
+    FROM u GROUP BY base_domain
+    """,
+)
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(F.col("doc_id").alias("id"), _synth_url().alias("url"))
+    return webtext.domain_stats(df)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

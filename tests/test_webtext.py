@@ -1,0 +1,200 @@
+"""HTML extraction + line-level corrections (operators/webtext.py)."""
+
+import pytest
+
+from mofka_spark.operators import webtext
+
+
+def _one(spark, html):
+    df = spark.createDataFrame([(html,)], "html string")
+    return webtext.html_to_text(df).collect()[0]["text"]
+
+
+def test_html_basic_extraction(spark):
+    html = (
+        "<html><head><title>My Page</title>"
+        "<script type='text/javascript'>var x = 1 < 2;</script>"
+        "<style>.a { color: red; }</style></head>"
+        "<body><h1>Header</h1><p>First <b>paragraph</b>.</p>"
+        "<!-- hidden --><p>Second &amp; last.</p></body></html>"
+    )
+    assert _one(spark, html) == "My Page\nHeader\nFirst paragraph.\nSecond & last."
+
+
+def test_html_entities_and_whitespace(spark):
+    html = "<p>a&lt;b &gt; c &quot;q&quot; &#39;s&#39;&nbsp;end</p>"
+    assert _one(spark, html) == 'a<b > c "q" \'s\' end'
+    # &amp;lt; decodes to the literal text &lt;, not <
+    assert _one(spark, "<p>&amp;lt;</p>") == "&lt;"
+
+
+def test_html_inline_tags_no_space(spark):
+    assert _one(spark, "<p><em>word</em>s</p>") == "words"
+
+
+def test_html_blank_line_collapse(spark):
+    html = "<div>  </div><div>a</div><div></div><div>b</div>"
+    assert _one(spark, html) == "a\nb"
+
+
+def test_html_case_insensitive_and_multiline_script(spark):
+    html = "<SCRIPT>\nif (a > b) { x(); }\n</SCRIPT ><P>kept</P>"
+    assert _one(spark, html) == "kept"
+
+
+def test_html_empty_and_tagless(spark):
+    assert _one(spark, "") == ""
+    assert _one(spark, "just plain text") == "just plain text"
+
+
+def _lines_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_filter_lines_rules(spark):
+    doc = "\n".join([
+        "A normal sentence with words.",
+        "",                            # empty -> dropped
+        "3 / 12",                      # numeric counter -> dropped
+        "SHOUTING HEADER LINE",        # caps -> dropped
+        "All rights reserved.",        # boilerplate -> dropped
+        "Another good line here",
+    ])
+    out = webtext.filter_lines(_lines_df(spark, [(1, doc)])).collect()[0]
+    assert out["clean_text"] == (
+        "A normal sentence with words.\nAnother good line here"
+    )
+    assert out["n_lines"] == 6 and out["n_kept"] == 2
+    assert out["kept"] is False  # removed 4/6 > 0.5
+
+
+def test_filter_lines_doc_kept_flag(spark):
+    doc = "good line one\ngood line two\n"  # trailing empty line dropped
+    out = webtext.filter_lines(_lines_df(spark, [(1, doc)])).collect()[0]
+    assert out["n_kept"] == 2 and out["kept"] is True
+
+
+def test_dedup_lines_within_doc(spark):
+    doc = "menu\nbody text one\nmenu\nbody text two\nmenu"
+    out = webtext.dedup_lines_within_doc(_lines_df(spark, [(1, doc)])).collect()[0]
+    assert out["clean_text"] == "menu\nbody text one\nbody text two"
+    assert (out["n_lines"], out["n_kept"]) == (5, 3)
+
+
+def test_dedup_lines_across_docs(spark):
+    shared = "Subscribe to the newsletter today"
+    rows = [
+        (1, f"{shared}\nunique one alpha"),
+        (2, f"{shared}\nunique two beta"),
+        (3, "only unique gamma"),
+        (4, shared),  # every line shared -> empty doc survives with 0
+    ]
+    out = {
+        r["id"]: r
+        for r in webtext.dedup_lines_across_docs(
+            _lines_df(spark, rows), min_docs=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "unique one alpha"
+    assert out[2]["clean_text"] == "unique two beta"
+    assert out[3]["clean_text"] == "only unique gamma"
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 1
+
+
+def test_dedup_across_docs_short_lines_exempt(spark):
+    rows = [(1, "- item\nlong unique body line one"),
+            (2, "- item\nlong unique body line two")]
+    out = {
+        r["id"]: r
+        for r in webtext.dedup_lines_across_docs(
+            _lines_df(spark, rows), min_docs=2, min_line_chars=10
+        ).collect()
+    }
+    # "- item" repeats but is under min_line_chars -> kept
+    assert out[1]["clean_text"].startswith("- item")
+
+
+def test_split_lines_order(spark):
+    got = webtext.split_lines(_lines_df(spark, [(7, "a\nb\nc")])).collect()
+    assert [(r["line_no"], r["line"]) for r in got] == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(webtext.canonicalize_url(df["url"]).alias("c")).collect()[0]["c"]
+
+
+def test_url_canonicalization(spark):
+    assert _canon(spark, "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag") == \
+        "http://example.com/a/b?a=1&b=2"
+    assert _canon(spark, "https://Example.com:443/") == "https://example.com"
+    # non-default port survives; path case survives
+    assert _canon(spark, "http://example.com:8080/CaseSensitive") == \
+        "http://example.com:8080/CaseSensitive"
+    # all-tracking query vanishes entirely (no dangling '?')
+    assert _canon(spark, "http://a.com/x?utm_medium=e&fbclid=1") == "http://a.com/x"
+    # non-URL passes through trimmed
+    assert _canon(spark, "  not a url  ") == "not a url"
+
+
+def test_url_domains(spark):
+    df = spark.createDataFrame(
+        [("https://www.Blog.Example.CO.UK:443/p?q=1",),
+         ("http://sub.site.org/x",)],
+        "url string",
+    )
+    got = df.select(
+        webtext.url_domain(df["url"]).alias("d"),
+        webtext.url_base_domain(df["url"]).alias("b"),
+    ).collect()
+    assert (got[0]["d"], got[0]["b"]) == ("blog.example.co.uk", "example.co.uk")
+    assert (got[1]["d"], got[1]["b"]) == ("sub.site.org", "site.org")
+
+
+def test_dedup_urls(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://www.a.com/p/?b=2&a=1&utm_source=x"),
+            (2, "HTTP://A.com:80/p?a=1&b=2"),
+            (3, "http://a.com/other"),
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r for r in webtext.dedup_urls(df).collect()}
+    assert got[1]["is_dup"] is False and got[1]["keeper_id"] == 1
+    assert got[2]["is_dup"] is True and got[2]["keeper_id"] == 1
+    assert got[3]["is_dup"] is False
+    assert got[1]["canon_url"] == got[2]["canon_url"] == "http://a.com/p?a=1&b=2"
+
+
+def test_domain_stats(spark):
+    df = spark.createDataFrame(
+        [(f"http://s{i % 2}.dom.com/p{i}",) for i in range(6)]
+        + [("http://other.net/x",)],
+        "url string",
+    )
+    got = {r["base_domain"]: r for r in webtext.domain_stats(df).collect()}
+    assert got["dom.com"]["n_urls"] == 6
+    assert got["dom.com"]["n_hosts"] == 2
+    assert got["dom.com"]["n_unique_canon"] == 6
+    assert got["other.net"]["n_urls"] == 1
+
+
+def test_pipeline_composition(spark):
+    """html_to_text -> filter_lines end to end."""
+    html = (
+        "<body><h1>Title Words Here</h1>"
+        "<p>Real content sentence that stays.</p>"
+        "<div>Cookie Policy</div>"
+        "<footer>All rights reserved</footer></body>"
+    )
+    df = webtext.html_to_text(
+        spark.createDataFrame([(1, html)], "id long, html string")
+    )
+    out = webtext.filter_lines(df).collect()[0]
+    assert out["clean_text"] == (
+        "Title Words Here\nReal content sentence that stays."
+    )
