@@ -72,6 +72,23 @@ class KafkaDriver:
                     "KafkaDriver: config must be a JSON object with a 'root' key"
                 )
             root = cfg.pop("root")
+            # Validate file defaults AT CONSTRUCTION so a bad config
+            # file surfaces as MofkaError here, like every other config
+            # problem — not as a bare ValueError (or a silent 2.5 -> 2
+            # truncation) on the first create_topic (ADVICE r10).
+            rf = cfg.get("replication_factor")
+            if rf is not None:
+                if (
+                    isinstance(rf, bool)
+                    or not isinstance(rf, (int, float))
+                    or int(rf) != rf
+                    or int(rf) < 1
+                ):
+                    raise MofkaError(
+                        "KafkaDriver: config-file replication_factor must "
+                        f"be a positive integer, got {rf!r}"
+                    )
+                cfg["replication_factor"] = int(rf)
             self._defaults = cfg
         if spark is None:
             spark = SparkSession.getActiveSession()

@@ -432,6 +432,7 @@ def blend_scores(
     signals: dict[str, float],
     key_col: str = "doc_id",
     signal_round: int | None = 6,
+    distinct_threshold: int = 65536,
 ) -> DataFrame:
     """Rank-normalized quality blending: each signal column is mapped
     to its exact empirical percentile (SQL PERCENT_RANK — ties share
@@ -461,8 +462,11 @@ def blend_scores(
     round half-way tie-breaking is not; values that collide in a
     bucket share the tie group's minimum rank, the exact PERCENT_RANK
     semantics over the quantized values. ``signal_round=None``
-    restores raw-value ranking (exact, but O(#distinct raw) —
-    corpus-sized for continuous signals; gate/debug only). Each
+    restores raw-value ranking (exact at any cardinality: above
+    ``distinct_threshold`` distinct values the running count switches
+    from a single window over the small map to a distributed prefix
+    sum — range partitions + per-partition sums + broadcast bases —
+    so a corpus-cardinality distinct frame never single-tasks). Each
     percentile map joins back on its (quantized) key (AQE broadcasts
     the genuinely small maps). n is one scalar aggregate."""
     from pyspark.sql.types import DoubleType, FloatType
@@ -526,16 +530,65 @@ def blend_scores(
     for sig in signals:
         q = f"_q_{sig}"
         counts = obs.groupBy(q).agg(F.count("*").alias("_c"))
-        w = Window.orderBy(F.col(q).asc()).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        pr_map = counts.select(
-            q,
-            (
-                F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("double")
-                / F.lit(denom)
-            ).alias(f"pr_{sig}"),
-        )
+        # The running-count window orders the DISTINCT-value frame.
+        # Quantized signals keep that frame small, and a single-
+        # partition window over it is the cheapest exact plan — but a
+        # continuous signal at 6dp (or signal_round=None) can have
+        # near-corpus-cardinality distinct values, and an unpartitioned
+        # Window then single-tasks the whole map. Probe the cardinality
+        # (bounded: limit k+1 on the already-aggregated frame) and
+        # switch to the distributed prefix sum (the
+        # curriculum_select/_rank_by_id decomposition: range-partition
+        # in value order, per-partition running sums, <= #partitions
+        # totals to the driver, broadcast cumulative bases) above the
+        # threshold. Both paths compute the identical exact rank.
+        nd = counts.limit(distinct_threshold + 1).count()
+        if nd <= distinct_threshold:
+            w = Window.orderBy(F.col(q).asc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            pr_map = counts.select(
+                q,
+                (
+                    F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("double")
+                    / F.lit(denom)
+                ).alias(f"pr_{sig}"),
+            )
+        else:
+            n_ranges = df.sparkSession.sparkContext.defaultParallelism
+            # localCheckpoint freezes _pid: the frame is read twice
+            # (totals collect + the join below) and RangePartitioner
+            # re-sampling on a recompute could re-draw range bounds.
+            # GC-bounded, same discipline as curriculum_select.
+            ranged = (
+                counts.repartitionByRange(n_ranges, F.col(q).asc())
+                .withColumn("_pid", F.spark_partition_id())
+                .localCheckpoint(eager=True)
+            )
+            wloc = Window.partitionBy("_pid").orderBy(
+                F.col(q).asc()
+            ).rowsBetween(Window.unboundedPreceding, -1)
+            local = ranged.withColumn(
+                "_prior", F.coalesce(F.sum("_c").over(wloc), F.lit(0))
+            )
+            ptotals = (
+                local.groupBy("_pid").agg(F.sum("_c").alias("_t")).collect()
+            )
+            bases: dict[int, int] = {}
+            acc = 0
+            for r in sorted(ptotals, key=lambda r: r["_pid"]):
+                bases[r["_pid"]] = acc
+                acc += r["_t"]
+            base_col = F.create_map(
+                *[F.lit(x) for kv in bases.items() for x in kv]
+            )
+            pr_map = local.select(
+                q,
+                (
+                    (base_col[F.col("_pid")] + F.col("_prior")).cast("double")
+                    / F.lit(denom)
+                ).alias(f"pr_{sig}"),
+            )
         out = out.join(pr_map, q)
     blended = None
     for sig, wt in signals.items():
@@ -646,6 +699,9 @@ def default_text_scorer(texts):
 #: cloudpickled scorer closure resolves it through the module import,
 #: one instance per worker process.
 _MODEL_CACHE: dict[tuple, tuple] = {}  # (path, mtime_ns, size) -> (w, b)
+#: Keys already warned about after their backing file vanished — the
+#: mixed-outcome job diagnosis aid (warn once per worker, not per batch).
+_MODEL_GONE_WARNED: set[tuple] = set()
 
 
 def hashed_logistic_scorer(model_path: str, record_loads: bool = False):
@@ -703,6 +759,21 @@ def hashed_logistic_scorer(model_path: str, record_loads: bool = False):
             if not cached:
                 raise
             key = cached[0]
+            # The split-brain outcome (warm workers keep scoring while
+            # never-loaded workers raise) is easy to misread as a
+            # scoring bug — make this worker's side of it diagnosable
+            # in the executor log (ADVICE r10); once per worker.
+            if key not in _q._MODEL_GONE_WARNED:
+                _q._MODEL_GONE_WARNED.add(key)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "hashed_logistic_scorer: model file %s vanished; "
+                    "this worker keeps serving its cached weights "
+                    "(mtime_ns=%d, size=%d). Workers that never loaded "
+                    "it will raise — expect a mixed job outcome.",
+                    model_path, key[1], key[2],
+                )
         mdl = _q._MODEL_CACHE.get(key)
         if mdl is None:
             data = np.load(model_path)
@@ -886,16 +957,23 @@ def retention_curve(
         *([F.col("_wd")] if weight_col is not None else []),
         F.inline(rows),
     )
+    # Empty/fully-filtered input (global groupBy(): ONE row with
+    # _nd = 0 and NULL conditional sums): kept counts coalesce to 0
+    # and the 0/0 fractions guard to NULL, mirroring frac_weight
+    # (ADVICE r10).
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept")
     cols = [
         *head,
         F.col("threshold"),
-        F.col("n_kept"),
-        (F.col("n_kept") / F.col("_nd")).alias("frac_docs"),
+        n_kept,
+        F.when(F.col("_nd") != 0, F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("_nd"))
+        .otherwise(F.lit(None))
+        .alias("frac_docs"),
     ]
     if weight_col is not None:
-        cols.insert(-1, F.col("w_kept"))
+        cols.insert(-1, F.coalesce(F.col("w_kept"), F.lit(0.0)).alias("w_kept"))
         cols.append(
-            F.when(F.col("_wd") != 0, F.col("w_kept") / F.col("_wd"))
+            F.when(F.col("_wd") != 0, F.coalesce(F.col("w_kept"), F.lit(0.0)) / F.col("_wd"))
             .otherwise(F.lit(None))
             .alias("frac_weight")
         )

@@ -56,6 +56,26 @@ class TestKafkaDriver:
         assert kd.open_topic("b")._refresh().extra["kafka"]["replication_factor"] == 2
         assert kd.open_topic("c")._refresh().extra["kafka"]["replication_factor"] == 1
 
+    def test_bad_file_replication_factor_raises_at_init(self, spark, tmp_path):
+        # a bad config-file default must surface as MofkaError at
+        # CONSTRUCTION, not a bare ValueError (or a silent 2.5 -> 2
+        # truncation) on the first create_topic (ADVICE r10)
+        for bad in ("three", 2.5, 0, -1, True):
+            cfg = tmp_path / f"kafka-{bad}.json"
+            cfg.write_text(
+                json.dumps({"root": str(tmp_path / "svc"), "replication_factor": bad})
+            )
+            with pytest.raises(MofkaError):
+                KafkaDriver(str(cfg), spark=spark)
+        # an integral float is unambiguous and accepted as its int
+        ok = tmp_path / "kafka-ok.json"
+        ok.write_text(
+            json.dumps({"root": str(tmp_path / "svc"), "replication_factor": 3.0})
+        )
+        kd = KafkaDriver(str(ok), spark=spark)
+        kd.create_topic("f")
+        assert kd.open_topic("f")._refresh().extra["kafka"]["replication_factor"] == 3
+
     def test_bare_root_dir_accepted(self, spark, tmp_path):
         kd = KafkaDriver(str(tmp_path), spark=spark)
         kd.create_topic("t")
