@@ -2695,3 +2695,345 @@ def bpe_encode(
             "token_id"
         ),
     )
+
+
+# -- unigram / WordPiece tokenizer training (SentencePiece-style) ------------
+# Complements bpe_train with the OTHER mainstream subword family:
+# a piece INVENTORY scored by usage, segmentation as per-word decoding
+# (Viterbi max-likelihood or greedy longest-match), trained by hard-EM
+# rounds of segment -> recount -> prune. Beyond-reference (the
+# reference has no tokenizer); the public algorithm is Kudo 2018
+# (SentencePiece unigram LM), simplified to hard-EM over the
+# Zipf-collapsed word-frequency table.
+
+
+def _unigram_substrings(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """All full-length substrings (length 2..max_piece_len) of each
+    word type, one row per OCCURRENCE (overlapping), weighted by the
+    word's corpus frequency. O(len x max_piece_len) rows per word
+    TYPE — scan-local enumeration, bounded by the Zipf-collapsed word
+    table, never the corpus."""
+    w = F.col("word")
+    pieces = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.transform(
+                F.sequence(F.lit(2), F.lit(max_piece_len)),
+                # NULL for windows running off the end (filtered below)
+                # — sequence(2, len-i+1) would flip to a DESCENDING
+                # sequence for short tails and double-count
+                lambda l: F.when(i + l - 1 <= F.length(w), w.substr(i, l)),
+            ),
+        )
+    )
+    return words.select(
+        F.explode(pieces).alias("piece"), "freq"
+    ).filter(F.col("piece").isNotNull())
+
+
+def unigram_seed(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    seed_size: int = 256,
+    min_count: int = 2,
+) -> DataFrame:
+    """Seed piece inventory for unigram training: the top
+    ``seed_size`` multi-character substrings by occurrence mass
+    (ties: piece asc), UNION every single character seen — the
+    coverage guarantee that makes every word segmentable. Returns
+    (piece, freq, is_char).
+
+    Scale shape: one corpus-collapsing word aggregate (bpe_word_freq),
+    one substring-enumeration aggregate over the word-TYPE table, one
+    bounded top-N."""
+    if max_piece_len < 2:
+        raise ValueError("unigram_seed: max_piece_len must be >= 2")
+    words = bpe_word_freq(df, text_col)
+    multi = (
+        _unigram_substrings(words, max_piece_len)
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("freq"))
+        .filter(F.col("freq") >= min_count)
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(seed_size)
+        .withColumn("is_char", F.lit(False))
+    )
+    chars = (
+        words.select(F.explode(F.split("word", "")).alias("piece"), "freq")
+        .filter(F.col("piece") != "")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("freq"))
+        .withColumn("is_char", F.lit(True))
+    )
+    return chars.unionByName(multi)
+
+
+def _unigram_segment_word(
+    word: str,
+    logp: dict,
+    max_piece_len: int,
+    objective: str,
+) -> list:
+    """Segment ONE word against a piece inventory. Two objectives:
+
+    - ``"viterbi"``: maximize sum of piece log-probs; ties prefer
+      FEWER pieces, then the lexicographically smaller piece sequence.
+      Characters missing from the inventory segment as themselves at
+      the configured floor log-prob (coverage fallback).
+    - ``"longest"``: greedy longest-match left to right (WordPiece
+      inference) — integer-only and replayable in SQL, the gate path.
+    """
+    n = len(word)
+    if objective == "longest":
+        out, i = [], 0
+        while i < n:
+            for ln in range(min(max_piece_len, n - i), 0, -1):
+                cand = word[i : i + ln]
+                if ln == 1 or cand in logp:
+                    out.append(cand)
+                    i += ln
+                    break
+        return out
+    # viterbi: best[i] = (score, -n_pieces, seq) for word[:i]
+    floor = (min(logp.values()) if logp else 0.0) - 1.0
+    best = [None] * (n + 1)
+    best[0] = (0.0, 0, ())
+    for i in range(1, n + 1):
+        cand_best = None
+        for ln in range(1, min(max_piece_len, i) + 1):
+            piece = word[i - ln : i]
+            lp = logp.get(piece)
+            if lp is None:
+                if ln > 1:
+                    continue
+                lp = floor  # unknown single char fallback
+            prev = best[i - ln]
+            if prev is None:
+                continue
+            cand = (prev[0] + lp, prev[1] - 1, prev[2] + (piece,))
+            # maximize (score, -n_pieces), then lexicographically
+            # SMALLEST sequence
+            if (
+                cand_best is None
+                or (cand[0], cand[1]) > (cand_best[0], cand_best[1])
+                or (
+                    (cand[0], cand[1]) == (cand_best[0], cand_best[1])
+                    and cand[2] < cand_best[2]
+                )
+            ):
+                cand_best = cand
+        best[i] = cand_best
+    return list(best[n][2])
+
+
+def _unigram_segment_kernel(
+    pieces: dict, max_piece_len: int, objective: str
+):
+    """Arrow-batch kernel: (id, word_pos, word) -> exploded (id,
+    word_pos, piece_pos, piece), memoized per distinct word within a
+    batch (Zipf: cost per TYPE). ``pieces`` is bounded model state
+    captured in the closure — piece -> logprob (viterbi) or -> True
+    (longest)."""
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            ids, wpos, ppos, out = [], [], [], []
+            for i, w, word in zip(pdf["id"], pdf["word_pos"], pdf["word"]):
+                segs = cache.get(word)
+                if segs is None:
+                    segs = _unigram_segment_word(
+                        word, pieces, max_piece_len, objective
+                    )
+                    cache[word] = segs
+                ids.extend([i] * len(segs))
+                wpos.extend([w] * len(segs))
+                ppos.extend(range(len(segs)))
+                out.extend(segs)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype=pdf["id"].dtype),
+                    "word_pos": pd.Series(wpos, dtype="int64"),
+                    "piece_pos": pd.Series(ppos, dtype="int64"),
+                    "piece": pd.Series(out, dtype="object"),
+                }
+            )
+
+    return run
+
+
+def _unigram_logp(counts: dict) -> dict:
+    import math
+
+    total = float(sum(counts.values())) or 1.0
+    return {p: math.log(c / total) for p, c in counts.items() if c > 0}
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 256,
+    max_piece_len: int = 4,
+    seed_size: int = 1024,
+    seed_min_count: int = 2,
+    n_iters: int = 2,
+    objective: str = "viterbi",
+) -> DataFrame:
+    """Hard-EM unigram-LM tokenizer training: seed inventory ->
+    (segment the word table -> recount piece usage -> prune to the
+    top ``vocab_size``) x ``n_iters``. Deterministic end to end: seed
+    and prune order is (freq desc, piece asc), segmentation tie-breaks
+    are pinned (see _unigram_segment_word), so retraining reproduces
+    the artifact bit-for-bit (the bpe_train discipline).
+
+    Returns the tokenizer artifact (piece, freq, is_char, token_id):
+    characters seen in training sorted asc take ids 1..A (kept
+    regardless of usage — the coverage floor), learned multi-char
+    pieces take A+1.. in (freq desc, piece asc) order; id 0 stays
+    reserved for OOV, matching bpe_vocab_table.
+
+    Scale shape: the corpus is touched ONCE (bpe_word_freq, Zipf-
+    collapsed and localCheckpointed); each EM round is one Arrow
+    segmentation pass + one aggregate over the word-TYPE table; piece
+    inventories are bounded MODEL STATE (seed_size + alphabet), the
+    only driver-side data. ``objective="viterbi"`` is the unigram-LM
+    default (hypothesis-pinned against a brute-force mirror);
+    ``"longest"`` trains a WordPiece-style greedy tokenizer whose
+    whole train loop is integer-only and SQL-replayable (the gate
+    oracle)."""
+    if vocab_size < 1:
+        raise ValueError("unigram_train: vocab_size must be >= 1")
+    if n_iters < 1:
+        raise ValueError("unigram_train: n_iters must be >= 1")
+    if objective not in ("viterbi", "longest"):
+        raise ValueError(f"unigram_train: unknown objective {objective!r}")
+    spark = df.sparkSession
+    words = bpe_word_freq(df, text_col).localCheckpoint(eager=True)
+    seed = unigram_seed(
+        df, text_col, max_piece_len, seed_size, seed_min_count
+    )
+    # bounded collect: seed_size + alphabet rows of model state
+    counts = {r["piece"]: int(r["freq"]) for r in seed.collect()}
+    chars = sorted(p for p in counts if len(p) == 1)
+    for _ in range(n_iters):
+        if objective == "viterbi":
+            model = _unigram_logp(counts)
+        else:
+            model = {p: True for p in counts}
+        segged = words.select(
+            F.col("word").alias("id"),
+            F.lit(0).cast("long").alias("word_pos"),
+            F.col("word"),
+        ).mapInPandas(
+            _unigram_segment_kernel(model, max_piece_len, objective),
+            "`id` string, `word_pos` long, `piece_pos` long, `piece` string",
+        )
+        used = (
+            segged.withColumnRenamed("id", "word")
+            .join(words.select("word", "freq"), "word")
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("freq"))
+        )
+        rows = used.collect()  # bounded: <= current inventory size
+        new_counts = {r["piece"]: int(r["freq"]) for r in rows}
+        # prune: every training-corpus char survives (coverage), the
+        # top (vocab_size - A) multi-char pieces by usage stay
+        multi = sorted(
+            ((p, c) for p, c in new_counts.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[: max(vocab_size - len(chars), 0)]
+        counts = {c: new_counts.get(c, 0) for c in chars}
+        counts.update(dict(multi))
+    out = [
+        (p, counts[p], True, i + 1) for i, p in enumerate(chars)
+    ]
+    a = len(chars)
+    for j, (p, c) in enumerate(
+        sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )
+    ):
+        out.append((p, c, False, a + j + 1))
+    return spark.createDataFrame(
+        out, "piece string, freq long, is_char boolean, token_id int"
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    pieces: "DataFrame | dict",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    objective: str = "viterbi",
+) -> DataFrame:
+    """Encode documents with a trained unigram/WordPiece inventory —
+    the same output shape as bpe_encode: (id, word_pos, piece_pos,
+    piece, token_id), token_id 0 for pieces outside the artifact
+    (unknown-char fallbacks). ``pieces``: the unigram_train artifact
+    (or any (piece, freq[, token_id]) frame / {piece: freq} dict).
+
+    Scale shape: the inventory is bounded model state collected once
+    and captured in the Arrow kernel closure; the token stream
+    explodes scan-locally; the id join broadcasts the tiny vocab —
+    zero corpus shuffles."""
+    if objective not in ("viterbi", "longest"):
+        raise ValueError(f"unigram_encode: unknown objective {objective!r}")
+    if isinstance(pieces, DataFrame):
+        rows = pieces.collect()
+        counts = {r["piece"]: int(r["freq"]) for r in rows}
+        ids = (
+            {r["piece"]: int(r["token_id"]) for r in rows}
+            if "token_id" in pieces.columns
+            else None
+        )
+    else:
+        counts = {p: int(c) for p, c in pieces.items()}
+        ids = None
+    if ids is None:
+        chars = sorted(p for p in counts if len(p) == 1)
+        ids = {p: i + 1 for i, p in enumerate(chars)}
+        for j, (p, _) in enumerate(
+            sorted(
+                ((p, c) for p, c in counts.items() if len(p) > 1),
+                key=lambda t: (-t[1], t[0]),
+            )
+        ):
+            ids[p] = len(chars) + j + 1
+    model = (
+        _unigram_logp(counts)
+        if objective == "viterbi"
+        else {p: True for p in counts}
+    )
+    from mofka_spark.operators.dedup import _spread
+
+    toks = (
+        _spread(df.filter(F.col(text_col).isNotNull()), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_tokens(F.col(text_col))).alias("word_pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    id_type = toks.schema["id"].dataType.simpleString()
+    segged = toks.select(
+        "id", F.col("word_pos").cast("long").alias("word_pos"), "word"
+    ).mapInPandas(
+        _unigram_segment_kernel(model, max_piece_len, objective),
+        f"`id` {id_type}, `word_pos` long, `piece_pos` long, `piece` string",
+    )
+    spark = df.sparkSession
+    vocab = spark.createDataFrame(
+        list(ids.items()), "piece string, token_id int"
+    )
+    return segged.join(F.broadcast(vocab), "piece", "left").select(
+        "id",
+        "word_pos",
+        "piece_pos",
+        "piece",
+        F.coalesce(F.col("token_id"), F.lit(0)).cast("int").alias("token_id"),
+    )

@@ -9840,6 +9840,190 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.domain_stats(df)
 
 
+# ===========================================================================
+# Unigram / WordPiece tokenizer training (operators/text.py
+# unigram_seed / unigram_train / unigram_encode — the SentencePiece-
+# style complement to BPE). The float Viterbi objective is pinned by
+# hypothesis properties against a brute-force pure-Python mirror
+# (tests/test_properties.py TestUnigramProperties); the gates below
+# certify the INTEGER-exact paths cross-engine: seed inventory counts,
+# the greedy longest-match (WordPiece) train loop, and corpus encoding.
+# ===========================================================================
+
+# Shared oracle fragments: tokenize -> word-freq -> substring seed.
+_UNI_WF_SQL = r"""
+    toks AS (
+      SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+             '\s+', ' ', 'g'), ' ')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+      WHERE word <> '' AND word NOT LIKE '%' || chr(31) || '%'
+      GROUP BY word
+    ),
+    sub AS (
+      SELECT substr(word, gs.i, gl.l) AS piece, freq
+      FROM wf,
+           UNNEST(generate_series(1, length(word))) AS gs(i),
+           UNNEST(generate_series(2, 4)) AS gl(l)
+      WHERE gs.i + gl.l - 1 <= length(word)
+    ),
+    multi AS (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS freq FROM sub
+      GROUP BY piece HAVING SUM(freq) >= 2
+      ORDER BY freq DESC, piece ASC LIMIT 64
+    ),
+    chars AS (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(word, '')) AS piece, freq FROM wf
+      ) WHERE piece <> '' GROUP BY piece
+    )
+"""
+
+# Greedy longest-match segmentation of every word TYPE against the
+# seed inventory — the recursive chain consumes one piece per level
+# (single chars are all in the inventory, so the pick never misses).
+_UNI_SEG_SQL = """
+    seedp AS (
+      SELECT piece FROM chars UNION ALL SELECT piece FROM multi
+    ),
+    seg(word, pos, piece) AS (
+      SELECT word, 0, CAST(NULL AS VARCHAR) FROM wf
+      UNION ALL
+      SELECT s.word, s.pos + length(s.pick), s.pick FROM (
+        SELECT word, pos,
+          (SELECT piece FROM seedp
+           WHERE substr(word, pos + 1, length(piece)) = piece
+           ORDER BY length(piece) DESC, piece ASC LIMIT 1) AS pick
+        FROM seg WHERE pos < length(word)
+      ) s
+    )
+"""
+
+
+@query(
+    "unigram_seed",
+    rf"""
+    WITH
+    {_UNI_WF_SQL}
+    SELECT piece, freq, TRUE AS is_char FROM chars
+    UNION ALL
+    SELECT piece, freq, FALSE AS is_char FROM multi
+    """,
+)
+def q_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import unigram_seed
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_seed(
+        docs, max_piece_len=4, seed_size=64, min_count=2
+    )
+
+
+# One hard-EM round of the WordPiece-style (longest-match) trainer —
+# the whole loop is integer-only, so the oracle replays it end to end:
+# seed -> greedy-segment every word type (recursive CTE) -> recount
+# usage -> prune to the top (40 - alphabet) multi-char pieces -> the
+# deterministic id layout (chars asc = 1..A, learned pieces A+1.. by
+# usage desc, piece asc). The float Viterbi objective shares all of
+# this code except the per-word argmax, which hypothesis pins against
+# brute force.
+@query(
+    "unigram_vocab",
+    rf"""
+    WITH RECURSIVE
+    {_UNI_WF_SQL},
+    {_UNI_SEG_SQL},
+    used AS (
+      SELECT seg.piece, CAST(SUM(wf.freq) AS BIGINT) AS freq
+      FROM seg JOIN wf USING (word)
+      WHERE seg.piece IS NOT NULL GROUP BY seg.piece
+    ),
+    a AS (SELECT COUNT(*) AS n FROM chars),
+    mk AS (
+      SELECT piece, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, piece ASC) AS rn
+      FROM used WHERE length(piece) > 1
+    )
+    SELECT c.piece, COALESCE(u.freq, 0) AS freq, TRUE AS is_char,
+           CAST(ROW_NUMBER() OVER (ORDER BY c.piece ASC) AS INTEGER)
+             AS token_id
+    FROM chars c LEFT JOIN used u ON c.piece = u.piece
+    UNION ALL
+    SELECT piece, freq, FALSE AS is_char,
+           CAST((SELECT n FROM a) + rn AS INTEGER) AS token_id
+    FROM mk WHERE rn <= GREATEST(40 - (SELECT n FROM a), 0)
+    """,
+)
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import unigram_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_train(
+        docs, vocab_size=40, max_piece_len=4, seed_size=64,
+        seed_min_count=2, n_iters=1, objective="longest",
+    )
+
+
+# Corpus encoding with the seed inventory, greedy longest-match
+# (WordPiece inference): the oracle segments each word TYPE once via
+# the recursive chain and joins the segmentation onto the token
+# stream; ids derive from the SEED artifact (chars asc = 1..A, seed
+# pieces A+1.. by seed freq desc, piece asc), OOV = 0.
+@query(
+    "unigram_encode_longest",
+    rf"""
+    WITH RECURSIVE
+    {_UNI_WF_SQL},
+    {_UNI_SEG_SQL},
+    stream AS (
+      SELECT d.id, CAST(gs.i - 1 AS BIGINT) AS word_pos, d.ts[gs.i] AS word
+      FROM (
+        SELECT doc_id AS id,
+               string_split(regexp_replace(lower(trim(text)),
+                      '\s+', ' ', 'g'), ' ') AS ts
+        FROM documents WHERE text IS NOT NULL
+      ) d, UNNEST(generate_series(1, len(d.ts))) AS gs(i)
+      WHERE d.ts[gs.i] <> ''
+    ),
+    wordpieces AS (
+      SELECT word, piece,
+             CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+                  - 1 AS BIGINT) AS piece_pos
+      FROM seg WHERE piece IS NOT NULL
+    ),
+    a AS (SELECT COUNT(*) AS n FROM chars),
+    ids AS (
+      SELECT piece,
+             CAST(ROW_NUMBER() OVER (ORDER BY piece ASC) AS INTEGER)
+               AS token_id
+      FROM chars
+      UNION ALL
+      SELECT piece,
+             CAST((SELECT n FROM a)
+                  + ROW_NUMBER() OVER (ORDER BY freq DESC, piece ASC)
+                  AS INTEGER) AS token_id
+      FROM multi
+    )
+    SELECT stream.id, stream.word_pos, wp.piece_pos, wp.piece,
+           COALESCE(ids.token_id, 0) AS token_id
+    FROM stream
+    JOIN wordpieces wp USING (word)
+    LEFT JOIN ids ON wp.piece = ids.piece
+    """,
+)
+def q_unigram_encode_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import unigram_encode, unigram_seed
+
+    docs = _t(spark, sf_dir, "documents")
+    seed = unigram_seed(docs, max_piece_len=4, seed_size=64, min_count=2)
+    return unigram_encode(
+        docs, seed, id_col="doc_id", text_col="text",
+        max_piece_len=4, objective="longest",
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

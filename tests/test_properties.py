@@ -1280,3 +1280,133 @@ class TestRetentionCurveProperties:
             per_t.sort()
             for (t1, k1), (t2, k2) in zip(per_t, per_t[1:]):
                 assert k1 >= k2
+
+
+def _py_unigram_segment_all(word, logp, max_len):
+    """Brute-force enumeration of ALL segmentations (multi-char pieces
+    must be in the inventory; unknown single chars fall back at the
+    floor log-prob), argmax by (score, fewer pieces, lexicographically
+    smallest sequence) — structurally different from the operator's
+    Viterbi DP, so agreement is a genuine cross-check."""
+    floor = (min(logp.values()) if logp else 0.0) - 1.0
+    results = []
+
+    def rec(i, seq, score):
+        if i == len(word):
+            results.append((score, -len(seq), tuple(seq)))
+            return
+        for ln in range(1, min(max_len, len(word) - i) + 1):
+            p = word[i : i + ln]
+            lp = logp.get(p)
+            if lp is None:
+                if ln > 1:
+                    continue
+                lp = floor
+            rec(i + ln, seq + [p], score + lp)
+
+    rec(0, [], 0.0)
+    best = max(r[:2] for r in results)
+    return list(min(r[2] for r in results if r[:2] == best))
+
+
+def _py_unigram_train(word_freq, vocab_size, max_len, seed_size,
+                      seed_min, n_iters):
+    """Pure-Python mirror of unigram_train (viterbi objective)."""
+    import math
+
+    sub: dict = {}
+    chars: dict = {}
+    for w, f in word_freq.items():
+        for i in range(len(w)):
+            chars[w[i]] = chars.get(w[i], 0) + f
+            for ln in range(2, min(max_len, len(w) - i) + 1):
+                p = w[i : i + ln]
+                sub[p] = sub.get(p, 0) + f
+    multi = sorted(
+        ((p, c) for p, c in sub.items() if c >= seed_min),
+        key=lambda t: (-t[1], t[0]),
+    )[:seed_size]
+    counts = dict(chars)
+    counts.update(dict(multi))
+    charset = sorted(chars)
+    for _ in range(n_iters):
+        total = float(sum(counts.values())) or 1.0
+        logp = {p: math.log(c / total) for p, c in counts.items() if c > 0}
+        new: dict = {}
+        for w, f in word_freq.items():
+            for p in _py_unigram_segment_all(w, logp, max_len):
+                new[p] = new.get(p, 0) + f
+        kept = sorted(
+            ((p, c) for p, c in new.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[: max(vocab_size - len(charset), 0)]
+        counts = {c: new.get(c, 0) for c in charset}
+        counts.update(dict(kept))
+    out = [(p, counts[p], True, i + 1) for i, p in enumerate(charset)]
+    for j, (p, c) in enumerate(
+        sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )
+    ):
+        out.append((p, c, False, len(charset) + j + 1))
+    return out
+
+
+class TestUnigramProperties:
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        words=st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            min_size=1, max_size=10,
+        ),
+        reps=st.lists(st.integers(1, 5), min_size=10, max_size=10),
+    )
+    def test_train_matches_python_mirror(self, spark, words, reps):
+        # arbitrary small corpora: the distributed hard-EM trainer
+        # (Viterbi DP kernel + Spark aggregates) must reproduce the
+        # brute-force pure-Python mirror exactly — counts, pruning,
+        # tie-breaks, ids
+        from mofka_spark.operators.text import unigram_train
+
+        corpus = " ".join(w for w, r in zip(words, reps) for _ in range(r))
+        wf: dict = {}
+        for w in corpus.split():
+            wf[w] = wf.get(w, 0) + 1
+        ref = sorted(
+            _py_unigram_train(wf, vocab_size=8, max_len=3, seed_size=16,
+                              seed_min=2, n_iters=2)
+        )
+        df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+        got = sorted(
+            (r["piece"], r["freq"], r["is_char"], r["token_id"])
+            for r in unigram_train(
+                df, vocab_size=8, max_piece_len=3, seed_size=16,
+                seed_min_count=2, n_iters=2,
+            ).collect()
+        )
+        assert got == ref
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        words=st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=7),
+            min_size=1, max_size=8,
+        ),
+    )
+    def test_viterbi_dp_matches_bruteforce(self, spark, words):
+        # the DP inside the kernel vs full enumeration, on a fixed
+        # hand inventory — pure Python on both sides, no Spark jobs
+        import math
+
+        from mofka_spark.operators.text import _unigram_segment_word
+
+        inv = {"ab": 5, "bc": 4, "abc": 3, "a": 6, "b": 2, "c": 2,
+               "aa": 2, "cc": 2}
+        total = float(sum(inv.values()))
+        logp = {p: math.log(c / total) for p, c in inv.items()}
+        for w in words:
+            assert _unigram_segment_word(w, logp, 3, "viterbi") == \
+                _py_unigram_segment_all(w, logp, 3)

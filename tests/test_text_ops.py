@@ -1245,3 +1245,99 @@ class TestEncodingSignals:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestUnigram:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "the cat sat on the mat"),
+             (2, "the rat ate the cat food"),
+             (3, "a catapult on the mat")],
+            "doc_id long, text string",
+        )
+
+    def test_seed_counts_hand_computed(self, spark):
+        from mofka_spark.operators.text import unigram_seed
+
+        df = spark.createDataFrame([(1, "aba ab aba")], "doc_id long, text string")
+        got = {
+            r["piece"]: (r["freq"], r["is_char"])
+            for r in unigram_seed(df, max_piece_len=3, min_count=1).collect()
+        }
+        # chars: aba x2 + ab -> a: 2*2+1=5, b: 2+1=3
+        assert got["a"] == (5, True) and got["b"] == (3, True)
+        # substrings: ab in aba(1 occurrence)x2 + ab(1) = 3; ba only in aba x2
+        assert got["ab"] == (3, False)
+        assert got["ba"] == (2, False)
+        assert got["aba"] == (2, False)
+
+    def test_seed_min_count_and_size(self, spark):
+        from mofka_spark.operators.text import unigram_seed
+
+        df = spark.createDataFrame([(1, "xy xy zq")], "doc_id long, text string")
+        got = {r["piece"] for r in
+               unigram_seed(df, min_count=2, seed_size=10).collect()}
+        assert "xy" in got and "zq" not in got  # zq freq 1 < min_count
+        assert {"x", "y", "z", "q"} <= got      # chars always survive
+
+    def test_longest_match_encode(self, spark):
+        from mofka_spark.operators.text import unigram_encode
+
+        df = spark.createDataFrame([(1, "abcab")], "doc_id long, text string")
+        inv = {"ab": 5, "ca": 3, "a": 2, "b": 2, "c": 2}
+        got = [
+            (r["piece_pos"], r["piece"])
+            for r in unigram_encode(df, inv, objective="longest")
+            .orderBy("piece_pos").collect()
+        ]
+        # greedy longest-first: ab | ca | b
+        assert got == [(0, "ab"), (1, "ca"), (2, "b")]
+
+    def test_unknown_char_token_id_zero(self, spark):
+        from mofka_spark.operators.text import unigram_encode, unigram_train
+
+        art = unigram_train(self._df(spark), vocab_size=16, n_iters=1)
+        out = unigram_encode(
+            spark.createDataFrame([(9, "cat zzz9")], "doc_id long, text string"),
+            art,
+        )
+        rows = out.collect()
+        known = [r for r in rows if r["word_pos"] == 0]
+        unk = [r for r in rows if r["word_pos"] == 1]
+        assert all(r["token_id"] > 0 for r in known)
+        # '9' and 'z' never occurred in training: fallback pieces, id 0
+        assert any(r["token_id"] == 0 for r in unk)
+
+    def test_train_deterministic(self, spark):
+        from mofka_spark.operators.text import unigram_train
+
+        a = sorted(map(tuple, unigram_train(self._df(spark), vocab_size=20).collect()))
+        b = sorted(map(tuple, unigram_train(self._df(spark), vocab_size=20).collect()))
+        assert a == b
+
+    def test_ids_follow_artifact(self, spark):
+        from mofka_spark.operators.text import unigram_encode, unigram_train
+
+        art = unigram_train(self._df(spark), vocab_size=20)
+        ids = {r["piece"]: r["token_id"] for r in art.collect()}
+        out = unigram_encode(self._df(spark), art)
+        for r in out.collect():
+            assert r["token_id"] == ids.get(r["piece"], 0)
+
+    def test_validation(self, spark):
+        from mofka_spark.operators.text import (
+            unigram_encode, unigram_seed, unigram_train,
+        )
+
+        df = self._df(spark)
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            unigram_train(df, vocab_size=0)
+        with _pt.raises(ValueError):
+            unigram_train(df, n_iters=0)
+        with _pt.raises(ValueError):
+            unigram_train(df, objective="bogus")
+        with _pt.raises(ValueError):
+            unigram_seed(df, max_piece_len=1)
+        with _pt.raises(ValueError):
+            unigram_encode(df, {"a": 1}, objective="bogus")
