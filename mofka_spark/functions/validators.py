@@ -83,10 +83,20 @@ class SchemaValidator(Validator):
     The Column form (bulk/streaming path) compiles the cheap
     SQL-expressible keywords (required, scalar types, enum, min/max,
     minLength/maxLength, pattern, const) to predicates — a NECESSARY
-    filter with Catalyst pushdown, not the full draft: combinators
-    (anyOf/oneOf/not) and structural keywords pass through, so the
-    Column path may admit rows the exact validator would reject. Bulk
-    callers needing full fidelity re-validate per row downstream."""
+    filter with Catalyst pushdown, not the full draft. Combinators
+    compile where soundness under the necessary-filter contract
+    allows: ``allOf`` conjoins whatever branches compile; ``anyOf`` /
+    ``oneOf`` compile to the OR of branch conditions when EVERY branch
+    compiles (a valid row exactly satisfies some branch, hence that
+    branch's necessary condition, hence the OR; oneOf deliberately
+    does NOT compile exactly-one — branch conditions over-admit, so
+    exactly-one could reject valid rows); ``not`` compiles only the
+    ``{"not": {"required": [...]}}`` form (exact validity implies some
+    listed key is absent; a key present with a JSON-null value renders
+    NULL and over-admits, which the contract allows). Everything else
+    passes through, so the Column path may admit rows the exact
+    validator would reject — never the reverse. Bulk callers needing
+    full fidelity re-validate per row downstream."""
 
     _TYPES = {
         "object": dict,
@@ -170,56 +180,124 @@ class SchemaValidator(Validator):
 
     def to_column(self, metadata: Column | str = "metadata") -> Column:
         col = F.col(metadata) if isinstance(metadata, str) else metadata
+        c = self._compile_object(self.schema, col)
+        return F.lit(True) if c is None else c
+
+    @classmethod
+    def _compile_object(
+        cls, sch: dict[str, Any], col: Column
+    ) -> "Column | None":
+        """Necessary condition for an (object-rooted) schema over the
+        raw JSON string column, or None when nothing is expressible."""
         conds: list[Column] = []
-        props = self.schema.get("properties", {})
-        for req in self.schema.get("required", []):
+        for req in sch.get("required", []):
             conds.append(F.get_json_object(col, f"$.{req}").isNotNull())
-        for k, sub in props.items():
-            t = sub.get("type")
-            s = F.get_json_object(col, f"$.{k}")
-            if t in ("number", "integer"):
-                # try_cast, not cast: ANSI mode makes a plain cast THROW
-                # on malformed input — a validator must reject the row,
-                # not kill the job
-                d = s.try_cast("double")
-                conds.append(s.isNull() | d.isNotNull())
-                if t == "integer":
-                    conds.append(s.isNull() | (d == F.floor(d)))
-                if "minimum" in sub:
-                    conds.append(s.isNull() | (d >= F.lit(float(sub["minimum"]))))
-                if "maximum" in sub:
-                    conds.append(s.isNull() | (d <= F.lit(float(sub["maximum"]))))
-            elif t == "boolean":
-                conds.append(s.isNull() | s.isin("true", "false"))
-            elif t == "string":
-                if "minLength" in sub:
-                    conds.append(s.isNull() | (F.length(s) >= int(sub["minLength"])))
-                if "maxLength" in sub:
-                    conds.append(s.isNull() | (F.length(s) <= int(sub["maxLength"])))
-                if "pattern" in sub:
-                    # JSON-Schema patterns are unanchored regex searches;
-                    # rlike matches anywhere — same semantics
-                    conds.append(s.isNull() | s.rlike(sub["pattern"]))
-            if "const" in sub:
-                # necessary-condition contract: the Column form may only
-                # REJECT rows the exact validator also rejects. Numbers
-                # compare numerically (JSON Schema: 5 == 5.0, while
-                # get_json_object renders "5.0" ≠ json.dumps(5)); object/
-                # array/null consts skip the Column check entirely —
-                # rendered-text comparison is key-order/whitespace
-                # sensitive and would drop valid rows
-                eq = _scalar_eq(s, sub["const"])
-                if eq is not None:
-                    conds.append(s.isNull() | eq)
-            if "enum" in sub:
-                eqs = [_scalar_eq(s, v) for v in sub["enum"]]
-                if all(e is not None for e in eqs):
-                    any_eq = eqs[0]
-                    for e in eqs[1:]:
-                        any_eq = any_eq | e
-                    conds.append(s.isNull() | any_eq)
+        for k, sub in sch.get("properties", {}).items():
+            c = cls._compile_prop(F.get_json_object(col, f"$.{k}"), sub)
+            if c is not None:
+                conds.append(c)
+        cls._compile_combinators(sch, conds, lambda b: cls._compile_object(b, col))
+        n = sch.get("not")
+        if (
+            isinstance(n, dict)
+            and set(n) == {"required"}
+            and n["required"]
+        ):
+            # exact-valid ⇒ at least one listed key absent. A key
+            # present with JSON null renders NULL too — over-admits,
+            # which the necessary-filter contract allows.
+            absent = [
+                F.get_json_object(col, f"$.{k}").isNull()
+                for k in n["required"]
+            ]
+            acc = absent[0]
+            for a in absent[1:]:
+                acc = acc | a
+            conds.append(acc)
+        return cls._conjoin(conds)
+
+    @classmethod
+    def _compile_prop(
+        cls, s: Column, sub: dict[str, Any]
+    ) -> "Column | None":
+        """Necessary condition for one property's subschema over its
+        rendered string value ``s`` (NULL = absent), or None."""
+        conds: list[Column] = []
+        t = sub.get("type")
+        if t in ("number", "integer"):
+            # try_cast, not cast: ANSI mode makes a plain cast THROW
+            # on malformed input — a validator must reject the row,
+            # not kill the job
+            d = s.try_cast("double")
+            conds.append(s.isNull() | d.isNotNull())
+            if t == "integer":
+                conds.append(s.isNull() | (d == F.floor(d)))
+            if "minimum" in sub:
+                conds.append(s.isNull() | (d >= F.lit(float(sub["minimum"]))))
+            if "maximum" in sub:
+                conds.append(s.isNull() | (d <= F.lit(float(sub["maximum"]))))
+        elif t == "boolean":
+            conds.append(s.isNull() | s.isin("true", "false"))
+        elif t == "string":
+            if "minLength" in sub:
+                conds.append(s.isNull() | (F.length(s) >= int(sub["minLength"])))
+            if "maxLength" in sub:
+                conds.append(s.isNull() | (F.length(s) <= int(sub["maxLength"])))
+            if "pattern" in sub:
+                # JSON-Schema patterns are unanchored regex searches;
+                # rlike matches anywhere — same semantics
+                conds.append(s.isNull() | s.rlike(sub["pattern"]))
+        if "const" in sub:
+            # necessary-condition contract: the Column form may only
+            # REJECT rows the exact validator also rejects. Numbers
+            # compare numerically (JSON Schema: 5 == 5.0, while
+            # get_json_object renders "5.0" ≠ json.dumps(5)); object/
+            # array/null consts skip the Column check entirely —
+            # rendered-text comparison is key-order/whitespace
+            # sensitive and would drop valid rows
+            eq = _scalar_eq(s, sub["const"])
+            if eq is not None:
+                conds.append(s.isNull() | eq)
+        if "enum" in sub:
+            eqs = [_scalar_eq(s, v) for v in sub["enum"]]
+            if all(e is not None for e in eqs):
+                any_eq = eqs[0]
+                for e in eqs[1:]:
+                    any_eq = any_eq | e
+                conds.append(s.isNull() | any_eq)
+        cls._compile_combinators(sch=sub, conds=conds,
+                                 compile_branch=lambda b: cls._compile_prop(s, b))
+        return cls._conjoin(conds)
+
+    @staticmethod
+    def _compile_combinators(sch, conds, compile_branch) -> None:
+        """allOf: conjoin every branch that compiles (each branch's
+        necessary condition is necessary for the conjunction). anyOf /
+        oneOf: the OR of branch conditions, ONLY when every branch
+        compiles — a branch with no expressible condition could admit
+        rows failing all compiled ones, so a partial OR would reject
+        valid rows. oneOf stays an OR, never exactly-one: branch
+        conditions over-admit, so two of them can both hold for a row
+        that exactly satisfies only one branch."""
+        for branch in sch.get("allOf", []):
+            c = compile_branch(branch)
+            if c is not None:
+                conds.append(c)
+        for kw in ("anyOf", "oneOf"):
+            branches = sch.get(kw)
+            if not branches:
+                continue
+            cs = [compile_branch(b) for b in branches]
+            if all(c is not None for c in cs):
+                acc = cs[0]
+                for c in cs[1:]:
+                    acc = acc | c
+                conds.append(acc)
+
+    @staticmethod
+    def _conjoin(conds: list) -> "Column | None":
         if not conds:
-            return F.lit(True)
+            return None
         acc = conds[0]
         for c in conds[1:]:
             acc = acc & c

@@ -120,13 +120,120 @@ class TestColumnFastPath:
         assert self._passes(spark, v, {})  # absent -> not this keyword's job
 
     def test_column_is_necessary_not_sufficient(self, spark):
-        # combinators are python-side only: the Column path admits a row
-        # the exact validator rejects — documented contract
+        # FULL_SCHEMA's anyOf branch constrains size via a bare
+        # {"minimum": 10} (no type) — not safely expressible over the
+        # rendered string (a string "5" and the number 5 render the
+        # same), so the branch compiles from kind only and the Column
+        # path admits a row the exact validator rejects — documented
+        # contract
         v = SchemaValidator(FULL_SCHEMA)
         doc = {"kind": "a", "size": 5}  # fails anyOf
         assert self._passes(spark, v, doc)
         with pytest.raises(ValidationError):
             v.validate(doc)
+
+    def test_anyof_compiles_when_all_branches_do(self, spark):
+        v = SchemaValidator(
+            {"properties": {"v": {"anyOf": [
+                {"type": "number", "maximum": 5},
+                {"type": "number", "minimum": 10},
+            ]}}}
+        )
+        assert self._passes(spark, v, {"v": 3})
+        assert self._passes(spark, v, {"v": 12})
+        assert self._passes(spark, v, {})           # absent passes
+        assert not self._passes(spark, v, {"v": 7})  # the anyOf gap
+        with pytest.raises(ValidationError):
+            v.validate({"v": 7})
+
+    def test_oneof_compiles_as_or_of_branches(self, spark):
+        # oneOf compiles to the OR (never exactly-one: branch
+        # conditions over-admit, exactly-one could reject valid rows)
+        v = SchemaValidator(
+            {"properties": {"v": {"oneOf": [
+                {"type": "integer", "minimum": 0, "maximum": 10},
+                {"type": "integer", "minimum": 100},
+            ]}}}
+        )
+        assert self._passes(spark, v, {"v": 5})
+        assert self._passes(spark, v, {"v": 150})
+        assert not self._passes(spark, v, {"v": 50})
+        with pytest.raises(ValidationError):
+            v.validate({"v": 50})
+
+    def test_anyof_skipped_when_a_branch_is_inexpressible(self, spark):
+        # one branch has nothing SQL-expressible ({} admits anything):
+        # a partial OR could reject rows valid under that branch, so
+        # the whole combinator must pass through
+        v = SchemaValidator(
+            {"properties": {"v": {"anyOf": [
+                {"type": "number", "maximum": 5},
+                {},
+            ]}}}
+        )
+        assert self._passes(spark, v, {"v": 999})
+
+    def test_allof_conjoins_branches(self, spark):
+        v = SchemaValidator(
+            {"properties": {"v": {"allOf": [
+                {"type": "number", "minimum": 0},
+                {"type": "number", "maximum": 10},
+            ]}}}
+        )
+        assert self._passes(spark, v, {"v": 5})
+        assert not self._passes(spark, v, {"v": -1})
+        assert not self._passes(spark, v, {"v": 11})
+
+    def test_root_anyof_across_properties(self, spark):
+        v = SchemaValidator(
+            {"anyOf": [
+                {"properties": {"kind": {"const": "x"}},
+                 "required": ["kind"]},
+                {"properties": {"level": {"type": "integer",
+                                          "minimum": 5}},
+                 "required": ["level"]},
+            ]}
+        )
+        assert self._passes(spark, v, {"kind": "x"})
+        assert self._passes(spark, v, {"level": 9})
+        assert not self._passes(spark, v, {"kind": "y", "level": 1})
+        with pytest.raises(ValidationError):
+            v.validate({"kind": "y", "level": 1})
+
+    def test_not_required_compiles(self, spark):
+        v = SchemaValidator({"not": {"required": ["legacy_id"]}})
+        assert self._passes(spark, v, {"a": 1})
+        assert not self._passes(spark, v, {"legacy_id": 7})
+        with pytest.raises(ValidationError):
+            v.validate({"legacy_id": 7})
+        # a null-valued key renders NULL and over-admits (documented)
+        assert self._passes(spark, v, {"legacy_id": None})
+        with pytest.raises(ValidationError):
+            v.validate({"legacy_id": None})
+
+    def test_combinators_keep_necessary_contract(self, spark):
+        # property sweep: every doc the exact validator ACCEPTS must
+        # pass the Column filter (the Column path may only over-admit)
+        v = SchemaValidator(
+            {"properties": {"v": {"anyOf": [
+                {"type": "number", "maximum": 5},
+                {"type": "string", "minLength": 3},
+            ]}},
+             "not": {"required": ["forbidden"]}}
+        )
+        docs = [
+            {"v": 1}, {"v": 9}, {"v": "abc"}, {"v": "ab"}, {"v": None},
+            {}, {"forbidden": 1}, {"v": 4, "forbidden": 2},
+            {"v": True}, {"v": [1, 2]}, {"v": {"x": 1}}, {"v": 5.0},
+        ]
+        for doc in docs:
+            exact_ok = True
+            try:
+                v.validate(doc)
+            except ValidationError:
+                exact_ok = False
+            if exact_ok:
+                assert self._passes(spark, v, doc), f"over-rejected {doc}"
 
     def test_default_validator_accepts_everything(self, spark):
         v = Validator.from_metadata({"type": "default"})
