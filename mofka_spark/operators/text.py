@@ -3037,3 +3037,101 @@ def unigram_encode(
         "piece",
         F.coalesce(F.col("token_id"), F.lit(0)).cast("int").alias("token_id"),
     )
+
+
+def save_unigram_tokenizer(path: str, pieces: DataFrame) -> None:
+    """Persist the unigram/WordPiece tokenizer artifact (the
+    unigram_train output: piece, freq, is_char, token_id) as one
+    parquet directory — the save_bpe_tokenizer discipline: encoding
+    becomes a pure function of the artifact, so any later run (or any
+    shard) assigns identical pieces and ids. Model-state-sized write,
+    bounded regardless of corpus scale."""
+    cols = {"piece", "freq", "is_char", "token_id"}
+    if not cols <= set(pieces.columns):
+        raise ValueError(
+            f"save_unigram_tokenizer: artifact needs columns {sorted(cols)}"
+        )
+    pieces.select("piece", "freq", "is_char", "token_id").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "/pieces")
+
+
+def load_unigram_tokenizer(spark, path: str) -> DataFrame:
+    """Load a :func:`save_unigram_tokenizer` artifact — the (piece,
+    freq, is_char, token_id) frame :func:`unigram_encode` consumes."""
+    return spark.read.parquet(path + "/pieces")
+
+
+# Unicode-script classes in PRIORITY ORDER (dominant-script ties break
+# by this order). Ranges are written in the Java∩RE2 common subset
+# (\x{...} class atoms) so the DuckDB oracle runs the same patterns.
+SCRIPT_CLASSES = [
+    ("latin", r"[A-Za-z]"),
+    ("digit", r"[0-9]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+    ("cjk", r"[\x{4E00}-\x{9FFF}]"),
+    ("kana", r"[\x{3040}-\x{30FF}]"),
+    ("hangul", r"[\x{AC00}-\x{D7AF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+]
+
+
+def script_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mixed_threshold: float = 0.1,
+) -> DataFrame:
+    """Unicode-script composition signals — the language-consistency /
+    injected-content filter (a "French" page whose body is half
+    Cyrillic is spam or a mislabel; mixed-script tokens are a known
+    spoofing vector). Per document: one exact character count per
+    :data:`SCRIPT_CLASSES` entry (length-difference of a
+    regexp_replace, the encoding_signals discipline), the dominant
+    script (max count, ties by class priority order, ``none`` for
+    empty text, ``other`` when no class matches), how many classes
+    clear ``mixed_threshold`` of the characters, and an ``is_mixed``
+    flag (>= 2 such classes).
+
+    Scale shape: entirely scan-local — one projection, zero shuffles,
+    zero UDFs; composes as signals into blend_scores / line filters.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    counts = {
+        name: (F.length(t) - F.length(F.regexp_replace(t, pat, "")))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat in SCRIPT_CLASSES
+    }
+    mx = F.greatest(*[F.col(f"n_{n}") for n, _ in SCRIPT_CLASSES])
+    dominant = F.when(F.col("n_chars") == 0, F.lit("none"))
+    dominant = dominant.when(mx == 0, F.lit("other"))
+    for name, _ in SCRIPT_CLASSES:
+        dominant = dominant.when(F.col(f"n_{name}") == mx, F.lit(name))
+    thr = F.lit(float(mixed_threshold))
+    over = [
+        (
+            F.col(f"n_{name}").cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+            >= thr
+        ).cast("int")
+        for name, _ in SCRIPT_CLASSES
+    ]
+    n_scripts = over[0]
+    for o in over[1:]:
+        n_scripts = n_scripts + o
+    base = df.filter(t.isNotNull()).select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        *counts.values(),
+    )
+    return base.select(
+        "id",
+        "n_chars",
+        *[F.col(f"n_{n}") for n, _ in SCRIPT_CLASSES],
+        dominant.alias("dominant_script"),
+        n_scripts.cast("int").alias("n_scripts"),
+        (n_scripts >= 2).alias("is_mixed"),
+    )

@@ -10024,6 +10024,101 @@ def q_unigram_encode_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unicode-script composition signals (text.script_signals): the
+# language-consistency / injected-content filter. The corpus is pure
+# ASCII, so the gate synthesizes per-language script tails (CJK mass
+# scaled by doc_id so dominance actually flips on some documents, a
+# Cyrillic injection on every 7th) — counts, dominant-script argmax
+# with priority ties, and the mixed flag are all integer-exact.
+_SCRIPT_SYNTH_SQL = """
+      substr(text, 1, 40) || ' ' ||
+      CASE lang
+        WHEN 'zh' THEN repeat('统计数据分析', CAST(1 + doc_id % 9 AS INTEGER))
+        WHEN 'de' THEN 'Müßiggang Prüfung für Straße'
+        WHEN 'fr' THEN 'déjà vu équipe français'
+        WHEN 'es' THEN 'niño señal año'
+        ELSE 'plain ascii tail' END
+      || CASE WHEN doc_id % 7 = 0 THEN ' Привет мир как дела' ELSE '' END
+"""
+
+
+def _synth_script() -> F.Column:
+    tail = (
+        F.when(
+            F.col("lang") == "zh",
+            F.expr("repeat('统计数据分析', CAST(1 + doc_id % 9 AS INT))"),
+        )
+        .when(F.col("lang") == "de", F.lit("Müßiggang Prüfung für Straße"))
+        .when(F.col("lang") == "fr", F.lit("déjà vu équipe français"))
+        .when(F.col("lang") == "es", F.lit("niño señal año"))
+        .otherwise(F.lit("plain ascii tail"))
+    )
+    extra = F.when(
+        F.col("doc_id") % 7 == 0, F.lit(" Привет мир как дела")
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.substring("text", 1, 40), F.lit(" "), tail, extra
+    )
+
+
+@query(
+    "script_mix",
+    rf"""
+    WITH d AS (
+      SELECT doc_id AS id, {_SCRIPT_SYNTH_SQL} AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT id, CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        CAST(length(text) - length(regexp_replace(text, '[\x{{0400}}-\x{{04FF}}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        CAST(length(text) - length(regexp_replace(text, '[\x{{0370}}-\x{{03FF}}]', '', 'g')) AS BIGINT) AS n_greek,
+        CAST(length(text) - length(regexp_replace(text, '[\x{{4E00}}-\x{{9FFF}}]', '', 'g')) AS BIGINT) AS n_cjk,
+        CAST(length(text) - length(regexp_replace(text, '[\x{{3040}}-\x{{30FF}}]', '', 'g')) AS BIGINT) AS n_kana,
+        CAST(length(text) - length(regexp_replace(text, '[\x{{AC00}}-\x{{D7AF}}]', '', 'g')) AS BIGINT) AS n_hangul,
+        CAST(length(text) - length(regexp_replace(text, '[\x{{0600}}-\x{{06FF}}]', '', 'g')) AS BIGINT) AS n_arabic
+      FROM d
+    ),
+    m AS (
+      SELECT *, GREATEST(n_latin, n_digit, n_cyrillic, n_greek, n_cjk,
+                         n_kana, n_hangul, n_arabic) AS mx,
+        (CASE WHEN CAST(n_latin AS DOUBLE) / GREATEST(n_chars, 1) >= 0.1 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_digit AS DOUBLE) / GREATEST(n_chars, 1) >= 0.1 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_cyrillic AS DOUBLE) / GREATEST(n_chars, 1) >= 0.1 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_greek AS DOUBLE) / GREATEST(n_chars, 1) >= 0.1 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_cjk AS DOUBLE) / GREATEST(n_chars, 1) >= 0.1 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_kana AS DOUBLE) / GREATEST(n_chars, 1) >= 0.1 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_hangul AS DOUBLE) / GREATEST(n_chars, 1) >= 0.1 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_arabic AS DOUBLE) / GREATEST(n_chars, 1) >= 0.1 THEN 1 ELSE 0 END
+        ) AS n_scripts
+      FROM c
+    )
+    SELECT id, n_chars, n_latin, n_digit, n_cyrillic, n_greek, n_cjk,
+           n_kana, n_hangul, n_arabic,
+           CASE WHEN n_chars = 0 THEN 'none'
+                WHEN mx = 0 THEN 'other'
+                WHEN n_latin = mx THEN 'latin'
+                WHEN n_digit = mx THEN 'digit'
+                WHEN n_cyrillic = mx THEN 'cyrillic'
+                WHEN n_greek = mx THEN 'greek'
+                WHEN n_cjk = mx THEN 'cjk'
+                WHEN n_kana = mx THEN 'kana'
+                WHEN n_hangul = mx THEN 'hangul'
+                ELSE 'arabic' END AS dominant_script,
+           CAST(n_scripts AS INTEGER) AS n_scripts,
+           n_scripts >= 2 AS is_mixed
+    FROM m
+    """,
+)
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import script_signals
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    synth = docs.select("doc_id", _synth_script().alias("text"))
+    return script_signals(synth, id_col="doc_id", text_col="text")
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

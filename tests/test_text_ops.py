@@ -1341,3 +1341,58 @@ class TestUnigram:
             unigram_seed(df, max_piece_len=1)
         with _pt.raises(ValueError):
             unigram_encode(df, {"a": 1}, objective="bogus")
+
+    def test_artifact_round_trip(self, spark, tmp_path):
+        from mofka_spark.operators.text import (
+            load_unigram_tokenizer, save_unigram_tokenizer,
+            unigram_encode, unigram_train,
+        )
+
+        art = unigram_train(self._df(spark), vocab_size=20)
+        save_unigram_tokenizer(str(tmp_path / "tok"), art)
+        art2 = load_unigram_tokenizer(spark, str(tmp_path / "tok"))
+        assert sorted(map(tuple, art.collect())) == sorted(map(tuple, art2.collect()))
+        e1 = sorted(map(tuple, unigram_encode(self._df(spark), art).collect()))
+        e2 = sorted(map(tuple, unigram_encode(self._df(spark), art2).collect()))
+        assert e1 == e2
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            save_unigram_tokenizer(str(tmp_path / "bad"), art.select("piece"))
+
+
+class TestScriptSignals:
+    def test_counts_dominant_and_mixed(self, spark):
+        from mofka_spark.operators.text import script_signals
+
+        df = spark.createDataFrame(
+            [(1, "hello world"),                  # pure latin
+             (2, "统计数据分析统计数据分析 ok"),      # cjk-dominant, mixed
+             (3, "Привет мир"),                   # cyrillic-dominant
+             (4, ""),                             # empty
+             (5, "...!!!")],                      # no class matches
+            "doc_id long, text string",
+        )
+        got = {r["id"]: r for r in script_signals(df).collect()}
+        assert got[1]["dominant_script"] == "latin" and not got[1]["is_mixed"]
+        assert got[2]["dominant_script"] == "cjk" and got[2]["n_cjk"] == 12
+        assert got[2]["is_mixed"]                  # latin 'ok' >= 10%
+        assert got[3]["dominant_script"] == "cyrillic"
+        assert got[3]["n_cyrillic"] == 9
+        assert got[4]["dominant_script"] == "none"
+        assert got[5]["dominant_script"] == "other" and got[5]["n_scripts"] == 0
+
+    def test_priority_tie_break(self, spark):
+        from mofka_spark.operators.text import script_signals
+
+        # equal latin and digit counts: priority order picks latin
+        df = spark.createDataFrame([(1, "ab12")], "doc_id long, text string")
+        r = script_signals(df).collect()[0]
+        assert r["n_latin"] == 2 and r["n_digit"] == 2
+        assert r["dominant_script"] == "latin"
+
+    def test_scan_local_plan(self, spark):
+        from mofka_spark.operators.text import script_signals
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = script_signals(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
