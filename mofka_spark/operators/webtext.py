@@ -397,8 +397,31 @@ def dedup_lines_across_docs(
         .filter(F.col("n_docs") >= min_docs)
         .select("fp", F.lit(True).alias("shared"))
     )
+    return remove_lines_by_fp(df, counts, id_col, text_col)
+
+
+def remove_lines_by_fp(
+    df: DataFrame,
+    shared_fps: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every line whose trimmed-form xxhash64 fingerprint
+    appears in ``shared_fps`` (a (fp[, ...]) frame) and reassemble the
+    documents — the shared removal tail of
+    :func:`dedup_lines_across_docs`, also driven by the streaming
+    line-count store (streaming/linestore.py) where the shared set
+    comes from accumulated history instead of this frame's own counts.
+    ``shared_fps`` must be fp-unique (both callers produce it from a
+    groupBy) — a duplicate fp would duplicate the joined lines.
+
+    Returns (id, clean_text, n_lines, n_kept)."""
+    lines = split_lines(df, id_col, text_col).withColumn(
+        "fp", F.xxhash64(F.btrim(F.col("line")))
+    )
+    shared = shared_fps.select("fp", F.lit(True).alias("shared"))
     kept = (
-        lines.join(counts, "fp", "left")
+        lines.join(shared, "fp", "left")
         .filter(F.col("shared").isNull())
         .groupBy("id")
         .agg(

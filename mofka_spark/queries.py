@@ -10119,6 +10119,92 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_signals(synth, id_col="doc_id", text_col="text")
 
 
+# Incremental cross-corpus line-frequency store
+# (streaming/linestore.py): per-epoch (fp, n_docs) partials are
+# mergeable sums under the append-only contract (each doc arrives
+# once, its lines in its own row), so the accumulated shared-line set
+# — and therefore every removal decision — is identical to the batch
+# operator's no matter how the stream split into epochs. The oracle is
+# the line_dedup_corpus SQL on the fixture slice.
+@query(
+    "streaming_line_dedup",
+    rf"""
+    WITH d AS (
+      SELECT doc_id AS id, {_CORPUS_SYNTH_SQL} AS text FROM documents
+      WHERE text IS NOT NULL AND doc_id < 1000
+    ),
+    sp AS (SELECT id, string_split(text, chr(10)) AS l FROM d),
+    ln AS (SELECT id, unnest(l) AS line, generate_subscripts(l, 1) AS i
+           FROM sp),
+    shared AS (
+      SELECT trim(line) AS key
+      FROM ln WHERE length(trim(line)) >= 10
+      GROUP BY trim(line) HAVING COUNT(DISTINCT id) >= 2
+    ),
+    keepd AS (
+      SELECT ln.id, ln.line, ln.i
+      FROM ln LEFT JOIN shared ON trim(ln.line) = shared.key
+      WHERE shared.key IS NULL
+    ),
+    agg AS (
+      SELECT id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM keepd GROUP BY id
+    )
+    SELECT d.id,
+           COALESCE(agg.clean_text, '') AS clean_text,
+           CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+           COALESCE(agg.n_kept, 0) AS n_kept
+    FROM d LEFT JOIN agg ON d.id = agg.id
+    """,
+)
+def q_streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.linestore import (
+        boilerplate_filter, line_count_sink,
+    )
+
+    topic = _stream_fixture(spark, sf_dir, "docs")
+    deepest = max(topic.snapshot().values())  # two epochs at every sf
+    parsed = (
+        topic.read_stream(batch_size=(deepest + 1) // 2)
+        .select(
+            F.get_json_object("metadata", "$.doc_id").cast("long").alias(
+                "doc_id"
+            ),
+            F.get_json_object("metadata", "$.text").alias("text"),
+        )
+        .select(F.col("doc_id").alias("id"), _synth_corpus().alias("text"))
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-linestore-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(
+                line_count_sink(store, min_line_chars=10)
+            )
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        if not topic.await_completion(q, timeout=300):
+            q.stop()
+            raise RuntimeError("streaming_line_dedup did not drain")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 1000)
+    )
+    batch = docs.select(F.col("doc_id").alias("id"), _synth_corpus().alias("text"))
+    return boilerplate_filter(spark, store, batch, min_docs=2)
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo

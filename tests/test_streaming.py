@@ -2212,3 +2212,99 @@ class TestIncrementalPqIndex:
         assert result() == before
         ids = [n for n, _ in before]
         assert len(ids) == len(set(ids)) == 4
+
+
+class TestStreamingLineStore:
+    """streaming/linestore.py: incremental cross-corpus line-frequency
+    store — per-epoch distinct-doc counts are mergeable sums under the
+    each-doc-arrives-once contract."""
+
+    def _epochs(self, spark, path):
+        from mofka_spark.streaming.linestore import line_count_sink
+
+        sink = line_count_sink(path, min_line_chars=5)
+        sink(spark.createDataFrame(
+            [(1, "shared banner line\nunique alpha body"),
+             (2, "shared banner line\nunique beta body")],
+            "id long, text string"), 0)
+        sink(spark.createDataFrame(
+            [(3, "shared banner line\nunique gamma body"),
+             (4, "other repeat\nother repeat\ntiny")],  # dup within ONE doc
+            "id long, text string"), 1)
+        return sink
+
+    def _filtered(self, spark, path, min_docs=2, as_of=None):
+        from mofka_spark.streaming.linestore import boilerplate_filter
+
+        probe = spark.createDataFrame(
+            [(9, "shared banner line\nfresh probe content\nother repeat")],
+            "id long, text string",
+        )
+        r = boilerplate_filter(
+            spark, path, probe, min_docs=min_docs, as_of_epoch=as_of
+        ).collect()[0]
+        return r
+
+    def test_counts_accumulate_across_epochs(self, spark, tmp_path):
+        from mofka_spark.streaming.linestore import read_line_counts
+
+        path = str(tmp_path / "lines")
+        self._epochs(spark, path)
+        from pyspark.sql import functions as F
+        got = {
+            r["fp"]: r["n_docs"]
+            for r in read_line_counts(spark, path).collect()
+        }
+        banner_fp = spark.range(1).select(
+            F.xxhash64(F.lit("shared banner line"))
+        ).collect()[0][0]
+        other_fp = spark.range(1).select(
+            F.xxhash64(F.lit("other repeat"))
+        ).collect()[0][0]
+        assert got[banner_fp] == 3      # 2 docs in epoch 0 + 1 in epoch 1
+        assert got[other_fp] == 1       # distinct DOCS, not occurrences
+        # "tiny" is under min_line_chars: never stored
+        tiny_fp = spark.range(1).select(
+            F.xxhash64(F.lit("tiny"))
+        ).collect()[0][0]
+        assert tiny_fp not in got
+
+    def test_filter_uses_accumulated_history(self, spark, tmp_path):
+        path = str(tmp_path / "lines")
+        self._epochs(spark, path)
+        r = self._filtered(spark, path, min_docs=2)
+        # banner (3 docs) removed; probe content kept; "other repeat"
+        # seen in only ONE doc -> kept
+        assert r["clean_text"] == "fresh probe content\nother repeat"
+        assert (r["n_lines"], r["n_kept"]) == (3, 2)
+
+    def test_replay_and_compaction_invisible(self, spark, tmp_path):
+        from mofka_spark.streaming.linestore import compact_line_counts
+
+        path = str(tmp_path / "lines")
+        sink = self._epochs(spark, path)
+        before = tuple(self._filtered(spark, path))
+        sink(spark.createDataFrame(
+            [(3, "shared banner line\nunique gamma body"),
+             (4, "other repeat\nother repeat\ntiny")],
+            "id long, text string"), 1)  # replay epoch 1
+        assert tuple(self._filtered(spark, path)) == before
+        compact_line_counts(spark, path)
+        assert tuple(self._filtered(spark, path)) == before
+        assert set(
+            spark.read.parquet(path).select("_epoch").distinct().toPandas()["_epoch"]
+        ) == {-1}
+
+    def test_time_travel_reads_prefix(self, spark, tmp_path):
+        path = str(tmp_path / "lines")
+        self._epochs(spark, path)
+        # as of epoch 0 the banner has 2 docs -> still removed at
+        # min_docs=2, but min_docs=3 keeps it
+        r = self._filtered(spark, path, min_docs=3, as_of=0)
+        assert r["n_kept"] == 3
+        r2 = self._filtered(spark, path, min_docs=2, as_of=0)
+        assert r2["n_kept"] == 2
+
+    def test_empty_store_removes_nothing(self, spark, tmp_path):
+        r = self._filtered(spark, str(tmp_path / "none"))
+        assert r["n_kept"] == r["n_lines"] == 3
