@@ -31,6 +31,21 @@ def main() -> None:
         "single-run drift on queries whose code had not changed)",
     )
     ap.add_argument(
+        "--chunk", type=int, default=56,
+        help="run the suite in fresh child processes of this many "
+        "queries each (0 = single process). Long single-JVM sessions "
+        "degrade late-position timings even with cache/RDD hygiene "
+        "(whole-stage-codegen classes and metaspace only grow; r10/r11 "
+        "measured the same query 3.4x slower at position ~190 than "
+        "isolated), so each chunk gets a fresh JVM; per-query numbers "
+        "become position-independent at the cost of one warmup per "
+        "chunk (untimed).",
+    )
+    ap.add_argument(
+        "--child", action="store_true",
+        help="internal: this process is one chunk of a parent bench run",
+    )
+    ap.add_argument(
         "queries", nargs="*",
         help="optional subset of query names (default: all registered)",
     )
@@ -43,8 +58,21 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    from mofka_spark.session import get_spark
+    # registration only — no SparkSession yet, so the chunk
+    # orchestrator below never pays a JVM it does not use
     from mofka_spark import queries as q
+
+    names = list(args.queries) if args.queries else list(q.SPARK_QUERIES)
+    unknown = [n for n in names if n not in q.SPARK_QUERIES]
+    if unknown:
+        print(f"# unknown queries: {unknown}", file=sys.stderr)
+        names = [n for n in names if n in q.SPARK_QUERIES]
+
+    if not args.child and args.chunk > 0 and len(names) > args.chunk:
+        _run_chunked(names, args, sf)
+        return
+
+    from mofka_spark.session import get_spark
 
     spark = get_spark(
         app_name="mofka-spark-bench",
@@ -106,12 +134,7 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"# bench streaming warmup skipped: {e}", file=sys.stderr)
 
-    selected = q.SPARK_QUERIES
-    if args.queries:
-        unknown = [n for n in args.queries if n not in selected]
-        if unknown:
-            print(f"# unknown queries: {unknown}", file=sys.stderr)
-        selected = {n: selected[n] for n in args.queries if n in selected}
+    selected = {n: q.SPARK_QUERIES[n] for n in names}
 
     def _release_rdds() -> None:
         """Blocking unpersist of every persisted RDD in the session.
@@ -176,24 +199,31 @@ def main() -> None:
             pass
         timings[name] = best
     wall = round(time.time() - t_all, 3)
+    _emit(timings, sf, max(1, args.n), wall)
+    spark.stop()
+
+
+# the round-1 recorded baseline (BENCH_r01.json) covers these 23
+# queries; later rounds keep adding queries, so the honest baseline
+# comparison is this subtotal, not the growing total
+R1_QUERIES = [
+    "ingest_offsets", "topic_stats", "consumer_cursors",
+    "eventbridge_numeric", "eventbridge_strings", "data_views",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "top_orders_per_customer", "click_days_no_purchase",
+    "orders_rollup", "hourly_event_stats", "user_sessions",
+    "dedup_exact", "doc_fingerprints", "token_stats",
+    "quality_scores", "language_id", "knn_cosine",
+    "embedding_neardup", "minhash_dedup", "simhash_pairs",
+]
+
+
+def _emit(timings: dict[str, float], sf, n_runs: int, wall: float) -> None:
     # value = sum of per-query best times (what the engine costs), not
-    # harness wall clock (which scales with -n)
+    # harness wall clock (which scales with -n and per-chunk warmups)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # the round-1 recorded baseline (BENCH_r01.json) covers these 23
-    # queries; later rounds keep adding queries, so the honest
-    # baseline comparison is this subtotal, not the growing total
-    r1_queries = [
-        "ingest_offsets", "topic_stats", "consumer_cursors",
-        "eventbridge_numeric", "eventbridge_strings", "data_views",
-        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-        "top_orders_per_customer", "click_days_no_purchase",
-        "orders_rollup", "hourly_event_stats", "user_sessions",
-        "dedup_exact", "doc_fingerprints", "token_stats",
-        "quality_scores", "language_id", "knn_cosine",
-        "embedding_neardup", "minhash_dedup", "simhash_pairs",
-    ]
     baseline_total = round(
-        sum(timings.get(n, 0.0) for n in r1_queries if timings.get(n, -1) >= 0), 3
+        sum(timings.get(n, 0.0) for n in R1_QUERIES if timings.get(n, -1) >= 0), 3
     )
     common = {
         "metric": "total_query_wall_sec",
@@ -201,7 +231,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
-        "runs_per_query": max(1, args.n),
+        "runs_per_query": n_runs,
         "wall_sec": wall,
         "baseline_queries_total_sec": baseline_total,
     }
@@ -216,15 +246,7 @@ def main() -> None:
             key=lambda kv: -kv[1],
         )[:15]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "slowest_15_sec",
-                "sf": sf,
-                "queries": slowest,
-            }
-        )
-    )
+    print(json.dumps({"metric": "slowest_15_sec", "sf": sf, "queries": slowest}))
     # ... and a compact line LAST restricted to the 23 baseline-
     # comparable queries, so the per-query evidence against BENCH_r01 /
     # BASELINE.md lands INSIDE the recorded tail window and parses.
@@ -232,14 +254,50 @@ def main() -> None:
         json.dumps(
             {
                 **common,
-                "queries": {
-                    n: timings[n] for n in r1_queries if n in timings
-                },
+                "queries": {n: timings[n] for n in R1_QUERIES if n in timings},
                 "queries_subset": "r1_baseline",
             }
         )
     )
-    spark.stop()
+
+
+def _run_chunked(names: list[str], args, sf) -> None:
+    """Fresh child process (fresh JVM) per chunk of queries; merge the
+    children's per-query timings and emit the standard three lines.
+    Each child pays its own (untimed) warmup; per-query numbers stop
+    depending on suite position."""
+    import subprocess
+
+    t0 = time.time()
+    timings: dict[str, float] = {}
+    for i in range(0, len(names), args.chunk):
+        chunk = names[i : i + args.chunk]
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--child", "-n", str(max(1, args.n)), *chunk,
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        got = None
+        for line in proc.stdout.splitlines():
+            try:
+                d = json.loads(line)
+            except (ValueError, TypeError):
+                continue
+            if (
+                d.get("metric") == "total_query_wall_sec"
+                and "queries_subset" not in d
+            ):
+                got = d["queries"]
+                break
+        if got is None:
+            print(
+                f"# bench chunk {i // args.chunk} failed "
+                f"(rc={proc.returncode}): {proc.stderr[-500:]}",
+                file=sys.stderr,
+            )
+            got = {n: -1.0 for n in chunk}
+        timings.update(got)
+    _emit(timings, sf, max(1, args.n), round(time.time() - t0, 3))
 
 
 if __name__ == "__main__":
