@@ -449,3 +449,115 @@ def remove_lines_by_fp(
         "n_lines",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
+
+
+# -- link extraction / web graph ---------------------------------------------
+
+# <a href="..."> pairs, double- and single-quoted forms (unquoted
+# hrefs — rare and spec-discouraged — are not extracted; documented).
+_A_DQ_RE = r'(?is)<a\b[^>]*\bhref\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>'
+_A_SQ_RE = r"(?is)<a\b[^>]*\bhref\s*=\s*'([^']*)'[^>]*>(.*?)</a\s*>"
+
+
+def extract_links(
+    df: DataFrame, id_col: str = "id", html_col: str = "html"
+) -> DataFrame:
+    """(id, link_no, href, anchor) rows for every ``<a href=...>`` in
+    each HTML document — the outlink stage that turns a crawl into a
+    web graph (feeds canonicalize_url + graph.pagerank). Anchor text
+    is tag-stripped and trimmed; double-quoted links order before
+    single-quoted ones, each group in document order.
+
+    Scale shape: regexp_extract_all + array zip/explode, all inside
+    the scan — zero shuffles, zero UDFs."""
+    h = F.col(html_col)
+
+    def pairs(pat: str) -> Column:
+        return F.zip_with(
+            F.regexp_extract_all(h, F.lit(pat), F.lit(1)),
+            F.regexp_extract_all(h, F.lit(pat), F.lit(2)),
+            lambda u, a: F.struct(
+                u.alias("href"),
+                F.btrim(F.regexp_replace(a, r"(?s)<[^>]*>", "")).alias(
+                    "anchor"
+                ),
+            ),
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.concat(pairs(_A_DQ_RE), pairs(_A_SQ_RE))).alias(
+            "link_no", "link"
+        ),
+    ).select(
+        "id",
+        F.col("link_no").cast("int").alias("link_no"),
+        F.col("link.href").alias("href"),
+        F.col("link.anchor").alias("anchor"),
+    )
+
+
+def web_graph(
+    df: DataFrame,
+    id_col: str = "id",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Canonical (src, dst) edge list from crawled pages: extract
+    outlinks, canonicalize both endpoints, keep absolute http(s)
+    targets, drop self-loops, dedup repeated edges. The output feeds
+    graph.pagerank / graph.triangle_count unchanged.
+
+    Scale shape: link extraction and canonicalization are scan-local;
+    the only shuffle is the (src, dst) distinct — edge-keyed,
+    uniform."""
+    links = extract_links(
+        df.select(
+            canonicalize_url(F.col(url_col)).alias("src"),
+            F.col(html_col).alias("html"),
+        ),
+        id_col="src",
+        html_col="html",
+    ).withColumnRenamed("id", "src")
+    dst = canonicalize_url(F.col("href"))
+    return (
+        links.filter(F.col("href").rlike(r"(?i)^https?://"))
+        .select("src", dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocked_domains: list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """Flag rows whose base domain (or any parent suffix of their
+    host) is blocklisted — the URL-level safety stage next to
+    text.blocklist_scan's term stage. A blocked ``example.com`` also
+    blocks ``sub.example.com`` (suffix-at-label-boundary match, never
+    substring — ``notexample.com`` stays). Adds (domain, base_domain,
+    blocked); callers filter on ~blocked.
+
+    Scale shape: the blocklist folds into the plan as an array
+    literal membership probe over the host's label suffixes —
+    scan-local, no join (swap to a broadcast join past ~100k
+    domains, the blocklist_scan discipline)."""
+    blocked = F.array(
+        *[F.lit(d.lower().lstrip(".")) for d in blocked_domains]
+    )
+    host = url_domain(F.col(url_col))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # every label-boundary suffix of the host: ["a.b.c", "b.c", "c"]
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    hit = F.exists(suffixes, lambda s: F.array_contains(blocked, s))
+    return (
+        df.withColumn("domain", host)
+        .withColumn("base_domain", url_base_domain(F.col(url_col)))
+        .withColumn("blocked", hit)
+    )

@@ -9739,12 +9739,15 @@ _URL_CANON_CTE_SQL = r"""
           '^[^:/?#]+://([^/?#]*).*$', 1)), '^www\.', '') AS rawhost,
         regexp_replace(regexp_extract(trim(url),
           '^[^:/?#]+://[^/?#]*([^?#]*).*$', 1), '/+$', '') AS path,
-        array_to_string(list_sort(list_filter(
+        COALESCE(array_to_string(list_sort(list_filter(
           string_split(regexp_extract(trim(url),
             '^[^#?]*\?([^#]*).*$', 1), '&'),
           q -> q <> '' AND NOT regexp_matches(q,
             '^(utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src|igshid|mc_cid|mc_eid)(=.*)?$')
-        )), '&') AS query
+        )), '&'), '') AS query
+        -- COALESCE: DuckDB's array_to_string(list_sort([])) is NULL
+        -- where Spark's array_join([]) is '' — an all-tracking query
+        -- string must canonicalize to NO query, not a NULL URL
       FROM d
     ),
     c AS (
@@ -10203,6 +10206,120 @@ def q_streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = docs.select(F.col("doc_id").alias("id"), _synth_corpus().alias("text"))
     return boilerplate_filter(spark, store, batch, min_docs=2)
+
+
+# Outlink extraction -> canonical web graph (webtext.extract_links /
+# web_graph): each synthesized page links to the NEXT page through a
+# deliberately messy href (case, www, default port, trailing slash,
+# tracking param, fragment), every third page also links to a hub via
+# a single-quoted href, and a relative href must be dropped. The
+# oracle replays extraction (regexp_extract_all, both quote styles)
+# and the canonicalization CTE.
+_LINK_HTML_SQL = """
+      '<body><p>x</p><a href="HTTP://WWW.Site'
+      || CAST((doc_id + 1) % 37 AS VARCHAR) || '.Example.COM:80/page/'
+      || CAST(doc_id + 1 AS VARCHAR)
+      || '/?utm_source=x#f">next <b>page</b></a>'
+      || CASE WHEN doc_id % 3 = 0
+              THEN '<a href=''https://hub.example.org/index''>hub link</a>'
+              ELSE '' END
+      || '<a href="/relative/path">rel</a></body>'
+"""
+_PAGE_URL_SQL = """
+      'http://site' || CAST(doc_id % 37 AS VARCHAR)
+      || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+"""
+
+
+def _synth_link_page() -> tuple[F.Column, F.Column]:
+    url = F.concat(
+        F.lit("http://site"), (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example.com/page/"), F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit('<body><p>x</p><a href="HTTP://WWW.Site'),
+        ((F.col("doc_id") + 1) % 37).cast("string"),
+        F.lit(".Example.COM:80/page/"),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit('/?utm_source=x#f">next <b>page</b></a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("<a href='https://hub.example.org/index'>hub link</a>"),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="/relative/path">rel</a></body>'),
+    )
+    return url, html
+
+
+@query(
+    "web_link_graph",
+    rf"""
+    WITH pages AS (
+      SELECT {_PAGE_URL_SQL} AS src, {_LINK_HTML_SQL} AS html
+      FROM documents
+    ),
+    hrefs AS (
+      SELECT src, unnest(regexp_extract_all(html,
+        '(?is)<a\b[^>]*\bhref\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>', 1)) AS url
+      FROM pages
+      UNION ALL
+      SELECT src, unnest(regexp_extract_all(html,
+        '(?is)<a\b[^>]*\bhref\s*=\s*''([^'']*)''[^>]*>(.*?)</a\s*>', 1)) AS url
+      FROM pages
+    ),
+    d AS (
+      SELECT src AS id, url FROM hrefs
+      WHERE regexp_matches(url, '(?i)^https?://')
+    ),
+    {_URL_CANON_CTE_SQL}
+    SELECT DISTINCT id AS src, canon_url AS dst
+    FROM u WHERE id <> canon_url
+    """,
+)
+def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents")
+    url, html = _synth_link_page()
+    pages = docs.select(
+        F.col("doc_id").alias("id"), url.alias("url"), html.alias("html")
+    )
+    return webtext.web_graph(pages)
+
+
+# Domain blocklist (webtext.domain_blocklist_filter): suffix-at-label-
+# boundary matching — a blocked example.co.uk catches every subdomain
+# but never a substring host. URLs from the _SYNTH_URL family, so a
+# third of the base domains are blocked.
+@query(
+    "url_blocklist",
+    rf"""
+    WITH d AS (
+      SELECT doc_id AS id, {_SYNTH_URL_SQL} AS url FROM documents
+    ),
+    {_URL_CANON_CTE_SQL},
+    s AS (
+      SELECT id, url, domain, base_domain,
+             string_split(domain, '.') AS labels
+      FROM u
+    )
+    SELECT id, domain, base_domain,
+           len(list_filter(
+             list_transform(labels, (x, i) ->
+               array_to_string(labels[i:len(labels)], '.')),
+             sfx -> sfx IN ('my-shop.co.uk', 'hub.example.org')
+           )) > 0 AS blocked
+    FROM s
+    """,
+)
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(F.col("doc_id").alias("id"), _synth_url().alias("url"))
+    return webtext.domain_blocklist_filter(
+        df, ["my-shop.co.uk", "hub.example.org"]
+    ).select("id", "domain", "base_domain", "blocked")
 
 
 # The driver's correctness gate checks queries in registration order and

@@ -1,6 +1,7 @@
 """HTML extraction + line-level corrections (operators/webtext.py)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from mofka_spark.operators import webtext
 
@@ -198,3 +199,75 @@ def test_pipeline_composition(spark):
     assert out["clean_text"] == (
         "Title Words Here\nReal content sentence that stays."
     )
+
+
+class TestLinksAndBlocklist:
+    def test_extract_links(self, spark):
+        html = (
+            '<body><a href="http://a.com/x">First <b>link</b></a>'
+            "<a class='c' href='http://b.com/y'>second</a>"
+            '<a href="/relative">rel</a><a>no href</a></body>'
+        )
+        df = spark.createDataFrame([(1, html)], "id long, html string")
+        got = [
+            (r["link_no"], r["href"], r["anchor"])
+            for r in webtext.extract_links(df).orderBy("link_no").collect()
+        ]
+        assert got == [
+            (0, "http://a.com/x", "First link"),
+            (1, "/relative", "rel"),
+            (2, "http://b.com/y", "second"),
+        ]
+
+    def test_web_graph_edges(self, spark):
+        rows = [
+            (1, "http://WWW.A.com:80/", '<a href="http://b.com/p/">b</a>'
+                '<a href="http://a.com">self</a>'
+                '<a href="/rel">rel dropped</a>'
+                '<a href="HTTPS://c.com/q?utm_source=x">c</a>'),
+            (2, "http://b.com/p", '<a href="http://a.com/">a</a>'
+                '<a href="http://a.com/?utm_medium=m">a again</a>'),
+        ]
+        df = spark.createDataFrame(rows, "id long, url string, html string")
+        edges = {(r["src"], r["dst"]) for r in webtext.web_graph(df).collect()}
+        assert edges == {
+            ("http://a.com", "http://b.com/p"),
+            ("http://a.com", "https://c.com/q"),
+            ("http://b.com/p", "http://a.com"),  # utm variant deduped
+        }
+
+    def test_domain_blocklist_suffix_match(self, spark):
+        df = spark.createDataFrame(
+            [(1, "http://www.Spam.Example.com/x"),
+             (2, "http://notexample.com/y"),
+             (3, "https://example.com/z"),
+             (4, "http://fine.org/w")],
+            "id long, url string",
+        )
+        got = {
+            r["id"]: r["blocked"]
+            for r in webtext.domain_blocklist_filter(
+                df, ["example.com"]
+            ).collect()
+        }
+        # subdomain blocked, exact blocked, substring NOT blocked
+        assert got == {1: True, 2: False, 3: True, 4: False}
+
+    def test_web_graph_feeds_pagerank(self, spark):
+        from mofka_spark.operators.graph import pagerank
+
+        rows = [
+            (i, f"http://s{i}.ex.com/",
+             f'<a href="http://s{(i + 1) % 4}.ex.com/">n</a>'
+             '<a href="http://hub.ex.com/">hub</a>')
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "id long, url string, html string")
+        edges = webtext.web_graph(df)
+        nodes = edges.select(F.col("src").alias("id")).unionByName(
+            edges.select(F.col("dst").alias("id"))
+        ).distinct()
+        pr = pagerank(nodes, edges, src_col="src", dst_col="dst", iters=3)
+        got = {r["id"]: r["rank"] for r in pr.collect()}
+        # the hub is linked by everyone -> highest rank
+        assert max(got, key=got.get) == "http://hub.ex.com"
