@@ -78,9 +78,14 @@ class KafkaDriver:
             # truncation) on the first create_topic (ADVICE r10).
             rf = cfg.get("replication_factor")
             if rf is not None:
+                import math
+
                 if (
                     isinstance(rf, bool)
                     or not isinstance(rf, (int, float))
+                    # finite check first: int(nan)/int(inf) raise, and
+                    # json.load happily produces them from NaN/Infinity
+                    or (isinstance(rf, float) and not math.isfinite(rf))
                     or int(rf) != rf
                     or int(rf) < 1
                 ):

@@ -544,10 +544,16 @@ def domain_blocklist_filter(
     literal membership probe over the host's label suffixes —
     scan-local, no join (swap to a broadcast join past ~100k
     domains, the blocklist_scan discipline)."""
+    host = url_domain(F.col(url_col))
+    if not blocked_domains:  # empty blocklist blocks nothing
+        return (
+            df.withColumn("domain", host)
+            .withColumn("base_domain", url_base_domain(F.col(url_col)))
+            .withColumn("blocked", F.lit(False))
+        )
     blocked = F.array(
         *[F.lit(d.lower().lstrip(".")) for d in blocked_domains]
     )
-    host = url_domain(F.col(url_col))
     labels = F.split(host, r"\.")
     n = F.size(labels)
     # every label-boundary suffix of the host: ["a.b.c", "b.c", "c"]

@@ -60,7 +60,7 @@ class TestKafkaDriver:
         # a bad config-file default must surface as MofkaError at
         # CONSTRUCTION, not a bare ValueError (or a silent 2.5 -> 2
         # truncation) on the first create_topic (ADVICE r10)
-        for bad in ("three", 2.5, 0, -1, True):
+        for bad in ("three", 2.5, 0, -1, True, float("nan"), float("inf")):
             cfg = tmp_path / f"kafka-{bad}.json"
             cfg.write_text(
                 json.dumps({"root": str(tmp_path / "svc"), "replication_factor": bad})

@@ -271,3 +271,9 @@ class TestLinksAndBlocklist:
         got = {r["id"]: r["rank"] for r in pr.collect()}
         # the hub is linked by everyone -> highest rank
         assert max(got, key=got.get) == "http://hub.ex.com"
+
+
+    def test_empty_blocklist_blocks_nothing(self, spark):
+        df = spark.createDataFrame([(1, "http://a.com/x")], "id long, url string")
+        got = webtext.domain_blocklist_filter(df, []).collect()[0]
+        assert got["blocked"] is False and got["domain"] == "a.com"
