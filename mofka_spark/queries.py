@@ -10322,6 +10322,86 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", "domain", "base_domain", "blocked")
 
 
+# Unigram-tokenizer fertility per language (the bpe_fertility pattern
+# for the OTHER tokenizer family): greedy-longest encode the corpus
+# with the seed inventory, then pieces/word and chars/piece per lang —
+# the measurement that picks between trained tokenizers. The oracle
+# reuses the recursive segmentation CTE and exact integer-sum/single-
+# division arithmetic.
+@query(
+    "unigram_fertility",
+    rf"""
+    WITH RECURSIVE
+    {_UNI_WF_SQL},
+    {_UNI_SEG_SQL},
+    perword AS (
+      SELECT word,
+             CAST(COUNT(*) AS BIGINT) AS n_pieces,
+             CAST(SUM(length(piece)) AS BIGINT) AS n_piece_chars
+      FROM seg WHERE piece IS NOT NULL GROUP BY word
+    ),
+    stream AS (
+      SELECT d.lang, d.ts[gs.i] AS word
+      FROM (
+        SELECT lang,
+               string_split(regexp_replace(lower(trim(text)),
+                      '\s+', ' ', 'g'), ' ') AS ts
+        FROM documents WHERE text IS NOT NULL
+      ) d, UNNEST(generate_series(1, len(d.ts))) AS gs(i)
+      WHERE d.ts[gs.i] <> ''
+    )
+    SELECT s.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(p.n_pieces) AS BIGINT) AS n_pieces,
+           0.0 + ROUND(CAST(SUM(p.n_pieces) AS DOUBLE)
+                       / GREATEST(COUNT(*), 1), 6) AS pieces_per_word,
+           0.0 + ROUND(CAST(SUM(p.n_piece_chars) AS DOUBLE)
+                       / GREATEST(SUM(p.n_pieces), 1), 6)
+             AS chars_per_piece
+    FROM stream s JOIN perword p USING (word)
+    GROUP BY s.lang
+    """,
+)
+def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators.text import unigram_encode, unigram_seed
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    seed = unigram_seed(docs, max_piece_len=4, seed_size=64, min_count=2)
+    enc = unigram_encode(
+        docs, seed, id_col="doc_id", text_col="text",
+        max_piece_len=4, objective="longest",
+    )
+    perword = enc.groupBy("id", "word_pos").agg(
+        F.count("*").alias("n_pieces"),
+        F.sum(F.length("piece")).alias("n_piece_chars"),
+    )
+    langs = docs.select(F.col("doc_id").alias("id"), "lang")
+    return (
+        perword.join(langs, "id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            (
+                F.round(
+                    F.sum("n_pieces").cast("double")
+                    / F.greatest(F.count("*"), F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("pieces_per_word"),
+            (
+                F.round(
+                    F.sum("n_piece_chars").cast("double")
+                    / F.greatest(F.sum("n_pieces"), F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("chars_per_piece"),
+        )
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo
