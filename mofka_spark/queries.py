@@ -10402,6 +10402,114 @@ def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Web-curation composition (the curation_select pattern for the crawl
+# front end): synthesized crawl pages flow through html_to_text ->
+# filter_lines -> URL dedup keepers, and the ONE SQL oracle replays
+# all three stages — extraction chain, per-line predicate, canonical
+# keeper choice — so the stage interfaces (not just each stage) are
+# hash-checked. Survivors = line-filter-kept docs that are their
+# canonical URL's lowest id.
+@query(
+    "web_curation_select",
+    rf"""
+    WITH h AS (
+      SELECT doc_id AS id, {_SYNTH_URL_SQL} AS url,
+             {_SYNTH_HTML_SQL} AS html
+      FROM documents
+    ),
+    s1 AS (SELECT id, url, regexp_replace(html,
+      '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g') AS t FROM h),
+    s2 AS (SELECT id, url, regexp_replace(t,
+      '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g') AS t FROM s1),
+    s3 AS (SELECT id, url, regexp_replace(t, '(?s)<!--.*?-->', '', 'g')
+      AS t FROM s2),
+    s4 AS (SELECT id, url, regexp_replace(t,
+      '(?is)</?(p|div|br|hr|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|thead|tbody|blockquote|pre|section|article|aside|header|footer|form|nav|title|figure|figcaption|main)\b[^>]*>',
+      chr(10), 'g') AS t FROM s3),
+    s5 AS (SELECT id, url, regexp_replace(t, '(?s)<[^>]*>', '', 'g') AS t
+      FROM s4),
+    s6 AS (SELECT id, url,
+      replace(replace(replace(replace(replace(replace(replace(t,
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS t
+      FROM s5),
+    s7 AS (SELECT id, url, regexp_replace(t,
+      '[ ' || chr(9) || chr(12) || chr(13) || ']+', ' ', 'g') AS t
+      FROM s6),
+    s8 AS (SELECT id, url, regexp_replace(t,
+      ' ?' || chr(10) || ' ?', chr(10), 'g') AS t FROM s7),
+    s9 AS (SELECT id, url, regexp_replace(t,
+      chr(10) || '+', chr(10), 'g') AS t FROM s8),
+    x AS (SELECT id, url, trim(t, ' ' || chr(10)) AS text FROM s9),
+    sp AS (SELECT id, url, string_split(text, chr(10)) AS l FROM x),
+    ln AS (SELECT id, unnest(l) AS line, generate_subscripts(l, 1) AS i
+           FROM sp),
+    sig AS (
+      SELECT id, line, i,
+             length(line)
+               - length(regexp_replace(line, '[A-Za-z]', '', 'g'))
+               AS n_alpha,
+             length(line) - length(regexp_replace(line, '[A-Z]', '', 'g'))
+               AS n_upper
+      FROM ln
+    ),
+    keepd AS (
+      SELECT id, line, i FROM sig
+      WHERE NOT (
+        length(trim(line)) = 0
+        OR regexp_matches(line, '^[0-9 .,:/-]+$')
+        OR (n_alpha >= 5
+            AND CAST(n_upper AS DOUBLE) / GREATEST(n_alpha, 1) > 0.8)
+        OR regexp_matches(lower(line), 'all rights reserved')
+      )
+    ),
+    agg AS (
+      SELECT id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM keepd GROUP BY id
+    ),
+    lf AS (
+      SELECT sp.id, COALESCE(agg.clean_text, '') AS clean_text,
+             COALESCE(agg.n_kept, 0) AS n_kept,
+             (CAST(len(sp.l) - COALESCE(agg.n_kept, 0) AS DOUBLE)
+              / GREATEST(len(sp.l), 1) <= 0.9) AS kept
+      FROM sp LEFT JOIN agg ON sp.id = agg.id
+    ),
+    d AS (SELECT id, url FROM h),
+    {_URL_CANON_CTE_SQL},
+    keepers AS (
+      SELECT id FROM (
+        SELECT id, id = MIN(id) OVER (PARTITION BY canon_url) AS keep
+        FROM u
+      ) WHERE keep
+    )
+    SELECT lf.id, lf.clean_text, lf.n_kept
+    FROM lf JOIN keepers USING (id)
+    WHERE lf.kept
+    """,
+)
+def q_web_curation_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.col("doc_id").alias("id"),
+        _synth_url().alias("url"),
+        _synth_html().alias("html"),
+    )
+    extracted = webtext.html_to_text(pages)
+    lf = webtext.filter_lines(
+        extracted, max_removed_frac=0.9,
+        phrases=["all rights reserved"],
+    )
+    keepers = webtext.dedup_urls(pages).filter(~F.col("is_dup")).select("id")
+    return (
+        lf.filter("kept")
+        .join(keepers, "id")
+        .select("id", "clean_text", "n_kept")
+    )
+
+
 # The driver's correctness gate checks queries in registration order and
 # may cap how many it runs per round. Self-maintaining rotation: read
 # the per-round CORRECTNESS_r*.json files the driver leaves in the repo
