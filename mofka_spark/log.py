@@ -83,7 +83,8 @@ class WriteCache:
         """Cache one just-written batch. ``items``: (metadata, data)
         pairs in offset order starting at ``first_offset``."""
         nbytes = sum(
-            len(m.encode("utf-8", "ignore")) + (len(d) if d else 0)
+            (len(m.encode("utf-8", "ignore")) if m else 0)
+            + (len(d) if d else 0)
             for m, d in items
         )
         self._batches.append((partition, first_offset, list(items), nbytes))

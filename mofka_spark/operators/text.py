@@ -2912,41 +2912,50 @@ def unigram_train(
         raise ValueError(f"unigram_train: unknown objective {objective!r}")
     spark = df.sparkSession
     words = bpe_word_freq(df, text_col).localCheckpoint(eager=True)
-    seed = unigram_seed(
-        df, text_col, max_piece_len, seed_size, seed_min_count
-    )
-    # bounded collect: seed_size + alphabet rows of model state
-    counts = {r["piece"]: int(r["freq"]) for r in seed.collect()}
-    chars = sorted(p for p in counts if len(p) == 1)
-    for _ in range(n_iters):
-        if objective == "viterbi":
-            model = _unigram_logp(counts)
-        else:
-            model = {p: True for p in counts}
-        segged = words.select(
-            F.col("word").alias("id"),
-            F.lit(0).cast("long").alias("word_pos"),
-            F.col("word"),
-        ).mapInPandas(
-            _unigram_segment_kernel(model, max_piece_len, objective),
-            "`id` string, `word_pos` long, `piece_pos` long, `piece` string",
+    try:
+        seed = unigram_seed(
+            df, text_col, max_piece_len, seed_size, seed_min_count
         )
-        used = (
-            segged.withColumnRenamed("id", "word")
-            .join(words.select("word", "freq"), "word")
-            .groupBy("piece")
-            .agg(F.sum("freq").alias("freq"))
-        )
-        rows = used.collect()  # bounded: <= current inventory size
-        new_counts = {r["piece"]: int(r["freq"]) for r in rows}
-        # prune: every training-corpus char survives (coverage), the
-        # top (vocab_size - A) multi-char pieces by usage stay
-        multi = sorted(
-            ((p, c) for p, c in new_counts.items() if len(p) > 1),
-            key=lambda t: (-t[1], t[0]),
-        )[: max(vocab_size - len(chars), 0)]
-        counts = {c: new_counts.get(c, 0) for c in chars}
-        counts.update(dict(multi))
+        # bounded collect: seed_size + alphabet rows of model state
+        counts = {r["piece"]: int(r["freq"]) for r in seed.collect()}
+        chars = sorted(p for p in counts if len(p) == 1)
+        for _ in range(n_iters):
+            if objective == "viterbi":
+                model = _unigram_logp(counts)
+            else:
+                model = {p: True for p in counts}
+            segged = words.select(
+                F.col("word").alias("id"),
+                F.lit(0).cast("long").alias("word_pos"),
+                F.col("word"),
+            ).mapInPandas(
+                _unigram_segment_kernel(model, max_piece_len, objective),
+                "`id` string, `word_pos` long, `piece_pos` long, `piece` string",
+            )
+            used = (
+                segged.withColumnRenamed("id", "word")
+                .join(words.select("word", "freq"), "word")
+                .groupBy("piece")
+                .agg(F.sum("freq").alias("freq"))
+            )
+            rows = used.collect()  # bounded: <= current inventory size
+            new_counts = {r["piece"]: int(r["freq"]) for r in rows}
+            # prune: every training-corpus char survives (coverage), the
+            # top (vocab_size - A) multi-char pieces by usage stay
+            multi = sorted(
+                ((p, c) for p, c in new_counts.items() if len(p) > 1),
+                key=lambda t: (-t[1], t[0]),
+            )[: max(vocab_size - len(chars), 0)]
+            counts = {c: new_counts.get(c, 0) for c in chars}
+            counts.update(dict(multi))
+    finally:
+        # the train loop is the checkpoint's only consumer — release
+        # its blocks here rather than leaking one persisted RDD per
+        # call into long-lived library sessions (DataFrame.unpersist
+        # does NOT release localCheckpoint blocks)
+        from mofka_spark.session import release_local_checkpoint
+
+        release_local_checkpoint(words)
     out = [
         (p, counts[p], True, i + 1) for i, p in enumerate(chars)
     ]

@@ -528,6 +528,12 @@ def web_graph(
     )
 
 
+def _strip_www(domain: str) -> str:
+    """One leading ``www.`` label off a blocklist entry — the same
+    normalization :func:`url_domain` applies to hosts."""
+    return domain[4:] if domain.startswith("www.") else domain
+
+
 def domain_blocklist_filter(
     df: DataFrame,
     blocked_domains: list[str],
@@ -551,8 +557,14 @@ def domain_blocklist_filter(
             .withColumn("base_domain", url_base_domain(F.col(url_col)))
             .withColumn("blocked", F.lit(False))
         )
+    # normalize entries exactly as url_domain normalizes hosts (strip
+    # one leading "www."): a 'www.example.com' entry otherwise never
+    # matches any suffix of a www-stripped host
     blocked = F.array(
-        *[F.lit(d.lower().lstrip(".")) for d in blocked_domains]
+        *[
+            F.lit(_strip_www(d.lower().lstrip(".")))
+            for d in blocked_domains
+        ]
     )
     labels = F.split(host, r"\.")
     n = F.size(labels)

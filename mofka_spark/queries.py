@@ -9506,6 +9506,7 @@ def _synth_lines() -> F.Column:
     rf"""
     WITH d AS (
       SELECT doc_id AS id, {_LINE_SYNTH_SQL} AS text FROM documents
+      WHERE text IS NOT NULL
     ),
     sp AS (SELECT id, string_split(text, chr(10)) AS l FROM d),
     ln AS (SELECT id, unnest(l) AS line, generate_subscripts(l, 1) AS i
@@ -9554,7 +9555,10 @@ def _synth_lines() -> F.Column:
 def q_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.operators import webtext
 
-    docs = _t(spark, sf_dir, "documents")
+    # NULL-text guard on BOTH sides: Spark concat_ws skips NULL args
+    # while the oracle's || propagates NULL — a NULL-text doc would
+    # diverge between engines without the symmetric filter
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     df = docs.select(F.col("doc_id").alias("id"), _synth_lines().alias("text"))
     return webtext.filter_lines(
         df, max_removed_frac=0.7, phrases=_LINE_FILTER_PHRASES
@@ -9588,6 +9592,7 @@ def _synth_within() -> F.Column:
     rf"""
     WITH d AS (
       SELECT doc_id AS id, {_WITHIN_SYNTH_SQL} AS text FROM documents
+      WHERE text IS NOT NULL
     ),
     sp AS (SELECT id, string_split(text, chr(10)) AS l FROM d),
     ln AS (SELECT id, unnest(l) AS line, generate_subscripts(l, 1) AS i
@@ -9611,7 +9616,8 @@ def _synth_within() -> F.Column:
 def q_line_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.operators import webtext
 
-    docs = _t(spark, sf_dir, "documents")
+    # NULL-text guard on both sides (concat_ws vs || NULL semantics)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     df = docs.select(F.col("doc_id").alias("id"), _synth_within().alias("text"))
     return webtext.dedup_lines_within_doc(df)
 
@@ -9647,6 +9653,7 @@ def _synth_corpus() -> F.Column:
     rf"""
     WITH d AS (
       SELECT doc_id AS id, {_CORPUS_SYNTH_SQL} AS text FROM documents
+      WHERE text IS NOT NULL
     ),
     sp AS (SELECT id, string_split(text, chr(10)) AS l FROM d),
     ln AS (SELECT id, unnest(l) AS line, generate_subscripts(l, 1) AS i
@@ -9676,7 +9683,8 @@ def _synth_corpus() -> F.Column:
 def q_line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.operators import webtext
 
-    docs = _t(spark, sf_dir, "documents")
+    # NULL-text guard on both sides (concat_ws vs || NULL semantics)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     df = docs.select(F.col("doc_id").alias("id"), _synth_corpus().alias("text"))
     return webtext.dedup_lines_across_docs(df, min_docs=2, min_line_chars=10)
 

@@ -42,6 +42,24 @@ _DEFAULT_CONF = {
 }
 
 
+def release_local_checkpoint(df) -> None:
+    """Release the persisted RDD behind a ``localCheckpoint``'ed
+    DataFrame.
+
+    ``DataFrame.unpersist()`` only clears the Dataset plan cache — a
+    local checkpoint's blocks live on the checkpointed RDD inside the
+    plan's ``LogicalRDD`` node, which plain unpersist never touches
+    (verified: blocks survive). Long-lived library sessions that call
+    iterative operators (unigram/BPE trainers, graph passes) need a
+    deterministic release or they leak one persisted RDD per call.
+    Best-effort: any plan that is not a checkpoint result is a no-op.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+    except Exception:  # noqa: BLE001 — not a LogicalRDD / already gone
+        pass
+
+
 def get_spark(
     app_name: str = "mofka-spark",
     master: str | None = None,

@@ -1315,6 +1315,19 @@ class TestUnigram:
         b = sorted(map(tuple, unigram_train(self._df(spark), vocab_size=20).collect()))
         assert a == b
 
+    def test_train_releases_checkpoint(self, spark):
+        # the word-freq localCheckpoint must not outlive the call:
+        # library callers in long-lived sessions would otherwise leak
+        # one persisted RDD per train invocation
+        from mofka_spark.operators.text import unigram_train
+
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        before = set(jmap.keySet().toArray())
+        unigram_train(self._df(spark), vocab_size=16, n_iters=1).collect()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        after = set(jmap.keySet().toArray())
+        assert after - before == set()
+
     def test_ids_follow_artifact(self, spark):
         from mofka_spark.operators.text import unigram_encode, unigram_train
 

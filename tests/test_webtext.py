@@ -277,3 +277,22 @@ class TestLinksAndBlocklist:
         df = spark.createDataFrame([(1, "http://a.com/x")], "id long, url string")
         got = webtext.domain_blocklist_filter(df, []).collect()[0]
         assert got["blocked"] is False and got["domain"] == "a.com"
+
+    def test_www_prefixed_blocklist_entry_matches(self, spark):
+        # url_domain strips a leading www. from hosts; entries get the
+        # identical normalization, so 'www.example.com' must behave
+        # exactly like 'example.com' (it used to silently match nothing)
+        df = spark.createDataFrame(
+            [(1, "http://www.example.com/x"),
+             (2, "https://example.com/y"),
+             (3, "http://sub.example.com/z"),
+             (4, "http://wwwexample.com/w")],  # no dot: different host
+            "id long, url string",
+        )
+        got = {
+            r["id"]: r["blocked"]
+            for r in webtext.domain_blocklist_filter(
+                df, ["www.Example.com"]
+            ).collect()
+        }
+        assert got == {1: True, 2: True, 3: True, 4: False}

@@ -150,6 +150,16 @@ def test_cross_batch_assembly():
     assert got == [(0, "a", None), (1, "b", b"2"), (2, "c", b"3")]
 
 
+def test_none_metadata_insert():
+    # the row tuple type is (metadata: str | None, data: bytes | None);
+    # insert must size-account a None metadata instead of crashing
+    # inside the ledger lock after the durable write
+    wc = WriteCache()
+    wc.insert(0, 0, [(None, b"12"), ("m", None)])
+    assert wc.get_range(0, 0, 2) == [(0, None, b"12"), (1, "m", None)]
+    assert wc.stats()["cached_bytes"] == 3  # 2 data + 1 metadata
+
+
 def test_config_validation(driver):
     for bad in (
         {"enabled": "yes"},
