@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections import deque
 from dataclasses import dataclass
 from typing import Any, Callable, Iterator
 
@@ -256,7 +257,11 @@ class TopicHandle:
         ack_early: bool = False,
     ) -> "Producer":
         """batch_size None == Adaptive (send ASAP on flush); fixed size
-        auto-flushes every `batch_size` pushes (P7). `ordering` and
+        auto-flushes every `batch_size` pushes (P7), handing full
+        batches to a background sender while push() keeps buffering.
+        `max_num_batches` bounds the in-flight batch queue: push blocks
+        once that many batches are outstanding (the reference's
+        ActiveProducerBatchQueue back-pressure). `ordering` and
         `ack_early` are accepted for API parity; both map to the same
         durable-commit path here (observable behavior matches the
         reference, where both orderings yield per-partition FIFO --
@@ -505,15 +510,34 @@ class Producer:
         self._buffer: list[tuple[int, int, str, bytes | None, _FutureEventID]] = []
         self._seq = 0
         self.last_rejected_count = 0
+        # async send machinery (reference ActiveProducerBatchQueue,
+        # /root/reference/src/ActiveProducerBatchQueue.hpp:51-86): full
+        # batches are written by ONE background sender thread while
+        # push() keeps buffering; push blocks only when max_num_batches
+        # batches are already in flight (back-pressure). Lazy: the pool
+        # exists only once a fixed batch_size auto-flush fires.
+        self._sender = None
+        self._inflight: "deque" = deque()
 
     def push(
         self,
         metadata: dict[str, Any] | str,
-        data: bytes | None = None,
+        data: bytes | bytearray | list[bytes] | tuple[bytes, ...] | None = None,
         partition: int | None = None,
     ) -> _FutureEventID:
-        """P1: returns a future resolving to the assigned EventID."""
+        """P1: returns a future resolving to the assigned EventID.
+
+        ``data`` may be a single buffer or a SEQUENCE of buffers — the
+        reference producer pushes a DataView of non-contiguous segments
+        that concatenate logically into one event payload
+        (/root/reference/tests/MofkaDataSelectionTest.cpp:42-52,
+        /root/reference/src/ProducerBatch.hpp:100-106); consumers see
+        one contiguous descriptor either way."""
         doc = json.loads(metadata) if isinstance(metadata, str) else metadata
+        if isinstance(data, (list, tuple)):
+            data = b"".join(bytes(seg) for seg in data)
+        elif isinstance(data, bytearray):
+            data = bytes(data)
         self._validator.validate(doc, data)  # P2: reject before batching
         p = self._selector.select(doc, partition)  # P5
         payload = self._serializer.serialize(doc)  # P6
@@ -521,28 +545,65 @@ class Producer:
         self._buffer.append((p, self._seq, payload, data, fut))
         self._seq += 1
         if self.batch_size is not None and len(self._buffer) >= self.batch_size:
-            self.flush()
+            self._submit_batch()
         return fut
 
-    def flush(self) -> None:
-        """P8: barrier — write buffered events, resolve futures.
-
-        Client-side rows take the no-Spark append path (pyarrow write
-        under the same ledger lock; log.append_rows) — a per-event
-        producer's flush is milliseconds, not a Spark job."""
+    def _submit_batch(self) -> None:
+        """Hand the current buffer to the background sender, blocking
+        while ``max_num_batches`` batches are already in flight — the
+        reference's producer back-pressure contract
+        (/root/reference/src/ActiveProducerBatchQueue.hpp:51-86: push
+        waits on a cv until the batch queue drops below max_batch).
+        One sender thread keeps batch writes FIFO, so per-partition
+        offsets stay in push order for both ordering modes (P9)."""
         if not self._buffer:
             return
-        rows = [(p, seq, meta, data) for p, seq, meta, data, _ in self._buffer]
+        batch, self._buffer = self._buffer, []
+        if self._sender is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._sender = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="mofka-producer-send"
+            )
+        while len(self._inflight) >= max(1, int(self.max_num_batches or 1)):
+            # oldest first: the single worker completes in FIFO order.
+            # .result() re-raises a failed batch write in the caller.
+            self._inflight.popleft().result()
+        self._inflight.append(self._sender.submit(self._write_batch, batch))
+
+    def _write_batch(self, batch) -> None:
+        """Write one batch and resolve its futures (sender thread)."""
+        rows = [(p, seq, meta, data) for p, seq, meta, data, _ in batch]
         acks = self.topic.log.append_rows(rows)
         # resolve futures: events in a partition get base + arrival-rank
         by_part: dict[int, list[tuple[int, _FutureEventID]]] = {}
-        for p, seq, _meta, _data, fut in self._buffer:
+        for p, seq, _meta, _data, fut in batch:
             by_part.setdefault(p, []).append((seq, fut))
         for p, items in by_part.items():
             base, _n = acks[p]
             for i, (_seq, fut) in enumerate(sorted(items)):
                 fut._resolve(base + i)
-        self._buffer.clear()
+
+    def flush(self) -> None:
+        """P8: barrier — all buffered AND in-flight events durable,
+        every future resolved, before return. A failed async batch
+        write re-raises here.
+
+        Client-side rows take the no-Spark append path (pyarrow write
+        under the same ledger lock; log.append_rows) — a per-event
+        producer's flush is milliseconds, not a Spark job."""
+        if self._buffer:
+            if self._inflight:
+                # queue behind in-flight batches so offsets keep push
+                # order; the drain below is the barrier either way
+                self._submit_batch()
+            else:
+                # pure-sync fast path: nothing in flight, no sender
+                # thread needed (adaptive producers never start one)
+                batch, self._buffer = self._buffer, []
+                self._write_batch(batch)
+        while self._inflight:
+            self._inflight.popleft().result()
 
     def push_dataframe(
         self, df: DataFrame, partition_expr=None, txn: tuple[str, int] | None = None
@@ -617,6 +678,9 @@ class Producer:
     def __exit__(self, *exc) -> None:
         # destructor flushes (/root/reference/src/MofkaProducer.cpp:46-48)
         self.flush()
+        if self._sender is not None:
+            self._sender.shutdown(wait=True)
+            self._sender = None  # lazily recreated if reused
 
 
 class Consumer:

@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mofka_spark.errors import MofkaError
+
 _LOG = logging.getLogger(__name__)
 
 
@@ -1187,13 +1189,32 @@ class MemoryEventLog(EventLog):
             self._write_ledger_full(full)
             return acks
 
+    #: append_batch on the MEMORY backend collects the batch to the
+    #: driver — that IS the backend's contract (test/dev partitions,
+    #: reference memory partition manager), but a MixedEventLog routes
+    #: real partitions through it, so a misconfigured mixed topic could
+    #: silently funnel bulk ingest into a driver OOM. Fail loudly above
+    #: this row cap instead (override per instance to raise it).
+    max_append_batch_rows: int = 1_000_000
+
     def append_batch(
         self, batch: DataFrame, txn: tuple[str, int] | None = None
     ) -> dict[int, tuple[int, int]]:
+        cap = int(self.max_append_batch_rows)
         rows = [
             (r["partition"], r["seq"], r["metadata"], r["data"])
-            for r in batch.select("partition", "seq", "metadata", "data").collect()
+            for r in batch.select("partition", "seq", "metadata", "data")
+            .limit(cap + 1)  # bound the collect BEFORE it happens
+            .collect()
         ]
+        if len(rows) > cap:
+            raise MofkaError(
+                f"memory backend append_batch exceeds "
+                f"max_append_batch_rows={cap}: the memory partition "
+                f"backend collects batches to the driver and is sized "
+                f"for test/dev partitions — route bulk ingest to file "
+                f"partitions or raise max_append_batch_rows explicitly"
+            )
         return self.append_rows(rows, txn)
 
     def read(self, partitions: list[int] | None = None) -> DataFrame:

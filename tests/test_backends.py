@@ -110,6 +110,28 @@ class TestBackendConformance:
 
 
 class TestMemoryBackendSpecifics:
+    def test_append_batch_row_cap_fails_loudly(self, driver, spark):
+        # the memory backend's append_batch collects to the driver; a
+        # misconfigured mixed topic routing bulk ingest through it must
+        # fail with a clear error, not OOM the driver
+        from mofka_spark.errors import MofkaError
+        import pytest as _pt
+        from pyspark.sql import functions as F
+
+        topic = driver.create_topic("mem-cap", num_partitions=1, backend="memory")
+        topic.log.max_append_batch_rows = 10  # configurable per instance
+        big = spark.range(11).select(
+            F.lit(0).alias("partition"),
+            F.col("id").alias("seq"),
+            F.to_json(F.struct("id")).alias("metadata"),
+            F.lit(None).cast("binary").alias("data"),
+        )
+        with _pt.raises(MofkaError, match="max_append_batch_rows"):
+            topic.log.append_batch(big)
+        # at the cap it still works
+        topic.log.append_batch(big.limit(10))
+        assert topic.dataframe().count() == 10
+
     def test_no_parquet_files_written(self, driver, tmp_path):
         topic = driver.create_topic("mem-nofiles", num_partitions=2, backend="memory")
         with topic.producer("p") as prod:

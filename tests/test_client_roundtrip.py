@@ -565,3 +565,84 @@ class TestDataAllocator:
         )
         with pytest.raises(MofkaError, match="WRITABLE"):
             consumer.pull()
+
+
+class TestProducerBackPressure:
+    """max_num_batches is the in-flight batch-queue bound: full batches
+    go to a background sender; push blocks once the queue is full
+    (/root/reference/src/ActiveProducerBatchQueue.hpp:51-86)."""
+
+    def test_async_pipeline_roundtrip(self, driver):
+        # pipelined sends preserve dense per-partition offsets and
+        # metadata/data round-trip — the 100-event invariants hold
+        topic = driver.create_topic("bp-roundtrip", num_partitions=4)
+        with topic.producer("p", batch_size=10, max_num_batches=3) as p:
+            futures = [
+                p.push({"event_num": i}, f"d{i}".encode()) for i in range(100)
+            ]
+        ids = [f.wait() for f in futures]
+        assert ids == [i // 4 for i in range(100)]
+        topic.mark_as_complete()
+        events = list(topic.consumer("c"))
+        assert len(events) == 100
+        got = {(e.metadata["event_num"]): e.data for e in events}
+        assert got == {i: f"d{i}".encode() for i in range(100)}
+
+    def test_push_blocks_at_cap(self, driver):
+        import threading
+        import time
+
+        topic = driver.create_topic("bp-block", num_partitions=1)
+        gate = threading.Event()
+        real_append = topic.log.append_rows
+        calls = []
+
+        def slow_append(rows, txn=None):
+            calls.append(len(rows))
+            gate.wait(10)
+            return real_append(rows, txn)
+
+        topic.log.append_rows = slow_append
+        p = topic.producer("p", batch_size=1, max_num_batches=2)
+        p.push({"i": 0}, b"0")   # batch 1: sender blocks in append
+        p.push({"i": 1}, b"1")   # batch 2: queued, in-flight = 2
+
+        blocked_done = threading.Event()
+
+        def third_push():
+            p.push({"i": 2}, b"2")  # must BLOCK: queue full
+            blocked_done.set()
+
+        t = threading.Thread(target=third_push, daemon=True)
+        t.start()
+        time.sleep(0.3)
+        assert not blocked_done.is_set(), "push did not back-pressure"
+        gate.set()  # writes drain
+        assert blocked_done.wait(10), "push never unblocked"
+        p.flush()
+        t.join(10)
+        assert calls == [1, 1, 1]
+        # all three events durable, dense offsets
+        topic.mark_as_complete()
+        assert [e.offset for e in topic.consumer("c")] == [0, 1, 2]
+
+    def test_failed_async_write_raises_on_flush(self, driver):
+        topic = driver.create_topic("bp-err", num_partitions=1)
+
+        def boom(rows, txn=None):
+            raise RuntimeError("disk on fire")
+
+        topic.log.append_rows = boom
+        p = topic.producer("p", batch_size=1, max_num_batches=2)
+        p.push({"i": 0}, b"0")
+        with pytest.raises(RuntimeError, match="disk on fire"):
+            p.flush()
+
+    def test_sync_flush_path_starts_no_sender(self, driver):
+        # adaptive producers (batch_size=None) never auto-flush, so the
+        # barrier flush writes synchronously without a sender thread
+        topic = driver.create_topic("bp-sync", num_partitions=1)
+        with topic.producer("p") as p:
+            p.push({"i": 0}, b"0")
+            p.flush()
+            assert p._sender is None

@@ -143,6 +143,49 @@ def test_dynamic_segments_column(spark):
     assert bytes(out[2]["out"]) == b""
 
 
+def test_multi_segment_push_end_to_end(driver):
+    """Producer-side multi-segment data: the reference pushes a
+    DataView of two non-contiguous 26-byte segments that concatenate
+    logically (/root/reference/tests/MofkaDataSelectionTest.cpp:42-52);
+    every consumer-side view must see the golden bytes of the
+    reference's SECTIONs over the concatenated payload."""
+    seg1 = b"abcdefghijklmnopqrstuvwxyz"
+    seg2 = b"ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    topic = driver.create_topic("segments")
+    with topic.producer("p") as producer:
+        producer.push({"x": 123}, [seg1, seg2])
+    topic.mark_as_complete()
+
+    def pull_with(selector):
+        return list(topic.consumer("c-" + selector.__name__,
+                                   data_selector=selector))[0]
+
+    def none_sel(meta, desc):
+        return None
+
+    def whole(meta, desc):
+        return desc
+
+    def sub(meta, desc):
+        return desc.make_sub_view(13, 26)
+
+    def strided(meta, desc):
+        return desc.make_strided_view(13, 3, 4, 2)
+
+    def unstructured(meta, desc):
+        return desc.make_unstructured_view([(3, 6), (15, 4), (27, 8)])
+
+    assert pull_with(none_sel).data == b""                 # Consume no data
+    assert pull_with(whole).data == seg1 + seg2            # whole: 52 bytes
+    assert pull_with(sub).data == b"nopqrstuvwxyzABCDEFGHIJKLM"
+    assert pull_with(strided).data == b"nopqtuvwzABC"
+    assert pull_with(unstructured).data == b"defghipqrsBCDEFGHI"
+    # bytearray and tuple forms coerce the same way
+    with topic.producer("p2") as producer:
+        producer.push({"x": 1}, bytearray(b"ab"))
+        producer.push({"x": 2}, (b"a", b"", b"b"))
+
+
 def test_consumer_data_selector_callable(driver):
     """Client-path DataSelector callable (select by event_num % 2)."""
     topic = driver.create_topic("sel")
