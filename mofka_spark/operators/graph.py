@@ -23,13 +23,32 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    method: str = "propagation",
 ) -> DataFrame:
-    """Min-label propagation over an undirected edge list.
+    """Connected components over an undirected edge list.
 
     Returns (id, component) where component = min node id reachable.
     Converges when no label changes; raises if max_iter is exhausted
     (pathological diameter — raise max_iter or densify edges first).
+
+    ``method`` picks the iteration scheme:
+
+    - ``"propagation"`` (default): min-label propagation, one shuffle
+      per round, rounds = graph DIAMETER. Right for near-dup graphs
+      (clusters of near-identical docs are shallow — 2-3 rounds).
+    - ``"alternating"``: large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14),
+      rounds = O(log n) INDEPENDENT of diameter. Right for crawl/web
+      graphs, whose link chains run to diameters in the tens or
+      hundreds — diameter-bound propagation is the one 100×-unsafe
+      plan on that path.
     """
+    if method == "alternating":
+        return connected_components_alternating(
+            edges, src_col, dst_col, max_iter
+        )
+    if method != "propagation":
+        raise ValueError(f"unknown connected_components method {method!r}")
     # materialize the symmetrized edge list ONCE: it is joined in every
     # propagation round, and without a lineage cut each round would
     # re-run the (potentially expensive) upstream pipeline that
@@ -73,6 +92,114 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def connected_components_alternating(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14 "Connected Components in MapReduce and Beyond", Alg. 2).
+
+    Returns (id, component) where component = min node id reachable —
+    identical output contract to :func:`connected_components`, but
+    round count is O(log n) in the component size instead of O(graph
+    diameter): each large-star hangs every higher neighbor off its
+    local minimum (halving star depth), each small-star contracts the
+    low side. A 100-TB crawl graph with link chains hundreds deep
+    converges in ~10 rounds where propagation needs hundreds.
+
+    Per round: two grouped aggregations + joins, all keyed on node id
+    — no all-pairs stage, shuffle volume bounded by the (shrinking)
+    edge set. Lineage is cut per round with localCheckpoint and the
+    previous round's blocks are released deterministically.
+    """
+    from mofka_spark.session import release_local_checkpoint
+
+    # orient (hi, lo), drop self-loops — the star edges stay oriented
+    # child > parent throughout, so termination checks are exact
+    cur = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(frame) -> tuple:
+        # exact-set signature: row count + order-free xor of row hashes
+        # (xor never overflows; ANSI-safe)
+        r = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).collect()[0]
+        return (r["n"], r["x"])
+
+    sig = _sig(cur)
+    if sig[0] == 0:
+        return cur.select(
+            F.col("u").alias("id"), F.col("v").alias("component")
+        )
+    for _ in range(max_iter):
+        # large-star: every neighbor ABOVE u re-hangs onto u's local min
+        sym = cur.union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        # no distinct here: each sym row emits at most one pair, so the
+        # frame is bounded by 2|E| rows — the round's single dedup
+        # happens once at the end (small's distinct), saving one full
+        # shuffle per round
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star: u and its below-u neighbors contract onto their min
+        mins_s = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins_s, "u")
+            .select(
+                F.explode(F.array(F.col("u"), F.col("v"))).alias("n"),
+                F.col("m"),
+            )
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(small)
+        release_local_checkpoint(cur)
+        cur = small
+        if new_sig == sig:
+            # fixed point: disjoint stars (child -> component root)
+            children = cur.select(
+                F.col("u").alias("id"), F.col("v").alias("component")
+            )
+            roots = (
+                cur.select(F.col("v").alias("id"))
+                .distinct()
+                .select("id", F.col("id").alias("component"))
+            )
+            out = (
+                children.union(roots)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
+            return out
+        sig = new_sig
+    raise RuntimeError(
+        f"connected_components_alternating did not converge in "
+        f"{max_iter} rounds"
+    )
 
 
 def assign_keepers(

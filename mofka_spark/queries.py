@@ -10295,6 +10295,74 @@ def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.web_graph(pages)
 
 
+# Crawl-graph connected components (graph.connected_components_
+# alternating — large-star/small-star, O(log n) rounds independent of
+# diameter): the web_link_graph edge set chains thousands of pages
+# deep, exactly the shape where min-label propagation's diameter-bound
+# rounds are 100x-unsafe. Node ids are canonical URLs; the oracle
+# replays the link extraction + canonicalization CTE and computes min
+# reachable via a recursive closure.
+@query(
+    "web_components",
+    rf"""
+    WITH RECURSIVE pages AS (
+      SELECT {_PAGE_URL_SQL} AS src, {_LINK_HTML_SQL} AS html
+      FROM documents
+    ),
+    hrefs AS (
+      SELECT src, unnest(regexp_extract_all(html,
+        '(?is)<a\b[^>]*\bhref\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>', 1)) AS url
+      FROM pages
+      UNION ALL
+      SELECT src, unnest(regexp_extract_all(html,
+        '(?is)<a\b[^>]*\bhref\s*=\s*''([^'']*)''[^>]*>(.*?)</a\s*>', 1)) AS url
+      FROM pages
+    ),
+    d AS (
+      SELECT src AS id, url FROM hrefs
+      WHERE regexp_matches(url, '(?i)^https?://')
+    ),
+    {_URL_CANON_CTE_SQL},
+    e0 AS (
+      SELECT DISTINCT id AS src, canon_url AS dst
+      FROM u WHERE id <> canon_url
+    ),
+    sym AS (
+      SELECT src AS s, dst AS t FROM e0
+      UNION
+      SELECT dst AS s, src AS t FROM e0
+    ),
+    reach(s, t) AS (
+      SELECT s, s FROM sym
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN sym e ON r.t = e.s
+    )
+    SELECT s AS id, MIN(t) AS component FROM reach GROUP BY s
+    """,
+)
+def q_web_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+    from mofka_spark.operators.graph import connected_components_alternating
+
+    docs = _t(spark, sf_dir, "documents")
+    url, html = _synth_link_page()
+    pages = docs.select(
+        F.col("doc_id").alias("id"), url.alias("url"), html.alias("html")
+    )
+    edges = webtext.web_graph(pages)
+    # the iterative rounds materialize INSIDE the call (per-round
+    # localCheckpoint), so the pinned shuffle width covers them — the
+    # gate graph is a few thousand edges and 32-wide shuffles are all
+    # scheduler overhead (the _run_stream discipline; production crawl
+    # graphs keep the session default)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return connected_components_alternating(edges, "src", "dst")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
 # Domain blocklist (webtext.domain_blocklist_filter): suffix-at-label-
 # boundary matching — a blocked example.co.uk catches every subdomain
 # but never a substring host. URLs from the _SYNTH_URL family, so a

@@ -126,6 +126,92 @@ class TestConnectedComponents:
         comp = graph.connected_components(edges).collect()
         assert {(r.id, r.component) for r in comp} == {(7, 7), (8, 7)}
 
+    def test_unknown_method_raises(self, spark):
+        import pytest as _pt
+
+        edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        with _pt.raises(ValueError, match="method"):
+            graph.connected_components(edges, method="bogus")
+
+
+class TestAlternatingComponents:
+    """Large-star/small-star: O(log n) rounds regardless of diameter —
+    the crawl-graph path (web_graph edges chain hundreds deep, where
+    min-label propagation needs diameter rounds)."""
+
+    def test_deep_chain_logarithmic_rounds(self, spark):
+        # path graph, diameter 256: propagation would need ~256 rounds;
+        # the alternating algorithm must finish within an O(log n)
+        # budget (2 * log2(256) + slack = 20) or raise
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(256)], ["id_a", "id_b"]
+        )
+        comp = {
+            r.id: r.component
+            for r in graph.connected_components_alternating(
+                edges, max_iter=20
+            ).collect()
+        }
+        assert comp == {i: 0 for i in range(257)}
+
+    def test_matches_propagation_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(12)
+        edges = [
+            (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+        ]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        prop = {
+            (r.id, r.component)
+            for r in graph.connected_components(df, max_iter=60).collect()
+        }
+        alt = {
+            (r.id, r.component)
+            for r in graph.connected_components_alternating(df).collect()
+        }
+        # identical contracts, self-loop-only nodes excluded from both
+        loops_only = {
+            a for a, b in edges if a == b
+        } - {x for a, b in edges if a != b for x in (a, b)}
+        assert {p for p in prop if p[0] not in loops_only} == alt
+
+    def test_string_node_ids(self, spark):
+        # web_graph nodes are URLs: lexicographic min must be the root
+        edges = spark.createDataFrame(
+            [("http://b.com", "http://a.com"), ("http://c.com", "http://b.com")],
+            ["id_a", "id_b"],
+        )
+        alt = {
+            r.id: r.component
+            for r in graph.connected_components_alternating(edges).collect()
+        }
+        assert alt == {
+            "http://a.com": "http://a.com",
+            "http://b.com": "http://a.com",
+            "http://c.com": "http://a.com",
+        }
+
+    def test_empty_and_self_loops(self, spark):
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        assert graph.connected_components_alternating(empty).count() == 0
+        loops = spark.createDataFrame([(5, 5)], ["id_a", "id_b"])
+        assert graph.connected_components_alternating(loops).count() == 0
+
+    def test_releases_checkpoints(self, spark):
+        before = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], ["id_a", "id_b"]
+        )
+        graph.connected_components_alternating(edges).collect()
+        after = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+        # only the final round's frame may remain pinned
+        assert len(after - before) <= 1
+
 
 class TestTransitiveKeeperPipeline:
     def test_minhash_dedup_transitive_flag(self, spark):
