@@ -824,6 +824,62 @@ def _stream_fixture(spark: SparkSession, sf_dir: str, kind: str):
     return topic
 
 
+# -- shared near-dup pipeline fixture ----------------------------------------
+# Several gates consume the SAME verified near-dup structure (the LSH
+# candidate -> exact word-3-gram Jaccard verify pipeline at canonical
+# parameters: 64 hashes, 16 bands, threshold 0.8) and then add ONE
+# bounded stage of their own (cluster sizes, representatives, split
+# hashing, pagerank, triangles). Re-running the full pipeline per gate
+# measured ~40s of the bench slowest-15 as one computation repeated
+# five times (round-11 verdict #2), so the pipeline OUTPUT is built
+# once per (sf_dir, kind) and parked as a parquet fixture — the
+# _stream_fixture discipline. Gates that test a DOWNSTREAM operator
+# read the fixture; the gates that test the pipeline ITSELF
+# (minhash_dedup, neardup_jaccard_pairs, dedup_components) still run
+# it cold every time. Every consumer's DuckDB oracle stays standalone
+# (full all-pairs recompute from raw text), so fixture reuse cannot
+# mask a pipeline bug — any drift still hash-fails every consumer.
+_NEARDUP_FIXTURES: dict[tuple[str, str], str] = {}
+
+
+def _neardup_fixture(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """kind="edges": verified near-dup pairs (id_a, id_b, jaccard);
+    kind="components": transitive keeper map (id, keeper_id) — the
+    exact frames minhash_lsh_candidates+ngram_jaccard_pairs and
+    minhash_lsh_dedup(transitive=True) produce at default params."""
+    import os
+    import tempfile
+
+    key = (sf_dir, kind)
+    path = _NEARDUP_FIXTURES.get(key)
+    if path is not None:
+        return spark.read.parquet(path)
+    out = os.path.join(
+        tempfile.mkdtemp(prefix=f"mofka-neardup-{kind}-"), "fx.parquet"
+    )
+    if kind == "edges":
+        docs = _t(spark, sf_dir, "documents")
+        release: list = []
+        cand = dedup.minhash_lsh_candidates(docs)
+        edges = dedup.ngram_jaccard_pairs(
+            docs, cand, n=3, threshold=0.8, release=release
+        )
+        edges.write.mode("overwrite").parquet(out)
+        for frame in release:
+            frame.unpersist()
+    elif kind == "components":
+        from mofka_spark.operators.graph import assign_keepers
+
+        docs = _t(spark, sf_dir, "documents")
+        edges = _neardup_fixture(spark, sf_dir, "edges").select("id_a", "id_b")
+        comp = assign_keepers(docs, edges, "doc_id").select("id", "keeper_id")
+        comp.write.mode("overwrite").parquet(out)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown neardup fixture kind {kind!r}")
+    _NEARDUP_FIXTURES[key] = out
+    return spark.read.parquet(out)
+
+
 _EVENTS_STREAM_SCHEMA = (
     "event_id long, user_id long, event_type string, value double, ts_us long"
 )
@@ -4412,10 +4468,7 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.operators import graph
 
     docs = _t(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(docs)
-    edges = dedup.ngram_jaccard_pairs(docs, cand, n=3, threshold=0.8).select(
-        "id_a", "id_b"
-    )
+    edges = _neardup_fixture(spark, sf_dir, "edges").select("id_a", "id_b")
     return graph.pagerank(
         docs.select(F.col("doc_id").alias("id")), edges, iters=5
     )
@@ -4522,11 +4575,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.operators.graph import triangle_count
 
-    docs = _t(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(docs)
-    edges = dedup.ngram_jaccard_pairs(docs, cand, n=3, threshold=0.8).select(
-        "id_a", "id_b"
-    )
+    edges = _neardup_fixture(spark, sf_dir, "edges").select("id_a", "id_b")
     return triangle_count(edges)
 
 
@@ -4657,12 +4706,10 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.operators.sampling import split_assign
 
     docs = _t(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(docs)
-    pairs = dedup.ngram_jaccard_pairs(docs, cand, n=3, threshold=0.8)
     # prune the corpus-sized split frame to pair members (broadcast
     # semi-join on the tiny member-id set) BEFORE joining — the split
     # column itself is then broadcast-sized, never the corpus
-    pairs = pairs.localCheckpoint(eager=True)  # GC-bounded reuse
+    pairs = _neardup_fixture(spark, sf_dir, "edges")
     members = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .union(pairs.select(F.col("id_b").alias("doc_id")))
@@ -5911,10 +5958,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    comp = dedup.minhash_lsh_dedup(
-        docs, verify_threshold=0.8, transitive=True
-    ).select("id", "keeper_id")
+    comp = _neardup_fixture(spark, sf_dir, "components")
     return dedup.soft_dedup_weights(comp)
 
 
@@ -5952,9 +5996,7 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.operators.text import token_count
 
     docs = _t(spark, sf_dir, "documents")
-    comp = dedup.minhash_lsh_dedup(
-        docs, verify_threshold=0.8, transitive=True
-    ).select("id", "keeper_id")
+    comp = _neardup_fixture(spark, sf_dir, "components")
     scores = docs.filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     ).select(
@@ -6156,10 +6198,7 @@ def q_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.operators.sampling import cluster_safe_split
 
-    docs = _t(spark, sf_dir, "documents")
-    comp = dedup.minhash_lsh_dedup(
-        docs, verify_threshold=0.8, transitive=True
-    ).select("id", "keeper_id")
+    comp = _neardup_fixture(spark, sf_dir, "components")
     return cluster_safe_split(comp)
 
 
