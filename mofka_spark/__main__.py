@@ -372,6 +372,27 @@ def cmd_benchmark_generate(args) -> int:
     return 0
 
 
+def cmd_engine_config_generate(args) -> int:
+    """The `mofkactl config generate` analog
+    (/root/reference/python/mochi/mofka/mofkactl/config.py:23-86):
+    sample a deployable engine configuration — here a complete
+    SparkSession conf JSON — from the declared engine-dim space."""
+    from mofka_spark.benchspec import sample_engine_config, spec_to_json
+
+    overrides = {}
+    for d in args.dim or []:
+        if "=" not in d:
+            raise SystemExit(f"--dim takes name=range, got {d!r}")
+        k, v = d.split("=", 1)
+        overrides[k.strip()] = v.strip()
+    cfg = sample_engine_config(
+        seed=args.seed, overrides=overrides,
+        base_defaults=not args.no_defaults,
+    )
+    print(spec_to_json(cfg))
+    return 0
+
+
 def cmd_benchmark_run(args) -> int:
     """Execute a generated spec: create the topic with the sampled
     layout (validator / partition_selector / serializer included), run
@@ -698,6 +719,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--num-events", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_benchmark_run)
+
+    eng = sub.add_parser(
+        "engine-config",
+        help="Sample deployable engine (SparkSession) configurations "
+        "(mofkactl config generate analog)",
+    ).add_subparsers(dest="cmd", required=True)
+    p = eng.add_parser(
+        "generate", help="Sample one Spark conf JSON from the engine space"
+    )
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "-d",
+        "--dim",
+        action="append",
+        help="Override an engine dimension: name=range ('8-64'), "
+        "name=choice list, or name=constant; repeatable. Dimensions: "
+        "spark_shuffle_partitions, spark_adaptive_enabled, "
+        "spark_broadcast_threshold_mb, spark_max_partition_mb.",
+    )
+    p.add_argument(
+        "--no-defaults",
+        action="store_true",
+        help="Emit only the sampled knobs, not merged over the "
+        "session's scale-appropriate defaults",
+    )
+    p.set_defaults(fn=cmd_engine_config_generate)
 
     corpus = sub.add_parser(
         "corpus", help="Corpus health reports over parquet tables"

@@ -203,3 +203,64 @@ def sample_spec(
 
 def spec_to_json(spec: dict[str, Any]) -> str:
     return json.dumps(spec, indent=4, sort_keys=False)
+
+
+# the engine-dim half of SPACE: the knobs that parameterize a
+# SparkSession, keyed by the Spark conf name each one emits
+_ENGINE_DIMS = (
+    "spark_shuffle_partitions",
+    "spark_adaptive_enabled",
+    "spark_broadcast_threshold_mb",
+    "spark_max_partition_mb",
+)
+
+
+def sample_engine_config(
+    seed: int = 0,
+    overrides: dict[str, str] | None = None,
+    base_defaults: bool = True,
+) -> dict[str, Any]:
+    """The ``mofkactl config generate`` analog
+    (/root/reference/python/mochi/mofka/mofkactl/config.py:23-86): the
+    reference samples a deployable SERVICE config (servers, metadata
+    DBs, pools, xstreams) from a constrained space and prints the spec
+    JSON. This engine's deployable unit is a SparkSession conf, so the
+    sampled space is the engine-dim half of :data:`SPACE` and the
+    output is a ready-to-use conf object: ``{"seed": ..., "spark":
+    {conf key: value}}`` — feed the ``spark`` map to
+    ``mofka_spark.get_spark(conf=...)`` or spark-defaults.
+
+    ``base_defaults=True`` merges the sampled knobs over the session's
+    scale-appropriate defaults (AQE, Arrow, UTC, parquet pushdown) so
+    the emitted object is complete, not a fragment."""
+    overrides = dict(overrides or {})
+    unknown = set(overrides) - set(_ENGINE_DIMS)
+    if unknown:
+        raise ValueError(f"unknown engine dimensions: {sorted(unknown)}")
+    rng = random.Random(seed)
+    sampled: dict[str, Any] = {}
+    for name in _ENGINE_DIMS:
+        kind, default = SPACE[name]
+        sampled[name] = _PARSERS[kind](overrides.get(name, default), rng)
+    conf: dict[str, str] = {}
+    if base_defaults:
+        from mofka_spark.session import _DEFAULT_CONF
+
+        conf.update(_DEFAULT_CONF)
+    conf.update(
+        {
+            "spark.sql.shuffle.partitions": str(
+                sampled["spark_shuffle_partitions"]
+            ),
+            "spark.sql.adaptive.enabled": str(
+                sampled["spark_adaptive_enabled"]
+            ).lower(),
+            "spark.sql.autoBroadcastJoinThreshold": str(
+                sampled["spark_broadcast_threshold_mb"] * 1024 * 1024
+            ),
+            "spark.sql.files.maxPartitionBytes": str(
+                sampled["spark_max_partition_mb"] * 1024 * 1024
+            ),
+        }
+    )
+    return {"seed": seed, "spark": conf}

@@ -156,6 +156,39 @@ class TestBenchmarkGenerate:
         with pytest.raises(ValueError, match="unknown dimensions"):
             sample_spec(10, overrides={"num_partitionz": "3"})
 
+    def test_engine_config_generate(self):
+        # mofkactl config generate analog: deployable Spark conf JSON
+        args = (
+            "engine-config", "generate", "--seed", "5",
+            "-d", "spark_shuffle_partitions=8-64",
+        )
+        rc1, out1 = run(*args)
+        rc2, out2 = run(*args)
+        assert rc1 == rc2 == 0 and out1 == out2  # seeded: reproducible
+        cfg = json.loads(out1)
+        assert cfg["seed"] == 5
+        assert 8 <= int(cfg["spark"]["spark.sql.shuffle.partitions"]) <= 64
+        # merged over the session defaults: complete, not a fragment
+        assert cfg["spark"]["spark.sql.adaptive.enabled"] in ("true", "false")
+        assert cfg["spark"]["spark.sql.session.timeZone"] == "UTC"
+        # the emitted conf is directly consumable by get_spark(conf=...)
+        rc, out = run("engine-config", "generate", "--no-defaults")
+        frag = json.loads(out)["spark"]
+        assert set(frag) == {
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.files.maxPartitionBytes",
+        }
+
+    def test_engine_config_unknown_dim_rejected(self):
+        import pytest
+
+        from mofka_spark.benchspec import sample_engine_config
+
+        with pytest.raises(ValueError, match="unknown engine dimensions"):
+            sample_engine_config(overrides={"num_partitions": "3"})
+
     def test_range_grammar(self):
         import random
 
