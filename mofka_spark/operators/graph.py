@@ -68,6 +68,8 @@ def connected_components(
         .agg(F.min(F.least("src", "dst")).alias("component"))
         .localCheckpoint(eager=True)
     )
+    from mofka_spark.session import release_local_checkpoint
+
     for _ in range(max_iter):
         # candidate label per node: min over (own, neighbors' labels)
         neighbor = (
@@ -88,8 +90,14 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the old round's checkpoint is dead once the convergence test
+        # has consumed it — release deterministically (GC-based release
+        # is environment-dependent; long-lived sessions accumulate one
+        # persisted RDD per round otherwise)
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
+            release_local_checkpoint(sym)
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
@@ -360,6 +368,8 @@ def pagerank(
     n = ids.count()
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
     base = F.lit((1.0 - damping) / n)
+    from mofka_spark.session import release_local_checkpoint
+
     rank = ids.select("id", F.lit(1.0 / n).alias("r")).localCheckpoint(
         eager=True
     )
@@ -371,7 +381,7 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        rank = (
+        new_rank = (
             ids.join(contrib, "id", "left")
             .select(
                 "id",
@@ -382,4 +392,9 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # previous round's blocks are dead once the new checkpoint
+        # materialized — release deterministically, don't wait for GC
+        release_local_checkpoint(rank)
+        rank = new_rank
+    release_local_checkpoint(sym)
     return rank.select("id", F.round("r", 6).alias("rank"))

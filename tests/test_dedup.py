@@ -212,6 +212,29 @@ class TestAlternatingComponents:
         # only the final round's frame may remain pinned
         assert len(after - before) <= 1
 
+    def test_propagation_and_pagerank_release_rounds(self, spark):
+        # iterative loops must not leak one persisted RDD per round
+        # into long-lived sessions; only the final frame stays pinned
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+        )
+        before = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+        graph.connected_components(edges, max_iter=30).collect()
+        mid = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+        assert len(mid - before) <= 1
+        nodes = edges.select(F.col("id_a").alias("id")).union(
+            edges.select(F.col("id_b").alias("id"))
+        )
+        graph.pagerank(nodes, edges, iters=5).collect()
+        after = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+        assert len(after - mid) <= 1
+
 
 class TestTransitiveKeeperPipeline:
     def test_minhash_dedup_transitive_flag(self, spark):
