@@ -10402,6 +10402,94 @@ def q_web_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
+# Incrementally-accumulated web link graph (streaming/webgraph.py):
+# pages stream through a topic in micro-batches, each epoch appends
+# its DISTINCT canonical edges (set semantics — mergeable by distinct
+# union under the each-page-arrives-once contract), and components
+# over the ACCUMULATED graph must equal the batch web_components
+# answer on the same slice no matter how the stream split into
+# epochs. Components run the crawl-scale alternating algorithm.
+@query(
+    "streaming_web_components",
+    rf"""
+    WITH RECURSIVE pages AS (
+      SELECT {_PAGE_URL_SQL} AS src, {_LINK_HTML_SQL} AS html
+      FROM documents WHERE text IS NOT NULL AND doc_id < 1000
+    ),
+    hrefs AS (
+      SELECT src, unnest(regexp_extract_all(html,
+        '(?is)<a\b[^>]*\bhref\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>', 1)) AS url
+      FROM pages
+      UNION ALL
+      SELECT src, unnest(regexp_extract_all(html,
+        '(?is)<a\b[^>]*\bhref\s*=\s*''([^'']*)''[^>]*>(.*?)</a\s*>', 1)) AS url
+      FROM pages
+    ),
+    d AS (
+      SELECT src AS id, url FROM hrefs
+      WHERE regexp_matches(url, '(?i)^https?://')
+    ),
+    {_URL_CANON_CTE_SQL},
+    e0 AS (
+      SELECT DISTINCT id AS src, canon_url AS dst
+      FROM u WHERE id <> canon_url
+    ),
+    sym AS (
+      SELECT src AS s, dst AS t FROM e0
+      UNION
+      SELECT dst AS s, src AS t FROM e0
+    ),
+    reach(s, t) AS (
+      SELECT s, s FROM sym
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN sym e ON r.t = e.s
+    )
+    SELECT s AS id, MIN(t) AS component FROM reach GROUP BY s
+    """,
+)
+def q_streaming_web_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.webgraph import (
+        web_graph_components, web_graph_sink,
+    )
+
+    topic = _stream_fixture(spark, sf_dir, "docs")
+    deepest = max(topic.snapshot().values())  # two epochs at every sf
+    pages = (
+        topic.read_stream(batch_size=(deepest + 1) // 2)
+        .select(
+            F.get_json_object("metadata", "$.doc_id").cast("long").alias(
+                "doc_id"
+            )
+        )
+        .select(F.col("doc_id").alias("id"), *(
+            c.alias(n)
+            for c, n in zip(_synth_link_page(), ("url", "html"))
+        ))
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-webgraph-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            pages.writeStream.foreachBatch(web_graph_sink(store))
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        if not topic.await_completion(q, timeout=300):
+            q.stop()
+            raise RuntimeError("streaming_web_components did not drain")
+        return web_graph_components(spark, store)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
 # Domain blocklist (webtext.domain_blocklist_filter): suffix-at-label-
 # boundary matching — a blocked example.co.uk catches every subdomain
 # but never a substring host. URLs from the _SYNTH_URL family, so a

@@ -2308,3 +2308,110 @@ class TestStreamingLineStore:
     def test_empty_store_removes_nothing(self, spark, tmp_path):
         r = self._filtered(spark, str(tmp_path / "none"))
         assert r["n_kept"] == r["n_lines"] == 3
+
+
+class TestStreamingWebGraph:
+    """streaming/webgraph.py: incremental link-graph accumulation —
+    edges are idempotent facts (set semantics), merge = distinct
+    union, components over the accumulated graph run the crawl-scale
+    alternating algorithm."""
+
+    def _page(self, i, *targets):
+        html = "".join(f'<a href="{t}">x</a>' for t in targets)
+        return (i, f"http://s{i}.ex.com/", html)
+
+    def _epochs(self, spark, path):
+        from mofka_spark.streaming.webgraph import web_graph_sink
+
+        sink = web_graph_sink(path)
+        schema = "id long, url string, html string"
+        # epoch 0: chain s0 -> s1 -> s2 (one edge repeated as a
+        # tracking variant: must dedup within the epoch)
+        sink(spark.createDataFrame([
+            self._page(0, "http://s1.ex.com/", "http://s1.ex.com/?utm_source=x"),
+            self._page(1, "http://s2.ex.com/"),
+        ], schema), 0)
+        # epoch 1: s3 -> s4 (separate component) and a REPEAT of the
+        # s0 -> s1 edge from another page's perspective (cross-epoch dedup)
+        sink(spark.createDataFrame([
+            self._page(3, "http://s4.ex.com/"),
+            self._page(5, "http://s1.ex.com/"),
+        ], schema), 1)
+        return sink
+
+    def test_edges_accumulate_and_dedup(self, spark, tmp_path):
+        from mofka_spark.streaming.webgraph import read_web_graph
+
+        path = str(tmp_path / "wg")
+        self._epochs(spark, path)
+        edges = {(r["src"], r["dst"]) for r in read_web_graph(spark, path).collect()}
+        assert edges == {
+            ("http://s0.ex.com", "http://s1.ex.com"),
+            ("http://s1.ex.com", "http://s2.ex.com"),
+            ("http://s3.ex.com", "http://s4.ex.com"),
+            ("http://s5.ex.com", "http://s1.ex.com"),
+        }
+
+    def test_components_span_epochs(self, spark, tmp_path):
+        from mofka_spark.streaming.webgraph import web_graph_components
+
+        path = str(tmp_path / "wg")
+        self._epochs(spark, path)
+        comp = {
+            r["id"]: r["component"]
+            for r in web_graph_components(spark, path).collect()
+        }
+        # chain + the epoch-1 attachment are ONE component (min URL =
+        # s0); s3/s4 are their own
+        big = {k for k, v in comp.items() if v == "http://s0.ex.com"}
+        assert big == {
+            "http://s0.ex.com", "http://s1.ex.com",
+            "http://s2.ex.com", "http://s5.ex.com",
+        }
+        assert comp["http://s3.ex.com"] == comp["http://s4.ex.com"] == "http://s3.ex.com"
+
+    def test_replay_and_compaction_invisible(self, spark, tmp_path):
+        from mofka_spark.streaming.webgraph import (
+            compact_web_graph, web_graph_components,
+        )
+
+        path = str(tmp_path / "wg")
+        sink = self._epochs(spark, path)
+
+        def result():
+            return sorted(
+                map(tuple, web_graph_components(spark, path).collect())
+            )
+
+        before = result()
+        sink(spark.createDataFrame([
+            self._page(3, "http://s4.ex.com/"),
+            self._page(5, "http://s1.ex.com/"),
+        ], "id long, url string, html string"), 1)  # replay epoch 1
+        assert result() == before
+        compact_web_graph(spark, path)
+        assert result() == before
+        assert set(
+            spark.read.parquet(path).select("_epoch").distinct().toPandas()["_epoch"]
+        ) == {-1}
+
+    def test_time_travel_reads_prefix(self, spark, tmp_path):
+        from mofka_spark.streaming.webgraph import read_web_graph
+
+        path = str(tmp_path / "wg")
+        self._epochs(spark, path)
+        e0 = {(r["src"], r["dst"])
+              for r in read_web_graph(spark, path, as_of_epoch=0).collect()}
+        assert e0 == {
+            ("http://s0.ex.com", "http://s1.ex.com"),
+            ("http://s1.ex.com", "http://s2.ex.com"),
+        }
+
+    def test_empty_store_empty_graph(self, spark, tmp_path):
+        from mofka_spark.streaming.webgraph import (
+            read_web_graph, web_graph_components,
+        )
+
+        path = str(tmp_path / "none")
+        assert read_web_graph(spark, path).count() == 0
+        assert web_graph_components(spark, path).count() == 0
