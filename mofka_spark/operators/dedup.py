@@ -481,6 +481,7 @@ def minhash_lsh_dedup(
     ngram_n: int = 3,
     bucket_cap: int | None = 10000,
     transitive: bool = False,
+    components_method: str = "propagation",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates (+ optional exact Jaccard
     verify) -> connected keeper assignment.
@@ -488,10 +489,15 @@ def minhash_lsh_dedup(
     Keeper assignment: duplicate edges (a<b) reduce to keeper = min
     neighbor via one aggregation (single-hop union-find; transitive
     chains at depth > 1 are rare at sensible thresholds).
-    ``transitive=True`` runs full min-label propagation instead
-    (operators.graph.assign_keepers, one shuffle per round, converges
-    in ~graph diameter rounds) so chains A~B~C collapse to one keeper
-    even when A-C is not itself an edge."""
+    ``transitive=True`` runs full connected components instead
+    (operators.graph.assign_keepers) so chains A~B~C collapse to one
+    keeper even when A-C is not itself an edge. ``components_method``
+    picks the component scheme for that path: "propagation" (default
+    — min-label, rounds = cluster diameter, right for the shallow
+    clusters near-dup thresholds produce) or "alternating"
+    (large-star/small-star, O(log n) rounds — right when duplicate
+    CHAINS run deep, e.g. boilerplate series or template families
+    where A~B~C~...~Z links hundreds of docs pairwise)."""
     cand = minhash_lsh_candidates(
         df,
         id_col,
@@ -509,7 +515,7 @@ def minhash_lsh_dedup(
     if transitive:
         from mofka_spark.operators.graph import assign_keepers
 
-        return assign_keepers(df, cand, id_col)
+        return assign_keepers(df, cand, id_col, method=components_method)
     keepers = cand.groupBy("id_b").agg(F.min("id_a").alias("keeper_id"))
     return (
         df.select(F.col(id_col).alias("id"))

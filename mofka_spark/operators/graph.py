@@ -216,11 +216,13 @@ def assign_keepers(
     id_col: str = "doc_id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    method: str = "propagation",
 ) -> DataFrame:
     """Transitive keeper assignment: every doc in a connected duplicate
     cluster maps to the cluster's min id. Returns
-    (id, keeper_id, is_duplicate) over ALL docs in ``df``."""
-    comp = connected_components(edges, src_col, dst_col)
+    (id, keeper_id, is_duplicate) over ALL docs in ``df``. ``method``
+    as in :func:`connected_components`."""
+    comp = connected_components(edges, src_col, dst_col, method=method)
     return (
         df.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")

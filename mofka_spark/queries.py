@@ -4411,10 +4411,11 @@ def q_hopping_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
-    """Unrolled power-iteration PageRank over the exact Jaccard-pair
-    graph: r_{k+1} = (1-d)/N + d * sum(in r_k/deg). Float literals and
-    op order mirror operators/graph.pagerank exactly."""
+def _pagerank_steps(iters: int, d: float) -> str:
+    """The unrolled r_{k+1} = (1-d)/N + d * sum(in r_k/deg) CTE chain —
+    shared by every pagerank oracle; the caller supplies the graph
+    prelude (CTEs sym/ids/nn/deg/r0). Float literals and op order
+    mirror operators/graph.pagerank exactly."""
     steps = ""
     for k in range(1, iters + 1):
         steps += f"""
@@ -4429,6 +4430,13 @@ def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
         JOIN deg dg ON dg.src = s.src
         GROUP BY s.dst) infl ON infl.id = i.id
     )"""
+    return steps
+
+
+def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank over the exact Jaccard-pair
+    graph (see _pagerank_steps)."""
+    steps = _pagerank_steps(iters, d)
     return (
         _ORACLE_TOKS
         + r"""
@@ -10486,6 +10494,100 @@ def q_streaming_web_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise RuntimeError("streaming_web_components did not drain")
         return web_graph_components(spark, store)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+# PageRank over the ACCUMULATED crawl graph (store consumer #2): the
+# same webgraph store feeds graph.pagerank on string node ids — the
+# centrality signal a curation pipeline reads off the live crawl.
+# Oracle: the replayed extraction/canonicalization CTE + the shared
+# unrolled power-iteration chain (_pagerank_steps), nodes = distinct
+# edge endpoints.
+@query(
+    "streaming_web_pagerank",
+    rf"""
+    WITH pages AS (
+      SELECT {_PAGE_URL_SQL} AS src, {_LINK_HTML_SQL} AS html
+      FROM documents WHERE text IS NOT NULL AND doc_id < 1000
+    ),
+    hrefs AS (
+      SELECT src, unnest(regexp_extract_all(html,
+        '(?is)<a\b[^>]*\bhref\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>', 1)) AS url
+      FROM pages
+      UNION ALL
+      SELECT src, unnest(regexp_extract_all(html,
+        '(?is)<a\b[^>]*\bhref\s*=\s*''([^'']*)''[^>]*>(.*?)</a\s*>', 1)) AS url
+      FROM pages
+    ),
+    d AS (
+      SELECT src AS id, url FROM hrefs
+      WHERE regexp_matches(url, '(?i)^https?://')
+    ),
+    {_URL_CANON_CTE_SQL},
+    e0 AS (
+      SELECT DISTINCT id AS src, canon_url AS dst
+      FROM u WHERE id <> canon_url
+    ),
+    sym AS (
+      SELECT src, dst FROM e0
+      UNION
+      SELECT dst AS src, src AS dst FROM e0
+    ),
+    ids AS (
+      SELECT DISTINCT src AS id FROM sym
+    ),
+    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM ids),
+    deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+    r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS r FROM ids)
+    {_pagerank_steps(3, 0.85)}
+    SELECT id, ROUND(r, 6) AS rank FROM r3
+    """,
+)
+def q_streaming_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.operators.graph import pagerank
+    from mofka_spark.streaming.webgraph import read_web_graph, web_graph_sink
+
+    topic = _stream_fixture(spark, sf_dir, "docs")
+    deepest = max(topic.snapshot().values())  # two epochs at every sf
+    pages = (
+        topic.read_stream(batch_size=(deepest + 1) // 2)
+        .select(
+            F.get_json_object("metadata", "$.doc_id").cast("long").alias(
+                "doc_id"
+            )
+        )
+        .select(F.col("doc_id").alias("id"), *(
+            c.alias(n)
+            for c, n in zip(_synth_link_page(), ("url", "html"))
+        ))
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-webpr-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            pages.writeStream.foreachBatch(web_graph_sink(store))
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        if not topic.await_completion(q, timeout=300):
+            q.stop()
+            raise RuntimeError("streaming_web_pagerank did not drain")
+        edges = read_web_graph(spark, store)
+        nodes = edges.select(F.col("src").alias("id")).union(
+            edges.select(F.col("dst").alias("id"))
+        ).distinct()
+        return pagerank(
+            nodes, edges, src_col="src", dst_col="dst", iters=3
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 

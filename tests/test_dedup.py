@@ -259,6 +259,26 @@ class TestTransitiveKeeperPipeline:
         assert m[3] == (3, False)
 
 
+class TestComponentsMethodPassthrough:
+    def test_minhash_dedup_alternating_equals_propagation(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again " * 4
+        rows = [
+            (0, base),
+            (1, base + "tail one"),
+            (2, base + "tail one two"),
+            (3, "completely different text about spark engines " * 6),
+        ]
+        docs = _docs(spark, rows)
+        prop = sorted(map(tuple, dedup.minhash_lsh_dedup(
+            docs, verify_threshold=0.5, transitive=True
+        ).collect()))
+        alt = sorted(map(tuple, dedup.minhash_lsh_dedup(
+            docs, verify_threshold=0.5, transitive=True,
+            components_method="alternating",
+        ).collect()))
+        assert prop == alt
+
+
 class TestPagerank:
     def test_star_graph_ordering(self, spark):
         from mofka_spark.operators.graph import pagerank
