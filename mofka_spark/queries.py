@@ -4352,6 +4352,61 @@ def q_streaming_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_audit(spark, store, rules)
 
 
+# Multi-dimensional layout clustering (operators/layout.py
+# optimize_layout with equi-depth Z-order): rewrite events clustered
+# on (user_id, value), then answer a two-dimensional range query off
+# the rewritten table. The oracle answers the same query off the RAW
+# table (a layout change must be invisible to answers) and expects
+# TRUE for two footer-measured skipping certificates — row-group
+# pruning on EACH dimension must exceed its floor, which is the whole
+# point of the layout at 100 TB (the lsh_recall assert-as-boolean
+# discipline).
+@query(
+    "zorder_pruning",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           0.0 + ROUND(SUM(value), 2) AS sum_value,
+           TRUE AS user_pruned, TRUE AS value_pruned
+    FROM events
+    WHERE user_id <= (SELECT CAST(FLOOR(MAX(user_id) / 10) AS BIGINT)
+                      FROM events)
+      AND value BETWEEN 50.0 AND 99.0
+    GROUP BY event_type
+    """,
+)
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.operators.layout import optimize_layout, pruning_ratio
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    umax = ev.agg(F.max("user_id")).collect()[0][0]  # bounded scalar
+    uhi = umax // 10
+    zpath = os.path.join(tempfile.mkdtemp(prefix="mofka-zorder-"), "z")
+    optimize_layout(
+        ev, zpath, ["user_id", "value"], num_files=16, zorder=True,
+        zorder_bits=12,
+    )
+    up = pruning_ratio(zpath, "user_id", 0, uhi)
+    vp = pruning_ratio(zpath, "value", 50.0, 99.0)
+    back = spark.read.parquet(zpath)
+    return (
+        back.filter(
+            (F.col("user_id") <= uhi) & F.col("value").between(50.0, 99.0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+        )
+        .withColumn("user_pruned", F.lit(bool(up > 0.4)))
+        .withColumn("value_pruned", F.lit(bool(vp > 0.3)))
+    )
+
+
 # CUBE grouping sets (completes §2.7's grouping-set row next to the
 # ROLLUP gate): all four aggregation levels in one pass.
 @query(

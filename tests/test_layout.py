@@ -45,8 +45,11 @@ class TestOptimizeLayout:
         )
         zpath = str(tmp_path / "zorder")
         spath = str(tmp_path / "sorted")
+        # dims here are pre-scaled into the full 10-bit range, so this
+        # exercises the RAW interleave path (zorder_scale=False); the
+        # auto-scale path has its own test below
         layout.optimize_layout(ev, zpath, ["u", "e"], num_files=8, zorder=True,
-                               zorder_bits=10)
+                               zorder_bits=10, zorder_scale=False)
         layout.optimize_layout(ev, spath, ["u", "e"], num_files=8)
 
         # lexicographic (u, e) clustering serves u but leaves e
@@ -57,6 +60,35 @@ class TestOptimizeLayout:
         assert z_u > 0.4
         assert z_e > 0.4
         assert z_e > s_e
+
+    def test_zorder_autoscale_unequal_skewed_dims(self, spark, tmp_path):
+        # the realistic case the raw interleave fails on: one wide dim
+        # (0..1499) against one narrow skewed dim (value^2 shape) —
+        # equi-depth scaling must give BOTH dims usable skipping
+        ev = (
+            _t(spark, SF, "events")
+            .select(
+                "event_id",
+                ((F.col("event_id") * 7) % 1500).alias("wide"),
+                (((F.col("event_id") * 13 + 5) % 100) ** 2 / 100.0).alias(
+                    "skewed"
+                ),
+            )
+        )
+        zpath = str(tmp_path / "zauto")
+        layout.optimize_layout(
+            ev, zpath, ["wide", "skewed"], num_files=8, zorder=True,
+            zorder_bits=12,
+        )
+        z_w = layout.pruning_ratio(zpath, "wide", 0, 149)   # 10% slice
+        # skewed mass concentrates low: [0, 9] holds ~1/3 of rows
+        z_s = layout.pruning_ratio(zpath, "skewed", 0.0, 9.0)
+        assert z_w > 0.3
+        assert z_s > 0.3
+        # layout change only: row set identical
+        a = spark.read.parquet(zpath).orderBy("event_id").collect()
+        b = ev.orderBy("event_id").collect()
+        assert a == b
 
     def test_zorder_key_interleave(self, spark):
         df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
