@@ -545,6 +545,39 @@ def cmd_benchmark_run(args) -> int:
     return 0
 
 
+def cmd_layout_optimize(args) -> int:
+    """Clustered rewrite of a parquet table for scan pruning
+    (operators/layout.py optimize_layout): range-clustering on the
+    given columns, or equi-depth Z-order for multi-dimensional
+    predicates. Topic LOGS are excluded by design — their contract is
+    offset order (fetch_rows prunes on offset ranges); layout applies
+    to the derived analytic tables built from them."""
+    from mofka_spark.operators.layout import optimize_layout, pruning_ratio
+    from mofka_spark.session import get_spark
+
+    cols = [c.strip() for c in args.cluster_by.split(",") if c.strip()]
+    if not cols:
+        raise SystemExit("--cluster-by needs at least one column")
+    spark = get_spark(app_name="mofka-layout")
+    df = spark.read.parquet(args.src)
+    optimize_layout(
+        df, args.dst, cols, num_files=args.num_files,
+        zorder=args.zorder, zorder_bits=args.zorder_bits,
+    )
+    out = {"src": args.src, "dst": args.dst, "cluster_by": cols,
+           "zorder": bool(args.zorder), "num_files": args.num_files}
+    if args.probe:
+        # optional skipping probe: report the fraction of rows footer
+        # stats alone can skip for a mid-range slice of each column
+        probes = {}
+        for c in cols:
+            lo, hi = df.stat.approxQuantile(c, [0.45, 0.55], 0.01)
+            probes[c] = round(pruning_ratio(args.dst, c, lo, hi), 3)
+        out["pruning_ratio_10pct_slice"] = probes
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def cmd_corpus_report(args) -> int:
     """One-shot corpus health report over a parquet documents table:
     tokenizer fertility, n-gram diversity, and the Zipf fit per
@@ -719,6 +752,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--num-events", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_benchmark_run)
+
+    lay = sub.add_parser(
+        "layout", help="Clustered rewrites of derived parquet tables"
+    ).add_subparsers(dest="cmd", required=True)
+    p = lay.add_parser(
+        "optimize",
+        help="Range- or Z-order-cluster a parquet table for scan pruning",
+    )
+    p.add_argument("src", help="Source parquet path")
+    p.add_argument("dst", help="Destination parquet path")
+    p.add_argument(
+        "-c", "--cluster-by", required=True,
+        help="Comma list of cluster columns (numeric for --zorder)",
+    )
+    p.add_argument("-n", "--num-files", type=int, default=8)
+    p.add_argument(
+        "-z", "--zorder", action="store_true",
+        help="Equi-depth Z-order across ALL cluster columns (default: "
+        "lexicographic range clustering)",
+    )
+    p.add_argument("--zorder-bits", type=int, default=12)
+    p.add_argument(
+        "--probe", action="store_true",
+        help="Also report footer-measured pruning for a 10%% mid-range "
+        "slice of each cluster column",
+    )
+    p.set_defaults(fn=cmd_layout_optimize)
 
     eng = sub.add_parser(
         "engine-config",

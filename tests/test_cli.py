@@ -318,3 +318,34 @@ class TestCorpusReport:
         df.write.parquet(path)
         rc, _ = run("corpus", "report", path, "-m", "nope")
         assert rc == 2
+
+
+class TestLayoutCli:
+    def test_layout_optimize_zorder(self, spark, tmp_path, sf_dir):
+        # spark fixture keeps the CLI's get_spark() on the test session
+        dst = str(tmp_path / "zout")
+        rc, out = run(
+            "layout", "optimize", f"{sf_dir}/events.parquet", dst,
+            "-c", "user_id,value", "-z", "--probe", "-n", "8",
+        )
+        assert rc == 0
+        rep = json.loads(out)
+        assert rep["zorder"] is True and rep["cluster_by"] == ["user_id", "value"]
+        probes = rep["pruning_ratio_10pct_slice"]
+        assert set(probes) == {"user_id", "value"}
+        # rewrite is layout-only: same rows come back
+        import pyspark.sql.functions as F
+
+        a = spark.read.parquet(dst).agg(
+            F.count("*"), F.sum("event_id")
+        ).collect()
+        b = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+            F.count("*"), F.sum("event_id")
+        ).collect()
+        assert a == b
+
+    def test_layout_optimize_requires_columns(self, tmp_path):
+        import pytest
+
+        with pytest.raises(SystemExit):
+            run("layout", "optimize", "x", "y", "-c", " , ")
