@@ -1410,3 +1410,60 @@ class TestUnigramProperties:
         for w in words:
             assert _unigram_segment_word(w, logp, 3, "viterbi") == \
                 _py_unigram_segment_all(w, logp, 3)
+
+
+class TestAlternatingComponentsProperty:
+    """connected_components_alternating vs a pure-Python union-find:
+    the large-star/small-star fixed point must be EXACTLY the
+    connected components of the input, for arbitrary edge lists
+    (multi-edges, self-loops, isolated stars, long chains)."""
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 40)),
+            min_size=1, max_size=60,
+        )
+    )
+    def test_matches_union_find(self, spark, edges):
+        from mofka_spark.operators.graph import (
+            connected_components_alternating,
+        )
+
+        # reference: union-find with path compression
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        nodes = set()
+        for a, b in edges:
+            if a != b:
+                union(a, b)
+                nodes.update((a, b))
+        # min-id root per node (re-find after all unions)
+        expected = {}
+        for n in nodes:
+            r = n
+            while parent.get(r, r) != r:
+                r = parent[r]
+            # find() roots are min only if unions kept min as root —
+            # they do (parent[max] = min), but compress fully anyway
+            expected[n] = r
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components_alternating(df).collect()
+        }
+        assert got == expected
