@@ -101,6 +101,11 @@ def optimize_layout(
             key_cols = []
             for c, raw_cuts in zip(cluster_cols, all_cuts):
                 cuts = sorted(set(raw_cuts))
+                if not cuts:
+                    # all-NULL column: no quantiles — the dim carries
+                    # no clustering signal, pin its key contribution
+                    key_cols.append(F.lit(0).cast("long"))
+                    continue
                 lit_cuts = F.array(*[F.lit(float(x)) for x in cuts])
                 v = F.col(c).cast("double")
                 bucket = F.aggregate(

@@ -90,6 +90,27 @@ class TestOptimizeLayout:
         b = ev.orderBy("event_id").collect()
         assert a == b
 
+    def test_zorder_degenerate_columns_survive(self, spark, tmp_path):
+        # all-NULL and constant cluster columns carry no signal but
+        # must not break the rewrite (NULL: no quantiles at all;
+        # constant: a single cut)
+        ev = (
+            _t(spark, SF, "events")
+            .select(
+                "event_id",
+                F.lit(None).cast("double").alias("allnull"),
+                F.lit(5.0).alias("constant"),
+            )
+        )
+        zpath = str(tmp_path / "zdegen")
+        layout.optimize_layout(
+            ev, zpath, ["allnull", "constant", "event_id"], num_files=4,
+            zorder=True,
+        )
+        assert (
+            spark.read.parquet(zpath).count() == ev.count()
+        )
+
     def test_zorder_key_interleave(self, spark):
         df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
         key = df.select(layout.zorder_key(["a", "b"], bits=3).alias("k")).collect()[0].k
