@@ -528,6 +528,89 @@ def web_graph(
     )
 
 
+def url_path(url: Column) -> Column:
+    """Path component of an absolute URL (query/fragment stripped);
+    an empty path reads as ``/`` — the form robots-style path rules
+    match against."""
+    p = F.regexp_extract(F.btrim(url), _URL_PATH_RE, 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_rules_filter(
+    df: DataFrame,
+    rules: list[tuple[str, str, bool]],
+    url_col: str = "url",
+) -> DataFrame:
+    """robots.txt-style allow/disallow path rules with longest-match
+    resolution — the crawl-politeness / curation stage next to
+    :func:`domain_blocklist_filter`'s all-or-nothing domain stage.
+
+    ``rules``: (domain, path_prefix, allow) triples. A rule applies
+    when the URL's host equals the domain or is a subdomain of it
+    (label-boundary, ``www.``-normalized both sides, the blocklist
+    discipline) AND the URL's path starts with ``path_prefix``. Among
+    applicable rules the LONGEST path prefix wins; on equal length,
+    allow beats disallow (the de-facto robots.txt resolution order).
+    No applicable rule = allowed.
+
+    Adds (domain, path, rule_path, allowed); ``rule_path`` is NULL
+    where no rule applied. Callers filter on ``allowed``.
+
+    Scale shape: the ruleset folds into the plan as a literal array of
+    structs probed with array HOFs — scan-local, zero shuffles, zero
+    UDFs (a real robots corpus is bounded: one site's rules are tens
+    of lines; swap to a broadcast join past ~100k rules, the
+    blocklist_scan discipline)."""
+    host = url_domain(F.col(url_col))
+    path = url_path(F.col(url_col))
+    if not rules:
+        return (
+            df.withColumn("domain", host)
+            .withColumn("path", path)
+            .withColumn("rule_path", F.lit(None).cast("string"))
+            .withColumn("allowed", F.lit(True))
+        )
+    # dedupe + normalize entries like hosts (lowercase, one www. off)
+    norm = sorted(
+        {
+            (_strip_www(d.lower().lstrip(".")), p, bool(a))
+            for d, p, a in rules
+        }
+    )
+    rule_arr = F.array(
+        *[
+            F.struct(
+                F.lit(len(p)).cast("int").alias("plen"),
+                F.lit(a).alias("allow"),
+                F.lit(p).alias("prefix"),
+                F.lit(d).alias("dom"),
+            )
+            for d, p, a in norm
+        ]
+    )
+    applicable = F.filter(
+        rule_arr,
+        lambda r: (
+            (host == r["dom"])
+            | host.endswith(F.concat(F.lit("."), r["dom"]))
+        )
+        & path.startswith(r["prefix"]),
+    )
+    # struct ordering = field order (plen, allow, prefix): longest
+    # prefix first, allow beats disallow on ties. Two DISTINCT equal-
+    # length prefixes cannot both match one path, so the prefix field
+    # only makes the order total, never decides.
+    winner = F.array_max(applicable)
+    return (
+        df.withColumn("domain", host)
+        .withColumn("path", path)
+        .withColumn("rule_path", winner["prefix"])
+        .withColumn(
+            "allowed", F.coalesce(winner["allow"], F.lit(True))
+        )
+    )
+
+
 def _strip_www(domain: str) -> str:
     """One leading ``www.`` label off a blocklist entry — the same
     normalization :func:`url_domain` applies to hosts."""

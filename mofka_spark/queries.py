@@ -10397,6 +10397,67 @@ def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.web_graph(pages)
 
 
+# robots.txt-style allow/disallow path rules with longest-match
+# resolution (webtext.robots_rules_filter): domain-suffix matched,
+# longest path prefix wins, allow beats disallow on ties, no rule =
+# allowed. URLs from the _SYNTH_URL family: example.com fully
+# disallowed except /articles/1*, my-shop.co.uk loses /articles/2*,
+# data.org has no rules. Oracle replays host/path extraction and the
+# resolution order via a window over the joined rule set.
+@query(
+    "robots_rules",
+    rf"""
+    WITH d AS (
+      SELECT doc_id AS id, {_SYNTH_URL_SQL} AS url FROM documents
+    ),
+    h AS (
+      SELECT id,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(trim(url),
+                     '^[^:/?#]+://([^/?#]*).*$', 1)),
+               '^www\.', ''), ':[0-9]+$', '') AS domain,
+             COALESCE(NULLIF(regexp_extract(trim(url),
+                     '^[^:/?#]+://[^/?#]*([^?#]*).*$', 1), ''), '/')
+               AS path
+      FROM d
+    ),
+    r(dom, prefix, allow) AS (
+      VALUES ('example.com', '/', FALSE),
+             ('example.com', '/articles/1', TRUE),
+             ('my-shop.co.uk', '/articles/2', FALSE)
+    ),
+    m AS (
+      SELECT h.id, r.prefix, r.allow,
+             ROW_NUMBER() OVER (
+               PARTITION BY h.id
+               ORDER BY len(r.prefix) DESC, r.allow DESC, r.prefix DESC
+             ) AS rn
+      FROM h JOIN r
+        ON (h.domain = r.dom OR ends_with(h.domain, '.' || r.dom))
+       AND starts_with(h.path, r.prefix)
+    ),
+    w AS (SELECT id, prefix, allow FROM m WHERE rn = 1)
+    SELECT h.id, h.domain, h.path,
+           w.prefix AS rule_path,
+           COALESCE(w.allow, TRUE) AS allowed
+    FROM h LEFT JOIN w ON h.id = w.id
+    """,
+)
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(F.col("doc_id").alias("id"), _synth_url().alias("url"))
+    return webtext.robots_rules_filter(
+        df,
+        [
+            ("example.com", "/", False),
+            ("example.com", "/articles/1", True),
+            ("my-shop.co.uk", "/articles/2", False),
+        ],
+    ).select("id", "domain", "path", "rule_path", "allowed")
+
+
 # Crawl-graph connected components (graph.connected_components_
 # alternating — large-star/small-star, O(log n) rounds independent of
 # diameter): the web_link_graph edge set chains thousands of pages

@@ -296,3 +296,59 @@ class TestLinksAndBlocklist:
             ).collect()
         }
         assert got == {1: True, 2: True, 3: True, 4: False}
+
+
+class TestRobotsRules:
+    def _run(self, spark, rules, urls):
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "id long, url string"
+        )
+        return {
+            r["id"]: (r["rule_path"], r["allowed"])
+            for r in webtext.robots_rules_filter(df, rules).collect()
+        }
+
+    def test_longest_match_wins(self, spark):
+        rules = [
+            ("ex.com", "/", False),
+            ("ex.com", "/public", True),
+            ("ex.com", "/public/tmp", False),
+        ]
+        got = self._run(spark, rules, [
+            "http://ex.com/private/x",      # '/' disallow
+            "http://ex.com/public/doc",     # '/public' allow
+            "http://ex.com/public/tmp/y",   # '/public/tmp' disallow
+            "http://other.org/anything",    # no rule -> allowed
+        ])
+        assert got == {
+            0: ("/", False),
+            1: ("/public", True),
+            2: ("/public/tmp", False),
+            3: (None, True),
+        }
+
+    def test_allow_beats_disallow_on_equal_length(self, spark):
+        # same-length prefixes can only both match when identical —
+        # provide identical prefixes with conflicting verdicts
+        rules = [("ex.com", "/a", False), ("ex.com", "/a", True)]
+        got = self._run(spark, rules, ["http://ex.com/a/x"])
+        assert got == {0: ("/a", True)}
+
+    def test_subdomain_and_www_normalization(self, spark):
+        rules = [("www.Ex.com", "/", False)]
+        got = self._run(spark, rules, [
+            "http://ex.com/x",
+            "http://www.ex.com/y",
+            "http://sub.ex.com/z",
+            "http://notex.com/w",
+        ])
+        assert got == {
+            0: ("/", False), 1: ("/", False), 2: ("/", False),
+            3: (None, True),
+        }
+
+    def test_empty_rules_and_empty_path(self, spark):
+        got = self._run(spark, [], ["http://ex.com"])
+        assert got == {0: (None, True)}
+        got2 = self._run(spark, [("ex.com", "/", False)], ["http://ex.com"])
+        assert got2 == {0: ("/", False)}  # bare host reads as path '/'
