@@ -1467,3 +1467,73 @@ class TestAlternatingComponentsProperty:
             for r in connected_components_alternating(df).collect()
         }
         assert got == expected
+
+
+class TestRobotsRulesProperty:
+    """robots_rules_filter vs a pure-Python longest-match resolver
+    over hypothesis-drawn rule sets and URLs."""
+
+    _DOMS = ("a.com", "b.a.com", "c.org")
+    _PREFS = ("/", "/x", "/x/y", "/xz", "/y")
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        rules=st.lists(
+            st.tuples(
+                st.sampled_from(_DOMS),
+                st.sampled_from(_PREFS),
+                st.booleans(),
+            ),
+            min_size=0, max_size=8,
+        ),
+        paths=st.lists(st.sampled_from(
+            ("/", "/x", "/x/y/z", "/xz/1", "/y/", "/other")
+        ), min_size=1, max_size=6),
+        hosts=st.lists(st.sampled_from(
+            ("a.com", "www.a.com", "sub.b.a.com", "c.org", "zc.org")
+        ), min_size=1, max_size=6),
+    )
+    def test_matches_python_resolver(self, spark, rules, paths, hosts):
+        from mofka_spark.operators.webtext import robots_rules_filter
+
+        urls = [
+            f"http://{h}{p}"
+            for h, p in zip(hosts, paths * ((len(hosts) // len(paths)) + 1))
+        ]
+
+        def strip_www(d):
+            return d[4:] if d.startswith("www.") else d
+
+        def resolve(host, path):
+            host = strip_www(host)
+            cand = [
+                (len(p), a, p)
+                for d, p, a in {
+                    (strip_www(rd.lower()), rp, ra) for rd, rp, ra in rules
+                }
+                if (host == d or host.endswith("." + d))
+                and path.startswith(p)
+            ]
+            if not cand:
+                return (None, True)
+            ln, a, p = max(cand)
+            return (p, a)
+
+        expected = {
+            i: resolve(h, p)
+            for i, (h, p) in enumerate(
+                (u.split("://", 1)[1].split("/", 1)[0],
+                 "/" + (u.split("://", 1)[1].split("/", 1)[1]
+                        if "/" in u.split("://", 1)[1] else ""))
+                for u in urls
+            )
+        }
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "id long, url string"
+        )
+        got = {
+            r["id"]: (r["rule_path"], r["allowed"])
+            for r in robots_rules_filter(df, list(rules)).collect()
+        }
+        assert got == expected
