@@ -146,6 +146,7 @@ def main() -> None:
     # fixture (edges + components parquet) if any selected query
     # consumes it, so fixture construction lands here (untimed), not
     # in a consumer gate's first run.
+    fixture_sec = 0.0
     try:
         from mofka_spark.operators import dedup as _dedup
 
@@ -159,7 +160,13 @@ def main() -> None:
             "cluster_safe_split",
         }
         if _fixture_users & set(names):
+            # timed separately into bench_detail: the consumer gates'
+            # recorded numbers exclude this pipeline cost by design
+            # (methodology change in r12 — see SCALING.md "Shared
+            # near-dup fixture"), so the cost itself must stay visible
+            t_fix = time.time()
             q._neardup_fixture(spark, sf_dir, "components").count()
+            fixture_sec = round(time.time() - t_fix, 3)
     except Exception as e:  # noqa: BLE001
         print(f"# bench lsh warmup skipped: {e}", file=sys.stderr)
     warm_sec = round(time.time() - t_warm0, 3)
@@ -243,6 +250,7 @@ def main() -> None:
         "metric": "bench_detail",
         "sf": sf,
         "warm_sec": warm_sec,
+        "neardup_fixture_sec": fixture_sec,
         "queries": runs_detail,
         "order": list(selected),
     }

@@ -154,6 +154,57 @@ def cmd_topic_compact(args) -> int:
     return 0
 
 
+def cmd_topic_trim(args) -> int:
+    """Retention/expiry (EventLog.trim): retire events below an offset
+    or ingest-timestamp cut — atomic floor commit, whole-file deletion,
+    consumer-cursor fencing. Pure pyarrow, no SparkSession. Exactly one
+    of --before-offset / --before-ts / --retention-ms / --retention
+    (honor the topic's persisted Kafka retention.ms config)."""
+    import datetime
+
+    from mofka_spark.log import EventLog
+
+    chosen = [
+        x for x in (
+            args.before_offset, args.before_ts, args.retention_ms,
+            True if args.retention else None,
+        ) if x is not None
+    ]
+    if len(chosen) != 1:
+        raise SystemExit(
+            "exactly one of --before-offset / --before-ts / "
+            "--retention-ms / --retention"
+        )
+    reg = _registry(args)
+    cfg = reg.open_topic(args.name)
+    log = EventLog(None, reg.topic_path(args.name), args.name)
+    before_offset, before_ts = args.before_offset, args.before_ts
+    ms = args.retention_ms
+    if args.retention:
+        ms = (
+            ((cfg.extra or {}).get("kafka") or {}).get("config") or {}
+        ).get("retention.ms")
+        if ms is None:
+            raise SystemExit(
+                f"topic {args.name!r} has no retention.ms config"
+            )
+    if ms is not None:
+        before_ts = datetime.datetime.now(
+            datetime.timezone.utc
+        ) - datetime.timedelta(milliseconds=int(ms))
+    parts = (
+        [int(x) for x in args.partitions.split(",")]
+        if args.partitions
+        else None
+    )
+    floors = log.trim(
+        before_offset=before_offset, before_ts=before_ts,
+        partitions=parts, force=args.force,
+    )
+    print(json.dumps({str(p): f for p, f in floors.items()}, sort_keys=True))
+    return 0
+
+
 _STORE_KINDS = (
     "neardup", "textindex", "annindex", "heavyhitters", "moments",
     "monitor", "distinct", "quantiles", "rollup", "bloom", "sample",
@@ -571,7 +622,11 @@ def cmd_layout_optimize(args) -> int:
         # stats alone can skip for a mid-range slice of each column
         probes = {}
         for c in cols:
-            lo, hi = df.stat.approxQuantile(c, [0.45, 0.55], 0.01)
+            qs = df.stat.approxQuantile(c, [0.45, 0.55], 0.01)
+            if len(qs) < 2:  # all-NULL column: approxQuantile -> []
+                probes[c] = None
+                continue
+            lo, hi = qs
             probes[c] = round(pruning_ratio(args.dst, c, lo, hi), 3)
         out["pruning_ratio_10pct_slice"] = probes
     print(json.dumps(out, sort_keys=True))
@@ -661,6 +716,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-files", type=int, default=8)
     p.add_argument("--target-mb", type=int, default=512)
     p.set_defaults(fn=cmd_topic_compact)
+
+    p = topic.add_parser(
+        "trim", help="Retention: retire events below an offset/time cut"
+    )
+    _std(p)
+    p.add_argument("--before-offset", type=int, default=None)
+    p.add_argument(
+        "--before-ts", default=None,
+        help="ISO-8601 cut; events with older ingest_ts are retired",
+    )
+    p.add_argument(
+        "--retention-ms", type=int, default=None,
+        help="Cut = now - RETENTION_MS",
+    )
+    p.add_argument(
+        "--retention", action="store_true",
+        help="Honor the topic's persisted Kafka retention.ms config",
+    )
+    p.add_argument(
+        "--partitions", default=None, help="Comma list (default: all)"
+    )
+    p.add_argument(
+        "--force", action="store_true",
+        help="Trim past registered consumer cursors (they resume at the floor)",
+    )
+    p.set_defaults(fn=cmd_topic_trim)
 
     store = sub.add_parser(
         "store", help="Incremental summary-store maintenance"

@@ -323,6 +323,42 @@ class TopicHandle:
         run while no producer is active."""
         return self.log.compact_files(min_files=min_files, target_mb=target_mb)
 
+    def trim(
+        self,
+        before_offset: int | None = None,
+        before_ts=None,
+        partitions: list[int] | None = None,
+        force: bool = False,
+    ) -> dict[int, int]:
+        """Retention/expiry: retire events below a cut (offset or
+        ingest timestamp) per partition — see EventLog.trim for the
+        exact semantics (atomic floor commit, whole-file deletion,
+        consumer-cursor fencing, crash safety). Returns
+        {partition: trim_floor}."""
+        return self.log.trim(
+            before_offset=before_offset,
+            before_ts=before_ts,
+            partitions=partitions,
+            force=force,
+        )
+
+    def apply_retention(self, now=None, force: bool = False) -> dict[int, int]:
+        """Honor the topic's ``retention.ms`` config (Kafka facade):
+        trim everything whose ingest_ts is older than now -
+        retention.ms. No-op ({}) when the topic has no retention
+        config. ``now`` defaults to the current UTC time (injectable
+        for tests)."""
+        import datetime
+
+        cfg = ((self._cfg.extra or {}).get("kafka") or {}).get("config") or {}
+        ms = cfg.get("retention.ms")
+        if ms is None:
+            return {}
+        if now is None:
+            now = datetime.datetime.now(datetime.timezone.utc)
+        cut = now - datetime.timedelta(milliseconds=int(ms))
+        return self.log.trim(before_ts=cut, force=force)
+
     def mark_as_complete(self) -> None:
         self.driver.registry.mark_as_complete(self.name)
 
@@ -565,10 +601,17 @@ class Producer:
             self._sender = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="mofka-producer-send"
             )
-        while len(self._inflight) >= max(1, int(self.max_num_batches or 1)):
-            # oldest first: the single worker completes in FIFO order.
-            # .result() re-raises a failed batch write in the caller.
-            self._inflight.popleft().result()
+        try:
+            while len(self._inflight) >= max(1, int(self.max_num_batches or 1)):
+                # oldest first: the single worker completes in FIFO order.
+                # .result() re-raises a failed batch write in the caller.
+                self._inflight.popleft().result()
+        except BaseException:
+            # The current batch was already detached from self._buffer;
+            # re-attach it so its events are not silently dropped and a
+            # caller that handles the error can retry or flush() them.
+            self._buffer = batch + self._buffer
+            raise
         self._inflight.append(self._sender.submit(self._write_batch, batch))
 
     def _write_batch(self, batch) -> None:

@@ -160,6 +160,18 @@ def _lacks_parquet_footer(path: str) -> bool:
         # torn footer — do not quarantine.
         return False
 
+def _ts_to_utc(ts):
+    """Normalize a parquet footer-stat timestamp to tz-aware UTC.
+    pyarrow returns tz-aware datetimes for tz-annotated columns and
+    naive ones otherwise; the log writes TIMESTAMP_MICROS UTC either
+    way, so a naive value IS utc."""
+    import datetime
+
+    if isinstance(ts, datetime.datetime) and ts.tzinfo is None:
+        return ts.replace(tzinfo=datetime.timezone.utc)
+    return ts
+
+
 # The canonical events schema (FIXTURES.md F1).
 EVENT_SCHEMA = T.StructType(
     [
@@ -247,7 +259,12 @@ class EventLog:
         self.write_cache = WriteCache.from_config(write_cache)
 
     # -- ledger ------------------------------------------------------------
-    # On-disk format v4: {"offsets": {partition: readable-head},
+    # On-disk format v5 adds "trim": {partition: trim-floor} — offsets
+    # BELOW the floor are retired (retention/expiry): whole files under
+    # the floor are deleted, straddling files keep their rows on disk
+    # but every reader filters offset >= floor, so the readable log is
+    # exactly [floor, head) per partition. v4 and below:
+    # {"offsets": {partition: readable-head},
     # "reserved": {partition: next-reservable}, "inflight":
     # {partition: [[start, end), ...] reserved-but-uncommitted ranges},
     # "pending": {partition: [[start, end), ...] committed ranges stuck
@@ -281,10 +298,11 @@ class EventLog:
                     k: [list(r) for r in v]
                     for k, v in doc.get("pending", {}).items()
                 },
+                "trim": dict(doc.get("trim", {})),
             }
         return {
             "offsets": dict(doc), "txns": {}, "reserved": {},
-            "inflight": {}, "pending": {},
+            "inflight": {}, "pending": {}, "trim": {},
         }
 
     def _read_ledger_full(self) -> dict:
@@ -294,7 +312,7 @@ class EventLog:
         except FileNotFoundError:
             return {
                 "offsets": {}, "txns": {}, "reserved": {},
-                "inflight": {}, "pending": {},
+                "inflight": {}, "pending": {}, "trim": {},
             }
 
     @staticmethod
@@ -459,6 +477,16 @@ class EventLog:
             if offsets.get(str(p), 0) < target:
                 offsets[str(p)] = target
                 dirty = True
+        # the write head can never sit below a trim floor: a partition
+        # whose every file was deleted by trim must restart appends AT
+        # the floor, keeping offsets dense above it (never reusing
+        # retired offsets)
+        for key, floor in full.get("trim", {}).items():
+            if self.scope is not None and int(key) not in self.scope:
+                continue
+            if offsets.get(key, 0) < int(floor):
+                offsets[key] = int(floor)
+                dirty = True
         if dirty:
             self._write_ledger_full(full)
 
@@ -487,6 +515,13 @@ class EventLog:
             else:
                 ledger = {}
             full = self._read_ledger_full()
+            # a fully-trimmed partition has no rows to scan, but its
+            # next offset is still the trim floor (offsets above a trim
+            # stay dense; retired offsets are never reused)
+            for key, floor in full.get("trim", {}).items():
+                if self.scope is not None and int(key) not in self.scope:
+                    continue
+                ledger[key] = max(int(ledger.get(key, 0)), int(floor))
             if self.scope is None:
                 full["offsets"] = ledger
                 # Explicit recovery reclaims reserved-but-never-written
@@ -808,6 +843,189 @@ class EventLog:
                 )
         return out
 
+    # -- retention / trim ----------------------------------------------------
+    def trim_floors(self) -> dict[int, int]:
+        """Per-partition trim floor (0 = never trimmed): the readable
+        log is exactly offsets [floor, head)."""
+        return {
+            int(k): int(v)
+            for k, v in self._read_ledger_full().get("trim", {}).items()
+            if self.scope is None or int(k) in self.scope
+        }
+
+    def _file_stats(
+        self, p: int
+    ) -> list[tuple[int, int, "Any", str]]:
+        """(min_offset, max_offset, max_ingest_ts, path) per parquet
+        file of partition ``p``, sorted by min_offset. Footer-stats
+        metadata reads only — no Spark job, no row reads (the same
+        driver-side discipline as _footer_max_offsets). Files hold
+        disjoint dense offset ranges (each covers a committed range;
+        compaction merges disjoint bins), so min-offset order is also
+        offset-range order."""
+        import pyarrow.parquet as pq
+
+        pdir = os.path.join(self.data_path, f"partition={p}")
+        out = []
+        if not os.path.isdir(pdir):
+            return out
+        for fn in os.listdir(pdir):
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(pdir, fn)
+            md = pq.ParquetFile(path).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            lo = hi = None
+            max_ts = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx["offset"]).statistics
+                if s is not None and s.has_min_max:
+                    lo = int(s.min) if lo is None else min(lo, int(s.min))
+                    hi = int(s.max) if hi is None else max(hi, int(s.max))
+                ts = md.row_group(rg).column(idx["ingest_ts"]).statistics
+                if ts is not None and ts.has_min_max:
+                    t = ts.max
+                    max_ts = t if max_ts is None else max(max_ts, t)
+            if lo is not None:
+                out.append((lo, hi, max_ts, path))
+        out.sort()
+        return out
+
+    def _cursor_fence(
+        self, floors: dict[int, int], force: bool
+    ) -> None:
+        """Refuse a trim that would destroy UNREAD events: for every
+        registered consumer, the cursor (next offset to read) must be
+        at or above the requested floor. ``force=True`` overrides —
+        the fenced consumers simply resume at the floor."""
+        if force or not os.path.isdir(self.cursors_dir):
+            return
+        for fn in sorted(os.listdir(self.cursors_dir)):
+            if not fn.endswith(".json"):
+                continue
+            consumer = fn[: -len(".json")]
+            cur = self.load_cursors(consumer)
+            for p, floor in floors.items():
+                if floor > cur.get(p, 0):
+                    raise MofkaError(
+                        f"trim to offset {floor} of partition {p} would "
+                        f"destroy unread events of consumer "
+                        f"{consumer!r} (cursor {cur.get(p, 0)}); ack "
+                        f"first or pass force=True"
+                    )
+
+    def trim(
+        self,
+        before_offset: int | None = None,
+        before_ts=None,
+        partitions: list[int] | None = None,
+        force: bool = False,
+    ) -> dict[int, int]:
+        """Retention/expiry: retire all events below a cut, per
+        partition. Exactly one of:
+
+        - ``before_offset``: every selected partition's floor becomes
+          min(before_offset, readable head) — offsets below it retired.
+        - ``before_ts``: Kafka log-segment semantics (retention.ms) at
+          whole-file granularity — walk each partition's files in
+          offset order and retire the contiguous prefix whose footer
+          max(ingest_ts) < before_ts (datetime, or ISO-8601 string).
+          A file containing ANY newer row stops the walk, so the floor
+          is conservative, exactly like a Kafka segment whose last
+          record is inside the retention window.
+
+        Crash safety: the new floors commit in ONE atomic ledger rename
+        FIRST; file deletion happens after. A writer killed mid-trim
+        (SIGKILL) leaves some retired files on disk, but every reader
+        filters offset >= floor, so reads are consistent either way and
+        re-running trim (any args) completes the deletion — deletion
+        always covers files wholly below the CURRENT floor.
+
+        Offsets stay dense above the floor and retired offsets are
+        never reused (the write head never moves down; see
+        _ensure_consistent / recover_ledger).
+
+        Consumer safety: refuses to trim above any registered consumer
+        cursor unless ``force=True`` (the fenced consumer would lose
+        unread events; with force it resumes at the floor). Streaming
+        readers clamp their batch starts to the floor (source.py), so a
+        running query resumes cleanly past a trim.
+
+        Returns {partition: trim_floor} for the selected partitions
+        (including unchanged floors).
+
+        Reference note: the reference log has no retention — this is
+        beyond-reference lifecycle work (the Kafka facade's
+        ``retention.ms`` config, kafka.py, is honored through it).
+        """
+        if (before_offset is None) == (before_ts is None):
+            raise MofkaError(
+                "trim: exactly one of before_offset / before_ts"
+            )
+        cut_ts = None
+        if before_ts is not None:
+            import datetime
+
+            if isinstance(before_ts, str):
+                cut_ts = datetime.datetime.fromisoformat(before_ts)
+            else:
+                cut_ts = before_ts
+            if cut_ts.tzinfo is None:
+                cut_ts = cut_ts.replace(tzinfo=datetime.timezone.utc)
+        with self._ledger_lock():
+            self._ensure_consistent()
+            full = self._read_ledger_full()
+            trim = full.setdefault("trim", {})
+            heads = {int(k): int(v) for k, v in full["offsets"].items()}
+            parts = [
+                p
+                for p in sorted(heads)
+                if (partitions is None or p in partitions)
+                and (self.scope is None or p in self.scope)
+            ]
+            floors: dict[int, int] = {}
+            stats: dict[int, list] = {}
+            for p in parts:
+                cur = int(trim.get(str(p), 0))
+                stats[p] = self._file_stats(p)
+                if before_offset is not None:
+                    floor = max(cur, min(int(before_offset), heads[p]))
+                else:
+                    floor = cur
+                    for lo, hi, max_ts, _path in stats[p]:
+                        if lo > floor:
+                            break  # hole above the floor: stop the walk
+                        if max_ts is None or _ts_to_utc(max_ts) >= cut_ts:
+                            break
+                        floor = max(floor, hi + 1)
+                floors[p] = floor
+            self._cursor_fence(floors, force)
+            dirty = False
+            for p, floor in floors.items():
+                if floor > int(trim.get(str(p), 0)):
+                    trim[str(p)] = floor
+                    dirty = True
+            if dirty:
+                self._write_ledger_full(full)
+            # deletion AFTER the atomic floor commit: a kill anywhere
+            # here leaves reads consistent (floor filter) and the next
+            # trim call finishes the job
+            for p, floor in floors.items():
+                self._drop_below(p, floor, stats[p])
+            return floors
+
+    def _drop_below(self, p: int, floor: int, stats: list) -> None:
+        """Physically retire storage wholly below ``floor`` (called
+        under the ledger flock, floors already committed)."""
+        for _lo, hi, _ts, path in stats:
+            if hi < floor and path is not None:
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+
     # -- read path ---------------------------------------------------------
     def _has_data(self) -> bool:
         if not os.path.isdir(self.data_path):
@@ -845,6 +1063,21 @@ class EventLog:
         )
         if partitions is not None:
             df = df.filter(F.col("partition").isin(partitions))
+        # trim floors: rows below a partition's floor are retired.
+        # Whole files under the floor are already deleted; this filter
+        # hides the below-floor rows of straddling files. Written as a
+        # disjunction of per-partition (partition, offset) clauses so
+        # it reaches the parquet scan (row-group min/max pruning) —
+        # O(#trimmed-partitions) plan literals.
+        trims = self.trim_floors()
+        pred = None
+        for p, floor in sorted(trims.items()):
+            if floor <= 0:
+                continue
+            clause = (F.col("partition") == p) & (F.col("offset") < floor)
+            pred = clause if pred is None else (pred | clause)
+        if pred is not None:
+            df = df.filter(~pred)
         return df
 
     def read_range(
@@ -894,12 +1127,14 @@ class EventLog:
         loop is O(batch) per call instead of O(remaining-log).
         """
         heads = self.next_offsets()
+        floors = self.trim_floors()
         parts = [p for p in sorted(heads) if partitions is None or p in partitions]
         if not parts:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         pred = None
         for p in parts:
-            c = cursors.get(p, 0)
+            # clamp UP to the trim floor: offsets below it are retired
+            c = max(cursors.get(p, 0), floors.get(p, 0))
             # clamp to the committed readable head: rows published above
             # a still-in-flight lower reservation must stay invisible
             # until the hole fills (see _commit_range)
@@ -928,11 +1163,19 @@ class EventLog:
         STAYS distributed (dataframe(), read_range, analytics)."""
         import pyarrow.dataset as pads
 
+        # first use on a fresh post-crash handle: quarantine torn files
+        # / repair a stale ledger, same as read() — the pull path's
+        # arrow scan chokes on a killed writer's torn remnant otherwise
+        if not self._verified:
+            with self._ledger_lock():
+                self._ensure_consistent()
         heads = self.next_offsets()
+        floors = self.trim_floors()
         parts = [p for p in sorted(heads) if partitions is None or p in partitions]
         out: list[tuple[int, int, str | None, bytes | None]] = []
         for p in parts:
-            c = int(cursors.get(p, 0))
+            # clamp UP to the trim floor: offsets below it are retired
+            c = max(int(cursors.get(p, 0)), floors.get(p, 0))
             # upper bound is the committed readable head, not c+batch:
             # rows published above an in-flight lower reservation stay
             # invisible until the hole fills (see _commit_range)
@@ -1063,8 +1306,9 @@ class MemoryEventLog(EventLog):
             rows = self._store[p]
             if rows:
                 items = [(m, d) for _t, _p, _o, m, d, _ts in rows]
+                # base = the first live offset (0 unless trimmed)
                 _write_rows_parquet(
-                    self.data_path, self.topic, p, 0, items, now
+                    self.data_path, self.topic, p, rows[0][2], items, now
                 )
 
     def enable_stream_spill(self) -> None:
@@ -1100,11 +1344,33 @@ class MemoryEventLog(EventLog):
             self._spill_store()
 
     def _footer_max_offsets(self) -> dict[int, int]:
+        # last offset + 1, not len(rows): after a trim the store no
+        # longer starts at offset 0
         return {
-            p: len(rows)
+            p: rows[-1][2] + 1
             for p, rows in self._store.items()
             if rows and (self.scope is None or p in self.scope)
         }
+
+    def _file_stats(self, p: int) -> list:
+        # one pseudo-"file" per row: the memory backend has no file
+        # granularity, so before_ts trims are row-exact (path=None —
+        # physical removal happens in _drop_below on the store)
+        return [
+            (off, off, _ts_to_utc(ts), None)
+            for _t, _p, off, _m, _d, ts in self._store.get(p, [])
+        ]
+
+    def _drop_below(self, p: int, floor: int, stats: list) -> None:
+        rows = self._store.get(p)
+        if not rows:
+            return
+        kept = [r for r in rows if r[2] >= floor]
+        if len(kept) != len(rows):
+            self._store[p] = kept
+            if self._spill_enabled():
+                # the write-through spill mirrors the store
+                self._resync_spill()
 
     def _has_data(self) -> bool:
         return any(
@@ -1122,7 +1388,15 @@ class MemoryEventLog(EventLog):
             return
         self._verified = True
         full = self._read_ledger_full()
-        actual = {str(p): len(rows) for p, rows in self._store.items() if rows}
+        actual = {}
+        for p, rows in self._store.items():
+            if rows:
+                actual[str(p)] = rows[-1][2] + 1
+            elif str(p) in full.get("trim", {}):
+                # fully-trimmed LIVE partition (store key present but
+                # emptied by trim, not a process restart): the next
+                # offset is the trim floor — do not reset to 0
+                actual[str(p)] = int(full["trim"][str(p)])
         current = full["offsets"]
         if self.scope is not None:
             actual = {k: v for k, v in actual.items() if int(k) in self.scope}
@@ -1142,6 +1416,16 @@ class MemoryEventLog(EventLog):
             # them would make a replayed epoch skip itself as "already
             # committed" — permanently losing the replay's rows
             full["txns"] = {}
+            # trim floors are equally stale — the memory topic restarts
+            # empty at offset 0, like the reference's memory backend
+            if self.scope is None:
+                full["trim"] = {}
+            else:
+                full["trim"] = {
+                    k: v
+                    for k, v in full.get("trim", {}).items()
+                    if int(k) not in self.scope
+                }
             self._write_ledger_full(full)
             # spill files (write-through streaming) are equally stale
             self._resync_spill()
@@ -1233,10 +1517,12 @@ class MemoryEventLog(EventLog):
         partitions: list[int] | None = None,
     ) -> list[tuple[int, int, str | None, bytes | None]]:
         out = []
+        floors = self.trim_floors()
         for p, items in sorted(self._store.items()):
             if partitions is not None and p not in partitions:
                 continue
-            c = int(cursors.get(p, 0))
+            # clamp UP to the trim floor: offsets below it are retired
+            c = max(int(cursors.get(p, 0)), floors.get(p, 0))
             for _topic, part, off, meta, data, _ts in items:
                 if c <= off < c + batch_size:
                     out.append((part, off, meta, data))
@@ -1427,6 +1713,32 @@ class MixedEventLog(EventLog):
         out: dict[int, int] = {}
         for sub in self._subs:
             out.update(sub.recover_ledger())
+        return out
+
+    def trim(
+        self,
+        before_offset: int | None = None,
+        before_ts=None,
+        partitions: list[int] | None = None,
+        force: bool = False,
+    ) -> dict[int, int]:
+        self._refresh_scopes()
+        out: dict[int, int] = {}
+        for sub in self._subs:
+            sel = sorted(
+                sub.scope
+                if partitions is None
+                else set(partitions) & sub.scope
+            )
+            if sel:
+                out.update(
+                    sub.trim(
+                        before_offset=before_offset,
+                        before_ts=before_ts,
+                        partitions=sel,
+                        force=force,
+                    )
+                )
         return out
 
     def destroy(self) -> None:

@@ -204,6 +204,72 @@ def q_consumer_cursors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Retention/expiry (EventLog.trim, beyond-reference lifecycle — r12
+# verdict #1): build a REAL topic from the events slice (dense offsets
+# = row_number per partition in event_id order), trim below a fixed
+# offset cut, and read back. The post-trim read must equal the
+# pre-trim assignment restricted to surviving offsets — whole files
+# under the cut are deleted, straddling files' below-floor rows are
+# hidden, offsets stay dense above the floor. Oracle = the
+# ingest_offsets assignment with WHERE offset >= cut.
+@query(
+    "log_trim",
+    """
+    WITH assigned AS (
+      SELECT event_id,
+             CAST(event_id % 4 AS INTEGER) AS partition,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_id % 4
+                                     ORDER BY event_id) - 1 AS BIGINT) AS "offset"
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id, partition, "offset" FROM assigned
+    WHERE "offset" >= 300
+    """,
+)
+def q_log_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mofka_spark.client import Driver
+    from mofka_spark.log import INGEST_SCHEMA
+
+    cut = 300
+    drv = Driver(spark, tempfile.mkdtemp(prefix="mofka-trim-"))
+    topic = drv.create_topic("trim-gate", num_partitions=4)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
+            F.col("event_id").cast("long").alias("seq"),
+            F.to_json(F.struct("event_id")).alias("metadata"),
+            F.lit(None).cast("binary").alias("data"),
+        )
+    )
+    # two appends chunked by event_id RANGE: per partition the offsets
+    # continue across appends in event_id order (= the oracle's
+    # row_number assignment) and each partition holds two files
+    # covering offsets [0,250) and [250,500) — the cut at 300 exercises
+    # BOTH paths: whole-file deletion (first file) and below-floor row
+    # hiding in the straddling second file
+    for lo in (0, 1000):
+        topic.log.append_batch(
+            ev.filter(
+                (F.col("seq") >= lo) & (F.col("seq") < lo + 1000)
+            ).select(*[f.name for f in INGEST_SCHEMA.fields])
+        )
+    topic.trim(before_offset=cut)
+    return (
+        topic.dataframe()
+        .select(
+            F.get_json_object("metadata", "$.event_id")
+            .cast("long")
+            .alias("event_id"),
+            "partition",
+            "offset",
+        )
+    )
+
+
 # P4 eventbridge numeric-range pattern compiled to a pushdown-friendly
 # predicate over the props JSON column.
 @query(
@@ -10517,7 +10583,10 @@ def q_web_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint), so the pinned shuffle width covers them — the
     # gate graph is a few thousand edges and 32-wide shuffles are all
     # scheduler overhead (the _run_stream discipline; production crawl
-    # graphs keep the session default)
+    # graphs keep the session default). Only those checkpointed rounds
+    # run at the pinned width: the finally fires before the RETURNED
+    # frame's final union/groupBy executes, so that last aggregation
+    # runs at session width — accepted, it is a single small shuffle.
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:

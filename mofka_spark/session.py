@@ -52,12 +52,23 @@ def release_local_checkpoint(df) -> None:
     (verified: blocks survive). Long-lived library sessions that call
     iterative operators (unigram/BPE trainers, graph passes) need a
     deterministic release or they leak one persisted RDD per call.
-    Best-effort: any plan that is not a checkpoint result is a no-op.
+    CONTRACT: call this only when ``df`` AND every DataFrame derived
+    from it are dead. A local checkpoint truncates lineage, so once the
+    blocks are unpersisted the frame is unrecoverable — a downstream
+    reference that executes later fails with block-not-found. This
+    reaches into JVM internals (``queryExecution().analyzed().rdd()``)
+    by necessity; there is no public API for a LogicalRDD's blocks.
+    Best-effort: any plan that is not a checkpoint result is a no-op
+    (logged at debug level, never raised).
     """
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(True)
-    except Exception:  # noqa: BLE001 — not a LogicalRDD / already gone
-        pass
+    except Exception as exc:  # noqa: BLE001 — not a LogicalRDD / already gone
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "release_local_checkpoint: no-op (%s)", exc
+        )
 
 
 def get_spark(

@@ -77,6 +77,22 @@ def _read_ledger(topic_path: str) -> dict[str, int]:
     return doc
 
 
+def _read_trim(topic_path: str) -> dict[str, int]:
+    """Per-partition trim floors (retention; log.py ledger v5). Batch
+    starts clamp to the floor so a stream attached to a trimmed topic —
+    or resuming past a trim that happened while it was down — never
+    emits retired offsets (whole files under the floor are deleted;
+    straddling files still hold below-floor rows the scan would
+    otherwise return)."""
+    try:
+        with open(os.path.join(topic_path, "_ledger.json")) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        return {}
+    trim = doc.get("trim", {}) if isinstance(doc, dict) else {}
+    return {str(k): int(v) for k, v in trim.items()}
+
+
 def _arrow_scan(part: _RangePartition):
     """Executor-side: scan one partition dir for [start, end) offsets.
 
@@ -275,6 +291,9 @@ class MofkaStreamReader(DataSourceStreamReader):
         else:
             # start of the log: offset 0 for every known partition
             start = {p: 0 for p in ledger}
+        # never start below a trim floor: those offsets are retired
+        trims = _read_trim(self.topic_path)
+        start = {p: max(s, trims.get(p, 0)) for p, s in start.items()}
         # Spark calls initialOffset ONLY when the query's offset log is
         # empty — i.e. this is a FRESH query, not a restart. Reset the
         # floor to the fresh start: a floor file left behind by an
@@ -317,6 +336,11 @@ class MofkaStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         _trace(self, f"partitions start={start} end={end}")
         parts = []
+        # current trim floors: a trim may land while the query runs (or
+        # between a checkpointed stop and this restart); clamping each
+        # batch start keeps retired offsets out of the scan (straddling
+        # files still hold below-floor rows)
+        trims = _read_trim(self.topic_path)
         for p, e in end.items():
             s = int(start.get(p, 0))
             e = int(e)
@@ -339,7 +363,7 @@ class MofkaStreamReader(DataSourceStreamReader):
             # latestOffset may have announced (and Spark logged) an end
             # BELOW the committed position; the follow-up batch would
             # re-deliver committed offsets (observed: duplicate rows).
-            s = max(s, self._floor.get(p, 0))
+            s = max(s, self._floor.get(p, 0), trims.get(p, 0))
             if e > s:
                 parts.append(
                     _RangePartition(int(p), s, e, self.data_dir, self.topic)
