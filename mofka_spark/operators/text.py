@@ -1830,11 +1830,18 @@ def fuzzy_decontaminate(
     )
 
 
+#: Literal-fold ceiling for term/rule sets (see
+#: webtext.LITERAL_FOLD_MAX — same discipline): above this, the set
+#: broadcasts as a table instead of folding into the plan.
+LITERAL_FOLD_MAX = 10_000
+
+
 def blocklist_scan(
     df: DataFrame,
     terms: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_literal_entries: int = LITERAL_FOLD_MAX,
 ) -> DataFrame:
     """Term-blocklist filter signal: per-document occurrence counts of
     blocklisted tokens (the web-curation safety/NSFW wordlist stage —
@@ -1845,19 +1852,48 @@ def blocklist_scan(
     policy (drop on flagged, or threshold on n_hits/len for the C4
     fraction rule).
 
-    Scale shape: blocklists are KBs — the term set broadcasts as a
-    literal array membership probe folded inside each doc's own token
-    array: one scan, NO explode, NO shuffle except the nothing-sized
-    result of a scan-local projection. (For 100k+-term lists swap the
-    literal array for a broadcast-join on exploded tokens — same
-    result, still no corpus shuffle.)"""
-    lst = F.array(*[F.lit(t.lower()) for t in terms])
+    Scale shape, two regimes with identical results:
+
+    - ``len(terms) <= max_literal_entries``: the term set folds as a
+      literal array membership probe inside each doc's own token
+      array — one scan, NO explode, NO shuffle.
+    - larger (array_contains is a linear scan per token; a 1M-term
+      literal also blows up the plan): tokens explode scan-local into
+      a BroadcastHashJoin against the term table — the join FILTERS
+      to hit tokens only, so the groupBy(id) shuffle carries just the
+      (typically rare) hits, and the join back onto the corpus ids is
+      id-keyed narrow rows; the document text itself never shuffles.
+    """
+    uniq = sorted({t.lower() for t in terms})
     arr = _tokens(F.col(text_col))
-    hits = F.size(F.filter(arr, lambda t: F.array_contains(lst, t)))
-    return df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        hits.cast("long").alias("n_hits"),
-        (hits > 0).alias("flagged"),
+    base = df.filter(F.col(text_col).isNotNull())
+    if len(uniq) <= max_literal_entries:
+        lst = F.array(*[F.lit(t) for t in uniq])
+        hits = F.size(F.filter(arr, lambda t: F.array_contains(lst, t)))
+        return base.select(
+            F.col(id_col).alias("id"),
+            hits.cast("long").alias("n_hits"),
+            (hits > 0).alias("flagged"),
+        )
+    spark = df.sparkSession
+    tdf = F.broadcast(
+        spark.createDataFrame([(t,) for t in uniq], "_bl_term string")
+    )
+    ids = base.select(F.col(id_col).alias("id"), arr.alias("_bl_toks"))
+    hit_counts = (
+        ids.select("id", F.explode("_bl_toks").alias("_bl_tok"))
+        .join(tdf, F.col("_bl_tok") == F.col("_bl_term"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        ids.select("id")
+        .join(hit_counts, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("flagged"),
+        )
     )
 
 

@@ -536,12 +536,45 @@ def url_path(url: Column) -> Column:
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
+#: Above this many entries, rule-set operators stop folding the set
+#: into the plan as a literal array (plan size / codegen compile time
+#: blow up long before data cost matters — a production crawl
+#: blocklist is millions of domains) and switch to broadcast hash
+#: joins with identical results. Override per call via
+#: ``max_literal_entries``.
+LITERAL_FOLD_MAX = 10_000
+
+#: Struct field ORDER is the resolution order (array_max compares
+#: lexicographically): domain-match length first (a subdomain's own
+#: rule beats a parent domain's, mirroring robots.txt's per-host rule
+#: groups), then path-prefix length, then allow-beats-disallow. The
+#: prefix field only makes the order total: distinct equal-length
+#: domains cannot both suffix-match one host, and within one domain
+#: distinct equal-length prefixes cannot both match one path.
+_RULE_STRUCT = "struct<dlen:int,plen:int,allow:boolean,prefix:string>"
+
+
+def _rules_winner_cols(winner):
+    return winner["prefix"], F.coalesce(winner["allow"], F.lit(True))
+
+
+def _host_suffix(labels, n, i):
+    """The host's label-boundary suffix of exactly ``i`` labels (NULL
+    when the host has fewer) — ``a.b.c`` at i=2 is ``b.c``. Joining
+    suffix_i against entries with i labels is exactly the
+    suffix-at-label-boundary match, with an equi-join key."""
+    return F.when(
+        n >= i, F.array_join(F.slice(labels, n - F.lit(i) + 1, i), ".")
+    )
+
+
 def robots_rules_filter(
     df: DataFrame,
     rules: list[tuple[str, str, bool]],
     url_col: str = "url",
+    max_literal_entries: int = LITERAL_FOLD_MAX,
 ) -> DataFrame:
-    """robots.txt-style allow/disallow path rules with longest-match
+    """robots.txt-style allow/disallow path rules with most-specific
     resolution — the crawl-politeness / curation stage next to
     :func:`domain_blocklist_filter`'s all-or-nothing domain stage.
 
@@ -549,18 +582,29 @@ def robots_rules_filter(
     when the URL's host equals the domain or is a subdomain of it
     (label-boundary, ``www.``-normalized both sides, the blocklist
     discipline) AND the URL's path starts with ``path_prefix``. Among
-    applicable rules the LONGEST path prefix wins; on equal length,
-    allow beats disallow (the de-facto robots.txt resolution order).
-    No applicable rule = allowed.
+    applicable rules the most specific DOMAIN wins first (longest
+    matched domain — a subdomain's own rule beats a parent domain's,
+    mirroring robots.txt's per-host rule groups), then the LONGEST
+    path prefix, then allow beats disallow (the de-facto robots.txt
+    tie order). No applicable rule = allowed.
 
     Adds (domain, path, rule_path, allowed); ``rule_path`` is NULL
     where no rule applied. Callers filter on ``allowed``.
 
-    Scale shape: the ruleset folds into the plan as a literal array of
-    structs probed with array HOFs — scan-local, zero shuffles, zero
-    UDFs (a real robots corpus is bounded: one site's rules are tens
-    of lines; swap to a broadcast join past ~100k rules, the
-    blocklist_scan discipline)."""
+    Scale shape, two regimes with identical results:
+
+    - ``len(rules) <= max_literal_entries``: the ruleset folds into
+      the plan as a literal array of structs probed with array HOFs —
+      scan-local, zero shuffles, zero UDFs (one site's robots rules
+      are tens of lines).
+    - larger: rules pre-group into per-domain arrays and broadcast;
+      the corpus takes one BroadcastHashJoin per distinct domain
+      label-depth (hosts are ≤ ~10 labels) on the host's
+      label-boundary suffix — still zero corpus exchanges, and the
+      plan carries no giant literal. Each join matches at most one
+      domain (suffixes at a fixed depth are unique), so rows never
+      multiply; the winner logic runs on the small joined arrays.
+    """
     host = url_domain(F.col(url_col))
     path = url_path(F.col(url_col))
     if not rules:
@@ -577,36 +621,79 @@ def robots_rules_filter(
             for d, p, a in rules
         }
     )
-    rule_arr = F.array(
-        *[
-            F.struct(
-                F.lit(len(p)).cast("int").alias("plen"),
-                F.lit(a).alias("allow"),
-                F.lit(p).alias("prefix"),
-                F.lit(d).alias("dom"),
-            )
-            for d, p, a in norm
-        ]
-    )
-    applicable = F.filter(
-        rule_arr,
-        lambda r: (
-            (host == r["dom"])
-            | host.endswith(F.concat(F.lit("."), r["dom"]))
+    if len(norm) <= max_literal_entries:
+        rule_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(len(d)).cast("int").alias("dlen"),
+                    F.lit(len(p)).cast("int").alias("plen"),
+                    F.lit(a).alias("allow"),
+                    F.lit(p).alias("prefix"),
+                    F.lit(d).alias("dom"),
+                )
+                for d, p, a in norm
+            ]
         )
-        & path.startswith(r["prefix"]),
-    )
-    # struct ordering = field order (plen, allow, prefix): longest
-    # prefix first, allow beats disallow on ties. Two DISTINCT equal-
-    # length prefixes cannot both match one path, so the prefix field
-    # only makes the order total, never decides.
-    winner = F.array_max(applicable)
-    return (
+        applicable = F.filter(
+            rule_arr,
+            lambda r: (
+                (host == r["dom"])
+                | host.endswith(F.concat(F.lit("."), r["dom"]))
+            )
+            & path.startswith(r["prefix"]),
+        )
+        winner = F.array_max(applicable)  # see _RULE_STRUCT order note
+        rule_path, allowed = _rules_winner_cols(winner)
+        return (
+            df.withColumn("domain", host)
+            .withColumn("path", path)
+            .withColumn("rule_path", rule_path)
+            .withColumn("allowed", allowed)
+        )
+    # broadcast regime: per-domain rule arrays, one broadcast join per
+    # domain label-depth on the host suffix of that depth
+    spark = df.sparkSession
+    by_dom: dict[str, list] = {}
+    for d, p, a in norm:
+        # tuple order == _RULE_STRUCT field order
+        by_dom.setdefault(d, []).append((len(d), len(p), a, p))
+    depths: dict[int, list] = {}
+    for d, rl in by_dom.items():
+        depths.setdefault(d.count(".") + 1, []).append((d, rl))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    out = (
         df.withColumn("domain", host)
         .withColumn("path", path)
-        .withColumn("rule_path", winner["prefix"])
-        .withColumn(
-            "allowed", F.coalesce(winner["allow"], F.lit(True))
+    )
+    cand_cols = []
+    for i in sorted(depths):
+        rdf = spark.createDataFrame(
+            depths[i],
+            f"_rr_dom_{i} string, _rr_rules_{i} array<{_RULE_STRUCT}>",
+        )
+        out = out.join(
+            F.broadcast(rdf),
+            _host_suffix(labels, n, i) == F.col(f"_rr_dom_{i}"),
+            "left",
+        )
+        cand_cols.append(
+            F.coalesce(
+                F.col(f"_rr_rules_{i}"),
+                F.expr(f"CAST(array() AS array<{_RULE_STRUCT}>)"),
+            )
+        )
+    cand = cand_cols[0] if len(cand_cols) == 1 else F.concat(*cand_cols)
+    applicable = F.filter(
+        cand, lambda r: F.col("path").startswith(r["prefix"])
+    )
+    winner = F.array_max(applicable)
+    rule_path, allowed = _rules_winner_cols(winner)
+    return (
+        out.withColumn("rule_path", rule_path)
+        .withColumn("allowed", allowed)
+        .drop(
+            *[c for i in sorted(depths) for c in (f"_rr_dom_{i}", f"_rr_rules_{i}")]
         )
     )
 
@@ -621,6 +708,7 @@ def domain_blocklist_filter(
     df: DataFrame,
     blocked_domains: list[str],
     url_col: str = "url",
+    max_literal_entries: int = LITERAL_FOLD_MAX,
 ) -> DataFrame:
     """Flag rows whose base domain (or any parent suffix of their
     host) is blocklisted — the URL-level safety stage next to
@@ -629,10 +717,19 @@ def domain_blocklist_filter(
     substring — ``notexample.com`` stays). Adds (domain, base_domain,
     blocked); callers filter on ~blocked.
 
-    Scale shape: the blocklist folds into the plan as an array
-    literal membership probe over the host's label suffixes —
-    scan-local, no join (swap to a broadcast join past ~100k
-    domains, the blocklist_scan discipline)."""
+    Scale shape, two regimes with identical results:
+
+    - ``len(blocked_domains) <= max_literal_entries``: the blocklist
+      folds into the plan as an array-literal membership probe over
+      the host's label suffixes — scan-local, no join.
+    - larger (a production crawl blocklist is millions of domains —
+      an array literal that size blows up plan size and codegen):
+      the blocklist splits by label depth and broadcasts; the corpus
+      takes one BroadcastHashJoin per depth on the host's
+      label-boundary suffix of that depth. Hash probes replace the
+      O(entries) linear array scan, rows never multiply (one suffix
+      per depth), and the corpus still never shuffles.
+    """
     host = url_domain(F.col(url_col))
     if not blocked_domains:  # empty blocklist blocks nothing
         return (
@@ -643,22 +740,47 @@ def domain_blocklist_filter(
     # normalize entries exactly as url_domain normalizes hosts (strip
     # one leading "www."): a 'www.example.com' entry otherwise never
     # matches any suffix of a www-stripped host
-    blocked = F.array(
-        *[
-            F.lit(_strip_www(d.lower().lstrip(".")))
-            for d in blocked_domains
-        ]
+    norm = sorted(
+        {_strip_www(d.lower().lstrip(".")) for d in blocked_domains}
     )
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    # every label-boundary suffix of the host: ["a.b.c", "b.c", "c"]
-    suffixes = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.array_join(F.slice(labels, i, n), "."),
-    )
-    hit = F.exists(suffixes, lambda s: F.array_contains(blocked, s))
-    return (
+    if len(norm) <= max_literal_entries:
+        blocked_arr = F.array(*[F.lit(d) for d in norm])
+        # every label-boundary suffix of the host: ["a.b.c", "b.c", "c"]
+        suffixes = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(labels, i, n), "."),
+        )
+        hit = F.exists(suffixes, lambda s: F.array_contains(blocked_arr, s))
+        return (
+            df.withColumn("domain", host)
+            .withColumn("base_domain", url_base_domain(F.col(url_col)))
+            .withColumn("blocked", hit)
+        )
+    # broadcast regime: one join per blocklist label depth
+    spark = df.sparkSession
+    depths: dict[int, list] = {}
+    for d in norm:
+        depths.setdefault(d.count(".") + 1, []).append((d,))
+    out = (
         df.withColumn("domain", host)
         .withColumn("base_domain", url_base_domain(F.col(url_col)))
-        .withColumn("blocked", hit)
+    )
+    hits = []
+    for i in sorted(depths):
+        bdf = spark.createDataFrame(depths[i], f"_bl_dom_{i} string")
+        out = out.join(
+            F.broadcast(bdf),
+            _host_suffix(F.split(F.col("domain"), r"\."),
+                         F.size(F.split(F.col("domain"), r"\.")), i)
+            == F.col(f"_bl_dom_{i}"),
+            "left",
+        )
+        hits.append(F.col(f"_bl_dom_{i}").isNotNull())
+    blocked_col = hits[0]
+    for h in hits[1:]:
+        blocked_col = blocked_col | h
+    return out.withColumn("blocked", blocked_col).drop(
+        *[f"_bl_dom_{i}" for i in sorted(depths)]
     )

@@ -10463,13 +10463,16 @@ def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.web_graph(pages)
 
 
-# robots.txt-style allow/disallow path rules with longest-match
-# resolution (webtext.robots_rules_filter): domain-suffix matched,
-# longest path prefix wins, allow beats disallow on ties, no rule =
-# allowed. URLs from the _SYNTH_URL family: example.com fully
-# disallowed except /articles/1*, my-shop.co.uk loses /articles/2*,
-# data.org has no rules. Oracle replays host/path extraction and the
-# resolution order via a window over the joined rule set.
+# robots.txt-style allow/disallow path rules with most-specific
+# resolution (webtext.robots_rules_filter): domain-suffix matched;
+# the most specific DOMAIN wins first (longest matched domain — a
+# subdomain's own rule beats a parent domain's, mirroring robots.txt
+# per-host rule groups), then longest path prefix, then allow beats
+# disallow; no rule = allowed. URLs from the _SYNTH_URL family:
+# example.com fully disallowed except /articles/1*, my-shop.co.uk
+# loses /articles/2*, data.org has no rules. Oracle replays host/path
+# extraction and the resolution order via a window over the joined
+# rule set.
 @query(
     "robots_rules",
     rf"""
@@ -10496,7 +10499,8 @@ def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT h.id, r.prefix, r.allow,
              ROW_NUMBER() OVER (
                PARTITION BY h.id
-               ORDER BY len(r.prefix) DESC, r.allow DESC, r.prefix DESC
+               ORDER BY len(r.dom) DESC, len(r.prefix) DESC,
+                        r.allow DESC, r.prefix DESC
              ) AS rn
       FROM h JOIN r
         ON (h.domain = r.dom OR ends_with(h.domain, '.' || r.dom))

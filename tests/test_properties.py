@@ -1470,8 +1470,11 @@ class TestAlternatingComponentsProperty:
 
 
 class TestRobotsRulesProperty:
-    """robots_rules_filter vs a pure-Python longest-match resolver
-    over hypothesis-drawn rule sets and URLs."""
+    """robots_rules_filter vs a pure-Python most-specific resolver
+    (domain-match length, then path length, then allow) over
+    hypothesis-drawn rule sets and URLs — run in BOTH regimes: the
+    literal-folded plan and the broadcast-join swap must match the
+    resolver (and hence each other) exactly."""
 
     _DOMS = ("a.com", "b.a.com", "c.org")
     _PREFS = ("/", "/x", "/x/y", "/xz", "/y")
@@ -1508,7 +1511,7 @@ class TestRobotsRulesProperty:
         def resolve(host, path):
             host = strip_www(host)
             cand = [
-                (len(p), a, p)
+                (len(d), len(p), a, p)
                 for d, p, a in {
                     (strip_www(rd.lower()), rp, ra) for rd, rp, ra in rules
                 }
@@ -1517,7 +1520,7 @@ class TestRobotsRulesProperty:
             ]
             if not cand:
                 return (None, True)
-            ln, a, p = max(cand)
+            _dl, _ln, a, p = max(cand)
             return (p, a)
 
         expected = {
@@ -1532,8 +1535,11 @@ class TestRobotsRulesProperty:
         df = spark.createDataFrame(
             [(i, u) for i, u in enumerate(urls)], "id long, url string"
         )
-        got = {
-            r["id"]: (r["rule_path"], r["allowed"])
-            for r in robots_rules_filter(df, list(rules)).collect()
-        }
-        assert got == expected
+        for max_literal in (10_000, 0):  # literal fold, broadcast swap
+            got = {
+                r["id"]: (r["rule_path"], r["allowed"])
+                for r in robots_rules_filter(
+                    df, list(rules), max_literal_entries=max_literal
+                ).collect()
+            }
+            assert got == expected, f"regime max_literal={max_literal}"

@@ -666,6 +666,36 @@ class TestBlocklistScan:
         )
         assert "Exchange" not in plan
 
+    def test_broadcast_regime_parity_and_plan(self, spark):
+        # forcing the broadcast swap (max_literal_entries=0) must match
+        # the literal-folded plan exactly — every doc present, counts
+        # identical — and the term probe must be a BroadcastHashJoin,
+        # never a giant literal or a nested-loop join
+        from mofka_spark.operators.text import blocklist_scan
+
+        docs = _docs(
+            spark,
+            [
+                (1, "the class is in session"),
+                (2, "bad bad word here"),
+                (3, "clean text only"),
+                (4, None),
+                (5, "BAD mixed Case bad"),
+            ],
+        )
+        terms = ["ass", "bad", "unused"]
+        lit = sorted(
+            tuple(r) for r in blocklist_scan(docs, terms).collect()
+        )
+        bc_df = blocklist_scan(docs, terms, max_literal_entries=0)
+        bc = sorted(tuple(r) for r in bc_df.collect())
+        assert lit == bc
+        assert {r[0]: r[1] for r in bc} == {1: 0, 2: 2, 3: 0, 5: 2}
+        plan = bc_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
 
 class TestTokenizerFertility:
     def test_per_stratum_arithmetic(self, spark):

@@ -352,3 +352,94 @@ class TestRobotsRules:
         assert got == {0: (None, True)}
         got2 = self._run(spark, [("ex.com", "/", False)], ["http://ex.com"])
         assert got2 == {0: ("/", False)}  # bare host reads as path '/'
+
+    def test_domain_specificity_beats_path_tie(self, spark):
+        # a parent-domain ALLOW and a subdomain DISALLOW with the same
+        # path prefix: the subdomain's own rule group wins (robots.txt
+        # resolves within one host's group) — r12 verdict nit #1
+        rules = [
+            ("ex.com", "/a", True),
+            ("sub.ex.com", "/a", False),
+        ]
+        got = self._run(spark, rules, [
+            "http://sub.ex.com/a/x",   # subdomain group: disallow
+            "http://ex.com/a/x",       # parent only: allow
+            "http://other.ex.com/a/x", # parent group applies: allow
+        ])
+        assert got == {
+            0: ("/a", False),
+            1: ("/a", True),
+            2: ("/a", True),
+        }
+
+    def test_broadcast_regime_parity(self, spark):
+        # forcing the broadcast-join swap (max_literal_entries=0) must
+        # produce byte-identical results to the literal-folded plan
+        rules = [
+            ("ex.com", "/", False),
+            ("ex.com", "/public", True),
+            ("sub.ex.com", "/public", False),
+            ("b.co.uk", "/x", True),
+        ]
+        urls = [
+            "http://ex.com/public/doc",
+            "http://sub.ex.com/public/doc",
+            "http://www.ex.com/private",
+            "http://b.co.uk/x/1",
+            "http://none.org/y",
+            "http://ex.com",
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "id long, url string"
+        )
+        lit = sorted(
+            tuple(r) for r in webtext.robots_rules_filter(
+                df, rules
+            ).select("id", "domain", "path", "rule_path", "allowed").collect()
+        )
+        bc_df = webtext.robots_rules_filter(
+            df, rules, max_literal_entries=0
+        )
+        bc = sorted(
+            tuple(r) for r in bc_df.select(
+                "id", "domain", "path", "rule_path", "allowed"
+            ).collect()
+        )
+        assert lit == bc
+        # plan pin: the swap is BroadcastHashJoins, not a giant literal
+        # and not a BroadcastNestedLoopJoin / corpus exchange
+        plan = bc_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestDomainBlocklistBroadcast:
+    def test_regime_parity_and_plan(self, spark):
+        blocked = ["Example.com", "www.b.co.uk", "deep.sub.c.org"]
+        urls = [
+            "http://example.com/x",
+            "http://sub.example.com/y",
+            "http://notexample.com/z",
+            "http://b.co.uk/1",
+            "http://a.deep.sub.c.org/2",
+            "http://sub.c.org/3",
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "id long, url string"
+        )
+        cols = ["id", "domain", "base_domain", "blocked"]
+        lit = sorted(
+            tuple(r)
+            for r in webtext.domain_blocklist_filter(df, blocked)
+            .select(*cols).collect()
+        )
+        bc_df = webtext.domain_blocklist_filter(
+            df, blocked, max_literal_entries=0
+        )
+        bc = sorted(tuple(r) for r in bc_df.select(*cols).collect())
+        assert lit == bc
+        assert [r[3] for r in lit] == [True, True, False, True, True, False]
+        plan = bc_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
