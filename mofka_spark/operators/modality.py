@@ -128,17 +128,117 @@ def image_height(data: Column, fmt: Column) -> Column:
 
 
 def audio_channels(data: Column, fmt: Column) -> Column:
-    """WAV fmt-chunk channel count (bytes 23-24 LE, canonical layout)."""
-    return F.when(fmt == "wav", le_uint(data, 23, 2)).otherwise(
-        F.lit(None).cast("long")
+    """Channel count: WAV fmt-chunk (bytes 23-24 LE, canonical
+    layout); MP3 from the frame header's mode field (raw-sync or
+    ID3v2-prefixed, MPEG1 Layer III)."""
+    return (
+        F.when(fmt == "wav", le_uint(data, 23, 2))
+        .when(fmt == "mp3", mp3_channels(data))
+        .otherwise(F.lit(None).cast("long"))
     )
 
 
 def audio_sample_rate(data: Column, fmt: Column) -> Column:
-    """WAV fmt-chunk sample rate (bytes 25-28 LE, canonical layout)."""
-    return F.when(fmt == "wav", le_uint(data, 25, 4)).otherwise(
+    """Sample rate: WAV fmt-chunk (bytes 25-28 LE, canonical layout);
+    MP3 from the frame header's rate index (MPEG1 Layer III)."""
+    return (
+        F.when(fmt == "wav", le_uint(data, 25, 4))
+        .when(fmt == "mp3", mp3_sample_rate(data))
+        .otherwise(F.lit(None).cast("long"))
+    )
+
+
+# MPEG1 Layer III tables (the public MPEG frame-header layout):
+# bitrate index -> kbps (0 = free, 15 = bad), sample-rate index -> Hz.
+_MP3_BITRATE_KBPS = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0,
+]
+_MP3_RATE_HZ = [44100, 48000, 32000, 0]
+
+
+def _mp3_frame_pos(data: Column) -> Column:
+    """1-based position of the first MPEG frame header: byte 1 for a
+    raw sync stream; after the ID3v2 tag otherwise (tag length is the
+    synchsafe 28-bit size at bytes 7-10, plus the 10-byte tag
+    header)."""
+    b = [be_uint(data, i, 1) for i in (7, 8, 9, 10)]
+    synchsafe = (
+        b[0].bitwiseAND(F.lit(127)) * 2097152
+        + b[1].bitwiseAND(F.lit(127)) * 16384
+        + b[2].bitwiseAND(F.lit(127)) * 128
+        + b[3].bitwiseAND(F.lit(127))
+    )
+    return F.when(
+        _magic(data, 1, "494433"), (synchsafe + 11).cast("int")
+    ).otherwise(F.lit(1))
+
+
+def _mp3_header_byte(data: Column, offset: int) -> Column:
+    """The (frame_pos + offset)'th byte as an unsigned int — dynamic
+    position, so the same expression reads raw streams and
+    ID3-prefixed files."""
+    pos = _mp3_frame_pos(data) + F.lit(offset)
+    return F.conv(F.hex(F.substring(data, pos, F.lit(1))), 16, 10).cast("long")
+
+
+def _idx_lookup(idx: Column, table: list[int]) -> Column:
+    arr = F.array(*[F.lit(v).cast("long") for v in table])
+    return F.element_at(arr, (idx + 1).cast("int"))
+
+
+def audio_bits_per_sample(data: Column, fmt: Column) -> Column:
+    """WAV fmt-chunk bits per sample (bytes 35-36 LE, canonical
+    44-byte PCM layout). NULL for other formats (MP3 is lossy —
+    no PCM bit depth in the container)."""
+    return F.when(fmt == "wav", le_uint(data, 35, 2)).otherwise(
         F.lit(None).cast("long")
     )
+
+
+def audio_byte_rate(data: Column, fmt: Column) -> Column:
+    """Average bytes/second: WAV fmt-chunk byte rate (bytes 29-32 LE);
+    MP3 from the frame header's bitrate index (MPEG1 Layer III
+    table), raw-sync or ID3v2-prefixed."""
+    mp3_b3 = _mp3_header_byte(data, 2)
+    kbps = _idx_lookup(
+        F.shiftright(mp3_b3, 4).bitwiseAND(F.lit(15)), _MP3_BITRATE_KBPS
+    )
+    return (
+        F.when(fmt == "wav", le_uint(data, 29, 4))
+        .when(fmt == "mp3", (kbps * 1000 / 8).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+    )
+
+
+def mp3_sample_rate(data: Column) -> Column:
+    """Sample rate from the MPEG frame header's rate index."""
+    b3 = _mp3_header_byte(data, 2)
+    return _idx_lookup(F.shiftright(b3, 2).bitwiseAND(F.lit(3)), _MP3_RATE_HZ)
+
+
+def mp3_channels(data: Column) -> Column:
+    """Channel count from the MPEG frame header's mode field (mode 3 =
+    single channel; stereo/joint/dual otherwise)."""
+    mode = F.shiftright(_mp3_header_byte(data, 3), 6).bitwiseAND(F.lit(3))
+    return F.when(mode == 3, F.lit(1)).otherwise(F.lit(2)).cast("long")
+
+
+def audio_duration_ms(data: Column, fmt: Column) -> Column:
+    """Duration ESTIMATE in ms, header-only (no decode): WAV = data
+    chunk size (bytes 41-44 LE, canonical layout) over the byte rate;
+    MP3 = audio bytes (payload minus any ID3v2 tag) over the
+    frame-header byte rate — exact for CBR, the standard header-only
+    estimate for VBR. Rounded to a whole ms; NULL when the byte rate
+    is missing/zero."""
+    rate = audio_byte_rate(data, fmt)
+    wav_bytes = le_uint(data, 41, 4)
+    mp3_bytes = (
+        F.octet_length(data) - (_mp3_frame_pos(data) - F.lit(1))
+    ).cast("long")
+    nbytes = F.when(fmt == "wav", wav_bytes).when(fmt == "mp3", mp3_bytes)
+    return F.when(
+        rate > 0, F.round(nbytes * 1000.0 / rate).cast("long")
+    ).otherwise(F.lit(None).cast("long"))
 
 
 def with_modality(df: DataFrame, data_col: str = "data") -> DataFrame:
@@ -364,6 +464,166 @@ def synthetic_payload(docs: DataFrame) -> DataFrame:
         .otherwise(raw)
     )
     return docs.withColumn("data", payload)
+
+
+def synthetic_audio_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic AUDIO payloads over the documents table: canonical
+    44-byte-header PCM WAV for even doc_ids, MPEG1-Layer-III MP3 (raw
+    sync frame; every 4th an ID3v2-prefixed one) for odd. All header
+    fields derive from (doc_id, n_chars) so an external oracle computes
+    the expected metadata without parsing bytes:
+
+    - wav: channels = doc_id%2+1 (=1 here), rate = [8000,16000,44100]
+      [doc_id%3], bits = 16, byte_rate = rate*channels*2, data size =
+      octet_length(text)
+    - mp3: rate index = doc_id%3 -> [44100,48000,32000], bitrate index
+      = doc_id%4+8 -> [112,128,160,192] kbps, mode = 3 (mono) when
+      doc_id%8 < 4 else 0 (stereo)
+    """
+    d = F.col("doc_id")
+    body = F.encode("text", "UTF-8")
+
+    def le(col: Column, nbytes: int) -> Column:
+        parts = [
+            F.unhex(
+                F.lpad(
+                    F.hex(
+                        F.shiftrightunsigned(col.cast("bigint"), 8 * i).bitwiseAND(255)
+                    ),
+                    2,
+                    "0",
+                )
+            )
+            for i in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    rate = F.array(F.lit(8000), F.lit(16000), F.lit(44100))[
+        (d % 3).cast("int")
+    ].cast("bigint")
+    chans = (d % 2 + 1).cast("bigint")  # even ids -> 1 channel
+    bits = F.lit(16).cast("bigint")
+    byte_rate = (rate * chans * 2).cast("bigint")
+    block_align = (chans * 2).cast("bigint")
+    dsize = F.octet_length("text").cast("bigint")
+    wav = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        le(dsize + 36, 4),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        le(F.lit(16).cast("bigint"), 4),
+        le(F.lit(1).cast("bigint"), 2),   # PCM
+        le(chans, 2),
+        le(rate, 4),
+        le(byte_rate, 4),
+        le(block_align, 2),
+        le(bits, 2),
+        F.encode(F.lit("data"), "UTF-8"),
+        le(dsize, 4),
+        body,
+    )
+    # MPEG frame header: FF FB | bitrate_idx<<4 | rate_idx<<2 | mode<<6
+    bidx = (d % 4 + 8).cast("bigint")
+    ridx = (d % 3).cast("bigint")
+    mode = F.when(d % 8 < 4, F.lit(3)).otherwise(F.lit(0)).cast("bigint")
+    b3 = F.shiftleft(bidx, 4) + F.shiftleft(ridx, 2)
+    b4 = F.shiftleft(mode, 6)
+    frame = F.concat(
+        F.unhex(F.lit("FFFB")), le_byte(b3), le_byte(b4), body
+    )
+    # every 4th odd doc gets an ID3v2 tag (version 4.0, flags 0, a
+    # 64-byte synchsafe-encoded tag body of zeros) before the frame
+    id3 = F.concat(
+        F.encode(F.lit("ID3"), "UTF-8"),
+        F.unhex(F.lit("0400" + "00" + "00000040")),  # v2.4, size=64
+        F.unhex(F.lit("00" * 64)),
+        frame,
+    )
+    mp3 = F.when(d % 8 == 1, id3).otherwise(frame)
+    payload = F.when(d % 2 == 0, wav).otherwise(mp3)
+    return docs.withColumn("data", payload)
+
+
+def le_byte(col: Column) -> Column:
+    """One byte from the low 8 bits of an integral Column."""
+    return F.unhex(F.lpad(F.hex(col.bitwiseAND(F.lit(255))), 2, "0"))
+
+
+RESAMPLED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    resampler: Callable[[bytes, int], bytes] | None = None,
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Resample-stage plumbing on the resize_images injection pattern:
+    Arrow-batched mapInPandas over (id, data) emitting WAV rows at the
+    target sample rate.
+
+    The real PCM resample would be soxr/librosa via ``resampler``;
+    this container has none, so the default fake patches the canonical
+    WAV header's sample-rate (25-28 LE) and byte-rate (29-32 LE)
+    fields to the target and keeps the body bytes — deterministic,
+    oracle-checkable, and shaped exactly like production: (id, data)
+    column pruning, fixed output schema, pure map stage, non-WAV rows
+    dropped in Python (MP3 resampling requires a full decode — out of
+    scope for the header-stage fake). Set allow_fake=False to fail
+    loudly instead of faking."""
+    if resampler is None and not allow_fake:
+        raise NotImplementedError(
+            "no audio library available and allow_fake=False"
+        )
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(data_col).alias("data"),
+    )
+    tr = int(target_rate)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, datas = [], []
+            for i, raw in zip(pdf["doc_id"], pdf["data"]):
+                b = bytes(raw) if raw is not None else b""
+                if not (
+                    b.startswith(b"RIFF") and b[8:12] == b"WAVE" and len(b) >= 44
+                ):
+                    continue  # not a canonical WAV payload
+                if resampler is not None:
+                    out = resampler(b, tr)
+                else:
+                    chans = int.from_bytes(b[22:24], "little")
+                    bits = int.from_bytes(b[34:36], "little") or 16
+                    brate = tr * chans * (bits // 8)
+                    out = (
+                        b[:24]
+                        + tr.to_bytes(4, "little")
+                        + brate.to_bytes(4, "little")
+                        + b[32:]
+                    )
+                ids.append(int(i))
+                datas.append(out)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "format": ["wav"] * len(ids),
+                    "sample_rate": pd.array([tr] * len(ids), dtype="int64"),
+                    "data": datas,
+                }
+            )
+
+    return narrow.mapInPandas(run, RESAMPLED_SCHEMA)
 
 
 # -- payload -> embedding extraction (stubbed encoder) -----------------------

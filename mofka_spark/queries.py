@@ -2468,6 +2468,67 @@ def q_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modality.modality_stats(payloads)
 
 
+# Audio header parse, no decode (modality.audio_*): canonical-WAV and
+# MPEG1-Layer-III MP3 payloads synthesized from (doc_id, text); the
+# Spark side genuinely parses bytes — WAV fmt-chunk fields at their
+# canonical LE offsets, MP3 bitrate/rate/mode indices from the frame
+# header (including ID3v2-prefixed files via the synchsafe tag size) —
+# while the oracle computes the same metadata from the generative
+# formulas. duration_ms is the header-only estimate: data-chunk size
+# over byte rate (WAV), audio bytes over the frame bitrate (MP3).
+@query(
+    "audio_headers",
+    """
+    WITH t AS (
+      SELECT doc_id, octet_length(encode(text)) AS body
+      FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+      SELECT doc_id, body,
+             CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp3' END AS format,
+             CASE WHEN doc_id % 2 = 0 THEN
+               ([8000, 16000, 44100])[CAST(doc_id % 3 AS INTEGER) + 1] * 2
+             ELSE
+               ([112, 128, 160, 192])[CAST(doc_id % 4 AS INTEGER) + 1] * 125
+             END AS byte_rate,
+             CASE WHEN doc_id % 2 = 0 THEN body ELSE body + 4 END AS audio_bytes
+      FROM t
+    )
+    SELECT doc_id, format,
+           CAST(CASE WHEN format = 'wav' THEN doc_id % 2 + 1
+                     WHEN doc_id % 8 < 4 THEN 1 ELSE 2 END AS BIGINT)
+             AS channels,
+           CAST(CASE WHEN format = 'wav' THEN
+                  ([8000, 16000, 44100])[CAST(doc_id % 3 AS INTEGER) + 1]
+                ELSE
+                  ([44100, 48000, 32000])[CAST(doc_id % 3 AS INTEGER) + 1]
+                END AS BIGINT) AS sample_rate,
+           CAST(byte_rate AS BIGINT) AS byte_rate,
+           CAST(ROUND(audio_bytes * 1000.0 / byte_rate) AS BIGINT)
+             AS duration_ms
+    FROM m
+    """,
+)
+def q_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import modality
+
+    docs = _wide(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        "doc_id",
+    )
+    p = modality.synthetic_audio_payload(docs).select("doc_id", "data")
+    p = p.withColumn("format", modality.sniff_format(F.col("data")))
+    d, f = F.col("data"), F.col("format")
+    return p.select(
+        "doc_id",
+        "format",
+        modality.audio_channels(d, f).alias("channels"),
+        modality.audio_sample_rate(d, f).alias("sample_rate"),
+        modality.audio_byte_rate(d, f).alias("byte_rate"),
+        modality.audio_duration_ms(d, f).alias("duration_ms"),
+    )
+
+
 # Modality-conditional byte views (the multimodal DataSelector, C3):
 # images materialize only their dimension header bytes, audio only the
 # sample-rate field, everything else its first 8 payload bytes.

@@ -239,3 +239,164 @@ class TestSampleFrames:
         df = spark.createDataFrame([(1, b"x")], ["doc_id", "data"])
         with pytest.raises(ValueError):
             modality.sample_frames(df, frame_bytes=0)
+
+
+class TestAudioHeaders:
+    """WAV/MP3 header parsing as Column expressions (no decode) —
+    golden hand-built payloads with independently computed fields."""
+
+    @staticmethod
+    def _wav(chans=2, rate=22050, bits=16, body=b"\x00" * 441):
+        brate = rate * chans * (bits // 8)
+        return (
+            b"RIFF" + (36 + len(body)).to_bytes(4, "little")
+            + b"WAVEfmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + chans.to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + brate.to_bytes(4, "little")
+            + (chans * bits // 8).to_bytes(2, "little")
+            + bits.to_bytes(2, "little")
+            + b"data" + len(body).to_bytes(4, "little") + body
+        )
+
+    @staticmethod
+    def _mp3(bidx=9, ridx=0, mono=True, body=b"\x00" * 100, id3_len=None):
+        frame = bytes(
+            [0xFF, 0xFB, (bidx << 4) | (ridx << 2), (3 if mono else 0) << 6]
+        ) + body
+        if id3_len is None:
+            return frame
+        return (
+            b"ID3" + bytes([4, 0, 0])
+            + bytes([
+                (id3_len >> 21) & 127, (id3_len >> 14) & 127,
+                (id3_len >> 7) & 127, id3_len & 127,
+            ])
+            + b"\x00" * id3_len + frame
+        )
+
+    def _parse(self, spark, payload):
+        from pyspark.sql import functions as F
+
+        from mofka_spark.operators import modality
+
+        df = spark.createDataFrame([(1, payload)], ["doc_id", "data"])
+        df = df.withColumn("f", modality.sniff_format(F.col("data")))
+        d, f = F.col("data"), F.col("f")
+        return df.select(
+            "f",
+            modality.audio_channels(d, f).alias("ch"),
+            modality.audio_sample_rate(d, f).alias("rate"),
+            modality.audio_bits_per_sample(d, f).alias("bits"),
+            modality.audio_byte_rate(d, f).alias("brate"),
+            modality.audio_duration_ms(d, f).alias("dur"),
+        ).collect()[0]
+
+    def test_wav_canonical_fields(self, spark):
+        # 2ch 22050Hz 16-bit, 441-byte data chunk: byte rate 88200,
+        # duration = 441/88200 s = 5 ms
+        r = self._parse(spark, self._wav())
+        assert (r.f, r.ch, r.rate, r.bits, r.brate, r.dur) == (
+            "wav", 2, 22050, 16, 88200, 5,
+        )
+
+    def test_mp3_raw_sync(self, spark):
+        # 128 kbps (idx 9), 44100 (idx 0), mono: byte rate 16000;
+        # 104 payload bytes -> round(104*1000/16000) = 7 ms (6.5 up)
+        r = self._parse(spark, self._mp3())
+        assert (r.f, r.ch, r.rate, r.brate, r.dur) == (
+            "mp3", 1, 44100, 16000, 7,
+        )
+        assert r.bits is None  # lossy container: no PCM bit depth
+
+    def test_mp3_id3_prefixed(self, spark):
+        # a 300-byte ID3v2 tag (multi-byte synchsafe size) must be
+        # skipped: same frame fields, duration over frame+body only
+        r = self._parse(
+            spark,
+            self._mp3(bidx=11, ridx=1, mono=False, id3_len=300),
+        )
+        # 192 kbps -> 24000 B/s; 104 audio bytes -> round(4.33) = 4
+        assert (r.f, r.ch, r.rate, r.brate, r.dur) == (
+            "mp3", 2, 48000, 24000, 4,
+        )
+
+    def test_synthetic_payload_roundtrip(self, spark):
+        # the gate's generative formulas == the parsed bytes, both
+        # modalities, including the ID3 variant (doc_id % 8 == 1)
+        from pyspark.sql import functions as F
+
+        from mofka_spark.operators import modality
+
+        docs = spark.createDataFrame(
+            [(i, "y" * (20 + i)) for i in range(16)],
+            "doc_id long, text string",
+        )
+        p = modality.synthetic_audio_payload(docs)
+        p = p.withColumn("f", modality.sniff_format(F.col("data")))
+        d, f = F.col("data"), F.col("f")
+        got = {
+            r["doc_id"]: r
+            for r in p.select(
+                "doc_id", "f",
+                modality.audio_channels(d, f).alias("ch"),
+                modality.audio_sample_rate(d, f).alias("rate"),
+            ).collect()
+        }
+        for i in range(16):
+            if i % 2 == 0:
+                assert got[i]["f"] == "wav"
+                assert got[i]["rate"] == [8000, 16000, 44100][i % 3]
+                assert got[i]["ch"] == i % 2 + 1
+            else:
+                assert got[i]["f"] == "mp3"
+                assert got[i]["rate"] == [44100, 48000, 32000][i % 3]
+                assert got[i]["ch"] == (1 if i % 8 < 4 else 2)
+
+
+class TestResampleAudio:
+    def test_fake_patches_rate_and_byte_rate(self, spark):
+        from pyspark.sql import functions as F
+
+        from mofka_spark.operators import modality
+
+        wav = TestAudioHeaders._wav(chans=2, rate=44100)
+        df = spark.createDataFrame(
+            [(1, wav), (2, b"not audio"), (3, TestAudioHeaders._mp3())],
+            ["doc_id", "data"],
+        )
+        out = modality.resample_audio(df, 16000)
+        rows = out.collect()
+        # only the WAV row survives (MP3 needs a real decode)
+        assert [r.doc_id for r in rows] == [1]
+        assert rows[0].sample_rate == 16000
+        # the rewritten header re-parses to the target fields; body,
+        # channels and bit depth untouched
+        chk = out.withColumn("f", modality.sniff_format(F.col("data")))
+        d, f = F.col("data"), F.col("f")
+        r = chk.select(
+            modality.audio_sample_rate(d, f).alias("rate"),
+            modality.audio_byte_rate(d, f).alias("brate"),
+            modality.audio_channels(d, f).alias("ch"),
+            modality.audio_bits_per_sample(d, f).alias("bits"),
+        ).collect()[0]
+        assert (r.rate, r.brate, r.ch, r.bits) == (16000, 64000, 2, 16)
+        assert bytes(rows[0].data)[44:] == wav[44:]
+
+    def test_injected_resampler_used(self, spark):
+        from mofka_spark.operators import modality
+
+        wav = TestAudioHeaders._wav()
+        df = spark.createDataFrame([(1, wav)], ["doc_id", "data"])
+        out = modality.resample_audio(
+            df, 8000, resampler=lambda b, r: b"RESAMPLED" + r.to_bytes(4, "little")
+        ).collect()
+        assert bytes(out[0].data) == b"RESAMPLED" + (8000).to_bytes(4, "little")
+
+    def test_allow_fake_false_raises(self, spark):
+        import pytest
+
+        from mofka_spark.operators import modality
+
+        df = spark.createDataFrame([(1, b"x")], ["doc_id", "data"])
+        with pytest.raises(NotImplementedError):
+            modality.resample_audio(df, 8000, allow_fake=False)

@@ -695,3 +695,86 @@ class TestGlobalPlanAudit:
             "new BroadcastNestedLoopJoin outside the allowlist — confirm "
             f"the broadcast side is bounded, then pin it: {new_bnlj}"
         )
+
+
+class TestRuntimeEnvelopes:
+    """Execution-verified shuffle budgets: PLANS_RUNTIME.json records
+    the actual shuffle bytes each headline gate moved (plan_report.py
+    --runtime, status REST API); this test re-EXECUTES a subset and
+    asserts the bytes stay inside the recorded envelope — a regression
+    that adds a corpus-sized shuffle (lost broadcast, lost map-side
+    combine, new distinct) fails here even when the static plan pins
+    miss it. Runs in a subprocess: runtime_metrics needs
+    spark.ui.enabled, a static conf the shared session fixture
+    disables."""
+
+    SUBSET = [
+        "q1_pricing_summary",   # map-side combine: ~KB shuffle
+        "dedup_exact",          # one hash exchange, keys only
+        "user_sessions",        # window after one exchange
+        "knn_cosine",           # broadcast queries: ~zero shuffle
+        "tfidf_retrieval",      # the multi-shuffle pipeline
+    ]
+
+    def test_shuffle_bytes_within_envelope(self):
+        import json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env_path = os.path.join(repo, "PLANS_RUNTIME.json")
+        if not os.path.exists(env_path):
+            pytest.skip("PLANS_RUNTIME.json not generated")
+        with open(env_path) as f:
+            doc = json.load(f)
+        sf_dir = doc["sf_dir"]
+        if not os.path.isdir(sf_dir):
+            pytest.skip(f"envelope sf_dir {sf_dir} not present")
+        names = [n for n in self.SUBSET if n in doc["queries"]]
+        assert names, "no envelope for any subset query — regenerate"
+        child = r"""
+import json, sys
+sys.path.insert(0, sys.argv[1])
+from mofka_spark.session import get_spark
+from mofka_spark import plans, queries as q
+sf_dir = sys.argv[2]
+spark = get_spark(app_name="rt-envelope", master="local[8]",
+                  conf={"spark.sql.shuffle.partitions": "8",
+                        "spark.ui.enabled": "true", "spark.ui.port": "0"})
+spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()  # warmup
+out = {}
+for name in sys.argv[3:]:
+    since = plans.stage_snapshot(spark)  # charge builder-eager stages
+    df = q.SPARK_QUERIES[name](spark, sf_dir)
+    out[name] = plans.runtime_metrics(df, since=since)
+    df = None
+    spark.catalog.clearCache()
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist(True)
+print("ENVELOPE_RESULT " + json.dumps(out))
+spark.stop()
+"""
+        proc = subprocess.run(
+            [sys.executable, "-c", child, repo, sf_dir, *names],
+            capture_output=True, text=True, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [
+            ln for ln in proc.stdout.splitlines()
+            if ln.startswith("ENVELOPE_RESULT ")
+        ]
+        assert line, proc.stdout[-2000:]
+        got = json.loads(line[0][len("ENVELOPE_RESULT "):])
+        slack = 4 * 1024 * 1024  # absolute floor for byte-level jitter
+        over = []
+        for name in names:
+            env = doc["queries"][name]["shuffle_write_bytes"]
+            now = got[name]["shuffle_write_bytes"]
+            if now > env * 1.5 + slack:
+                over.append((name, now, env))
+        assert not over, (
+            "runtime shuffle bytes exceeded the recorded envelope "
+            f"(new corpus-sized shuffle?): {over} — if intentional, "
+            "regenerate with `python tools/plan_report.py --runtime`"
+        )

@@ -3,24 +3,39 @@ queries — the at-a-glance evidence behind SCALING.md's claims (how many
 exchanges, what joins, whether filters reached the scan, how narrow the
 scans read). Regenerate after plan-affecting changes:
 
-    python tools/plan_report.py          # writes PLANS.md
+    python tools/plan_report.py            # writes PLANS.md (static)
+    python tools/plan_report.py --runtime  # + EXECUTE each query and
+                                           # record actual shuffle/spill
+                                           # bytes (PLANS_RUNTIME.json +
+                                           # extra PLANS.md columns)
     python tools/plan_report.py q1_pricing_summary knn_cosine   # subset
 
 Counts come from the 'simple' explain (each physical operator listed
-once); pushdown facts from the formatted explain's scan details.
+once); pushdown facts from the formatted explain's scan details. The
+--runtime pass retires the static-explain caveat for the byte claims:
+persist/localCheckpoint boundaries overstate static exchange counts,
+while the runtime columns are the bytes execution actually moved
+(status REST API, every stage the query's actions ran). Runtime
+defaults to sf0.1 (the bench scale); static-only keeps sf0.001.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import sys
+import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+RUNTIME = "--runtime" in sys.argv
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_SF_DIR",
+    "/root/testdata/sf0.1" if RUNTIME else "/root/testdata/sf0.001",
+)
 
 # the per-round headline set: the r1 baseline queries + the heaviest
 # pipelines + this round's additions — the queries whose plan shape
@@ -92,6 +107,10 @@ HEADLINE = [
     "web_link_graph",
     "web_components",
     "zorder_pruning",
+    "robots_rules",
+    "url_blocklist",
+    "blocklist_scan",
+    "log_trim",
 ]
 
 
@@ -99,9 +118,14 @@ def _count(p: str, op: str) -> int:
     return len(re.findall(rf"\b{op}\b", p))
 
 
-def report_row(name: str, fn, spark) -> dict:
+def report_row(name: str, fn, spark, runtime: bool = False) -> dict:
     from mofka_spark import plans
 
+    # snapshot BEFORE the builder runs: operators with eager work in
+    # construction (localCheckpoint pipelines, driver-side model fits)
+    # must be charged those stages too
+    since = plans.stage_snapshot(spark) if runtime else None
+    t0 = time.time()
     df = fn(spark, SF_DIR)
     simple = plans.plan_string(df, mode="simple")
     formatted = plans.plan_string(df)
@@ -111,7 +135,7 @@ def report_row(name: str, fn, spark) -> dict:
     widths = [
         s.count(":") for s in re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
     ]
-    return {
+    row = {
         "query": name,
         "exchanges": _count(simple, "Exchange"),
         "bhj": _count(simple, "BroadcastHashJoin"),
@@ -123,30 +147,60 @@ def report_row(name: str, fn, spark) -> dict:
         "pushed": pushed,
         "max_cols": max(widths) if widths else 0,
     }
+    if runtime:
+        m = plans.runtime_metrics(df, since=since)
+        m["exec_sec"] = round(time.time() - t0, 3)
+        row["runtime"] = m
+        # query isolation: drop whatever the run persisted (the bench
+        # _release_rdds discipline) so later rows measure themselves
+        df = None  # noqa: F841
+        spark.catalog.clearCache()
+        try:
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(True)
+        except Exception:  # noqa: BLE001
+            pass
+    return row
+
+
+def _mb(b: int) -> str:
+    return f"{b / (1024 * 1024):.1f}"
 
 
 def main() -> None:
     from mofka_spark import queries as q
     from mofka_spark.session import get_spark
 
-    names = sys.argv[1:] or [n for n in HEADLINE if n in q.SPARK_QUERIES]
-    spark = get_spark(
-        app_name="plan-report",
-        master="local[8]",
-        conf={"spark.sql.shuffle.partitions": "8"},
-    )
+    args = [a for a in sys.argv[1:] if a != "--runtime"]
+    names = args or [n for n in HEADLINE if n in q.SPARK_QUERIES]
+    conf = {"spark.sql.shuffle.partitions": "8"}
+    if RUNTIME:
+        # the status REST API needs the UI; port 0 = pick a free one
+        conf.update({"spark.ui.enabled": "true", "spark.ui.port": "0"})
+    spark = get_spark(app_name="plan-report", master="local[8]", conf=conf)
+    if RUNTIME:
+        # untimed warmup: JVM, parquet footers, python workers — first
+        # row would otherwise carry first-touch costs in exec_sec
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     rows = []
     for n in names:
         try:
-            rows.append(report_row(n, q.SPARK_QUERIES[n], spark))
+            rows.append(report_row(n, q.SPARK_QUERIES[n], spark, RUNTIME))
         except Exception as e:  # noqa: BLE001
             rows.append({"query": n, "error": str(e).splitlines()[0]})
     spark.stop()
 
+    rt_cols = (
+        " rt shuffle write MB | rt shuffle read MB | rt spill MB |"
+        " rt sec |"
+        if RUNTIME
+        else ""
+    )
     lines = [
         "# PLANS — physical-plan shapes of the headline queries",
         "",
-        f"Generated by `python tools/plan_report.py` at `{SF_DIR}`.",
+        f"Generated by `python tools/plan_report.py"
+        f"{' --runtime' if RUNTIME else ''}` at `{SF_DIR}`.",
         "Counts are physical operators from the simple explain;",
         "`pushed` = scans with non-empty PushedFilters; `max_cols` =",
         "widest ReadSchema (column pruning evidence). The global",
@@ -154,31 +208,78 @@ def main() -> None:
         "pinned bounded crosses — are enforced by",
         "`tests/test_plans.py::TestGlobalPlanAudit`.",
         "",
-        "Caveat: these are STATIC (pre-execution) plans, so a",
+        "The static exchange count carries a caveat: a",
         "persist()/localCheckpoint boundary inlines its upstream into",
         "every consumer — multi-consumer pipelines (minhash_dedup,",
         "containment_pairs, tfidf_retrieval) overstate exchanges here;",
         "at runtime the persisted frame materializes once and consumers",
         "read InMemoryTableScan/checkpoint output instead.",
+    ]
+    if RUNTIME:
+        lines += [
+            "",
+            "The `rt` columns retire that caveat for the byte claims:",
+            "each query EXECUTED once (count() sink, local[8], untimed",
+            "warmup) and the status REST API summed over every stage",
+            "the action ran — actual shuffle write/read and spill",
+            "(memory+disk); input bytes are omitted (the vectorized",
+            "parquet reader under-reports them on a local FS — see",
+            "plans.runtime_metrics). Envelopes live in",
+            "`PLANS_RUNTIME.json`;",
+            "`tests/test_plans.py::TestRuntimeEnvelopes` re-runs a",
+            "subset and asserts shuffle bytes stay under them.",
+        ]
+    lines += [
         "",
         "| query | exchanges | BHJ | SMJ | BNLJ | windows | sorts |"
-        " scans | pushed | max cols |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        " scans | pushed | max cols |" + rt_cols,
+        "|---|---|---|---|---|---|---|---|---|---|"
+        + ("---|" * 4 if RUNTIME else ""),
     ]
+    n_rt_cols = 4 if RUNTIME else 0
     for r in rows:
         if "error" in r:
-            lines.append(f"| {r['query']} | ERROR: {r['error']} |" + " |" * 8)
-            continue
-        lines.append(
-            "| {query} | {exchanges} | {bhj} | {smj} | {bnlj} | {windows}"
-            " | {sorts} | {scans} | {pushed} | {max_cols} |".format(
-                **r
+            lines.append(
+                f"| {r['query']} | ERROR: {r['error']} |"
+                + " |" * (8 + n_rt_cols)
             )
+            continue
+        line = (
+            "| {query} | {exchanges} | {bhj} | {smj} | {bnlj} | {windows}"
+            " | {sorts} | {scans} | {pushed} | {max_cols} |".format(**r)
         )
+        if RUNTIME:
+            m = r["runtime"]
+            line += (
+                f" {_mb(m['shuffle_write_bytes'])} |"
+                f" {_mb(m['shuffle_read_bytes'])} |"
+                f" {_mb(m['memory_spill_bytes'] + m['disk_spill_bytes'])} |"
+                f" {m['exec_sec']} |"
+            )
+        lines.append(line)
     out = os.path.join(_REPO, "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out} ({len(rows)} queries)")
+    if RUNTIME:
+        rt_out = os.path.join(_REPO, "PLANS_RUNTIME.json")
+        with open(rt_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "master": "local[8]",
+                    "shuffle_partitions": 8,
+                    "queries": {
+                        r["query"]: r["runtime"]
+                        for r in rows
+                        if "runtime" in r
+                    },
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {rt_out}")
 
 
 if __name__ == "__main__":
