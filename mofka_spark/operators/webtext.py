@@ -18,7 +18,7 @@ the same patterns.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # -- HTML → text -------------------------------------------------------------
@@ -657,23 +657,36 @@ def robots_rules_filter(
     for d, p, a in norm:
         # tuple order == _RULE_STRUCT field order
         by_dom.setdefault(d, []).append((len(d), len(p), a, p))
-    depths: dict[int, list] = {}
-    for d, rl in by_dom.items():
-        depths.setdefault(d.count(".") + 1, []).append((d, rl))
+    rdf = spark.createDataFrame(
+        [(d, d.count(".") + 1, rl) for d, rl in by_dom.items()],
+        f"dom string, depth int, rules array<{_RULE_STRUCT}>",
+    )
+    return _robots_filter_broadcast(df, rdf, host, path)
+
+
+def _robots_filter_broadcast(
+    df: DataFrame, rdf: DataFrame, host: Column, path: Column
+) -> DataFrame:
+    """The broadcast regime over a pre-grouped rules frame
+    ``rdf = (dom, depth, rules array<_RULE_STRUCT>)`` — shared by the
+    python-list path (above the literal ceiling) and the
+    ``rules_df=`` path (rules living in a DataFrame, e.g. the output
+    of :func:`parse_robots_txt` at crawl scale)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    out = (
-        df.withColumn("domain", host)
-        .withColumn("path", path)
+    # O(10) distinct label depths — tiny driver-side metadata
+    depths = sorted(
+        r["depth"] for r in rdf.select("depth").distinct().collect()
     )
+    out = df.withColumn("domain", host).withColumn("path", path)
     cand_cols = []
-    for i in sorted(depths):
-        rdf = spark.createDataFrame(
-            depths[i],
-            f"_rr_dom_{i} string, _rr_rules_{i} array<{_RULE_STRUCT}>",
+    for i in depths:
+        sub = rdf.filter(F.col("depth") == i).select(
+            F.col("dom").alias(f"_rr_dom_{i}"),
+            F.col("rules").alias(f"_rr_rules_{i}"),
         )
         out = out.join(
-            F.broadcast(rdf),
+            F.broadcast(sub),
             _host_suffix(labels, n, i) == F.col(f"_rr_dom_{i}"),
             "left",
         )
@@ -682,6 +695,11 @@ def robots_rules_filter(
                 F.col(f"_rr_rules_{i}"),
                 F.expr(f"CAST(array() AS array<{_RULE_STRUCT}>)"),
             )
+        )
+    if not cand_cols:  # empty rules frame: everything allowed
+        return (
+            out.withColumn("rule_path", F.lit(None).cast("string"))
+            .withColumn("allowed", F.lit(True))
         )
     cand = cand_cols[0] if len(cand_cols) == 1 else F.concat(*cand_cols)
     applicable = F.filter(
@@ -693,8 +711,134 @@ def robots_rules_filter(
         out.withColumn("rule_path", rule_path)
         .withColumn("allowed", allowed)
         .drop(
-            *[c for i in sorted(depths) for c in (f"_rr_dom_{i}", f"_rr_rules_{i}")]
+            *[c for i in depths for c in (f"_rr_dom_{i}", f"_rr_rules_{i}")]
         )
+    )
+
+
+def robots_rules_filter_df(
+    df: DataFrame,
+    rules_df: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """:func:`robots_rules_filter` with the rule set in a DATAFRAME
+    (columns domain, prefix, allow) instead of a python list — the
+    crawl-scale form where rules come out of
+    :func:`parse_robots_txt` over millions of fetched robots.txt
+    bodies and never pass through the driver. Same normalization
+    (lowercase, one leading ``www.`` off, dedup) and the same
+    most-specific resolution, via the shared broadcast machinery; the
+    grouped rules frame must fit in a broadcast (rules are tens of
+    bytes per domain — ~GB-scale rule sets; beyond that, pre-filter
+    rules_df to the crawl's domains first)."""
+    dom = F.regexp_replace(
+        F.lower(F.regexp_replace(F.col("domain"), r"^\.+", "")),
+        r"^www\.", "",
+    )
+    norm = rules_df.select(
+        dom.alias("dom"),
+        F.col("prefix").cast("string").alias("prefix"),
+        F.col("allow").cast("boolean").alias("allow"),
+    ).distinct()
+    grouped = norm.groupBy("dom").agg(
+        F.collect_list(
+            F.struct(
+                F.length("dom").cast("int").alias("dlen"),
+                F.length("prefix").cast("int").alias("plen"),
+                F.col("allow").alias("allow"),
+                F.col("prefix").alias("prefix"),
+            )
+        ).alias("rules")
+    ).withColumn("depth", F.size(F.split(F.col("dom"), r"\.")))
+    host = url_domain(F.col(url_col))
+    path = url_path(F.col(url_col))
+    return _robots_filter_broadcast(df, grouped, host, path)
+
+
+# robots.txt line kinds (comments/whitespace already stripped)
+_ROBOTS_DIRECTIVE_RE = r"^[^:]*:(.*)$"
+
+
+def parse_robots_txt(
+    df: DataFrame,
+    domain_col: str = "domain",
+    body_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse robots.txt BODIES into (domain, prefix, allow) rule rows —
+    the fetch-side companion of :func:`robots_rules_filter`: a crawl
+    pipeline fetches ``/robots.txt`` per host, parses the group(s)
+    applying to its user agent, and feeds the rules to the filter
+    (list form under the literal ceiling, ``robots_rules_filter_df``
+    at scale).
+
+    Grammar handled (RFC 9309 group structure): ``User-agent:`` runs
+    open a group (several consecutive UA lines share one group; a
+    directive line closes the run), ``Allow:``/``Disallow:`` lines
+    attach to the current group, ``#`` comments and blank lines are
+    stripped, matching is case-insensitive on field names and agent
+    names. A group applies when it names ``*`` or ``agent``. An EMPTY
+    ``Disallow:`` value means "allow everything" — it contributes no
+    rule. Directives before any group are invalid and ignored.
+    DELIBERATE simplification, documented: path values are treated as
+    PLAIN PREFIXES — RFC 9309 ``*``/``$`` wildcards are not
+    interpreted (they pass through verbatim and, as prefixes, simply
+    never match), exactly the semantics robots_rules_filter resolves.
+
+    Scale shape: lines explode scan-local; the group-assignment
+    windows and the rules↔agents join are keyed by (domain), so the
+    one shuffle carries parsed DIRECTIVE rows only (tens per domain),
+    never bodies.
+    """
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("idx", "raw"),
+    )
+    val = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    lo = F.lower(val)
+    kind = (
+        F.when(lo.startswith("user-agent:"), "ua")
+        .when(lo.startswith("allow:"), "allow")
+        .when(lo.startswith("disallow:"), "disallow")
+    )
+    typed = lines.select(
+        "domain",
+        "idx",
+        kind.alias("kind"),
+        F.trim(F.regexp_extract(val, _ROBOTS_DIRECTIVE_RE, 1)).alias("v"),
+    ).filter(F.col("kind").isNotNull())
+    w = Window.partitionBy("domain").orderBy("idx")
+    prev = F.lag("kind").over(w)
+    grouped = typed.withColumn(
+        "grp",
+        F.sum(
+            (
+                (F.col("kind") == "ua") & (prev.isNull() | (prev != "ua"))
+            ).cast("int")
+        ).over(w),
+    )
+    agents = (
+        grouped.filter(F.col("kind") == "ua")
+        .groupBy("domain", "grp")
+        .agg(F.collect_set(F.lower(F.col("v"))).alias("agents"))
+    )
+    rules = grouped.filter(
+        F.col("kind").isin("allow", "disallow")
+        & (F.col("grp") > 0)
+        & (F.col("v") != "")
+    )
+    return (
+        rules.join(agents, ["domain", "grp"])
+        .filter(
+            F.array_contains("agents", "*")
+            | F.array_contains("agents", agent.lower())
+        )
+        .select(
+            "domain",
+            F.col("v").alias("prefix"),
+            (F.col("kind") == "allow").alias("allow"),
+        )
+        .distinct()
     )
 
 

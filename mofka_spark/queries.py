@@ -10589,6 +10589,65 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", "domain", "path", "rule_path", "allowed")
 
 
+# robots.txt PARSING (webtext.parse_robots_txt): bodies synthesized
+# from five templates keyed on doc_id % 5 — UA groups (incl. multi-UA
+# runs and case-insensitive agent names), comments (full-line and
+# inline), empty Disallow (allow-all: contributes no rule), orphan
+# directives before any group (ignored), and a non-matching group.
+# The Spark side genuinely parses line structure; the oracle knows the
+# templates and emits the expected rules in closed form (the
+# audio_headers discipline).
+@query(
+    "robots_parse",
+    """
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS t
+      FROM documents WHERE doc_id < 400
+    ),
+    r AS (
+      SELECT doc_id, '/private' AS prefix, FALSE AS allow FROM d WHERE t = 0
+      UNION ALL
+      SELECT doc_id, '/private/ok', TRUE FROM d WHERE t = 0
+      UNION ALL
+      SELECT doc_id, '/tmp', FALSE FROM d WHERE t = 1
+      UNION ALL
+      SELECT doc_id, '/a', TRUE FROM d WHERE t = 3
+      UNION ALL
+      SELECT doc_id, '/a/b', FALSE FROM d WHERE t = 3
+    )
+    SELECT 'site' || CAST(doc_id AS VARCHAR) || '.com' AS domain,
+           prefix, allow
+    FROM r
+    """,
+)
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    t = F.pmod(F.col("doc_id"), F.lit(5))
+    body = (
+        F.when(t == 0, F.lit(
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        ))
+        .when(t == 1, F.lit(
+            "User-agent: bot\nUser-agent: crawler\nDisallow: /tmp\n\n"
+            "User-agent: other\nDisallow: /\n"
+        ))
+        .when(t == 2, F.lit("# top comment\nUser-agent: *\nDisallow:\n"))
+        .when(t == 3, F.lit(
+            "Disallow: /orphan\nUser-agent: BOT\nAllow: /a\n"
+            "Disallow: /a/b # inline comment\n"
+        ))
+        .otherwise(F.lit("User-agent: other\nDisallow: /x\n"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("site"), F.col("doc_id").cast("string"), F.lit(".com"))
+        .alias("domain"),
+        body.alias("robots_txt"),
+    )
+    return webtext.parse_robots_txt(pages, agent="bot")
+
+
 # Crawl-graph connected components (graph.connected_components_
 # alternating — large-star/small-star, O(log n) rounds independent of
 # diameter): the web_link_graph edge set chains thousands of pages

@@ -443,3 +443,92 @@ class TestDomainBlocklistBroadcast:
         plan = bc_df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestParseRobotsTxt:
+    BODIES = [
+        ("a.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+        ("b.com", "User-agent: bot\nUser-agent: crawler\nDisallow: /tmp\n\n"
+                  "User-agent: other\nDisallow: /\n"),
+        ("c.com", "# top comment\nUser-agent: *\nDisallow:\n"),
+        ("d.com", "Disallow: /orphan\nUser-agent: BOT\nAllow: /a\n"
+                  "Disallow: /a/b # inline\n"),
+        ("e.com", "User-agent: other\nDisallow: /x\n"),
+    ]
+
+    def test_group_structure_and_edge_cases(self, spark):
+        # multi-UA runs share a group; agent match is case-insensitive;
+        # comments strip; empty Disallow contributes no rule; orphan
+        # directives before any group are ignored; non-matching groups
+        # contribute nothing
+        df = spark.createDataFrame(
+            self.BODIES, "domain string, robots_txt string"
+        )
+        got = sorted(
+            tuple(r) for r in webtext.parse_robots_txt(df, agent="bot").collect()
+        )
+        assert got == sorted([
+            ("a.com", "/private", False), ("a.com", "/private/ok", True),
+            ("b.com", "/tmp", False),
+            ("d.com", "/a", True), ("d.com", "/a/b", False),
+        ])
+
+    def test_star_agent_only_match(self, spark):
+        df = spark.createDataFrame(
+            self.BODIES, "domain string, robots_txt string"
+        )
+        got = sorted(
+            tuple(r)
+            for r in webtext.parse_robots_txt(df, agent="nobody").collect()
+        )
+        # only the '*' groups apply (a.com rules; c.com's is empty)
+        assert got == sorted([
+            ("a.com", "/private", False), ("a.com", "/private/ok", True),
+        ])
+
+    def test_crlf_and_dedup(self, spark):
+        df = spark.createDataFrame(
+            [("x.com", "User-agent: *\r\nDisallow: /p\r\nDisallow: /p\r\n")],
+            "domain string, robots_txt string",
+        )
+        got = webtext.parse_robots_txt(df).collect()
+        assert [tuple(r) for r in got] == [("x.com", "/p", False)]
+
+    def test_rules_df_filter_matches_list_filter(self, spark):
+        bodies = spark.createDataFrame(
+            self.BODIES, "domain string, robots_txt string"
+        )
+        rules = webtext.parse_robots_txt(bodies, agent="bot")
+        urls = spark.createDataFrame(
+            [(1, "http://a.com/private/ok/x"),
+             (2, "http://sub.a.com/private/y"),
+             (3, "http://b.com/tmp/z"),
+             (4, "http://e.com/x"),
+             (5, "http://d.com/a/b/c")],
+            "id long, url string",
+        )
+        cols = ["id", "domain", "path", "rule_path", "allowed"]
+        via_df = sorted(
+            tuple(r)
+            for r in webtext.robots_rules_filter_df(urls, rules)
+            .select(*cols).collect()
+        )
+        via_list = sorted(
+            tuple(r)
+            for r in webtext.robots_rules_filter(
+                urls, [tuple(r) for r in rules.collect()]
+            ).select(*cols).collect()
+        )
+        assert via_df == via_list
+        flags = {r[0]: r[4] for r in via_df}
+        assert flags == {1: True, 2: False, 3: False, 4: True, 5: False}
+
+    def test_rules_df_empty_allows_everything(self, spark):
+        urls = spark.createDataFrame(
+            [(1, "http://a.com/x")], "id long, url string"
+        )
+        empty = spark.createDataFrame(
+            [], "domain string, prefix string, allow boolean"
+        )
+        (row,) = webtext.robots_rules_filter_df(urls, empty).collect()
+        assert row["allowed"] is True and row["rule_path"] is None
