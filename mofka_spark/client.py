@@ -163,6 +163,24 @@ class Driver:
         (the reference's addMemoryPartition/addDefaultPartition)."""
         self.registry.add_partitions(name, count, backend=backend)
 
+    def apply_retention(
+        self, now=None, force: bool = False
+    ) -> dict[str, dict[int, int]]:
+        """Run every topic's configured ``retention.ms`` trim (see
+        TopicHandle.apply_retention) — the periodic maintenance sweep a
+        deployment schedules next to ``compact_files``. Topics without
+        a retention config are skipped. Returns
+        {topic: {partition: trim_floor}} for the trimmed topics only;
+        O(#topics) metadata plus the per-topic file unlinks."""
+        out: dict[str, dict[int, int]] = {}
+        for name in self.list_topics():
+            floors = self.open_topic(name).apply_retention(
+                now=now, force=force
+            )
+            if floors:
+                out[name] = floors
+        return out
+
     # -- SQL surface (beyond-reference: mofka has no query language) -------
     def register_views(self, prefix: str = "topic_") -> list[str]:
         """Register every topic as a Spark temp view ``<prefix><name>``

@@ -497,3 +497,33 @@ class TestTrimCli:
             capture_output=True, text=True, cwd=REPO,
         )
         assert proc.returncode != 0
+
+
+class TestDriverRetentionSweep:
+    def test_sweep_trims_only_configured_topics(self, spark, tmp_path):
+        from mofka_spark.client import Driver
+        from mofka_spark.kafka import KafkaDriver
+
+        root = str(tmp_path / "root")
+        os.makedirs(root)
+        cfg = str(tmp_path / "kafka.json")
+        with open(cfg, "w") as f:
+            json.dump({"root": root}, f)
+        kd = KafkaDriver(cfg, spark)
+        kd.create_topic("kept", num_partitions=1)  # no retention config
+        kd.create_topic(
+            "expiring", num_partitions=1, config={"retention.ms": 60_000}
+        )
+        drv = Driver(spark, root)
+        for name in ("kept", "expiring"):
+            t = drv.open_topic(name)
+            with t.producer("p", batch_size=4) as p:
+                for i in range(4):
+                    p.push({"i": i}, None, partition=0)
+        fut = datetime.datetime.now(
+            datetime.timezone.utc
+        ) + datetime.timedelta(days=1)
+        floors = drv.apply_retention(now=fut)
+        assert floors == {"expiring": {0: 4}}
+        assert drv.open_topic("kept").log.read().count() == 4
+        assert drv.open_topic("expiring").log.read().count() == 0
