@@ -527,3 +527,30 @@ class TestDriverRetentionSweep:
         assert floors == {"expiring": {0: 4}}
         assert drv.open_topic("kept").log.read().count() == 4
         assert drv.open_topic("expiring").log.read().count() == 0
+
+
+class TestTrimCompactInterplay:
+    def test_compact_then_trim_then_compact(self, tmp_path):
+        # per-flush files -> trim (deletes a prefix, hides part of a
+        # straddling file) -> compaction merges the survivors -> reads
+        # stay exactly [floor, head) and a later trim still works
+        log = _mk_log(str(tmp_path / "t"), n_per_part=12, parts=1, batch=2)
+        log.trim(before_offset=5)
+        res = log.compact_files(min_files=2)
+        assert res[0][1] < res[0][0]
+        assert _offsets(log, 0) == list(range(5, 12))
+        # the merged file straddles the floor (it kept offset 4's row
+        # on disk); a second trim above it re-hides correctly
+        assert log.trim(before_offset=8) == {0: 8}
+        assert _offsets(log, 0) == list(range(8, 12))
+
+    def test_trim_after_compaction_deletes_merged_file(self, tmp_path):
+        log = _mk_log(str(tmp_path / "t"), n_per_part=8, parts=1, batch=2)
+        log.compact_files(min_files=2)  # one merged file [0,8)
+        assert len(_files(log, 0)) == 1
+        # floor above the whole file: deletion removes it outright
+        log.trim(before_offset=10**9)
+        assert _files(log, 0) == []
+        assert _offsets(log, 0) == []
+        acks = log.append_rows([(0, 0, json.dumps({"i": 1}), None)])
+        assert acks[0][0] == 8
