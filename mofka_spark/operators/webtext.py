@@ -928,3 +928,89 @@ def domain_blocklist_filter(
     return out.withColumn("blocked", blocked_col).drop(
         *[f"_bl_dom_{i}" for i in sorted(depths)]
     )
+
+
+# -- sitemaps + crawl scheduling ---------------------------------------------
+
+_SITEMAP_URL_BLOCK_RE = r"(?is)<url\b[^>]*>(.*?)</url\s*>"
+_SITEMAP_IDX_BLOCK_RE = r"(?is)<sitemap\b[^>]*>(.*?)</sitemap\s*>"
+_SITEMAP_LOC_RE = r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>"
+_SITEMAP_LASTMOD_RE = r"(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>"
+
+
+def parse_sitemap(
+    df: DataFrame,
+    domain_col: str = "domain",
+    body_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Parse sitemap.xml BODIES into one row per entry — the crawl
+    seeding stage next to :func:`parse_robots_txt`: a crawler fetches
+    each host's sitemap, expands ``<sitemapindex>`` references, and
+    enqueues ``<urlset>`` locations with their last-modified hints.
+
+    Handles both document kinds in one pass: ``<urlset>`` entries
+    yield kind='url' rows, ``<sitemapindex>`` entries kind='sitemap'
+    rows (their loc is a nested sitemap to fetch). Returns (domain,
+    kind, loc, lastmod) — lastmod is the raw W3C datetime string
+    (NULL when the entry has none; callers to_timestamp it, which
+    accepts both date-only and full-datetime forms). Entries without
+    a ``<loc>`` are dropped.
+
+    Scale shape: pure regexp extraction + one explode per block kind —
+    scan-local, zero shuffles, zero UDFs; bodies never leave their
+    scan task."""
+    body = F.col(body_col)
+
+    def entries(block_re: str, kind: str) -> DataFrame:
+        blocks = F.regexp_extract_all(body, F.lit(block_re), 1)
+        out = df.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(blocks).alias("_block"),
+        )
+        loc = F.regexp_extract("_block", _SITEMAP_LOC_RE, 1)
+        lastmod = F.regexp_extract("_block", _SITEMAP_LASTMOD_RE, 1)
+        return out.select(
+            "domain",
+            F.lit(kind).alias("kind"),
+            loc.alias("loc"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        ).filter(F.col("loc") != "")
+
+    return entries(_SITEMAP_URL_BLOCK_RE, "url").unionByName(
+        entries(_SITEMAP_IDX_BLOCK_RE, "sitemap")
+    )
+
+
+def crawl_schedule(
+    df: DataFrame,
+    delay_sec: float = 1.0,
+    domain_col: str = "domain",
+    url_col: str = "url",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Politeness-aware fetch schedule: within each domain, order URLs
+    by descending priority (ties broken by url for determinism) and
+    space them ``delay_sec`` apart — the frontier-scheduling step
+    between :func:`parse_sitemap`/:func:`web_graph` discovery and the
+    fetcher fleet. With no priority column, URL order is used.
+
+    Adds (slot, fetch_offset_sec): slot = the URL's 0-based position
+    in its domain's queue, fetch_offset_sec = slot * delay_sec — a
+    fetcher that starts each domain's queue at t0 and honors the
+    offsets never hits one host faster than the delay, regardless of
+    how many domains it crawls in parallel.
+
+    Scale shape: ONE window keyed by domain (the shuffle carries
+    (domain, url, priority) rows); per-domain queues are independent,
+    so skewed domains cost only their own partition's sort."""
+    order = (
+        [F.col(priority_col).desc(), F.col(url_col).asc()]
+        if priority_col is not None
+        else [F.col(url_col).asc()]
+    )
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    slot = (F.row_number().over(w) - 1).cast("long")
+    return df.withColumn("slot", slot).withColumn(
+        "fetch_offset_sec",
+        F.round(F.col("slot") * F.lit(float(delay_sec)), 6),
+    )

@@ -10648,6 +10648,110 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.parse_robots_txt(pages, agent="bot")
 
 
+# sitemap.xml parsing (webtext.parse_sitemap): urlset entries (with
+# and without lastmod, whitespace-padded loc) and sitemapindex
+# references, synthesized from doc_id templates; the oracle emits the
+# expected rows in closed form (the robots_parse discipline).
+@query(
+    "sitemap_parse",
+    """
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS t,
+             'site' || CAST(doc_id AS VARCHAR) || '.com' AS domain
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT domain, 'url' AS kind,
+           'http://' || domain || '/p' || CAST(doc_id AS VARCHAR) AS loc,
+           '2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-02' AS lastmod
+    FROM d WHERE t < 2
+    UNION ALL
+    SELECT domain, 'url',
+           'http://' || domain || '/q' || CAST(doc_id AS VARCHAR),
+           NULL
+    FROM d WHERE t < 2
+    UNION ALL
+    SELECT domain, 'sitemap',
+           'http://' || domain || '/sitemap-more.xml',
+           '2024-02-02T10:00:00Z'
+    FROM d WHERE t = 2
+    """,
+)
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    dom = F.concat(F.lit("site"), F.col("doc_id").cast("string"), F.lit(".com"))
+    t = F.pmod(F.col("doc_id"), F.lit(3))
+    lastmod = F.concat(
+        F.lit("2024-0"),
+        (F.pmod(F.col("doc_id"), F.lit(9)) + 1).cast("string"),
+        F.lit("-02"),
+    )
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset>\n  <url><loc> http://'),
+        dom, F.lit("/p"), F.col("doc_id").cast("string"),
+        F.lit(" </loc><lastmod>"), lastmod,
+        F.lit("</lastmod></url>\n  <url><loc>http://"),
+        dom, F.lit("/q"), F.col("doc_id").cast("string"),
+        F.lit("</loc></url>\n  <url><lastmod>ignored-no-loc</lastmod></url>\n</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex>\n  <sitemap><loc>http://"),
+        dom,
+        F.lit(
+            "/sitemap-more.xml</loc>"
+            "<lastmod>2024-02-02T10:00:00Z</lastmod></sitemap>\n"
+            "</sitemapindex>"
+        ),
+    )
+    pages = docs.select(
+        dom.alias("domain"),
+        F.when(t < 2, urlset).otherwise(index).alias("sitemap_xml"),
+    )
+    return webtext.parse_sitemap(pages)
+
+
+# Politeness-aware crawl frontier schedule (webtext.crawl_schedule):
+# per-domain queues ordered by priority (ties broken by url), spaced
+# delay_sec apart. Oracle = the same ROW_NUMBER window.
+@query(
+    "crawl_schedule",
+    """
+    WITH u AS (
+      SELECT 'd' || CAST(doc_id % 20 AS VARCHAR) AS domain,
+             'http://d' || CAST(doc_id % 20 AS VARCHAR) || '.com/p' ||
+               CAST(doc_id AS VARCHAR) AS url,
+             n_chars AS priority
+      FROM documents WHERE doc_id < 1000
+    )
+    SELECT domain, url,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY domain ORDER BY priority DESC, url ASC
+           ) - 1 AS BIGINT) AS slot,
+           0.0 + ROUND((ROW_NUMBER() OVER (
+             PARTITION BY domain ORDER BY priority DESC, url ASC
+           ) - 1) * 1.5, 6) AS fetch_offset_sec
+    FROM u
+    """,
+)
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    dom = F.concat(F.lit("d"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string"))
+    urls = docs.select(
+        dom.alias("domain"),
+        F.concat(
+            F.lit("http://"), dom, F.lit(".com/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("n_chars").alias("priority"),
+    )
+    return webtext.crawl_schedule(
+        urls, delay_sec=1.5, priority_col="priority"
+    ).select("domain", "url", "slot", "fetch_offset_sec")
+
+
 # Crawl-graph connected components (graph.connected_components_
 # alternating — large-star/small-star, O(log n) rounds independent of
 # diameter): the web_link_graph edge set chains thousands of pages

@@ -532,3 +532,75 @@ class TestParseRobotsTxt:
         )
         (row,) = webtext.robots_rules_filter_df(urls, empty).collect()
         assert row["allowed"] is True and row["rule_path"] is None
+
+
+class TestSitemapAndSchedule:
+    def test_parse_sitemap_both_kinds(self, spark):
+        xml1 = (
+            '<?xml version="1.0"?>\n<urlset xmlns="http://x">\n'
+            "  <url><loc> http://a.com/p1 </loc>"
+            "<lastmod>2024-01-05</lastmod></url>\n"
+            "  <url><loc>http://a.com/p2</loc></url>\n"
+            "  <url><lastmod>2024-01-01</lastmod></url>\n</urlset>"
+        )
+        xml2 = (
+            "<sitemapindex>\n  <sitemap><loc>http://b.com/more.xml</loc>"
+            "<lastmod>2024-02-02T10:00:00Z</lastmod></sitemap>\n"
+            "</sitemapindex>"
+        )
+        df = spark.createDataFrame(
+            [("a.com", xml1), ("b.com", xml2)],
+            "domain string, sitemap_xml string",
+        )
+        got = sorted(tuple(r) for r in webtext.parse_sitemap(df).collect())
+        assert got == sorted([
+            ("a.com", "url", "http://a.com/p1", "2024-01-05"),
+            ("a.com", "url", "http://a.com/p2", None),  # no lastmod
+            ("b.com", "sitemap", "http://b.com/more.xml",
+             "2024-02-02T10:00:00Z"),
+        ])  # loc-less entry dropped
+
+    def test_lastmod_parses_as_timestamp(self, spark):
+        # both W3C forms feed straight into to_timestamp
+        df = spark.createDataFrame(
+            [("a.com", "<urlset><url><loc>http://a.com/x</loc>"
+                       "<lastmod>2024-03-04</lastmod></url></urlset>")],
+            "domain string, sitemap_xml string",
+        )
+        (row,) = (
+            webtext.parse_sitemap(df)
+            .select(F.to_timestamp("lastmod").alias("ts"))
+            .collect()
+        )
+        assert row["ts"] is not None
+
+    def test_crawl_schedule_per_domain_spacing(self, spark):
+        urls = spark.createDataFrame(
+            [("a.com", "http://a.com/x", 5),
+             ("a.com", "http://a.com/y", 9),
+             ("a.com", "http://a.com/z", 9),
+             ("b.com", "http://b.com/q", 1)],
+            "domain string, url string, prio int",
+        )
+        got = {
+            r["url"]: (r["slot"], r["fetch_offset_sec"])
+            for r in webtext.crawl_schedule(
+                urls, delay_sec=1.5, priority_col="prio"
+            ).collect()
+        }
+        # priority desc, url tiebreak; each domain's queue independent
+        assert got == {
+            "http://a.com/y": (0, 0.0), "http://a.com/z": (1, 1.5),
+            "http://a.com/x": (2, 3.0), "http://b.com/q": (0, 0.0),
+        }
+
+    def test_crawl_schedule_without_priority(self, spark):
+        urls = spark.createDataFrame(
+            [("a.com", "http://a.com/b"), ("a.com", "http://a.com/a")],
+            "domain string, url string",
+        )
+        got = {
+            r["url"]: r["slot"]
+            for r in webtext.crawl_schedule(urls).collect()
+        }
+        assert got == {"http://a.com/a": 0, "http://a.com/b": 1}
