@@ -10911,6 +10911,93 @@ def q_streaming_web_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
+# Incremental robots-rules store (streaming/robots.py): robots.txt
+# (re)fetches stream through the topic; each epoch parses its batch
+# and stamps the fetch sequence; the resolved policy is each domain's
+# LATEST fetch — including empty refetches that REMOVE rules. Bodies
+# synthesize from doc_id (domain = doc_id % 50, so every domain is
+# refetched ~13 times across the stream; the winner is the max doc_id
+# in the group); the oracle computes the latest fetch's rules in
+# closed form. Epoch boundaries are invisible by construction.
+@query(
+    "streaming_robots_store",
+    """
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE text IS NOT NULL AND doc_id < 1000
+    ),
+    w AS (
+      SELECT CAST(doc_id % 50 AS INTEGER) AS g, MAX(doc_id) AS m
+      FROM d GROUP BY doc_id % 50
+    ),
+    r AS (
+      SELECT g, '/p' || CAST(m % 7 AS VARCHAR) AS prefix, FALSE AS allow
+      FROM w WHERE m % 3 IN (0, 1)
+      UNION ALL
+      SELECT g, '/p' || CAST(m % 7 AS VARCHAR) || '/ok', TRUE
+      FROM w WHERE m % 3 = 1
+    )
+    SELECT 'site' || CAST(g AS VARCHAR) || '.com' AS domain, prefix, allow
+    FROM r
+    """,
+)
+def q_streaming_robots_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mofka_spark.streaming.robots import read_robots_rules, robots_sink
+
+    topic = _stream_fixture(spark, sf_dir, "docs")
+    deepest = max(topic.snapshot().values())  # two epochs at every sf
+    k = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    t = F.pmod(F.col("doc_id"), F.lit(3))
+    body = (
+        F.when(t == 0, F.concat(
+            F.lit("User-agent: *\nDisallow: /p"), k, F.lit("\n")
+        ))
+        .when(t == 1, F.concat(
+            F.lit("User-agent: *\nDisallow: /p"), k,
+            F.lit("\nAllow: /p"), k, F.lit("/ok\n"),
+        ))
+        .otherwise(F.lit("# nothing disallowed\n"))
+    )
+    fetches = (
+        topic.read_stream(batch_size=(deepest + 1) // 2)
+        .select(
+            F.get_json_object("metadata", "$.doc_id")
+            .cast("long")
+            .alias("doc_id")
+        )
+        .select(
+            F.concat(
+                F.lit("site"),
+                F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+                F.lit(".com"),
+            ).alias("domain"),
+            body.alias("robots_txt"),
+            F.col("doc_id").alias("fetch_seq"),
+        )
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="mofka-robots-"), "store")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            fetches.writeStream.foreachBatch(robots_sink(store))
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(store), "ckpt"),
+            )
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        if not topic.await_completion(q, timeout=300):
+            q.stop()
+            raise RuntimeError("streaming_robots_store did not drain")
+        return read_robots_rules(spark, store)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
 # PageRank over the ACCUMULATED crawl graph (store consumer #2): the
 # same webgraph store feeds graph.pagerank on string node ids — the
 # centrality signal a curation pipeline reads off the live crawl.

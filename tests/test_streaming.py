@@ -2415,3 +2415,97 @@ class TestStreamingWebGraph:
         path = str(tmp_path / "none")
         assert read_web_graph(spark, path).count() == 0
         assert web_graph_components(spark, path).count() == 0
+
+
+class TestRobotsStore:
+    """Incremental robots-rules store (streaming/robots.py): latest
+    fetch per domain wins, including an empty refetch; epoch split
+    invisible; replay idempotent; compaction invariant; time travel."""
+
+    BODY_A = "User-agent: *\nDisallow: /old\n"
+    BODY_B = "User-agent: *\nDisallow: /new\nAllow: /new/ok\n"
+    BODY_EMPTY = "# nothing disallowed\n"
+
+    def _fetch_df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "domain string, robots_txt string, fetch_seq long"
+        )
+
+    def _rules(self, spark, path, **kw):
+        from mofka_spark.streaming.robots import read_robots_rules
+
+        return sorted(
+            tuple(r) for r in read_robots_rules(spark, path, **kw).collect()
+        )
+
+    def test_latest_fetch_wins_and_empty_override(self, spark, tmp_path):
+        from mofka_spark.streaming.robots import robots_sink
+
+        path = str(tmp_path / "store")
+        sink = robots_sink(path)
+        sink(self._fetch_df(spark, [
+            ("a.com", self.BODY_A, 1), ("b.com", self.BODY_A, 2),
+        ]), 0)
+        sink(self._fetch_df(spark, [
+            ("a.com", self.BODY_B, 10),      # refetch: new rules
+            ("b.com", self.BODY_EMPTY, 11),  # refetch: rules REMOVED
+            ("c.com", self.BODY_A, 12),
+        ]), 1)
+        assert self._rules(spark, path) == sorted([
+            ("a.com", "/new", False), ("a.com", "/new/ok", True),
+            ("c.com", "/old", False),
+        ])  # b.com gone: latest fetch has no rules
+
+    def test_epoch_split_invisible(self, spark, tmp_path):
+        from mofka_spark.streaming.robots import robots_sink
+
+        one, many = str(tmp_path / "one"), str(tmp_path / "many")
+        rows = [
+            ("a.com", self.BODY_A, 1), ("a.com", self.BODY_B, 5),
+            ("b.com", self.BODY_A, 3),
+        ]
+        robots_sink(one)(self._fetch_df(spark, rows), 0)
+        for i, r in enumerate(rows):
+            robots_sink(many)(self._fetch_df(spark, [r]), i)
+        assert self._rules(spark, one) == self._rules(spark, many)
+
+    def test_replay_and_compaction_invariance(self, spark, tmp_path):
+        from mofka_spark.streaming.robots import (
+            compact_robots_store, robots_sink,
+        )
+
+        path = str(tmp_path / "store")
+        sink = robots_sink(path)
+        sink(self._fetch_df(spark, [("a.com", self.BODY_A, 1)]), 0)
+        sink(self._fetch_df(spark, [("a.com", self.BODY_B, 9)]), 1)
+        before = self._rules(spark, path)
+        sink(self._fetch_df(spark, [("a.com", self.BODY_B, 9)]), 1)  # replay
+        assert self._rules(spark, path) == before
+        compact_robots_store(spark, path)
+        assert self._rules(spark, path) == before
+
+    def test_time_travel_and_filter_integration(self, spark, tmp_path):
+        from mofka_spark.operators.webtext import robots_rules_filter_df
+        from mofka_spark.streaming.robots import (
+            read_robots_rules, robots_sink,
+        )
+
+        path = str(tmp_path / "store")
+        sink = robots_sink(path)
+        sink(self._fetch_df(spark, [("a.com", self.BODY_A, 1)]), 0)
+        sink(self._fetch_df(spark, [("a.com", self.BODY_B, 2)]), 1)
+        assert self._rules(spark, path, as_of_epoch=0) == [
+            ("a.com", "/old", False)
+        ]
+        urls = spark.createDataFrame(
+            [(1, "http://a.com/new/x"), (2, "http://a.com/new/ok/y"),
+             (3, "http://a.com/old/z")],
+            "id long, url string",
+        )
+        got = {
+            r["id"]: r["allowed"]
+            for r in robots_rules_filter_df(
+                urls, read_robots_rules(spark, path)
+            ).collect()
+        }
+        assert got == {1: False, 2: True, 3: True}
