@@ -1014,3 +1014,45 @@ def crawl_schedule(
         "fetch_offset_sec",
         F.round(F.col("slot") * F.lit(float(delay_sec)), 6),
     )
+
+
+def url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    max_urls_per_template: int | None = None,
+) -> DataFrame:
+    """Mine URL TEMPLATES per domain: collapse every digit run in the
+    path to ``{n}`` and aggregate — the crawler-trap / infinite-space
+    detector (calendar pages, paginated archives, session-id paths
+    produce one template with unbounded instances; real content pages
+    produce many templates with few instances each).
+
+    Returns one row per (domain, template): n_urls, n_unique_paths,
+    and ``explosive`` when ``max_urls_per_template`` is set and
+    exceeded — the budget callers use to stop enqueueing a trap.
+
+    Scale shape: the template is a scan-local projection; ONE
+    aggregate keyed by (domain, template) whose shuffle carries
+    hashed-size rows, never page content. Skewed templates (the trap
+    itself) hit map-side combine first, so a million-URL calendar
+    costs one group, not a hot partition."""
+    dom = url_domain(F.col(url_col))
+    path = url_path(F.col(url_col))
+    template = F.regexp_replace(path, r"[0-9]+", "{n}")
+    out = (
+        df.select(
+            dom.alias("domain"),
+            template.alias("template"),
+            path.alias("_path"),
+        )
+        .groupBy("domain", "template")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.count_distinct("_path").cast("long").alias("n_unique_paths"),
+        )
+    )
+    if max_urls_per_template is not None:
+        out = out.withColumn(
+            "explosive", F.col("n_urls") > F.lit(int(max_urls_per_template))
+        )
+    return out

@@ -10911,6 +10911,65 @@ def q_streaming_web_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
+# URL template mining (webtext.url_templates): collapse digit runs in
+# paths to {n} and count instances per (domain, template) — the
+# crawler-trap detector. URLs synthesized so ~half of each domain's
+# pages share a calendar-style template; the oracle replays the
+# host/path extraction and the digit collapse.
+@query(
+    "url_templates",
+    """
+    WITH u AS (
+      SELECT 'http://d' || CAST(doc_id % 10 AS VARCHAR) || '.com' ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN '/cal/2024/' || CAST(doc_id AS VARCHAR)
+                  ELSE '/page' || CAST(doc_id % 5 AS VARCHAR) || '/about'
+             END AS url
+      FROM documents WHERE doc_id < 1000
+    ),
+    h AS (
+      SELECT regexp_replace(regexp_replace(
+               lower(regexp_extract(trim(url),
+                     '^[^:/?#]+://([^/?#]*).*$', 1)),
+               '^www\\.', ''), ':[0-9]+$', '') AS domain,
+             COALESCE(NULLIF(regexp_extract(trim(url),
+                     '^[^:/?#]+://[^/?#]*([^?#]*).*$', 1), ''), '/')
+               AS path
+      FROM u
+    )
+    SELECT domain,
+           regexp_replace(path, '[0-9]+', '{n}', 'g') AS template,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_unique_paths,
+           COUNT(*) > 20 AS explosive
+    FROM h
+    GROUP BY domain, regexp_replace(path, '[0-9]+', '{n}', 'g')
+    """,
+)
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    url = F.concat(
+        F.lit("http://d"),
+        F.pmod(F.col("doc_id"), F.lit(10)).cast("string"),
+        F.lit(".com"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+            F.concat(F.lit("/cal/2024/"), F.col("doc_id").cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("/page"),
+                F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+                F.lit("/about"),
+            )
+        ),
+    )
+    return webtext.url_templates(
+        docs.select(url.alias("url")), max_urls_per_template=20
+    )
+
+
 # Incremental robots-rules store (streaming/robots.py): robots.txt
 # (re)fetches stream through the topic; each epoch parses its batch
 # and stamps the fetch sequence; the resolved policy is each domain's

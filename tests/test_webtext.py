@@ -604,3 +604,31 @@ class TestSitemapAndSchedule:
             for r in webtext.crawl_schedule(urls).collect()
         }
         assert got == {"http://a.com/a": 0, "http://a.com/b": 1}
+
+
+class TestUrlTemplates:
+    def test_digit_collapse_and_explosive_flag(self, spark):
+        urls = (
+            [(f"http://a.com/cal/2024/{i}",) for i in range(30)]
+            + [("http://a.com/about",), ("http://a.com/about",)]
+            + [("http://b.com/p/7/x/8",)]
+        )
+        df = spark.createDataFrame(urls, "url string")
+        got = {
+            (r["domain"], r["template"]): r
+            for r in webtext.url_templates(
+                df, max_urls_per_template=10
+            ).collect()
+        }
+        cal = got[("a.com", "/cal/{n}/{n}")]
+        assert cal["n_urls"] == 30 and cal["n_unique_paths"] == 30
+        assert cal["explosive"] is True  # the trap
+        about = got[("a.com", "/about")]
+        assert about["n_urls"] == 2 and about["n_unique_paths"] == 1
+        assert about["explosive"] is False
+        assert got[("b.com", "/p/{n}/x/{n}")]["n_urls"] == 1
+
+    def test_no_threshold_no_flag_column(self, spark):
+        df = spark.createDataFrame([("http://a.com/x1",)], "url string")
+        cols = webtext.url_templates(df).columns
+        assert "explosive" not in cols
