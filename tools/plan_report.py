@@ -111,6 +111,11 @@ HEADLINE = [
     "url_blocklist",
     "blocklist_scan",
     "log_trim",
+    "robots_parse",
+    "sitemap_parse",
+    "crawl_schedule",
+    "url_templates",
+    "audio_headers",
 ]
 
 
