@@ -400,3 +400,84 @@ def pagerank(
         rank = new_rank
     release_local_checkpoint(sym)
     return rank.select("id", F.round("r", 6).alias("rank"))
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """HITS hubs/authorities over a DIRECTED graph — pagerank's
+    complement for crawl curation: authorities are pages many hubs
+    point AT (content worth keeping), hubs are pages pointing at many
+    authorities (link directories / navigation — often boilerplate to
+    down-weight). L1-normalized variant with fixed ``iters`` so the
+    result is a deterministic closed form an oracle can replay:
+
+      h_0 = 1;  a_k(v) = sum_{u->v} h_{k-1}(u) / ||.||_1;
+      h_k(u) = sum_{u->v} a_k(v) / ||.||_1.
+
+    Returns (id, hub, authority) rounded to 6dp; edge-less nodes carry
+    0 on both sides after the first round's normalization.
+
+    Scale shape: each half-round is ONE shuffle — a join of the score
+    frame onto the edge list reduced on the other endpoint; the L1
+    norm is a driver scalar (one-row agg). Score frames localCheckpoint
+    per round (released deterministically), the edge frame
+    materializes once."""
+    from mofka_spark.session import release_local_checkpoint
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    h = ids.select("id", F.lit(1.0).alias("h")).localCheckpoint(eager=True)
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h, e.src == h.id)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("s"))
+        )
+        a_sum = a_raw.agg(F.sum("s").alias("t")).collect()[0]["t"] or 1.0
+        new_a = (
+            ids.join(a_raw.select(F.col("dst").alias("id"), "s"), "id", "left")
+            .select(
+                "id",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(a_sum)).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if a is not None:
+            release_local_checkpoint(a)
+        a = new_a
+        h_raw = (
+            e.join(a, e.dst == a.id)
+            .groupBy("src")
+            .agg(F.sum("a").alias("s"))
+        )
+        h_sum = h_raw.agg(F.sum("s").alias("t")).collect()[0]["t"] or 1.0
+        new_h = (
+            ids.join(h_raw.select(F.col("src").alias("id"), "s"), "id", "left")
+            .select(
+                "id",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(h_sum)).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(h)
+        h = new_h
+    out = h.join(a, "id").select(
+        "id",
+        F.round("h", 6).alias("hub"),
+        F.round("a", 6).alias("authority"),
+    )
+    # NOTE: h/a checkpoints stay live until the caller drops the
+    # returned frame; e is dead now
+    release_local_checkpoint(e)
+    return out

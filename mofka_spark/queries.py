@@ -10823,6 +10823,95 @@ def q_web_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
+def _hits_steps(iters: int) -> str:
+    """Unrolled L1-normalized HITS CTE chain over directed edges e0 —
+    mirrors operators/graph.hits arithmetic exactly (zero-sum guard
+    included: the engine substitutes 1.0 for an absent OR zero norm)."""
+    steps = "\n    , h0 AS (SELECT id, 1.0 AS h FROM ids)"
+    for k in range(1, iters + 1):
+        steps += f"""
+    , a{k}r AS (
+      SELECT e.dst AS id, SUM(h.h) AS s
+      FROM e0 e JOIN h{k - 1} h ON h.id = e.src GROUP BY e.dst
+    ), a{k}n AS (
+      SELECT CASE WHEN COALESCE(SUM(s), 0) = 0 THEN 1.0 ELSE SUM(s) END AS t
+      FROM a{k}r
+    ), a{k} AS (
+      SELECT i.id, COALESCE(r.s, 0) / (SELECT t FROM a{k}n) AS a
+      FROM ids i LEFT JOIN a{k}r r ON r.id = i.id
+    ), h{k}r AS (
+      SELECT e.src AS id, SUM(a.a) AS s
+      FROM e0 e JOIN a{k} a ON a.id = e.dst GROUP BY e.src
+    ), h{k}n AS (
+      SELECT CASE WHEN COALESCE(SUM(s), 0) = 0 THEN 1.0 ELSE SUM(s) END AS t
+      FROM h{k}r
+    ), h{k} AS (
+      SELECT i.id, COALESCE(r.s, 0) / (SELECT t FROM h{k}n) AS h
+      FROM ids i LEFT JOIN h{k}r r ON r.id = i.id
+    )"""
+    return steps
+
+
+# HITS hubs/authorities over the DIRECTED crawl link graph
+# (graph.hits): authorities = pages many hubs point at, hubs = link
+# directories — the curation signal pair next to pagerank. Full-oracle
+# gate for the iterative algorithm: the oracle unrolls the same 3
+# L1-normalized rounds over the replayed extraction CTE.
+@query(
+    "web_hits",
+    rf"""
+    WITH pages AS (
+      SELECT {_PAGE_URL_SQL} AS src, {_LINK_HTML_SQL} AS html
+      FROM documents
+    ),
+    hrefs AS (
+      SELECT src, unnest(regexp_extract_all(html,
+        '(?is)<a\b[^>]*\bhref\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>', 1)) AS url
+      FROM pages
+      UNION ALL
+      SELECT src, unnest(regexp_extract_all(html,
+        '(?is)<a\b[^>]*\bhref\s*=\s*''([^'']*)''[^>]*>(.*?)</a\s*>', 1)) AS url
+      FROM pages
+    ),
+    d AS (
+      SELECT src AS id, url FROM hrefs
+      WHERE regexp_matches(url, '(?i)^https?://')
+    ),
+    {_URL_CANON_CTE_SQL},
+    e0 AS (
+      SELECT DISTINCT id AS src, canon_url AS dst
+      FROM u WHERE id <> canon_url
+    ),
+    ids AS (
+      SELECT src AS id FROM e0 UNION SELECT dst FROM e0
+    ){_hits_steps(3)}
+    SELECT h3.id, ROUND(h3.h, 6) AS hub, ROUND(a3.a, 6) AS authority
+    FROM h3 JOIN a3 ON a3.id = h3.id
+    """,
+)
+def q_web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mofka_spark.operators import webtext
+    from mofka_spark.operators.graph import hits
+
+    docs = _t(spark, sf_dir, "documents")
+    url, html = _synth_link_page()
+    pages = docs.select(
+        F.col("doc_id").alias("id"), url.alias("url"), html.alias("html")
+    )
+    edges = webtext.web_graph(pages)
+    nodes = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    )
+    # pinned shuffle width for the per-round checkpointed joins (the
+    # web_components rationale; the final join runs at session width)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return hits(nodes, edges, iters=3)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
 # Incrementally-accumulated web link graph (streaming/webgraph.py):
 # pages stream through a topic in micro-batches, each epoch appends
 # its DISTINCT canonical edges (set semantics — mergeable by distinct

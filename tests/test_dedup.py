@@ -581,3 +581,55 @@ class TestCrossCorpusDedup:
             for r in cross_corpus_dedup(new, index).collect()
         )
         assert got == want
+
+
+class TestHits:
+    def test_hub_and_authority_structure(self, spark):
+        from mofka_spark.operators.graph import hits
+
+        # directory d points at p1..p3; everyone also points at p1
+        edges = spark.createDataFrame(
+            [("d", "p1"), ("d", "p2"), ("d", "p3"),
+             ("x", "p1"), ("y", "p1")],
+            "src string, dst string",
+        )
+        nodes = edges.select(F.col("src").alias("id")).unionByName(
+            edges.select(F.col("dst").alias("id"))
+        )
+        got = {r["id"]: (r["hub"], r["authority"]) for r in
+               hits(nodes, edges, iters=3).collect()}
+        # d is the best hub; p1 the best authority; pure targets have
+        # hub 0; pure sources have authority 0
+        assert max(got, key=lambda k: got[k][0]) == "d"
+        assert max(got, key=lambda k: got[k][1]) == "p1"
+        for p in ("p1", "p2", "p3"):
+            assert got[p][0] == 0.0
+        for s in ("d", "x", "y"):
+            assert got[s][1] == 0.0
+        # L1 normalization: each score family sums to ~1
+        assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-6
+        assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-6
+
+    def test_matches_pure_python_power_iteration(self, spark):
+        from mofka_spark.operators.graph import hits
+
+        E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (1, 3)]
+        nodes_py = sorted({u for e in E for u in e})
+        h = {v: 1.0 for v in nodes_py}
+        a = {}
+        for _ in range(3):
+            a = {v: sum(h[u] for u, w in E if w == v) for v in nodes_py}
+            t = sum(a.values()) or 1.0
+            a = {v: x / t for v, x in a.items()}
+            h = {u: sum(a[w] for uu, w in E if uu == u) for u in nodes_py}
+            t = sum(h.values()) or 1.0
+            h = {u: x / t for u, x in h.items()}
+        edges = spark.createDataFrame(E, "src long, dst long")
+        nodes = edges.select(F.col("src").alias("id")).unionByName(
+            edges.select(F.col("dst").alias("id"))
+        )
+        got = {r["id"]: (r["hub"], r["authority"]) for r in
+               hits(nodes, edges, iters=3).collect()}
+        for v in nodes_py:
+            assert abs(got[v][0] - round(h[v], 6)) < 1e-9, (v, got[v], h[v])
+            assert abs(got[v][1] - round(a[v], 6)) < 1e-9, (v, got[v], a[v])
