@@ -417,67 +417,67 @@ def hits(
     down-weight). L1-normalized variant with fixed ``iters`` so the
     result is a deterministic closed form an oracle can replay:
 
-      h_0 = 1;  a_k(v) = sum_{u->v} h_{k-1}(u) / ||.||_1;
-      h_k(u) = sum_{u->v} a_k(v) / ||.||_1.
+      h_0 = 1;  a_k(v) = sum_{u->v} h_{k-1}(u);
+      h_k(u) = sum_{u->v} a_k(v);  normalize ONCE at the end.
+
+    Scaling commutes through the linear iteration, so end-only L1
+    normalization yields the SAME final normalized vectors as
+    per-round normalization — and saves 2 driver round-trips and 2
+    checkpoints per round (``iters`` is small and fixed, so doubles
+    stay far from overflow: values grow at most like max_degree^(2k)).
 
     Returns (id, hub, authority) rounded to 6dp; edge-less nodes carry
-    0 on both sides after the first round's normalization.
+    0 on both sides.
 
     Scale shape: each half-round is ONE shuffle — a join of the score
-    frame onto the edge list reduced on the other endpoint; the L1
-    norm is a driver scalar (one-row agg). Score frames localCheckpoint
-    per round (released deterministically), the edge frame
-    materializes once."""
-    from mofka_spark.session import release_local_checkpoint
-
+    frame onto the edge list reduced on the other endpoint; ``iters``
+    is small and fixed, so the rounds compose into one static plan
+    (no checkpoints needed — plan depth is 2*iters joins over the
+    one materialized edge frame); the two L1 norms are window-free
+    total aggregates computed in the same final job."""
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     ids = nodes.select(F.col(id_col).alias("id")).distinct()
-    h = ids.select("id", F.lit(1.0).alias("h")).localCheckpoint(eager=True)
+    h = ids.select("id", F.lit(1.0).alias("h"))
     a = None
     for _ in range(iters):
-        a_raw = (
+        a = (
             e.join(h, e.src == h.id)
             .groupBy("dst")
-            .agg(F.sum("h").alias("s"))
+            .agg(F.sum("h").alias("a"))
+            .select(F.col("dst").alias("id"), "a")
         )
-        a_sum = a_raw.agg(F.sum("s").alias("t")).collect()[0]["t"] or 1.0
-        new_a = (
-            ids.join(a_raw.select(F.col("dst").alias("id"), "s"), "id", "left")
-            .select(
-                "id",
-                (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(a_sum)).alias("a"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        if a is not None:
-            release_local_checkpoint(a)
-        a = new_a
-        h_raw = (
+        h = (
             e.join(a, e.dst == a.id)
             .groupBy("src")
-            .agg(F.sum("a").alias("s"))
+            .agg(F.sum("a").alias("h"))
+            .select(F.col("src").alias("id"), "h")
         )
-        h_sum = h_raw.agg(F.sum("s").alias("t")).collect()[0]["t"] or 1.0
-        new_h = (
-            ids.join(h_raw.select(F.col("src").alias("id"), "s"), "id", "left")
-            .select(
-                "id",
-                (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(h_sum)).alias("h"),
-            )
-            .localCheckpoint(eager=True)
+    scored = (
+        ids.join(h, "id", "left")
+        .join(a, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("h"), F.lit(0.0)).alias("h"),
+            F.coalesce(F.col("a"), F.lit(0.0)).alias("a"),
         )
-        release_local_checkpoint(h)
-        h = new_h
-    out = h.join(a, "id").select(
-        "id",
-        F.round("h", 6).alias("hub"),
-        F.round("a", 6).alias("authority"),
     )
-    # NOTE: h/a checkpoints stay live until the caller drops the
-    # returned frame; e is dead now
-    release_local_checkpoint(e)
+    # end-only L1 norms: a 1-row total aggregate broadcast back onto
+    # the score frame (a global window would funnel every node through
+    # ONE partition — this stays a map-side division at any scale)
+    norms = scored.agg(
+        F.sum("h").alias("_hs"), F.sum("a").alias("_as")
+    )
+    hs = F.when(F.col("_hs") == 0, F.lit(1.0)).otherwise(F.col("_hs"))
+    as_ = F.when(F.col("_as") == 0, F.lit(1.0)).otherwise(F.col("_as"))
+    out = scored.crossJoin(F.broadcast(norms)).select(
+        "id",
+        F.round(F.col("h") / hs, 6).alias("hub"),
+        F.round(F.col("a") / as_, 6).alias("authority"),
+    )
+    # e's checkpoint stays live until the caller drops the returned
+    # frame (the plan reads it 2*iters times); nothing else persists
     return out

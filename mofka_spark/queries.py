@@ -10824,30 +10824,20 @@ def q_web_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hits_steps(iters: int) -> str:
-    """Unrolled L1-normalized HITS CTE chain over directed edges e0 —
-    mirrors operators/graph.hits arithmetic exactly (zero-sum guard
-    included: the engine substitutes 1.0 for an absent OR zero norm)."""
+    """Unrolled HITS CTE chain over directed edges e0 — UNNORMALIZED
+    rounds (scaling commutes through the linear iteration; graph.hits
+    normalizes once at the end), raw frames keyed only on endpoints
+    that received mass (the next round's join semantics match the
+    engine's inner joins exactly)."""
     steps = "\n    , h0 AS (SELECT id, 1.0 AS h FROM ids)"
     for k in range(1, iters + 1):
         steps += f"""
-    , a{k}r AS (
-      SELECT e.dst AS id, SUM(h.h) AS s
+    , a{k} AS (
+      SELECT e.dst AS id, SUM(h.h) AS a
       FROM e0 e JOIN h{k - 1} h ON h.id = e.src GROUP BY e.dst
-    ), a{k}n AS (
-      SELECT CASE WHEN COALESCE(SUM(s), 0) = 0 THEN 1.0 ELSE SUM(s) END AS t
-      FROM a{k}r
-    ), a{k} AS (
-      SELECT i.id, COALESCE(r.s, 0) / (SELECT t FROM a{k}n) AS a
-      FROM ids i LEFT JOIN a{k}r r ON r.id = i.id
-    ), h{k}r AS (
-      SELECT e.src AS id, SUM(a.a) AS s
-      FROM e0 e JOIN a{k} a ON a.id = e.dst GROUP BY e.src
-    ), h{k}n AS (
-      SELECT CASE WHEN COALESCE(SUM(s), 0) = 0 THEN 1.0 ELSE SUM(s) END AS t
-      FROM h{k}r
     ), h{k} AS (
-      SELECT i.id, COALESCE(r.s, 0) / (SELECT t FROM h{k}n) AS h
-      FROM ids i LEFT JOIN h{k}r r ON r.id = i.id
+      SELECT e.src AS id, SUM(a.a) AS h
+      FROM e0 e JOIN a{k} a ON a.id = e.dst GROUP BY e.src
     )"""
     return steps
 
@@ -10885,8 +10875,19 @@ def _hits_steps(iters: int) -> str:
     ids AS (
       SELECT src AS id FROM e0 UNION SELECT dst FROM e0
     ){_hits_steps(3)}
-    SELECT h3.id, ROUND(h3.h, 6) AS hub, ROUND(a3.a, 6) AS authority
-    FROM h3 JOIN a3 ON a3.id = h3.id
+    , nrm AS (
+      SELECT (SELECT CASE WHEN COALESCE(SUM(h), 0) = 0 THEN 1.0
+                          ELSE SUM(h) END FROM h3) AS hs,
+             (SELECT CASE WHEN COALESCE(SUM(a), 0) = 0 THEN 1.0
+                          ELSE SUM(a) END FROM a3) AS "as"
+    )
+    SELECT i.id,
+           ROUND(COALESCE(h3.h, 0) / (SELECT hs FROM nrm), 6) AS hub,
+           ROUND(COALESCE(a3.a, 0) / (SELECT "as" FROM nrm), 6)
+             AS authority
+    FROM ids i
+    LEFT JOIN h3 ON h3.id = i.id
+    LEFT JOIN a3 ON a3.id = i.id
     """,
 )
 def q_web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:

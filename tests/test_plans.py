@@ -665,6 +665,7 @@ class TestGlobalPlanAudit:
         "streaming_pq_index",  # same ADC broadcast over the code store
         "doc_hash_knn",        # brute_force_topk broadcast over hash embeds
         "doc_hash_ann",        # recall gate: exact arm = same bounded cross
+        "web_hits",            # 1-row L1-norm aggregate broadcast back
     }
 
     def test_no_cartesian_products_anywhere(self, spark):
