@@ -370,7 +370,8 @@ class TopicHandle:
 
         cfg = ((self._cfg.extra or {}).get("kafka") or {}).get("config") or {}
         ms = cfg.get("retention.ms")
-        if ms is None:
+        if ms is None or int(str(ms)) == -1:
+            # Kafka's -1 sentinel: infinite retention — never trim
             return {}
         if now is None:
             now = datetime.datetime.now(datetime.timezone.utc)

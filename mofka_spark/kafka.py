@@ -146,13 +146,20 @@ class KafkaDriver:
         if config:
             ms = config.get("retention.ms")
             if ms is not None:
+                # Kafka semantics: -1 means infinite retention (no
+                # trim); any positive value is a real retention window.
+                # Valid client configs written for real Kafka must not
+                # fail against this compatibility facade.
                 try:
-                    ok = not isinstance(ms, bool) and int(str(ms)) >= 1
+                    ok = not isinstance(ms, bool) and (
+                        int(str(ms)) >= 1 or int(str(ms)) == -1
+                    )
                 except ValueError:
                     ok = False
                 if not ok:
                     raise MofkaError(
-                        f"retention.ms must be a positive integer, got {ms!r}"
+                        "retention.ms must be a positive integer or -1 "
+                        f"(infinite retention), got {ms!r}"
                     )
             ignored = sorted(set(config) - HONORED_CONFIG_KEYS)
             if ignored:

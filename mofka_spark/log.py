@@ -894,20 +894,38 @@ class EventLog:
         return out
 
     def _cursor_fence(
-        self, floors: dict[int, int], force: bool
+        self,
+        floors: dict[int, int],
+        force: bool,
+        prev_floors: dict[int, int] | None = None,
     ) -> None:
         """Refuse a trim that would destroy UNREAD events: for every
         registered consumer, the cursor (next offset to read) must be
         at or above the requested floor. ``force=True`` overrides —
-        the fenced consumers simply resume at the floor."""
+        the fenced consumers simply resume at the floor.
+
+        Only floor INCREASES are fenced (``prev_floors`` = the already
+        committed trim map): offsets below a committed floor are gone
+        regardless, so re-asserting an unchanged floor destroys
+        nothing. Without this, one force=True trim past a lagging
+        consumer's cursor would wedge every later non-force
+        trim()/apply_retention() sweep — the documented "re-running
+        trim (any args) completes the deletion" crash-recovery path —
+        until that consumer re-acked."""
         if force or not os.path.isdir(self.cursors_dir):
+            return
+        prev = prev_floors or {}
+        rising = {
+            p: f for p, f in floors.items() if f > int(prev.get(p, 0))
+        }
+        if not rising:
             return
         for fn in sorted(os.listdir(self.cursors_dir)):
             if not fn.endswith(".json"):
                 continue
             consumer = fn[: -len(".json")]
             cur = self.load_cursors(consumer)
-            for p, floor in floors.items():
+            for p, floor in rising.items():
                 if floor > cur.get(p, 0):
                     raise MofkaError(
                         f"trim to offset {floor} of partition {p} would "
@@ -1001,7 +1019,11 @@ class EventLog:
                             break
                         floor = max(floor, hi + 1)
                 floors[p] = floor
-            self._cursor_fence(floors, force)
+            self._cursor_fence(
+                floors,
+                force,
+                {int(k): int(v) for k, v in trim.items()},
+            )
             dirty = False
             for p, floor in floors.items():
                 if floor > int(trim.get(str(p), 0)):

@@ -409,6 +409,7 @@ def hits(
     src_col: str = "src",
     dst_col: str = "dst",
     iters: int = 3,
+    release: list | None = None,
 ) -> DataFrame:
     """HITS hubs/authorities over a DIRECTED graph — pagerank's
     complement for crawl curation: authorities are pages many hubs
@@ -434,12 +435,37 @@ def hits(
     is small and fixed, so the rounds compose into one static plan
     (no checkpoints needed — plan depth is 2*iters joins over the
     one materialized edge frame); the two L1 norms are window-free
-    total aggregates computed in the same final job."""
+    total aggregates computed in the same final job.
+
+    ``iters`` must be in [1, 12]: iters=0 has no defined authority
+    vector, and unnormalized doubles grow like max_degree^(2*iters) —
+    at iters=12 even a degree-10^6 hub stays ~1e144, far inside double
+    range, while unbounded iters on a power-law crawl graph would
+    silently reach inf and normalize to NaN. Users needing deeper
+    power iteration should normalize per round (the equivalence in the
+    docstring makes that a drop-in loop around this function).
+
+    ``release``: when given, the internally checkpointed edge frame is
+    appended so a long-lived caller can free its blocks
+    deterministically — pass each appended frame to
+    ``session.release_local_checkpoint`` AFTER materializing the
+    result (plain ``unpersist`` never touches localCheckpoint
+    blocks). Without it the blocks are reclaimed only by GC +
+    ContextCleaner, which a repeatedly-calling library session should
+    not rely on."""
+    if not 1 <= iters <= 12:
+        raise ValueError(
+            f"hits: iters must be in [1, 12], got {iters} (see "
+            "docstring: 0 is undefined, >12 risks float overflow on "
+            "high-degree graphs; normalize per round for deeper runs)"
+        )
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if release is not None:
+        release.append(e)
     ids = nodes.select(F.col(id_col).alias("id")).distinct()
     h = ids.select("id", F.lit(1.0).alias("h"))
     a = None
@@ -478,6 +504,8 @@ def hits(
         F.round(F.col("h") / hs, 6).alias("hub"),
         F.round(F.col("a") / as_, 6).alias("authority"),
     )
-    # e's checkpoint stays live until the caller drops the returned
-    # frame (the plan reads it 2*iters times); nothing else persists
+    # e's checkpoint stays referenced by the returned plan (read
+    # 2*iters times); callers that outlive the result free it via the
+    # ``release`` list + release_local_checkpoint. Nothing else
+    # persists.
     return out

@@ -1873,6 +1873,13 @@ def blocklist_scan(
       to hit tokens only, so the groupBy(id) shuffle carries just the
       (typically rare) hits, and the join back onto the corpus ids is
       id-keyed narrow rows; the document text itself never shuffles.
+
+    ``id_col`` values must be unique (the corpus-id contract every
+    dedup/scan operator here shares): with duplicate ids the two
+    regimes diverge — the literal probe counts per ROW, while the
+    broadcast regime's groupBy(id) sums hits across all rows sharing
+    the id and joins that total back onto each of them. Deduplicate
+    ids (or add a row uid) before calling on non-unique input.
     """
     uniq = sorted({t.lower() for t in terms})
     arr = _tokens(F.col(text_col))

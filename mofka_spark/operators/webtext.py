@@ -789,6 +789,13 @@ def parse_robots_txt(
     windows and the rules↔agents join are keyed by (domain), so the
     one shuffle carries parsed DIRECTIVE rows only (tens per domain),
     never bodies.
+
+    Input contract: at most ONE body per domain. The group-assignment
+    window partitions by domain with per-row line indexes, so two
+    bodies for the same domain (refetches) would interleave lines and
+    cross-attach directives. Dedup to the latest fetch first —
+    exactly what :mod:`mofka_spark.streaming.robots`'s sink does
+    before calling this (latest-per-domain wins).
     """
     lines = df.select(
         F.col(domain_col).alias("domain"),

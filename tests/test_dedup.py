@@ -633,3 +633,39 @@ class TestHits:
         for v in nodes_py:
             assert abs(got[v][0] - round(h[v], 6)) < 1e-9, (v, got[v], h[v])
             assert abs(got[v][1] - round(a[v], 6)) < 1e-9, (v, got[v], a[v])
+
+    def test_iters_validated(self, spark):
+        # iters=0 previously crashed deep in the final join with an
+        # obscure error; out-of-range iters risk float overflow -> NaN
+        # normalization on power-law graphs (ADVICE r13)
+        import pytest
+
+        from mofka_spark.operators.graph import hits
+
+        edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+        nodes = edges.select(F.col("src").alias("id"))
+        for bad in (0, -1, 13):
+            with pytest.raises(ValueError, match="iters"):
+                hits(nodes, edges, iters=bad)
+
+    def test_release_frees_edge_checkpoint(self, spark):
+        # the release-list contract: after materializing the result,
+        # releasing the appended frames leaves no persisted RDD behind
+        # (long-lived sessions calling hits() repeatedly must not leak
+        # one edge checkpoint per call)
+        from mofka_spark.operators.graph import hits
+        from mofka_spark.session import release_local_checkpoint
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+        )
+        nodes = edges.select(F.col("src").alias("id")).distinct()
+        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        rel: list = []
+        out = hits(nodes, edges, iters=2, release=rel)
+        rows = out.collect()
+        assert len(rows) == 3 and len(rel) == 1
+        for fr in rel:
+            release_local_checkpoint(fr)
+        after = len(spark.sparkContext._jsc.getPersistentRDDs())
+        assert after <= before

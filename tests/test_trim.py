@@ -177,6 +177,25 @@ class TestCursorFence:
         rows = log.fetch_rows(log.load_cursors("c1"), 3)
         assert [off for _p, off, _m, _d in rows] == [5, 6, 7]
 
+    def test_fence_only_on_floor_increase(self, tmp_path):
+        # After a force trim past a lagging consumer's cursor, later
+        # NON-force trims that do not raise any floor must succeed —
+        # the committed floor destroys nothing new, and the documented
+        # crash-recovery path ("re-running trim completes the
+        # deletion") plus Driver.apply_retention sweeps depend on it.
+        log = _mk_log(str(tmp_path / "t"), n_per_part=10, parts=1)
+        log.acknowledge("c1", 0, 2)  # cursor -> 3
+        assert log.trim(before_offset=5, force=True) == {0: 5}
+        # unchanged floor: allowed even though floor(5) > cursor(3)
+        assert log.trim(before_offset=5) == {0: 5}
+        assert log.trim(before_offset=1) == {0: 5}  # below floor: noop
+        # an actual INCREASE past the cursor still fences
+        with pytest.raises(MofkaError, match="c1"):
+            log.trim(before_offset=7)
+        # consumer catches up -> the increase is allowed
+        log.acknowledge("c1", 0, 6)
+        assert log.trim(before_offset=7) == {0: 7}
+
 
 class TestCrashSafety:
     def test_crash_window_reads_consistent_and_rerun_completes(self, tmp_path):
@@ -448,6 +467,28 @@ class TestKafkaRetention:
                     f"bad-{bad}", num_partitions=1,
                     config={"retention.ms": bad},
                 )
+
+    def test_retention_ms_minus_one_is_infinite(self, spark, tmp_path):
+        # Kafka defines retention.ms=-1 as infinite retention; the
+        # facade must accept it and apply_retention must never trim
+        from mofka_spark.kafka import KafkaDriver
+
+        root = str(tmp_path / "root")
+        os.makedirs(root)
+        cfg = str(tmp_path / "kafka.json")
+        with open(cfg, "w") as f:
+            json.dump({"root": root}, f)
+        kd = KafkaDriver(cfg, spark)
+        kd.create_topic("inf", num_partitions=1, config={"retention.ms": -1})
+        t = kd.open_topic("inf")
+        with t.producer("p", batch_size=3) as p:
+            for i in range(3):
+                p.push({"i": i}, None, partition=0)
+        fut = datetime.datetime.now(
+            datetime.timezone.utc
+        ) + datetime.timedelta(days=365)
+        assert t.apply_retention(now=fut) == {}
+        assert t.log.read().count() == 3
 
 
 class TestTrimCli:
