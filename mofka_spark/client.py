@@ -449,9 +449,32 @@ class TopicHandle:
         batch_size: int | None = None,
         starting_offsets: str | dict[int, int] | None = None,
         checkpoint: str | None = None,
+        native: bool | None = None,
     ) -> DataFrame:
-        """The topic as a streaming DataFrame (custom 'mofka' source;
-        L3 feedConsumer ≙ micro-batch offset ranges from the ledger).
+        """The topic as a streaming DataFrame.
+
+        Two engines serve it, chosen by ``native`` (default: auto):
+
+        - **native fast path** (uncapped earliest reads — the common
+          full-drain/tail-follow case): Spark's built-in file streaming
+          source over the topic's parquet log. The row path is the JVM
+          vectorized parquet reader — no Python worker process in the
+          scan, no per-query Python source-runner spawn (measured at
+          sf0.1: ~0.3s/drain vs ~1.9s through the Python source for
+          identical rows — guide §4's "eliminate the boundary" applied
+          to the source itself). Micro-batches advance by FILES
+          (Spark's file log), not by ledger offset ranges; delivered
+          rows, schema, and trim-floor filtering are identical to the
+          custom source. Trim floors are captured when the stream is
+          BUILT (a trim landing mid-query hides no already-delivered
+          rows either way; whole-file deletes never re-deliver because
+          the file log tracks processed files).
+        - **custom 'mofka' source** (L3 feedConsumer ≙ micro-batch
+          offset ranges from the ledger): required for ``batch_size``
+          rate caps, non-earliest ``starting_offsets`` (latest /
+          explicit resume maps), and per-batch trim clamping — the
+          offset-controlled consumer semantics the reference feed loop
+          defines. ``native=False`` forces it for uncapped reads too.
 
         Note on triggers: ``batch_size`` caps each trigger's advance via
         latestOffset. Trigger.AvailableNow snapshots the FIRST announced
@@ -460,11 +483,25 @@ class TopicHandle:
         completion); use AvailableNow only for uncapped drains.
 
         ``checkpoint``: pass the SAME path you give the query's
-        writeStream checkpointLocation. The source then persists its
-        committed-offset floor inside it, so a restarted rate-capped
+        writeStream checkpointLocation. The custom source then persists
+        its committed-offset floor inside it, so a restarted rate-capped
         query derives its resume clamp from durable state instead of
         inferring it from Spark's recovery call sequence (see
-        streaming/source.py floor notes)."""
+        streaming/source.py floor notes). Checkpoints are engine-bound:
+        a query checkpointed on one engine must not restart on the
+        other (Spark rejects the source mismatch)."""
+        eligible = batch_size is None and starting_offsets in (
+            None,
+            "earliest",
+        )
+        if native is None:
+            native = eligible
+        elif native and not eligible:
+            raise MofkaError(
+                "native=True supports only uncapped earliest reads "
+                "(no batch_size, no starting_offsets) — those need the "
+                "ledger-offset source"
+            )
         if "memory" in self._refresh().backends_used:
             # The source's executor-side arrow scan runs in processes
             # that cannot see this one's memory store: attach-time spill
@@ -476,6 +513,8 @@ class TopicHandle:
             # owning process (src/MemoryPartitionManager.cpp:13); the
             # shared log is Spark's equivalent of that hand-off.
             self.log.enable_stream_spill()
+        if native:
+            return self._read_stream_native()
         from mofka_spark.streaming.source import MofkaDataSource
 
         spark = self.driver.spark
@@ -504,6 +543,29 @@ class TopicHandle:
             )
             reader = reader.option("starting_offsets", opt)
         return reader.load()
+
+    def _read_stream_native(self) -> DataFrame:
+        """Uncapped earliest stream via Spark's file streaming source
+        over the topic's parquet log (see read_stream). Appends publish
+        by atomic rename, so files appear whole; new partition dirs are
+        discovered by the per-batch listing. ``maxFileAge`` is disabled
+        (the default 7d would silently skip old files of a long-lived
+        topic on a fresh drain)."""
+        from mofka_spark.log import EVENT_SCHEMA
+
+        data_path = self.log.data_path
+        os.makedirs(data_path, exist_ok=True)
+        df = (
+            self.driver.spark.readStream.schema(EVENT_SCHEMA)
+            .option("basePath", data_path)
+            .option("maxFileAge", "36500d")
+            .parquet(data_path)
+            .withColumn("topic", F.coalesce("topic", F.lit(self.name)))
+            # partition-dir columns append last; restore the contract
+            # column order (batch/stream schema parity)
+            .select(*[f.name for f in EVENT_SCHEMA.fields])
+        )
+        return self.log.apply_trim_filter(df)
 
     def await_completion(self, query, poll_interval: float = 0.25, timeout: float | None = 120.0) -> bool:
         """Terminate a continuous streaming query reading this topic once

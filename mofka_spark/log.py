@@ -1085,12 +1085,17 @@ class EventLog:
         )
         if partitions is not None:
             df = df.filter(F.col("partition").isin(partitions))
-        # trim floors: rows below a partition's floor are retired.
-        # Whole files under the floor are already deleted; this filter
-        # hides the below-floor rows of straddling files. Written as a
-        # disjunction of per-partition (partition, offset) clauses so
-        # it reaches the parquet scan (row-group min/max pruning) —
-        # O(#trimmed-partitions) plan literals.
+        return self.apply_trim_filter(df)
+
+    def apply_trim_filter(self, df: DataFrame) -> DataFrame:
+        """Hide rows below each partition's trim floor (retired by
+        retention). Whole files under the floor are already deleted;
+        this filter hides the below-floor rows of straddling files.
+        Written as a disjunction of per-partition (partition, offset)
+        clauses so it reaches the parquet scan (row-group min/max
+        pruning) — O(#trimmed-partitions) plan literals. Shared by the
+        batch read and the native streaming fast path (client
+        read_stream)."""
         trims = self.trim_floors()
         pred = None
         for p, floor in sorted(trims.items()):

@@ -80,8 +80,19 @@ def stop_when_complete(
     # above (never a silently-undrained shutdown).
     while True:
         query.processAllAvailable()
-        ledger = {str(p): int(n) for p, n in topic.log.next_offsets().items()}
         end = _end_offsets(query.lastProgress)
+        if "logOffset" in end:
+            # native file-source stream (read_stream fast path): the
+            # end offset is Spark's file-log position, not a partition
+            # map, so the ledger compare below cannot apply. The drain
+            # proof here is processAllAvailable() itself: it returns
+            # only once every file visible at call time is committed,
+            # and the completion flag (observed BEFORE the call) means
+            # producers flushed and no further file can appear — the
+            # same flush-before-complete contract the ledger proof
+            # assumes.
+            break
+        ledger = {str(p): int(n) for p, n in topic.log.next_offsets().items()}
         if all(end.get(p, 0) >= n for p, n in ledger.items()):
             break
         if deadline is not None and time.time() > deadline:

@@ -58,6 +58,48 @@ def test_stream_read_available_now(driver, tmp_path, backend):
         assert r["n"] == 30 and r["mn"] == 0 and r["mx"] == 29
 
 
+def test_native_and_custom_source_rows_identical(driver, tmp_path):
+    """The native file-source fast path (auto for uncapped earliest
+    reads) must deliver exactly the custom ledger-offset source's rows
+    — same schema, same values, same trim filtering."""
+    topic = _fill_topic(driver, name="native-parity-t", partitions=2, n=40)
+    topic.trim(before_offset=3)  # exercise the floor filter on both
+
+    def drain(native, sink):
+        q = (
+            topic.read_stream(native=native)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", str(tmp_path / f"ck-{sink}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        df = driver.spark.sql(f"SELECT * FROM {sink}")
+        assert df.columns == [
+            "topic", "partition", "offset", "metadata", "data", "ingest_ts",
+        ]
+        return sorted(
+            (r["topic"], r["partition"], r["offset"], r["metadata"], r["data"])
+            for r in df.collect()
+        )
+
+    nat = drain(None, "nat_out")   # auto -> native
+    cus = drain(False, "cus_out")  # forced custom source
+    assert nat == cus
+    assert len(nat) == 2 * (20 - 3)
+
+
+def test_native_rejected_for_capped_reads(driver):
+    from mofka_spark.errors import MofkaError
+
+    topic = _fill_topic(driver, name="native-cap-t", partitions=1, n=5)
+    with pytest.raises(MofkaError, match="native"):
+        topic.read_stream(batch_size=2, native=True)
+    with pytest.raises(MofkaError, match="native"):
+        topic.read_stream(starting_offsets="latest", native=True)
+
+
 def test_stream_batch_size_rate_control(driver, tmp_path):
     topic = _fill_topic(driver, name="rate-t", partitions=1, n=50)
     # batch_size 10 -> drains all 50 across >= 5 micro-batches
