@@ -441,10 +441,18 @@ def ngram_jaccard_pairs(
     # persisted: the gram frame feeds BOTH sides of the verify join
     # (grams_a / grams_b), and it is small by construction (candidate
     # members only) — without a materialization point the semi-join +
-    # n-gram projection would run twice
+    # n-gram projection would run twice.
+    # Grams travel as xxhash64 longs, not strings: set sizes and
+    # intersections over the hashed sets equal the string-set ones
+    # unless two distinct grams of one pair union collide in 64 bits
+    # (P < 1e-8; see OPTIMIZATION_r14.md) — the persisted frame and
+    # the verify shuffle carry 8 bytes/gram instead of the gram text,
+    # and array_intersect/union compare longs instead of strings.
     grams = _spread(cand_docs, id_col).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+        F.array_distinct(
+            F.transform(word_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
+        ).alias("grams"),
     ).persist()
     if release is not None:
         release.append(grams)
@@ -764,16 +772,31 @@ def simhash_dedup(
 def _doc_grams(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """Materialized per-doc distinct word-n-gram arrays (id, grams) —
-    the single tokenize pass shared by containment_candidates (which
-    explodes+hashes it into the inverted index) and the
-    containment_pairs exact verify (which intersects the arrays).
+    """Materialized per-doc distinct word-n-gram arrays as xxhash64
+    longs (id, grams) — the single tokenize pass shared by
+    containment_candidates (which explodes it into the inverted index)
+    and the containment_pairs verify (which intersects the arrays).
+
+    Hashing happens HERE, once, so gram text never leaves the scan:
+    the checkpoint, the index explode, and the verify arrays all carry
+    8-byte longs instead of gram strings (measured ~2.5x fewer
+    checkpoint+shuffle bytes and a cheaper long-vs-string
+    array_intersect on the 400k-pair verify at sf0.1). Set sizes and
+    intersections over the hashed sets equal the string-set ones
+    unless two distinct grams of one doc pair collide in 64 bits
+    (P < 1e-8 for 10^5-gram pair unions — see OPTIMIZATION_r14.md;
+    verified value-identical to the string form at sf0.001/0.01/0.1).
     localCheckpoint: reclaimed on GC, not a session-cache leak."""
     return (
         _spread(df, id_col)
         .select(
             F.col(id_col).alias("id"),
-            F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+            F.array_distinct(
+                F.transform(
+                    word_ngrams(F.col(text_col), n),
+                    lambda g: F.xxhash64(g),
+                )
+            ).alias("grams"),
         )
         .localCheckpoint(eager=True)
     )
@@ -812,12 +835,10 @@ def containment_candidates(
     tokenized exactly once across candidates + verify.
     """
     if doc_grams is not None:
-        # derive the index from the shared materialized arrays: the
-        # explode+hash re-runs per consumer but reads the checkpoint,
-        # not the raw corpus (no second tokenize pass)
-        grams = doc_grams.select(
-            "id", F.explode("grams").alias("gram")
-        ).select("id", F.xxhash64("gram").alias("g"))
+        # derive the index from the shared materialized arrays (already
+        # xxhash64 longs): the explode re-runs per consumer but reads
+        # the checkpoint, not the raw corpus (no second tokenize pass)
+        grams = doc_grams.select("id", F.explode("grams").alias("g"))
     else:
         # the exploded gram frame feeds the df aggregate AND both
         # sides of the self-join — persist it or the tokenize+explode
@@ -870,14 +891,18 @@ def containment_pairs(
     for pairs >= threshold, containment rounded to 6dp.
 
     The corpus is tokenized ONCE: one shared localCheckpoint of the
-    per-doc gram arrays feeds both the candidate index (explode+hash)
-    and the exact verify (array intersect on candidate members only) —
-    previously the verify re-ran tokenize+explode over member docs.
+    per-doc hashed gram arrays feeds both the candidate index
+    (explode) and the exact verify (array intersect on candidate
+    members only) — previously the verify re-ran tokenize+explode
+    over member docs. The candidate frame is persisted because it has
+    two consumers (the member-id broadcast and the verify join);
+    without the materialization point the index self-join + distinct
+    would execute twice (measured ~1.5s of the gate at sf0.1).
     """
     shared = _doc_grams(df, id_col, text_col, n)
     cand = containment_candidates(
         df, id_col, text_col, n, max_df, doc_grams=shared
-    )
+    ).persist()
     member_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
@@ -1062,10 +1087,15 @@ def cross_corpus_dedup(
 
     def _grams(side: DataFrame, members: DataFrame, out_id: str):
         pruned = side.join(F.broadcast(members), id_col, "left_semi")
+        # hashed-long gram arrays: same bytes/collision rationale as
+        # ngram_jaccard_pairs (P < 1e-8; OPTIMIZATION_r14.md)
         return _spread(pruned, id_col).select(
             F.col(id_col).alias(out_id),
             F.array_distinct(
-                word_ngrams(F.col(text_col), ngram_n)
+                F.transform(
+                    word_ngrams(F.col(text_col), ngram_n),
+                    lambda g: F.xxhash64(g),
+                )
             ).alias(f"grams_{out_id}"),
         )
 
