@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 # definition — text._WS_CHARS — so the engines cannot drift one
 # site at a time (text.py's dedup imports are function-local; no
 # cycle).
-from mofka_spark.operators.text import _WS_CHARS
+from mofka_spark.operators.text import _WS_CHARS, _let
 
 _WS_RUN = f"[{_WS_CHARS}]+"
 
@@ -115,20 +115,35 @@ def shingles(col: Column, k: int = 5) -> Column:
     """Character k-shingles of normalized text as an array<string>.
 
     transform over a sequence — one projection, no explode until the
-    pipeline needs it."""
-    norm = normalize_text(col)
-    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    return F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+    pipeline needs it. The normalized string binds once per row via
+    ``_let`` (substr on an inlined expression would re-normalize per
+    shingle — the O(len²) trap, see _let)."""
+
+    def build(norm: Column) -> Column:
+        n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k))
+        )
+
+    return _let(normalize_text(col), build)
 
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Word n-grams as array<string> (for n-gram Jaccard)."""
-    toks = F.split(normalize_text(col), " ")
-    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), cnt - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    """Word n-grams as array<string> (for n-gram Jaccard).
+
+    The token array binds once per row via ``_let`` — inlining it into
+    the per-gram lambda re-ran split(normalize(text)) per gram
+    (O(len²) per doc; measured 8.5x on the gram projection, see _let).
+    """
+
+    def build(toks: Column) -> Column:
+        cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), cnt - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+
+    return _let(F.split(normalize_text(col), " "), build)
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
@@ -231,12 +246,30 @@ def minhash_signatures(
         else shingles(F.col(text_col), shingle_k)
     )
     kern = F.pandas_udf(_minhash_fold_kernel(num_hashes), "array<long>")
-    return _spread(df.filter(F.col(text_col).isNotNull()), id_col).select(
+    # Generate barrier: the Arrow kernel's arguments must be plain
+    # attributes (see simhash_signatures — a _let-bearing expression
+    # argument strands the PythonUDF in an interpreted projection).
+    # Bonus: the gram array evaluates ONCE for both hash families.
+    base = _spread(df.filter(F.col(text_col).isNotNull()), id_col).select(
         F.col(id_col).alias("id"),
-        kern(
-            F.transform(feat, lambda x: F.xxhash64(x)),
-            F.transform(feat, lambda x: F.xxhash64(x, F.lit(1))),
-        ).alias("sig"),
+        F.explode(
+            F.array(
+                F.struct(
+                    _let(
+                        feat,
+                        lambda g: F.struct(
+                            F.transform(g, lambda x: F.xxhash64(x)).alias("h1"),
+                            F.transform(
+                                g, lambda x: F.xxhash64(x, F.lit(1))
+                            ).alias("h2"),
+                        ),
+                    ).alias("h"),
+                )
+            )
+        ).alias("_g"),
+    )
+    return base.select(
+        "id", kern(F.col("_g.h.h1"), F.col("_g.h.h2")).alias("sig")
     )
 
 
@@ -646,10 +679,17 @@ def simhash_signatures(
         # yields >= 1 gram (word_ngrams' greatest(...,1)), so the
         # kernel never sees an empty segment.
         kern = F.pandas_udf(_simhash_fold_kernel(bits), "long")
-        return (
-            _spread(df.filter(F.col(text_col).isNotNull()), id_col)
-            .select(F.col(id_col).alias("id"), kern(harr).alias("sim"))
+        # Generate barrier between the hash-array projection and the
+        # Arrow kernel: the UDF argument must be a plain attribute —
+        # handing it the _let-bearing gram expression directly leaves
+        # the PythonUDF inside an interpreted projection that cannot
+        # evaluate it (observed: INTERNAL_ERROR "Cannot evaluate
+        # expression: kern(...)" under localCheckpoint).
+        base = _spread(df.filter(F.col(text_col).isNotNull()), id_col).select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(harr)).alias("_h"),
         )
+        return base.select("id", kern(F.col("_h")).alias("sim"))
     hcol, bits = _gram_hash(F.col("g"), portable)
     hashed = _spread(df, id_col).select(
         F.col(id_col).alias("id"),

@@ -58,6 +58,22 @@ def _tokens(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), _WS)
 
 
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once per row and pass it to ``body`` as a true
+    runtime variable (a "let" expression via a 1-element transform).
+
+    Rationale: a lambda body handed to a higher-order function inlines
+    every outer Column expression it references, and codegen's
+    subexpression elimination does not reach inside lambda functions —
+    so ``transform(sequence(...), i -> f(big_expr, i))`` re-evaluates
+    ``big_expr`` PER ELEMENT. Measured on word_ngrams at sf0.1: the
+    inlined split(normalize(text)) made the gram projection O(len²)
+    per doc — 4.09s for 5k docs vs 0.48s with the tokens bound once
+    (8.5x). A lambda VARIABLE reference is O(1), so binding the big
+    expression as the HOF input restores the linear cost."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def _stopword_hits(col: Column, words: list[str]) -> Column:
     """Count tokens equal to any stopword. Token equality (not regex
     word-boundaries) so Java-regex vs RE2 \\b divergence can never make
@@ -1186,26 +1202,35 @@ def cdc_chunks(
     the md5 transform per boundary probe)."""
     from mofka_spark.operators.dedup import _spread
 
-    toks = _tokens(F.col(text_col))
-    # gram ending at word i (1-based, i >= w): words [i-w+1 .. i]
-    gram_hash = F.transform(
-        F.sequence(F.lit(1), F.size(toks)),
-        lambda i: F.when(
-            i >= w,
-            F.conv(
-                F.substring(
-                    F.md5(F.array_join(F.slice(toks, i - F.lit(w - 1), w), " ")),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("long"),
-        ),
-    )
+    # _let binds the token array once per row: the per-position lambda
+    # below slices it, and an inlined tokenize expression would re-run
+    # split per position (O(len²) — see _let). The Generate barrier
+    # (explode) then makes the struct a real attribute for the
+    # downstream selects, as before.
+    def _payload(tk: Column) -> Column:
+        # gram ending at word i (1-based, i >= w): words [i-w+1 .. i]
+        gh = F.transform(
+            F.sequence(F.lit(1), F.size(tk)),
+            lambda i: F.when(
+                i >= w,
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.array_join(F.slice(tk, i - F.lit(w - 1), w), " ")
+                        ),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long"),
+            ),
+        )
+        return F.struct(tk.alias("t"), gh.alias("gh"))
+
     base = _spread(df.filter(F.col(text_col).isNotNull()), id_col).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array(F.struct(toks.alias("t"), gram_hash.alias("gh")))).alias(
-            "_d"
-        ),
+        F.explode(
+            F.array(_let(_tokens(F.col(text_col)), _payload))
+        ).alias("_d"),
     )
     t, gh = F.col("_d.t"), F.col("_d.gh")
     n = F.size(t)
@@ -1690,14 +1715,24 @@ def token_entropy(
     arr = _tokens(col)
     n = F.size(arr).cast("double")
 
-    def _p(t):
-        return F.size(F.filter(arr, lambda x: x == t)) / n
+    # _let twice: the token array binds once per row (the inlined
+    # tokenize would re-run per TYPE inside the fold lambda — O(len²),
+    # see _let), and each type's p binds once per fold step (it is
+    # used twice in p*ln(p)). Pure evaluation-count changes: the
+    # folded IEEE doubles are bit-identical.
+    def _ent(a: Column) -> Column:
+        an = F.size(a).cast("double")
 
-    ent = -F.aggregate(
-        F.sort_array(F.array_distinct(arr)),
-        F.lit(0.0),
-        lambda acc, t: acc + _p(t) * F.log(_p(t)),
-    )
+        def _p(t):
+            return F.size(F.filter(a, lambda x: x == t)) / an
+
+        return -F.aggregate(
+            F.sort_array(F.array_distinct(a)),
+            F.lit(0.0),
+            lambda acc, t: acc + _let(_p(t), lambda p: p * F.log(p)),
+        )
+
+    ent = _let(arr, _ent)
     return df.filter(col.isNotNull()).select(
         F.col(id_col).alias("id"),
         F.size(arr).cast("long").alias("n_tokens"),

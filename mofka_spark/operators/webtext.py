@@ -895,15 +895,25 @@ def domain_blocklist_filter(
         {_strip_www(d.lower().lstrip(".")) for d in blocked_domains}
     )
     labels = F.split(host, r"\.")
-    n = F.size(labels)
     if len(norm) <= max_literal_entries:
+        from mofka_spark.operators.text import _let
+
         blocked_arr = F.array(*[F.lit(d) for d in norm])
+
         # every label-boundary suffix of the host: ["a.b.c", "b.c", "c"]
-        suffixes = F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.array_join(F.slice(labels, i, n), "."),
-        )
-        hit = F.exists(suffixes, lambda s: F.array_contains(blocked_arr, s))
+        # — label array bound once per row via _let (the inlined
+        # split-of-regexp-host would re-evaluate per suffix depth)
+        def _hit(lab: Column) -> Column:
+            ln = F.size(lab)
+            suffixes = F.transform(
+                F.sequence(F.lit(1), ln),
+                lambda i: F.array_join(F.slice(lab, i, ln), "."),
+            )
+            return F.exists(
+                suffixes, lambda s: F.array_contains(blocked_arr, s)
+            )
+
+        hit = _let(labels, _hit)
         return (
             df.withColumn("domain", host)
             .withColumn("base_domain", url_base_domain(F.col(url_col)))

@@ -90,21 +90,27 @@ def index_sink(
         ).filter(F.col("text").isNotNull()).persist()
         # (token, doc, tf) rows with NO shuffle: tf folds inside the
         # doc's own token array (O(distinct x len) per doc, the price
-        # of keeping the write path scan-local)
+        # of keeping the write path scan-local). The token array binds
+        # once per row via _let — the inlined split expression would
+        # otherwise re-tokenize per distinct token (O(len²), see
+        # operators.text._let).
+        from mofka_spark.operators.text import _let
+
+        def _tf_pairs(a):
+            return F.transform(
+                F.array_distinct(a),
+                lambda t: F.struct(
+                    t.alias("token"),
+                    F.size(
+                        F.filter(a, lambda x: x == t)
+                    ).cast("double").alias("tf"),
+                ),
+            )
+
         pairs = (
             docs.select(
                 "doc",
-                F.explode(
-                    F.transform(
-                        F.array_distinct(arr),
-                        lambda t: F.struct(
-                            t.alias("token"),
-                            F.size(
-                                F.filter(arr, lambda x: x == t)
-                            ).cast("double").alias("tf"),
-                        ),
-                    )
-                ).alias("p"),
+                F.explode(_let(arr, _tf_pairs)).alias("p"),
             )
             .select(F.col("p.token").alias("token"), "doc", F.col("p.tf"))
             .filter(F.col("token") != "")
