@@ -450,6 +450,7 @@ class TopicHandle:
         starting_offsets: str | dict[int, int] | None = None,
         checkpoint: str | None = None,
         native: bool | None = None,
+        files_per_trigger: int | None = None,
     ) -> DataFrame:
         """The topic as a streaming DataFrame.
 
@@ -489,11 +490,30 @@ class TopicHandle:
         inferring it from Spark's recovery call sequence (see
         streaming/source.py floor notes). Checkpoints are engine-bound:
         a query checkpointed on one engine must not restart on the
-        other (Spark rejects the source mismatch)."""
+        other (Spark rejects the source mismatch).
+
+        ``files_per_trigger``: the native fast path's rate cap — each
+        trigger advances by at most this many PUBLISHED FILES of the
+        log (Spark's maxFilesPerTrigger). Epoch granularity is the unit
+        the log appends (one file per partition per producer flush), so
+        a consumer that needs a multi-epoch drain without the custom
+        source's per-query Python overhead caps by files; offset-exact
+        row caps still need ``batch_size`` (custom source). Mutually
+        exclusive with ``batch_size``/``starting_offsets``."""
         eligible = batch_size is None and starting_offsets in (
             None,
             "earliest",
         )
+        if files_per_trigger is not None:
+            if not eligible or native is False:
+                raise MofkaError(
+                    "files_per_trigger is a native-fast-path rate cap: "
+                    "it excludes batch_size, non-earliest "
+                    "starting_offsets, and native=False"
+                )
+            if files_per_trigger < 1:
+                raise MofkaError("files_per_trigger must be >= 1")
+            native = True
         if native is None:
             native = eligible
         elif native and not eligible:
@@ -514,7 +534,7 @@ class TopicHandle:
             # shared log is Spark's equivalent of that hand-off.
             self.log.enable_stream_spill()
         if native:
-            return self._read_stream_native()
+            return self._read_stream_native(files_per_trigger)
         from mofka_spark.streaming.source import MofkaDataSource
 
         spark = self.driver.spark
@@ -544,22 +564,31 @@ class TopicHandle:
             reader = reader.option("starting_offsets", opt)
         return reader.load()
 
-    def _read_stream_native(self) -> DataFrame:
-        """Uncapped earliest stream via Spark's file streaming source
-        over the topic's parquet log (see read_stream). Appends publish
-        by atomic rename, so files appear whole; new partition dirs are
+    def _read_stream_native(
+        self, files_per_trigger: int | None = None
+    ) -> DataFrame:
+        """Earliest stream via Spark's file streaming source over the
+        topic's parquet log (see read_stream). Appends publish by
+        atomic rename, so files appear whole; new partition dirs are
         discovered by the per-batch listing. ``maxFileAge`` is disabled
         (the default 7d would silently skip old files of a long-lived
-        topic on a fresh drain)."""
+        topic on a fresh drain). ``files_per_trigger`` caps each
+        trigger's advance by published files (maxFilesPerTrigger)."""
         from mofka_spark.log import EVENT_SCHEMA
 
         data_path = self.log.data_path
         os.makedirs(data_path, exist_ok=True)
-        df = (
+        reader = (
             self.driver.spark.readStream.schema(EVENT_SCHEMA)
             .option("basePath", data_path)
             .option("maxFileAge", "36500d")
-            .parquet(data_path)
+        )
+        if files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(files_per_trigger)
+            )
+        df = (
+            reader.parquet(data_path)
             .withColumn("topic", F.coalesce("topic", F.lit(self.name)))
             # partition-dir columns append last; restore the contract
             # column order (batch/stream schema parity)

@@ -1930,15 +1930,19 @@ def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.streaming.neardup import neardup_sink, read_result
 
     topic = _stream_fixture(spark, sf_dir, "docs")
-    # batch_size = half the deepest partition => exactly TWO epochs at
-    # every sf: the second epoch exercises the batch-vs-store history
-    # path (the thing under test) and per-epoch job overhead stays
-    # constant as sf grows. num_hashes=32, bands=16 (r=2): true-pair
+    # files_per_trigger=1 over the fixture log (one published file per
+    # partition, 2 partitions at every sf) => exactly TWO epochs: the
+    # second epoch exercises the batch-vs-store history path (the thing
+    # under test) and per-epoch job overhead stays constant as sf
+    # grows, while the drain runs the native vectorized source (no
+    # per-query Python source runner — guide §4). The store's final
+    # answer is epoch-split-invariant by design (read_result derives
+    # from the accumulated edge SET), so the result is unchanged —
+    # oracle-verified. num_hashes=32, bands=16 (r=2): true-pair
     # miss prob at s>=0.8 is (1-0.8^2)^16 ~ 8e-8, so the hash-match
     # gate still holds; the extra false candidates r=2 admits are
     # killed by the exact verify.
-    deepest = max(topic.snapshot().values())
-    parsed = topic.read_stream(batch_size=(deepest + 1) // 2).select(
+    parsed = topic.read_stream(files_per_trigger=1).select(
         F.get_json_object("metadata", "$.doc_id").cast("long").alias("id"),
         F.get_json_object("metadata", "$.text").alias("text"),
     )
@@ -1991,9 +1995,13 @@ def q_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = similarity.fit_centroids(
         emb, "vec_id", "embedding", n_centroids=8, seed=7
     )
-    deepest = max(topic.snapshot().values())  # two epochs at every sf
+    # files_per_trigger=1: one published log file per partition (2
+    # partitions at every sf) => exactly two epochs on the native
+    # source; the store's final answer is epoch-split-invariant
+    # (oracle-verified), the second epoch exercises the
+    # batch-vs-store history path.
     parsed = (
-        topic.read_stream(batch_size=(deepest + 1) // 2)
+        topic.read_stream(files_per_trigger=1)
         .select(
             F.from_json(
                 "metadata", "vec_id long, embedding array<float>"
@@ -4249,8 +4257,12 @@ def q_streaming_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.streaming.textindex import index_sink, read_index
 
     topic = _stream_fixture(spark, sf_dir, "docs")
-    deepest = max(topic.snapshot().values())  # two epochs at every sf
-    parsed = topic.read_stream(batch_size=(deepest + 1) // 2).select(
+    # files_per_trigger=1: one published log file per partition (2
+    # partitions at every sf) => exactly two epochs on the native
+    # source; the store's final answer is epoch-split-invariant
+    # (oracle-verified), the second epoch exercises the
+    # batch-vs-store history path.
+    parsed = topic.read_stream(files_per_trigger=1).select(
         F.get_json_object("metadata", "$.doc_id").cast("long").alias("id"),
         F.get_json_object("metadata", "$.text").alias("text"),
     )
@@ -4297,8 +4309,10 @@ def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.streaming.textindex import index_sink, read_bm25
 
     topic = _stream_fixture(spark, sf_dir, "docs")
-    deepest = max(topic.snapshot().values())
-    parsed = topic.read_stream(batch_size=(deepest + 1) // 2).select(
+    # files_per_trigger=1 => exactly two epochs on the native
+    # source (one published log file per partition); final answer
+    # epoch-split-invariant, oracle-verified.
+    parsed = topic.read_stream(files_per_trigger=1).select(
         F.get_json_object("metadata", "$.doc_id").cast("long").alias("id"),
         F.get_json_object("metadata", "$.text").alias("text"),
     )
@@ -4956,8 +4970,12 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.streaming.heavyhitters import heavyhitter_sink, read_top_k
 
     topic = _stream_fixture(spark, sf_dir, "docs")
-    deepest = max(topic.snapshot().values())  # two epochs at every sf
-    items = topic.read_stream(batch_size=(deepest + 1) // 2).select(
+    # files_per_trigger=1: one published log file per partition (2
+    # partitions at every sf) => exactly two epochs on the native
+    # source; the store's final answer is epoch-split-invariant
+    # (oracle-verified), the second epoch exercises the
+    # batch-vs-store history path.
+    items = topic.read_stream(files_per_trigger=1).select(
         F.explode(
             F.split(
                 normalize_text(F.get_json_object("metadata", "$.text")), " "
@@ -5209,9 +5227,13 @@ def q_streaming_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.streaming.moments import moments_sink, read_component
 
     topic = _stream_fixture(spark, sf_dir, "vecs")
-    deepest = max(topic.snapshot().values())  # two epochs at every sf
+    # files_per_trigger=1: one published log file per partition (2
+    # partitions at every sf) => exactly two epochs on the native
+    # source; the store's final answer is epoch-split-invariant
+    # (oracle-verified), the second epoch exercises the
+    # batch-vs-store history path.
     parsed = (
-        topic.read_stream(batch_size=(deepest + 1) // 2)
+        topic.read_stream(files_per_trigger=1)
         .select(
             F.from_json(
                 "metadata", "vec_id long, embedding array<float>"
@@ -5655,8 +5677,10 @@ def q_streaming_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.streaming.bloom import bloom_sink, read_membership
 
     topic = _stream_fixture(spark, sf_dir, "docs")
-    deepest = max(topic.snapshot().values())
-    keys = topic.read_stream(batch_size=(deepest + 1) // 2).select(
+    # files_per_trigger=1 => exactly two epochs on the native
+    # source (one published log file per partition); final answer
+    # epoch-split-invariant, oracle-verified.
+    keys = topic.read_stream(files_per_trigger=1).select(
         F.get_json_object("metadata", "$.doc_id").alias("key")
     )
     store = os.path.join(tempfile.mkdtemp(prefix="mofka-bloom-"), "store")
@@ -5716,8 +5740,10 @@ def q_streaming_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.streaming.sample import read_sample, sample_sink
 
     topic = _stream_fixture(spark, sf_dir, "docs")
-    deepest = max(topic.snapshot().values())
-    keys = topic.read_stream(batch_size=(deepest + 1) // 2).select(
+    # files_per_trigger=1 => exactly two epochs on the native
+    # source (one published log file per partition); final answer
+    # epoch-split-invariant, oracle-verified.
+    keys = topic.read_stream(files_per_trigger=1).select(
         F.get_json_object("metadata", "$.doc_id").alias("key")
     )
     store = os.path.join(tempfile.mkdtemp(prefix="mofka-sample-"), "store")
@@ -6715,8 +6741,10 @@ def q_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.streaming.dsirstore import dsir_sink, read_bucket_counts
 
     topic = _stream_fixture(spark, sf_dir, "docs")
-    deepest = max(topic.snapshot().values())
-    parsed = topic.read_stream(batch_size=(deepest + 1) // 2).select(
+    # files_per_trigger=1 => exactly two epochs on the native
+    # source (one published log file per partition); final answer
+    # epoch-split-invariant, oracle-verified.
+    parsed = topic.read_stream(files_per_trigger=1).select(
         F.get_json_object("metadata", "$.doc_id").cast("long").alias("doc_id"),
         F.get_json_object("metadata", "$.text").alias("text"),
     )
@@ -10407,9 +10435,13 @@ def q_streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     topic = _stream_fixture(spark, sf_dir, "docs")
-    deepest = max(topic.snapshot().values())  # two epochs at every sf
+    # files_per_trigger=1: one published log file per partition (2
+    # partitions at every sf) => exactly two epochs on the native
+    # source; the store's final answer is epoch-split-invariant
+    # (oracle-verified), the second epoch exercises the
+    # batch-vs-store history path.
     parsed = (
-        topic.read_stream(batch_size=(deepest + 1) // 2)
+        topic.read_stream(files_per_trigger=1)
         .select(
             F.get_json_object("metadata", "$.doc_id").cast("long").alias(
                 "doc_id"
@@ -10967,9 +10999,13 @@ def q_streaming_web_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     topic = _stream_fixture(spark, sf_dir, "docs")
-    deepest = max(topic.snapshot().values())  # two epochs at every sf
+    # files_per_trigger=1: one published log file per partition (2
+    # partitions at every sf) => exactly two epochs on the native
+    # source; the store's final answer is epoch-split-invariant
+    # (oracle-verified), the second epoch exercises the
+    # batch-vs-store history path.
     pages = (
-        topic.read_stream(batch_size=(deepest + 1) // 2)
+        topic.read_stream(files_per_trigger=1)
         .select(
             F.get_json_object("metadata", "$.doc_id").cast("long").alias(
                 "doc_id"
@@ -11096,7 +11132,11 @@ def q_streaming_robots_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.streaming.robots import read_robots_rules, robots_sink
 
     topic = _stream_fixture(spark, sf_dir, "docs")
-    deepest = max(topic.snapshot().values())  # two epochs at every sf
+    # files_per_trigger=1: one published log file per partition (2
+    # partitions at every sf) => exactly two epochs on the native
+    # source; the store's final answer is epoch-split-invariant
+    # (oracle-verified), the second epoch exercises the
+    # batch-vs-store history path.
     k = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
     t = F.pmod(F.col("doc_id"), F.lit(3))
     body = (
@@ -11110,7 +11150,7 @@ def q_streaming_robots_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("# nothing disallowed\n"))
     )
     fetches = (
-        topic.read_stream(batch_size=(deepest + 1) // 2)
+        topic.read_stream(files_per_trigger=1)
         .select(
             F.get_json_object("metadata", "$.doc_id")
             .cast("long")
@@ -11201,9 +11241,13 @@ def q_streaming_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mofka_spark.streaming.webgraph import read_web_graph, web_graph_sink
 
     topic = _stream_fixture(spark, sf_dir, "docs")
-    deepest = max(topic.snapshot().values())  # two epochs at every sf
+    # files_per_trigger=1: one published log file per partition (2
+    # partitions at every sf) => exactly two epochs on the native
+    # source; the store's final answer is epoch-split-invariant
+    # (oracle-verified), the second epoch exercises the
+    # batch-vs-store history path.
     pages = (
-        topic.read_stream(batch_size=(deepest + 1) // 2)
+        topic.read_stream(files_per_trigger=1)
         .select(
             F.get_json_object("metadata", "$.doc_id").cast("long").alias(
                 "doc_id"

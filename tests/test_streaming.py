@@ -100,6 +100,52 @@ def test_native_rejected_for_capped_reads(driver):
         topic.read_stream(starting_offsets="latest", native=True)
 
 
+def test_files_per_trigger_epochs_and_rows(driver, tmp_path):
+    """files_per_trigger caps the native stream's advance by published
+    files: a 2-partition topic filled by one producer flush holds one
+    file per partition, so files_per_trigger=1 drains in exactly two
+    micro-batches whose union is the full row set."""
+    topic = _fill_topic(driver, name="fpt-t", partitions=2, n=40)
+    topic.mark_as_complete()
+    seen = []
+
+    def sink(df, epoch_id):
+        seen.append(
+            (epoch_id, sorted((r["partition"], r["offset"]) for r in df.collect()))
+        )
+
+    q = (
+        topic.read_stream(files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck-fpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    assert topic.await_completion(q, timeout=120)
+    non_empty = [(e, rows) for e, rows in seen if rows]
+    assert len(non_empty) == 2, f"expected 2 one-file epochs, saw {len(non_empty)}"
+    # each epoch is exactly one whole partition file; union is everything
+    for _, rows in non_empty:
+        assert len({p for p, _ in rows}) == 1
+        assert len(rows) == 20
+    union = sorted(r for _, rows in non_empty for r in rows)
+    assert union == sorted((p, o) for p in (0, 1) for o in range(20))
+
+
+def test_files_per_trigger_validation(driver):
+    from mofka_spark.errors import MofkaError
+
+    topic = _fill_topic(driver, name="fpt-val-t", partitions=1, n=5)
+    with pytest.raises(MofkaError, match="files_per_trigger"):
+        topic.read_stream(batch_size=2, files_per_trigger=1)
+    with pytest.raises(MofkaError, match="files_per_trigger"):
+        topic.read_stream(starting_offsets="latest", files_per_trigger=1)
+    with pytest.raises(MofkaError, match="files_per_trigger"):
+        topic.read_stream(files_per_trigger=1, native=False)
+    with pytest.raises(MofkaError, match="files_per_trigger"):
+        topic.read_stream(files_per_trigger=0)
+
+
 def test_stream_batch_size_rate_control(driver, tmp_path):
     topic = _fill_topic(driver, name="rate-t", partitions=1, n=50)
     # batch_size 10 -> drains all 50 across >= 5 micro-batches
