@@ -80,6 +80,42 @@ def _wildcard_to_regex(pat: str) -> str:
 # 1. Spark Column compiler
 # ===========================================================================
 
+class _Doc:
+    """Per-row bindings the compiled predicate reads: the metadata JSON
+    string (``m``) and its parsed variant (``v``). In unbound (direct)
+    mode ``v`` re-derives the parse per probe — right for one-probe
+    patterns where a lambda binding would cost more than it saves."""
+
+    __slots__ = ("m", "_v")
+
+    def __init__(self, m: Column, v: Column | None = None):
+        self.m = m
+        self._v = v
+
+    @property
+    def v(self) -> Column:
+        return F.try_parse_json(self.m) if self._v is None else self._v
+
+
+def _count_probes(obj: Any) -> int:
+    """Number of leaf rules in a pattern document — each leaf costs at
+    least one per-row probe of the parsed doc, so >= 2 means a bound
+    single parse beats inline re-evaluation."""
+    if not isinstance(obj, dict):
+        return 1
+    n = 0
+    for key, val in obj.items():
+        if key == "$or" and isinstance(val, list):
+            n += sum(_count_probes(sub) for sub in val)
+        elif isinstance(val, dict) and not _is_rule_object(val):
+            n += _count_probes(val)
+        elif isinstance(val, list):
+            n += len(val)
+        else:
+            n += 1
+    return n
+
+
 def compile_pattern(pattern: dict[str, Any], metadata: Column | str = "metadata") -> Column:
     """Compile an eventbridge pattern document to a boolean Column over a
     JSON-string metadata column.
@@ -89,12 +125,36 @@ def compile_pattern(pattern: dict[str, Any], metadata: Column | str = "metadata"
     numeric cast; conjunction across fields, disjunction across list
     values, ``$or`` across subpatterns. All JVM built-ins ->
     whole-stage-codegen'd and Catalyst-visible.
-    """
+
+    Multi-rule patterns bind the metadata expression and its parsed
+    variant ONCE per row as lambda variables (1-element ``exists``):
+    Catalyst inlines a derived metadata column (e.g.
+    ``to_json(struct(...))``) into every reference and FilterExec's
+    codegen never CSEs the condition, so an 8-rule pattern would
+    otherwise serialize the doc 8x and parse a variant per type probe
+    (measured -18% exec on the eventbridge_strings gate at sf0.1).
+    Type/existence probes read the bound root variant instead of
+    re-parsing rendered parent text per rule. One-rule patterns skip
+    the binding: a single probe evaluates the doc once either way, and
+    the lambda's CodegenFallback eval costs more than it saves
+    (measured +5% on eventbridge_numeric)."""
     col = F.col(metadata) if isinstance(metadata, str) else metadata
-    return _compile_obj(pattern, col, path=[])
+    if _count_probes(pattern) < 2:
+        return _compile_obj(pattern, _Doc(col), path=[])
+
+    def _with_doc(m: Column) -> Column:
+        def _with_var(v: Column) -> Column:
+            return _compile_obj(pattern, _Doc(m, v), path=[])
+
+        return F.exists(F.array(F.try_parse_json(m)), _with_var)
+
+    # exists over a 1-element array == the lambda body evaluated on the
+    # bound element, including three-valued logic (true/false/NULL pass
+    # through unchanged)
+    return F.exists(F.array(col), _with_doc)
 
 
-def _compile_obj(obj: dict[str, Any], meta: Column, path: list[str]) -> Column:
+def _compile_obj(obj: dict[str, Any], meta: "_Doc", path: list[str]) -> Column:
     if not isinstance(obj, dict) or not obj:
         raise PatternError(f"pattern object must be a non-empty dict at {path}")
     conjuncts: list[Column] = []
@@ -130,40 +190,40 @@ def _json_path(path: list[str]) -> str:
     return "$." + ".".join(path)
 
 
-def _str_at(meta: Column, path: list[str]) -> Column:
+def _str_at(meta: "_Doc", path: list[str]) -> Column:
     """String value at path (JSON scalars come back as their string
     rendering; objects/arrays as JSON text; missing -> NULL)."""
-    return F.get_json_object(meta, _json_path(path))
+    return F.get_json_object(meta.m, _json_path(path))
 
 
-def _num_at(meta: Column, path: list[str]) -> Column:
+def _num_at(meta: "_Doc", path: list[str]) -> Column:
     # try_cast: a numeric rule must simply not-match a non-numeric value;
     # under ANSI mode a plain cast would throw on e.g. "abc"
     return _str_at(meta, path).try_cast("double")
 
 
-def _parent_of(meta: Column, path: list[str]) -> Column:
-    """Rendered JSON text of the object containing path's last key."""
-    return _str_at(meta, path[:-1]) if len(path) > 1 else meta
+def _var_at(meta: "_Doc", path: list[str]) -> Column:
+    """The value at path as a variant read off the ONE bound root parse
+    (SQL NULL when the path is missing or any ancestor is not an
+    object — the same cases where the old per-rule parent re-parse
+    yielded NULL)."""
+    return F.try_variant_get(meta.v, _json_path(path), "variant")
 
 
-def _is_json_string(meta: Column, path: list[str]) -> Column:
+def _is_json_string(meta: "_Doc", path: list[str]) -> Column:
     """True when the value at path is a JSON *string* (quoted).
 
     get_json_object strips quotes, losing the type; eventbridge matching
     is type-sensitive (numeric rules must not match "33", string rules
-    must not match 33). Exact via the variant type: parse the parent
-    object once and read the per-row schema of the value —
+    must not match 33). Exact via the variant type: read the per-row
+    schema of the value off the bound root variant —
     schema_of_variant returns 'STRING' only for actual JSON strings.
     (An earlier regex probe of the parent's rendered text false-matched
     when a nested object under the same parent repeated the key.)"""
-    v = F.try_variant_get(
-        F.try_parse_json(_parent_of(meta, path)), "$." + path[-1], "variant"
-    )
-    return F.schema_of_variant(v) == F.lit("STRING")
+    return F.schema_of_variant(_var_at(meta, path)) == F.lit("STRING")
 
 
-def _compile_value_list(values: list[Any], meta: Column, path: list[str]) -> Column:
+def _compile_value_list(values: list[Any], meta: "_Doc", path: list[str]) -> Column:
     """Value-in-list: OR over exact matches / rule objects."""
     if not values:
         raise PatternError(f"empty match list at {path}")
@@ -179,7 +239,7 @@ def _compile_value_list(values: list[Any], meta: Column, path: list[str]) -> Col
     return acc
 
 
-def _exact_eq(v: Any, meta: Column, path: list[str]) -> Column:
+def _exact_eq(v: Any, meta: "_Doc", path: list[str]) -> Column:
     s = _str_at(meta, path)
     if v is None:
         # JSON null: get_json_object returns NULL for both null and
@@ -197,19 +257,20 @@ def _exact_eq(v: Any, meta: Column, path: list[str]) -> Column:
     return (s == F.lit(str(v))) & quoted
 
 
-def _exists(meta: Column, path: list[str]) -> Column:
+def _exists(meta: "_Doc", path: list[str]) -> Column:
     """exists:true — the key is present (any value incl. null).
 
-    Exact: json_object_keys parses the parent object and returns its
-    key list; membership distinguishes a null VALUE (key present) from
-    a missing key, which get_json_object alone cannot. Non-object
-    parents yield NULL keys -> not present. (An earlier substring probe
-    false-matched when any VALUE text contained the quoted key.)"""
-    keys = F.json_object_keys(_parent_of(meta, path))
-    return F.coalesce(F.array_contains(keys, F.lit(path[-1])), F.lit(False))
+    Exact via the bound root variant: a present key holds a variant
+    (a JSON null VALUE is a non-SQL-null variant of schema VOID), a
+    missing key or non-object ancestor yields SQL NULL — the same
+    distinction json_object_keys membership drew on the re-parsed
+    parent text, at one parse per row instead of one per rule. (An
+    earlier substring probe false-matched when any VALUE text
+    contained the quoted key.)"""
+    return _var_at(meta, path).isNotNull()
 
 
-def _compile_rule(rule: dict[str, Any], meta: Column, path: list[str]) -> Column:
+def _compile_rule(rule: dict[str, Any], meta: "_Doc", path: list[str]) -> Column:
     if len(rule) != 1:
         raise PatternError(f"rule object must have exactly one key at {path}: {rule}")
     (op, arg), = rule.items()
@@ -288,7 +349,7 @@ def _compile_affix(arg: Any, s: Column, mode: str) -> Column:
     return acc
 
 
-def _compile_numeric(arg: Any, meta: Column, path: list[str]) -> Column:
+def _compile_numeric(arg: Any, meta: "_Doc", path: list[str]) -> Column:
     """["<", 10] or [">=", 5, "<", 10] op/operand chain."""
     if not isinstance(arg, list) or len(arg) % 2 != 0 or not arg:
         raise PatternError(f"numeric rule needs [op, num, ...]: {arg}")
@@ -313,7 +374,7 @@ def _compile_numeric(arg: Any, meta: Column, path: list[str]) -> Column:
     return acc
 
 
-def _compile_anything_but(arg: Any, meta: Column, path: list[str]) -> Column:
+def _compile_anything_but(arg: Any, meta: "_Doc", path: list[str]) -> Column:
     s = _str_at(meta, path)
     quoted = _is_json_string(meta, path)
     if isinstance(arg, dict):
