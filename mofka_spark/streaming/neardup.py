@@ -66,6 +66,7 @@ from mofka_spark.streaming.store import (
     bucketize_store,
     compact_epoch_store,
     epoch_write as _epoch_write_generic,
+    epoch_write_all,
     read_store as _read_store,
     read_store_split as _read_store_split,
 )
@@ -211,12 +212,18 @@ def neardup_sink(
             corpus, cand, "id", "text", ngram_n, verify_threshold,
             release=scratch,
         ).select("id_a", "id_b")
-        # persist store extensions; edges LAST so a crash between
-        # writes leaves bands/texts ahead of edges — harmless, since
-        # the epoch replay overwrites all three partitions
-        _epoch_write(new_bands, os.path.join(store_path, _BANDS), epoch_id)
-        _epoch_write(docs, os.path.join(store_path, _TEXTS), epoch_id)
-        _epoch_write(edges, os.path.join(store_path, _EDGES), epoch_id)
+        # persist store extensions CONCURRENTLY (epoch_write_all): the
+        # three tables are independent given the persisted docs/bands,
+        # and a crash leaving any subset written is harmless — the
+        # epoch replay overwrites all three partitions
+        epoch_write_all(
+            [
+                (new_bands, os.path.join(store_path, _BANDS)),
+                (docs, os.path.join(store_path, _TEXTS)),
+                (edges, os.path.join(store_path, _EDGES)),
+            ],
+            epoch_id,
+        )
         for frame in scratch:
             frame.unpersist()
         new_bands.unpersist()

@@ -41,19 +41,47 @@ def epoch_write(
     epoch_id: int,
     partition_cols: tuple[str, ...] = (),
 ) -> None:
-    """Append one epoch's rows idempotently (see module docstring)."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.withColumn("_epoch", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .partitionBy(*partition_cols, "_epoch")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    """Append one epoch's rows idempotently (see module docstring).
+
+    The dynamic-overwrite mode rides on the WRITER (not a session-conf
+    toggle): per-writer options are thread-safe, so a sink may run its
+    independent table writes concurrently (epoch_write_all)."""
+    (
+        df.withColumn("_epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols, "_epoch")
+        .parquet(path)
+    )
+
+
+def epoch_write_all(
+    writes: list[tuple[DataFrame, str] | tuple[DataFrame, str, tuple[str, ...]]],
+    epoch_id: int,
+) -> None:
+    """Run several independent epoch writes CONCURRENTLY (one driver
+    thread each) so the scheduler back-fills one write's task tail with
+    the next write's tasks instead of serializing tiny jobs — the
+    overlap-independent-jobs discipline. Safe because each write
+    targets its own table path (no committer contention), epoch replay
+    overwrites every table's ``_epoch`` partition on retry (so a crash
+    leaving any SUBSET of the tables written is repaired by the
+    replay, regardless of completion order), and the overwrite mode is
+    a per-writer option. The first failure re-raises after all threads
+    finish — partial writes are again covered by replay."""
+    import concurrent.futures
+
+    if len(writes) == 1:
+        w = writes[0]
+        epoch_write(w[0], w[1], epoch_id, *w[2:])
+        return
+    with concurrent.futures.ThreadPoolExecutor(len(writes)) as pool:
+        futs = [
+            pool.submit(epoch_write, w[0], w[1], epoch_id, *w[2:])
+            for w in writes
+        ]
+        for f in futs:
+            f.result()
 
 
 def read_store(

@@ -43,6 +43,7 @@ from mofka_spark.streaming.store import (
     bucketize_store,
     compact_epoch_store,
     epoch_write,
+    epoch_write_all,
     read_store,
     read_store_split,
 )
@@ -115,16 +116,25 @@ def index_sink(
             .select(F.col("p.token").alias("token"), "doc", F.col("p.tf"))
             .filter(F.col("token") != "")
         )
-        epoch_write(pairs, os.path.join(store_path, _POSTINGS), epoch_id)
-        epoch_write(
-            docs.select("doc", F.size(arr).cast("double").alias("dl")),
-            os.path.join(store_path, _DOCLEN),
-            epoch_id,
-        )
+        # the three tables are independent given the persisted docs —
+        # write them concurrently (epoch_write_all; replay overwrites
+        # every table's epoch partition, so partial completion on a
+        # crash is repaired regardless of order)
         n = docs.count()
-        epoch_write(
-            spark.createDataFrame([(n,)], "n_docs long"),
-            os.path.join(store_path, _META),
+        epoch_write_all(
+            [
+                (pairs, os.path.join(store_path, _POSTINGS)),
+                (
+                    docs.select(
+                        "doc", F.size(arr).cast("double").alias("dl")
+                    ),
+                    os.path.join(store_path, _DOCLEN),
+                ),
+                (
+                    spark.createDataFrame([(n,)], "n_docs long"),
+                    os.path.join(store_path, _META),
+                ),
+            ],
             epoch_id,
         )
         docs.unpersist()
