@@ -91,13 +91,30 @@ def optimize_layout(
             # measured 1.6x slower for no extra skipping at 16 files)
             n_cuts = min(64, 1 << zorder_bits)
             probs = [i / n_cuts for i in range(1, n_cuts)]
-            # ONE pass computes every column's cut points (multi-column
-            # approxQuantile); 1/n_cuts relative error is plenty — the
-            # cuts only need to land each value in roughly the right
-            # bucket of n_cuts, not at exact quantiles
-            all_cuts = df.stat.approxQuantile(
-                list(cluster_cols), probs, 1.0 / n_cuts
-            )  # bounded model state: <= 255 doubles per column
+            # ONE pass computes every column's cut points. SQL
+            # approx_percentile (not DataFrame.stat.approxQuantile):
+            # same QuantileSummaries sketch, but as a codegen'd partial
+            # aggregate over the columnar scan instead of the RDD
+            # row-conversion path — measured 2.2s -> 0.85s cold /
+            # 0.34s -> 0.27s warm at sf0.1, identical cut count. NULLs
+            # are skipped by the aggregate exactly as approxQuantile
+            # did; 1/n_cuts relative error (accuracy = n_cuts) is
+            # plenty — the cuts only need to land each value in
+            # roughly the right bucket of n_cuts, not at exact
+            # quantiles.
+            prob_arr = F.array(*[F.lit(p) for p in probs])
+            cut_row = df.agg(
+                *[
+                    F.percentile_approx(
+                        F.col(c).cast("double"), prob_arr, F.lit(n_cuts)
+                    ).alias(f"_c{i}")
+                    for i, c in enumerate(cluster_cols)
+                ]
+            ).collect()[0]  # bounded model state: <= 63 doubles per column
+            all_cuts = [
+                list(cut_row[i]) if cut_row[i] is not None else []
+                for i in range(len(cluster_cols))
+            ]
             key_cols = []
             for c, raw_cuts in zip(cluster_cols, all_cuts):
                 cuts = sorted(set(raw_cuts))
@@ -121,7 +138,27 @@ def optimize_layout(
                 # HIGH key bits stay constant and it stops clustering
                 stretch = max(1, (1 << zorder_bits) // (len(cuts) + 1))
                 key_cols.append(bucket * F.lit(stretch))
-        keyed = df.withColumn("__zkey", zorder_key(key_cols, zorder_bits))
+        # Two-step projection: materialize each dim's bucket value as a
+        # named column BEFORE interleaving. zorder_key references every
+        # key column once per bit (zorder_bits times); the equi-depth
+        # bucket is an aggregate-HOF (CodegenFallback — no codegen CSE),
+        # so inlining it into the key expression re-evaluates the
+        # 63-cut fold per bit reference. CollapseProject keeps the
+        # split because the bucket expressions are non-cheap (measured:
+        # key projection 0.68s -> 0.54s warm at sf0.1, in BOTH the
+        # range-sample and shuffle-map passes).
+        if zorder_scale and key_cols and not all(
+            isinstance(c, str) for c in key_cols
+        ):
+            bnames = [f"__zb{i}" for i in range(len(key_cols))]
+            keyed = df.select(
+                "*", *[c.alias(n) for c, n in zip(key_cols, bnames)]
+            )
+            keyed = keyed.withColumn(
+                "__zkey", zorder_key(bnames, zorder_bits)
+            ).drop(*bnames)
+        else:
+            keyed = df.withColumn("__zkey", zorder_key(key_cols, zorder_bits))
         out = (
             keyed.repartitionByRange(num_files, "__zkey")
             .sortWithinPartitions("__zkey")
