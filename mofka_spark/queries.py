@@ -3854,18 +3854,21 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = cost.join(
         F.broadcast(supp), cost.l_suppkey == supp.s_suppkey
     )
-    best = eligible.groupBy("l_partkey").agg(
-        F.min("unit_cost").alias("best_cost")
-    ).withColumnRenamed("l_partkey", "b_partkey")
+    # per-part MIN as a window over the one eligible pass, keeping the
+    # rows that achieve it — same rows as the decorrelated
+    # aggregate-plus-join-back (MIN returns one of the input doubles,
+    # so the equality is exact and every tying row survives either
+    # way), but the eligible subtree (lineitem agg + dimension joins)
+    # is no longer duplicated under both join inputs, and the
+    # agg-shuffle + join-shuffle pair collapses to the window's single
+    # l_partkey exchange
+    w = Window.partitionBy("l_partkey")
     part = _t(spark, sf_dir, "part").filter(
         F.col("p_size").between(10, 14) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_name")
     return (
-        eligible.join(
-            best,
-            (eligible.l_partkey == F.col("b_partkey"))
-            & (eligible.unit_cost == F.col("best_cost")),
-        )
+        eligible.withColumn("best_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best_cost"))
         .join(F.broadcast(part), eligible.l_partkey == part.p_partkey)
         .select(
             "p_partkey", "p_name", "s_name", "n_name",
