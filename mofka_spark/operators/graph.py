@@ -70,6 +70,21 @@ def connected_components(
     )
     from mofka_spark.session import release_local_checkpoint
 
+    def _label_sum(frame):
+        # convergence witness: per-node labels are monotone
+        # NON-INCREASING (each round takes min over own + neighbor
+        # labels) and the id set is fixed, so the label sum strictly
+        # decreases iff ANY label changed. decimal(38,0) keeps the sum
+        # exact at any scale (1e12 nodes x 64-bit ids < 1e38), where a
+        # long sum could wrap. One map-side-partial aggregate over the
+        # checkpointed frame — the old test joined the full new and
+        # old label frames every round, a per-round label-sized
+        # shuffle that existed only to detect the fixed point.
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # candidate label per node: min over (own, neighbors' labels)
         neighbor = (
@@ -83,22 +98,17 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        # the old round's checkpoint is dead once the convergence test
-        # has consumed it — release deterministically (GC-based release
+        new_sum = _label_sum(new_labels)
+        # the old round's checkpoint is dead once the new one is
+        # materialized — release deterministically (GC-based release
         # is environment-dependent; long-lived sessions accumulate one
         # persisted RDD per round otherwise)
         release_local_checkpoint(labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             release_local_checkpoint(sym)
             return labels
+        prev_sum = new_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
