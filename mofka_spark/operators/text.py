@@ -2825,6 +2825,7 @@ def unigram_seed(
     max_piece_len: int = 4,
     seed_size: int = 256,
     min_count: int = 2,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Seed piece inventory for unigram training: the top
     ``seed_size`` multi-character substrings by occurrence mass
@@ -2834,10 +2835,20 @@ def unigram_seed(
 
     Scale shape: one corpus-collapsing word aggregate (bpe_word_freq),
     one substring-enumeration aggregate over the word-TYPE table, one
-    bounded top-N."""
+    bounded top-N. ``words``: a precomputed ``bpe_word_freq(df,
+    text_col)`` frame — pass the (checkpointed) word table a caller
+    already holds (unigram_train does) and the corpus is not touched
+    here at all; both seed branches then read the Zipf-bounded word
+    table instead of re-running the corpus aggregate each (Spark does
+    not share the aggregate subtree between the union's branches —
+    measured as two full corpus scans in the lazy standalone plan,
+    which at this scale are cheaper than materializing, but at corpus
+    scale are the dominant cost a caller avoids by passing the table
+    it already paid for)."""
     if max_piece_len < 2:
         raise ValueError("unigram_seed: max_piece_len must be >= 2")
-    words = bpe_word_freq(df, text_col)
+    if words is None:
+        words = bpe_word_freq(df, text_col)
     multi = (
         _unigram_substrings(words, max_piece_len)
         .groupBy("piece")
@@ -3002,7 +3013,8 @@ def unigram_train(
     words = bpe_word_freq(df, text_col).localCheckpoint(eager=True)
     try:
         seed = unigram_seed(
-            df, text_col, max_piece_len, seed_size, seed_min_count
+            df, text_col, max_piece_len, seed_size, seed_min_count,
+            words=words,
         )
         # bounded collect: seed_size + alphabet rows of model state
         counts = {r["piece"]: int(r["freq"]) for r in seed.collect()}
