@@ -2838,13 +2838,12 @@ def unigram_seed(
     bounded top-N. ``words``: a precomputed ``bpe_word_freq(df,
     text_col)`` frame — pass the (checkpointed) word table a caller
     already holds (unigram_train does) and the corpus is not touched
-    here at all; both seed branches then read the Zipf-bounded word
-    table instead of re-running the corpus aggregate each (Spark does
-    not share the aggregate subtree between the union's branches —
-    measured as two full corpus scans in the lazy standalone plan,
-    which at this scale are cheaper than materializing, but at corpus
-    scale are the dominant cost a caller avoids by passing the table
-    it already paid for)."""
+    here at all. Standalone, the union's two branches share the
+    word-frequency exchange at runtime (AQE stage reuse — verified in
+    the executed plan: the char branch reads a ReusedExchange), so
+    the lazy form costs ONE corpus pass; the parameter exists so a
+    caller that already materialized the word table does not pay a
+    second one."""
     if max_piece_len < 2:
         raise ValueError("unigram_seed: max_piece_len must be >= 2")
     if words is None:
