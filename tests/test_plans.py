@@ -601,14 +601,21 @@ class TestTpchBreadthPlans:
         ep = df._jdf.queryExecution().executedPlan().toString()
         assert "ReusedExchange" in ep
 
-    def test_q2_min_cost_joinback_no_window(self, spark):
-        # correlated MIN decorrelates to aggregate + join-back, not a
-        # per-part window over the full pair frame
+    def test_q2_min_cost_single_eligible_pass(self, spark):
+        # the correlated MIN runs as a per-part window over ONE
+        # eligible pass (min is achieved by an input row, so the
+        # equality filter is exact) — NOT as an aggregate joined back
+        # onto a second copy of the eligible subtree, which executed
+        # the whole lineitem aggregation twice and paid an extra
+        # exchange (r14 rewrite, commit 26f4735)
         df = queries.SPARK_QUERIES["q2_min_cost_supplier"](spark, SF)
         p = plans.plan_string(df)
-        assert not plans.has_operator(df, "Window")
+        assert plans.has_operator(df, "Window")
         assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p
+        # single eligible pass: lineitem is scanned exactly once in
+        # the whole plan (the join-back shape scanned it twice)
+        assert p.count("lineitem.parquet") == 1
 
     def test_q20_semi_join_and_date_pushdown(self, spark):
         df = queries.SPARK_QUERIES["q20_excess_suppliers"](spark, SF)

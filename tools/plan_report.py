@@ -42,6 +42,7 @@ SF_DIR = os.environ.get(
 # carries the 100 TB story
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_region_revenue",
     "q9_product_profit",
