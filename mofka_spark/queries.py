@@ -991,6 +991,15 @@ def _run_stream(spark, df, sink_name: str, output_mode: str):
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        # release the manager's reference to the terminated query (its
+        # retained execution plans + progress history age the session;
+        # see streaming/completion.py). The memory-sink TABLE lives in
+        # the catalog, not on the query object, so the returned frame
+        # is unaffected.
+        try:
+            spark.streams.resetTerminated()
+        except Exception:  # noqa: BLE001 — hygiene only
+            pass
     return spark.table(sink_name)
 
 

@@ -328,6 +328,29 @@ def test_stop_when_complete_terminates_continuous_stream(driver, tmp_path, spark
     assert spark.sql("SELECT * FROM complete_out").count() == 45
 
 
+def test_drain_releases_terminated_query_reference(driver, tmp_path, spark):
+    """After a completed drain the manager holds NO reference to the
+    terminated query (retained IncrementalExecution plans + progress
+    history age long-lived sessions — r14 hygiene fix). Observable:
+    with the terminated list cleared and no active queries,
+    awaitAnyTermination times out instead of returning the drained
+    query immediately — while the memory sink's table stays readable
+    (it lives in the catalog, not on the query object)."""
+    topic = _fill_topic(driver, name="release-t", partitions=1, n=10)
+    topic.mark_as_complete()
+    q = (
+        topic.read_stream()
+        .writeStream.format("memory")
+        .queryName("release_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt-release"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    assert topic.await_completion(q, timeout=60) is True
+    assert spark.streams.awaitAnyTermination(1) is False
+    assert spark.sql("SELECT * FROM release_out").count() == 10
+
+
 def test_stop_when_complete_times_out_on_open_topic(driver, tmp_path):
     topic = _fill_topic(driver, name="open-t", partitions=1, n=5)
     q = (
