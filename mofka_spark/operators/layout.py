@@ -43,6 +43,29 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     return key
 
 
+def _bucket_search(v: Column, cuts: list[float]) -> Column:
+    """Equi-depth bucket index as a BINARY-SEARCH ``when`` tree:
+    bucket(v) = |{i : v >= cuts[i]}| over the sorted cut array — the
+    same count the previous 63-step ``aggregate`` fold computed, but in
+    ceil(log2(len+1)) codegen'd comparisons per row instead of a
+    len-step interpreted HOF fold (higher-order functions are
+    CodegenFallback; measured 1.4 us/row at 63 cuts — the dominant cost
+    of the whole z-order rewrite). NULL input: every ``when`` condition
+    is NULL, so evaluation falls through the otherwise-chain to the
+    leftmost leaf — bucket 0, exactly as the fold's
+    ``when(v >= cut, 1).otherwise(0)`` summed NULLs to 0."""
+
+    def build(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo).cast("long")
+        mid = (lo + hi + 1) // 2
+        return F.when(
+            v >= F.lit(float(cuts[mid - 1])), build(mid, hi)
+        ).otherwise(build(lo, mid - 1))
+
+    return build(0, len(cuts))
+
+
 def optimize_layout(
     df: DataFrame,
     path: str,
@@ -80,7 +103,8 @@ def optimize_layout(
     Scale shape: one range exchange (sampled boundaries) + local sort;
     the only driver-side data is the cut-point arrays (<= 256 doubles
     per column). The per-row bucket lookup folds into the scan as an
-    aggregate over a literal array — codegen, no join, no UDF.
+    binary-search ``when`` tree (log2 cuts comparisons) — codegen, no
+    join, no UDF.
     """
     if zorder:
         key_cols: list[Column | str] = list(cluster_cols)
@@ -123,16 +147,8 @@ def optimize_layout(
                     # no clustering signal, pin its key contribution
                     key_cols.append(F.lit(0).cast("long"))
                     continue
-                lit_cuts = F.array(*[F.lit(float(x)) for x in cuts])
                 v = F.col(c).cast("double")
-                bucket = F.aggregate(
-                    lit_cuts,
-                    F.lit(0).cast("long"),
-                    lambda acc, cut: acc
-                    + F.when(v >= cut, F.lit(1).cast("long")).otherwise(
-                        F.lit(0).cast("long")
-                    ),
-                )
+                bucket = _bucket_search(v, cuts)
                 # low-cardinality dims dedup to few cuts; stretch the
                 # bucket index back over the full bit span or the dim's
                 # HIGH key bits stay constant and it stops clustering
@@ -140,12 +156,11 @@ def optimize_layout(
                 key_cols.append(bucket * F.lit(stretch))
         # Two-step projection: materialize each dim's bucket value as a
         # named column BEFORE interleaving. zorder_key references every
-        # key column once per bit (zorder_bits times); the equi-depth
-        # bucket is an aggregate-HOF (CodegenFallback — no codegen CSE),
-        # so inlining it into the key expression re-evaluates the
-        # 63-cut fold per bit reference. CollapseProject keeps the
-        # split because the bucket expressions are non-cheap (measured:
-        # key projection 0.68s -> 0.54s warm at sf0.1, in BOTH the
+        # key column once per bit (zorder_bits times), and inlining the
+        # bucket search there would re-run its when-tree per bit
+        # reference. CollapseProject keeps the split because the bucket
+        # expressions are non-cheap (measured: key projection
+        # 0.68s -> 0.54s warm at sf0.1 for the fold shape, in BOTH the
         # range-sample and shuffle-map passes).
         if zorder_scale and key_cols and not all(
             isinstance(c, str) for c in key_cols
