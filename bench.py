@@ -269,6 +269,12 @@ def main() -> None:
         "sf": sf,
         "warm_sec": warm_sec,
         "neardup_fixture_sec": fixture_sec,
+        # in-band evidence that $SPARK_GRAFT_CPUS was APPLIED (r14
+        # PERF flagged suspect_cpus_ignored because nothing in the
+        # emitted JSON proved the low-core run really ran low-core):
+        # defaultParallelism is what the local[N] master actually gave
+        # the scheduler, physical_cpus what the container offers.
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         "queries": runs_detail,
         "order": list(selected),
     }
@@ -276,7 +282,10 @@ def main() -> None:
         print(json.dumps(detail))
     else:
         _write_detail([detail])
-    _emit(timings, sf, max(1, args.n), wall)
+    _emit(
+        timings, sf, max(1, args.n), wall,
+        default_parallelism=detail["default_parallelism"],
+    )
     spark.stop()
 
 
@@ -322,7 +331,10 @@ R1_QUERIES = [
 ]
 
 
-def _emit(timings: dict[str, float], sf, n_runs: int, wall: float) -> None:
+def _emit(
+    timings: dict[str, float], sf, n_runs: int, wall: float,
+    default_parallelism: int | None = None,
+) -> None:
     # value = sum of per-query best times (what the engine costs), not
     # harness wall clock (which scales with -n and per-chunk warmups)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -338,7 +350,17 @@ def _emit(timings: dict[str, float], sf, n_runs: int, wall: float) -> None:
         "runs_per_query": n_runs,
         "wall_sec": wall,
         "baseline_queries_total_sec": baseline_total,
+        # scaling-probe self-validation (additions only — the driver's
+        # low-core re-run can now verify the core count was APPLIED:
+        # cpus = $SPARK_GRAFT_CPUS as parsed, default_parallelism =
+        # what local[cpus] actually gave the scheduler, physical_cpus
+        # = host cores, the saturation ceiling that explains flat
+        # 8-vs-32 ratios at overhead-bound SFs)
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "physical_cpus": os.cpu_count(),
     }
+    if default_parallelism is not None:
+        common["default_parallelism"] = default_parallelism
     # full per-query dump FIRST (local use; the driver keeps only the
     # last ~2000 chars of stdout, which truncates this line) ...
     print(json.dumps({**common, "queries": timings}))
@@ -411,7 +433,16 @@ def _run_chunked(names: list[str], args, sf) -> None:
         if detail is not None:
             details.append(detail)
     _write_detail(details)
-    _emit(timings, sf, max(1, args.n), round(time.time() - t0, 3))
+    dp = next(
+        (
+            d["default_parallelism"]
+            for d in details
+            if "default_parallelism" in d
+        ),
+        None,
+    )
+    _emit(timings, sf, max(1, args.n), round(time.time() - t0, 3),
+          default_parallelism=dp)
 
 
 def _run_one_chunk(

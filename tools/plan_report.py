@@ -37,6 +37,32 @@ SF_DIR = os.environ.get(
     "/root/testdata/sf0.1" if RUNTIME else "/root/testdata/sf0.001",
 )
 
+
+def tree_stamp() -> dict:
+    """Provenance for every generated plan artifact: the SHA of the
+    tree the artifact was generated from, plus whether the working
+    tree was dirty at the time. r14's verdict found a plan artifact
+    generated from an uncommitted tree shipped as evidence for a
+    change that was never committed — artifacts now carry (and loudly
+    mark) their generating tree so that class of drift is mechanically
+    checkable."""
+    import subprocess
+
+    def _git(*args: str) -> str:
+        return subprocess.run(
+            ["git", "-C", _REPO, *args], capture_output=True, text=True
+        ).stdout.strip()
+
+    sha = _git("rev-parse", "HEAD") or "unknown"
+    dirty = bool(_git("status", "--porcelain"))
+    return {"git_sha": sha, "git_dirty": dirty}
+
+
+def stamp_line() -> str:
+    s = tree_stamp()
+    mark = " [DIRTY TREE — not committed evidence]" if s["git_dirty"] else ""
+    return f"Generated from git {s['git_sha'][:12]}{mark}."
+
 # the per-round headline set: the r1 baseline queries + the heaviest
 # pipelines + this round's additions — the queries whose plan shape
 # carries the 100 TB story
@@ -207,6 +233,7 @@ def main() -> None:
         "",
         f"Generated by `python tools/plan_report.py"
         f"{' --runtime' if RUNTIME else ''}` at `{SF_DIR}`.",
+        stamp_line(),
         "Counts are physical operators from the simple explain;",
         "`pushed` = scans with non-empty PushedFilters; `max_cols` =",
         "widest ReadSchema (column pruning evidence). The global",
@@ -272,6 +299,7 @@ def main() -> None:
         with open(rt_out, "w") as f:
             json.dump(
                 {
+                    **tree_stamp(),
                     "sf_dir": SF_DIR,
                     "master": "local[8]",
                     "shuffle_partitions": 8,
