@@ -934,15 +934,19 @@ def containment_pairs(
     per-doc hashed gram arrays feeds both the candidate index
     (explode) and the exact verify (array intersect on candidate
     members only) — previously the verify re-ran tokenize+explode
-    over member docs. The candidate frame is persisted because it has
-    two consumers (the member-id broadcast and the verify join);
-    without the materialization point the index self-join + distinct
-    would execute twice (measured ~1.5s of the gate at sf0.1).
+    over member docs. The candidate frame is NOT persisted: both of
+    its consumers (the member-id broadcast and the verify join) sit
+    in one action's plan, and because the candidate subtree reads the
+    already-checkpointed gram frame and ends in a reusable exchange,
+    runtime exchange reuse deduplicates the self-join — an explicit
+    persist only serialized the concurrent subtrees and added a
+    memory-format write (interleaved A/B: persist LOSES ~8% at sf0.1
+    and ~35% at sf1; see OPTIMIZATION_r15.md).
     """
     shared = _doc_grams(df, id_col, text_col, n)
     cand = containment_candidates(
         df, id_col, text_col, n, max_df, doc_grams=shared
-    ).persist()
+    )
     member_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
