@@ -54,7 +54,10 @@ def tree_stamp() -> dict:
         ).stdout.strip()
 
     sha = _git("rev-parse", "HEAD") or "unknown"
-    dirty = bool(_git("status", "--porcelain"))
+    # tracked modifications only: untracked files (generated artifacts,
+    # scratch probes) cannot change committed code paths, and the
+    # artifact being generated is itself untracked until committed
+    dirty = bool(_git("status", "--porcelain", "--untracked-files=no"))
     return {"git_sha": sha, "git_dirty": dirty}
 
 
