@@ -50,7 +50,10 @@ def main() -> None:
     for name in names:
         df = q.SPARK_QUERIES[name](spark, sf_dir)
         if executed:
-            df.count()
+            # collect(), not count(): count() executes a DERIVED plan
+            # and leaves this frame's own executedPlan unexecuted
+            # (isFinalPlan=false — the r14 bb17ef0 misreading)
+            df.collect()
             body = df._jdf.queryExecution().executedPlan().toString()
         else:
             body = plans.plan_string(df)
